@@ -1,0 +1,235 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point of these at 100 TB):
+- exact_dedup: hash-groupBy on a digest of normalized text — shuffle
+  carries (digest, doc_id), never the text bytes.
+- MinHash+LSH: shingle -> k minhashes -> band buckets -> self-join on
+  (band, bucket). Candidate pairs are pairs sharing >=1 band bucket —
+  the classic sub-quadratic near-dup pipeline (Broder '97; standard in
+  LLM-corpus dedup). All hashing via xxhash64 with per-permutation
+  seeds: built-in, JVM-side, no UDF.
+- SimHash: 64-bit hyperplane signature from token hashes; near-dups =
+  signatures at small Hamming distance, bucketed by 4x16-bit chunks.
+- n-gram (token-set) Jaccard: exact pair similarity via token explode +
+  self-join; quadratic in the worst case, so use LSH candidates first at
+  scale (`jaccard_verify` runs on candidate pairs only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round6
+
+_WS = r"\s+"
+
+
+def _norm_text(c: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(c)), _WS, " ")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups keyed by md5 of normalized text.
+
+    Returns (text_hash, dup_count, keep_doc_id): keeper = min doc_id.
+    The shuffle key is the 32-char digest, so the wide text column is
+    pruned before the exchange."""
+    return (
+        docs.select(F.md5(_norm_text(F.col(text_col))).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle-hash) pairs: k-token shingles hashed to 64-bit.
+
+    Built from the token array with transform() over index ranges —
+    no explode until the final unnest, no UDF."""
+    toks = F.split(_norm_text(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))))
+    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def minhash_signatures(docs: DataFrame, num_perm: int = 64, k: int = 3) -> DataFrame:
+    """MinHash signature per doc: num_perm permutations, each the min of
+    xxhash64(shingle, seed=i) over the doc's shingles.
+
+    One groupBy over exploded shingles; signature assembled as an array
+    column. Cost: |shingles| x num_perm cheap hashes, all JVM-side."""
+    sh = shingles(docs, k=k)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: hash each band of the signature to a bucket; docs
+    sharing any (band, bucket) are candidate near-duplicates.
+
+    The self-join keys on (band, bucket) — sub-quadratic as long as
+    buckets stay small; a hot bucket (boilerplate text) is the skew case
+    AQE's skew-join splitting handles."""
+    b = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(
+                    F.concat_ws(",", F.slice("signature", i * rows_per_band + 1, rows_per_band)), i
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = b.alias("a")
+    right = b.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(signatures: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of agreeing
+    signature positions (zip_with over the two signature arrays)."""
+    a = signatures.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
+    b = signatures.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            round6(agree.cast("double") / F.size("sig_a")).alias("est_jaccard"),
+        )
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    k: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates
+    -> estimate filter. Returns pairs with est_jaccard >= threshold."""
+    sigs = minhash_signatures(docs, num_perm=num_perm, k=k)
+    pairs = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_perm // bands)
+    est = minhash_jaccard_estimate(sigs, pairs)
+    return est.where(F.col("est_jaccard") >= threshold)
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document from token xxhash64s.
+
+    For each bit position, sum +/-1 contributions across token hashes and
+    take the sign. Bit masks are driver-side constants (bit 63 as the
+    signed two's-complement mask), so everything stays built-in column
+    algebra over the token-hash array; no UDF."""
+    tok_hashes = F.transform(
+        F.array_distinct(F.split(_norm_text(F.col(text_col)), " ")), lambda t: F.xxhash64(t)
+    )
+    tmp = docs.select("doc_id", tok_hashes.alias("_th"))
+    # Disjoint bit masks -> the signature is the SUM of per-bit terms
+    # (flat 64-term expression; a nested when-chain would double the tree
+    # per level). Bit 63 uses the signed two's-complement mask, which sum
+    # semantics handle exactly.
+    def _vote_fn(mask: int):
+        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+
+    terms = []
+    for bit in range(64):
+        mask = (1 << bit) if bit < 63 else -(1 << 63)
+        vote = F.aggregate(F.col("_th"), F.lit(0), _vote_fn(mask))
+        terms.append(F.when(vote > 0, F.lit(mask)).otherwise(F.lit(0)).cast("long"))
+    sig = terms[0]
+    for t in terms[1:]:
+        sig = sig + t
+    return tmp.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_candidate_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates: bucket by each of four 16-bit chunks (pigeonhole:
+    Hamming distance <=3 over 64 bits guarantees one identical chunk),
+    join within buckets, verify exact Hamming distance <= max_hamming."""
+    chunked = signatures.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def token_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact token-set Jaccard over all pairs sharing >= 1 token.
+
+    explode distinct tokens -> self-join on token -> |A∩B| per pair ->
+    Jaccard with per-doc set sizes. Quadratic against a common-vocab
+    corpus: at scale, run on LSH candidates instead (minhash_dedup)."""
+    toks = docs.select("doc_id", F.explode(F.array_distinct(F.split(_norm_text(F.col("text")), " "))).alias("tok"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            round6(
+                F.col("inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold)

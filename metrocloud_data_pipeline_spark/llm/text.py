@@ -1,0 +1,112 @@
+"""Text-analysis operators for a training-data pipeline.
+
+All hot-path logic is built-in column expressions (JVM, codegen) — no
+Python UDFs — so each op is a single scan at 100 TB:
+
+- tokenize / token_stats: whitespace tokenization + counts.
+- quality_score: length/diversity heuristics (type-token ratio).
+- language_id: n-gram/stopword-overlap heuristic vs small per-language
+  profiles (broadcast join; returns best-scoring language).
+- fingerprint: deterministic document fingerprint (md5 of normalized
+  prefix + length bucket) for cheap near-exact clustering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round6
+
+_WS = r"\s+"
+
+
+def tokens_col(text=None) -> F.Column:
+    """Whitespace tokens of trimmed text (empty text -> empty array)."""
+    trimmed = F.trim(F.col("text") if text is None else text)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, _WS)
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token counts + chars/token ratio."""
+    toks = tokens_col()
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).cast("int").alias("token_count"),
+        F.size(F.array_distinct(toks)).cast("int").alias("uniq_token_count"),
+    ).withColumn(
+        "chars_per_token",
+        round6(F.col("n_chars").cast("double") / F.col("token_count").cast("double")),
+    )
+
+
+def quality_score(docs: DataFrame, target_chars: float = 400.0) -> DataFrame:
+    """Deterministic quality heuristic: length saturation x lexical
+    diversity (type-token ratio). Score in [0, 1]."""
+    toks = tokens_col()
+    n_tok = F.size(toks).cast("double")
+    uniq = F.size(F.array_distinct(toks)).cast("double")
+    ttr = uniq / n_tok
+    length_part = F.least(F.lit(1.0), F.col("n_chars").cast("double") / F.lit(target_chars))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("int").alias("token_count"),
+        F.size(F.array_distinct(toks)).cast("int").alias("uniq_token_count"),
+        round6(ttr).alias("type_token_ratio"),
+        round6(length_part * ttr).alias("quality_score"),
+    )
+
+
+# Tiny per-language stopword profiles for the heuristic language-ID.
+# Real pipelines plug in fastText/CLD3 via a pandas_udf; the engine-side
+# pattern (broadcast profiles + overlap scoring, one scan) is the same.
+LANGUAGE_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "im", "ein"],
+    "zh": ["的", "一", "是", "不", "了", "在", "人", "有", "我", "他"],
+}
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-overlap language ID: explode profiles to (lang, word),
+    broadcast-join against exploded doc tokens, pick argmax hit count.
+
+    One wide scan + a broadcast join + one aggregation; no UDF."""
+    spark = docs.sparkSession
+    rows = [(lang, w) for lang, words in LANGUAGE_PROFILES.items() for w in words]
+    profiles = spark.createDataFrame(rows, "cand_lang string, word string")
+    toks = docs.select("doc_id", F.explode(F.array_distinct(tokens_col())).alias("word"))
+    hits = (
+        toks.join(F.broadcast(profiles), "word")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    best = hits.groupBy("doc_id").agg(
+        F.max_by("cand_lang", F.struct(F.col("hits"), F.col("cand_lang"))).alias("predicted_lang"),
+        F.max("hits").alias("stopword_hits"),
+    )
+    return docs.select("doc_id", "lang").join(best, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce("predicted_lang", F.lit("unknown")).alias("predicted_lang"),
+        F.coalesce("stopword_hits", F.lit(0)).alias("stopword_hits"),
+    )
+
+
+def fingerprint(docs: DataFrame, prefix_chars: int = 64) -> DataFrame:
+    """Cheap document fingerprint: md5 over the whitespace-normalized
+    prefix, plus a length bucket — groups trivially-identical docs
+    without a full-text compare."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS, " ")
+    return docs.select(
+        "doc_id",
+        F.md5(F.substring(norm, 1, prefix_chars)).alias("prefix_fp"),
+        F.floor(F.col("n_chars") / 100).cast("int").alias("len_bucket"),
+    )

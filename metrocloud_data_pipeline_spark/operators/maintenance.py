@@ -1,0 +1,165 @@
+"""Table lifecycle operators — partitioned storage, archival, retention,
+compaction (OP-D1..D4, SURVEY.md §2.7/§4).
+
+The reference's hypertable machinery (1-day chunks, compression after
+7 d, archive after 30 d, retain 90 d — database/init.sql:74-91, 211-258)
+maps to date-partitioned parquet tables plus scheduled jobs:
+
+- write_partitioned: partition by date(timestamp) == hypertable chunking;
+  time predicates prune partitions (chunk exclusion).
+- archive_old_data (OP-D1): INSERT..SELECT + DELETE == append old
+  partitions to archive, drop them from main. Partition-granular: a
+  metadata/file operation, never a full-table rewrite.
+- cleanup_archive (OP-D2): retention delete == drop partitions past cutoff.
+- compact_partitions (OP-D3): TimescaleDB columnar compression
+  (segmentby device_id, orderby ts DESC, init.sql:82-85) == rewrite cold
+  partitions sorted within partitions by (device_id, timestamp) with
+  ZSTD — same locality + min/max-stats effect for device/time predicates.
+- idempotent_append (OP-D4): ON CONFLICT DO NOTHING == dropDuplicates on
+  the natural key + anti-join against the existing partition slice.
+- full_history (extension): main UNION archive for cross-tier queries.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import date, datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PARTITION_COL = "reading_date"
+NATURAL_KEY = ("device_id", "timestamp", "device_type")
+
+
+def with_partition_col(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
+    return df.withColumn(PARTITION_COL, F.to_date(F.col(ts_col)))
+
+
+def write_partitioned(df: DataFrame, path: str, mode: str = "append", ts_col: str = "timestamp") -> None:
+    """Write date-partitioned parquet (hypertable-chunk analogue)."""
+    with_partition_col(df, ts_col).write.mode(mode).partitionBy(PARTITION_COL).parquet(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.option("basePath", path).parquet(path)
+
+
+def list_partitions(path: str) -> list[date]:
+    """Partition values present on disk (catalog-style listing)."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in sorted(os.listdir(path)):
+        if name.startswith(f"{PARTITION_COL}="):
+            out.append(date.fromisoformat(name.split("=", 1)[1]))
+    return out
+
+
+def _partition_dir(path: str, day: date) -> str:
+    return os.path.join(path, f"{PARTITION_COL}={day.isoformat()}")
+
+
+def archive_old_data(
+    spark: SparkSession,
+    main_path: str,
+    archive_path: str,
+    older_than_days: int,
+    now: datetime | None = None,
+) -> int:
+    """OP-D1: move partitions older than the cutoff from main to archive.
+
+    Returns rows moved (reference returns moved count,
+    init.sql:222-243). Partition-granular move: read+append only the
+    affected partitions, then drop their directories from main — the
+    bulk of the table is untouched."""
+    now = now or datetime.utcnow()
+    cutoff = (now - timedelta(days=older_than_days)).date()
+    victims = [d for d in list_partitions(main_path) if d < cutoff]
+    if not victims:
+        return 0
+    moved = 0
+    for day in victims:
+        part = spark.read.parquet(_partition_dir(main_path, day))
+        moved += part.count()
+        part.withColumn(PARTITION_COL, F.lit(day)).write.mode("append").partitionBy(PARTITION_COL).parquet(
+            archive_path
+        )
+        shutil.rmtree(_partition_dir(main_path, day))
+    return moved
+
+
+def cleanup_archive(archive_path: str, older_than_days: int, now: datetime | None = None) -> int:
+    """OP-D2: retention delete — drop archive partitions past the cutoff
+    (init.sql:246-258). Metadata-only (directory drop)."""
+    now = now or datetime.utcnow()
+    cutoff = (now - timedelta(days=older_than_days)).date()
+    dropped = 0
+    for day in list_partitions(archive_path):
+        if day < cutoff:
+            shutil.rmtree(_partition_dir(archive_path, day))
+            dropped += 1
+    return dropped
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    older_than_days: int,
+    now: datetime | None = None,
+    codec: str = "zstd",
+) -> int:
+    """OP-D3: compression-policy analogue — rewrite cold partitions sorted
+    within partitions by (device_id, timestamp) with ZSTD. Mirrors
+    segmentby/orderby (init.sql:82-85): runs of one device sort together,
+    so parquet min/max stats + dictionary pages act as the (device, ts)
+    index for point/range lookups."""
+    now = now or datetime.utcnow()
+    cutoff = (now - timedelta(days=older_than_days)).date()
+    compacted = 0
+    for day in list_partitions(path):
+        if day >= cutoff:
+            continue
+        part_dir = _partition_dir(path, day)
+        part = spark.read.parquet(part_dir)
+        tmp = part_dir + "._compact_tmp"
+        (
+            part.repartition(1)
+            .sortWithinPartitions("device_id", "timestamp")
+            .write.mode("overwrite")
+            .option("compression", codec)
+            .parquet(tmp)
+        )
+        shutil.rmtree(part_dir)
+        os.rename(tmp, part_dir)
+        compacted += 1
+    return compacted
+
+
+def idempotent_append(spark: SparkSession, batch: DataFrame, path: str, ts_col: str = "timestamp") -> int:
+    """OP-D4: ON CONFLICT DO NOTHING (database.py:300) — dedup the batch on
+    the natural key, then anti-join against only the target partitions the
+    batch touches (partition-pruned read, not a full-table scan)."""
+    deduped = batch.dropDuplicates(list(NATURAL_KEY))
+    days = [r[0] for r in deduped.select(F.to_date(F.col(ts_col)).alias("d")).distinct().collect()]
+    existing_days = set(list_partitions(path))
+    overlap = [d for d in days if d in existing_days]
+    if overlap:
+        existing = spark.read.option("basePath", path).parquet(
+            *[_partition_dir(path, d) for d in overlap]
+        ).select(*NATURAL_KEY)
+        deduped = deduped.join(existing, on=list(NATURAL_KEY), how="left_anti")
+    inserted = deduped.count()
+    if inserted:
+        write_partitioned(deduped, path, mode="append", ts_col=ts_col)
+    return inserted
+
+
+def full_history(spark: SparkSession, main_path: str, archive_path: str) -> DataFrame:
+    """Extension over the reference: unified main+archive view
+    (unionByName; SURVEY §2.7)."""
+    main = read_table(spark, main_path)
+    if not list_partitions(archive_path):
+        return main
+    return main.unionByName(read_table(spark, archive_path), allowMissingColumns=True)

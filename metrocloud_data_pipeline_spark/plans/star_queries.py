@@ -1,0 +1,198 @@
+"""Join/aggregation workload over the TPC-H-ish star schema.
+
+The reference's own query surface has no multi-table joins (its one
+table is sensor_readings); these queries exercise the engine's join
+planning at bench scale, TPC-H-style, adapted to the driver's slimmer
+schemas (TESTDATA.md).
+
+Scale design:
+- Dimension tables (region, nation, customer, supplier, part) broadcast —
+  every join below is a broadcast hash join except lineitem⋈orders,
+  which shuffles on the orderkey; AQE coalesces/skew-splits at runtime.
+- Money aggregates accumulate in DECIMAL(18,4): exact, order-independent
+  (double summation is not associative — at 100 TB the partial-aggregate
+  tree makes double sums nondeterministic run-to-run).
+- Filters sit directly on scan columns so they push down to parquet
+  (check .explain: PushedFilters on l_shipdate / o_orderdate / segment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round6
+
+def _revenue() -> F.Column:
+    """Exact-decimal revenue term: l_extendedprice * (1 - l_discount)."""
+    return (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,4)")
+
+
+def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "2000-12-01") -> DataFrame:
+    """TPC-H Q1: pricing summary report over lineitem up to a ship date.
+
+    Pure scan->partial agg->final agg: the shipdate filter pushes to
+    parquet; group keys (returnflag, linestatus) have cardinality 6 so
+    the shuffle is tiny regardless of input size."""
+    # price/discount/tax each carry 2 decimals -> the 3-factor product has
+    # exactly 6 true decimals; DECIMAL(18,6) represents it without rounding
+    # (a coarser scale would create genuine round-half ties).
+    charge = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * (F.lit(1.0) + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(_revenue()).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+            round6(F.avg("l_quantity")).alias("avg_qty"),
+            round6(F.avg("l_extendedprice")).alias("avg_price"),
+            round6(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cut: str = "1998-01-01",
+    n: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 (adapted): top unshipped orders by revenue.
+
+    customer is broadcast into orders; the surviving orders broadcast
+    into lineitem when small enough (AQE decides), else shuffle on
+    orderkey."""
+    cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.where(F.col("o_orderdate") < F.lit(cut).cast("timestamp")).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = lineitem.where(F.col("l_shipdate") > F.lit(cut).cast("timestamp")).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_revenue()).cast("decimal(18,4)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(n)
+    )
+
+
+def order_priority_count(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-07-01",
+    late_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q4 (adapted): orders per priority having at least one line
+    shipped > late_days after the order date (EXISTS -> left-semi join)."""
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    )
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    late = ords.join(
+        li,
+        (ords.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 (adapted): revenue by nation where customer and supplier
+    share the nation, one region, one order-date year.
+
+    All dimensions broadcast; the only shuffle is lineitem⋈orders on
+    orderkey + the final small aggregation."""
+    nat = (
+        nation.join(F.broadcast(region.where(F.col("r_name") == region_name)), nation.n_regionkey == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    cust = customer.join(F.broadcast(nat), customer.c_nationkey == nat.n_nationkey).select(
+        "c_custkey", F.col("c_nationkey")
+    )
+    supp = supplier.join(F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey).select(
+        "s_suppkey", "s_nationkey", "n_name"
+    )
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ords, F.col("l_orderkey") == ords.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), (F.col("l_suppkey") == supp.s_suppkey) & (F.col("c_nationkey") == supp.s_nationkey))
+        .groupBy("n_name")
+        .agg(F.sum(_revenue()).cast("decimal(18,4)").alias("revenue"))
+    )
+
+
+def returned_item_ranking(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    n: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 (adapted): customers ranked by lost revenue on returned
+    items (l_returnflag = 'R')."""
+    li = lineitem.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey", "c_acctbal")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_revenue()).cast("decimal(18,4)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(n)
+    )
+
+
+def brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Revenue and volume per part brand (broadcast join to the part dim)."""
+    return (
+        lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(F.broadcast(part.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_revenue()).cast("decimal(18,4)").alias("revenue"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_qty"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+def unpivot_lineitem_measures(lineitem: DataFrame) -> DataFrame:
+    """OP-T1's unpivot shape at star-schema scale: wide measures -> long
+    (measure, value) rows via a stack generator — single projection, no
+    shuffle, no UDF (same primitive as the sensor fan-out)."""
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice, "
+            "'discount', l_discount) AS (measure, measure_value)"
+        ),
+    )

@@ -1,0 +1,755 @@
+"""Named query registry — the harness surface (__spark_entry__.py).
+
+Each entry pairs a Spark builder ``(spark, sf_dir) -> DataFrame`` with an
+equivalent DuckDB oracle SQL string over the same parquet tables. Names
+key back to SURVEY.md §2 operator IDs.
+
+Determinism contract (both sides, by construction):
+- session TZ pinned UTC; all bucket arithmetic is epoch-based (tz-free).
+- every computed double is round(x, 6); double SUMs are avoided —
+  money/quantity sums accumulate in DECIMAL (exact, order-independent).
+- ordered picks (last/first by ts) rely on globally-unique ts in the
+  events table (verified) + Spark max_by == DuckDB arg_max.
+- top-k queries order by a unique tiebreak before LIMIT.
+- relative-time windows anchor at max(ts), not wall-clock NOW().
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .llm import dedup, similarity, text
+from .operators import analytics as A
+from .operators import ingest
+from .plans import star_queries as H
+from .session import tune
+from .sources import load
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = name
+        wrapped.__doc__ = fn.__doc__
+        SPARK_QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def readings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> canonical readings (FIXTURES.md §4 mapping) + OP-T7 flag."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("reading_id"),
+        F.col("user_id").alias("device_id"),
+        F.col("event_type").alias("device_type"),
+        F.col("ts"),
+        F.col("value"),
+        F.col("props"),
+    )
+    return A.with_anomaly_flag(ev)
+
+
+# Shared oracle fragments ----------------------------------------------------
+_READINGS_CTE = """WITH readings AS (
+  SELECT event_id AS reading_id, user_id AS device_id, event_type AS device_type,
+         ts, value, props, (value > 150.0) AS is_anomaly
+  FROM events
+)"""
+
+
+def _bucket_sql(col: str, seconds: int) -> str:
+    return (
+        f"TIMESTAMP '1970-01-01' + CAST(floor(epoch({col})/{seconds})*{seconds} AS BIGINT) * INTERVAL 1 SECOND"
+    )
+
+
+# ---------------------------------------------------------------------------
+# OP-F*: filters / predicates
+# ---------------------------------------------------------------------------
+
+@q(
+    "f1_recent_readings",
+    oracle=_READINGS_CTE
+    + """
+SELECT reading_id, device_id, device_type, ts, value
+FROM readings
+WHERE ts >= (SELECT max(ts) FROM readings) - INTERVAL 24 HOUR
+""",
+)
+def f1_recent_readings(spark, sf_dir):
+    """OP-F1: trailing-24h view (init.sql:149-153), anchored at max(ts)."""
+    return A.recent_readings(readings(spark, sf_dir), hours=24)
+
+
+@q(
+    "f2_type_filter",
+    oracle=_READINGS_CTE
+    + """
+SELECT reading_id, device_id, device_type, ts, value
+FROM readings
+WHERE device_type IN ('click', 'purchase') AND value > 100.0
+""",
+)
+def f2_type_filter(spark, sf_dir):
+    """OP-F2: equality/IN + value predicate (database.py:361-369)."""
+    return A.filter_by_type(readings(spark, sf_dir), ["click", "purchase"], min_value=100.0)
+
+
+@q(
+    "f3_anomalous_readings",
+    oracle=_READINGS_CTE
+    + """
+SELECT reading_id, device_id, device_type, ts, value
+FROM readings WHERE is_anomaly
+""",
+)
+def f3_anomalous_readings(spark, sf_dir):
+    """OP-F3: boolean-flag filter (anomalous_sensor_readings, init.sql:156-160)."""
+    return A.anomalous_readings(readings(spark, sf_dir))
+
+
+@q(
+    "f4_between_range",
+    oracle=_READINGS_CTE
+    + """
+SELECT reading_id, device_id, device_type, ts, value
+FROM readings
+WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+""",
+)
+def f4_between_range(spark, sf_dir):
+    """OP-F4: BETWEEN date range (README.md:747-755)."""
+    return A.readings_between(readings(spark, sf_dir), "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+
+
+@q(
+    "f5_integrity_report",
+    oracle=_READINGS_CTE
+    + """
+SELECT
+  (SELECT count(*) FROM readings WHERE device_id IS NULL) AS null_device_count,
+  (SELECT count(*) FROM readings WHERE ts > (SELECT max(ts) FROM readings)) AS future_ts_count,
+  (SELECT count(*) FROM readings WHERE value NOT BETWEEN 0.0 AND 500.0) AS out_of_range_count,
+  (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM
+     (SELECT count(*) AS n FROM readings GROUP BY device_id, ts HAVING count(*) > 1)) AS duplicate_rows
+""",
+)
+def f5_integrity_report(spark, sf_dir):
+    """OP-F5: integrity invariant counts (database_utils.py:329-415)."""
+    return A.integrity_report(readings(spark, sf_dir))
+
+
+@q(
+    "f6_metadata_lookup",
+    oracle=_READINGS_CTE
+    + """
+SELECT reading_id, device_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS meta_value
+FROM readings
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+""",
+)
+def f6_metadata_lookup(spark, sf_dir):
+    """OP-F6: metadata/JSON field lookup (consumer.py:385-389)."""
+    return A.metadata_lookup(readings(spark, sf_dir), key="k", min_value=50)
+
+
+@q(
+    "q1_latest_readings",
+    oracle=_READINGS_CTE
+    + """
+SELECT reading_id, device_id, device_type, ts, value
+FROM readings ORDER BY ts DESC, reading_id DESC LIMIT 100
+""",
+)
+def q1_latest_readings(spark, sf_dir):
+    """OP-Q1: ORDER BY ts DESC LIMIT n (top-k, TakeOrderedAndProject)."""
+    return A.latest_readings(readings(spark, sf_dir), n=100)
+
+
+@q(
+    "q2_export_device_range",
+    oracle=_READINGS_CTE
+    + """
+SELECT reading_id, device_id, device_type, ts, value
+FROM readings
+WHERE device_id = 42 AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+ORDER BY ts DESC, reading_id DESC LIMIT 1000
+""",
+)
+def q2_export_device_range(spark, sf_dir):
+    """OP-S7: parameterized export (database_utils.py:251-307)."""
+    return A.export_readings(readings(spark, sf_dir), device_id=42, start="2024-01-05 00:00:00", limit=1000)
+
+
+# ---------------------------------------------------------------------------
+# OP-A*: aggregations
+# ---------------------------------------------------------------------------
+
+@q(
+    "a1_device_summary",
+    oracle=_READINGS_CTE
+    + """
+SELECT device_id, device_type,
+       count(*) AS reading_count,
+       min(ts) AS first_reading,
+       max(ts) AS last_reading,
+       round(avg(value), 6) AS avg_value,
+       arg_max(value, ts) AS last_value,
+       count(*) FILTER (WHERE is_anomaly) AS anomaly_count
+FROM readings GROUP BY device_id, device_type
+""",
+)
+def a1_device_summary(spark, sf_dir):
+    """OP-A1: device_summary view (init.sql:163-176); last(x,ts) -> max_by."""
+    return A.device_summary(readings(spark, sf_dir))
+
+
+_BUCKET_AGG_SQL = """
+SELECT {bucket} AS bucket, {extra_keys}
+       count(*) AS reading_count,
+       round(avg(value), 6) AS avg_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       count(*) FILTER (WHERE is_anomaly) AS anomaly_count,
+       arg_max(value, ts) AS last_value{first}
+FROM readings GROUP BY {group}
+"""
+
+
+@q(
+    "a2_hourly_aggregates",
+    oracle=_READINGS_CTE
+    + _BUCKET_AGG_SQL.format(
+        bucket=_bucket_sql("ts", 3600),
+        extra_keys="device_id, device_type,",
+        first="",
+        group="1, device_id, device_type",
+    ),
+)
+def a2_hourly_aggregates(spark, sf_dir):
+    """OP-A2: hourly time-bucket aggregates (init.sql:179-192, :324-338)."""
+    return A.bucket_aggregates(readings(spark, sf_dir), "1 hour", by_device=True)
+
+
+@q(
+    "a3_daily_aggregates",
+    oracle=_READINGS_CTE
+    + _BUCKET_AGG_SQL.format(
+        bucket=_bucket_sql("ts", 86400),
+        extra_keys="device_type,",
+        first=",\n       arg_min(value, ts) AS first_value",
+        group="1, device_type",
+    ),
+)
+def a3_daily_aggregates(spark, sf_dir):
+    """OP-A3: daily aggregates with first/last picks (init.sql:195-209)."""
+    return A.bucket_aggregates(readings(spark, sf_dir), "1 day", by_device=False, with_first=True)
+
+
+@q(
+    "a4_device_stats",
+    oracle=_READINGS_CTE
+    + """
+SELECT device_id,
+       count(*) AS reading_count,
+       min(ts) AS first_reading,
+       max(ts) AS last_reading,
+       round(avg(value), 6) AS avg_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       count(*) FILTER (WHERE is_anomaly) AS anomaly_count,
+       round(100.0 * count(*) FILTER (WHERE is_anomaly) / count(*), 6) AS anomaly_pct
+FROM readings GROUP BY device_id
+""",
+)
+def a4_device_stats(spark, sf_dir):
+    """OP-A4: get_device_stats with anomaly_percentage (init.sql:261-290)."""
+    return A.device_stats(readings(spark, sf_dir))
+
+
+@q(
+    "a5_timeseries_15min",
+    oracle=_READINGS_CTE
+    + f"""
+SELECT {_bucket_sql("ts", 900)} AS bucket,
+       count(*) AS reading_count,
+       round(avg(value), 6) AS avg_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM readings WHERE device_id = 42 GROUP BY 1
+""",
+)
+def a5_timeseries_15min(spark, sf_dir):
+    """OP-A5: parameterized-bucket stats for one device (init.sql:293-321)."""
+    return A.timeseries_stats(readings(spark, sf_dir), device_id=42, bucket="15 minutes")
+
+
+@q(
+    "a6_table_stats",
+    oracle=_READINGS_CTE
+    + """
+SELECT count(*) AS total_readings,
+       count(DISTINCT device_id) AS distinct_devices,
+       count(DISTINCT device_type) AS distinct_types,
+       min(ts) AS first_reading,
+       max(ts) AS last_reading,
+       count(*) FILTER (WHERE is_anomaly) AS anomaly_count,
+       round(avg(value), 6) AS avg_value
+FROM readings
+""",
+)
+def a6_table_stats(spark, sf_dir):
+    """OP-A6: whole-table stats (database_utils.py:133-147)."""
+    return A.table_stats(readings(spark, sf_dir))
+
+
+@q(
+    "a7_type_distribution",
+    oracle=_READINGS_CTE
+    + """
+SELECT device_type,
+       count(*) AS reading_count,
+       round(avg(value), 6) AS avg_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM readings
+WHERE ts >= (SELECT max(ts) FROM readings) - INTERVAL 7 DAY
+GROUP BY device_type
+""",
+)
+def a7_type_distribution(spark, sf_dir):
+    """OP-A7: recent per-type distribution (database_utils.py:167-181)."""
+    return A.type_distribution(readings(spark, sf_dir), days=7)
+
+
+@q(
+    "a8_duplicate_report",
+    oracle=_READINGS_CTE
+    + """
+SELECT count(*) AS dup_groups,
+       CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS surplus_rows
+FROM (SELECT count(*) AS n FROM readings GROUP BY device_id, ts HAVING count(*) > 1)
+""",
+)
+def a8_duplicate_report(spark, sf_dir):
+    """OP-A8: duplicate (device_id, ts) detection (database_utils.py:382-395)."""
+    return A.duplicate_report(readings(spark, sf_dir))
+
+
+@q(
+    "a9_daily_quality",
+    oracle=_READINGS_CTE
+    + f"""
+SELECT {_bucket_sql("ts", 86400)} AS bucket, device_type,
+       count(DISTINCT device_id) AS distinct_devices,
+       count(*) AS reading_count,
+       round(avg(value), 6) AS avg_value,
+       round(stddev_samp(value), 6) AS stddev_value,
+       round(quantile_cont(value, 0.5), 6) AS median_value,
+       round(quantile_cont(value, 0.95), 6) AS p95_value,
+       round(100.0 * count(*) FILTER (WHERE is_anomaly) / count(*), 6) AS anomaly_pct
+FROM readings GROUP BY 1, device_type
+""",
+)
+def a9_daily_quality(spark, sf_dir):
+    """OP-A9: daily quality report — stddev + exact interpolated
+    percentiles (README.md:777-792; PERCENTILE_CONT parity)."""
+    return A.daily_quality_report(readings(spark, sf_dir))
+
+
+@q(
+    "a10_realtime_monitor",
+    oracle=_READINGS_CTE
+    + f"""
+SELECT {_bucket_sql("ts", 900)} AS bucket, device_id,
+       round(avg(value), 6) AS avg_value,
+       arg_max(value, ts) AS last_value,
+       max(ts) AS last_reading
+FROM readings
+WHERE ts >= (SELECT max(ts) FROM readings) - INTERVAL 24 HOUR
+GROUP BY 1, device_id
+""",
+)
+def a10_realtime_monitor(spark, sf_dir):
+    """OP-A10: 15-min monitor over the trailing day (README.md:794-806)."""
+    return A.realtime_monitor(readings(spark, sf_dir), bucket="15 minutes", hours=24)
+
+
+# ---------------------------------------------------------------------------
+# OP-W*: window analytics
+# ---------------------------------------------------------------------------
+
+@q(
+    "w1_gap_detection",
+    oracle=_READINGS_CTE
+    + """
+SELECT device_id, prev_ts, ts, gap_minutes FROM (
+  SELECT device_id,
+         lag(ts) OVER (PARTITION BY device_id ORDER BY ts) AS prev_ts,
+         ts,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY device_id ORDER BY ts)))
+               / 60000000.0 AS gap_minutes
+  FROM readings)
+WHERE gap_minutes > 30.0
+""",
+)
+def w1_gap_detection(spark, sf_dir):
+    """OP-W1: per-device gap detection via LAG (README.md:813-831)."""
+    return A.gap_detection(readings(spark, sf_dir), min_gap_minutes=30.0)
+
+
+@q(
+    "w2_moving_average",
+    oracle=_READINGS_CTE
+    + """
+SELECT reading_id, device_id, ts, value,
+       round(avg(value) OVER (PARTITION BY device_id ORDER BY ts
+             ROWS BETWEEN 11 PRECEDING AND CURRENT ROW), 6) AS moving_avg,
+       round(value - lag(value) OVER (PARTITION BY device_id ORDER BY ts), 6) AS delta
+FROM readings
+""",
+)
+def w2_moving_average(spark, sf_dir):
+    """OP-W2: 12-row moving average + delta (README.md:834-850)."""
+    return A.moving_average(readings(spark, sf_dir), frame=11)
+
+
+@q(
+    "w3_rate_of_change",
+    oracle=_READINGS_CTE
+    + """
+SELECT reading_id, device_id, ts, value, rate_per_hour FROM (
+  SELECT reading_id, device_id, ts, value,
+         (value - lag(value) OVER (PARTITION BY device_id ORDER BY ts))
+               / ((epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY device_id ORDER BY ts))) / 1000000.0)
+               * 3600.0 AS rate_per_hour
+  FROM readings)
+WHERE rate_per_hour IS NOT NULL
+""",
+)
+def w3_rate_of_change(spark, sf_dir):
+    """OP-W3: per-device value rate of change per hour (README.md:853-865)."""
+    return A.rate_of_change(readings(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Star-schema joins (bench workload)
+# ---------------------------------------------------------------------------
+
+@q(
+    "h1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def h1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan -> partial agg -> 6-group final agg."""
+    return H.pricing_summary(load(spark, sf_dir, "lineitem"))
+
+
+@q(
+    "h3_shipping_priority",
+    oracle="""
+SELECT l_orderkey, o_orderdate,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+)
+def h3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: broadcast dim filter + orderkey shuffle + top-k."""
+    return H.shipping_priority(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    )
+
+
+@q(
+    "h4_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def h4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS -> left-semi join."""
+    return H.order_priority_count(load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem"))
+
+
+@q(
+    "h5_local_supplier_volume",
+    oracle="""
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def h5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table star join, all dims broadcast."""
+    return H.local_supplier_volume(
+        load(spark, sf_dir, "region"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+@q(
+    "h10_returned_items",
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+)
+def h10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue ranking."""
+    return H.returned_item_ranking(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "nation"),
+    )
+
+
+@q(
+    "h_brand_revenue",
+    oracle="""
+SELECT p_brand,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_qty,
+       count(*) AS line_count
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand
+""",
+)
+def h_brand_revenue(spark, sf_dir):
+    """Brand rollup: broadcast join to part dim."""
+    return H.brand_revenue(load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part"))
+
+
+@q(
+    "t1_unpivot_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS measure_value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+""",
+)
+def t1_unpivot_measures(spark, sf_dir):
+    """OP-T1's unpivot primitive at scale: wide -> long via stack()."""
+    return H.unpivot_lineitem_measures(load(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators: text / dedup / similarity
+# ---------------------------------------------------------------------------
+
+@q(
+    "text_token_stats",
+    oracle="""
+SELECT doc_id, lang, n_chars,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS token_count,
+       CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS INTEGER) AS uniq_token_count,
+       round(CAST(n_chars AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')), 6) AS chars_per_token
+FROM documents WHERE length(trim(text)) > 0
+""",
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting over documents (whitespace tokenizer, JVM-side)."""
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    return text.token_stats(docs)
+
+
+@q(
+    "text_quality_score",
+    oracle="""
+SELECT doc_id, lang,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS token_count,
+       CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS INTEGER) AS uniq_token_count,
+       round(CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\\s+')), 6) AS type_token_ratio,
+       round(least(1.0, CAST(n_chars AS DOUBLE) / 400.0)
+             * (CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+                / len(string_split_regex(trim(text), '\\s+'))), 6) AS quality_score
+FROM documents WHERE length(trim(text)) > 0
+""",
+)
+def text_quality_score(spark, sf_dir):
+    """Document quality heuristic: length saturation x type-token ratio."""
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    return text.quality_score(docs)
+
+
+@q(
+    "lang_source_stats",
+    oracle="""
+SELECT lang, source, count(*) AS doc_count,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+FROM documents GROUP BY lang, source
+""",
+)
+def lang_source_stats(spark, sf_dir):
+    """Corpus composition rollup by (lang, source)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+    )
+
+
+@q(
+    "dedup_exact",
+    oracle="""
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+       count(*) AS dup_count,
+       min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized-text digest."""
+    return dedup.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "embedding_label_stats",
+    oracle="""
+SELECT label, count(*) AS vec_count,
+       round(avg(norm), 6) AS avg_norm,
+       round(min(norm), 6) AS min_norm,
+       round(max(norm), 6) AS max_norm
+FROM (SELECT label,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+      FROM embeddings)
+GROUP BY label
+""",
+)
+def embedding_label_stats(spark, sf_dir):
+    """Per-label embedding norm stats (vector math via zip_with/aggregate)."""
+    return similarity.embedding_norm_stats(load(spark, sf_dir, "embeddings"))
+
+
+@q(
+    "knn_brute_force",
+    oracle="""
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       round(
+         list_sum(list_transform(list_zip(e.embedding, q.q_emb),
+                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) AS cosine_sim
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY cosine_sim DESC, vec_id LIMIT 10
+""",
+)
+def knn_brute_force(spark, sf_dir):
+    """Exact cosine top-10 vs stored query vector 0 (broadcast + scan)."""
+    return similarity.brute_force_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+# --- non-SQL-expressible ops: rows-only harness check ----------------------
+
+@q("dedup_minhash")
+def dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (sub-quadratic; hash fns not portable to
+    the oracle -> rows-only check; exact-Jaccard twin is oracle-checked
+    via pytest against token_jaccard_pairs)."""
+    return dedup.minhash_dedup(load(spark, sf_dir, "documents"), num_perm=64, bands=16, threshold=0.5)
+
+
+@q("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup candidate pairs at Hamming distance <= 3."""
+    sigs = dedup.simhash_signatures(load(spark, sf_dir, "documents"))
+    return dedup.simhash_candidate_pairs(sigs, max_hamming=3)
+
+
+@q("knn_lsh")
+def knn_lsh(spark, sf_dir):
+    """Hyperplane-LSH approximate top-k (scale path of knn_brute_force)."""
+    return similarity.lsh_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@q("langid_heuristic")
+def langid_heuristic(spark, sf_dir):
+    """Stopword-overlap language ID (broadcast profile join)."""
+    return text.language_id(load(spark, sf_dir, "documents"))
+
+
+@q("ingest_fanout_pipeline")
+def ingest_fanout_pipeline(spark, sf_dir):
+    """OP-T1..T13 end-to-end on reference-shaped raw fixture rows
+    (FIXTURES.md §1): fan-out -> normalize -> validate -> flatten."""
+    from .tests_fixtures import RAW_FIXTURE_ROWS, RAW_FIXTURE_SCHEMA
+
+    raw = spark.createDataFrame(RAW_FIXTURE_ROWS, schema=RAW_FIXTURE_SCHEMA)
+    valid, _ = ingest.normalize_raw(raw, anchor="2025-09-26 12:00:00")
+    return valid
+
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(SPARK_QUERIES)
+
+
+def get_oracle_sql() -> dict[str, str]:
+    return dict(ORACLE_SQL)
