@@ -1,0 +1,87 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "rows": {...}}
+
+Queries execute with a noop sink (full computation, no driver-side
+result transfer), after a small warmup to amortize JVM/codegen startup
+out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from metrocloud_data_pipeline_spark.queries import get_queries
+from metrocloud_data_pipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline workload: heavy scan/join/agg/window/dedup/vector coverage.
+HEADLINE = [
+    "h1_pricing_summary",
+    "h3_shipping_priority",
+    "h4_order_priority",
+    "h5_local_supplier_volume",
+    "h10_returned_items",
+    "h_brand_revenue",
+    "t1_unpivot_measures",
+    "a1_device_summary",
+    "a2_hourly_aggregates",
+    "a9_daily_quality",
+    "a10_realtime_monitor",
+    "w1_gap_detection",
+    "w2_moving_average",
+    "f1_recent_readings",
+    "dedup_exact",
+    "dedup_minhash",
+    "text_quality_score",
+    "knn_brute_force",
+]
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = get_queries()
+
+    # warmup: touch every table + JIT the common codepaths
+    run_noop(qs["a6_table_stats"](spark, SF_DIR))
+    run_noop(qs["h1_pricing_summary"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        run_noop(qs[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

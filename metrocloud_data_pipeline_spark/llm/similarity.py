@@ -100,26 +100,40 @@ def signs_col(vec, planes: list[list[float]]) -> Column:
     return F.concat_ws("", *bits)
 
 
+def band_sigs_col(vec, dim: int, bands: int, planes_per_band: int, seed0: int) -> Column:
+    """Array of per-band hyperplane-sign signatures.
+
+    Banded LSH (OR over bands of AND-ed planes): two vectors are
+    candidates when ANY band signature matches — tunable recall, unlike
+    a single all-planes bucket whose recall collapses as planes grow."""
+    out = []
+    for b in range(bands):
+        planes = [_hyperplane(dim, seed0 + b * planes_per_band + i) for i in range(planes_per_band)]
+        out.append(signs_col(vec, planes))
+    return F.array(*out)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec_id: int,
     k: int = 10,
-    num_planes: int = 8,
     dim: int = 64,
+    bands: int = 8,
+    planes_per_band: int = 4,
 ) -> DataFrame:
-    """Approximate cosine top-k: score only vectors whose hyperplane-sign
-    signature matches the query's. At 100 TB, the signature is computed
-    once at ingest and stored; the probe is then a partition-pruned
-    bucket lookup + small exact scoring."""
-    planes = [_hyperplane(dim, seed) for seed in range(1, num_planes + 1)]
-    sig = signs_col(F.col("embedding"), planes)
-    with_sig = embeddings.withColumn("bucket_sig", sig)
+    """Approximate cosine top-k: score only vectors sharing at least one
+    hyperplane band with the query. At 100 TB, band signatures are
+    computed once at ingest and stored (bucketed layout); the probe is a
+    partition-pruned bucket lookup + small exact scoring."""
+    sigs = band_sigs_col(F.col("embedding"), dim, bands, planes_per_band, seed0=1)
+    with_sig = embeddings.withColumn("band_sigs", sigs)
     q = with_sig.where(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("q_emb"), F.col("bucket_sig").alias("q_sig")
+        F.col("embedding").alias("q_emb"), F.col("band_sigs").alias("q_sigs")
     )
     cands = (
         with_sig.where(F.col("vec_id") != query_vec_id)
-        .join(F.broadcast(q), F.col("bucket_sig") == F.col("q_sig"))
+        .join(F.broadcast(q))
+        .where(F.arrays_overlap(_tag_bands("band_sigs"), _tag_bands("q_sigs")))
     )
     scored = cands.select(
         "vec_id",
@@ -129,23 +143,45 @@ def lsh_topk(
     return scored.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(k)
 
 
+def _tag_bands(col_name: str) -> Column:
+    """Prefix each band signature with its index so arrays_overlap only
+    matches same-band signatures."""
+    return F.transform(
+        F.col(col_name), lambda sig, i: F.concat(i.cast("string"), F.lit(":"), sig)
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    num_planes: int = 12,
     dim: int = 64,
+    bands: int = 6,
+    planes_per_band: int = 2,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: LSH-bucket self-join (only
-    same-signature pairs scored) then exact cosine verification."""
-    planes = [_hyperplane(dim, seed) for seed in range(101, 101 + num_planes)]
-    with_sig = embeddings.withColumn("bucket_sig", signs_col(F.col("embedding"), planes))
-    a = with_sig.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("bucket_sig").alias("sig_a")
+    """Embedding-cosine near-duplicate pairs: banded-LSH self-join (pairs
+    sharing >= 1 band are scored) then exact cosine verification.
+
+    The self-join keys on (band_idx, signature) after an explode — a
+    shuffle proportional to bands x corpus, with bucket-local pair
+    generation; AQE splits hot buckets."""
+    with_sig = embeddings.withColumn(
+        "band_sigs", band_sigs_col(F.col("embedding"), dim, bands, planes_per_band, seed0=101)
     )
-    b = with_sig.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("bucket_sig").alias("sig_b")
+    exploded = with_sig.select(
+        "vec_id", "embedding", F.posexplode("band_sigs").alias("band", "sig")
     )
-    pairs = a.join(b, (F.col("sig_a") == F.col("sig_b")) & (F.col("vec_a") < F.col("vec_b")))
+    a = exploded.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "band", "sig"
+    )
+    b = exploded.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "band", "sig"
+    )
+    pairs = (
+        a.join(b, ["band", "sig"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "emb_a", "emb_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
     scored = pairs.select(
         "vec_a", "vec_b", round6(cosine_col(F.col("emb_a"), F.col("emb_b"))).alias("cosine_sim")
     )

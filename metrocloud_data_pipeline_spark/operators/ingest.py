@@ -60,7 +60,9 @@ def fan_out(raw: DataFrame) -> DataFrame:
     )
     return (
         out.where(F.col("value").isNotNull())
-        .withColumn("device_id", F.concat_ws("_", "parent_device", "channel"))
+        # F.concat (not concat_ws): null parent must yield null device_id
+        # so OP-T9 validation rejects the row, as the reference does
+        .withColumn("device_id", F.concat(F.col("parent_device"), F.lit("_"), F.col("channel")))
         .withColumn("device_type", F.col("channel_device_type"))
         .withColumn(
             "device_metadata",

