@@ -1,0 +1,15 @@
+from .pipeline import (
+    alert_columns,
+    continuous_aggregate,
+    last_reading_state,
+    run_ingest_stream,
+    stream_raw_files,
+)
+
+__all__ = [
+    "alert_columns",
+    "continuous_aggregate",
+    "last_reading_state",
+    "run_ingest_stream",
+    "stream_raw_files",
+]

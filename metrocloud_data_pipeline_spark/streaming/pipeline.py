@@ -1,0 +1,153 @@
+"""Structured Streaming wiring — OP-ST1..ST8 (SURVEY.md §2.8).
+
+The reference is a hand-rolled micro-batch system (Kafka consumer loop,
+size-or-time commit, retry-then-drop). Here the same semantics ride on
+Structured Streaming:
+
+- OP-ST1 micro-batch trigger: processingTime/availableNow trigger +
+  foreachBatch. (Spark has no row-count trigger; the time trigger
+  subsumes the reference's `>=100 rows OR >=5 s` rule — documented
+  deviation.)
+- OP-ST2 per-device ordering: the batch pipeline repartitions by
+  device before stateful ops; sinks write device-keyed.
+- OP-ST3 stateful last-reading store: streaming max_by aggregate per
+  (parent_device, sensor_type) in update mode (state bounded by
+  watermark).
+- OP-ST4 threshold alerting: alert_columns derives alert_level/reason
+  from the same broadcast thresholds as OP-T7.
+- OP-ST5 late/future data: withWatermark + the OP-T11 clamp.
+- OP-ST6 at-least-once + idempotent sink: checkpointed foreachBatch
+  into maintenance.idempotent_append (dedup on natural key) ==
+  effectively-once — a deliberate upgrade over retry-then-drop.
+- OP-ST7 maintenance: operators.maintenance jobs, scheduled externally.
+- OP-ST8 continuous aggregates: windowed agg with watermark in update
+  mode, playing the refresh-policy role.
+
+The ingest chain itself is the SAME code as batch
+(operators.ingest.normalize_raw) — pure DataFrame transforms applied
+inside foreachBatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .. import schema as S
+from ..operators import ingest, maintenance
+
+
+def stream_raw_files(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-based raw-message stream (stands in for the MQTT/Kafka source,
+    OP-S1/S3; swap for spark.readStream.format('kafka') + from_avro in a
+    Kafka deployment)."""
+    reader = spark.readStream.schema(S.RAW_RUUVITAG_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def run_ingest_stream(
+    raw_stream: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    rejects_path: str | None = None,
+    anchor=None,
+    available_now: bool = True,
+    processing_time: str = "5 seconds",
+) -> StreamingQuery:
+    """OP-ST1/ST6: the storage sink. Each micro-batch runs the batch
+    normalize chain, then idempotent-appends to the date-partitioned
+    table (checkpoint + natural-key dedup == effectively-once)."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        valid, rejected = ingest.normalize_raw(batch, anchor=anchor)
+        maintenance.idempotent_append(batch.sparkSession, valid, table_path)
+        if rejects_path is not None:
+            rejected.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(rejects_path)
+
+    writer = raw_stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_path)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def alert_columns(readings: DataFrame) -> DataFrame:
+    """OP-ST4: derive alert_level/alert_reason (consumer.py:359-508).
+
+    CRITICAL: status ERROR or dead battery; WARNING: threshold breach.
+    Works identically on a batch or streaming DataFrame."""
+    spark = readings.sparkSession
+    rows = [(dt, lo, hi) for dt, (lo, hi) in S.ANOMALY_THRESHOLDS.items()]
+    thr = spark.createDataFrame(rows, "device_type string, thr_min double, thr_max double")
+    j = readings.join(F.broadcast(thr), "device_type", "left")
+    low = F.col("value") < F.col("thr_min")
+    high = F.col("value") > F.col("thr_max")
+    critical = (F.col("status") == "ERROR") | (
+        (F.col("device_type") == "battery_sensor") & (F.col("value") < S.BATTERY_MIN_VOLTAGE)
+    )
+    level = (
+        F.when(critical, "CRITICAL")
+        .when(F.col("thr_min").isNotNull() & (low | high), "WARNING")
+        .otherwise(None)
+    )
+    reason = (
+        F.when(F.col("status") == "ERROR", "device_error")
+        .when((F.col("device_type") == "battery_sensor") & (F.col("value") < S.BATTERY_MIN_VOLTAGE), "low_battery")
+        .when(F.col("thr_min").isNotNull() & low, "below_threshold")
+        .when(F.col("thr_max").isNotNull() & high, "above_threshold")
+        .otherwise(None)
+    )
+    return (
+        j.withColumn("alert_level", level)
+        .withColumn("alert_reason", reason)
+        .drop("thr_min", "thr_max")
+        .where(F.col("alert_level").isNotNull())
+    )
+
+
+def last_reading_state(readings: DataFrame, watermark: str = "24 hours") -> DataFrame:
+    """OP-ST3: per-(parent_device, sensor_type) latest reading — the
+    consumer's cross-sensor context store (consumer.py:350-357,
+    :397-432) as a streaming max_by aggregate (update mode)."""
+    src = readings.withWatermark("timestamp", watermark)
+    return src.groupBy(
+        F.col("device_metadata")["parent_device"].alias("parent_device"),
+        F.col("device_metadata")["sensor_type"].alias("sensor_type"),
+    ).agg(
+        F.max_by("value", "timestamp").alias("value"),
+        F.max_by("unit", "timestamp").alias("unit"),
+        F.max("timestamp").alias("last_seen"),
+        F.max_by("is_anomaly", "timestamp").alias("is_anomaly"),
+    )
+
+
+def continuous_aggregate(
+    readings: DataFrame, bucket: str = "1 hour", watermark: str = "3 hours"
+) -> DataFrame:
+    """OP-ST8: the continuous-aggregate analogue (init.sql:324-368).
+
+    Streaming windowed aggregation; the watermark delay plays the
+    refresh policy's end_offset (buckets finalize once the watermark
+    passes). Bucket label exposed as window.start (time_bucket parity)."""
+    src = readings.withWatermark("timestamp", watermark)
+    return (
+        src.groupBy(
+            F.window("timestamp", bucket).alias("w"),
+            F.col("device_id"),
+            F.col("device_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("reading_count"),
+            F.avg("value").alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count(F.when(F.col("is_anomaly"), 1)).alias("anomaly_count"),
+            F.max_by("battery_level", "timestamp").alias("last_battery_level"),
+        )
+        .select(F.col("w.start").alias("bucket"), "*")
+        .drop("w")
+    )

@@ -1,0 +1,98 @@
+"""Streaming tests (OP-ST1..ST8) with file sources + availableNow triggers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrocloud_data_pipeline_spark import streaming
+from metrocloud_data_pipeline_spark.operators import ingest, maintenance
+from metrocloud_data_pipeline_spark.tests_fixtures import RAW_FIXTURE_ROWS, RAW_FIXTURE_SCHEMA
+
+ANCHOR = "2025-09-26 12:00:00"
+
+
+@pytest.fixture()
+def raw_dir(spark, tmp_path):
+    p = str(tmp_path / "raw")
+    spark.createDataFrame(RAW_FIXTURE_ROWS, schema=RAW_FIXTURE_SCHEMA).coalesce(1).write.parquet(p)
+    return p
+
+
+def test_ingest_stream_end_to_end(spark, tmp_path, raw_dir):
+    table = str(tmp_path / "bronze")
+    ck = str(tmp_path / "ck")
+    rejects = str(tmp_path / "rejects")
+    stream = streaming.stream_raw_files(spark, raw_dir)
+    assert stream.isStreaming
+    q = streaming.run_ingest_stream(stream, table, ck, rejects_path=rejects, anchor=ANCHOR)
+    q.awaitTermination(120)
+    out = maintenance.read_table(spark, table)
+    assert out.count() == 20  # 21 fanned rows - 1 rejected
+    assert spark.read.parquet(rejects).count() == 1
+    # restart over the same files + checkpoint: no reprocessing, no dups
+    q2 = streaming.run_ingest_stream(streaming.stream_raw_files(spark, raw_dir), table, ck, anchor=ANCHOR)
+    q2.awaitTermination(120)
+    assert maintenance.read_table(spark, table).count() == 20
+
+
+def test_ingest_stream_idempotent_across_duplicate_files(spark, tmp_path, raw_dir):
+    # same rows delivered again as NEW files (fresh checkpoint): the
+    # natural-key dedup sink keeps the table exactly-once (OP-ST6/D4)
+    table = str(tmp_path / "bronze2")
+    q = streaming.run_ingest_stream(streaming.stream_raw_files(spark, raw_dir), table, str(tmp_path / "ck1"), anchor=ANCHOR)
+    q.awaitTermination(120)
+    q2 = streaming.run_ingest_stream(streaming.stream_raw_files(spark, raw_dir), table, str(tmp_path / "ck2"), anchor=ANCHOR)
+    q2.awaitTermination(120)
+    assert maintenance.read_table(spark, table).count() == 20
+
+
+@pytest.fixture()
+def normalized(spark, raw_dir):
+    raw = spark.createDataFrame(RAW_FIXTURE_ROWS, schema=RAW_FIXTURE_SCHEMA)
+    valid, _ = ingest.normalize_raw(raw, anchor=ANCHOR)
+    return valid.cache()
+
+
+def test_alert_columns(normalized):
+    alerts = {(r["device_id"], r["alert_level"], r["alert_reason"])
+              for r in streaming.alert_columns(normalized).collect()}
+    assert ("aa:bb:cc:dd:ee:01_temperature", "WARNING", "above_threshold") in alerts
+    assert ("aa:bb:cc:dd:ee:01_pressure", "WARNING", "below_threshold") in alerts
+    assert ("aa:bb:cc:dd:ee:01_battery_voltage", "CRITICAL", "low_battery") in alerts
+    # nominal devices raise nothing
+    assert not any(d.startswith("c6:8d") for d, _, _ in alerts)
+
+
+def test_last_reading_state_batch_semantics(normalized):
+    state = {(r["parent_device"], r["sensor_type"]): r
+             for r in streaming.last_reading_state(normalized.withColumnRenamed("ts", "timestamp")).collect()}
+    key = ("c6:8d:c6:26:39:a6", "temperature")
+    assert key in state
+    assert state[key]["value"] == 21.42
+    assert state[key]["unit"] == "°C"
+
+
+def test_continuous_aggregate_streaming(spark, tmp_path, normalized):
+    # stream the normalized readings through the windowed aggregate in
+    # update mode into a memory sink
+    src_dir = str(tmp_path / "norm")
+    normalized.write.parquet(src_dir)
+    stream = spark.readStream.schema(normalized.schema).parquet(src_dir)
+    agg = streaming.continuous_aggregate(stream, bucket="1 hour")
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cagg")
+        .option("checkpointLocation", str(tmp_path / "ck_agg"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM cagg").collect()
+    assert rows
+    k = {(r["bucket"].isoformat(), r["device_id"]): r for r in rows}
+    key = ("2025-09-26T07:00:00", "c6:8d:c6:26:39:a6_temperature")
+    assert key in k
+    assert k[key]["reading_count"] == 1
+    assert k[key]["avg_value"] == 21.42
