@@ -58,7 +58,14 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 64, k: int = 3) -> DataF
     xxhash64(shingle, seed=i) over the doc's shingles.
 
     One groupBy over exploded shingles; signature assembled as an array
-    column. Cost: |shingles| x num_perm cheap hashes, all JVM-side."""
+    column. Cost: |shingles| x num_perm cheap hashes, all JVM-side.
+
+    Deliberately explode+groupBy, NOT a row-local nested
+    transform/array_min over the shingle array: higher-order-function
+    lambdas are interpreted per element (outside whole-stage codegen),
+    and the "shuffle-free" formulation measured ~35x slower at sf0.1
+    (460 s vs 13 s). The shuffle here is cheap — map-side partial min
+    combine means only per-partition partial signatures move."""
     sh = shingles(docs, k=k)
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)
