@@ -107,3 +107,23 @@ def media_summary(media: DataFrame) -> DataFrame:
         F.max("width").alias("max_width"),
         F.max("height").alias("max_height"),
     )
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from `documents`: the text bytes
+    play the opaque payload, media_type cycles by doc_id, and typed
+    metadata (width/height/duration_ms) is derived per type — the same
+    derivation the oracle twin performs in SQL, so the plumbing is
+    hash-checkable without real codecs in the container."""
+    mt = (F.col("doc_id") % 3).cast("int")
+    is_img = mt == 0
+    is_aud = mt == 1
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(is_img, "image").when(is_aud, "audio").otherwise("video").alias("media_type"),
+        F.when(is_img, "image/png").when(is_aud, "audio/wav").otherwise("video/mp4").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.when(is_img, (F.col("n_chars") % 1024).cast("int")).alias("width"),
+        F.when(is_img, ((F.col("n_chars") * 3) % 768).cast("int")).alias("height"),
+        F.when(~is_img, ((F.col("n_chars") * 7) % 60000).cast("int")).alias("duration_ms"),
+    )

@@ -186,3 +186,68 @@ def cosine_near_dup_pairs(
         "vec_a", "vec_b", round6(cosine_col(F.col("emb_a"), F.col("emb_b"))).alias("cosine_sim")
     )
     return scored.where(F.col("cosine_sim") >= threshold)
+
+
+def cosine_near_dup_exact(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Exact all-pairs embedding-cosine near-duplicates.
+
+    The verification baseline for cosine_near_dup_pairs: a non-equi
+    self-join (vec_a < vec_b) scores every pair — quadratic, so at
+    corpus scale run the LSH variant and reserve this for candidate
+    verification or sampled audits."""
+    a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    scored = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", round6(cosine_col(F.col("emb_a"), F.col("emb_b"))).alias("cosine_sim"))
+    )
+    return scored.where(F.col("cosine_sim") >= threshold)
+
+
+def ivf_assignments(embeddings: DataFrame, stride: int = 31) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse index: (centroids, list assignments).
+
+    Centroids are a deterministic 1-in-stride sample of the corpus
+    (vec_id % stride == 0) — a training-free quantizer that scales the
+    list count with corpus size. Assignment = argmax cosine against the
+    broadcast centroid set via max_by; at 100 TB this runs once at
+    ingest and the corpus is written bucketed by list_id, so probes
+    prune to nprobe buckets."""
+    centroids = embeddings.where(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("list_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = embeddings.join(F.broadcast(centroids)).select(
+        "vec_id", "list_id", cosine_col(F.col("embedding"), F.col("c_emb")).alias("c_cos")
+    )
+    assign = scored.groupBy("vec_id").agg(F.max_by("list_id", "c_cos").alias("list_id"))
+    return centroids, assign
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int = 4,
+    stride: int = 31,
+) -> DataFrame:
+    """IVF approximate top-k: probe the nprobe centroid lists nearest the
+    query and score only their members — the other scale path next to
+    hyperplane LSH (lsh_topk). Recall < 1 by construction; measured
+    against brute_force_topk in tests."""
+    centroids, assign = ivf_assignments(embeddings, stride=stride)
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(F.col("embedding").alias("q_emb"))
+    probe_lists = (
+        centroids.join(F.broadcast(q))
+        .select("list_id", cosine_col(F.col("c_emb"), F.col("q_emb")).alias("qc_cos"))
+        .orderBy(F.desc("qc_cos"), F.asc("list_id"))
+        .limit(nprobe)
+        .select("list_id")
+    )
+    members = assign.join(F.broadcast(probe_lists), "list_id").select("vec_id")
+    cands = embeddings.join(members, "vec_id").where(F.col("vec_id") != query_vec_id)
+    scored = cands.join(F.broadcast(q)).select(
+        "vec_id",
+        "label",
+        round6(cosine_col(F.col("embedding"), F.col("q_emb"))).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(k)

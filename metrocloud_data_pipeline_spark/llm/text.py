@@ -110,3 +110,23 @@ def fingerprint(docs: DataFrame, prefix_chars: int = 64) -> DataFrame:
         F.md5(F.substring(norm, 1, prefix_chars)).alias("prefix_fp"),
         F.floor(F.col("n_chars") / 100).cast("int").alias("len_bucket"),
     )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD '03):
+    md5 each k-token gram, slide a w-gram window per document, keep the
+    window-minimum hash, emit the distinct (doc_id, fp) set.
+
+    md5 (not xxhash64) so the oracle twin is bit-identical in DuckDB;
+    the window-min runs as one analytic over (doc_id, gram position) —
+    a single shuffle keyed by doc_id. Matching fp overlap between two
+    docs localizes shared passages, not just whole-doc similarity."""
+    from pyspark.sql.window import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - k + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))))
+    gh = docs.select("doc_id", F.posexplode(grams).alias("pos", "gh"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return gh.select("doc_id", F.min("gh").over(win).alias("fp")).distinct()

@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .llm import dedup, similarity, text
+from .llm import dedup, multimodal, similarity, text
 from .operators import analytics as A
 from .operators import ingest
 from .plans import star_queries as H
@@ -745,6 +745,151 @@ def ingest_fanout_pipeline(spark, sf_dir):
     raw = spark.createDataFrame(RAW_FIXTURE_ROWS, schema=RAW_FIXTURE_SCHEMA)
     valid, _ = ingest.normalize_raw(raw, anchor="2025-09-26 12:00:00")
     return valid
+
+
+@q(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+  FROM documents
+), sizes AS (SELECT doc_id, count(*) AS set_size FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6) >= 0.95
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact token-set Jaccard pairs at >= 0.95 (the exact twin the
+    MinHash estimate approximates; quadratic -> candidates-only at scale)."""
+    return dedup.token_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.95)
+
+
+@q(
+    "dedup_embed_cosine",
+    oracle="""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) >= 0.4
+""",
+)
+def dedup_embed_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline
+    (threshold 0.4 sits at the top of the synthetic corpus's cosine
+    distribution; the LSH variant is the scale path)."""
+    return similarity.cosine_near_dup_exact(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@q("dedup_embed_cosine_lsh")
+def dedup_embed_cosine_lsh(spark, sf_dir):
+    """Banded hyperplane-LSH near-dup pairs (sub-quadratic scale path of
+    dedup_embed_cosine; recall measured against it in pytest)."""
+    return similarity.cosine_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.4, bands=6, planes_per_band=2
+    )
+
+
+@q(
+    "doc_fingerprint_winnow",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 4 + 1, 1) + 1),
+                        i -> md5(array_to_string(list_slice(toks, i, i + 4 - 1), ' '))) AS ghs
+  FROM norm
+), pos AS (
+  SELECT doc_id, unnest(range(1, len(ghs) + 1)) AS p, ghs FROM grams
+), ph AS (
+  SELECT doc_id, p, ghs[p] AS gh FROM pos
+)
+SELECT DISTINCT doc_id,
+       min(gh) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+FROM ph
+""",
+)
+def doc_fingerprint_winnow(spark, sf_dir):
+    """Winnowing fingerprints (rolling 4-gram md5, window-min of 5) —
+    localizes shared passages between documents."""
+    return text.winnow_fingerprints(load(spark, sf_dir, "documents"), k=4, w=5)
+
+
+@q(
+    "media_feature_extract",
+    oracle="""
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes,
+       sha256(text) AS content_hash
+FROM documents
+""",
+)
+def media_feature_extract(spark, sf_dir):
+    """Multimodal decode/feature plumbing: binary payloads through
+    Arrow-batched mapInPandas (stubbed decode). The oracle checks the
+    byte-exact columns (sha256/content length); the fake feature vector
+    is covered by pytest."""
+    media = multimodal.media_from_documents(load(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media).select(
+        "media_id", "media_type", "payload_bytes", "content_hash"
+    )
+
+
+@q(
+    "media_type_summary",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         octet_length(encode(text)) AS payload_bytes,
+         CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars % 1024 AS INTEGER) END AS width,
+         CASE WHEN doc_id % 3 = 0 THEN CAST((n_chars * 3) % 768 AS INTEGER) END AS height
+  FROM documents
+)
+SELECT media_type, count(*) AS item_count,
+       round(avg(payload_bytes), 6) AS avg_payload_bytes,
+       max(width) AS max_width, max(height) AS max_height
+FROM media GROUP BY media_type
+""",
+)
+def media_type_summary(spark, sf_dir):
+    """Typed-metadata rollup over the media table — payload column never
+    read (column pruning keeps the heavy bytes out of the scan)."""
+    from .functions.numeric import round6
+
+    media = multimodal.media_from_documents(load(spark, sf_dir, "documents"))
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("item_count"),
+        round6(F.avg(F.length("payload"))).alias("avg_payload_bytes"),
+        F.max("width").alias("max_width"),
+        F.max("height").alias("max_height"),
+    )
+
+
+@q("knn_ivf")
+def knn_ivf(spark, sf_dir):
+    """IVF approximate top-k: probe the 4 nearest coarse lists only
+    (second scale path next to knn_lsh; recall vs brute force in pytest)."""
+    return similarity.ivf_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, nprobe=4)
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

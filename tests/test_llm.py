@@ -174,3 +174,55 @@ def test_media_summary_prunes_payload(spark):
     out = multimodal.media_summary(media).first()
     assert out["item_count"] == 1
     assert out["avg_payload_bytes"] == 2.0
+
+
+def test_cosine_near_dup_exact_all_pairs(vectors):
+    out = {(r["vec_a"], r["vec_b"]): r["cosine_sim"]
+           for r in similarity.cosine_near_dup_exact(vectors, threshold=0.9).collect()}
+    assert (0, 1) in out and out[(0, 1)] > 0.99
+    assert all(a < b for a, b in out)  # canonical pair orientation
+    assert (0, 3) not in out
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    # deterministic clustered corpus: 3 clusters of near-identical vectors
+    import math
+    rows = []
+    for vid in range(90):
+        c = vid % 3
+        base = [1.0 if i == c else 0.0 for i in range(8)]
+        base[(c + 3) % 8] = 0.05 * ((vid * 7) % 11)  # small in-cluster spread
+        n = math.sqrt(sum(x * x for x in base))
+        rows.append((vid, [x / n for x in base], c))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").cache()
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(emb, 0, k=10).collect()}
+    # stride must be coprime with the cluster cycle so sampled centroids
+    # cover every cluster (stride=9 would put all centroids in cluster 0)
+    approx = {r["vec_id"] for r in similarity.ivf_topk(emb, 0, k=10, nprobe=3, stride=7).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8  # probing the query's cluster lists recovers neighbors
+
+
+def test_winnow_fingerprints_shared_passages(docs):
+    fps = text.winnow_fingerprints(docs, k=4, w=5)
+    by_doc = {r["doc_id"]: set() for r in fps.collect()}
+    for r in fps.collect():
+        by_doc[r["doc_id"]].add(r["fp"])
+    assert by_doc[0] == by_doc[1] == by_doc[2]  # identical after normalization
+    overlap = len(by_doc[0] & by_doc[3]) / len(by_doc[0] | by_doc[3])
+    assert overlap > 0.5     # near-dup shares most fingerprints
+    assert not (by_doc[0] & by_doc[4])  # unrelated text shares none
+
+
+def test_media_from_documents_roundtrip(docs):
+    media = multimodal.media_from_documents(docs)
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert rows[0]["media_type"] == "image" and rows[0]["width"] is not None
+    assert rows[1]["media_type"] == "audio" and rows[1]["width"] is None
+    assert bytes(rows[0]["payload"]).decode("utf-8") == docs.where("doc_id=0").first()["text"]
+    feats = multimodal.extract_features(media)
+    import hashlib
+    f0 = feats.where("media_id = 0").first()
+    expected = hashlib.sha256(bytes(rows[0]["payload"])).hexdigest()
+    assert f0["content_hash"] == expected
+    assert len(f0["feature"]) == 8 and all(0.0 <= v < 1.0 for v in f0["feature"])
