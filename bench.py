@@ -41,9 +41,16 @@ HEADLINE = [
     "f1_recent_readings",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_simhash",
+    "doc_fingerprint_winnow",
     "text_quality_score",
     "knn_brute_force",
+    "knn_ivf",
+    "media_type_summary",
 ]
+# Deliberately absent: the exact-all-pairs baselines (dedup_ngram_jaccard,
+# dedup_embed_cosine) — quadratic verification twins for the oracle gate,
+# not scale-path operators; their LSH/MinHash counterparts are benched.
 
 
 def run_noop(df) -> None:
