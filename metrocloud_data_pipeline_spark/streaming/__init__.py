@@ -3,6 +3,7 @@ from .pipeline import (
     continuous_aggregate,
     last_reading_state,
     run_ingest_stream,
+    stateful_anomaly_context,
     stream_raw_files,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "continuous_aggregate",
     "last_reading_state",
     "run_ingest_stream",
+    "stateful_anomaly_context",
     "stream_raw_files",
 ]

@@ -151,3 +151,77 @@ def continuous_aggregate(
         .select(F.col("w.start").alias("bucket"), "*")
         .drop("w")
     )
+
+
+ANOMALY_CONTEXT_SCHEMA = (
+    "parent_device string, sensor_type string, value double, unit string, "
+    "event_ts timestamp, sibling_context string"
+)
+_STATE_SCHEMA = (
+    "sensor_types array<string>, values array<double>, units array<string>, seen_epoch array<double>"
+)
+
+
+def stateful_anomaly_context(readings: DataFrame) -> DataFrame:
+    """OP-ST3 as TRUE streaming state (consumer.py:350-357, :397-432):
+    per parent device, keep the latest reading of every sensor channel
+    across micro-batches; when an anomalous reading arrives, emit it with
+    a JSON snapshot of its sibling channels' current values.
+
+    applyInPandasWithState — arbitrary keyed state that survives between
+    triggers, unlike the windowed max_by in last_reading_state which only
+    aggregates within the watermark. State per key is O(#channels) (<=9
+    for a RuuviTag), so memory is bounded by device count, not rate.
+    Partitioning: groupBy(parent_device) shuffles each device's readings
+    to one task == the per-device ordering Kafka keying gave the
+    reference (OP-ST2)."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        store: dict[str, tuple] = {}
+        if state.exists:
+            stypes, vals, units, seen = state.get
+            store = {t: (v, u, s) for t, v, u, s in zip(stypes, vals, units, seen)}
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("event_ts")
+            for r in pdf.itertuples(index=False):
+                epoch = r.event_ts.timestamp()
+                store[r.sensor_type] = (r.value, r.unit, epoch)
+                if r.is_anomaly:
+                    ctx = {
+                        t: {"value": v, "unit": u}
+                        for t, (v, u, _) in sorted(store.items())
+                        if t != r.sensor_type
+                    }
+                    out.append(
+                        (key[0], r.sensor_type, r.value, r.unit, r.event_ts, json.dumps(ctx, sort_keys=True))
+                    )
+        keys = sorted(store)
+        state.update((
+            keys,
+            [store[t][0] for t in keys],
+            [store[t][1] for t in keys],
+            [store[t][2] for t in keys],
+        ))
+        cols = ["parent_device", "sensor_type", "value", "unit", "event_ts", "sibling_context"]
+        yield pd.DataFrame(out, columns=cols)
+
+    src = readings.select(
+        F.col("device_metadata")["parent_device"].alias("parent_device"),
+        F.col("device_metadata")["sensor_type"].alias("sensor_type"),
+        F.col("value").cast("double").alias("value"),
+        "unit",
+        F.col("timestamp").alias("event_ts"),
+        "is_anomaly",
+    )
+    return src.groupBy("parent_device").applyInPandasWithState(
+        fn,
+        outputStructType=ANOMALY_CONTEXT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

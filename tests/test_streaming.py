@@ -96,3 +96,58 @@ def test_continuous_aggregate_streaming(spark, tmp_path, normalized):
     assert key in k
     assert k[key]["reading_count"] == 1
     assert k[key]["avg_value"] == 21.42
+
+
+def test_stateful_anomaly_context_across_batches(spark, tmp_path, normalized):
+    # batch 1: only normal readings seed the state; batch 2 delivers the
+    # anomalies — their context must include channel values learned in
+    # batch 1, proving keyed state survives between triggers (same
+    # checkpoint, parquet sink: memory sink cannot resume a checkpoint).
+    import json
+
+    from metrocloud_data_pipeline_spark.streaming.pipeline import ANOMALY_CONTEXT_SCHEMA
+
+    src_dir = tmp_path / "state_src"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "ctx_out")
+    ck = str(tmp_path / "ck_state")
+    normal = normalized.where("not is_anomaly")
+    anomalous = normalized.where("is_anomaly")
+    normal.coalesce(1).write.parquet(str(src_dir / "b1"))
+
+    def run_once():
+        stream = spark.readStream.schema(normalized.schema).parquet(str(src_dir) + "/*")
+        q = (
+            streaming.stateful_anomaly_context(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    read = lambda: spark.read.schema(ANOMALY_CONTEXT_SCHEMA).parquet(out_dir)
+    assert read().count() == 0  # no anomalies yet, state seeded
+
+    anomalous.coalesce(1).write.parquet(str(src_dir / "b2"))
+    run_once()
+    rows = read().collect()
+    assert len(rows) == 3  # every fixture anomaly surfaced exactly once
+    by_sensor = {(r["parent_device"], r["sensor_type"]): r for r in rows}
+    key = next(k for k in by_sensor if k[1] == "temperature")
+    ctx = json.loads(by_sensor[key]["sibling_context"])
+    # sibling channels seeded by batch-1 (non-anomalous) readings of the
+    # SAME parent are visible in the context emitted during batch 2
+    parent = key[0]
+    seeded = {
+        r["device_metadata"]["sensor_type"]
+        for r in normal.where(
+            F.col("device_metadata")["parent_device"] == parent
+        ).collect()
+    } - {"temperature"}
+    assert seeded and seeded <= set(ctx)
+    assert all("value" in v and "unit" in v for v in ctx.values())
+    assert by_sensor[key]["value"] is not None
