@@ -196,3 +196,118 @@ def unpivot_lineitem_measures(lineitem: DataFrame) -> DataFrame:
             "'discount', l_discount) AS (measure, measure_value)"
         ),
     )
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    qty_max: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6: revenue increase from discount elimination — the purest
+    pushdown case: every predicate sits on a scan column (shipdate,
+    discount, quantity all in PushedFilters), then a single global sum
+    with no grouping shuffle (partial sums -> one-row final)."""
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+            & F.col("l_discount").between(disc_lo, disc_hi)
+            & (F.col("l_quantity") < qty_max)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("revenue")
+        )
+    )
+
+
+def volume_shipping(
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    start: str = "1995-01-01",
+    end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q7 (adapted to l_shipdate): bilateral trade volume between
+    two nations by ship year. Both nation-filtered dims broadcast; the
+    lineitem⋈orders shuffle on orderkey is the only exchange before the
+    4-row aggregate."""
+    nat = nation.where(F.col("n_name").isin(nation_a, nation_b)).select("n_nationkey", "n_name")
+    supp = supplier.join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    cust = customer.join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_revenue()).cast("decimal(18,4)").alias("revenue"))
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    start: str = "1996-03-01",
+    end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q14: promo-type revenue share in one ship month — the
+    conditional-aggregate-over-join pattern (CASE inside SUM); part
+    broadcasts, so the only exchange is the single-row final agg."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    promo = F.when(F.col("p_type").startswith("PROMO"), _revenue()).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            round6(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(_revenue()).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    qty_threshold: float = 250.0,
+    n: int = 20,
+) -> DataFrame:
+    """TPC-H Q18: customers with any single order above a total-quantity
+    threshold — the groupBy-HAVING-semijoin pattern. The orderkey
+    aggregate reuses lineitem's shuffle; the qualifying keyset is tiny
+    so it broadcasts back onto orders."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_qty"))
+        .where(F.col("total_qty") > qty_threshold)
+    )
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .join(F.broadcast(big), F.col("o_orderkey") == big.l_orderkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(n)
+    )

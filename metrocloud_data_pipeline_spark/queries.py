@@ -748,6 +748,94 @@ def ingest_fanout_pipeline(spark, sf_dir):
 
 
 @q(
+    "h6_forecast_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)
+def h6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: all predicates push to the parquet scan; no grouping
+    shuffle (partial sums -> single-row final)."""
+    return H.forecast_revenue_change(load(spark, sf_dir, "lineitem"))
+
+
+@q(
+    "h7_volume_shipping",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         year(l.l_shipdate) AS l_year, l.l_extendedprice, l.l_discount
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  WHERE sn.n_name IN ('NATION_1', 'NATION_2') AND cn.n_name IN ('NATION_1', 'NATION_2')
+    AND sn.n_name <> cn.n_name
+    AND l.l_shipdate >= TIMESTAMP '1995-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def h7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 (shipdate-adapted): bilateral trade volume by year."""
+    return H.volume_shipping(
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+@q(
+    "h14_promo_revenue",
+    oracle="""
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+       6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+""",
+)
+def h14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14: promo revenue share (CASE-inside-SUM over a broadcast
+    join)."""
+    return H.promo_revenue_share(load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part"))
+
+
+@q(
+    "h18_large_customers",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+""",
+)
+def h18_large_customers(spark, sf_dir):
+    """TPC-H Q18: groupBy-HAVING keyset broadcast back onto orders."""
+    return H.large_volume_customers(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+@q(
     "dedup_ngram_jaccard",
     oracle="""
 WITH toks AS (
