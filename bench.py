@@ -29,7 +29,11 @@ HEADLINE = [
     "h3_shipping_priority",
     "h4_order_priority",
     "h5_local_supplier_volume",
+    "h6_forecast_revenue",
+    "h7_volume_shipping",
     "h10_returned_items",
+    "h14_promo_revenue",
+    "h18_large_customers",
     "h_brand_revenue",
     "t1_unpivot_measures",
     "a1_device_summary",
