@@ -1,0 +1,64 @@
+"""Source tests: JSON raw messages (OP-S3), gated Avro IO (OP-S1/S2)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from metrocloud_data_pipeline_spark.operators import ingest
+from metrocloud_data_pipeline_spark.sources import avro_io, raw_json
+from metrocloud_data_pipeline_spark.tests_fixtures import RAW_FIXTURE_ROWS, RAW_FIXTURE_SCHEMA
+
+
+@pytest.fixture()
+def json_dir(spark, tmp_path):
+    rows = spark.createDataFrame(RAW_FIXTURE_ROWS, schema=RAW_FIXTURE_SCHEMA).toJSON().collect()
+    p = tmp_path / "raw_json"
+    p.mkdir()
+    (p / "batch1.json").write_text("\n".join(rows[:2]) + "\nnot a json line\n")
+    (p / "batch2.json").write_text("\n".join(rows[2:]))
+    return str(p)
+
+
+def test_read_raw_json_parses_and_quarantines(spark, json_dir):
+    parsed, corrupt = raw_json.read_raw_json(spark, json_dir)
+    assert parsed.count() == len(RAW_FIXTURE_ROWS)
+    bad = corrupt.collect()
+    assert len(bad) == 1 and "not a json" in bad[0][0]
+    # parsed rows feed the same normalize chain as any other source
+    valid, _ = ingest.normalize_raw(parsed, anchor="2025-09-26 12:00:00")
+    assert valid.count() == 20
+
+
+def test_stream_raw_json_is_streaming(spark, json_dir):
+    assert raw_json.stream_raw_json(spark, json_dir).isStreaming
+
+
+def test_parse_raw_json_column_roundtrip(spark):
+    payload = json.dumps({"device_id": "aa:bb", "device_type": "ruuvitag", "timestamp": "1695715200", "temperature": 21.5})
+    df = spark.createDataFrame([(payload,)], "value string")
+    out = raw_json.parse_raw_json_column(df).first()
+    assert out["device_id"] == "aa:bb"
+    assert out["temperature"] == 21.5
+
+
+def test_avro_schema_shape():
+    s = json.loads(avro_io.reading_avro_schema())
+    names = {f["name"] for f in s["fields"]}
+    assert {"device_id", "device_type", "timestamp", "value", "unit"} <= names
+
+
+def test_avro_sink_gated_without_package(spark):
+    df = spark.createDataFrame([("d1",)], "device_id string")
+    try:
+        from pyspark.sql.avro.functions import to_avro  # noqa: F401
+        from pyspark.sql import functions as F
+        spark.range(1).select(to_avro(F.struct("id"))).schema
+        loaded = True
+    except Exception:
+        loaded = False
+    if loaded:
+        pytest.skip("spark-avro present; gate not exercised")
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        avro_io.kafka_avro_sink_frame(df)
