@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from .. import schema as S
-from ..operators import ingest, maintenance
+from ..operators import ingest, maintenance, quality
 
 
 def stream_raw_files(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
@@ -53,19 +53,35 @@ def run_ingest_stream(
     table_path: str,
     checkpoint_path: str,
     rejects_path: str | None = None,
+    metrics_path: str | None = None,
     anchor=None,
     available_now: bool = True,
     processing_time: str = "5 seconds",
 ) -> StreamingQuery:
     """OP-ST1/ST6: the storage sink. Each micro-batch runs the batch
     normalize chain, then idempotent-appends to the date-partitioned
-    table (checkpoint + natural-key dedup == effectively-once)."""
+    table (checkpoint + natural-key dedup == effectively-once).
+
+    With metrics_path set, each batch also appends one row of
+    data-quality counters (rows in/valid/rejected/anomalous + failure
+    rate) to a pipeline_metrics table — the queryable replacement for
+    the reference's Prometheus counters (metrics.py:41-165; §2.11)."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
         valid, rejected = ingest.normalize_raw(batch, anchor=anchor)
-        maintenance.idempotent_append(batch.sparkSession, valid, table_path)
+        if metrics_path is not None:
+            valid = valid.localCheckpoint(eager=True)  # one computation for write + counters
+            rejected = rejected.localCheckpoint(eager=True)
+        maintenance.idempotent_append(spark, valid, table_path)
         if rejects_path is not None:
             rejected.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(rejects_path)
+        if metrics_path is not None:
+            m = quality.batch_metrics(batch, valid, rejected)
+            spark.createDataFrame(
+                [(batch_id, m["rows_in"], m["rows_valid"], m["rows_rejected"], m["anomalies"], m["validation_failure_rate"])],
+                "batch_id long, rows_in long, rows_valid long, rows_rejected long, anomalies long, validation_failure_rate double",
+            ).write.mode("append").parquet(metrics_path)
 
     writer = raw_stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_path)
     if available_now:

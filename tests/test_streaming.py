@@ -151,3 +151,21 @@ def test_stateful_anomaly_context_across_batches(spark, tmp_path, normalized):
     assert seeded and seeded <= set(ctx)
     assert all("value" in v and "unit" in v for v in ctx.values())
     assert by_sensor[key]["value"] is not None
+
+
+def test_ingest_stream_pipeline_metrics(spark, tmp_path, raw_dir):
+    table = str(tmp_path / "bronze_m")
+    metrics = str(tmp_path / "metrics")
+    q = streaming.run_ingest_stream(
+        streaming.stream_raw_files(spark, raw_dir),
+        table,
+        str(tmp_path / "ck_m"),
+        metrics_path=metrics,
+        anchor=ANCHOR,
+    )
+    q.awaitTermination(120)
+    m = spark.read.parquet(metrics).collect()
+    assert sum(r["rows_valid"] for r in m) == 20
+    assert sum(r["rows_rejected"] for r in m) == 1
+    assert all(0.0 <= r["validation_failure_rate"] <= 1.0 for r in m)
+    assert sum(r["anomalies"] for r in m) == 3
