@@ -148,29 +148,27 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document from token xxhash64s.
 
     For each bit position, sum +/-1 contributions across token hashes and
-    take the sign. Bit masks are driver-side constants (bit 63 as the
-    signed two's-complement mask), so everything stays built-in column
-    algebra over the token-hash array; no UDF."""
-    tok_hashes = F.transform(
-        F.array_distinct(F.split(_norm_text(F.col(text_col)), " ")), lambda t: F.xxhash64(t)
-    )
-    tmp = docs.select("doc_id", tok_hashes.alias("_th"))
-    # Disjoint bit masks -> the signature is the SUM of per-bit terms
-    # (flat 64-term expression; a nested when-chain would double the tree
-    # per level). Bit 63 uses the signed two's-complement mask, which sum
-    # semantics handle exactly.
-    def _vote_fn(mask: int):
-        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
-
-    terms = []
+    take the sign. Explode tokens -> ONE groupBy(doc_id) with 64
+    conditional sums: codegen'd hash aggregation with map-side partial
+    combine (same lesson as minhash_signatures — the row-local
+    F.aggregate fold over the token array is interpreted per element and
+    measured 1.7x slower at sf0.1). Bit masks are driver-side constants;
+    bit 63 uses the signed two's-complement mask, which sum semantics
+    handle exactly; disjoint masks make the signature the SUM of per-bit
+    terms."""
+    th = docs.select(
+        "doc_id",
+        F.explode_outer(F.array_distinct(F.split(_norm_text(F.col(text_col)), " "))).alias("tok"),
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    aggs = []
     for bit in range(64):
         mask = (1 << bit) if bit < 63 else -(1 << 63)
-        vote = F.aggregate(F.col("_th"), F.lit(0), _vote_fn(mask))
-        terms.append(F.when(vote > 0, F.lit(mask)).otherwise(F.lit(0)).cast("long"))
-    sig = terms[0]
-    for t in terms[1:]:
-        sig = sig + t
-    return tmp.select("doc_id", sig.alias("simhash"))
+        vote = F.sum(F.when(F.col("h").bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1))
+        aggs.append(F.when(vote > 0, F.lit(mask)).otherwise(F.lit(0)).cast("long").alias(f"_b{bit}"))
+    sig = F.col("_b0")
+    for i in range(1, 64):
+        sig = sig + F.col(f"_b{i}")
+    return th.groupBy("doc_id").agg(*aggs).select("doc_id", sig.alias("simhash"))
 
 
 def simhash_candidate_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:

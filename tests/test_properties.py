@@ -1,0 +1,95 @@
+"""Property-based checks (SURVEY.md §5.2 item 3) — hypothesis generates
+raw-message batches shaped like the simulator's value models; the
+invariants mirror database_utils.py:341-395 and the adapter contracts.
+
+One DataFrame per example keeps Spark roundtrips bounded
+(max_examples is small; each example carries a whole batch of rows).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from metrocloud_data_pipeline_spark import schema as S
+from metrocloud_data_pipeline_spark.operators import ingest
+
+ANCHOR = "2025-09-26 12:00:00"
+ANCHOR_EPOCH = 1758888000  # 2025-09-26T12:00:00Z
+
+_maybe_float = st.one_of(st.none(), st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+
+raw_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.just(""), st.text(alphabet="abcdef0123456789:", min_size=1, max_size=17)),  # device_id
+        st.one_of(st.none(), st.just("ruuvitag")),                          # device_type
+        st.one_of(                                                          # timestamp string
+            st.none(),
+            st.integers(min_value=0, max_value=2_000_000_000).map(str),    # epoch (incl. relative < 1e7)
+            st.just("2025-09-26T10:00:00Z"),
+            st.just("not-a-timestamp"),
+        ),
+        _maybe_float,  # temperature
+        _maybe_float,  # humidity
+        _maybe_float,  # pressure
+        _maybe_float,  # acceleration_x
+        _maybe_float,  # battery_voltage
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+def _df(spark, rows):
+    # pad generated tuples out to the full raw schema (fan_out requires
+    # every channel column to exist; absent channels are null)
+    from metrocloud_data_pipeline_spark import schema as _S
+
+    full = [
+        (d, t, ts, temp, hum, pres, ax, None, None, bv, None, None, None)
+        for (d, t, ts, temp, hum, pres, ax, bv) in rows
+    ]
+    return spark.createDataFrame(full, _S.RAW_RUUVITAG_SCHEMA)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=raw_rows)
+def test_fanout_row_count_equals_present_channels(spark, rows):
+    # OP-T1 invariant: one output row per non-null sensor channel of each
+    # raw message (ruuvitag_adapter.py:333-379), regardless of input mix
+    out = ingest.fan_out(_df(spark, rows))
+    channels = ("temperature", "humidity", "pressure", "acceleration_x", "battery_voltage")
+    expected = sum(sum(1 for c, v in zip(channels, r[3:]) if v is not None) for r in rows)
+    assert out.count() == expected
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=raw_rows)
+def test_validation_never_passes_bad_rows(spark, rows):
+    # OP-T9/T10 invariant: the valid stream has no null/empty required
+    # fields and no out-of-domain values; valid+rejected == input
+    valid, rejected = ingest.normalize_raw(_df(spark, rows), anchor=ANCHOR)
+    n_in = ingest.fan_out(_df(spark, rows)).count()
+    assert valid.count() + rejected.count() == n_in
+    bad = valid.where(
+        F.col("device_id").isNull() | (F.col("device_id") == "")
+        | F.col("device_type").isNull() | (F.col("device_type") == "")
+        | F.col("unit").isNull() | (F.col("unit") == "")
+        | F.col("timestamp").isNull()
+        | (F.col("battery_level").isNotNull() & ~F.col("battery_level").between(0.0, 100.0))
+        | (F.col("latitude").isNotNull() & ~F.col("latitude").between(-90.0, 90.0))
+        | (F.col("longitude").isNotNull() & ~F.col("longitude").between(-180.0, 180.0))
+        | ~F.col("status").isin(list(S.DEVICE_STATUSES))
+    )
+    assert bad.count() == 0
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=raw_rows)
+def test_clamp_bounds_all_timestamps(spark, rows):
+    # OP-T11 invariant: every normalized timestamp lies within the clamp
+    # window of the anchor (timescaledb_sink.py:151-160)
+    valid, _ = ingest.normalize_raw(_df(spark, rows), anchor=ANCHOR)
+    secs = S.CLAMP_WINDOW_HOURS * 3600
+    outside = valid.where(F.abs(F.unix_timestamp("timestamp") - F.lit(ANCHOR_EPOCH)) > secs)
+    assert outside.count() == 0
