@@ -163,3 +163,41 @@ def full_history(spark: SparkSession, main_path: str, archive_path: str) -> Data
     if not list_partitions(archive_path):
         return main
     return main.unionByName(read_table(spark, archive_path), allowMissingColumns=True)
+
+
+def refresh_bucket_aggregate(
+    spark: SparkSession,
+    readings_path: str,
+    agg_path: str,
+    days: list[date] | None = None,
+    bucket: str = "1 hour",
+) -> int:
+    """Incremental continuous-aggregate refresh (batch form of OP-ST8;
+    init.sql:324-368's refresh policy, SURVEY.md §7 hard part (d)).
+
+    Recomputes the bucket aggregate for ONLY the named date partitions
+    (default: every partition currently in main) and swaps them into the
+    aggregate table via dynamic partition overwrite — untouched
+    partitions' aggregates are never read or rewritten, so refresh cost
+    is proportional to new data, not table size. Correct for any bucket
+    that divides a day (hourly/15-min/...) because bucket boundaries then
+    never straddle a partition boundary. Returns partitions refreshed."""
+    from .analytics import bucket_aggregates
+
+    target = days if days is not None else list_partitions(readings_path)
+    if not target:
+        return 0
+    src = read_table(spark, readings_path).where(
+        F.col(PARTITION_COL).isin([d.isoformat() for d in target])
+    )
+    src = src.withColumnRenamed("timestamp", "ts") if "ts" not in src.columns else src
+    agg = bucket_aggregates(src, bucket=bucket).withColumn(
+        PARTITION_COL, F.to_date(F.col("bucket"))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        agg.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(agg_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(target)

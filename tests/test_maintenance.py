@@ -85,3 +85,43 @@ def test_full_history_union(spark, tmp_path):
     hist = M.full_history(spark, main, arch)
     assert hist.count() == 6
     assert M.read_table(spark, main).count() == 3
+
+
+def test_refresh_bucket_aggregate_incremental(spark, tmp_path):
+    from datetime import date
+
+    from metrocloud_data_pipeline_spark.operators.maintenance import (
+        list_partitions,
+        read_table,
+        refresh_bucket_aggregate,
+        write_partitioned,
+    )
+
+    main = str(tmp_path / "main_agg")
+    agg = str(tmp_path / "hourly_agg")
+    rows = [
+        ("d1", "t", "2024-01-01 00:10:00", 1.0, False),
+        ("d1", "t", "2024-01-01 00:40:00", 3.0, False),
+        ("d1", "t", "2024-01-02 05:00:00", 7.0, True),
+    ]
+    df = spark.createDataFrame(rows, "device_id string, device_type string, timestamp string, value double, is_anomaly boolean") \
+        .withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    write_partitioned(df, main)
+    assert refresh_bucket_aggregate(spark, main, agg) == 2
+    out = {(r["bucket"].isoformat(), r["device_id"]): r for r in read_table(spark, agg).collect()}
+    assert out[("2024-01-01T00:00:00", "d1")]["reading_count"] == 2
+    assert out[("2024-01-01T00:00:00", "d1")]["avg_value"] == 2.0
+
+    # late row lands in day 1 only; refresh ONLY that partition
+    late = spark.createDataFrame(
+        [("d1", "t", "2024-01-01 00:55:00", 5.0, False)],
+        "device_id string, device_type string, timestamp string, value double, is_anomaly boolean",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    write_partitioned(late, main)
+    assert refresh_bucket_aggregate(spark, main, agg, days=[date(2024, 1, 1)]) == 1
+    out2 = {(r["bucket"].isoformat(), r["device_id"]): r for r in read_table(spark, agg).collect()}
+    assert out2[("2024-01-01T00:00:00", "d1")]["reading_count"] == 3
+    assert out2[("2024-01-01T00:00:00", "d1")]["avg_value"] == 3.0
+    # day-2 aggregate untouched by the partial refresh
+    assert out2[("2024-01-02T05:00:00", "d1")]["anomaly_count"] == 1
+    assert sorted(p.isoformat() for p in list_partitions(agg)) == ["2024-01-01", "2024-01-02"]
