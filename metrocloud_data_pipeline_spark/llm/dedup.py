@@ -75,14 +75,21 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 64, k: int = 3) -> DataF
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: hash each band of the signature to a bucket; docs
     sharing any (band, bucket) are candidate near-duplicates.
 
     The self-join keys on (band, bucket) — sub-quadratic as long as
-    buckets stay small; a hot bucket (boilerplate text) is the skew case
-    AQE's skew-join splitting handles."""
+    buckets stay small; AQE's skew-join splitting spreads moderately hot
+    buckets across tasks. max_bucket_size is the 100 TB guard: a bucket
+    of n docs emits n(n-1)/2 pairs, so one boilerplate bucket of 1M docs
+    would alone produce 5e11 candidates — buckets over the cap are
+    dropped entirely (their members still pair through their other
+    bands; standard practice in corpus-scale MinHash dedup)."""
     b = signatures.select(
         "doc_id",
         F.posexplode(
@@ -94,6 +101,11 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket_size is not None:
+        sizes = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+        b = (
+            b.join(sizes.where(F.col("_n") > max_bucket_size), ["band", "bucket"], "left_anti")
+        )
     left = b.alias("a")
     right = b.alias("b")
     return (
@@ -135,11 +147,15 @@ def minhash_dedup(
     bands: int = 16,
     threshold: float = 0.7,
     k: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates
-    -> estimate filter. Returns pairs with est_jaccard >= threshold."""
+    -> estimate filter. Returns pairs with est_jaccard >= threshold.
+    Set max_bucket_size at corpus scale (see lsh_candidate_pairs)."""
     sigs = minhash_signatures(docs, num_perm=num_perm, k=k)
-    pairs = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_perm // bands)
+    pairs = lsh_candidate_pairs(
+        sigs, bands=bands, rows_per_band=num_perm // bands, max_bucket_size=max_bucket_size
+    )
     est = minhash_jaccard_estimate(sigs, pairs)
     return est.where(F.col("est_jaccard") >= threshold)
 

@@ -201,3 +201,30 @@ def refresh_bucket_aggregate(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return len(target)
+
+
+def health_check(spark: SparkSession, path: str) -> bool:
+    """OP-D5: golden-row write/read-back round-trip
+    (run_timescaledb_sink.py:226-260): append one fully-populated
+    synthetic reading to a scratch slice of the table path, assert it
+    reads back intact, then drop the scratch partition. Returns True on
+    success; never touches real partitions (the golden row lives on its
+    own sentinel date)."""
+    sentinel = date(1970, 1, 2)
+    golden = spark.createDataFrame(
+        [("__health_check__", "temperature_sensor", datetime(1970, 1, 2, 0, 0, 0), 21.5, "°C", False)],
+        "device_id string, device_type string, timestamp timestamp, value double, unit string, is_anomaly boolean",
+    )
+    try:
+        write_partitioned(golden, path)
+        back = read_table(spark, path).where(F.col("device_id") == "__health_check__").collect()
+        ok = (
+            len(back) == 1
+            and back[0]["value"] == 21.5
+            and back[0]["unit"] == "°C"
+            and back[0]["device_type"] == "temperature_sensor"
+        )
+    finally:
+        shutil.rmtree(_partition_dir(path, sentinel), ignore_errors=True)
+    remaining = read_table(spark, path).where(F.col("device_id") == "__health_check__").count() if ok else 1
+    return ok and remaining == 0

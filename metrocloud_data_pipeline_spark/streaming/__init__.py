@@ -2,6 +2,7 @@ from .pipeline import (
     alert_columns,
     continuous_aggregate,
     last_reading_state,
+    run_alert_stream,
     run_ingest_stream,
     stateful_anomaly_context,
     stream_raw_files,
@@ -11,6 +12,7 @@ __all__ = [
     "alert_columns",
     "continuous_aggregate",
     "last_reading_state",
+    "run_alert_stream",
     "run_ingest_stream",
     "stateful_anomaly_context",
     "stream_raw_files",

@@ -241,3 +241,30 @@ def stateful_anomaly_context(readings: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def run_alert_stream(
+    raw_stream: DataFrame,
+    alerts_path: str,
+    checkpoint_path: str,
+    anchor=None,
+    available_now: bool = True,
+    processing_time: str = "5 seconds",
+) -> StreamingQuery:
+    """OP-ST4 end-to-end: the alerting consumer as its own streaming query
+    over the same source (the reference runs alerting and storage as
+    separate consumer groups on one topic, so each sees every record —
+    two Structured Streaming queries with separate checkpoints reproduce
+    that fan-out). Emits only alert rows, appended to an alerts table."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        valid, _ = ingest.normalize_raw(batch, anchor=anchor)
+        alerts = alert_columns(valid).withColumn("batch_id", F.lit(batch_id))
+        alerts.write.mode("append").parquet(alerts_path)
+
+    writer = raw_stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_path)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

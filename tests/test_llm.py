@@ -226,3 +226,21 @@ def test_media_from_documents_roundtrip(docs):
     expected = hashlib.sha256(bytes(rows[0]["payload"])).hexdigest()
     assert f0["content_hash"] == expected
     assert len(f0["feature"]) == 8 and all(0.0 <= v < 1.0 for v in f0["feature"])
+
+
+def test_lsh_bucket_cap_drops_boilerplate_bucket(spark):
+    # 30 docs sharing identical boilerplate + 2 planted near-dups: with a
+    # bucket cap below 30 the boilerplate cluster's bucket is dropped,
+    # while the planted pair still surfaces through its own bands
+    boiler = "terms of service apply all rights reserved contact us for details " * 3
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(i, boiler, "en", "s", len(boiler)) for i in range(30)]
+    rows += [(100, a, "en", "s", len(a)), (101, a + " extra", "en", "s", len(a) + 6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    sigs = dedup.minhash_signatures(docs)
+    capped = dedup.lsh_candidate_pairs(sigs, max_bucket_size=10)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (100, 101) in pairs
+    assert not any(a < 30 and b < 30 for a, b in pairs)  # boilerplate bucket dropped
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(sigs).collect()}
+    assert any(a < 30 and b < 30 for a, b in uncapped)

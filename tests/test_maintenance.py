@@ -125,3 +125,21 @@ def test_refresh_bucket_aggregate_incremental(spark, tmp_path):
     # day-2 aggregate untouched by the partial refresh
     assert out2[("2024-01-02T05:00:00", "d1")]["anomaly_count"] == 1
     assert sorted(p.isoformat() for p in list_partitions(agg)) == ["2024-01-01", "2024-01-02"]
+
+
+def test_health_check_round_trip(spark, tmp_path):
+    from metrocloud_data_pipeline_spark.operators.maintenance import (
+        health_check,
+        list_partitions,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "hc_table")
+    real = spark.createDataFrame(
+        [("d1", "t", "2024-01-01 00:00:00", 1.0, "u", False)],
+        "device_id string, device_type string, timestamp string, value double, unit string, is_anomaly boolean",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    write_partitioned(real, path)
+    before = list_partitions(path)
+    assert health_check(spark, path) is True
+    assert list_partitions(path) == before  # sentinel partition removed

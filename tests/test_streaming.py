@@ -169,3 +169,16 @@ def test_ingest_stream_pipeline_metrics(spark, tmp_path, raw_dir):
     assert sum(r["rows_rejected"] for r in m) == 1
     assert all(0.0 <= r["validation_failure_rate"] <= 1.0 for r in m)
     assert sum(r["anomalies"] for r in m) == 3
+
+
+def test_run_alert_stream_fanout_consumer(spark, tmp_path, raw_dir):
+    # alerting runs as its own query over the same files (the two-
+    # consumer-group fan-out): every threshold breach lands in the table
+    alerts_path = str(tmp_path / "alerts")
+    q = streaming.run_alert_stream(
+        streaming.stream_raw_files(spark, raw_dir), alerts_path, str(tmp_path / "ck_alerts"), anchor=ANCHOR
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(alerts_path).collect()
+    assert rows and all(r["alert_level"] in ("WARNING", "CRITICAL") for r in rows)
+    assert {r["alert_reason"] for r in rows} >= {"above_threshold"}
