@@ -1,0 +1,97 @@
+"""Physical-plan quality regression tests.
+
+A correct-but-mis-planned query is a failure at 100 TB: these tests pin
+the plan properties the engine relies on — filters reaching the parquet
+scan, dimension joins broadcasting, no accidental cartesian products —
+so a regression shows up here instead of as a silent bench slowdown.
+Queries run at sf0.001 (plans are scale-independent; AQE finalizes at
+runtime but join strategy hints and pushdown appear in the initial plan).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from metrocloud_data_pipeline_spark.queries import get_queries
+
+SF = "/root/testdata/sf0.001"
+
+# queries that intentionally use a broadcast nested-loop join (single-row
+# broadcast anchors / non-equi exact baselines)
+BNLJ_OK = {
+    "f1_recent_readings",
+    "f5_integrity_report",
+    "a4_device_stats",
+    "a7_type_distribution",
+    "a10_realtime_monitor",
+    "knn_brute_force",
+    "knn_ivf",
+    "knn_lsh",
+    "dedup_embed_cosine",
+    "dedup_embed_cosine_lsh",
+    "q2_export_device_range",
+}
+
+
+def _plan(spark, name: str) -> str:
+    df = get_queries()[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "h1_pricing_summary",
+        "h3_shipping_priority",
+        "h5_local_supplier_volume",
+        "h6_forecast_revenue",
+        "h7_volume_shipping",
+        "h10_returned_items",
+        "h14_promo_revenue",
+        "h18_large_customers",
+        "a1_device_summary",
+        "a2_hourly_aggregates",
+        "w1_gap_detection",
+        "dedup_exact",
+        "t1_unpivot_measures",
+    ],
+)
+def test_no_cartesian_product(spark, name):
+    assert "CartesianProduct" not in _plan(spark, name)
+
+
+@pytest.mark.parametrize("name", ["h1_pricing_summary", "h6_forecast_revenue", "h3_shipping_priority"])
+def test_filters_push_to_scan(spark, name):
+    plan = _plan(spark, name)
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate (not just the bare header)
+    assert any(
+        tok in plan for tok in ("GreaterThan", "LessThan", "EqualTo", "IsNotNull")
+    ), plan
+
+
+@pytest.mark.parametrize(
+    "name", ["h5_local_supplier_volume", "h7_volume_shipping", "h10_returned_items", "h14_promo_revenue"]
+)
+def test_dimension_joins_broadcast(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan or name in ("h7_volume_shipping",), (
+        "dimension join fell back to shuffle:\n" + plan
+    )
+
+
+def test_unpivot_needs_no_shuffle(spark):
+    plan = _plan(spark, "t1_unpivot_measures")
+    assert "Exchange" not in plan  # stack() is a pure projection/generate
+
+
+def test_media_summary_prunes_payload_column(spark):
+    plan = _plan(spark, "media_type_summary")
+    # the heavy binary column must not survive into the scan schema
+    scan = plan[plan.index("Scan parquet") :]
+    read_schema = scan[scan.index("ReadSchema") : scan.index("\n", scan.index("ReadSchema"))]
+    assert "text" in read_schema  # payload derives from text here
+    assert "payload" not in read_schema
