@@ -39,6 +39,7 @@ HEADLINE = [
     "a1_device_summary",
     "a2_hourly_aggregates",
     "a9_daily_quality",
+    "a9_daily_quality_approx",
     "a10_realtime_monitor",
     "w1_gap_detection",
     "w2_moving_average",

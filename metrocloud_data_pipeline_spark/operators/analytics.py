@@ -284,6 +284,27 @@ def daily_quality_report(df: DataFrame) -> DataFrame:
     )
 
 
+def daily_quality_report_approx(df: DataFrame, accuracy: int = 10000) -> DataFrame:
+    """OP-A9 scale variant: approx_percentile + approx_count_distinct.
+
+    Exact interpolated percentiles buffer and sort every group's values
+    (memory O(group size)); at 100 TB the t-digest-style sketch keeps
+    state bounded at `accuracy` centroids and distinct counting switches
+    to HyperLogLog. Same shape as daily_quality_report; values differ
+    within sketch error, so this variant is benched, not oracle-checked."""
+    n = F.count(F.lit(1))
+    anom = F.count(F.when(F.col("is_anomaly"), 1))
+    return df.groupBy(time_bucket("ts", "1 day").alias("bucket"), F.col("device_type")).agg(
+        F.approx_count_distinct("device_id").alias("distinct_devices"),
+        n.alias("reading_count"),
+        round6(F.avg("value")).alias("avg_value"),
+        round6(F.stddev_samp("value")).alias("stddev_value"),
+        round6(F.percentile_approx("value", 0.5, accuracy)).alias("median_value"),
+        round6(F.percentile_approx("value", 0.95, accuracy)).alias("p95_value"),
+        round6(pct(anom, n)).alias("anomaly_pct"),
+    )
+
+
 def realtime_monitor(df: DataFrame, bucket: str = "15 minutes", hours: int = 24) -> DataFrame:
     """OP-A10: 15-min real-time monitor (README.md:794-806), anchored at
     max(ts)."""

@@ -228,3 +228,23 @@ def health_check(spark: SparkSession, path: str) -> bool:
         shutil.rmtree(_partition_dir(path, sentinel), ignore_errors=True)
     remaining = read_table(spark, path).where(F.col("device_id") == "__health_check__").count() if ok else 1
     return ok and remaining == 0
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (Spark's hash-bucketed layout): rows are
+    pre-partitioned by hash(bucket_col) at write time, so joins and
+    aggregations keyed on bucket_col between co-bucketed tables read
+    bucket-to-bucket with NO exchange — the 100 TB answer to a join that
+    repeats every run (e.g. lineitem⋈orders on the orderkey). Optional
+    per-bucket sort adds sort-merge-readiness without a sort stage."""
+    w = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)

@@ -973,6 +973,14 @@ def media_type_summary(spark, sf_dir):
     )
 
 
+@q("a9_daily_quality_approx")
+def a9_daily_quality_approx(spark, sf_dir):
+    """OP-A9 scale variant: t-digest percentiles + HyperLogLog distinct
+    counts — bounded memory per group where the exact report buffers and
+    sorts every value (sketch values differ within error -> rows-only)."""
+    return A.daily_quality_report_approx(readings(spark, sf_dir))
+
+
 @q("knn_ivf")
 def knn_ivf(spark, sf_dir):
     """IVF approximate top-k: probe the 4 nearest coarse lists only

@@ -143,3 +143,36 @@ def test_health_check_round_trip(spark, tmp_path):
     before = list_partitions(path)
     assert health_check(spark, path) is True
     assert list_partitions(path) == before  # sentinel partition removed
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    from metrocloud_data_pipeline_spark.operators.maintenance import write_bucketed
+
+    li = spark.range(1000).selectExpr("id AS l_orderkey", "id % 7 AS qty")
+    orders = spark.range(300).selectExpr("id AS o_orderkey", "id % 3 AS status")
+    write_bucketed(li, "li_b", "l_orderkey", num_buckets=8)
+    write_bucketed(orders, "ord_b", "o_orderkey", num_buckets=8)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force a non-broadcast join
+    try:
+        joined = (
+            spark.table("li_b")
+            .join(spark.table("ord_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("status")
+            .count()
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        # co-bucketed equi-join: no exchange before the join itself
+        join_part = plan[: plan.index("HashAggregate")] if "HashAggregate" in plan else plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert joined.count() == 3
+        # the join keys' scans must not be re-shuffled
+        import re
+        exchanges_before_join = re.findall(r"Exchange hashpartitioning\((l_orderkey|o_orderkey)", plan)
+        assert not exchanges_before_join, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
