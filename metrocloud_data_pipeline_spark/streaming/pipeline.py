@@ -117,9 +117,16 @@ def alert_columns(readings: DataFrame) -> DataFrame:
         .when(F.col("thr_max").isNotNull() & high, "above_threshold")
         .otherwise(None)
     )
+    # OP-T14 (consumer.py:391-395): the human-readable alert line with the
+    # value formatted to 2 decimals — format_number, JVM-side
+    message = F.concat(
+        level, F.lit(": "), F.col("device_id"), F.lit(" "), reason,
+        F.lit(" (value="), F.format_number(F.col("value"), 2), F.lit(" "), F.col("unit"), F.lit(")"),
+    )
     return (
         j.withColumn("alert_level", level)
         .withColumn("alert_reason", reason)
+        .withColumn("alert_message", message)
         .drop("thr_min", "thr_max")
         .where(F.col("alert_level").isNotNull())
     )

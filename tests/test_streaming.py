@@ -182,3 +182,13 @@ def test_run_alert_stream_fanout_consumer(spark, tmp_path, raw_dir):
     rows = spark.read.parquet(alerts_path).collect()
     assert rows and all(r["alert_level"] in ("WARNING", "CRITICAL") for r in rows)
     assert {r["alert_reason"] for r in rows} >= {"above_threshold"}
+
+
+def test_alert_message_formatting(normalized):
+    # OP-T14: value rendered to 2 decimals inside the alert line
+    msgs = {r["device_id"]: r["alert_message"] for r in streaming.alert_columns(normalized).collect()}
+    assert msgs, "no alerts produced"
+    m = next(iter(msgs.values()))
+    import re
+    assert re.search(r"value=-?[\d,]+\.\d{2} ", m), m
+    assert m.startswith(("WARNING: ", "CRITICAL: "))
