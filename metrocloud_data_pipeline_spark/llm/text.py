@@ -124,9 +124,19 @@ def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5) -> DataFrame:
     from pyspark.sql.window import Window
 
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    toks = F.split(norm, " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - k + 1, F.lit(1)))
-    grams = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))))
-    gh = docs.select("doc_id", F.posexplode(grams).alias("pos", "gh"))
+    # k-grams via posexplode + lead() windows (JVM operators; a
+    # transform() lambda over index ranges evaluates interpreted and
+    # measured ~7x slower at sf0.1 — see llm/dedup.py shingles()).
+    # Gram strings/positions are identical to the index-range
+    # formulation, so the DuckDB oracle twin still matches bit-for-bit.
+    toks = docs.select("doc_id", F.posexplode(F.split(norm, " ")).alias("pos", "tok"))
+    ww = Window.partitionBy("doc_id").orderBy("pos")
+    wn = Window.partitionBy("doc_id")
+    gram = F.concat_ws(" ", *([F.col("tok")] + [F.lead("tok", i).over(ww) for i in range(1, k)]))
+    n = F.count(F.lit(1)).over(wn)
+    keep = (F.col("pos") + k - 1 < n) | ((F.col("pos") == 0) & (n < k))
+    gh = toks.select("doc_id", "pos", F.when(keep, F.md5(gram)).alias("gh")).where(
+        F.col("gh").isNotNull()
+    )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     return gh.select("doc_id", F.min("gh").over(win).alias("fp")).distinct()
