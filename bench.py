@@ -31,9 +31,18 @@ HEADLINE = [
     "h5_local_supplier_volume",
     "h6_forecast_revenue",
     "h7_volume_shipping",
+    "h8_market_share",
+    "h9_nation_profit",
     "h10_returned_items",
+    "h13_customer_distribution",
     "h14_promo_revenue",
+    "h15_top_supplier",
+    "h16_supplier_part_counts",
+    "h17_small_qty_revenue",
     "h18_large_customers",
+    "h19_disc_revenue",
+    "h21_late_suppliers",
+    "h22_dormant_customers",
     "h_brand_revenue",
     "t1_unpivot_measures",
     "a1_device_summary",

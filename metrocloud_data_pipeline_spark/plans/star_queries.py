@@ -287,6 +287,306 @@ def promo_revenue_share(
     )
 
 
+def market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_3",
+    region_name: str = "ASIA",
+    part_type: str = "ECONOMY",
+    start: str = "1995-01-01",
+    end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q8 (adapted): one nation's share of a region's revenue for a
+    part type, by order year.
+
+    Four broadcast joins (part filter, region-nation customers, supplier
+    nations) hang off the single lineitem⋈orders shuffle; the share
+    ratio divides two exact decimal sums cast to double, so the result
+    is independent of partial-aggregation order."""
+    rnat = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    cust = customer.join(F.broadcast(rnat), customer.c_nationkey == rnat.n_nationkey).select(
+        "c_custkey"
+    )
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    pts = part.where(F.col("p_type") == part_type).select("p_partkey")
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    target_rev = (
+        F.when(F.col("supp_nation") == target_nation, _revenue())
+        .otherwise(F.lit(0).cast("decimal(18,4)"))
+    )
+    return (
+        lineitem.select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(pts), F.col("l_partkey") == pts.p_partkey)
+        .join(ords, F.col("l_orderkey") == ords.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            round6(
+                F.sum(target_rev).cast("double") / F.sum(_revenue()).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+def nation_profit(
+    nation: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    name_fragment: str = "red",
+) -> DataFrame:
+    """TPC-H Q9 (adapted — no partsupp/supplycost in the test schema, so
+    profit is the revenue term only): revenue by supplier nation and
+    order year for parts whose name contains a fragment."""
+    pts = part.where(F.col("p_name").contains(name_fragment)).select("p_partkey")
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nation"))),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    return (
+        lineitem.select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(pts), F.col("l_partkey") == pts.p_partkey)
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(_revenue()).cast("decimal(18,4)").alias("sum_profit"))
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame, excluded_priority: str = "1-URGENT"
+) -> DataFrame:
+    """TPC-H Q13 (adapted to a priority filter): distribution of order
+    counts per customer, including zero-order customers.
+
+    The left-outer join shuffles both sides on custkey; the first
+    aggregate reuses that partitioning (no extra exchange), and the
+    second aggregate's key space (distinct order counts) is tiny."""
+    ords = orders.where(F.col("o_orderpriority") != excluded_priority).select(
+        "o_orderkey", "o_custkey"
+    )
+    per_customer = (
+        customer.select("c_custkey")
+        .join(ords, customer.c_custkey == ords.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_customer.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def top_supplier(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue — the
+    scalar-subquery-on-an-aggregate pattern. The per-supplier revenue
+    aggregate runs once; its single-row max broadcasts back as a
+    filter (broadcast nested-loop on an equality to the scalar)."""
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_revenue()).cast("decimal(18,4)").alias("total_revenue"))
+    )
+    best = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        supplier.select("s_suppkey", "s_name")
+        .join(rev, F.col("s_suppkey") == rev.supplier_no)
+        .join(F.broadcast(best), F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def supplier_part_counts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    excluded_brand: str = "Brand#1",
+    sizes: tuple[int, ...] = (1, 5, 10, 15, 20, 25, 30, 35),
+) -> DataFrame:
+    """TPC-H Q16 (adapted — supplier/part pairs come from lineitem since
+    the test schema has no partsupp): distinct suppliers per
+    (brand, type, size). countDistinct plans as a two-phase aggregate:
+    dedup on (group keys, suppkey) first, then count — one shuffle."""
+    pts = part.where(
+        (F.col("p_brand") != excluded_brand) & F.col("p_size").isin(*sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(pts), F.col("l_partkey") == pts.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#3", frac: float = 0.2
+) -> DataFrame:
+    """TPC-H Q17 (adapted to a brand filter): yearly revenue lost to
+    small-quantity orders — the correlated-average-subquery pattern,
+    rewritten as aggregate + self-join (Catalyst's own decorrelation).
+
+    Quantities are small integers, so the per-part average is exact in
+    double regardless of summation order (both engines agree bit-for-
+    bit); one brand's lines are tiny, so the rejoin broadcasts."""
+    pts = part.where(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(F.broadcast(pts), F.col("l_partkey") == pts.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    qty_cut = li.groupBy(F.col("l_partkey").alias("cut_partkey")).agg(
+        (F.avg("l_quantity") * frac).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(qty_cut), F.col("l_partkey") == F.col("cut_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            round6(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def or_of_ands_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 (adapted to brand/size/quantity bands): revenue under an
+    OR-of-ANDs predicate. The quantity bounds are ANDed across the
+    branches' union so a residual-free range reaches the lineitem scan
+    (PushedFilters gets l_quantity >= 1 AND <= 30); the per-brand
+    branches evaluate post-join inside codegen."""
+    joined = lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount").join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.where(band).agg(F.sum(_revenue()).cast("decimal(18,4)").alias("revenue"))
+
+
+def late_supplier_ranking(
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    late_days: int = 90,
+    n: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 (adapted — lateness is l_shipdate > o_orderdate + N days
+    since the test schema has no commit/receipt dates): suppliers who
+    were the SOLE late supplier on a multi-supplier finalized order.
+
+    The EXISTS/NOT-EXISTS pair is expressed as one per-order aggregate
+    (distinct suppliers vs distinct late suppliers) — a single shuffle
+    on orderkey instead of two extra self-joins, which is also the
+    plan that survives 100x data."""
+    ords = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    flagged = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(ords, F.col("l_orderkey") == ords.o_orderkey)
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS"),
+        )
+    )
+    per_order = flagged.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    solo_late = (
+        flagged.where(F.col("is_late"))
+        .join(
+            per_order.where((F.col("n_suppliers") > 1) & (F.col("n_late") == 1)),
+            F.col("l_orderkey") == F.col("agg_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .dropDuplicates(["l_orderkey", "l_suppkey"])
+    )
+    return (
+        solo_late.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(n)
+    )
+
+
+def dormant_rich_customers(
+    customer: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    cutoff: str = "1999-01-01",
+) -> DataFrame:
+    """TPC-H Q22 (adapted — nation stands in for the phone country code):
+    above-average-balance customers with no orders since a cutoff,
+    rolled up by nation.
+
+    The average balance is an exact decimal sum cast to double (order-
+    independent, so Spark and the oracle agree at the comparison
+    boundary); the no-recent-orders NOT EXISTS is a left-anti join
+    shuffled on custkey."""
+    avg_bal = customer.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    rich = (
+        customer.select("c_custkey", "c_nationkey", "c_acctbal")
+        .crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+    )
+    recent = orders.where(F.col("o_orderdate") >= F.lit(cutoff).cast("timestamp")).select(
+        "o_custkey"
+    )
+    return (
+        rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("decimal(18,2)").alias("totacctbal"),
+        )
+    )
+
+
 def large_volume_customers(
     customer: DataFrame,
     orders: DataFrame,

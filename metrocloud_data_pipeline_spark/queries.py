@@ -836,6 +836,220 @@ def h18_large_customers(spark, sf_dir):
 
 
 @q(
+    "h8_market_share",
+    oracle="""
+SELECT year(o_orderdate) AS o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                           THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+             6) AS mkt_share
+FROM (
+  SELECT sn.n_name AS supp_nation, o.o_orderdate, l.l_extendedprice, l.l_discount
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+)
+GROUP BY o_year
+""",
+)
+def h8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: nation market share — conditional decimal ratio."""
+    return H.market_share(
+        load(spark, sf_dir, "region"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "part"),
+    )
+
+
+@q(
+    "h9_nation_profit",
+    oracle="""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+""",
+)
+def h9_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape (no supplycost in schema): profit by nation/year."""
+    return H.nation_profit(
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "part"),
+    )
+
+
+@q(
+    "h13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+)
+def h13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: left-outer join + double aggregation (zero-order customers kept)."""
+    return H.customer_order_distribution(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    )
+
+
+@q(
+    "h15_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+)
+def h15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: scalar max-of-aggregate subquery picks the top supplier."""
+    return H.top_supplier(load(spark, sf_dir, "supplier"), load(spark, sf_dir, "lineitem"))
+
+
+@q(
+    "h16_supplier_part_counts",
+    oracle="""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def h16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape (pairs from lineitem): distinct-count per brand/type/size."""
+    return H.supplier_part_counts(load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part"))
+
+
+@q(
+    "h17_small_qty_revenue",
+    oracle="""
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'
+), cut AS (
+  SELECT l_partkey AS cut_partkey, 0.2 * avg(l_quantity) AS qty_cut
+  FROM li GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+FROM li JOIN cut ON l_partkey = cut_partkey
+WHERE l_quantity < qty_cut
+""",
+)
+def h17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17: correlated per-part average subquery, decorrelated."""
+    return H.small_quantity_revenue(load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part"))
+
+
+@q(
+    "h19_disc_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def h19_disc_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs over a broadcast part join."""
+    return H.or_of_ands_revenue(load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part"))
+
+
+@q(
+    "h21_late_suppliers",
+    oracle="""
+WITH flagged AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_suppliers,
+         count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late
+  FROM flagged GROUP BY l_orderkey
+), solo_late AS (
+  SELECT DISTINCT f.l_orderkey, f.l_suppkey
+  FROM flagged f JOIN per_order p ON f.l_orderkey = p.l_orderkey
+  WHERE f.is_late AND p.n_suppliers > 1 AND p.n_late = 1
+)
+SELECT s_name, count(*) AS numwait
+FROM solo_late JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 20
+""",
+)
+def h21_late_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: sole-late-supplier EXISTS/NOT-EXISTS as one aggregate."""
+    return H.late_supplier_ranking(
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+@q(
+    "h22_dormant_customers",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n_name AS cntrycode, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg_bal FROM avg_bal)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+GROUP BY n_name
+""",
+)
+def h22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape: scalar-avg filter + anti-join for dormant customers."""
+    return H.dormant_rich_customers(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "orders"),
+    )
+
+
+@q(
     "dedup_ngram_jaccard",
     oracle="""
 WITH toks AS (

@@ -51,6 +51,14 @@ def _plan(spark, name: str) -> str:
         "h10_returned_items",
         "h14_promo_revenue",
         "h18_large_customers",
+        "h8_market_share",
+        "h9_nation_profit",
+        "h13_customer_distribution",
+        "h16_supplier_part_counts",
+        "h17_small_qty_revenue",
+        "h19_disc_revenue",
+        "h21_late_suppliers",
+        "h22_dormant_customers",
         "a1_device_summary",
         "a2_hourly_aggregates",
         "w1_gap_detection",
@@ -81,6 +89,25 @@ def test_dimension_joins_broadcast(spark, name):
     assert "SortMergeJoin" not in plan or name in ("h7_volume_shipping",), (
         "dimension join fell back to shuffle:\n" + plan
     )
+
+
+def test_q19_quantity_range_pushes_to_scan(spark):
+    # the OR-branches share a l_quantity envelope [1, 30]; that residual
+    # range must reach the lineitem parquet scan
+    plan = _plan(spark, "h19_disc_revenue")
+    scan = plan[plan.index("Scan parquet") :]
+    assert "PushedFilters: [" in scan
+    assert "l_quantity" in scan[: scan.index("ReadSchema")], plan
+
+
+def test_q22_uses_anti_join_not_exists(spark):
+    plan = _plan(spark, "h22_dormant_customers")
+    assert "LeftAnti" in plan, plan
+
+
+def test_q13_preserves_zero_order_customers(spark):
+    plan = _plan(spark, "h13_customer_distribution")
+    assert "LeftOuter" in plan, plan
 
 
 def test_unpivot_needs_no_shuffle(spark):
