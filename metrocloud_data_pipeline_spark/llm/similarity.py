@@ -234,18 +234,37 @@ def ivf_assignments(embeddings: DataFrame, stride: int = 31) -> tuple[DataFrame,
 
     Centroids are a deterministic 1-in-stride sample of the corpus
     (vec_id % stride == 0) — a training-free quantizer that scales the
-    list count with corpus size. Assignment = argmax cosine against the
-    broadcast centroid set via max_by; at 100 TB this runs once at
-    ingest and the corpus is written bucketed by list_id, so probes
-    prune to nprobe buckets."""
+    list count with corpus size. The codebook is collected and broadcast
+    as one dense matrix (the FAISS pattern — fine up to ~1M centroids at
+    these dims) and assignment is a single narrow pass: per Arrow batch,
+    one BLAS matmul against the codebook + argmax. No candidate join, no
+    shuffle — the earlier corpus x centroids join + max_by materialized
+    N*C pair rows and shuffled them, which is exactly what dies at
+    100 TB. Ties break to the smallest list_id (codebook sorted, argmax
+    takes the first maximum). At scale this runs once at ingest and the
+    corpus is written bucketed by list_id, so probes prune to nprobe
+    buckets."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     centroids = embeddings.where(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("list_id"), F.col("embedding").alias("c_emb")
     )
-    cos = cosine_batch()
-    scored = embeddings.join(F.broadcast(centroids)).select(
-        "vec_id", "list_id", cos(F.col("embedding"), F.col("c_emb")).alias("c_cos")
-    )
-    assign = scored.groupBy("vec_id").agg(F.max_by("list_id", "c_cos").alias("list_id"))
+    rows = centroids.orderBy("list_id").collect()
+    ids = np.array([r.list_id for r in rows], dtype=np.int64)
+    code = np.vstack([r.c_emb for r in rows]).astype(np.float64)
+    code /= np.linalg.norm(code, axis=1, keepdims=True)
+    bc = embeddings.sparkSession.sparkContext.broadcast((ids, code))
+
+    @pandas_udf("long")
+    def nearest_list(emb):
+        list_ids, codebook = bc.value
+        a = np.vstack(emb.values).astype(np.float64)
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        return pd.Series(list_ids[np.argmax(a @ codebook.T, axis=1)])
+
+    assign = embeddings.select("vec_id", nearest_list(F.col("embedding")).alias("list_id"))
     return centroids, assign
 
 

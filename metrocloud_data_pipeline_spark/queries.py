@@ -720,8 +720,7 @@ def dedup_minhash(spark, sf_dir):
 @q("dedup_simhash")
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup candidate pairs at Hamming distance <= 3."""
-    sigs = dedup.simhash_signatures(load(spark, sf_dir, "documents"))
-    return dedup.simhash_candidate_pairs(sigs, max_hamming=3)
+    return dedup.simhash_dedup(load(spark, sf_dir, "documents"), max_hamming=3)
 
 
 @q("knn_lsh")
