@@ -507,10 +507,13 @@ def late_supplier_ranking(
     since the test schema has no commit/receipt dates): suppliers who
     were the SOLE late supplier on a multi-supplier finalized order.
 
-    The EXISTS/NOT-EXISTS pair is expressed as one per-order aggregate
-    (distinct suppliers vs distinct late suppliers) — a single shuffle
-    on orderkey instead of two extra self-joins, which is also the
-    plan that survives 100x data."""
+    The EXISTS/NOT-EXISTS pair is expressed as per-order distinct
+    counts computed in a window over the SAME orderkey partitioning the
+    rows already need — one shuffle, one pass over lineitem (the
+    aggregate-then-rejoin formulation scanned the join subtree twice),
+    which is also the plan that survives 100x data."""
+    from pyspark.sql.window import Window
+
     ords = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
     flagged = (
         lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -520,16 +523,17 @@ def late_supplier_ranking(
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS"),
         )
     )
-    per_order = flagged.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
-    )
+    w = Window.partitionBy("l_orderkey")
     solo_late = (
-        flagged.where(F.col("is_late"))
-        .join(
-            per_order.where((F.col("n_suppliers") > 1) & (F.col("n_late") == 1)),
-            F.col("l_orderkey") == F.col("agg_orderkey"),
+        flagged.withColumn("n_suppliers", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late",
+            F.size(
+                # collect_set drops nulls, so this counts DISTINCT late suppliers
+                F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
+            ),
         )
+        .where(F.col("is_late") & (F.col("n_suppliers") > 1) & (F.col("n_late") == 1))
         .select("l_orderkey", "l_suppkey")
         .dropDuplicates(["l_orderkey", "l_suppkey"])
     )
