@@ -98,6 +98,106 @@ def extract_features(media: DataFrame, decode_stub: bool = True, dim: int = 8) -
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ts_ms", IntegerType()),
+        StructField("frame_hash", StringType()),
+    ]
+)
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling: the 1:N mapInPandas expansion — each item yields
+    ceil(duration_ms / every_ms) frame rows (one row for images / null
+    durations: the item itself is its only frame).
+
+    The frame payload derivation is a deterministic md5 of
+    (media_id, frame_idx) so the full expansion is hash-checkable
+    against a SQL oracle without codecs; a real decoder would replace
+    `frame_hash` with sampled frame bytes — the row geometry, schema,
+    and batching are exactly what production needs. The input scan
+    prunes `payload` (only duration_ms drives the expansion)."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, idxs, tss, hashes = [], [], [], [], []
+            for media_id, media_type, duration in zip(
+                pdf["media_id"], pdf["media_type"], pdf["duration_ms"]
+            ):
+                n = (
+                    1
+                    if duration is None or pd.isna(duration) or duration <= 0
+                    else max(1, math.ceil(duration / every_ms))
+                )
+                for i in range(n):
+                    ids.append(media_id)
+                    types.append(media_type)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    hashes.append(hashlib.md5(f"{media_id}:{i}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": pd.Series(types, dtype="object"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int32"),
+                    "frame_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return media.select("media_id", "media_type", "duration_ms").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 256, target_h: int = 256, decode_stub: bool = True
+) -> DataFrame:
+    """Resize plumbing for image payloads: filters to media_type='image'
+    (typed-metadata pruning — audio/video partitions never reach
+    Python), then rewrites payload per Arrow batch. The stub emits
+    sha256(payload || 'WxH') bytes as the deterministic stand-in for
+    re-encoded pixels; decode_stub=False marks where PIL would plug in."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag = f"{target_w}x{target_h}".encode()
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image resize requires PIL/opencv; "
+                    "re-run with decode_stub=True for the deterministic fake"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int32"),
+                    "payload": pdf["payload"].map(
+                        lambda b: hashlib.sha256((b or b"") + tag).digest()
+                    ),
+                }
+            )
+
+    return (
+        media.where(F.col("media_type") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=RESIZED_SCHEMA)
+    )
+
+
 def media_summary(media: DataFrame) -> DataFrame:
     """Typed-metadata rollup — never touches the payload column, so the
     parquet scan prunes the heavy bytes entirely (check ReadSchema)."""

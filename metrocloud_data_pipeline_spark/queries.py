@@ -1156,6 +1156,38 @@ def media_feature_extract(spark, sf_dir):
 
 
 @q(
+    "media_frame_sample",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         CASE WHEN doc_id % 3 <> 0 THEN CAST((n_chars * 7) % 60000 AS INTEGER) END AS duration_ms
+  FROM documents
+)
+, expanded AS (
+  SELECT media_id, media_type,
+         unnest(generate_series(0,
+           CASE WHEN duration_ms IS NULL OR duration_ms <= 0 THEN 0
+                ELSE CAST(ceil(duration_ms / 1000.0) AS BIGINT) - 1 END)) AS gs
+  FROM media
+)
+SELECT media_id, media_type,
+       CAST(gs AS INTEGER) AS frame_idx,
+       CAST(gs * 1000 AS INTEGER) AS frame_ts_ms,
+       md5(CAST(media_id AS VARCHAR) || ':' || CAST(gs AS VARCHAR)) AS frame_hash
+FROM expanded
+""",
+)
+def media_frame_sample(spark, sf_dir):
+    """Multimodal 1:N frame sampling via mapInPandas: every item expands
+    to ceil(duration_ms/1000) frame rows (images: one). The oracle
+    replays the expansion with generate_series + md5 — the row geometry
+    and deterministic frame ids are hash-checked end to end."""
+    media = multimodal.media_from_documents(load(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media, every_ms=1000)
+
+
+@q(
     "media_type_summary",
     oracle="""
 WITH media AS (

@@ -168,6 +168,42 @@ def test_multimodal_stub_gate(spark):
         multimodal.extract_features(media, decode_stub=False).collect()
 
 
+def test_frame_sampling_row_geometry(spark):
+    rows = [
+        (0, "image", "image/png", bytearray(b"X"), 10, 10, None),  # 1 frame
+        (1, "video", "video/mp4", bytearray(b"V"), None, None, 3500),  # ceil(3.5) = 4
+        (2, "video", "video/mp4", bytearray(b"V"), None, None, 3000),  # exactly 3
+        (3, "audio", "audio/wav", bytearray(b"A"), None, None, 0),  # 1 frame
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    frames = multimodal.sample_frames(media, every_ms=1000).collect()
+    per = {}
+    for r in frames:
+        per.setdefault(r["media_id"], []).append(r)
+    assert {k: len(v) for k, v in per.items()} == {0: 1, 1: 4, 2: 3, 3: 1}
+    v1 = sorted(per[1], key=lambda r: r["frame_idx"])
+    assert [r["frame_ts_ms"] for r in v1] == [0, 1000, 2000, 3000]
+    import hashlib
+
+    assert v1[2]["frame_hash"] == hashlib.md5(b"1:2").hexdigest()
+
+
+def test_resize_images_only_touches_images(spark):
+    rows = [
+        (0, "image", "image/png", bytearray(b"PIXELS"), 640, 480, None),
+        (1, "audio", "audio/wav", bytearray(b"WAV"), None, None, 3000),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(media, 32, 16).collect()
+    assert [r["media_id"] for r in out] == [0]
+    assert (out[0]["width"], out[0]["height"]) == (32, 16)
+    import hashlib
+
+    assert bytes(out[0]["payload"]) == hashlib.sha256(b"PIXELS" + b"32x16").digest()
+    with pytest.raises(Exception, match="NotImplementedError|real image resize"):
+        multimodal.resize_images(media, 32, 16, decode_stub=False).collect()
+
+
 def test_media_summary_prunes_payload(spark):
     rows = [(0, "image", "image/png", bytearray(b"XY"), 10, 10, None)]
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
