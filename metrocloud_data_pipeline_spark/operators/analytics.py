@@ -273,14 +273,34 @@ def daily_quality_report(df: DataFrame) -> DataFrame:
     exact `percentile`, not percentile_approx; SURVEY §7(c))."""
     n = F.count(F.lit(1))
     anom = F.count(F.when(F.col("is_anomaly"), 1))
-    return df.groupBy(time_bucket("ts", "1 day").alias("bucket"), F.col("device_type")).agg(
-        F.countDistinct("device_id").alias("distinct_devices"),
-        n.alias("reading_count"),
-        round6(F.avg("value")).alias("avg_value"),
-        round6(F.stddev_samp("value")).alias("stddev_value"),
-        round6(F.percentile("value", 0.5)).alias("median_value"),
-        round6(F.percentile("value", 0.95)).alias("p95_value"),
-        round6(pct(anom, n)).alias("anomaly_pct"),
+    # both quantiles from ONE percentile aggregate: two separate calls
+    # each buffer + sort the group's values; the array form pays that
+    # once (measured ~1.3x on the whole query at sf0.1)
+    pcts = F.percentile("value", F.array(F.lit(0.5), F.lit(0.95)))
+    return (
+        df.groupBy(time_bucket("ts", "1 day").alias("bucket"), F.col("device_type"))
+        .agg(
+            F.countDistinct("device_id").alias("distinct_devices"),
+            n.alias("reading_count"),
+            round6(F.avg("value")).alias("avg_value"),
+            round6(F.stddev_samp("value")).alias("stddev_value"),
+            pcts.alias("_pcts"),
+            round6(pct(anom, n)).alias("anomaly_pct"),
+        )
+        .withColumn("median_value", round6(F.col("_pcts")[0]))
+        .withColumn("p95_value", round6(F.col("_pcts")[1]))
+        .drop("_pcts")
+        .select(
+            "bucket",
+            "device_type",
+            "distinct_devices",
+            "reading_count",
+            "avg_value",
+            "stddev_value",
+            "median_value",
+            "p95_value",
+            "anomaly_pct",
+        )
     )
 
 
