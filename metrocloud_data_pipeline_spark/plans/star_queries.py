@@ -397,9 +397,13 @@ def top_supplier(
     end: str = "1996-04-01",
 ) -> DataFrame:
     """TPC-H Q15: supplier(s) with the maximum quarterly revenue — the
-    scalar-subquery-on-an-aggregate pattern. The per-supplier revenue
-    aggregate runs once; its single-row max broadcasts back as a
-    filter (broadcast nested-loop on an equality to the scalar)."""
+    scalar-subquery-on-an-aggregate pattern, evaluated as a global max
+    window over the per-supplier aggregate: lineitem is scanned once
+    (the subquery-as-rejoin formulation scanned it twice), and the
+    window runs over per-supplier rows — orders of magnitude smaller
+    than lineitem, so the single-partition global window is safe."""
+    from pyspark.sql.window import Window
+
     rev = (
         lineitem.where(
             (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
@@ -408,11 +412,12 @@ def top_supplier(
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_revenue()).cast("decimal(18,4)").alias("total_revenue"))
     )
-    best = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    best = rev.withColumn(
+        "max_revenue", F.max("total_revenue").over(Window.partitionBy())
+    ).where(F.col("total_revenue") == F.col("max_revenue"))
     return (
         supplier.select("s_suppkey", "s_name")
-        .join(rev, F.col("s_suppkey") == rev.supplier_no)
-        .join(F.broadcast(best), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(best), F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
