@@ -100,6 +100,28 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, RE2-compatible (no lookahead) so
+# the DuckDB oracle twin applies the identical regex: contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """Subword-style token counting: whitespace tokens next to a BPE-ish
+    regex split (the GPT-2 pre-tokenizer shape). The ratio approximates
+    tokens-per-word — a corpus-QA signal for tokenizer cost estimation.
+    One scan, regexp_count in codegen, no UDF."""
+    ws = F.size(tokens_col())
+    bpe = F.regexp_count(F.col("text"), F.lit(BPE_SPLIT_PATTERN))
+    return docs.select(
+        "doc_id",
+        "lang",
+        ws.cast("int").alias("ws_token_count"),
+        bpe.cast("int").alias("bpe_token_count"),
+        round6(bpe.cast("double") / ws.cast("double")).alias("bpe_per_ws_token"),
+    )
+
+
 def fingerprint(docs: DataFrame, prefix_chars: int = 64) -> DataFrame:
     """Cheap document fingerprint: md5 over the whitespace-normalized
     prefix, plus a length bucket — groups trivially-identical docs

@@ -616,6 +616,32 @@ def text_token_stats(spark, sf_dir):
 
 
 @q(
+    "text_bpe_token_stats",
+    oracle="""
+SELECT doc_id, lang,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS ws_token_count,
+       CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+')) AS INTEGER) AS bpe_token_count,
+       round(CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+')) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\\s+')), 6) AS bpe_per_ws_token
+FROM documents WHERE length(trim(text)) > 0
+""",
+)
+def text_bpe_token_stats(spark, sf_dir):
+    """BPE-ish regex token counting (GPT-2 pre-tokenizer shape) next to
+    whitespace counts; identical RE2-safe regex on both engines."""
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    return text.bpe_token_stats(docs)
+
+
+@q("a6_table_stats_approx")
+def a6_table_stats_approx(spark, sf_dir):
+    """OP-A6 scale variant: approx_count_distinct (HyperLogLog) replaces
+    exact distinct counts — bounded state at any cardinality. Rows-only
+    (sketch values differ from exact within rsd)."""
+    return A.table_stats_approx(readings(spark, sf_dir))
+
+
+@q(
     "text_quality_score",
     oracle="""
 SELECT doc_id, lang,

@@ -144,6 +144,21 @@ def test_fingerprint_groups_normalized_dups(docs):
     assert vals[0] != vals[4]
 
 
+def test_bpe_token_stats(spark):
+    docs = spark.createDataFrame(
+        [(0, "I can't stop, won't stop!", "en", "s", 25), (1, "abc 123 x", "en", "s", 9)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    out = {r["doc_id"]: r for r in text.bpe_token_stats(docs).collect()}
+    # "I can't stop, won't stop!" -> I | can | 't | stop | , | stop (wait: won)
+    # tokens: "I", " can", "'t", " stop", ",", " won", "'t", " stop", "!" = 9
+    assert out[0]["bpe_token_count"] == 9
+    assert out[0]["ws_token_count"] == 5
+    # "abc 123 x" -> abc | 123 | x = 3
+    assert out[1]["bpe_token_count"] == 3
+    assert out[1]["bpe_per_ws_token"] == 1.0
+
+
 def test_multimodal_feature_extraction(spark):
     rows = [
         (0, "image", "image/png", bytearray(b"PNGDATA" * 100), 640, 480, None),
