@@ -268,18 +268,33 @@ def ivf_assignments(embeddings: DataFrame, stride: int = 31) -> tuple[DataFrame,
     return centroids, assign
 
 
+def ivf_index(
+    embeddings: DataFrame, stride: int = 31
+) -> tuple[DataFrame, DataFrame]:
+    """Build-once IVF index: ivf_assignments with the assignment table
+    persisted, for the build-at-ingest / probe-many pattern — repeated
+    ivf_topk calls share one assignment pass instead of re-scoring the
+    corpus per query. At 100 TB the equivalent is writing the corpus
+    bucketed by list_id (maintenance.write_bucketed); this is the
+    in-session form."""
+    centroids, assign = ivf_assignments(embeddings, stride=stride)
+    return centroids, assign.persist()
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int,
     k: int = 10,
     nprobe: int = 4,
     stride: int = 31,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the nprobe centroid lists nearest the
     query and score only their members — the other scale path next to
-    hyperplane LSH (lsh_topk). Recall < 1 by construction; measured
-    against brute_force_topk in tests."""
-    centroids, assign = ivf_assignments(embeddings, stride=stride)
+    hyperplane LSH (lsh_topk). Pass index=ivf_index(embeddings) to
+    amortize the assignment pass across queries. Recall < 1 by
+    construction; measured against brute_force_topk in tests."""
+    centroids, assign = index if index is not None else ivf_assignments(embeddings, stride=stride)
     q = embeddings.where(F.col("vec_id") == query_vec_id).select(F.col("embedding").alias("q_emb"))
     probe_lists = (
         centroids.join(F.broadcast(q))

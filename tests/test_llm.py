@@ -252,6 +252,14 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     approx = {r["vec_id"] for r in similarity.ivf_topk(emb, 0, k=10, nprobe=3, stride=7).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8  # probing the query's cluster lists recovers neighbors
+    # prebuilt index (build-once/probe-many) returns the same result
+    idx = similarity.ivf_index(emb, stride=7)
+    via_index = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(emb, 0, k=10, nprobe=3, index=idx).collect()
+    }
+    assert via_index == approx
+    idx[1].unpersist()
 
 
 def test_winnow_fingerprints_shared_passages(docs):
