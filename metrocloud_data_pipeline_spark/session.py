@@ -59,6 +59,8 @@ def tune(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.session.timeZone", "UTC")
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     # The driver's events.parquet carries TIMESTAMP(NANOS) which the
     # vectorized reader rejects; read as long and convert explicitly
     # (sources.star_schema normalizes back to TimestampType at micros).
