@@ -90,7 +90,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 16,
     rows_per_band: int = 4,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """LSH banding: hash each band of the signature to a bucket; docs
     sharing any (band, bucket) are candidate near-duplicates.
@@ -101,7 +101,10 @@ def lsh_candidate_pairs(
     of n docs emits n(n-1)/2 pairs, so one boilerplate bucket of 1M docs
     would alone produce 5e11 candidates — buckets over the cap are
     dropped entirely (their members still pair through their other
-    bands; standard practice in corpus-scale MinHash dedup)."""
+    bands; standard practice in corpus-scale MinHash dedup). The cap is
+    ON by default (500 — far above any honest near-dup cluster in a
+    deduplicated ingest batch); pass None to opt out for exhaustive
+    small-corpus audits."""
     b = signatures.select(
         "doc_id",
         F.posexplode(
@@ -159,11 +162,12 @@ def minhash_dedup(
     bands: int = 16,
     threshold: float = 0.7,
     k: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates
     -> estimate filter. Returns pairs with est_jaccard >= threshold.
-    Set max_bucket_size at corpus scale (see lsh_candidate_pairs)."""
+    The hot-bucket cap defaults ON (see lsh_candidate_pairs); None opts
+    out."""
     # The signature subtree feeds three consumers (band explode + both
     # estimate joins); without persist it recomputes per consumer.
     # Signatures are num_perm longs per doc — ~3 orders of magnitude
@@ -279,3 +283,47 @@ def token_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         )
     )
     return jac.where(F.col("jaccard") >= threshold)
+
+
+def token_jaccard_pairs_lsh(
+    docs: DataFrame,
+    threshold: float = 0.95,
+    num_perm: int = 128,
+    bands: int = 32,
+    max_bucket_size: int | None = 500,
+) -> DataFrame:
+    """Scale form of token_jaccard_pairs: MinHash-LSH candidates over the
+    SAME unigram token sets, then EXACT Jaccard verification on the
+    candidate pairs only — identical output, sub-quadratic plan.
+
+    Candidate recall at 128 perms / 32 bands of 4: a pair with true
+    Jaccard J misses every band with probability (1 - J^4)^32 — at
+    J = 0.95 that is ~4e-24, so the exact-verify step sees every
+    qualifying pair (the all-pairs token self-join it replaces pairs
+    every pair of docs sharing ONE common token — quadratic against a
+    shared vocabulary). Verification computes true Jaccard from the two
+    distinct-token arrays (array_intersect — native expression, no
+    shuffle beyond the two signature joins), matching
+    token_jaccard_pairs' value bit-for-bit."""
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split(_norm_text(F.col("text")), " ")).alias("toks")
+    )
+    # banding reads the signatures up to three times (both join sides +
+    # the bucket-size guard); same persist rationale as minhash_dedup.
+    sigs = minhash_signatures(docs, num_perm=num_perm, k=1).persist()
+    pairs = lsh_candidate_pairs(
+        sigs, bands=bands, rows_per_band=num_perm // bands, max_bucket_size=max_bucket_size
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = round6(
+        inter.cast("double")
+        / (F.size("toks_a") + F.size("toks_b") - inter).cast("double")
+    )
+    out = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+    return out.where(F.col("jaccard") >= threshold)

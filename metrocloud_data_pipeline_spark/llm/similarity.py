@@ -213,13 +213,26 @@ def cosine_near_dup_pairs(
     return scored.where(F.col("cosine_sim") >= threshold)
 
 
-def cosine_near_dup_exact(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+def cosine_near_dup_exact(
+    embeddings: DataFrame, threshold: float = 0.4, max_vecs: int | None = None
+) -> DataFrame:
     """Exact all-pairs embedding-cosine near-duplicates.
 
     The verification baseline for cosine_near_dup_pairs: a non-equi
-    self-join (vec_a < vec_b) scores every pair — quadratic, so at
-    corpus scale run the LSH variant and reserve this for candidate
-    verification or sampled audits."""
+    self-join (vec_a < vec_b) scores every pair — quadratic. max_vecs
+    bounds the audited slice deterministically (vec_id < max_vecs), the
+    guard that keeps the exact form runnable at corpus scale.
+
+    Why a cap rather than LSH-candidates-then-verify: at threshold 0.4
+    the angle is ~66°, where a random hyperplane agrees with probability
+    1 - θ/π ≈ 0.63 versus 0.5 for orthogonal pairs — too small a gap
+    for any band scheme to hold recall ~1 without also admitting most
+    of the corpus as candidates (quadratic again). Sub-0.5-cosine
+    near-dup detection has no sub-quadratic exact-recall form; the
+    high-threshold regime belongs to cosine_near_dup_pairs (LSH) and
+    ANN probes to IVF (ivf_topk)."""
+    if max_vecs is not None:
+        embeddings = embeddings.where(F.col("vec_id") < max_vecs)
     a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     scored = (

@@ -71,6 +71,33 @@ def test_token_jaccard_values(docs):
     assert pairs[(0, 3)] == pytest.approx(11 / 13, abs=1e-6)  # 11 shared / 13 union
 
 
+def test_token_jaccard_lsh_matches_all_pairs(docs):
+    """The LSH-candidates->exact-verify form must reproduce the all-pairs
+    output exactly (it is the registered scale path for the same query)."""
+    for threshold in (0.8, 0.5):
+        exact = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.token_jaccard_pairs(docs, threshold=threshold).collect()
+        )
+        lsh = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.token_jaccard_pairs_lsh(docs, threshold=threshold).collect()
+        )
+        assert lsh == exact
+
+
+def test_lsh_bucket_cap_drops_hot_buckets(spark):
+    """With a tiny cap, a 4-doc identical cluster's buckets are dropped
+    and no candidate pairs survive; with the cap off they all pair."""
+    rows = [(i, "same text in every document here") for i in range(4)]
+    docs4 = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(docs4, num_perm=16, k=2)
+    capped = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, max_bucket_size=3)
+    uncapped = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, max_bucket_size=None)
+    assert capped.count() == 0
+    assert uncapped.count() == 6  # C(4,2)
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rows = [
@@ -97,6 +124,16 @@ def test_lsh_topk_subset_of_brute_force(vectors):
     assert all(r["vec_id"] in exact for r in approx)
     sims = [r["cosine_sim"] for r in approx]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_cosine_near_dup_exact_cap(vectors):
+    """max_vecs bounds the audited slice deterministically by vec_id."""
+    full = {(r["vec_a"], r["vec_b"]) for r in
+            similarity.cosine_near_dup_exact(vectors, threshold=0.6).collect()}
+    capped = {(r["vec_a"], r["vec_b"]) for r in
+              similarity.cosine_near_dup_exact(vectors, threshold=0.6, max_vecs=2).collect()}
+    assert capped == {(0, 1)}
+    assert capped <= full
 
 
 def test_cosine_near_dup_pairs(vectors):
