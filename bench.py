@@ -2,17 +2,21 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>, "rows": {...}}
+   "queries": {name: sec, ...}, "sf": <sf>, "runs": N}
 
 Queries execute with a noop sink (full computation, no driver-side
 result transfer), after a small warmup to amortize JVM/codegen startup
-out of the per-query numbers.
+out of the per-query numbers. Each query runs $SPARK_GRAFT_BENCH_RUNS
+times (default 3) and reports the per-query MEDIAN — single-shot
+timings on this box vary ±13% run-to-run, so n=1 cannot distinguish a
+real regression from noise. The suite total is the sum of medians.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -84,11 +88,16 @@ def main() -> None:
     run_noop(qs["media_feature_extract"](spark, SF_DIR))
     run_noop(qs["knn_brute_force"](spark, SF_DIR))
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        run_noop(qs[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # full-suite passes (not per-query back-to-back repeats) so repeat
+    # runs don't ride one query's just-evicted shuffle files
+    for _ in range(runs):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            run_noop(qs[name](spark, SF_DIR))
+            samples[name].append(time.perf_counter() - t0)
+    timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -103,6 +112,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "runs": runs,
             }
         )
     )

@@ -19,6 +19,7 @@ operators/maintenance.refresh_bucket_aggregate.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
 
 from .operators import analytics as A
 from .queries import readings
@@ -49,3 +50,85 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
         "daily_sensor_aggregates"
     )
     return list(VIEW_NAMES)
+
+
+# --- Schema evolution: BACKWARD compatibility -------------------------------
+#
+# The reference registers every wire schema with a Schema Registry running in
+# BACKWARD mode (schema_registry.py:154-203 registration path;
+# config/config.py:337-340 sets compatibility_level="BACKWARD") and lets the
+# Registry service reject incompatible evolutions. This engine's storage is
+# parquet + Spark schemas, so the same gate is a local check over StructTypes
+# with standard BACKWARD semantics — "the NEW (reader) schema can read every
+# record written under the OLD (writer) schema":
+#
+# - a field removed in NEW: fine (readers ignore unknown writer fields);
+# - a field added in NEW: must be nullable (its default fills old records);
+# - a field in both: same type, a sanctioned numeric/type widening, or a
+#   recursively-compatible struct/array/map — and a field that was nullable
+#   in OLD may not become non-nullable in NEW (old nulls would be unreadable).
+
+_WIDENINGS = {
+    ("int", "bigint"),
+    ("int", "double"),
+    ("bigint", "double"),
+    ("float", "double"),
+    ("tinyint", "smallint"),
+    ("tinyint", "int"),
+    ("tinyint", "bigint"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("date", "timestamp"),
+}
+
+
+def _type_compatible(old: DataType, new: DataType, path: str, errors: list[str]) -> None:
+    if isinstance(old, StructType) and isinstance(new, StructType):
+        _struct_compatible(old, new, path + ".", errors)
+        return
+    if isinstance(old, ArrayType) and isinstance(new, ArrayType):
+        _type_compatible(old.elementType, new.elementType, path + "[]", errors)
+        if old.containsNull and not new.containsNull:
+            errors.append(f"{path}[]: element nullability tightened")
+        return
+    if isinstance(old, MapType) and isinstance(new, MapType):
+        _type_compatible(old.keyType, new.keyType, path + "<key>", errors)
+        _type_compatible(old.valueType, new.valueType, path + "<value>", errors)
+        if old.valueContainsNull and not new.valueContainsNull:
+            errors.append(f"{path}<value>: value nullability tightened")
+        return
+    o, n = old.simpleString(), new.simpleString()
+    if o != n and (o, n) not in _WIDENINGS:
+        errors.append(f"{path}: type changed {o} -> {n} (not a sanctioned widening)")
+
+
+def _struct_compatible(old: StructType, new: StructType, prefix: str, errors: list[str]) -> None:
+    old_fields = {f.name: f for f in old.fields}
+    for f in new.fields:
+        path = prefix + f.name
+        prev = old_fields.get(f.name)
+        if prev is None:
+            if not f.nullable:
+                errors.append(f"{path}: added as non-nullable (old records have no value for it)")
+            continue
+        if prev.nullable and not f.nullable:
+            errors.append(f"{path}: nullability tightened (old records may hold null)")
+        _type_compatible(prev.dataType, f.dataType, path, errors)
+
+
+def backward_incompatibilities(old: StructType, new: StructType) -> list[str]:
+    """All BACKWARD-compat violations of evolving writer schema `old` to
+    reader schema `new`; empty list == compatible."""
+    errors: list[str] = []
+    _struct_compatible(old, new, "", errors)
+    return errors
+
+
+def assert_backward_compatible(old: StructType, new: StructType) -> None:
+    """The Registry's BACKWARD gate as a local assertion: raise ValueError
+    listing every violation if `new` cannot read data written under `old`."""
+    errors = backward_incompatibilities(old, new)
+    if errors:
+        raise ValueError(
+            "schema evolution is not BACKWARD compatible: " + "; ".join(errors)
+        )

@@ -23,7 +23,6 @@ maps to date-partitioned parquet tables plus scheduled jobs:
 from __future__ import annotations
 
 import os
-import shutil
 from datetime import date, datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,6 +30,44 @@ from pyspark.sql import functions as F
 
 PARTITION_COL = "reading_date"
 NATURAL_KEY = ("device_id", "timestamp", "device_type")
+
+
+# --- filesystem layer --------------------------------------------------------
+# All directory listing / deletion / renaming goes through Hadoop's
+# FileSystem API resolved from the path's scheme, so the lifecycle jobs
+# work unchanged against hdfs:// and s3a:// table roots, not just the
+# driver's local disk (os.listdir/shutil would silently see nothing on a
+# cluster). In local mode the resolved FS is RawLocalFileSystem, so
+# tests on tmp_path exercise the same code path.
+
+
+def _jfs(path: str):
+    spark = SparkSession.getActiveSession()
+    if spark is None:  # pragma: no cover - all callers run under a session
+        raise RuntimeError("maintenance filesystem operations need an active SparkSession")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def _fs_child_dirs(path: str) -> list[str]:
+    fs, jpath, _ = _jfs(path)
+    if not fs.exists(jpath):
+        return []
+    return sorted(
+        st.getPath().getName() for st in fs.listStatus(jpath) if st.isDirectory()
+    )
+
+
+def _fs_delete(path: str) -> None:
+    fs, jpath, _ = _jfs(path)
+    fs.delete(jpath, True)
+
+
+def _fs_rename(src: str, dst: str) -> None:
+    fs, jsrc, jvm = _jfs(src)
+    if not fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst)):  # pragma: no cover
+        raise IOError(f"rename failed: {src} -> {dst}")
 
 
 def with_partition_col(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
@@ -47,11 +84,10 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
 
 
 def list_partitions(path: str) -> list[date]:
-    """Partition values present on disk (catalog-style listing)."""
-    if not os.path.isdir(path):
-        return []
+    """Partition values present under the table root (FileSystem listing —
+    scheme-aware, see the filesystem layer above)."""
     out = []
-    for name in sorted(os.listdir(path)):
+    for name in _fs_child_dirs(path):
         if name.startswith(f"{PARTITION_COL}="):
             out.append(date.fromisoformat(name.split("=", 1)[1]))
     return out
@@ -86,7 +122,7 @@ def archive_old_data(
         part.withColumn(PARTITION_COL, F.lit(day)).write.mode("append").partitionBy(PARTITION_COL).parquet(
             archive_path
         )
-        shutil.rmtree(_partition_dir(main_path, day))
+        _fs_delete(_partition_dir(main_path, day))
     return moved
 
 
@@ -98,7 +134,7 @@ def cleanup_archive(archive_path: str, older_than_days: int, now: datetime | Non
     dropped = 0
     for day in list_partitions(archive_path):
         if day < cutoff:
-            shutil.rmtree(_partition_dir(archive_path, day))
+            _fs_delete(_partition_dir(archive_path, day))
             dropped += 1
     return dropped
 
@@ -131,8 +167,8 @@ def compact_partitions(
             .option("compression", codec)
             .parquet(tmp)
         )
-        shutil.rmtree(part_dir)
-        os.rename(tmp, part_dir)
+        _fs_delete(part_dir)
+        _fs_rename(tmp, part_dir)
         compacted += 1
     return compacted
 
@@ -225,7 +261,7 @@ def health_check(spark: SparkSession, path: str) -> bool:
             and back[0]["device_type"] == "temperature_sensor"
         )
     finally:
-        shutil.rmtree(_partition_dir(path, sentinel), ignore_errors=True)
+        _fs_delete(_partition_dir(path, sentinel))
     remaining = read_table(spark, path).where(F.col("device_id") == "__health_check__").count() if ok else 1
     return ok and remaining == 0
 
@@ -248,3 +284,48 @@ def write_bucketed(
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.saveAsTable(table_name)
+
+
+def analyze_table(
+    spark: SparkSession,
+    path: str,
+    table_name: str,
+    columns: list[str] | None = None,
+) -> dict:
+    """ANALYZE step of the maintenance cycle (the reference runs VACUUM
+    ANALYZE on main+archive after cleanup, database.py:563-589; here
+    compaction is the VACUUM and this is the ANALYZE).
+
+    Registers `path` as an external parquet table (if absent), recovers
+    its partitions, and computes table stats — plus per-column min/max/
+    ndv/null-count histogram inputs for the named columns — so Catalyst's
+    cost-based optimizer has real cardinalities for join reordering and
+    broadcast decisions instead of file-size guesses. Stats persist in
+    the session catalog (a metastore in deployment). Returns the stats
+    recorded: {"rowCount": int, "sizeInBytes": int, "columns": [...]}."""
+    if not spark.catalog.tableExists(table_name):
+        spark.sql(f"CREATE TABLE {table_name} USING parquet LOCATION '{path}'")
+    try:
+        spark.sql(f"MSCK REPAIR TABLE {table_name}")
+    except Exception:
+        pass  # unpartitioned layout — nothing to recover
+    spark.sql(f"ANALYZE TABLE {table_name} COMPUTE STATISTICS")
+    if columns:
+        spark.sql(
+            f"ANALYZE TABLE {table_name} COMPUTE STATISTICS FOR COLUMNS {', '.join(columns)}"
+        )
+    stats_line = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}")
+        .where(F.col("col_name") == "Statistics")
+        .select("data_type")
+        .first()
+    )
+    out: dict = {"rowCount": None, "sizeInBytes": None, "columns": columns or []}
+    if stats_line:  # "N bytes, M rows"
+        for part in stats_line[0].split(","):
+            part = part.strip()
+            if part.endswith("bytes"):
+                out["sizeInBytes"] = int(part.split()[0])
+            elif part.endswith("rows"):
+                out["rowCount"] = int(part.split()[0])
+    return out

@@ -77,7 +77,7 @@ def run_ingest_stream(
         if rejects_path is not None:
             rejected.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(rejects_path)
         if metrics_path is not None:
-            m = quality.batch_metrics(batch, valid, rejected)
+            m = quality.batch_metrics(valid, rejected)
             spark.createDataFrame(
                 [(batch_id, m["rows_in"], m["rows_valid"], m["rows_rejected"], m["anomalies"], m["validation_failure_rate"])],
                 "batch_id long, rows_in long, rows_valid long, rows_rejected long, anomalies long, validation_failure_rate double",

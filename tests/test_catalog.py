@@ -54,3 +54,84 @@ def test_view_is_not_a_pushdown_barrier(spark):
     # the device filter must reach the parquet scan through the view
     assert "PushedFilters: [" in plan
     assert "user_id" in plan[plan.index("PushedFilters") :].split("]")[0], plan
+
+
+# --- schema evolution: BACKWARD compatibility (Registry-mode gate) ----------
+
+from pyspark.sql.types import (  # noqa: E402
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from metrocloud_data_pipeline_spark.catalog import (  # noqa: E402
+    assert_backward_compatible,
+    backward_incompatibilities,
+)
+
+BASE = StructType(
+    [
+        StructField("device_id", StringType(), nullable=False),
+        StructField("value", FloatType(), nullable=True),
+        StructField("battery_level", IntegerType(), nullable=True),
+        StructField("tags", ArrayType(StringType(), containsNull=True), nullable=True),
+        StructField("device_metadata", MapType(StringType(), StringType(), True), nullable=True),
+    ]
+)
+
+
+def _evolved(**replace):
+    fields = [replace.get(f.name, f) for f in BASE.fields if replace.get(f.name, f) is not None]
+    extra = [v for k, v in replace.items() if k.startswith("+")]
+    return StructType(fields + extra)
+
+
+def test_add_nullable_field_is_backward_compatible():
+    new = _evolved(**{"+fw": StructField("firmware_version", StringType(), nullable=True)})
+    assert_backward_compatible(BASE, new)  # must not raise
+
+
+def test_drop_field_is_backward_compatible():
+    new = _evolved(battery_level=None)
+    assert_backward_compatible(BASE, new)
+
+
+def test_numeric_widening_is_backward_compatible():
+    new = _evolved(
+        value=StructField("value", DoubleType(), nullable=True),
+        battery_level=StructField("battery_level", LongType(), nullable=True),
+    )
+    assert_backward_compatible(BASE, new)
+
+
+def test_add_required_field_is_rejected():
+    new = _evolved(**{"+sig": StructField("signal_strength", IntegerType(), nullable=False)})
+    errs = backward_incompatibilities(BASE, new)
+    assert errs and "signal_strength" in errs[0] and "non-nullable" in errs[0]
+
+
+def test_type_narrowing_is_rejected():
+    new = _evolved(value=StructField("value", IntegerType(), nullable=True))
+    errs = backward_incompatibilities(BASE, new)
+    assert errs and "float -> int" in errs[0]
+
+
+def test_nullability_tightening_is_rejected():
+    new = _evolved(value=StructField("value", FloatType(), nullable=False))
+    assert any("nullability tightened" in e for e in backward_incompatibilities(BASE, new))
+
+
+def test_nested_map_value_change_is_rejected():
+    new = _evolved(
+        device_metadata=StructField(
+            "device_metadata", MapType(StringType(), IntegerType(), True), nullable=True
+        )
+    )
+    errs = backward_incompatibilities(BASE, new)
+    assert any("device_metadata<value>" in e for e in errs)

@@ -176,3 +176,31 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_analyze_table_records_cbo_stats(spark, tmp_path):
+    """The maintenance ANALYZE step (VACUUM ANALYZE analogue): after
+    compaction, table + column stats exist in the catalog for the CBO."""
+    path = str(tmp_path / "t")
+    M.write_partitioned(_readings(spark, [1, 5, 30]), path)
+    M.compact_partitions(spark, path, older_than_days=7, now=NOW)
+    stats = M.analyze_table(spark, path, "analyzed_readings", columns=["device_id", "value"])
+    try:
+        assert stats["rowCount"] == 9
+        assert stats["sizeInBytes"] > 0
+        ndv = (
+            spark.sql("DESCRIBE TABLE EXTENDED analyzed_readings device_id")
+            .where(F.col("info_name") == "distinct_count")
+            .first()
+        )
+        assert ndv is not None and int(ndv["info_value"]) >= 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS analyzed_readings")
+
+
+def test_list_partitions_via_hadoop_fs_scheme(spark, tmp_path):
+    """list_partitions resolves through Hadoop FileSystem, so an explicit
+    file:// scheme (as hdfs:///s3a:// would be on a cluster) works too."""
+    path = str(tmp_path / "t")
+    M.write_partitioned(_readings(spark, [1, 5]), path)
+    assert [d.day for d in M.list_partitions("file://" + path)] == [1, 5]

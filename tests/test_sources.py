@@ -62,3 +62,22 @@ def test_avro_sink_gated_without_package(spark):
         pytest.skip("spark-avro present; gate not exercised")
     with pytest.raises(RuntimeError, match="spark-avro"):
         avro_io.kafka_avro_sink_frame(df)
+
+
+def test_jdbc_sink_gated_without_driver(spark):
+    """No JDBC driver jar ships in this container: the builder must fail
+    at construction with the deployment hint, not at executor runtime."""
+    from metrocloud_data_pipeline_spark.sources import jdbc_io
+
+    df = spark.createDataFrame([("d1",)], "device_id string")
+    try:
+        spark._jvm.java.lang.Class.forName(jdbc_io.POSTGRES_DRIVER)
+        loaded = True
+    except Exception:
+        loaded = False
+    if loaded:
+        pytest.skip("postgres driver unexpectedly present")
+    with pytest.raises(RuntimeError, match="JDBC driver"):
+        jdbc_io.write_jdbc(df, "jdbc:postgresql://localhost/db", "sensor_readings")
+    with pytest.raises(RuntimeError, match="JDBC driver"):
+        jdbc_io.read_jdbc(spark, "jdbc:postgresql://localhost/db", "sensor_readings")

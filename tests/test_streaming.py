@@ -192,3 +192,22 @@ def test_alert_message_formatting(normalized):
     import re
     assert re.search(r"value=-?[\d,]+\.\d{2} ", m), m
     assert m.startswith(("WARNING: ", "CRITICAL: "))
+
+
+def test_batch_metrics_single_pass(spark):
+    """All four counters from one aggregation over the valid/rejected
+    split; rows_in is the partition invariant's sum."""
+    from metrocloud_data_pipeline_spark.operators import quality
+
+    valid = spark.createDataFrame(
+        [("d1", True), ("d2", False), ("d3", False)], "device_id string, is_anomaly boolean"
+    )
+    rejected = spark.createDataFrame([("",)], "device_id string")
+    m = quality.batch_metrics(valid, rejected)
+    assert m == {
+        "rows_in": 4,
+        "rows_valid": 3,
+        "rows_rejected": 1,
+        "anomalies": 1,
+        "validation_failure_rate": 0.25,
+    }
