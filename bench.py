@@ -61,6 +61,10 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_simhash",
     "doc_fingerprint_winnow",
+    "decontaminate_ngram",
+    "sample_weighted_sources",
+    "seq_pack_summary",
+    "text_clean_stats",
     "text_quality_score",
     "knn_brute_force",
     "knn_ivf",

@@ -1,0 +1,289 @@
+"""Corpus-curation operators for a training-data pipeline.
+
+The curation stages a pretraining corpus passes between raw crawl and
+the tokenizer, each designed as a single declarative plan:
+
+- contamination_check: benchmark-decontamination via n-gram-hash overlap
+  (explode doc n-grams once, broadcast the benchmark's gram set).
+- weighted_sample: deterministic per-source sampling (domain mixing) —
+  the keep decision is a pure function of (salt, doc_id), so a re-run
+  or a resumed job selects the identical subset with no stored state.
+- pack_sequences: greedy first-fit-decreasing packing of documents into
+  fixed token windows; only (doc_id, token_count) ever crosses into
+  Python, never text.
+- clean_text / clean_stats: HTML/URL/e-mail stripping with RE2-safe
+  patterns shared verbatim with the DuckDB oracle.
+- quality_filter: Gopher-style hard rules with per-rule reasons.
+
+Everything except the pack step is built-in column expressions (JVM,
+codegen). The reference has no corpus layer — this extends SURVEY §2.11.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import round6
+from .text import tokens_col
+
+# --- n-gram contamination ----------------------------------------------------
+
+
+def ngram_hashes(docs: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id, md5-of-n-token-gram) pairs over whitespace-normalized
+    lowercase text. Complete grams only (a doc shorter than n tokens
+    contributes none). Same lead()-window gram assembly as winnowing
+    (llm/text.py:137) — JVM operators, one shuffle keyed by the doc."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = docs.select(F.col(id_col), F.posexplode(F.split(norm, " ")).alias("pos", "tok"))
+    ww = Window.partitionBy(id_col).orderBy("pos")
+    wn = Window.partitionBy(id_col)
+    gram = F.concat_ws(" ", *([F.col("tok")] + [F.lead("tok", i).over(ww) for i in range(1, n)]))
+    complete = F.col("pos") + n - 1 < F.count(F.lit(1)).over(wn)
+    return (
+        toks.select(F.col(id_col), F.when(complete, F.md5(gram)).alias("gh"))
+        .where(F.col("gh").isNotNull())
+        .distinct()
+    )
+
+
+def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 8) -> DataFrame:
+    """Benchmark decontamination: per document, the fraction of its
+    distinct n-gram hashes that also occur anywhere in the benchmark
+    set (eval suites, held-out test sets).
+
+    Plan shape at 100 TB: the corpus side is one scan + one explode +
+    ONE per-doc aggregation — the benchmark's distinct gram set is tiny
+    by construction (eval suites are MBs, corpora are TBs), so it is
+    BROADCAST and the membership probe is a broadcast left join whose
+    hit flag folds into the same aggregation that counts total grams
+    (count + count_if, no second pass over the gram set). Emits every
+    doc (zero-gram docs included, frac 0.0); filter
+    `contamination_frac >= t` downstream to quarantine."""
+    doc_grams = ngram_hashes(docs, n)
+    bench_grams = (
+        ngram_hashes(benchmark, n, id_col="bench_id")
+        .select("gh")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    per_doc = (
+        doc_grams.join(F.broadcast(bench_grams), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.count_if(F.coalesce("hit", F.lit(False))).alias("contaminated_ngrams"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
+            F.coalesce("contaminated_ngrams", F.lit(0)).alias("contaminated_ngrams"),
+            round6(
+                F.when(
+                    F.coalesce("total_ngrams", F.lit(0)) > 0,
+                    F.coalesce("contaminated_ngrams", F.lit(0)).cast("double")
+                    / F.col("total_ngrams").cast("double"),
+                ).otherwise(F.lit(0.0))
+            ).alias("contamination_frac"),
+        )
+    )
+
+
+# --- deterministic weighted sampling (domain mixing) -------------------------
+
+_HASH_SPACE = float(2**32)
+
+
+def sample_uniform_col(salt: str, id_col: str = "doc_id") -> F.Column:
+    """Deterministic uniform-ish u in [0,1) from (salt, id): the first 8
+    hex digits of md5 as a 32-bit integer. Pure function of its inputs —
+    portable bit-for-bit to any engine with md5 (the DuckDB oracle uses
+    the identical expression), and stable across runs/partitionings,
+    which `rand(seed)` is not (it seeds per-partition)."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+    return h.cast("bigint").cast("double") / F.lit(_HASH_SPACE)
+
+
+def weighted_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    salt: str = "mix-v1",
+    default_rate: float = 0.0,
+    source_col: str = "source",
+) -> DataFrame:
+    """Domain mixing: keep each document with its source's rate
+    (a 0.3-rate source contributes ~30% of its docs), decided by the
+    deterministic per-doc hash — no shuffle, no state, one scan with
+    the rate table broadcast. Sources absent from `rates` fall back to
+    default_rate (0.0 = drop unlisted domains)."""
+    spark = docs.sparkSession
+    rate_df = spark.createDataFrame(list(rates.items()), f"{source_col} string, rate double")
+    u = sample_uniform_col(salt)
+    return (
+        docs.join(F.broadcast(rate_df), source_col, "left")
+        .withColumn("rate", F.coalesce("rate", F.lit(default_rate)))
+        .withColumn("sample_u", round6(u))
+        .where(F.col("sample_u") < F.col("rate"))
+    )
+
+
+# --- sequence packing --------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = 1024,
+    buckets: int = 32,
+) -> DataFrame:
+    """Greedy first-fit-decreasing packing of documents into fixed-size
+    token windows (training-context assembly). Returns one row per doc:
+    (doc_id, token_count, bucket, pack_id, oversize).
+
+    Scale design: the only data that crosses into Python is
+    (doc_id, token_count) — 16 bytes/doc, pruned BEFORE the shuffle, so
+    a 100 TB corpus presents as a few GB of counts. Docs are split into
+    `buckets` independent packing problems by an explicit hash column
+    (pmod(xxhash64(doc_id))), each solved in one applyInPandas group —
+    parallelism = buckets, deterministic because the bucket assignment
+    is a column function, not a partitioner side-effect, and the greedy
+    order (token_count desc, doc_id) is a total order. FFD wastes at
+    most ~22% vs optimal (classic bound); packs never exceed max_tokens
+    except oversize singletons (token_count > max_tokens), flagged for
+    downstream truncation/chunking rather than silently dropped."""
+    counts = docs.select(
+        "doc_id",
+        F.least(F.size(tokens_col()), F.lit(2**31 - 1)).cast("long").alias("token_count"),
+    ).withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("int"))
+
+    out_schema = (
+        "doc_id long, token_count long, bucket int, pack_id long, oversize boolean"
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["token_count", "doc_id"], ascending=[False, True]).reset_index(
+            drop=True
+        )
+        bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
+        pack_ids, oversize = [], []
+        # open packs: list of [remaining_capacity, pack_id]; first-fit
+        # over packs in creation order
+        packs: list[list[int]] = []
+        next_id = 0
+        for tc in pdf["token_count"]:
+            tc = int(tc)
+            if tc > max_tokens:
+                pack_ids.append(next_id)
+                oversize.append(True)
+                next_id += 1
+                continue
+            placed = False
+            for p in packs:
+                if p[0] >= tc:
+                    p[0] -= tc
+                    pack_ids.append(p[1])
+                    placed = True
+                    break
+            if not placed:
+                packs.append([max_tokens - tc, next_id])
+                pack_ids.append(next_id)
+                next_id += 1
+            oversize.append(False)
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64") + bucket * (1 << 40)
+        pdf["oversize"] = pd.Series(oversize, dtype="bool")
+        return pdf[["doc_id", "token_count", "bucket", "pack_id", "oversize"]]
+
+    return counts.groupBy("bucket").applyInPandas(pack, out_schema)
+
+
+def pack_summary(assignments: DataFrame, max_tokens: int = 1024) -> DataFrame:
+    """Per-pack rollup of pack_sequences output: doc count, token total,
+    fill ratio — the packing-efficiency report."""
+    return assignments.groupBy("bucket", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("token_count").alias("pack_tokens"),
+        F.max(F.col("oversize").cast("int")).cast("boolean").alias("oversize"),
+        round6(F.sum("token_count").cast("double") / F.lit(float(max_tokens))).alias("fill_ratio"),
+    )
+
+
+# --- cleaning / PII shaping --------------------------------------------------
+
+# RE2-safe (no lookaround/backreference): the DuckDB oracle runs these
+# very patterns, so counts and cleaned lengths match bit-for-bit.
+HTML_TAG_RE = r"<[^>]+>"
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+
+
+def clean_text_col(text=None) -> F.Column:
+    """Cleaning chain: drop HTML tags, redact URLs/e-mails to typed
+    placeholder tokens, collapse whitespace, trim. Order matters (tags
+    first so `<a href=...>` URLs don't half-survive; e-mails after URLs
+    so mailto-ish text inside URLs is already gone)."""
+    c = F.col("text") if text is None else text
+    c = F.regexp_replace(c, HTML_TAG_RE, " ")
+    c = F.regexp_replace(c, URL_RE, "<URL>")
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def clean_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc cleaning report: artifact counts and cleaned length —
+    the corpus-QA view of what cleaning would remove. One scan, all
+    regexp_count/regexp_replace in codegen."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(HTML_TAG_RE)).cast("int").alias("n_html_tags"),
+        F.regexp_count(F.col("text"), F.lit(URL_RE)).cast("int").alias("n_urls"),
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.length(clean_text_col()).cast("int").alias("clean_chars"),
+        F.col("n_chars").cast("int").alias("raw_chars"),
+    )
+
+
+# --- Gopher-style quality filter ---------------------------------------------
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_tok_len: float = 1.5,
+    max_mean_tok_len: float = 12.0,
+    min_ttr: float = 0.2,
+) -> DataFrame:
+    """Hard quality rules in the Gopher/C4 style: token-count bounds,
+    mean-token-length band, type-token-ratio floor. Emits every doc with
+    keep boolean + comma-joined reasons (scalar output — no array
+    columns cross a result canonicalizer). One scan, no shuffle."""
+    toks = tokens_col()
+    n_tok = F.size(toks).cast("double")
+    # mean token length as total-token-chars / n: concat_ws('') counts
+    # the token characters JVM-side without a per-token lambda
+    mean_len = F.length(F.concat_ws("", toks)).cast("double") / n_tok
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    rules = [
+        (n_tok < min_tokens, "too_few_tokens"),
+        (n_tok > max_tokens, "too_many_tokens"),
+        (mean_len < min_mean_tok_len, "mean_token_too_short"),
+        (mean_len > max_mean_tok_len, "mean_token_too_long"),
+        (ttr < min_ttr, "low_type_token_ratio"),
+    ]
+    reasons = F.array_compact(F.array(*[F.when(cond, F.lit(name)) for cond, name in rules]))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("int").alias("token_count"),
+        round6(mean_len).alias("mean_token_len"),
+        round6(ttr).alias("type_token_ratio"),
+        (F.size(reasons) == 0).alias("keep"),
+        F.array_join(reasons, ",").alias("reject_reasons"),
+    )

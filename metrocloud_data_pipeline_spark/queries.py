@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .llm import dedup, multimodal, similarity, text
+from .llm import curation, dedup, multimodal, similarity, text
 from .operators import analytics as A
 from .operators import ingest
 from .plans import star_queries as H
@@ -1295,6 +1295,157 @@ def knn_ivf(spark, sf_dir):
     return similarity.ivf_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, nprobe=4)
 
 
+# --- corpus curation (llm/curation.py) --------------------------------------
+
+
+@q(
+    "decontaminate_ngram",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 6 + 1, 0) + 1),
+                        i -> md5(array_to_string(list_slice(toks, i, i + 6 - 1), ' ')))) AS ghs
+  FROM norm
+), doc_grams AS (
+  SELECT doc_id, unnest(ghs) AS gh FROM grams
+), hits AS (
+  SELECT doc_id, count(*) AS contaminated_ngrams
+  FROM doc_grams
+  WHERE gh IN (SELECT DISTINCT gh FROM doc_grams WHERE doc_id % 17 = 0)
+  GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, len(ghs) AS total_ngrams FROM grams
+)
+SELECT d.doc_id,
+       COALESCE(t.total_ngrams, 0) AS total_ngrams,
+       COALESCE(h.contaminated_ngrams, 0) AS contaminated_ngrams,
+       round(CASE WHEN COALESCE(t.total_ngrams, 0) > 0
+                  THEN CAST(COALESCE(h.contaminated_ngrams, 0) AS DOUBLE) / t.total_ngrams
+                  ELSE 0.0 END, 6) AS contamination_frac
+FROM documents d LEFT JOIN totals t USING (doc_id) LEFT JOIN hits h USING (doc_id)
+""",
+)
+def decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination: 6-gram-hash overlap of every document
+    against a fixed pseudo-eval slice (doc_id % 17 == 0 stands in for
+    the benchmark set). The benchmark gram set is broadcast — corpus
+    grams are scanned once and never shuffled against it."""
+    docs = load(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return curation.contamination_check(docs, benchmark, n=6)
+
+
+_MIX_RATES = {"src0": 0.25, "src5": 0.5, "src10": 0.75, "src15": 1.0}
+
+
+@q(
+    "sample_weighted_sources",
+    oracle="""
+WITH r AS (
+  SELECT * FROM (VALUES ('src0', 0.25), ('src5', 0.5), ('src10', 0.75), ('src15', 1.0)) AS t(source, rate)
+), scored AS (
+  SELECT d.doc_id, d.source, r.rate,
+         round(CAST(('0x' || substr(md5('mix-v1' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0, 6) AS sample_u
+  FROM documents d JOIN r USING (source)
+)
+SELECT doc_id, source, rate, sample_u FROM scored WHERE sample_u < rate
+""",
+)
+def sample_weighted_sources(spark, sf_dir):
+    """Domain mixing: deterministic per-source sampling (keep-rate per
+    source, decided by a salted md5 of the doc id — rerun-stable, no
+    state, one scan; unlisted sources drop). The oracle recomputes the
+    identical hash, so membership is value-checked end to end."""
+    sampled = curation.weighted_sample(
+        load(spark, sf_dir, "documents"), rates=_MIX_RATES, salt="mix-v1"
+    )
+    return sampled.select("doc_id", "source", "rate", "sample_u")
+
+
+@q("seq_pack_summary")
+def seq_pack_summary(spark, sf_dir):
+    """Sequence packing report: greedy first-fit-decreasing assembly of
+    documents into 512-token training windows (only (doc_id, count)
+    crosses into Python — text never leaves the JVM). Deterministic,
+    but FFD is iterative, not SQL-expressible -> rows-only check; the
+    packing invariants (capacity, determinism, completeness) are
+    pytest-verified."""
+    assignments = curation.pack_sequences(
+        load(spark, sf_dir, "documents"), max_tokens=512, buckets=8
+    )
+    return curation.pack_summary(assignments, max_tokens=512)
+
+
+@q(
+    "text_clean_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '<[^>]+>')) AS INTEGER) AS n_html_tags,
+       CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS INTEGER) AS n_urls,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS INTEGER) AS n_emails,
+       CAST(length(trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '<[^>]+>', ' ', 'g'),
+             'https?://[^\\s]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+         '\\s+', ' ', 'g'))) AS INTEGER) AS clean_chars,
+       CAST(n_chars AS INTEGER) AS raw_chars
+FROM documents
+""",
+)
+def text_clean_stats(spark, sf_dir):
+    """Cleaning/PII report: HTML-tag, URL and e-mail artifact counts plus
+    post-cleaning length. RE2-safe patterns shared verbatim with the
+    oracle; one scan, regexp ops in codegen."""
+    return curation.clean_stats(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "quality_filter_report",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), m AS (
+  SELECT doc_id, lang,
+         len(toks) AS n_tok,
+         CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) AS mean_len,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+  FROM t
+), r AS (
+  SELECT doc_id, lang, n_tok, mean_len, ttr,
+         list_filter([
+           CASE WHEN n_tok < 10 THEN 'too_few_tokens' END,
+           CASE WHEN n_tok > 100000 THEN 'too_many_tokens' END,
+           CASE WHEN mean_len < 1.5 THEN 'mean_token_too_short' END,
+           CASE WHEN mean_len > 12.0 THEN 'mean_token_too_long' END,
+           CASE WHEN ttr < 0.2 THEN 'low_type_token_ratio' END
+         ], x -> x IS NOT NULL) AS reasons
+  FROM m
+)
+SELECT doc_id, lang,
+       CAST(n_tok AS INTEGER) AS token_count,
+       round(mean_len, 6) AS mean_token_len,
+       round(ttr, 6) AS type_token_ratio,
+       len(reasons) = 0 AS keep,
+       array_to_string(reasons, ',') AS reject_reasons
+FROM r
+""",
+)
+def quality_filter_report(spark, sf_dir):
+    """Gopher-style hard quality rules (token bounds, mean-token-length
+    band, TTR floor) with per-rule reasons, scalarized for the gate."""
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    return curation.quality_filter(docs)
+
+
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (round 1 stopped at 50 of
 # 63). Order places queries with NO verdict yet first, then the round-1
@@ -1322,6 +1473,12 @@ QUERY_ORDER = [
     "h18_large_customers",
     "h_brand_revenue",
     "ingest_fanout_pipeline",
+    # new this round (corpus curation) — no verdict yet
+    "decontaminate_ngram",
+    "sample_weighted_sources",
+    "seq_pack_summary",
+    "text_clean_stats",
+    "quality_filter_report",
     # every remaining distinct operator
     "f5_integrity_report",
     "a1_device_summary",
@@ -1336,13 +1493,8 @@ QUERY_ORDER = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
-    "langid_heuristic",
-    "text_token_stats",
     "text_bpe_token_stats",
     "text_quality_score",
-    "lang_source_stats",
-    "embedding_label_stats",
-    "knn_brute_force",
     "knn_lsh",
     "h3_shipping_priority",
     "h4_order_priority",
@@ -1355,7 +1507,12 @@ QUERY_ORDER = [
     "h14_promo_revenue",
     "h15_top_supplier",
     "h16_supplier_part_counts",
-    # green-in-round-1 simple variants (beyond the 50-query budget)
+    # green-in-round-1 entries, unchanged since (beyond the 50-query budget)
+    "langid_heuristic",
+    "text_token_stats",
+    "lang_source_stats",
+    "embedding_label_stats",
+    "knn_brute_force",
     "f1_recent_readings",
     "f2_type_filter",
     "f3_anomalous_readings",

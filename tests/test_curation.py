@@ -1,0 +1,117 @@
+"""Corpus-curation tests: decontamination, weighted sampling, sequence
+packing, cleaning, quality filtering (llm/curation.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from metrocloud_data_pipeline_spark.llm import curation
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank", "en", "src0", 63),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank", "en", "src1", 63),
+        (2, "completely different text about training data pipelines at scale", "en", "src0", 64),
+        (3, "short", "en", "src2", 5),
+        (4, "aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa", "en", "src1", 47),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_contamination_exact_copy_and_clean_doc(spark, docs):
+    bench = docs.where("doc_id = 0").selectExpr("doc_id AS bench_id", "text")
+    out = {r["doc_id"]: r for r in curation.contamination_check(docs, bench, n=4).collect()}
+    assert out[0]["contamination_frac"] == 1.0       # is the benchmark
+    assert out[1]["contamination_frac"] == 1.0       # exact copy of it
+    assert out[2]["contamination_frac"] == 0.0       # unrelated
+    assert out[3]["total_ngrams"] == 0               # shorter than n -> no grams
+    assert out[3]["contamination_frac"] == 0.0
+    # 13-token doc has 10 complete 4-grams
+    assert out[0]["total_ngrams"] == 10
+
+
+def test_contamination_partial_overlap(spark, docs):
+    bench = spark.createDataFrame(
+        [(100, "fox jumps over the lazy dog and then stops")],
+        "bench_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation.contamination_check(docs, bench, n=4).collect()}
+    # doc 0 shares the 4-grams inside "fox jumps over the lazy dog": 3 of its 10
+    assert out[0]["contaminated_ngrams"] == 3
+    assert out[0]["contamination_frac"] == pytest.approx(3 / 10, abs=1e-6)
+
+
+def test_weighted_sample_deterministic_and_rate_bounded(spark, docs):
+    big = spark.range(2000).selectExpr("id AS doc_id", "'x' AS text", "'en' AS lang",
+                                       "concat('src', id % 2) AS source", "1 AS n_chars")
+    rates = {"src0": 0.3, "src1": 1.0}
+    a = {r["doc_id"] for r in curation.weighted_sample(big, rates, salt="s1").collect()}
+    b = {r["doc_id"] for r in curation.weighted_sample(big, rates, salt="s1").collect()}
+    assert a == b  # rerun-stable
+    kept0 = sum(1 for r in curation.weighted_sample(big, rates, salt="s1").collect()
+                if r["source"] == "src0")
+    assert 0.2 < kept0 / 1000 < 0.4          # ~30% of src0's 1000 docs
+    kept1 = sum(1 for r in curation.weighted_sample(big, rates, salt="s1").collect()
+                if r["source"] == "src1")
+    assert kept1 == 1000                      # rate 1.0 keeps all
+    # different salt -> different subset (overwhelmingly likely)
+    c = {r["doc_id"] for r in curation.weighted_sample(big, rates, salt="s2").collect()}
+    assert a != c
+
+
+def test_weighted_sample_unlisted_sources_drop(spark, docs):
+    out = curation.weighted_sample(docs, {"src0": 1.0}, salt="s").collect()
+    assert {r["source"] for r in out} == {"src0"}
+
+
+def test_pack_sequences_invariants(spark):
+    big = spark.range(500).selectExpr(
+        "id AS doc_id",
+        # token counts 1..120 via repeat: doc i has (i % 120) + 1 tokens
+        "array_join(transform(sequence(1, CAST(id % 120 AS INT) + 1), x -> 'w'), ' ') AS text",
+    )
+    out = curation.pack_sequences(big, max_tokens=128, buckets=4).collect()
+    assert len(out) == 500                                   # every doc assigned
+    assert {r["doc_id"] for r in out} == set(range(500))
+    from collections import defaultdict
+
+    fill = defaultdict(int)
+    for r in out:
+        assert not r["oversize"]                             # none exceed 128 here
+        fill[r["pack_id"]] += r["token_count"]
+    assert all(v <= 128 for v in fill.values())              # capacity respected
+    # FFD should be reasonably tight: average fill of non-trailing packs > 60%
+    total_tokens = sum(r["token_count"] for r in out)
+    assert total_tokens / (len(fill) * 128) > 0.6
+
+
+def test_pack_sequences_oversize_and_determinism(spark):
+    rows = [(1, " ".join(["w"] * 300)), (2, "w w"), (3, " ".join(["w"] * 100))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, curation.pack_sequences(docs, max_tokens=128, buckets=2).collect()))
+    b = sorted(map(tuple, curation.pack_sequences(docs, max_tokens=128, buckets=2).collect()))
+    assert a == b
+    by_id = {r[0]: r for r in a}
+    assert by_id[1][4] is True                               # 300 tokens -> oversize
+    assert by_id[2][4] is False and by_id[3][4] is False
+
+
+def test_clean_text_and_stats(spark):
+    rows = [(1, "Hello <b>world</b> visit https://x.io/a?b=1 or mail a.b@c-d.org now", "en", "srcx", 68)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    cleaned = docs.select(curation.clean_text_col().alias("t")).first()["t"]
+    assert cleaned == "Hello world visit <URL> or mail <EMAIL> now"
+    s = curation.clean_stats(docs).first()
+    assert (s["n_html_tags"], s["n_urls"], s["n_emails"]) == (2, 1, 1)
+    assert s["clean_chars"] == len(cleaned)
+
+
+def test_quality_filter_rules(spark, docs):
+    out = {r["doc_id"]: r for r in curation.quality_filter(docs, min_tokens=10).collect()}
+    assert out[0]["keep"] is True and out[0]["reject_reasons"] == ""
+    assert out[3]["keep"] is False and "too_few_tokens" in out[3]["reject_reasons"]
+    # doc 4: 12 identical tokens -> TTR 1/12 < 0.2
+    assert out[4]["keep"] is False
+    assert "low_type_token_ratio" in out[4]["reject_reasons"]
