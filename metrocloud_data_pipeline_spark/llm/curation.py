@@ -31,21 +31,69 @@ from .text import tokens_col
 # --- n-gram contamination ----------------------------------------------------
 
 
-def ngram_hashes(docs: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
-    """Distinct (id, md5-of-n-token-gram) pairs over whitespace-normalized
-    lowercase text. Complete grams only (a doc shorter than n tokens
-    contributes none). Same lead()-window gram assembly as winnowing
-    (llm/text.py:137) — JVM operators, one shuffle keyed by the doc."""
+def _gram_rows(docs: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
+    """(id, n-token-gram) rows — one per gram OCCURRENCE — over
+    whitespace-normalized lowercase text. Complete grams only (a doc
+    shorter than n tokens contributes none). Same lead()-window gram
+    assembly as winnowing (llm/text.py:137) — JVM operators, one
+    shuffle keyed by the doc."""
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     toks = docs.select(F.col(id_col), F.posexplode(F.split(norm, " ")).alias("pos", "tok"))
     ww = Window.partitionBy(id_col).orderBy("pos")
     wn = Window.partitionBy(id_col)
     gram = F.concat_ws(" ", *([F.col("tok")] + [F.lead("tok", i).over(ww) for i in range(1, n)]))
     complete = F.col("pos") + n - 1 < F.count(F.lit(1)).over(wn)
+    return toks.select(F.col(id_col), F.when(complete, gram).alias("gram")).where(
+        F.col("gram").isNotNull()
+    )
+
+
+def ngram_hashes(docs: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id, md5-of-n-token-gram) pairs — the membership form of
+    _gram_rows used for contamination probes."""
     return (
-        toks.select(F.col(id_col), F.when(complete, F.md5(gram)).alias("gh"))
-        .where(F.col("gh").isNotNull())
-        .distinct()
+        _gram_rows(docs, n, id_col).select(F.col(id_col), F.md5("gram").alias("gh")).distinct()
+    )
+
+
+def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher-style repetition signals: per document, how much of it is
+    repeated n-grams — `dup_ngram_frac` (fraction of gram occurrences
+    that are repeats of an earlier occurrence) and `top_ngram_frac`
+    (share held by the single most frequent gram). High values flag
+    boilerplate/spam for removal before training.
+
+    Plan shape: one scan + per-doc gram window + two partial-agg
+    groupBys, all keyed by doc_id so the gram count never becomes a
+    global shuffle; a 100 TB corpus aggregates per-doc in map-side
+    combines. Every doc is emitted (short docs get zeros)."""
+    counts = _gram_rows(docs, n).groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+        F.max("cnt").alias("top_ngram_count"),
+    )
+    total = F.coalesce("n_ngrams", F.lit(0))
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            total.alias("n_ngrams"),
+            F.coalesce("distinct_ngrams", F.lit(0)).alias("distinct_ngrams"),
+            F.coalesce("top_ngram_count", F.lit(0)).alias("top_ngram_count"),
+            round6(
+                F.when(
+                    total > 0,
+                    F.lit(1.0) - F.col("distinct_ngrams").cast("double") / F.col("n_ngrams"),
+                ).otherwise(F.lit(0.0))
+            ).alias("dup_ngram_frac"),
+            round6(
+                F.when(
+                    total > 0, F.col("top_ngram_count").cast("double") / F.col("n_ngrams")
+                ).otherwise(F.lit(0.0))
+            ).alias("top_ngram_frac"),
+        )
     )
 
 
@@ -131,6 +179,35 @@ def weighted_sample(
         .withColumn("sample_u", round6(u))
         .where(F.col("sample_u") < F.col("rate"))
     )
+
+
+def assign_splits(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each doc lands in the
+    split whose cumulative-fraction interval contains its hash-uniform
+    u. Pure function of (salt, id) — adding or removing OTHER docs
+    never moves an existing doc across splits (unlike randomSplit,
+    whose assignment depends on partitioning), so eval sets stay fixed
+    as the corpus grows. The LAST entry absorbs any remainder.
+
+    The comparison uses the ROUNDED u on both engine and oracle sides,
+    so interval-boundary docs land identically everywhere. One scan,
+    no shuffle, no state."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    u = round6(sample_uniform_col(salt, id_col))
+    names = list(fractions)
+    split = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = u < F.lit(round(cum, 9))
+        split = F.when(cond, name) if split is None else split.when(cond, name)
+    split = split.otherwise(names[-1]) if split is not None else F.lit(names[-1])
+    return docs.withColumn("sample_u", u).withColumn("split", split)
 
 
 # --- sequence packing --------------------------------------------------------

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.numeric import round6
 
@@ -327,3 +328,69 @@ def token_jaccard_pairs_lsh(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
     return out.where(F.col("jaccard") >= threshold)
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: groups of
+    transitively-linked docs get one cluster_id (the component's min
+    doc_id), so keep-one-per-cluster dedup can pick a representative.
+
+    Algorithm: hash-min label propagation WITH pointer doubling — each
+    round a doc's label shrinks to the min of (its label, its
+    neighbors' labels, its label's label). The label-of-label hop
+    halves the distance to the component minimum every round, so
+    convergence is O(log diameter) rounds, not O(diameter) — a
+    342-doc chain converges in ~9 rounds, not 342.
+
+    Scale shape: state is one (doc_id, cluster_id) row per doc that
+    appears in a pair — orders of magnitude smaller than the corpus
+    (only near-dup docs enter). Each round is two equi-joins + one
+    min-aggregate on that state; `localCheckpoint()` truncates lineage
+    so plan depth stays constant across rounds, and the convergence
+    probe is a `limit(1).count()`, never a full materialization. This
+    is the standard Spark shape for iterative graph algorithms
+    (GraphX/GraphFrames CC does the same driver-coordinated rounds).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges["src"] == labels["doc_id"]).select(
+            F.col("dst").alias("doc_id"), "cluster_id"
+        )
+        hop = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.cluster_id") == F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_id"), F.col("y.cluster_id").alias("cluster_id"))
+        )
+        new = (
+            labels.unionByName(nbr)
+            .unionByName(hop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        # labels only ever decrease; any strict decrease means not converged
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") < F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    )

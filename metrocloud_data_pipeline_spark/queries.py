@@ -1446,6 +1446,103 @@ def quality_filter_report(spark, sf_dir):
     return curation.quality_filter(docs)
 
 
+@q(
+    "text_repetition_stats",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, list_transform(range(1, greatest(len(toks) - 2 + 1, 0) + 1),
+                  i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS gs
+  FROM norm
+), e AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM e GROUP BY 1, 2),
+a AS (SELECT doc_id, sum(cnt) AS total, count(*) AS ndist, max(cnt) AS topc FROM c GROUP BY 1)
+SELECT d.doc_id,
+  CAST(COALESCE(a.total, 0) AS BIGINT) AS n_ngrams,
+  CAST(COALESCE(a.ndist, 0) AS BIGINT) AS distinct_ngrams,
+  CAST(COALESCE(a.topc, 0) AS BIGINT) AS top_ngram_count,
+  round(CASE WHEN COALESCE(a.total, 0) > 0
+             THEN 1.0 - CAST(a.ndist AS DOUBLE) / a.total ELSE 0.0 END, 6) AS dup_ngram_frac,
+  round(CASE WHEN COALESCE(a.total, 0) > 0
+             THEN CAST(a.topc AS DOUBLE) / a.total ELSE 0.0 END, 6) AS top_ngram_frac
+FROM documents d LEFT JOIN a USING (doc_id)
+""",
+)
+def text_repetition_stats(spark, sf_dir):
+    """Gopher repetition filters: duplicate-bigram fraction and
+    top-bigram share per document — the boilerplate/spam signal."""
+    return curation.repetition_stats(load(spark, sf_dir, "documents"), n=2)
+
+
+@q(
+    "stratified_split",
+    oracle="""
+WITH u AS (
+  SELECT doc_id, source,
+         round(CAST(('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0, 6) AS sample_u
+  FROM documents
+)
+SELECT doc_id, source, sample_u,
+       CASE WHEN sample_u < 0.9 THEN 'train'
+            WHEN sample_u < 0.95 THEN 'val'
+            ELSE 'test' END AS split
+FROM u
+""",
+)
+def stratified_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5): the split is a
+    pure function of (salt, doc_id), so growing the corpus never moves
+    an existing doc across splits. Oracle recomputes the identical
+    hash + thresholds, value-checking every assignment."""
+    out = curation.assign_splits(
+        load(spark, sf_dir, "documents"),
+        fractions={"train": 0.9, "val": 0.05, "test": 0.05},
+        salt="split-v1",
+    )
+    return out.select("doc_id", "source", "sample_u", "split")
+
+
+@q(
+    "dedup_clusters",
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+  FROM documents
+), sizes AS (SELECT doc_id, count(*) AS set_size FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6) >= 0.95
+), edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+),
+lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM lab
+""",
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-duplicate clustering: connected components (pointer-doubled
+    hash-min propagation) over exact-Jaccard >= 0.95 pairs generated
+    the scale way (LSH candidates -> exact verify). cluster_id = the
+    component's min doc_id; keep-one-per-cluster dedup keeps that
+    representative. The oracle reaches the same components with a
+    recursive CTE over the all-pairs edge set."""
+    pairs = dedup.token_jaccard_pairs_lsh(
+        load(spark, sf_dir, "documents"), threshold=0.95, max_bucket_size=None
+    )
+    return dedup.duplicate_clusters(pairs.select("doc_a", "doc_b"))
+
+
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (round 1 stopped at 50 of
 # 63). Order places queries with NO verdict yet first, then the round-1
@@ -1479,6 +1576,9 @@ QUERY_ORDER = [
     "seq_pack_summary",
     "text_clean_stats",
     "quality_filter_report",
+    "text_repetition_stats",
+    "stratified_split",
+    "dedup_clusters",
     # every remaining distinct operator
     "f5_integrity_report",
     "a1_device_summary",

@@ -115,3 +115,43 @@ def test_quality_filter_rules(spark, docs):
     # doc 4: 12 identical tokens -> TTR 1/12 < 0.2
     assert out[4]["keep"] is False
     assert "low_type_token_ratio" in out[4]["reject_reasons"]
+
+
+def test_repetition_stats(spark, docs):
+    out = {r["doc_id"]: r for r in curation.repetition_stats(docs, n=2).collect()}
+    # doc 4: 12 identical tokens -> 11 bigrams, all "aaa aaa"
+    assert out[4]["n_ngrams"] == 11
+    assert out[4]["distinct_ngrams"] == 1
+    assert out[4]["top_ngram_count"] == 11
+    assert out[4]["top_ngram_frac"] == 1.0
+    assert out[4]["dup_ngram_frac"] == round(1 - 1 / 11, 6)
+    # doc 0: "the" appears 3x but every bigram is distinct except none repeat
+    assert out[0]["n_ngrams"] == 12
+    assert out[0]["dup_ngram_frac"] == 0.0
+    # doc 3: single token -> no bigrams, zeros not nulls
+    assert out[3]["n_ngrams"] == 0
+    assert out[3]["dup_ngram_frac"] == 0.0
+
+
+def test_assign_splits_deterministic_and_total(spark, docs):
+    a = curation.assign_splits(docs).select("doc_id", "split", "sample_u").collect()
+    b = curation.assign_splits(docs).select("doc_id", "split", "sample_u").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # rerun-stable
+    assert {r["split"] for r in a} <= {"train", "val", "test"}
+    assert len(a) == docs.count()  # every doc assigned exactly once
+    for r in a:
+        if r["sample_u"] < 0.9:
+            assert r["split"] == "train"
+        elif r["sample_u"] < 0.95:
+            assert r["split"] == "val"
+        else:
+            assert r["split"] == "test"
+
+
+def test_assign_splits_stable_under_corpus_growth(spark, docs):
+    """Adding docs must not move existing docs across splits."""
+    small = curation.assign_splits(docs.where("doc_id <= 2"))
+    grown = curation.assign_splits(docs)
+    small_map = {r["doc_id"]: r["split"] for r in small.collect()}
+    grown_map = {r["doc_id"]: r["split"] for r in grown.collect()}
+    assert all(grown_map[k] == v for k, v in small_map.items())

@@ -340,3 +340,28 @@ def test_lsh_bucket_cap_drops_boilerplate_bucket(spark):
     assert not any(a < 30 and b < 30 for a, b in pairs)  # boilerplate bucket dropped
     uncapped = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(sigs).collect()}
     assert any(a < 30 and b < 30 for a, b in uncapped)
+
+
+def test_duplicate_clusters_components(spark):
+    # chain 1-2-3 (transitive), isolated pair 10-11, pair sharing no link 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (21, 20)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r for r in dedup.duplicate_clusters(pairs).collect()}
+    assert len(out) == 7
+    assert {out[i]["cluster_id"] for i in (1, 2, 3)} == {1}
+    assert {out[i]["cluster_id"] for i in (10, 11)} == {10}
+    assert {out[i]["cluster_id"] for i in (20, 21)} == {20}
+    assert out[1]["cluster_size"] == 3 and out[10]["cluster_size"] == 2
+
+
+def test_duplicate_clusters_long_chain_pointer_doubling(spark):
+    # a 40-node path: hash-min alone needs ~40 rounds; pointer doubling
+    # must converge well inside the 20-round cap
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    out = dedup.duplicate_clusters(pairs, max_iter=20).collect()
+    assert len(out) == 41
+    assert {r["cluster_id"] for r in out} == {0}
+    assert all(r["cluster_size"] == 41 for r in out)
