@@ -65,6 +65,10 @@ HEADLINE = [
     "sample_weighted_sources",
     "seq_pack_summary",
     "text_clean_stats",
+    "w4_user_sessions",
+    "asof_last_error",
+    "a11_type_daily_rollup",
+    "t2_pivot_event_values",
     "text_quality_score",
     "knn_brute_force",
     "knn_ivf",

@@ -351,16 +351,24 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     is the standard Spark shape for iterative graph algorithms
     (GraphX/GraphFrames CC does the same driver-coordinated rounds).
     """
+    # materialize the pair list ONCE — the symmetrizing union below reads
+    # it from checkpoint instead of evaluating the (expensive) candidate
+    # pipeline per branch
+    p = pairs.select("doc_a", "doc_b").localCheckpoint()
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        p.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(p.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
         .persist()
     )
+    # seed with min over the direct neighborhood (not just self): a
+    # near-dup CLIQUE — the overwhelmingly common component shape —
+    # is already converged after this one aggregate, so the loop's
+    # first probe exits immediately
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .select(F.col("src").alias("doc_id"), F.least("src", "m").alias("cluster_id"))
         .localCheckpoint()
     )
     for _ in range(max_iter):

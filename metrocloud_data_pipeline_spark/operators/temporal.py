@@ -1,0 +1,114 @@
+"""Timeseries operators: gap sessionization and as-of enrichment.
+
+The reference stores raw readings and aggregates them by fixed buckets
+(`src/data_storage/database.py` hourly/daily rollups); it has no
+session or as-of surface. These are the two timeseries primitives an
+events store needs beyond bucketing, built shuffle-minimal:
+
+- sessionize / session_summary: gaps-and-islands with ONE exchange —
+  the lag() and the running sum share a (key, ts) sort, so Catalyst
+  plans a single Exchange + Sort feeding two Window nodes.
+- asof_join: most-recent-at-or-before enrichment via union + tagged
+  sort + last(ignorenulls) carry-forward — one shuffle keyed on the
+  join key, no range self-join (the naive `l.ts >= r.ts` join plan is
+  a broadcast-nested-loop that explodes quadratically per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import round6
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Assign a per-key session_seq (1, 2, ...) that increments whenever
+    the gap to the previous event exceeds `gap_seconds` — the classic
+    gaps-and-islands labeling. Deterministic: ties on the timestamp
+    break on `tiebreak_col`. Both window steps use the identical
+    partitioning and ordering, so the plan has exactly one shuffle."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(ts_col).over(w)
+    new_sess = (
+        prev.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)) > gap_seconds * 1_000_000)
+    ).cast("int")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        events.withColumn("_new_sess", new_sess)
+        .withColumn("session_seq", F.sum("_new_sess").over(run))
+        .drop("_new_sess")
+    )
+
+
+def session_summary(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-session rollup of sessionize() output: bounds, event count,
+    value total. The groupBy keys are a prefix of the window
+    partitioning, so the aggregation reuses the session shuffle's
+    partitioning (no second exchange of the full rows)."""
+    sess = sessionize(events, gap_seconds, key_col, ts_col, tiebreak_col)
+    return sess.groupBy(key_col, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        round6(F.sum(value_col)).alias("total_value"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """For every left row, attach the columns of the most recent right
+    row at-or-before its timestamp within the same key (last-
+    observation-carried-forward enrichment; left rows with no prior
+    right row get nulls). `right` must carry key_col, ts_col, and
+    right_cols; at equal timestamps the right row IS visible to the
+    left row.
+
+    Scale shape: tag and union both sides, sort once per key, carry
+    the right-side values forward with last(ignorenulls) — one
+    exchange total, output exactly |left| rows. Works unchanged when
+    one side is 1000x the other; there is no small-side broadcast
+    requirement and no per-key quadratic blowup."""
+    lcols = [c for c in left.columns]
+    l2 = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+    )
+    r2 = right.select(
+        *[
+            F.col(c) if c in (key_col, ts_col) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("_side"),
+        *right_cols,
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l2.unionByName(r2)
+    for c in right_cols:
+        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return carried.where(F.col("_side") == 1).drop("_side")

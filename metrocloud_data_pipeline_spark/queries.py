@@ -21,9 +21,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.numeric import round6
 from .llm import curation, dedup, multimodal, similarity, text
 from .operators import analytics as A
-from .operators import ingest
+from .operators import ingest, temporal
 from .plans import star_queries as H
 from .session import tune
 from .sources import load
@@ -1543,6 +1544,121 @@ def dedup_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(pairs.select("doc_a", "doc_b"))
 
 
+# --- timeseries: sessionization / as-of (operators/temporal.py) -------------
+
+
+@q(
+    "w4_user_sessions",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), s AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM o
+), t AS (
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM s
+)
+SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM t GROUP BY 1, 2
+""",
+)
+def w4_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity closes a session) +
+    per-session rollup — the gaps-and-islands primitive the reference's
+    fixed hourly/daily buckets can't express."""
+    return temporal.session_summary(load(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+@q(
+    "asof_last_error",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), errors AS (
+  SELECT user_id, ts AS err_ts, ts AS last_error_ts,
+         event_id AS last_error_id, value AS last_error_value
+  FROM events WHERE event_type = 'error'
+)
+SELECT c.event_id, c.user_id, c.ts, c.value,
+       e.last_error_id, e.last_error_ts, e.last_error_value
+FROM clicks c ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND c.ts >= e.err_ts
+""",
+)
+def asof_last_error(spark, sf_dir):
+    """As-of join: every click enriched with the user's most recent
+    error at-or-before it (nulls when none yet). Union-window plan —
+    one shuffle, |clicks| output rows; the oracle is DuckDB's native
+    ASOF LEFT JOIN, so tie/no-match semantics are value-checked."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("last_error_ts"),
+        F.col("event_id").alias("last_error_id"),
+        F.col("value").alias("last_error_value"),
+    )
+    return temporal.asof_join(
+        clicks, errors, key_col="user_id", ts_col="ts",
+        right_cols=["last_error_id", "last_error_ts", "last_error_value"],
+    )
+
+
+@q(
+    "a11_type_daily_rollup",
+    oracle="""
+SELECT CAST(GROUPING(event_type, day) AS INTEGER) AS gid,
+       event_type, day, count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, value FROM events)
+GROUP BY ROLLUP (event_type, day)
+""",
+)
+def a11_type_daily_rollup(spark, sf_dir):
+    """Hierarchical totals in one pass: (type, day), per-type, and grand
+    total via ROLLUP grouping sets — one shuffle computes all three
+    levels (vs three separate aggregations + union)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"), "value"
+    )
+    return ev.rollup("event_type", "day").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        round6(F.sum("value")).alias("total_value"),
+    )
+
+
+@q(
+    "t2_pivot_event_values",
+    oracle="""
+SELECT user_id,
+       round(sum(value) FILTER (WHERE event_type = 'click'), 6) AS click,
+       round(sum(value) FILTER (WHERE event_type = 'view'), 6) AS view,
+       round(sum(value) FILTER (WHERE event_type = 'error'), 6) AS error,
+       round(sum(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase,
+       round(sum(value) FILTER (WHERE event_type = 'signup'), 6) AS signup
+FROM events GROUP BY user_id
+""",
+)
+def t2_pivot_event_values(spark, sf_dir):
+    """OP-T1's inverse: long -> wide pivot of per-type value totals.
+    The pivot value list is explicit, so Spark skips the extra
+    distinct-values job and plans a single hash aggregate."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "error", "purchase", "signup"])
+        .agg(round6(F.sum("value")))
+    )
+
+
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (round 1 stopped at 50 of
 # 63). Order places queries with NO verdict yet first, then the round-1
@@ -1579,6 +1695,10 @@ QUERY_ORDER = [
     "text_repetition_stats",
     "stratified_split",
     "dedup_clusters",
+    "w4_user_sessions",
+    "asof_last_error",
+    "a11_type_daily_rollup",
+    "t2_pivot_event_values",
     # every remaining distinct operator
     "f5_integrity_report",
     "a1_device_summary",

@@ -1,0 +1,79 @@
+"""Sessionization and as-of join (operators/temporal.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from metrocloud_data_pipeline_spark.operators import temporal
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: two sessions split by a 40-min gap
+        (0, 1, _ts(0), 1.0),
+        (1, 1, _ts(10), 2.0),
+        (2, 1, _ts(50), 4.0),
+        # user 2: one single-event session
+        (3, 2, _ts(5), 8.0),
+    ]
+    return spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+
+
+def test_sessionize_gap_splits(spark, events):
+    out = {r["event_id"]: r["session_seq"] for r in temporal.sessionize(events, 1800).collect()}
+    assert out[0] == 1 and out[1] == 1  # 10-min gap keeps session open
+    assert out[2] == 2                  # 40-min gap opens a new one
+    assert out[3] == 1
+
+
+def test_sessionize_boundary_gap_is_inclusive(spark):
+    # gap exactly == threshold does NOT split (strict > semantics)
+    rows = [(0, 1, _ts(0), 1.0), (1, 1, _ts(30), 1.0)]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    out = {r["event_id"]: r["session_seq"] for r in temporal.sessionize(ev, 1800).collect()}
+    assert out[0] == out[1] == 1
+
+
+def test_session_summary(spark, events):
+    out = {
+        (r["user_id"], r["session_seq"]): r
+        for r in temporal.session_summary(events, 1800).collect()
+    }
+    s11 = out[(1, 1)]
+    assert s11["n_events"] == 2 and s11["total_value"] == 3.0
+    assert s11["session_start"] == _ts(0) and s11["session_end"] == _ts(10)
+    assert out[(1, 2)]["n_events"] == 1
+    assert out[(2, 1)]["total_value"] == 8.0
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(0, 1, _ts(5)), (1, 1, _ts(20)), (2, 1, _ts(2)), (3, 2, _ts(10))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(3), 100), (1, _ts(20), 200), (2, _ts(11), 300)],
+        "user_id long, ts timestamp, ref long",
+    )
+    out = {
+        r["event_id"]: r["ref"]
+        for r in temporal.asof_join(left, right, "user_id", "ts", ["ref"]).collect()
+    }
+    assert out[0] == 100   # latest at-or-before 5 is ts=3
+    assert out[1] == 200   # equal timestamp IS visible
+    assert out[2] is None  # nothing before ts=2
+    assert out[3] is None  # right row for user 2 is later than the left row
+    assert len(out) == 4   # exactly |left| rows
+
+
+def test_asof_join_single_exchange(spark, events):
+    right = events.select("user_id", "ts", events["value"].alias("v2"))
+    plan = temporal.asof_join(events, right, "user_id", "ts", ["v2"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
