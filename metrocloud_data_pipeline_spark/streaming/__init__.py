@@ -4,6 +4,7 @@ from .pipeline import (
     last_reading_state,
     run_alert_stream,
     run_ingest_stream,
+    session_aggregate,
     stateful_anomaly_context,
     stream_raw_files,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "last_reading_state",
     "run_alert_stream",
     "run_ingest_stream",
+    "session_aggregate",
     "stateful_anomaly_context",
     "stream_raw_files",
 ]

@@ -22,6 +22,8 @@ Structured Streaming:
 - OP-ST7 maintenance: operators.maintenance jobs, scheduled externally.
 - OP-ST8 continuous aggregates: windowed agg with watermark in update
   mode, playing the refresh-policy role.
+- OP-ST9 (round-2) streaming sessionization: session_window aggregate,
+  the streaming twin of operators/temporal.sessionize.
 
 The ingest chain itself is the SAME code as batch
 (operators.ingest.normalize_raw) — pure DataFrame transforms applied
@@ -173,6 +175,36 @@ def continuous_aggregate(
         )
         .select(F.col("w.start").alias("bucket"), "*")
         .drop("w")
+    )
+
+
+def session_aggregate(
+    readings: DataFrame, gap: str = "30 minutes", watermark: str = "3 hours"
+) -> DataFrame:
+    """OP-ST9: streaming gap sessionization — the session_window twin of
+    the batch gaps-and-islands operator (operators/temporal.sessionize).
+
+    Spark's session-window state store merges overlapping per-key
+    windows as events arrive, so state per device is the OPEN sessions
+    only; a session finalizes (append mode) once the watermark passes
+    gap beyond its last event. Same 100 TB posture as every streaming
+    agg here: state bounded by watermark, keyed shuffle only."""
+    src = readings.withWatermark("timestamp", watermark)
+    return (
+        src.groupBy(F.session_window("timestamp", gap).alias("w"), F.col("device_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg("value").alias("avg_value"),
+            F.count(F.when(F.col("is_anomaly"), 1)).alias("anomaly_count"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "device_id",
+            "n_events",
+            "avg_value",
+            "anomaly_count",
+        )
     )
 
 

@@ -211,3 +211,37 @@ def test_batch_metrics_single_pass(spark):
         "anomalies": 1,
         "validation_failure_rate": 0.25,
     }
+
+
+def test_session_aggregate_streaming(spark, tmp_path, normalized):
+    src_dir = str(tmp_path / "sess_norm")
+    normalized.write.parquet(src_dir)
+    stream = spark.readStream.schema(normalized.schema).parquet(src_dir)
+    agg = streaming.session_aggregate(stream, gap="30 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sess").collect()
+    assert rows
+    for r in rows:
+        # a session's span never exceeds (n_events - 1) gaps + closing gap
+        assert r["session_end"] > r["session_start"]
+        assert r["n_events"] >= 1
+    # batch/stream parity: same gap labeling as the batch sessionizer
+    from metrocloud_data_pipeline_spark.operators import temporal
+
+    batch = temporal.session_summary(
+        normalized.withColumnRenamed("timestamp", "ts"),
+        gap_seconds=1800,
+        key_col="device_id",
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="device_id",
+    )
+    assert batch.count() == len(rows)

@@ -21,7 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from metrocloud_data_pipeline_spark.llm import dedup, similarity  # noqa: E402
+from metrocloud_data_pipeline_spark.llm import curation, dedup, similarity  # noqa: E402
 from metrocloud_data_pipeline_spark.session import get_spark  # noqa: E402
 from metrocloud_data_pipeline_spark.sources import load  # noqa: E402
 
@@ -58,7 +58,12 @@ def main() -> None:
     )
 
     def t(df, label: str) -> None:
+        # accepts a thunk so operators that run jobs eagerly during
+        # construction (duplicate_clusters' checkpointed rounds) are
+        # timed too, not just the final count
         t0 = time.time()
+        if callable(df):
+            df = df()
         n = df.count()
         print(f"{label:<16} {time.time() - t0:6.2f} s  {n:>10,} rows")
 
@@ -67,6 +72,28 @@ def main() -> None:
     t(dedup.minhash_dedup(docs), "minhash_dedup")
     t(dedup.simhash_dedup(docs), "simhash_dedup")
     t(similarity.ivf_topk(emb, query_vec_id=7, k=10), "ivf_topk")
+    bench_docs = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    # the filters reference the aggregated column, so Catalyst cannot
+    # eliminate the left join under count()
+    t(
+        curation.contamination_check(docs, bench_docs, n=6).where(
+            F.col("contamination_frac") >= 0
+        ),
+        "contamination",
+    )
+    t(curation.repetition_stats(docs, n=2).where(F.col("dup_ngram_frac") >= 0), "repetition")
+    # capped-bucket candidate path: the clusters stay bounded because the
+    # perturbed copies form cliques whose pair lists the cap truncates
+    t(
+        lambda: dedup.duplicate_clusters(
+            dedup.token_jaccard_pairs_lsh(docs, threshold=0.95, max_bucket_size=500).select(
+                "doc_a", "doc_b"
+            )
+        ),
+        "dup_clusters",
+    )
 
 
 if __name__ == "__main__":
