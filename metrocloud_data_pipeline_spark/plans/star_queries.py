@@ -11,12 +11,14 @@ Scale design:
   which shuffles on the orderkey; AQE coalesces/skew-splits at runtime.
 - Money aggregates accumulate in DECIMAL(18,4): exact, order-independent
   (double summation is not associative — at 100 TB the partial-aggregate
-  tree makes double sums nondeterministic run-to-run). The FINAL value is
-  presented as double: both engines correctly-round the same exact
-  decimal, so the output is bitwise deterministic, while a decimal
-  output column stringifies with trailing scale zeros ("418.00") that
-  float-typed consumers print as "418.0" — a representation mismatch,
-  not a value difference.
+  tree makes double sums nondeterministic run-to-run). Most queries
+  present the FINAL value as double (both engines correctly-round the
+  same exact decimal, so that is bitwise deterministic); the four
+  largest-magnitude reports (pricing_summary, nation_profit,
+  large_volume_customers, brand_revenue) keep the DECIMAL type all the
+  way out and the query layer renders it as a fixed-scale string, so no
+  float representation exists anywhere for a downstream canonicalizer
+  to lose precision on.
 - Filters sit directly on scan columns so they push down to parquet
   (check .explain: PushedFilters on l_shipdate / o_orderdate / segment).
 """
@@ -45,19 +47,34 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "2000-12-01") -> Dat
     charge = (
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * (F.lit(1.0) + F.col("l_tax"))
     ).cast("decimal(18,6)")
-    return (
+    # Sums stay DECIMAL end-to-end (exact, order-independent); the avgs
+    # derive from the exact decimal sums — identical double on any
+    # engine that computed the same exact sum — rather than from a
+    # partial-merge double avg whose low bits depend on partitioning.
+    agged = (
         lineitem.where(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").alias("sum_base_price"),
-            F.sum(_revenue()).cast("decimal(18,4)").cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(18,6)").cast("double").alias("sum_charge"),
-            round6(F.avg("l_quantity")).alias("avg_qty"),
-            round6(F.avg("l_extendedprice")).alias("avg_price"),
-            round6(F.avg("l_discount")).alias("avg_disc"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(_revenue()).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+            F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("decimal(18,2)").alias("_sum_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+    n = F.col("count_order")
+    return agged.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        round6(F.col("sum_qty").cast("double") / n).alias("avg_qty"),
+        round6(F.col("sum_base_price").cast("double") / n).alias("avg_price"),
+        round6(F.col("_sum_disc").cast("double") / n).alias("avg_disc"),
+        "count_order",
     )
 
 
@@ -182,8 +199,8 @@ def brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         .join(F.broadcast(part.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
-            F.sum(_revenue()).cast("decimal(18,4)").cast("double").alias("revenue"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").alias("total_qty"),
+            F.sum(_revenue()).cast("decimal(18,4)").alias("revenue"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_qty"),
             F.count(F.lit(1)).alias("line_count"),
         )
     )
@@ -371,7 +388,7 @@ def nation_profit(
         .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(_revenue()).cast("decimal(18,4)").cast("double").alias("sum_profit"))
+        .agg(F.sum(_revenue()).cast("decimal(18,4)").alias("sum_profit"))
     )
 
 
@@ -630,7 +647,7 @@ def large_volume_customers(
             "o_orderkey",
             "o_orderdate",
             "o_totalprice",
-            F.col("total_qty").cast("double").alias("total_qty"),
+            "total_qty",
         )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(n)

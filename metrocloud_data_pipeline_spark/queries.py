@@ -453,23 +453,44 @@ def w3_rate_of_change(spark, sf_dir):
 @q(
     "h1_pricing_summary",
     oracle="""
+WITH agged AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_disc,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+)
 SELECT l_returnflag, l_linestatus,
-       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
-       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
-       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
-       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
-       count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
-GROUP BY l_returnflag, l_linestatus
+       CAST(sum_qty AS VARCHAR) AS sum_qty,
+       CAST(sum_base_price AS VARCHAR) AS sum_base_price,
+       CAST(sum_disc_price AS VARCHAR) AS sum_disc_price,
+       CAST(sum_charge AS VARCHAR) AS sum_charge,
+       CAST(CAST(round(CAST(sum_qty AS DOUBLE) / count_order, 6) AS DECIMAL(18,6)) AS VARCHAR) AS avg_qty,
+       CAST(CAST(round(CAST(sum_base_price AS DOUBLE) / count_order, 6) AS DECIMAL(18,6)) AS VARCHAR) AS avg_price,
+       CAST(CAST(round(CAST(sum_disc AS DOUBLE) / count_order, 6) AS DECIMAL(18,6)) AS VARCHAR) AS avg_disc,
+       count_order
+FROM agged
 """,
 )
 def h1_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 shape: scan -> partial agg -> 6-group final agg."""
-    return H.pricing_summary(load(spark, sf_dir, "lineitem"))
+    """TPC-H Q1 shape: scan -> partial agg -> 6-group final agg.
+
+    Driver-stable presentation: the exact decimal sums render as
+    fixed-scale strings on BOTH engines (a ~15-significant-digit decimal
+    routed through a float canonicalizer is lossy; a string is not)."""
+    out = H.pricing_summary(load(spark, sf_dir, "lineitem"))
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        *[F.col(c).cast("string").alias(c) for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge")],
+        *[F.col(c).cast("decimal(18,6)").cast("string").alias(c) for c in ("avg_qty", "avg_price", "avg_disc")],
+        "count_order",
+    )
 
 
 @q(
@@ -569,16 +590,23 @@ def h10_returned_items(spark, sf_dir):
     "h_brand_revenue",
     oracle="""
 SELECT p_brand,
-       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
-       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_qty,
+       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS revenue,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS total_qty,
        count(*) AS line_count
 FROM lineitem JOIN part ON p_partkey = l_partkey
 GROUP BY p_brand
 """,
 )
 def h_brand_revenue(spark, sf_dir):
-    """Brand rollup: broadcast join to part dim."""
-    return H.brand_revenue(load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part"))
+    """Brand rollup: broadcast join to part dim. Decimal sums render as
+    fixed-scale strings (driver-stable; see h1_pricing_summary)."""
+    out = H.brand_revenue(load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part"))
+    return out.select(
+        "p_brand",
+        F.col("revenue").cast("string").alias("revenue"),
+        F.col("total_qty").cast("string").alias("total_qty"),
+        "line_count",
+    )
 
 
 @q(
@@ -861,19 +889,31 @@ WITH big AS (
   FROM lineitem GROUP BY l_orderkey
   HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
 )
-SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-       CAST(total_qty AS DOUBLE) AS total_qty
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS o_totalprice,
+       CAST(total_qty AS VARCHAR) AS total_qty
 FROM orders JOIN big ON o_orderkey = big.l_orderkey
 JOIN customer ON o_custkey = c_custkey
-ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey LIMIT 20
 """,
 )
 def h18_large_customers(spark, sf_dir):
-    """TPC-H Q18: groupBy-HAVING keyset broadcast back onto orders."""
-    return H.large_volume_customers(
+    """TPC-H Q18: groupBy-HAVING keyset broadcast back onto orders.
+    Money/quantity columns render as fixed-scale strings (driver-stable;
+    see h1_pricing_summary); the source doubles are exact 2-dp values so
+    the decimal(18,2) recovery is lossless."""
+    out = H.large_volume_customers(
         load(spark, sf_dir, "customer"),
         load(spark, sf_dir, "orders"),
         load(spark, sf_dir, "lineitem"),
+    )
+    return out.select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("o_totalprice"),
+        F.col("total_qty").cast("string").alias("total_qty"),
     )
 
 
@@ -919,7 +959,7 @@ def h8_market_share(spark, sf_dir):
     "h9_nation_profit",
     oracle="""
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_profit
+       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS VARCHAR) AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -930,14 +970,17 @@ GROUP BY n_name, o_year
 """,
 )
 def h9_nation_profit(spark, sf_dir):
-    """TPC-H Q9 shape (no supplycost in schema): profit by nation/year."""
-    return H.nation_profit(
+    """TPC-H Q9 shape (no supplycost in schema): profit by nation/year.
+    The decimal sum renders as a fixed-scale string (driver-stable; see
+    h1_pricing_summary)."""
+    out = H.nation_profit(
         load(spark, sf_dir, "nation"),
         load(spark, sf_dir, "supplier"),
         load(spark, sf_dir, "orders"),
         load(spark, sf_dir, "lineitem"),
         load(spark, sf_dir, "part"),
     )
+    return out.withColumn("sum_profit", F.col("sum_profit").cast("string"))
 
 
 @q(
