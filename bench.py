@@ -65,6 +65,7 @@ HEADLINE = [
     "sample_weighted_sources",
     "seq_pack_summary",
     "text_clean_stats",
+    "pii_scrub_stats",
     "w4_user_sessions",
     "asof_last_error",
     "a11_type_daily_rollup",

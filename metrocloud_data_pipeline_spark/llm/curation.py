@@ -326,6 +326,63 @@ def clean_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- PII detection / redaction ----------------------------------------------
+#
+# RE2-safe like the cleaning patterns above (no lookaround/backreference,
+# \b and (?:...) only — both Java regex and RE2 use leftmost-first greedy
+# semantics for these), so the DuckDB oracle reproduces every match.
+PII_EMAIL_RE = EMAIL_RE
+PII_SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_RE = r"(?:\+[0-9]{1,2}[ .-]?)?\b\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}\b"
+
+# Redaction order is part of the contract: e-mails first (their local
+# parts can contain digit runs), then the digit-shaped identifiers from
+# most to least specific — SSN (3-2-4 with dashes), IPv4 (dotted quads),
+# phone (broadest digit pattern) last so it cannot eat the others.
+PII_STAGES = [
+    ("email", PII_EMAIL_RE, "<EMAIL>"),
+    ("ssn", PII_SSN_RE, "<SSN>"),
+    ("ipv4", PII_IPV4_RE, "<IP>"),
+    ("phone", PII_PHONE_RE, "<PHONE>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Typed PII redaction: e-mail / SSN / IPv4 / phone -> placeholder
+    tokens, with a per-type match count taken at the stage where the
+    pattern is applied (counts are stage-sequential, so a digit run
+    consumed by an earlier stage is not double-counted by a later one).
+
+    Single scan, all regexp_count/regexp_replace in whole-stage codegen;
+    no shuffle, no UDF — at 100 TB this is a map-only pass that
+    co-travels with whatever scan feeds it."""
+    c = F.col(text_col)
+    out = docs
+    for name, pat, token in PII_STAGES:
+        out = out.withColumn(f"n_{name}", F.regexp_count(c, F.lit(pat)).cast("int"))
+        c = F.regexp_replace(c, pat, token)
+    return out.withColumn("scrubbed_text", c)
+
+
+def pii_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc PII report: typed counts + scrubbed length (the QA view
+    a curation pipeline keeps; the scrubbed text itself stays in the
+    engine). Deterministic, oracle-checkable."""
+    scrubbed = pii_scrub(docs)
+    return scrubbed.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_ipv4",
+        "n_phone",
+        (F.col("n_email") + F.col("n_ssn") + F.col("n_ipv4") + F.col("n_phone") > 0).alias(
+            "has_pii"
+        ),
+        F.length("scrubbed_text").cast("int").alias("scrubbed_chars"),
+    )
+
+
 # --- Gopher-style quality filter ---------------------------------------------
 
 

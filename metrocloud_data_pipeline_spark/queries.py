@@ -1451,6 +1451,47 @@ def text_clean_stats(spark, sf_dir):
 
 
 @q(
+    "pii_scrub_stats",
+    oracle="""
+WITH s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS n_email,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g') AS t
+  FROM documents
+), s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS n_ssn,
+         regexp_replace(t, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g') AS t
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ssn,
+         len(regexp_extract_all(t, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ipv4,
+         regexp_replace(t, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g') AS t
+  FROM s2
+), s4 AS (
+  SELECT doc_id, n_email, n_ssn, n_ipv4,
+         len(regexp_extract_all(t, '(?:\\+[0-9]{1,2}[ .-]?)?\\b\\(?[0-9]{3}\\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}\\b')) AS n_phone,
+         regexp_replace(t, '(?:\\+[0-9]{1,2}[ .-]?)?\\b\\(?[0-9]{3}\\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}\\b', '<PHONE>', 'g') AS t
+  FROM s3
+)
+SELECT doc_id,
+       CAST(n_email AS INTEGER) AS n_email,
+       CAST(n_ssn AS INTEGER) AS n_ssn,
+       CAST(n_ipv4 AS INTEGER) AS n_ipv4,
+       CAST(n_phone AS INTEGER) AS n_phone,
+       (n_email + n_ssn + n_ipv4 + n_phone > 0) AS has_pii,
+       CAST(length(t) AS INTEGER) AS scrubbed_chars
+FROM s4
+""",
+)
+def pii_scrub_stats(spark, sf_dir):
+    """Typed PII detection/redaction report (e-mail, SSN, IPv4, phone).
+    Stage-sequential counts shared verbatim with the oracle's staged
+    CTEs; single map-only scan, every regex in codegen."""
+    return curation.pii_stats(load(spark, sf_dir, "documents"))
+
+
+@q(
     "quality_filter_report",
     oracle="""
 WITH t AS (
@@ -1735,6 +1776,7 @@ QUERY_ORDER = [
     "seq_pack_summary",
     "text_clean_stats",
     "quality_filter_report",
+    "pii_scrub_stats",
     "text_repetition_stats",
     "stratified_split",
     "dedup_clusters",

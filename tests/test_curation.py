@@ -155,3 +155,60 @@ def test_assign_splits_stable_under_corpus_growth(spark, docs):
     small_map = {r["doc_id"]: r["split"] for r in small.collect()}
     grown_map = {r["doc_id"]: r["split"] for r in grown.collect()}
     assert all(grown_map[k] == v for k, v in small_map.items())
+
+
+# --- PII scrub ---------------------------------------------------------------
+
+PII_ROWS = [
+    (0, "contact me at jane.doe+spam@example.co.uk or call (415) 555-0132 today", "en", "src0", 70),
+    (1, "server 192.168.1.100 responded; backup at 10.0.0.7", "en", "src0", 50),
+    (2, "ssn on file: 078-05-1120, phone +1 415-555-0199", "en", "src1", 47),
+    (3, "no identifiers in this sentence at all", "en", "src1", 38),
+    (4, "double email a@b.com and c@d.org plus 555-123-4567", "en", "src2", 50),
+]
+PII_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    docs = spark.createDataFrame(PII_ROWS, PII_SCHEMA)
+    out = {r["doc_id"]: r for r in curation.pii_scrub(docs).collect()}
+    assert out[0]["n_email"] == 1 and out[0]["n_phone"] == 1
+    assert "<EMAIL>" in out[0]["scrubbed_text"] and "<PHONE>" in out[0]["scrubbed_text"]
+    assert "jane.doe" not in out[0]["scrubbed_text"]
+    assert out[1]["n_ipv4"] == 2 and "<IP>" in out[1]["scrubbed_text"]
+    assert "192.168.1.100" not in out[1]["scrubbed_text"]
+    assert out[2]["n_ssn"] == 1 and out[2]["n_phone"] == 1
+    assert "<SSN>" in out[2]["scrubbed_text"] and "078-05-1120" not in out[2]["scrubbed_text"]
+    assert out[3]["n_email"] == out[3]["n_ssn"] == out[3]["n_ipv4"] == out[3]["n_phone"] == 0
+    assert out[3]["scrubbed_text"] == PII_ROWS[3][1]  # untouched
+    assert out[4]["n_email"] == 2 and out[4]["n_phone"] == 1
+
+
+def test_pii_stage_order_no_double_count(spark):
+    # an SSN-shaped digit run must be consumed by the SSN stage, not
+    # double-counted by the broader phone stage; dotted quads likewise
+    docs = spark.createDataFrame(
+        [(0, "078-05-1120 and 10.20.30.40", "en", "s", 27)], PII_SCHEMA
+    )
+    r = curation.pii_scrub(docs).collect()[0]
+    assert r["n_ssn"] == 1 and r["n_ipv4"] == 1 and r["n_phone"] == 0
+    assert r["scrubbed_text"] == "<SSN> and <IP>"
+
+
+def test_pii_stats_matches_duckdb_oracle(spark, tmp_path):
+    """Run the registered query and its oracle on a PII-laden corpus —
+    the sf corpora are synthetic word soup, so the real regex parity
+    (Java vs RE2) is only exercised here."""
+    import duckdb
+
+    from metrocloud_data_pipeline_spark.queries import ORACLE_SQL, SPARK_QUERIES
+
+    docs = spark.createDataFrame(PII_ROWS, PII_SCHEMA)
+    pq = str(tmp_path / "documents.parquet")
+    docs.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{pq}'")
+    oracle = con.sql(ORACLE_SQL["pii_scrub_stats"]).df().sort_values("doc_id").reset_index(drop=True)
+    got = curation.pii_stats(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    cols = ["doc_id", "n_email", "n_ssn", "n_ipv4", "n_phone", "has_pii", "scrubbed_chars"]
+    assert got[cols].astype(str).values.tolist() == oracle[cols].astype(str).values.tolist()
