@@ -420,13 +420,12 @@ def top_supplier(
     end: str = "1996-04-01",
 ) -> DataFrame:
     """TPC-H Q15: supplier(s) with the maximum quarterly revenue — the
-    scalar-subquery-on-an-aggregate pattern, evaluated as a global max
-    window over the per-supplier aggregate: lineitem is scanned once
-    (the subquery-as-rejoin formulation scanned it twice), and the
-    window runs over per-supplier rows — orders of magnitude smaller
-    than lineitem, so the single-partition global window is safe."""
-    from pyspark.sql.window import Window
-
+    scalar-subquery-on-an-aggregate pattern. The scalar max is computed
+    as a partial-merge aggregate (each task contributes one candidate;
+    the single-reducer final step merges #partitions rows, not
+    #suppliers) and broadcast back onto the per-supplier aggregate —
+    no global window, so no all-rows-to-one-partition stage even when
+    the supplier dimension itself is large."""
     rev = (
         lineitem.where(
             (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
@@ -435,9 +434,10 @@ def top_supplier(
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_revenue()).cast("decimal(18,4)").alias("total_revenue"))
     )
-    best = rev.withColumn(
-        "max_revenue", F.max("total_revenue").over(Window.partitionBy())
-    ).where(F.col("total_revenue") == F.col("max_revenue"))
+    best = rev.join(
+        F.broadcast(rev.agg(F.max("total_revenue").alias("max_revenue"))),
+        F.col("total_revenue") == F.col("max_revenue"),
+    )
     return (
         supplier.select("s_suppkey", "s_name")
         .join(F.broadcast(best), F.col("s_suppkey") == F.col("supplier_no"))
