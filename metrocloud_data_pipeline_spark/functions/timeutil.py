@@ -51,9 +51,14 @@ def time_bucket(ts: Column | str, width: str) -> Column:
 
 
 def micros(ts: Column | str) -> Column:
-    """Integer microseconds since epoch (exact; DuckDB epoch_us parity)."""
+    """Integer microseconds since epoch (exact; DuckDB epoch_us parity).
+
+    Defensively casts to TIMESTAMP first: unix_micros rejects
+    TIMESTAMP_NTZ inputs, and under the UTC session TZ pinned by
+    session.tune the NTZ->TIMESTAMP cast is an exact relabeling.
+    """
     c = F.col(ts) if isinstance(ts, str) else ts
-    return F.unix_micros(c)
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def seconds_between(a: Column | str, b: Column | str) -> Column:

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.numeric import round6
+from ..functions.timeutil import micros
 
 
 def sessionize(
@@ -39,7 +40,7 @@ def sessionize(
     prev = F.lag(ts_col).over(w)
     new_sess = (
         prev.isNull()
-        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)) > gap_seconds * 1_000_000)
+        | ((micros(F.col(ts_col)) - micros(prev)) > gap_seconds * 1_000_000)
     ).cast("int")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
