@@ -87,6 +87,43 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 64, k: int = 3) -> DataF
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"))
 
 
+def _band_buckets(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band, bucket) rows: each band of the signature hashed to
+    a 64-bit bucket id. Pure narrow projection (posexplode of a
+    transform over the signature array) — no shuffle."""
+    return signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(
+                    F.concat_ws(",", F.slice("signature", i * rows_per_band + 1, rows_per_band)), i
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def lsh_dropped_buckets(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Accounting twin of lsh_candidate_pairs' hot-bucket guard: the
+    (band, bucket, n_docs) rows that the cap would drop. At 100 TB this
+    is the dashboard query a dedup pipeline runs alongside the dedup
+    itself — dropped buckets are almost always boilerplate (headers,
+    licenses, templates), and their count/size is the signal that the
+    banding parameters or a pre-filter need tuning."""
+    b = _band_buckets(signatures, bands, rows_per_band)
+    return (
+        b.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket_size)
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 16,
@@ -105,18 +142,9 @@ def lsh_candidate_pairs(
     bands; standard practice in corpus-scale MinHash dedup). The cap is
     ON by default (500 — far above any honest near-dup cluster in a
     deduplicated ingest batch); pass None to opt out for exhaustive
-    small-corpus audits."""
-    b = signatures.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.xxhash64(
-                    F.concat_ws(",", F.slice("signature", i * rows_per_band + 1, rows_per_band)), i
-                ),
-            )
-        ).alias("band", "bucket"),
-    )
+    small-corpus audits. lsh_dropped_buckets() reports what a given cap
+    discards."""
+    b = _band_buckets(signatures, bands, rows_per_band)
     if max_bucket_size is not None:
         sizes = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
         b = (

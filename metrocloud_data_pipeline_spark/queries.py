@@ -792,9 +792,48 @@ def knn_lsh(spark, sf_dir):
     return similarity.lsh_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
-@q("langid_heuristic")
+# The oracle's profile VALUES are generated from the same
+# LANGUAGE_PROFILES dict the Spark side broadcasts, so the two can't
+# drift. Tie-break parity: Spark's max_by(cand_lang, struct(hits,
+# cand_lang)) picks the max (hits, cand_lang) struct = highest hits,
+# then lexicographically largest language — mirrored by the window's
+# ORDER BY hits DESC, cand_lang DESC.
+_LANGID_PROFILE_VALUES = ",\n  ".join(
+    f"('{lang}', '{w}')"
+    for lang, words in text.LANGUAGE_PROFILES.items()
+    for w in words
+)
+
+
+@q(
+    "langid_heuristic",
+    oracle=f"""
+WITH profiles(cand_lang, word) AS (VALUES
+  {_LANGID_PROFILE_VALUES}
+), toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS word
+  FROM documents
+  WHERE length(trim(text)) > 0
+), hits AS (
+  SELECT doc_id, cand_lang, count(*) AS hits
+  FROM toks JOIN profiles USING (word)
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT doc_id, cand_lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang DESC) AS rn
+  FROM hits
+)
+SELECT d.doc_id, d.lang,
+       coalesce(r.cand_lang, 'unknown') AS predicted_lang,
+       coalesce(r.hits, 0) AS stopword_hits
+FROM documents d
+LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (doc_id)
+""",
+)
 def langid_heuristic(spark, sf_dir):
-    """Stopword-overlap language ID (broadcast profile join)."""
+    """Stopword-overlap language ID (broadcast profile join). The oracle
+    recomputes the identical distinct-token overlap scoring in DuckDB,
+    tie-break included."""
     return text.language_id(load(spark, sf_dir, "documents"))
 
 
@@ -1160,14 +1199,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
     the all-pairs formulation; the all-pairs Spark twin
     (token_jaccard_pairs) stays as the pytest cross-check.
 
-    The hot-bucket cap is OFF here by necessity, not oversight: the
-    query's contract is to list EVERY qualifying pair, and a cluster of
-    n near-identical docs owns C(n,2) of them — the candidate set is
-    bounded by the output it must produce (plus the ~4e-24 misses),
-    not by the corpus squared. Capped truncation belongs to pipelines
-    that only need cluster representatives (dedup_minhash)."""
+    The hot-bucket cap is a GENEROUS 10,000 (vs the library default of
+    500): the query's contract is to list every qualifying pair, and a
+    cluster of n genuinely near-identical docs owns C(n,2) of them, so
+    an honest cluster under the cap is never truncated. But a
+    boilerplate/collision bucket of sub-threshold docs still generates
+    and exact-verifies O(n^2) candidates before the 0.95 filter drops
+    them — at 100 TB one such bucket is a job-killer, so the cap stays
+    ON. dedup.lsh_dropped_buckets() with the same parameters reports
+    exactly which (band, bucket, n_docs) the cap discarded."""
     return dedup.token_jaccard_pairs_lsh(
-        load(spark, sf_dir, "documents"), threshold=0.95, max_bucket_size=None
+        load(spark, sf_dir, "documents"), threshold=0.95, max_bucket_size=10_000
     )
 
 
@@ -1621,9 +1663,11 @@ def dedup_clusters(spark, sf_dir):
     the scale way (LSH candidates -> exact verify). cluster_id = the
     component's min doc_id; keep-one-per-cluster dedup keeps that
     representative. The oracle reaches the same components with a
-    recursive CTE over the all-pairs edge set."""
+    recursive CTE over the all-pairs edge set. The pair source runs
+    with the generous 10k hot-bucket cap (see dedup_ngram_jaccard's
+    docstring for the rationale and the accounting twin)."""
     pairs = dedup.token_jaccard_pairs_lsh(
-        load(spark, sf_dir, "documents"), threshold=0.95, max_bucket_size=None
+        load(spark, sf_dir, "documents"), threshold=0.95, max_bucket_size=10_000
     )
     return dedup.duplicate_clusters(pairs.select("doc_a", "doc_b"))
 
@@ -1744,66 +1788,15 @@ def t2_pivot_event_values(spark, sf_dir):
 
 
 # Registration order is a verification budget: the harness verdicts
-# queries in order and may stop after a prefix (round 1 stopped at 50 of
-# 63). Order places queries with NO verdict yet first, then the round-1
-# failures (now fixed), then every remaining distinct operator; the tail
-# holds simple filter/bucket variants that already carry a green round-1
-# verdict and whose operators are also exercised by earlier entries.
+# queries in order and may stop after a prefix (it verifies the first 50
+# of 76). Round-4 rotation: the 26 queries outside round 3's check
+# window go first (all were driver-green in round 1, unchanged since),
+# then everything changed THIS round (the NTZ timestamp fix and the LSH
+# bucket-cap registrations), then round-3-green oracle queries aging
+# toward the back, with rows-only / recently-double-checked entries in
+# the rotated-out tail.
 QUERY_ORDER = [
-    # no driver verdict yet (round 1 checked only the first 50)
-    "h17_small_qty_revenue",
-    "h19_disc_revenue",
-    "h21_late_suppliers",
-    "h22_dormant_customers",
-    "dedup_ngram_jaccard",
-    "dedup_embed_cosine",
-    "dedup_embed_cosine_lsh",
-    "doc_fingerprint_winnow",
-    "media_feature_extract",
-    "media_frame_sample",
-    "media_type_summary",
-    "a9_daily_quality_approx",
-    "knn_ivf",
-    # round-1 hash-fails / canonicalizer error, fixed this round
-    "h1_pricing_summary",
-    "h9_nation_profit",
-    "h18_large_customers",
-    "h_brand_revenue",
-    "ingest_fanout_pipeline",
-    # new this round (corpus curation) — no verdict yet
-    "decontaminate_ngram",
-    "sample_weighted_sources",
-    "seq_pack_summary",
-    "text_clean_stats",
-    "quality_filter_report",
-    "pii_scrub_stats",
-    "text_repetition_stats",
-    "stratified_split",
-    "dedup_clusters",
-    "w4_user_sessions",
-    "asof_last_error",
-    "a11_type_daily_rollup",
-    "t2_pivot_event_values",
-    # every remaining distinct operator
-    "f5_integrity_report",
-    "a1_device_summary",
-    "a4_device_stats",
-    "a6_table_stats",
-    "a6_table_stats_approx",
-    "a8_duplicate_report",
-    "a9_daily_quality",
-    "w1_gap_detection",
-    "w3_rate_of_change",
-    "t1_unpivot_measures",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "text_bpe_token_stats",
-    "text_quality_score",
-    "knn_lsh",
-    "h3_shipping_priority",
-    "h4_order_priority",
-    "h5_local_supplier_volume",
+    # unchecked in round 3 (driver verifies only the first 50)
     "h6_forecast_revenue",
     "h7_volume_shipping",
     "h8_market_share",
@@ -1812,7 +1805,6 @@ QUERY_ORDER = [
     "h14_promo_revenue",
     "h15_top_supplier",
     "h16_supplier_part_counts",
-    # green-in-round-1 entries, unchanged since (beyond the 50-query budget)
     "langid_heuristic",
     "text_token_stats",
     "lang_source_stats",
@@ -1831,6 +1823,59 @@ QUERY_ORDER = [
     "a7_type_distribution",
     "a10_realtime_monitor",
     "w2_moving_average",
+    # changed this round: NTZ loader fix / LSH hot-bucket cap
+    "w1_gap_detection",
+    "w3_rate_of_change",
+    "w4_user_sessions",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    # round-3-green oracle rows, aging toward rotation
+    "h17_small_qty_revenue",
+    "h19_disc_revenue",
+    "h21_late_suppliers",
+    "h22_dormant_customers",
+    "dedup_embed_cosine",
+    "doc_fingerprint_winnow",
+    "media_feature_extract",
+    "media_frame_sample",
+    "media_type_summary",
+    "h1_pricing_summary",
+    "h9_nation_profit",
+    "h18_large_customers",
+    "h_brand_revenue",
+    "decontaminate_ngram",
+    "sample_weighted_sources",
+    "text_clean_stats",
+    "quality_filter_report",
+    "pii_scrub_stats",
+    "text_repetition_stats",
+    # --- driver window ends ~here (first 50) ---
+    "stratified_split",
+    "asof_last_error",
+    "a11_type_daily_rollup",
+    "t2_pivot_event_values",
+    "f5_integrity_report",
+    "a1_device_summary",
+    "a4_device_stats",
+    "a6_table_stats",
+    "a6_table_stats_approx",
+    "a8_duplicate_report",
+    "a9_daily_quality",
+    "a9_daily_quality_approx",
+    "t1_unpivot_measures",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "text_bpe_token_stats",
+    "text_quality_score",
+    "knn_lsh",
+    "knn_ivf",
+    "dedup_embed_cosine_lsh",
+    "ingest_fanout_pipeline",
+    "seq_pack_summary",
+    "h3_shipping_priority",
+    "h4_order_priority",
+    "h5_local_supplier_volume",
 ]
 
 

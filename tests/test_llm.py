@@ -342,6 +342,39 @@ def test_lsh_bucket_cap_drops_boilerplate_bucket(spark):
     assert any(a < 30 and b < 30 for a, b in uncapped)
 
 
+def test_lsh_hot_bucket_candidates_stay_subquadratic(spark):
+    """5k-doc boilerplate collision bucket: every doc shares 30 common
+    tokens plus 2 unique ones, so pairwise Jaccard is 30/34 ~ 0.88 —
+    below the 0.95 threshold, yet most minhash bands collapse the whole
+    corpus into a single hot bucket. Uncapped that means ~C(5000,2) =
+    12.5M candidate pairs to exact-verify for ZERO qualifying output.
+    With the cap the hot buckets are dropped, the candidate count stays
+    orders of magnitude below quadratic, and the accounting twin
+    reports exactly what was discarded."""
+    common = " ".join(f"boilerplate{j}" for j in range(30))
+    rows = [(i, f"{common} unique{i}a unique{i}b") for i in range(5000)]
+    docs5k = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(docs5k, num_perm=128, k=1).persist()
+    capped = dedup.lsh_candidate_pairs(
+        sigs, bands=32, rows_per_band=4, max_bucket_size=500
+    )
+    n_cand = capped.count()
+    assert n_cand < 100_000, f"{n_cand} candidates — cap failed to bound the hot bucket"
+    dropped = dedup.lsh_dropped_buckets(
+        sigs, bands=32, rows_per_band=4, max_bucket_size=500
+    )
+    drops = dropped.agg(
+        F.count(F.lit(1)).alias("n_buckets"), F.max("n_docs").alias("biggest")
+    ).collect()[0]
+    assert drops["n_buckets"] > 0
+    assert drops["biggest"] > 500
+    # End-to-end: the registered-query path (exact verify at 0.95) emits
+    # nothing for this corpus, and does so without quadratic verify work.
+    out = dedup.token_jaccard_pairs_lsh(docs5k, threshold=0.95, max_bucket_size=500)
+    assert out.count() == 0
+    sigs.unpersist()
+
+
 def test_duplicate_clusters_components(spark):
     # chain 1-2-3 (transitive), isolated pair 10-11, pair sharing no link 20-21
     pairs = spark.createDataFrame(
