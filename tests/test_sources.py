@@ -64,6 +64,46 @@ def test_avro_sink_gated_without_package(spark):
         avro_io.kafka_avro_sink_frame(df)
 
 
+def _avro_loaded(spark) -> bool:
+    try:
+        from pyspark.sql.avro.functions import to_avro
+        from pyspark.sql import functions as F
+
+        spark.range(1).select(to_avro(F.struct("id"))).schema
+        return True
+    except Exception:
+        return False
+
+
+def test_avro_wire_roundtrip(spark):
+    """Sink frame -> source frame round-trip through the actual Avro
+    wire bytes (OP-S1/OP-S2). Auto-skips where spark-avro is absent
+    (this container); runs the moment the package is on the classpath,
+    covering the serialize/deserialize parity the Kafka path depends
+    on without needing a broker."""
+    if not _avro_loaded(spark):
+        pytest.skip("spark-avro not on the classpath in this environment")
+    from metrocloud_data_pipeline_spark import schema as S
+
+    row = {f.name: None for f in S.FLAT_READING_SCHEMA.fields}
+    row.update(
+        {
+            "device_id": "aa:bb:cc",
+            "device_type": "ruuvitag",
+            "value": 21.5,
+            "unit": "celsius",
+        }
+    )
+    readings = spark.createDataFrame([row], S.FLAT_READING_SCHEMA)
+    wire = avro_io.kafka_avro_sink_frame(readings)
+    assert [f.name for f in wire.schema.fields] == ["key", "value"]
+    assert wire.schema["value"].dataType.simpleString() == "binary"
+    back = avro_io.kafka_avro_source_frame(wire).first()
+    assert back["device_id"] == "aa:bb:cc"
+    assert back["value"] == 21.5
+    assert back["unit"] == "celsius"
+
+
 def test_jdbc_sink_gated_without_driver(spark):
     """No JDBC driver jar ships in this container: the builder must fail
     at construction with the deployment hint, not at executor runtime."""
