@@ -74,6 +74,7 @@ HEADLINE = [
     "knn_brute_force",
     "knn_ivf",
     "media_type_summary",
+    "obs_alert_firing",
 ]
 # Deliberately absent: the exact-all-pairs baselines (dedup_ngram_jaccard,
 # dedup_embed_cosine) — quadratic verification twins for the oracle gate,

@@ -1,0 +1,108 @@
+"""Observability operators — the reference's dashboard/alert surface as
+queryable aggregates (SURVEY.md §2.12).
+
+The reference exposes pipeline health through Prometheus counters
+(src/utils/metrics.py:41-165) scraped into Grafana panels
+(monitoring/grafana/dashboards/iot-pipeline.json — e.g.
+``rate(iot_messages_processed_total[5m])``, anomaly-rate%) and alert
+rules with FOR-duration semantics
+(monitoring/prometheus/rules/alert_rules.yml:1-145). Here the same
+signals are derived from the data itself, as one-scan bucket
+aggregates any SQL client can query:
+
+- throughput: messages per tumbling bucket per series -> rate/sec
+  (the PromQL ``rate(...[5m])`` panel shape).
+- anomaly_rate: per-bucket anomaly percentage (the dashboard's
+  anomaly-rate% panel, derived from the OP-T7 flag).
+- alert_eval: Prometheus ``expr ... for: <duration>`` evaluation over
+  bucketed series — an alert FIRES at bucket t when its condition held
+  at t and the preceding N-1 CONTIGUOUS buckets. One analytic window
+  (count-of-trues over the trailing N rows + a lag-based contiguity
+  probe), so evaluation is a single shuffle keyed by series.
+
+At 100 TB these are scan -> partial agg -> tiny-key shuffle plans: the
+bucket/series key space is hours x series, orders of magnitude smaller
+than the input, and the alert window runs over the aggregated buckets,
+never the raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import round6
+from ..functions.timeutil import bucket_seconds, time_bucket
+
+
+def throughput(
+    events: DataFrame,
+    width: str = "5 minutes",
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Messages per tumbling bucket per series + per-second rate — the
+    ``rate(iot_messages_processed_total[5m])`` Grafana panel, computed
+    from the event stream instead of a scraped counter."""
+    w = bucket_seconds(width)
+    return events.groupBy(
+        time_bucket(ts_col, width).alias("bucket"), F.col(series_col).alias("series")
+    ).agg(
+        F.count(F.lit(1)).alias("n_messages"),
+        round6(F.count(F.lit(1)).cast("double") / F.lit(float(w))).alias("rate_per_sec"),
+    )
+
+
+def anomaly_rate(
+    readings: DataFrame,
+    width: str = "1 hour",
+    flag_col: str = "is_anomaly",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-bucket anomaly percentage (the dashboard's anomaly-rate%
+    panel; numerator is the OP-T7 threshold flag)."""
+    return readings.groupBy(time_bucket(ts_col, width).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.count_if(F.col(flag_col)).alias("n_anomalies"),
+        round6(
+            F.count_if(F.col(flag_col)).cast("double") * 100.0 / F.count(F.lit(1))
+        ).alias("anomaly_rate_pct"),
+    )
+
+
+def alert_eval(
+    bucketed: DataFrame,
+    condition: Column,
+    width: str,
+    for_buckets: int = 1,
+    bucket_col: str = "bucket",
+    key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Prometheus alert-rule evaluation (``expr`` + ``for:``) over a
+    bucketed series: a row is FIRING when `condition` holds at its
+    bucket and at the `for_buckets - 1` immediately preceding CONTIGUOUS
+    buckets of the same series. A gap in the series (an empty bucket was
+    never emitted) resets the run, matching Prometheus' behavior when a
+    series disappears mid-`for` window.
+
+    Returns the input plus `condition_met` and `firing`. One analytic
+    pass: trailing count-of-trues + a lag(N-1) contiguity probe share
+    the same (keys, bucket) sort, so Catalyst plans a single exchange.
+    """
+    if for_buckets < 1:
+        raise ValueError(f"for_buckets must be >= 1, got {for_buckets}")
+    w = Window.partitionBy(*key_cols).orderBy(bucket_col)
+    sec = bucket_seconds(width)
+    out = bucketed.withColumn("condition_met", condition.cast("boolean"))
+    trail = F.count_if(F.col("condition_met")).over(
+        w.rowsBetween(-(for_buckets - 1), Window.currentRow)
+    )
+    contiguous = (
+        F.lag(bucket_col, for_buckets - 1).over(w)
+        == F.col(bucket_col) - F.expr(f"INTERVAL {sec * (for_buckets - 1)} SECONDS")
+    )
+    firing = F.col("condition_met") & (trail == for_buckets)
+    if for_buckets > 1:
+        firing = firing & F.coalesce(contiguous, F.lit(False))
+    return out.withColumn("firing", firing)

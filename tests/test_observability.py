@@ -1,0 +1,103 @@
+"""alert_eval / throughput / anomaly_rate semantics on synthetic series."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrocloud_data_pipeline_spark.operators import observability as OBS
+
+
+def _buckets(spark, rows):
+    return spark.createDataFrame(rows, "series string, bucket timestamp, value double")
+
+
+def test_alert_fires_only_after_for_duration(spark):
+    h = lambda i: datetime(2024, 1, 1, i)
+    rows = [
+        ("s", h(0), 5.0),   # below
+        ("s", h(1), 20.0),  # cond true, run=1 -> pending, not firing
+        ("s", h(2), 25.0),  # cond true, run=2 -> FIRING
+        ("s", h(3), 30.0),  # cond true, run=3 -> FIRING
+        ("s", h(4), 1.0),   # below -> resolved
+    ]
+    out = OBS.alert_eval(
+        _buckets(spark, rows), F.col("value") > 10.0, width="1 hour",
+        for_buckets=2, key_cols=("series",),
+    ).orderBy("bucket").collect()
+    assert [r["firing"] for r in out] == [False, False, True, True, False]
+    assert [r["condition_met"] for r in out] == [False, True, True, True, False]
+
+
+def test_alert_gap_resets_for_window(spark):
+    # condition true at 01:00 and 03:00 but 02:00 is MISSING: the gap
+    # breaks contiguity, so nothing fires with for_buckets=2
+    h = lambda i: datetime(2024, 1, 1, i)
+    rows = [("s", h(1), 20.0), ("s", h(3), 25.0)]
+    out = OBS.alert_eval(
+        _buckets(spark, rows), F.col("value") > 10.0, width="1 hour",
+        for_buckets=2, key_cols=("series",),
+    ).collect()
+    assert all(not r["firing"] for r in out)
+
+
+def test_alert_for_one_bucket_fires_immediately(spark):
+    rows = [("s", datetime(2024, 1, 1, 0), 20.0)]
+    out = OBS.alert_eval(
+        _buckets(spark, rows), F.col("value") > 10.0, width="1 hour",
+        for_buckets=1, key_cols=("series",),
+    ).collect()
+    assert out[0]["firing"] is True
+
+
+def test_alert_series_are_independent(spark):
+    # two series interleaved: runs are evaluated per series
+    h = lambda i: datetime(2024, 1, 1, i)
+    rows = [
+        ("a", h(0), 20.0), ("a", h(1), 20.0),   # a fires at h1
+        ("b", h(0), 20.0), ("b", h(1), 5.0),    # b never fires
+    ]
+    out = OBS.alert_eval(
+        _buckets(spark, rows), F.col("value") > 10.0, width="1 hour",
+        for_buckets=2, key_cols=("series",),
+    ).collect()
+    got = {(r["series"], r["bucket"].hour): r["firing"] for r in out}
+    assert got == {("a", 0): False, ("a", 1): True, ("b", 0): False, ("b", 1): False}
+
+
+def test_alert_eval_rejects_bad_for(spark):
+    with pytest.raises(ValueError):
+        OBS.alert_eval(_buckets(spark, []), F.lit(True), width="1 hour", for_buckets=0)
+
+
+def test_throughput_rate_math(spark):
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 30), "click"),
+        (2, datetime(2024, 1, 1, 0, 2, 0), "click"),
+        (3, datetime(2024, 1, 1, 0, 7, 0), "click"),
+        (4, datetime(2024, 1, 1, 0, 0, 0), "view"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {
+        (r["series"], r["bucket"].minute): (r["n_messages"], r["rate_per_sec"])
+        for r in OBS.throughput(ev, width="5 minutes").collect()
+    }
+    assert out[("click", 0)] == (2, round(2 / 300.0, 6))
+    assert out[("click", 5)] == (1, round(1 / 300.0, 6))
+    assert out[("view", 0)] == (1, round(1 / 300.0, 6))
+
+
+def test_anomaly_rate_pct(spark):
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 10), True),
+        (2, datetime(2024, 1, 1, 0, 20), False),
+        (3, datetime(2024, 1, 1, 0, 30), False),
+        (4, datetime(2024, 1, 1, 1, 10), False),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, is_anomaly boolean")
+    out = {r["bucket"].hour: r for r in OBS.anomaly_rate(df, width="1 hour").collect()}
+    assert out[0]["n_readings"] == 3 and out[0]["n_anomalies"] == 1
+    assert out[0]["anomaly_rate_pct"] == round(100.0 / 3, 6)
+    assert out[1]["anomaly_rate_pct"] == 0.0
