@@ -139,26 +139,29 @@ def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5) -> DataFrame:
     md5 each k-token gram, slide a w-gram window per document, keep the
     window-minimum hash, emit the distinct (doc_id, fp) set.
 
-    md5 (not xxhash64) so the oracle twin is bit-identical in DuckDB;
-    the window-min runs as one analytic over (doc_id, gram position) —
-    a single shuffle keyed by doc_id. Matching fp overlap between two
-    docs localizes shared passages, not just whole-doc similarity."""
+    md5 (not xxhash64) so the oracle twin is bit-identical in DuckDB.
+    Gram assembly zips k shifted slices of the token array and
+    posexplodes — a narrow codegen projection whose pos IS the gram
+    position, so the md5 is computed map-side and the only shuffle is
+    the window-min's (doc_id, pos) sort over fixed-width hash rows
+    (the previous lead()-window assembly paid that same shuffle BEFORE
+    any gram existed, then built grams post-sort). A doc shorter than
+    k tokens emits its whole text as one gram (slice caps at one gram;
+    concat_ws skips arrays_zip's null padding) — same output as before.
+    Matching fp overlap between two docs localizes shared passages,
+    not just whole-doc similarity."""
     from pyspark.sql.window import Window
 
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    # k-grams via posexplode + lead() windows (JVM operators; a
-    # transform() lambda over index ranges evaluates interpreted and
-    # measured ~7x slower at sf0.1 — see llm/dedup.py shingles()).
-    # Gram strings/positions are identical to the index-range
-    # formulation, so the DuckDB oracle twin still matches bit-for-bit.
-    toks = docs.select("doc_id", F.posexplode(F.split(norm, " ")).alias("pos", "tok"))
-    ww = Window.partitionBy("doc_id").orderBy("pos")
-    wn = Window.partitionBy("doc_id")
-    gram = F.concat_ws(" ", *([F.col("tok")] + [F.lead("tok", i).over(ww) for i in range(1, k)]))
-    n = F.count(F.lit(1)).over(wn)
-    keep = (F.col("pos") + k - 1 < n) | ((F.col("pos") == 0) & (n < k))
-    gh = toks.select("doc_id", "pos", F.when(keep, F.md5(gram)).alias("gh")).where(
-        F.col("gh").isNotNull()
+    m = F.greatest(F.size(F.col("_toks")) - (k - 1), F.lit(1))
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("_toks"), i + 1, m).alias(f"t{i}") for i in range(k)]
+    )
+    gram = F.concat_ws(" ", *[F.col(f"g.t{i}") for i in range(k)])
+    gh = (
+        docs.select("doc_id", F.split(norm, " ").alias("_toks"))
+        .select("doc_id", F.posexplode(zipped).alias("pos", "g"))
+        .select("doc_id", "pos", F.md5(gram).alias("gh"))
     )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     return gh.select("doc_id", F.min("gh").over(win).alias("fp")).distinct()
