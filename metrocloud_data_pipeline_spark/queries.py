@@ -762,6 +762,38 @@ def knn_brute_force(spark, sf_dir):
     return similarity.brute_force_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
+@q(
+    "knn_join_brute",
+    oracle="""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+scored AS (
+  SELECT q.q_id, e.vec_id, e.label,
+         round(
+           list_sum(list_transform(list_zip(e.embedding, q.q_emb),
+                                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cosine_sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.q_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, label, cosine_sim, rank FROM ranked WHERE rank <= 10
+""",
+)
+def knn_join_brute(spark, sf_dir):
+    """Batch kNN, exact audit slice: top-10 neighbor lists for the
+    first 20 query vectors — the per-document form embedding curation
+    consumes (semantic dedup, diversity sampling), vs knn_brute_force's
+    single probe. The slice bound is the quadratic guard; knn_join_ivf
+    is the all-queries scale path."""
+    return similarity.knn_join_brute(
+        load(spark, sf_dir, "embeddings"), k=10, max_queries=20
+    )
+
+
 # --- non-SQL-expressible ops: rows-only harness check ----------------------
 
 @q("dedup_minhash")
@@ -1381,6 +1413,16 @@ def knn_ivf(spark, sf_dir):
     return similarity.ivf_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, nprobe=4)
 
 
+@q("knn_join_ivf")
+def knn_join_ivf(spark, sf_dir):
+    """Batch ANN scale path: top-10 neighbor lists for EVERY vector,
+    scoring only each query's 4 nearest IVF lists (corpus x nprobe/
+    stride candidates, Arrow-batched matmul scoring). Approximate by
+    construction -> rows-only check; recall vs knn_join_brute on the
+    shared query slice is pytest-gated."""
+    return similarity.knn_join_ivf(load(spark, sf_dir, "embeddings"), k=10, nprobe=4)
+
+
 # --- corpus curation (llm/curation.py) --------------------------------------
 
 
@@ -1900,6 +1942,9 @@ QUERY_ORDER = [
     "obs_throughput_5min",
     "obs_anomaly_rate_hourly",
     "obs_alert_firing",
+    # new this round: batch kNN join (exact audit slice + IVF scale path)
+    "knn_join_brute",
+    "knn_join_ivf",
     # changed this round: NTZ loader fix / LSH hot-bucket cap
     "w1_gap_detection",
     "w3_rate_of_change",

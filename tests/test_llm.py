@@ -299,6 +299,50 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     idx[1].unpersist()
 
 
+def test_knn_join_brute_geometry_and_agreement(spark):
+    import math
+    rows = []
+    for vid in range(40):
+        base = [math.sin(0.7 * vid + i) for i in range(8)]
+        n = math.sqrt(sum(x * x for x in base))
+        rows.append((vid, [x / n for x in base], vid % 3))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").cache()
+    out = similarity.knn_join_brute(emb, k=5, max_queries=4).collect()
+    by_q = {}
+    for r in out:
+        assert r["vec_id"] != r["q_id"]  # never self
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for q, rs in by_q.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+    # the q_id=0 row of the batch join equals the single-probe baseline
+    single = [r["vec_id"] for r in similarity.brute_force_topk(emb, 0, k=5).collect()]
+    batch0 = [r["vec_id"] for r in sorted(by_q[0], key=lambda r: r["rank"])]
+    assert batch0 == single
+
+
+def test_knn_join_ivf_recall_vs_brute(spark):
+    import math
+    rows = []
+    for vid in range(90):
+        c = vid % 3
+        base = [1.0 if i == c else 0.0 for i in range(8)]
+        base[(c + 3) % 8] = 0.05 * ((vid * 7) % 11)
+        n = math.sqrt(sum(x * x for x in base))
+        rows.append((vid, [x / n for x in base], c))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").cache()
+    exact = similarity.knn_join_brute(emb, k=10, max_queries=6).collect()
+    approx = similarity.knn_join_ivf(emb, k=10, nprobe=3, stride=7).collect()
+    ex_by_q, ap_by_q = {}, {}
+    for r in exact:
+        ex_by_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for r in approx:
+        ap_by_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+    assert set(ap_by_q) == set(range(90))  # every vector got a neighbor list
+    recalls = [len(ex_by_q[q] & ap_by_q[q]) / len(ex_by_q[q]) for q in ex_by_q]
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
 def test_winnow_fingerprints_shared_passages(docs):
     fps = text.winnow_fingerprints(docs, k=4, w=5)
     by_doc = {r["doc_id"]: set() for r in fps.collect()}
