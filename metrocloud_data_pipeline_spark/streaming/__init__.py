@@ -7,6 +7,7 @@ from .pipeline import (
     session_aggregate,
     stateful_anomaly_context,
     stream_raw_files,
+    streaming_alert_eval,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "session_aggregate",
     "stateful_anomaly_context",
     "stream_raw_files",
+    "streaming_alert_eval",
 ]

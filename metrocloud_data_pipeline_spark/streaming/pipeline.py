@@ -282,6 +282,69 @@ def stateful_anomaly_context(readings: DataFrame) -> DataFrame:
     )
 
 
+ALERT_EVAL_SCHEMA = (
+    "series string, bucket timestamp, metric double, condition_met boolean, "
+    "run_len int, firing boolean"
+)
+_ALERT_STATE_SCHEMA = "run_len int, last_epoch double"
+
+
+def streaming_alert_eval(
+    bucketed: DataFrame, width: str, for_buckets: int = 1
+) -> DataFrame:
+    """Streaming twin of observability.alert_eval: Prometheus ``expr`` +
+    ``for:`` semantics evaluated continuously. Input is a bucketed
+    condition stream (series, bucket, metric, condition_met); a row
+    FIRES when its condition held for `for_buckets` CONTIGUOUS buckets
+    of its series — and unlike the batch window form, the consecutive-
+    breach run survives micro-batch boundaries and query restarts
+    (keyed state: one (run_len, last_epoch) pair per series, O(series)
+    memory regardless of rate).
+
+    Semantics match the batch operator row-for-row: a bucket gap resets
+    the run (Prometheus behavior when a series disappears mid-`for`);
+    condition false resets it to zero. Partitioning: groupBy(series)
+    shuffles each alert series to one task — series are independent, so
+    a fleet of rules/devices parallelizes across the cluster."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.timeutil import bucket_seconds
+
+    if for_buckets < 1:
+        raise ValueError(f"for_buckets must be >= 1, got {for_buckets}")
+    sec = bucket_seconds(width)
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        run, last = state.get if state.exists else (0, -1.0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("bucket")
+            for r in pdf.itertuples(index=False):
+                epoch = r.bucket.timestamp()
+                cond = bool(r.condition_met)
+                contiguous = last >= 0 and abs(epoch - (last + sec)) < 1e-6
+                if cond:
+                    run = run + 1 if contiguous else 1
+                else:
+                    run = 0
+                out.append(
+                    (key[0], r.bucket, r.metric, cond, run, cond and run >= for_buckets)
+                )
+                last = epoch
+        state.update((run, last))
+        cols = ["series", "bucket", "metric", "condition_met", "run_len", "firing"]
+        yield pd.DataFrame(out, columns=cols)
+
+    return bucketed.groupBy("series").applyInPandasWithState(
+        fn,
+        outputStructType=ALERT_EVAL_SCHEMA,
+        stateStructType=_ALERT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_alert_stream(
     raw_stream: DataFrame,
     alerts_path: str,

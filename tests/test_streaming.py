@@ -153,6 +153,96 @@ def test_stateful_anomaly_context_across_batches(spark, tmp_path, normalized):
     assert by_sensor[key]["value"] is not None
 
 
+def test_streaming_alert_eval_run_survives_batches(spark, tmp_path):
+    # FOR-duration alert runs must survive micro-batch boundaries:
+    # batch 1 ends mid-run (1 breach bucket); batch 2's first bucket
+    # completes the 2-bucket run and must FIRE — only possible if the
+    # run length crossed the checkpoint. Series "g" has a bucket gap
+    # between its two breaches, so it must never fire.
+    from datetime import datetime
+
+    from metrocloud_data_pipeline_spark.streaming.pipeline import ALERT_EVAL_SCHEMA
+
+    h = lambda i: datetime(2024, 1, 1, i)
+    in_schema = "series string, bucket timestamp, metric double, condition_met boolean"
+    src_dir = tmp_path / "alert_src"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "alert_out")
+    ck = str(tmp_path / "alert_ck")
+
+    b1 = [("a", h(0), 5.0, False), ("a", h(1), 20.0, True), ("g", h(1), 20.0, True)]
+    b2 = [("a", h(2), 25.0, True), ("a", h(3), 2.0, False), ("g", h(3), 25.0, True)]
+    spark.createDataFrame(b1, in_schema).coalesce(1).write.parquet(str(src_dir / "b1"))
+
+    def run_once():
+        stream = spark.readStream.schema(in_schema).parquet(str(src_dir) + "/*")
+        q = (
+            streaming.streaming_alert_eval(stream, width="1 hour", for_buckets=2)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    read = lambda: spark.read.schema(ALERT_EVAL_SCHEMA).parquet(out_dir)
+    first = {(r["series"], r["bucket"].hour): r for r in read().collect()}
+    assert not any(r["firing"] for r in first.values())  # run=1 is pending, not firing
+    assert first[("a", 1)]["run_len"] == 1
+
+    spark.createDataFrame(b2, in_schema).coalesce(1).write.parquet(str(src_dir / "b2"))
+    run_once()
+    rows = {(r["series"], r["bucket"].hour): r for r in read().collect()}
+    assert rows[("a", 2)]["firing"] and rows[("a", 2)]["run_len"] == 2  # crossed batches
+    assert not rows[("a", 3)]["firing"] and rows[("a", 3)]["run_len"] == 0
+    assert not rows[("g", 3)]["firing"]  # gap at h2 reset the run
+    assert rows[("g", 3)]["run_len"] == 1
+
+
+def test_streaming_alert_eval_matches_batch_operator(spark, tmp_path):
+    # same bucket series through the stateful stream and the batch
+    # window operator -> identical firing decisions
+    from datetime import datetime
+
+    from metrocloud_data_pipeline_spark.operators import observability as OBS
+    from metrocloud_data_pipeline_spark.streaming.pipeline import ALERT_EVAL_SCHEMA
+
+    h = lambda i: datetime(2024, 1, 1, i)
+    in_schema = "series string, bucket timestamp, metric double, condition_met boolean"
+    rows = [
+        ("s", h(0), 20.0, True), ("s", h(1), 21.0, True), ("s", h(2), 3.0, False),
+        ("s", h(3), 22.0, True), ("s", h(4), 23.0, True), ("s", h(5), 24.0, True),
+    ]
+    src_dir = tmp_path / "ab_src"
+    src_dir.mkdir()
+    spark.createDataFrame(rows, in_schema).coalesce(1).write.parquet(str(src_dir / "b1"))
+    stream = spark.readStream.schema(in_schema).parquet(str(src_dir) + "/*")
+    out_dir = str(tmp_path / "ab_out")
+    q = (
+        streaming.streaming_alert_eval(stream, width="1 hour", for_buckets=2)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ab_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_fire = {
+        (r["series"], r["bucket"]): r["firing"]
+        for r in spark.read.schema(ALERT_EVAL_SCHEMA).parquet(out_dir).collect()
+    }
+    batch = OBS.alert_eval(
+        spark.createDataFrame(rows, in_schema).withColumnRenamed("condition_met", "c"),
+        F.col("c"), width="1 hour", for_buckets=2, key_cols=("series",),
+    )
+    batch_fire = {(r["series"], r["bucket"]): r["firing"] for r in batch.collect()}
+    assert stream_fire == batch_fire
+
+
 def test_ingest_stream_pipeline_metrics(spark, tmp_path, raw_dir):
     table = str(tmp_path / "bronze_m")
     metrics = str(tmp_path / "metrics")
