@@ -1945,33 +1945,37 @@ QUERY_ORDER = [
     # new this round: batch kNN join (exact audit slice + IVF scale path)
     "knn_join_brute",
     "knn_join_ivf",
-    # changed this round: NTZ loader fix / LSH hot-bucket cap
+    # changed this round: NTZ loader fix / LSH hot-bucket cap / split-sum
     "w1_gap_detection",
     "w3_rate_of_change",
     "w4_user_sessions",
     "dedup_ngram_jaccard",
     "dedup_clusters",
-    # round-3-green oracle rows, aging toward rotation
+    "h3_shipping_priority",
+    "h5_local_supplier_volume",
+    # round-3-green rows ALSO touched by this round's split-sum / gram
+    # changes — keep inside the window so every changed query re-verifies
     "h17_small_qty_revenue",
     "h19_disc_revenue",
-    "h21_late_suppliers",
     "h22_dormant_customers",
-    "dedup_embed_cosine",
-    "doc_fingerprint_winnow",
-    "media_feature_extract",
-    "media_frame_sample",
-    "media_type_summary",
     "h1_pricing_summary",
     "h9_nation_profit",
     "h18_large_customers",
     "h_brand_revenue",
+    "doc_fingerprint_winnow",
     "decontaminate_ngram",
+    "text_repetition_stats",
+    # round-3-green and unchanged, aging toward rotation
+    "dedup_embed_cosine",
+    "media_feature_extract",
+    # --- driver window ends here (first 50) ---
+    "media_frame_sample",
+    "media_type_summary",
+    "h21_late_suppliers",
     "sample_weighted_sources",
     "text_clean_stats",
     "quality_filter_report",
     "pii_scrub_stats",
-    "text_repetition_stats",
-    # --- driver window ends ~here (first 50) ---
     "stratified_split",
     "asof_last_error",
     "a11_type_daily_rollup",
@@ -1995,9 +1999,7 @@ QUERY_ORDER = [
     "dedup_embed_cosine_lsh",
     "ingest_fanout_pipeline",
     "seq_pack_summary",
-    "h3_shipping_priority",
     "h4_order_priority",
-    "h5_local_supplier_volume",
 ]
 
 
