@@ -40,17 +40,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, LongType):
-            # TIMESTAMP(NANOS) surfaced as long nanos: truncate to micros
-            # (DuckDB's ns->us conversion also truncates).
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(ts_type, TimestampNTZType):
-            # timestamp[us] without timezone reads as TIMESTAMP_NTZ, which
-            # unix_micros/window functions reject. The session TZ is pinned
-            # to UTC (session.tune), so the cast is an exact relabeling.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # TIMESTAMP(NANOS) surfaced as long nanos: truncate to micros
+        # (DuckDB's ns->us conversion also truncates).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # timestamp[us] written without a timezone reads as TIMESTAMP_NTZ,
+    # which unix_micros/date filters reject or misplan. The session TZ
+    # is pinned to UTC (session.tune), so casting is an exact
+    # relabeling. Applied to every table: the round-3 testdata drift hit
+    # events.ts, but orders/lineitem date columns can drift identically.
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
