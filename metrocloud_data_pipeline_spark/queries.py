@@ -1714,6 +1714,56 @@ def dedup_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(pairs.select("doc_a", "doc_b"))
 
 
+@q(
+    "dedup_keep_list",
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+  FROM documents
+), sizes AS (SELECT doc_id, count(*) AS set_size FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6) >= 0.95
+), edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+),
+lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id, lab.cluster_id,
+       (lab.cluster_id IS NULL OR lab.cluster_id = d.doc_id) AS keep
+FROM documents d LEFT JOIN lab USING (doc_id)
+""",
+)
+def dedup_keep_list(spark, sf_dir):
+    """The dedup DECISION the pipeline acts on: every document tagged
+    keep/drop — docs in no near-dup cluster keep; clustered docs keep
+    only the representative (the component's min doc_id). Downstream
+    the corpus is `where(keep)` — a map-side filter after a broadcast
+    or bucketed join against the (tiny) cluster labels, so removal
+    costs one scan at 100 TB. Completes the detect (ngram_jaccard) ->
+    cluster (dedup_clusters) -> remove workflow."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.token_jaccard_pairs_lsh(docs, threshold=0.95, max_bucket_size=10_000)
+    clusters = dedup.duplicate_clusters(pairs.select("doc_a", "doc_b")).select(
+        "doc_id", "cluster_id"
+    )
+    return docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))).alias(
+            "keep"
+        ),
+    )
+
+
 # --- timeseries: sessionization / as-of (operators/temporal.py) -------------
 
 
@@ -1945,6 +1995,8 @@ QUERY_ORDER = [
     # new this round: batch kNN join (exact audit slice + IVF scale path)
     "knn_join_brute",
     "knn_join_ivf",
+    # new this round: end-to-end dedup decision
+    "dedup_keep_list",
     # changed this round: NTZ loader fix / LSH hot-bucket cap / split-sum
     "w1_gap_detection",
     "w3_rate_of_change",
