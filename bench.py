@@ -73,6 +73,7 @@ HEADLINE = [
     "text_quality_score",
     "knn_brute_force",
     "knn_ivf",
+    "knn_join_ivf",
     "media_type_summary",
     "obs_alert_firing",
 ]
@@ -102,6 +103,15 @@ def main() -> None:
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     # full-suite passes (not per-query back-to-back repeats) so repeat
     # runs don't ride one query's just-evicted shuffle files
+    # NOTE on caching: the dedup pipelines persist signature frames, and
+    # Spark's CacheManager matches by canonicalized plan — so passes 2-3
+    # of a query reuse pass 1's materialized signatures and the reported
+    # median is the warm cost (cold first-build is ~2x for
+    # dedup_minhash/simhash; measured by inserting clearCache between
+    # runs). Kept warm DELIBERATELY: it matches how the operators run in
+    # production (signatures built once per corpus snapshot, reused by
+    # banding/estimation/clustering consumers) and keeps the
+    # round-over-round bench comparison on one methodology.
     for _ in range(runs):
         for name in HEADLINE:
             t0 = time.perf_counter()

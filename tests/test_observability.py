@@ -89,6 +89,50 @@ def test_throughput_rate_math(spark):
     assert out[("view", 0)] == (1, round(1 / 300.0, 6))
 
 
+def _model_alert_eval(buckets, for_buckets, width_sec=3600):
+    """Pure-Python reference: (epoch_hours, cond) -> firing list."""
+    out = []
+    run, last = 0, None
+    for epoch, cond in buckets:
+        contiguous = last is not None and epoch == last + width_sec
+        run = (run + 1 if contiguous else 1) if cond else 0
+        out.append(cond and run >= for_buckets)
+        last = epoch
+    return out
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(
+    pattern=st.lists(
+        st.tuples(st.booleans(), st.booleans()), min_size=1, max_size=12
+    ),
+    for_buckets=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=12, deadline=None)
+def test_alert_eval_matches_python_model(spark, pattern, for_buckets):
+    # pattern: (condition, skip-next-bucket?) pairs -> a series with gaps
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows, epochs, hour = [], [], 0
+    for cond, gap in pattern:
+        rows.append(("s", t0 + timedelta(hours=hour), 20.0 if cond else 1.0))
+        epochs.append((hour * 3600, cond))
+        hour += 2 if gap else 1
+    df = spark.createDataFrame(rows, "series string, bucket timestamp, value double")
+    got = [
+        r["firing"]
+        for r in OBS.alert_eval(
+            df, F.col("value") > 10.0, width="1 hour",
+            for_buckets=for_buckets, key_cols=("series",),
+        ).orderBy("bucket").collect()
+    ]
+    assert got == _model_alert_eval(epochs, for_buckets)
+
+
 def test_anomaly_rate_pct(spark):
     rows = [
         (1, datetime(2024, 1, 1, 0, 10), True),
