@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.numeric import round6
-from ..functions.timeutil import micros
+from ..functions.timeutil import bucket_seconds, micros
 
 
 def sessionize(
@@ -113,3 +113,46 @@ def asof_join(
     for c in right_cols:
         carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return carried.where(F.col("_side") == 1).drop("_side")
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_width: str = "1 hour",
+) -> DataFrame:
+    """Range join without the BroadcastNestedLoop trap: every (event,
+    interval) pair of the same key with start <= ts <= end.
+
+    The naive `e.ts BETWEEN i.start AND i.end` join has no equi-key, so
+    Catalyst plans a BroadcastNestedLoopJoin — O(|events| x |intervals|)
+    comparisons and a broadcast requirement on one whole side, the plan
+    that dies first at 100 TB. Here each interval explodes into the
+    fixed-width time buckets it overlaps (ceil(len/width)+1 rows) and
+    events map to their one bucket, turning the range predicate into a
+    shuffle EQUI-join on (key, bucket) with a residual BETWEEN filter.
+    An (event, interval) pair meets in exactly one bucket — the event's
+    — so no dedup pass is needed. Pick bucket_width near the typical
+    interval length: wider wastes residual comparisons, narrower
+    multiplies the interval-side fan-out."""
+    w = bucket_seconds(bucket_width)
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(micros(F.col(start_col)) / (w * 1_000_000)).cast("long"),
+                F.floor(micros(F.col(end_col)) / (w * 1_000_000)).cast("long"),
+            )
+        ),
+    )
+    ev = events.withColumn(
+        "_b", F.floor(micros(F.col(ts_col)) / (w * 1_000_000)).cast("long")
+    )
+    return (
+        ev.join(iv, [key_col, "_b"])
+        .where(F.col(ts_col).between(F.col(start_col), F.col(end_col)))
+        .drop("_b")
+    )

@@ -1833,6 +1833,60 @@ def asof_last_error(spark, sf_dir):
 
 
 @q(
+    "iv_error_windows",
+    oracle="""
+WITH errors AS (
+  SELECT user_id, event_id AS err_id, ts AS start_ts,
+         ts + INTERVAL 30 MINUTE AS end_ts
+  FROM events WHERE event_type = 'error'
+), clicks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT e.err_id, c.value
+  FROM errors e JOIN clicks c
+    ON c.user_id = e.user_id AND c.ts BETWEEN e.start_ts AND e.end_ts
+), agg AS (
+  SELECT err_id, count(*) AS n_clicks, round(sum(value), 6) AS click_value
+  FROM j GROUP BY 1
+)
+SELECT e.err_id, e.user_id, e.start_ts,
+       coalesce(a.n_clicks, 0) AS n_clicks,
+       round(coalesce(a.click_value, 0.0), 6) AS click_value
+FROM errors e LEFT JOIN agg a USING (err_id)
+""",
+)
+def iv_error_windows(spark, sf_dir):
+    """Interval containment via the bucketed range join: every error
+    event opens a 30-minute window; count/sum the user's clicks inside
+    it (zero-click windows included). The operator turns the range
+    predicate into a (user, time-bucket) equi-join — the naive BETWEEN
+    join plans a BroadcastNestedLoopJoin, quadratic per key."""
+    ev = load(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = temporal.interval_join(
+        clicks, errors, key_col="user_id",
+        start_col="start_ts", end_col="end_ts", bucket_width="30 minutes",
+    )
+    agg = joined.groupBy("err_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        round6(F.sum("value")).alias("click_value"),
+    )
+    return errors.join(agg, "err_id", "left").select(
+        "err_id",
+        "user_id",
+        "start_ts",
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        round6(F.coalesce("click_value", F.lit(0.0))).alias("click_value"),
+    )
+
+
+@q(
     "a11_type_daily_rollup",
     oracle="""
 SELECT CAST(GROUPING(event_type, day) AS INTEGER) AS gid,
@@ -1995,8 +2049,9 @@ QUERY_ORDER = [
     # new this round: batch kNN join (exact audit slice + IVF scale path)
     "knn_join_brute",
     "knn_join_ivf",
-    # new this round: end-to-end dedup decision
+    # new this round: end-to-end dedup decision + bucketed interval join
     "dedup_keep_list",
+    "iv_error_windows",
     # changed this round: NTZ loader fix / LSH hot-bucket cap / split-sum
     "w1_gap_detection",
     "w3_rate_of_change",

@@ -77,3 +77,55 @@ def test_asof_join_single_exchange(spark, events):
     right = events.select("user_id", "ts", events["value"].alias("v2"))
     plan = temporal.asof_join(events, right, "user_id", "ts", ["v2"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_interval_join_containment_and_boundaries(spark):
+    clicks = spark.createDataFrame(
+        [(1, _ts(0), 1.0), (1, _ts(30), 2.0), (1, _ts(31), 4.0), (2, _ts(30), 8.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    ivs = spark.createDataFrame(
+        [(1, 10, _ts(0), _ts(30))],  # user 1 only; both ends inclusive
+        "user_id long, iv_id long, start_ts timestamp, end_ts timestamp",
+    )
+    out = temporal.interval_join(
+        clicks, ivs, key_col="user_id",
+        start_col="start_ts", end_col="end_ts", bucket_width="15 minutes",
+    ).collect()
+    got = sorted((r["iv_id"], r["value"]) for r in out)
+    # ts=0 and ts=30 inclusive; ts=31 outside; user 2 never matches
+    assert got == [(10, 1.0), (10, 2.0)]
+
+
+def test_interval_join_multi_bucket_no_duplicates(spark):
+    # interval spans 5 buckets; the event pair must appear exactly once
+    clicks = spark.createDataFrame(
+        [(1, _ts(60), 1.0)], "user_id long, ts timestamp, value double"
+    )
+    ivs = spark.createDataFrame(
+        [(1, 10, _ts(0), _ts(70)), (1, 11, _ts(55), _ts(65))],
+        "user_id long, iv_id long, start_ts timestamp, end_ts timestamp",
+    )
+    out = temporal.interval_join(
+        clicks, ivs, key_col="user_id",
+        start_col="start_ts", end_col="end_ts", bucket_width="15 minutes",
+    ).collect()
+    # one row per (event, overlapping interval), no bucket-induced dups
+    assert sorted(r["iv_id"] for r in out) == [10, 11]
+
+
+def test_interval_join_plan_has_no_nested_loop(spark):
+    clicks = spark.createDataFrame(
+        [(1, _ts(0), 1.0)], "user_id long, ts timestamp, value double"
+    )
+    ivs = spark.createDataFrame(
+        [(1, 10, _ts(0), _ts(30))],
+        "user_id long, iv_id long, start_ts timestamp, end_ts timestamp",
+    )
+    plan = (
+        temporal.interval_join(
+            clicks, ivs, key_col="user_id", start_col="start_ts", end_col="end_ts"
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoop" not in plan
