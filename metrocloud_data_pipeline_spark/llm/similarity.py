@@ -242,7 +242,21 @@ def cosine_near_dup_exact(
     return scored.where(F.col("cosine_sim") >= threshold)
 
 
-def ivf_assignments(embeddings: DataFrame, stride: int = 31) -> tuple[DataFrame, DataFrame]:
+def _collect_codebook(centroids: DataFrame):
+    """Driver-side (list_ids, unit-normalized codebook matrix) from the
+    centroid frame — tiny by construction (1-in-stride sample)."""
+    import numpy as np
+
+    rows = centroids.orderBy("list_id").collect()
+    ids = np.array([r.list_id for r in rows], dtype=np.int64)
+    code = np.vstack([r.c_emb for r in rows]).astype(np.float64)
+    code /= np.linalg.norm(code, axis=1, keepdims=True)
+    return ids, code
+
+
+def ivf_assignments(
+    embeddings: DataFrame, stride: int = 31, codebook=None
+) -> tuple[DataFrame, DataFrame]:
     """IVF coarse index: (centroids, list assignments).
 
     Centroids are a deterministic 1-in-stride sample of the corpus
@@ -256,7 +270,8 @@ def ivf_assignments(embeddings: DataFrame, stride: int = 31) -> tuple[DataFrame,
     100 TB. Ties break to the smallest list_id (codebook sorted, argmax
     takes the first maximum). At scale this runs once at ingest and the
     corpus is written bucketed by list_id, so probes prune to nprobe
-    buckets."""
+    buckets. Pass a precollected `codebook` (from _collect_codebook) to
+    share one driver-side collect across consumers."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -264,10 +279,7 @@ def ivf_assignments(embeddings: DataFrame, stride: int = 31) -> tuple[DataFrame,
     centroids = embeddings.where(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("list_id"), F.col("embedding").alias("c_emb")
     )
-    rows = centroids.orderBy("list_id").collect()
-    ids = np.array([r.list_id for r in rows], dtype=np.int64)
-    code = np.vstack([r.c_emb for r in rows]).astype(np.float64)
-    code /= np.linalg.norm(code, axis=1, keepdims=True)
+    ids, code = codebook if codebook is not None else _collect_codebook(centroids)
     bc = embeddings.sparkSession.sparkContext.broadcast((ids, code))
 
     @pandas_udf("long")
@@ -354,11 +366,13 @@ def knn_join_ivf(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.window import Window
 
-    centroids, assign = ivf_assignments(embeddings, stride=stride)
-    rows = centroids.orderBy("list_id").collect()
-    ids = np.array([r.list_id for r in rows], dtype=np.int64)
-    code = np.vstack([r.c_emb for r in rows]).astype(np.float64)
-    code /= np.linalg.norm(code, axis=1, keepdims=True)
+    # one driver-side centroid collect serves BOTH passes (assignment
+    # and per-query probe selection) via the shared codebook
+    cent_frame = embeddings.where(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("list_id"), F.col("embedding").alias("c_emb")
+    )
+    ids, code = _collect_codebook(cent_frame)
+    _, assign = ivf_assignments(embeddings, stride=stride, codebook=(ids, code))
     bc = embeddings.sparkSession.sparkContext.broadcast((ids, code, nprobe))
 
     @pandas_udf("array<long>")
