@@ -1,6 +1,7 @@
 from .pipeline import (
     alert_columns,
     continuous_aggregate,
+    dedup_within_watermark,
     last_reading_state,
     run_alert_stream,
     run_ingest_stream,
@@ -13,6 +14,7 @@ from .pipeline import (
 __all__ = [
     "alert_columns",
     "continuous_aggregate",
+    "dedup_within_watermark",
     "last_reading_state",
     "run_alert_stream",
     "run_ingest_stream",

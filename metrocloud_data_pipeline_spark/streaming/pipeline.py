@@ -282,6 +282,25 @@ def stateful_anomaly_context(readings: DataFrame) -> DataFrame:
     )
 
 
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("reading_id",),
+    ts_col: str = "timestamp",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """In-stream dedup for at-least-once sources (OP-ST6 complement):
+    drop repeats of the natural key arriving within the watermark
+    horizon. State is bounded by the watermark (a plain dropDuplicates
+    on a stream keeps every key forever); replays that arrive LATER
+    than the horizon are still caught by the sink-side
+    idempotent_append anti-join, which remains the cross-restart
+    guarantee. Keyed-state shuffle on the dedup key, same 100 TB
+    posture as the other stateful ops."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 ALERT_EVAL_SCHEMA = (
     "series string, bucket timestamp, metric double, condition_met boolean, "
     "run_len int, firing boolean"

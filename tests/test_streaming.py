@@ -335,3 +335,42 @@ def test_session_aggregate_streaming(spark, tmp_path, normalized):
         tiebreak_col="device_id",
     )
     assert batch.count() == len(rows)
+
+
+def test_dedup_within_watermark_drops_in_horizon_repeats(spark, tmp_path):
+    from datetime import datetime
+
+    in_schema = "reading_id long, timestamp timestamp, value double"
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    src_dir = tmp_path / "ddw_src"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "ddw_out")
+    ck = str(tmp_path / "ddw_ck")
+    # batch 1: id 1 twice (in-batch dup) + id 2
+    spark.createDataFrame(
+        [(1, t(0), 1.0), (1, t(0), 1.0), (2, t(1), 2.0)], in_schema
+    ).coalesce(1).write.parquet(str(src_dir / "b1"))
+
+    def run_once():
+        stream = spark.readStream.schema(in_schema).parquet(str(src_dir) + "/*")
+        q = (
+            streaming.dedup_within_watermark(stream, keys=("reading_id",))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    read = lambda: spark.read.schema(in_schema).parquet(out_dir)
+    assert read().count() == 2  # in-batch dup collapsed
+    # batch 2: id 1 replayed within the horizon + new id 3
+    spark.createDataFrame([(1, t(0), 1.0), (3, t(5), 3.0)], in_schema).coalesce(
+        1
+    ).write.parquet(str(src_dir / "b2"))
+    run_once()
+    ids = sorted(r["reading_id"] for r in read().collect())
+    assert ids == [1, 2, 3]  # cross-batch replay dropped by keyed state
