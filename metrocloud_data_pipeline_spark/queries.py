@@ -1910,6 +1910,33 @@ def a11_type_daily_rollup(spark, sf_dir):
 
 
 @q(
+    "a12_type_dow_cube",
+    oracle="""
+SELECT CAST(GROUPING(event_type, dow) AS INTEGER) AS gid,
+       event_type, dow, count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow, value FROM events)
+GROUP BY CUBE (event_type, dow)
+""",
+)
+def a12_type_dow_cube(spark, sf_dir):
+    """CUBE grouping sets: (type, day-of-week), per-type, per-dow, and
+    grand total in ONE pass — four aggregation levels from a single
+    shuffle (vs four groupBys + union re-scanning the input). The
+    ROLLUP twin (a11) covers the hierarchical case; CUBE covers the
+    cross-dimensional dashboard matrix."""
+    # ISO day-of-week (Mon=1..Sun=7): Spark weekday() is Mon=0, DuckDB
+    # isodow() is Mon=1 — +1 aligns them
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", (F.weekday("ts") + 1).cast("long").alias("dow"), "value"
+    )
+    return ev.cube("event_type", "dow").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        round6(F.sum("value")).alias("total_value"),
+    )
+
+
+@q(
     "t2_pivot_event_values",
     oracle="""
 SELECT user_id,
@@ -2052,6 +2079,7 @@ QUERY_ORDER = [
     # new this round: end-to-end dedup decision + bucketed interval join
     "dedup_keep_list",
     "iv_error_windows",
+    "a12_type_dow_cube",
     # changed this round: NTZ loader fix / LSH hot-bucket cap / split-sum
     "w1_gap_detection",
     "w3_rate_of_change",
