@@ -2057,7 +2057,6 @@ QUERY_ORDER = [
     "embedding_label_stats",
     "knn_brute_force",
     "f1_recent_readings",
-    "f2_type_filter",
     "f3_anomalous_readings",
     "f4_between_range",
     "f6_metadata_lookup",
@@ -2100,10 +2099,12 @@ QUERY_ORDER = [
     "doc_fingerprint_winnow",
     "decontaminate_ngram",
     "text_repetition_stats",
+    # --- driver window ends here (first 50) ---
+    # rotated out: r1-green trivial filter, unchanged since round 1
+    "f2_type_filter",
     # round-3-green and unchanged, aging toward rotation
     "dedup_embed_cosine",
     "media_feature_extract",
-    # --- driver window ends here (first 50) ---
     "media_frame_sample",
     "media_type_summary",
     "h21_late_suppliers",
