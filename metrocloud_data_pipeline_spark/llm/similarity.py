@@ -402,7 +402,10 @@ def knn_join_ivf(
             "label",
             round6(cos(F.col("embedding"), F.col("q_emb"))).alias("cosine_sim"),
         )
-        .dropDuplicates(["q_id", "vec_id"])
+        # no dedup needed: ivf_assignments places each vector in exactly ONE
+        # list (argmax centroid) and nearest_lists emits distinct list_ids per
+        # query, so a (q_id, vec_id) pair can meet at most once — a
+        # dropDuplicates here would be a pure no-op costing a full exchange
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
     return (
