@@ -241,9 +241,14 @@ def stateful_anomaly_context(readings: DataFrame) -> DataFrame:
             stypes, vals, units, seen = state.get
             store = {t: (v, u, s) for t, v, u, s in zip(stypes, vals, units, seen)}
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("event_ts")
-            for r in pdf.itertuples(index=False):
+        # pdfs is an iterator of Arrow chunks with NO ordering guarantee —
+        # a group whose micro-batch exceeds one Arrow batch would otherwise
+        # be replayed per-chunk out of order. Materialize the whole group's
+        # batch (bounded: one key's rows in one trigger) and sort once.
+        chunks = list(pdfs)
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values("event_ts")
+            for r in batch.itertuples(index=False):
                 epoch = r.event_ts.timestamp()
                 store[r.sensor_type] = (r.value, r.unit, epoch)
                 if r.is_anomaly:
@@ -337,9 +342,14 @@ def streaming_alert_eval(
     def fn(key: tuple, pdfs, state: GroupState):
         run, last = state.get if state.exists else (0, -1.0)
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("bucket")
-            for r in pdf.itertuples(index=False):
+        # Arrow chunk order is not guaranteed: sorting each chunk alone
+        # breaks run_len when one series' micro-batch spans chunks (e.g. an
+        # availableNow backfill). Materialize the group's batch and sort
+        # globally — bounded by one key's rows per trigger.
+        chunks = list(pdfs)
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values("bucket")
+            for r in batch.itertuples(index=False):
                 epoch = r.bucket.timestamp()
                 cond = bool(r.condition_met)
                 contiguous = last >= 0 and abs(epoch - (last + sec)) < 1e-6

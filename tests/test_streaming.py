@@ -202,6 +202,54 @@ def test_streaming_alert_eval_run_survives_batches(spark, tmp_path):
     assert rows[("g", 3)]["run_len"] == 1
 
 
+def test_streaming_alert_eval_multi_chunk_batch(spark, tmp_path):
+    # One series whose single micro-batch spans MANY Arrow chunks (forced
+    # by a tiny maxRecordsPerBatch) and arrives bucket-DESCENDING. A
+    # per-chunk sort would evaluate buckets out of order and corrupt
+    # run_len; the global sort must make the long backfill behave exactly
+    # like ordered arrival: an unbroken breach run 0..N-1 then a reset.
+    from datetime import datetime, timedelta
+
+    from metrocloud_data_pipeline_spark.streaming.pipeline import ALERT_EVAL_SCHEMA
+
+    n = 60  # >> 7-row Arrow batches -> ~9 chunks for the one series
+    t0 = datetime(2024, 1, 1)
+    rows = [("s", t0 + timedelta(hours=i), 20.0, i < n - 1) for i in range(n)]
+    rows.reverse()  # descending arrival order inside the batch
+    in_schema = "series string, bucket timestamp, metric double, condition_met boolean"
+    src_dir = tmp_path / "mc_src"
+    src_dir.mkdir()
+    spark.createDataFrame(rows, in_schema).coalesce(1).write.parquet(str(src_dir / "b1"))
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        stream = spark.readStream.schema(in_schema).parquet(str(src_dir) + "/*")
+        out_dir = str(tmp_path / "mc_out")
+        q = (
+            streaming.streaming_alert_eval(stream, width="1 hour", for_buckets=3)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "mc_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set(key, prev)
+    got = {
+        r["bucket"]: (r["run_len"], r["firing"])
+        for r in spark.read.schema(ALERT_EVAL_SCHEMA).parquet(out_dir).collect()
+    }
+    assert len(got) == n
+    for i in range(n):
+        want_run = i + 1 if i < n - 1 else 0
+        b = t0 + timedelta(hours=i)
+        assert got[b] == (want_run, want_run >= 3), f"bucket {i}: {got[b]} != ({want_run}, {want_run >= 3})"
+
+
 def test_streaming_alert_eval_matches_batch_operator(spark, tmp_path):
     # same bucket series through the stateful stream and the batch
     # window operator -> identical firing decisions
