@@ -869,14 +869,104 @@ def langid_heuristic(spark, sf_dir):
     return text.language_id(load(spark, sf_dir, "documents"))
 
 
-@q("ingest_fanout_pipeline")
+@q(
+    "ingest_fanout_pipeline",
+    oracle=r"""
+WITH raw(parent_device, raw_ts, temperature, humidity, pressure,
+         acceleration_x, acceleration_y, acceleration_z,
+         battery_voltage, tx_power, movement_counter) AS (
+  VALUES
+    ('c6:8d:c6:26:39:a6', '1758870000', 21.42, 38.5, 101325.0, 0.004, -0.012, 1.016, 2.91, 4.0, 17.0),
+    ('d2:5a:11:07:be:ef', '2025-09-25T08:30:00Z', -5.25, 81.0, NULL, NULL, NULL, NULL, 2.05, NULL, NULL),
+    ('aa:bb:cc:dd:ee:01', '1758866400', 55.3, NULL, 86500.0, NULL, NULL, NULL, 1.75, NULL, 3.0),
+    ('aa:bb:cc:dd:ee:02', '864000', 19.0, 45.2, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+    ('aa:bb:cc:dd:ee:03', 'not-a-time', NULL, NULL, 99800.0, NULL, NULL, NULL, NULL, -20.0, NULL),
+    (NULL, '1758870000', 22.0, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)
+),
+fanned AS (
+  SELECT r.parent_device, r.raw_ts, r.battery_voltage AS bv,
+         c.channel, c.value, c.device_type, c.unit, c.tags, c.axis
+  FROM raw r
+  CROSS JOIN LATERAL (VALUES
+    ('temperature',      r.temperature,      'temperature_sensor',    '°C',   'temperature,climate', CAST(NULL AS VARCHAR)),
+    ('humidity',         r.humidity,         'humidity_sensor',       '%',    'humidity,climate',    NULL),
+    ('pressure',         r.pressure,         'pressure_sensor',       'Pa',   'pressure,climate',    NULL),
+    ('acceleration_x',   r.acceleration_x,   'acceleration_sensor',   'g',    'acceleration,motion', 'x'),
+    ('acceleration_y',   r.acceleration_y,   'acceleration_sensor',   'g',    'acceleration,motion', 'y'),
+    ('acceleration_z',   r.acceleration_z,   'acceleration_sensor',   'g',    'acceleration,motion', 'z'),
+    ('battery_voltage',  r.battery_voltage,  'battery_sensor',        'V',    'battery,power',       NULL),
+    ('tx_power',         r.tx_power,         'transmit_power_sensor', 'dBm',  'radio,power',         NULL),
+    ('movement_counter', r.movement_counter, 'movement_sensor',       'count','movement,motion',     NULL)
+  ) AS c(channel, value, device_type, unit, tags, axis)
+  WHERE c.value IS NOT NULL AND r.parent_device IS NOT NULL
+),
+normalized AS (
+  SELECT *,
+    CASE
+      WHEN regexp_full_match(raw_ts, '[0-9]+(\.[0-9]+)?')
+           AND try_cast(raw_ts AS DOUBLE) >= 10000000
+        THEN CAST(to_timestamp(CAST(raw_ts AS DOUBLE)) AS TIMESTAMP)
+      WHEN regexp_full_match(raw_ts, '[0-9]+(\.[0-9]+)?')
+        THEN TIMESTAMP '2025-09-26 12:00:00'
+      ELSE coalesce(CAST(try_cast(raw_ts AS TIMESTAMPTZ) AS TIMESTAMP),
+                    TIMESTAMP '2025-09-26 12:00:00')
+    END AS parsed_ts
+  FROM fanned
+)
+SELECT
+  parent_device || '_' || channel AS device_id,
+  device_type,
+  CASE WHEN abs(epoch(parsed_ts) - epoch(TIMESTAMP '2025-09-26 12:00:00')) > 24*3600
+       THEN TIMESTAMP '2025-09-26 12:00:00' ELSE parsed_ts END AS "timestamp",
+  value,
+  unit,
+  CASE WHEN coalesce(bv, 0.0) < 1.8 THEN 0.0
+       ELSE round(least(greatest((coalesce(bv, 0.0) - 2.0) / 1.0 * 100.0, 0.0), 100.0), 2)
+  END AS battery_level,
+  -70.0 AS signal_strength,
+  CASE device_type
+    WHEN 'temperature_sensor' THEN value < -50.0 OR value > 50.0
+    WHEN 'humidity_sensor'    THEN value < 15.0  OR value > 100.0
+    WHEN 'pressure_sensor'    THEN value < 87000.0 OR value > 108500.0
+    WHEN 'battery_sensor'     THEN value < 2.0
+    ELSE FALSE
+  END AS is_anomaly,
+  '3.31.1' AS firmware_version,
+  CASE WHEN axis IS NOT NULL
+       THEN '{"axis":"' || axis || '","parent_device":"' || parent_device
+            || '","sensor_type":"' || channel || '"}'
+       ELSE '{"parent_device":"' || parent_device
+            || '","sensor_type":"' || channel || '"}'
+  END AS device_metadata,
+  'ACTIVE' AS status,
+  tags,
+  CAST(NULL AS TIMESTAMP) AS maintenance_date,
+  60.1699 AS latitude,
+  24.9384 AS longitude,
+  'building-1' AS building,
+  CAST(1 AS INTEGER) AS floor,
+  'main' AS zone,
+  'room-101' AS room
+FROM normalized
+""",
+)
 def ingest_fanout_pipeline(spark, sf_dir):
     """OP-T1..T13 end-to-end on reference-shaped raw fixture rows
     (FIXTURES.md §1): fan-out -> normalize -> validate -> flatten.
 
     Complex columns are scalarized for the harness (map -> JSON with
     key-sorted entries, array -> comma join): result hashers
-    canonicalize via pandas, where dict/list cells are unhashable."""
+    canonicalize via pandas, where dict/list cells are unhashable.
+
+    The oracle replays the SAME fixture rows (tests_fixtures.py) through
+    the whole chain in DuckDB: LATERAL VALUES fan-out (OP-T1, absent
+    channels dropped, measurement_sequence never fans out), the
+    three-way timestamp normalization with the 2025-09-26 12:00 anchor
+    (OP-T3/T4), safe-float battery % with the dead-battery cutoff
+    (OP-T6), static enrichment defaults (OP-T12/T13), per-device-type
+    threshold anomaly flags (OP-T7), null-parent rejection (OP-T9) and
+    the ±24 h clamp (OP-T11) — a genuine independent reimplementation,
+    value-hash-checked against the Spark chain."""
     from .tests_fixtures import RAW_FIXTURE_ROWS, RAW_FIXTURE_SCHEMA
 
     raw = spark.createDataFrame(RAW_FIXTURE_ROWS, schema=RAW_FIXTURE_SCHEMA)
