@@ -673,6 +673,235 @@ def dormant_rich_customers(
     )
 
 
+def min_cost_supplier(
+    region: DataFrame,
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "EUROPE",
+    size_lo: int = 10,
+    size_hi: int = 25,
+    type_name: str = "STANDARD",
+    n: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 (adapted — the supply catalog is DERIVED from lineitem
+    since the test schema has no partsupp: a supplier's cost for a part
+    is the minimum unit price it ever shipped it at): for each part of
+    a given size/type, the supplier(s) in one region offering it at the
+    region-wide minimum cost — the correlated-scalar-min-subquery plan
+    shape, decorrelated into aggregate + equality rejoin (the same
+    rewrite Catalyst applies to the classic formulation).
+
+    Plan at scale: part and the supplier⋈nation⋈region chain broadcast
+    into the derived catalog, whose groupBy is the one big shuffle; the
+    per-part min is a WINDOW over the aggregated catalog (already tiny:
+    one row per filtered part x regional supplier), NOT an
+    aggregate-and-rejoin — the rejoin formulation plans a second full
+    lineitem scan (no exchange reuse after pruning; verified), while
+    the window adds one exchange over the small aggregate. Unit price
+    is round6(extendedprice / quantity) per row BEFORE the min so both
+    engines compare identical doubles."""
+    from pyspark.sql.window import Window
+
+    regional_supp = (
+        supplier.select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.where(F.col("r_name") == region_name)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pts = part.where(
+        F.col("p_size").between(size_lo, size_hi) & (F.col("p_type") == type_name)
+    ).select("p_partkey", "p_name")
+    catalog = (
+        lineitem.select(
+            "l_partkey",
+            "l_suppkey",
+            round6(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+        )
+        .join(F.broadcast(pts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(regional_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("unit_cost").alias("supply_cost"))
+    )
+    best = F.min("supply_cost").over(Window.partitionBy("p_partkey"))
+    return (
+        catalog.withColumn("best_cost", best)
+        .where(F.col("supply_cost") == F.col("best_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(n)
+    )
+
+
+def important_parts(
+    nation: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation_name: str = "NATION_7",
+    fraction: float = 0.001,
+) -> DataFrame:
+    """TPC-H Q11 (adapted — part value is the revenue its lineitems
+    earned through one nation's suppliers, standing in for
+    supplycost x availqty): parts holding more than `fraction` of the
+    nation's total value — the aggregate-vs-global-share plan shape
+    (group agg + scalar subquery broadcast back as a HAVING bound).
+
+    Both sums are exact paired-long decimals; the share bound is
+    evaluated in double on both engines from the same exact totals, so
+    the comparison is deterministic. The per-part aggregate is
+    PERSISTED before the grand total derives from it: without it Spark
+    plans a second full lineitem scan for the scalar subquery (column
+    pruning makes the two subtrees non-identical, so exchange reuse
+    never fires — verified), whereas the persisted frame is one row per
+    part, the right thing to rescan at 100 TB. A global one-partition
+    window over per_part would avoid the persist but funnels every part
+    row through one task — worse at scale."""
+    nat_supp = (
+        supplier.select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nation.where(F.col("n_name") == nation_name)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(*split_sum(_revenue_u(), "val"))
+        .select("p_partkey", merge_split("val", 4).alias("val"))
+        .persist()
+    )
+    total = per_part.agg(F.sum("val").alias("total_val"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("val").cast("double")
+            > F.col("total_val").cast("double") * F.lit(fraction)
+        )
+        .select("p_partkey", F.col("val").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), F.asc("p_partkey"))
+    )
+
+
+def ship_delay_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+    slow_days: int = 30,
+    late_days: int = 90,
+) -> DataFrame:
+    """TPC-H Q12 (adapted — the schema has no shipmode or commit/receipt
+    dates, so lines band by ship DELAY instead): for each delay band of
+    lines shipped in the window, how many belong to critical- vs
+    normal-priority orders — the fact⋈fact join + CASE-sum conditional
+    aggregation plan shape.
+
+    The shipdate range pushes to the lineitem scan; the orderkey join
+    shuffles both sides once (AQE may broadcast the filtered lineitem
+    side at small SF); the 3-row band aggregate is free."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (
+        F.when(delay >= late_days, F.lit("LATE"))
+        .when(delay >= slow_days, F.lit("SLOW"))
+        .otherwise(F.lit("FAST"))
+    )
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(band.alias("delay_band"))
+        .agg(
+            F.sum(F.when(critical, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(critical, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("delay_band")
+    )
+
+
+def excess_supply_suppliers(
+    region: DataFrame,
+    nation: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+    name_prefix: str = "small",
+    region_name: str = "EUROPE",
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q20 (adapted — availqty is proxied by a supplier's ALL-TIME
+    shipped quantity of the part, absent partsupp): suppliers in one
+    region holding excess supply of a name-matched part — all-time
+    quantity above 1.5x what they shipped of it in the target year —
+    the nested-semi-join-chain plan shape (part name filter semi-joins
+    into the supply aggregate, whose qualifying supplier keyset
+    semi-joins into supplier, intersected with the region filter).
+
+    One lineitem pass: the year condition folds into a conditional sum
+    inside the same (partkey, suppkey) aggregate the all-time sum uses,
+    replacing Q20's correlated subquery with map-side CASE — the
+    decorrelation you'd want at 100 TB, since the classic form scans
+    lineitem twice. Quantity sums are exact long cent-sums."""
+    pts = part.where(F.col("p_name").startswith(name_prefix)).select("p_partkey")
+    in_year = (F.col("l_shipdate") >= F.lit(year_start).cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit(year_end).cast("timestamp")
+    )
+    qty_c = money_units(F.col("l_quantity"))
+    supply = (
+        lineitem.select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .join(F.broadcast(pts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            small_units_sum(qty_c, "all"),
+            small_units_sum(F.when(in_year, qty_c).otherwise(F.lit(0)), "yr"),
+        )
+        .select(
+            "l_suppkey",
+            merge_small("all").alias("all_qty"),
+            merge_small("yr").alias("yr_qty"),
+        )
+        .where(
+            (F.col("yr_qty") > 0)
+            & (F.col("all_qty").cast("double") > F.col("yr_qty").cast("double") * 1.5)
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    regional_nations = nation.join(
+        F.broadcast(region.where(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    return (
+        supplier.select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+        .join(
+            F.broadcast(regional_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .join(supply, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 def large_volume_customers(
     customer: DataFrame,
     orders: DataFrame,

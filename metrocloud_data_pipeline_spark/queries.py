@@ -534,6 +534,146 @@ def h4_order_priority(spark, sf_dir):
 
 
 @q(
+    "h2_min_cost_supplier",
+    oracle="""
+WITH regional_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+pts AS (
+  SELECT p_partkey, p_name
+  FROM part WHERE p_size BETWEEN 10 AND 25 AND p_type = 'STANDARD'
+),
+catalog AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         min(round(l_extendedprice / l_quantity, 6)) AS supply_cost
+  FROM lineitem
+  JOIN pts ON l_partkey = p_partkey
+  JOIN regional_supp ON l_suppkey = s_suppkey
+  GROUP BY 1, 2, 3, 4, 5, 6
+),
+best AS (
+  SELECT p_partkey AS best_partkey, min(supply_cost) AS best_cost
+  FROM catalog GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+FROM catalog
+JOIN best ON p_partkey = best_partkey AND supply_cost = best_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def h2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated scalar-min subquery, decorrelated into
+    aggregate + equality rejoin over a lineitem-derived supply catalog."""
+    return H.min_cost_supplier(
+        load(spark, sf_dir, "region"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+@q(
+    "h11_important_parts",
+    oracle="""
+WITH nat_supp AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+),
+per_part AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS val
+  FROM lineitem
+  JOIN nat_supp ON l_suppkey = s_suppkey
+  GROUP BY 1
+)
+SELECT p_partkey, CAST(val AS DOUBLE) AS part_value
+FROM per_part, (SELECT sum(val) AS total_val FROM per_part) t
+WHERE CAST(val AS DOUBLE) > CAST(total_val AS DOUBLE) * 0.001
+ORDER BY part_value DESC, p_partkey
+""",
+)
+def h11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: group aggregate + global-share scalar subquery
+    broadcast back as the HAVING bound."""
+    return H.important_parts(
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+@q(
+    "h12_ship_delay_priority",
+    oracle="""
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) >= 90 THEN 'LATE'
+            WHEN datediff('day', o_orderdate, l_shipdate) >= 30 THEN 'SLOW'
+            ELSE 'FAST' END AS delay_band,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def h12_ship_delay_priority(spark, sf_dir):
+    """TPC-H Q12 shape: fact-fact orderkey join + CASE-sum conditional
+    aggregation over delay bands."""
+    return H.ship_delay_priority(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    )
+
+
+@q(
+    "h20_excess_supply",
+    oracle="""
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS all_qty,
+         CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                       THEN CAST(l_quantity AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS yr_qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY 1, 2
+),
+qual AS (
+  SELECT DISTINCT l_suppkey FROM supply
+  WHERE yr_qty > 0 AND CAST(all_qty AS DOUBLE) > CAST(yr_qty AS DOUBLE) * 1.5
+)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (SELECT l_suppkey FROM qual)
+ORDER BY s_name
+""",
+)
+def h20_excess_supply(spark, sf_dir):
+    """TPC-H Q20 shape: nested semi-join chain (name-filtered parts ->
+    supply aggregate -> qualifying-supplier semi-join), with the
+    correlated year subquery folded into a conditional sum."""
+    return H.excess_supply_suppliers(
+        load(spark, sf_dir, "region"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+@q(
     "h5_local_supplier_volume",
     oracle="""
 SELECT n_name,
@@ -2132,6 +2272,11 @@ def obs_alert_firing(spark, sf_dir):
 # toward the back, with rows-only / recently-double-checked entries in
 # the rotated-out tail.
 QUERY_ORDER = [
+    # new this round: the four remaining TPC-H plan shapes
+    "h2_min_cost_supplier",
+    "h11_important_parts",
+    "h12_ship_delay_priority",
+    "h20_excess_supply",
     # unchecked in round 3 (driver verifies only the first 50)
     "h6_forecast_revenue",
     "h7_volume_shipping",
