@@ -146,9 +146,22 @@ def lsh_candidate_pairs(
     discards."""
     b = _band_buckets(signatures, bands, rows_per_band)
     if max_bucket_size is not None:
+        # sizes is a cheap partial-agg shuffle (map-side combine shrinks
+        # it to distinct buckets per partition) and the OVER-cap set is
+        # tiny by construction (a handful of boilerplate buckets), so it
+        # broadcasts and the guard costs b NO shuffle at all. The
+        # window-count alternative (count over partitionBy(band, bucket))
+        # measured 5-10x WORSE on hot-bucket band frames: it forces a
+        # full unsalted shuffle+sort of every band row, twice (once per
+        # self-join side), concentrated on exactly the skewed buckets
+        # the cap exists to tame — 49 s vs 4-10 s on the sf0.1 unigram
+        # frame (10.5 M candidate pairs), and no better than noise on
+        # the well-spread minhash frame.
         sizes = b.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-        b = (
-            b.join(sizes.where(F.col("_n") > max_bucket_size), ["band", "bucket"], "left_anti")
+        b = b.join(
+            F.broadcast(sizes.where(F.col("_n") > max_bucket_size)),
+            ["band", "bucket"],
+            "left_anti",
         )
     left = b.alias("a")
     right = b.alias("b")
