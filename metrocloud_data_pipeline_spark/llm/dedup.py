@@ -333,6 +333,7 @@ def token_jaccard_pairs_lsh(
     num_perm: int = 128,
     bands: int = 32,
     max_bucket_size: int | None = 500,
+    fail_on_dropped_buckets: bool = False,
 ) -> DataFrame:
     """Scale form of token_jaccard_pairs: MinHash-LSH candidates over the
     SAME unigram token sets, then EXACT Jaccard verification on the
@@ -353,6 +354,28 @@ def token_jaccard_pairs_lsh(
     # banding reads the signatures up to three times (both join sides +
     # the bucket-size guard); same persist rationale as minhash_dedup.
     sigs = minhash_signatures(docs, num_perm=num_perm, k=1).persist()
+    if fail_on_dropped_buckets and max_bucket_size is not None:
+        # Callers whose contract is "EVERY qualifying pair" (e.g. the
+        # oracle-checked queries, whose DuckDB twin computes the uncapped
+        # answer) opt in here: if the cap would discard any bucket, the
+        # capped result may silently diverge from that contract — fail
+        # loudly instead. One extra banding pass over the persisted
+        # signatures; limit(1) stops at the first offending bucket.
+        dropped = lsh_dropped_buckets(
+            sigs,
+            bands=bands,
+            rows_per_band=num_perm // bands,
+            max_bucket_size=max_bucket_size,
+        ).limit(1)
+        hit = dropped.collect()
+        if hit:
+            r = hit[0]
+            raise ValueError(
+                f"token_jaccard_pairs_lsh: band {r['band']} bucket {r['bucket']} "
+                f"holds {r['n_docs']} docs (> max_bucket_size={max_bucket_size}); "
+                "the cap would drop qualifying pairs — raise the cap or "
+                "pre-filter the boilerplate bucket"
+            )
     pairs = lsh_candidate_pairs(
         sigs, bands=bands, rows_per_band=num_perm // bands, max_bucket_size=max_bucket_size
     )

@@ -89,12 +89,33 @@ def alert_eval(
     Returns the input plus `condition_met` and `firing`. One analytic
     pass: trailing count-of-trues + a lag(N-1) contiguity probe share
     the same (keys, bucket) sort, so Catalyst plans a single exchange.
+
+    Guard: a duplicate bucket inside one window partition means the
+    caller passed a multi-series frame without naming its series in
+    `key_cols` — the trailing counts would silently mix series. Dupes
+    are ADJACENT under the window's own sort, so a lag-1 probe detects
+    them with no extra exchange and fails the job loudly (raise_error)
+    instead of returning wrong firing decisions.
     """
     if for_buckets < 1:
         raise ValueError(f"for_buckets must be >= 1, got {for_buckets}")
     w = Window.partitionBy(*key_cols).orderBy(bucket_col)
     sec = bucket_seconds(width)
-    out = bucketed.withColumn("condition_met", condition.cast("boolean"))
+    dup = F.coalesce(F.lag(bucket_col, 1).over(w) == F.col(bucket_col), F.lit(False))
+    # evaluated via when() on the SAME projection as condition_met, so it
+    # cannot be short-circuited or pruned away
+    met = F.when(
+        dup,
+        F.raise_error(
+            F.format_string(
+                "alert_eval: duplicate bucket %s within one window partition "
+                f"(key_cols={key_cols!r}) — pass the frame's series columns "
+                "as key_cols",
+                F.col(bucket_col).cast("string"),
+            )
+        ).cast("boolean"),
+    ).otherwise(condition.cast("boolean"))
+    out = bucketed.withColumn("condition_met", met)
     trail = F.count_if(F.col("condition_met")).over(
         w.rowsBetween(-(for_buckets - 1), Window.currentRow)
     )

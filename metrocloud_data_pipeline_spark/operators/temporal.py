@@ -123,6 +123,7 @@ def interval_join(
     start_col: str = "start",
     end_col: str = "end",
     bucket_width: str = "1 hour",
+    max_buckets_per_interval: int = 10_000,
 ) -> DataFrame:
     """Range join without the BroadcastNestedLoop trap: every (event,
     interval) pair of the same key with start <= ts <= end.
@@ -137,16 +138,32 @@ def interval_join(
     An (event, interval) pair meets in exactly one bucket — the event's
     — so no dedup pass is needed. Pick bucket_width near the typical
     interval length: wider wastes residual comparisons, narrower
-    multiplies the interval-side fan-out."""
+    multiplies the interval-side fan-out.
+
+    Guards: reversed intervals (end < start) match nothing under the
+    BETWEEN residual, so they are dropped up front — BEFORE sequence()
+    would turn them into a descending bucket list. A single open-ended
+    or sentinel interval (end = 9999-12-31) would explode into millions
+    of bucket rows; any interval spanning more than
+    `max_buckets_per_interval` buckets fails the job loudly
+    (raise_error) instead of silently flooding the shuffle."""
     w = bucket_seconds(bucket_width)
-    iv = intervals.withColumn(
-        "_b",
-        F.explode(
-            F.sequence(
-                F.floor(micros(F.col(start_col)) / (w * 1_000_000)).cast("long"),
-                F.floor(micros(F.col(end_col)) / (w * 1_000_000)).cast("long"),
+    lo = F.floor(micros(F.col(start_col)) / (w * 1_000_000)).cast("long")
+    hi = F.floor(micros(F.col(end_col)) / (w * 1_000_000)).cast("long")
+    n_b = hi - lo + F.lit(1)
+    seq = F.when(
+        n_b > max_buckets_per_interval,
+        F.raise_error(
+            F.format_string(
+                "interval_join: interval spans %s buckets of "
+                f"{bucket_width} (cap {max_buckets_per_interval}); filter or "
+                "clamp open-ended intervals, or widen bucket_width",
+                n_b.cast("string"),
             )
-        ),
+        ).cast("array<bigint>"),
+    ).otherwise(F.sequence(lo, hi))
+    iv = intervals.where(F.col(end_col) >= F.col(start_col)).withColumn(
+        "_b", F.explode(seq)
     )
     ev = events.withColumn(
         "_b", F.floor(micros(F.col(ts_col)) / (w * 1_000_000)).cast("long")

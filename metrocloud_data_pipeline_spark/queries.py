@@ -1471,7 +1471,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     ON. dedup.lsh_dropped_buckets() with the same parameters reports
     exactly which (band, bucket, n_docs) the cap discarded."""
     return dedup.token_jaccard_pairs_lsh(
-        load(spark, sf_dir, "documents"), threshold=0.95, max_bucket_size=10_000
+        load(spark, sf_dir, "documents"),
+        threshold=0.95,
+        max_bucket_size=10_000,
+        fail_on_dropped_buckets=True,
     )
 
 
@@ -1939,7 +1942,10 @@ def dedup_clusters(spark, sf_dir):
     with the generous 10k hot-bucket cap (see dedup_ngram_jaccard's
     docstring for the rationale and the accounting twin)."""
     pairs = dedup.token_jaccard_pairs_lsh(
-        load(spark, sf_dir, "documents"), threshold=0.95, max_bucket_size=10_000
+        load(spark, sf_dir, "documents"),
+        threshold=0.95,
+        max_bucket_size=10_000,
+        fail_on_dropped_buckets=True,
     )
     return dedup.duplicate_clusters(pairs.select("doc_a", "doc_b"))
 
@@ -1981,7 +1987,9 @@ def dedup_keep_list(spark, sf_dir):
     costs one scan at 100 TB. Completes the detect (ngram_jaccard) ->
     cluster (dedup_clusters) -> remove workflow."""
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.token_jaccard_pairs_lsh(docs, threshold=0.95, max_bucket_size=10_000)
+    pairs = dedup.token_jaccard_pairs_lsh(
+        docs, threshold=0.95, max_bucket_size=10_000, fail_on_dropped_buckets=True
+    )
     clusters = dedup.duplicate_clusters(pairs.select("doc_a", "doc_b")).select(
         "doc_id", "cluster_id"
     )

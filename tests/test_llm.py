@@ -442,3 +442,22 @@ def test_duplicate_clusters_long_chain_pointer_doubling(spark):
     assert len(out) == 41
     assert {r["cluster_id"] for r in out} == {0}
     assert all(r["cluster_size"] == 41 for r in out)
+
+
+def test_token_jaccard_lsh_fail_on_dropped_buckets(spark):
+    # identical docs collapse into one LSH bucket; with a cap below the
+    # bucket size the opt-in guard must refuse to return a silently
+    # truncated pair set (the oracle-checked queries' contract)
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated") for i in range(12)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="would drop qualifying pairs"):
+        dedup.token_jaccard_pairs_lsh(
+            docs, threshold=0.95, max_bucket_size=5, fail_on_dropped_buckets=True
+        )
+    # without the flag the capped (possibly truncated) result is allowed
+    assert (
+        dedup.token_jaccard_pairs_lsh(docs, threshold=0.95, max_bucket_size=5).count()
+        == 0
+    )

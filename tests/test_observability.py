@@ -145,3 +145,21 @@ def test_anomaly_rate_pct(spark):
     assert out[0]["n_readings"] == 3 and out[0]["n_anomalies"] == 1
     assert out[0]["anomaly_rate_pct"] == round(100.0 / 3, 6)
     assert out[1]["anomaly_rate_pct"] == 0.0
+
+
+def test_alert_eval_rejects_multi_series_without_key_cols(spark):
+    # two series share bucket values: without key_cols the window would
+    # silently mix them — the duplicate-bucket probe must fail the job
+    h = lambda i: datetime(2024, 1, 1, i)
+    rows = [("a", h(0), 20.0), ("b", h(0), 20.0), ("a", h(1), 20.0)]
+    with pytest.raises(Exception, match="duplicate bucket"):
+        OBS.alert_eval(
+            _buckets(spark, rows), F.col("value") > 10.0, width="1 hour",
+            for_buckets=2,
+        ).collect()
+    # the same frame with key_cols named is fine
+    out = OBS.alert_eval(
+        _buckets(spark, rows), F.col("value") > 10.0, width="1 hour",
+        for_buckets=2, key_cols=("series",),
+    ).collect()
+    assert len(out) == 3

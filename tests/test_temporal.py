@@ -129,3 +129,37 @@ def test_interval_join_plan_has_no_nested_loop(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_interval_join_drops_reversed_intervals(spark):
+    # a reversed interval matches nothing under BETWEEN; it must be
+    # dropped before sequence() could emit a descending bucket list
+    clicks = spark.createDataFrame(
+        [(1, _ts(15), 1.0)], "user_id long, ts timestamp, value double"
+    )
+    ivs = spark.createDataFrame(
+        [(1, 10, _ts(30), _ts(0)), (1, 11, _ts(0), _ts(30))],
+        "user_id long, iv_id long, start_ts timestamp, end_ts timestamp",
+    )
+    out = temporal.interval_join(
+        clicks, ivs, key_col="user_id",
+        start_col="start_ts", end_col="end_ts", bucket_width="15 minutes",
+    ).collect()
+    assert [r["iv_id"] for r in out] == [11]
+
+
+def test_interval_join_rejects_runaway_fanout(spark):
+    # a sentinel open-ended interval would explode into ~5e8 bucket rows;
+    # the cap must fail the job loudly instead
+    clicks = spark.createDataFrame(
+        [(1, _ts(0), 1.0)], "user_id long, ts timestamp, value double"
+    )
+    ivs = spark.createDataFrame(
+        [(1, 10, _ts(0), dt.datetime(9999, 12, 31))],
+        "user_id long, iv_id long, start_ts timestamp, end_ts timestamp",
+    )
+    with pytest.raises(Exception, match="interval_join: interval spans"):
+        temporal.interval_join(
+            clicks, ivs, key_col="user_id",
+            start_col="start_ts", end_col="end_ts", bucket_width="15 minutes",
+        ).collect()
