@@ -342,11 +342,37 @@ def knn_join_brute(
     )
 
 
+def ivf_corpus_table(
+    embeddings: DataFrame,
+    table_name: str,
+    stride: int = 31,
+    num_buckets: int = 32,
+) -> str:
+    """Materialize the IVF-listed corpus — (list_id, vec_id, label,
+    embedding) — as a table BUCKETED on list_id, the build-at-ingest
+    form of ivf_index for corpora queried repeatedly. knn_join_ivf's
+    corpus-side join keys on list_id, so against this layout the
+    planner reads bucket-to-bucket and the corpus side needs NO
+    exchange — at 100 TB the corpus shuffle is the join's dominant
+    cost, and it disappears (measured by tools/scale_probe.py).
+
+    The codebook is derived deterministically (vec_id % stride == 0),
+    so a later knn_join_ivf over the same embeddings with the same
+    stride probes exactly the lists this table was bucketed by."""
+    from ..operators.maintenance import write_bucketed
+
+    _, assign = ivf_assignments(embeddings, stride=stride)
+    listed = assign.join(embeddings, "vec_id")
+    write_bucketed(listed, table_name, "list_id", num_buckets=num_buckets)
+    return table_name
+
+
 def knn_join_ivf(
     embeddings: DataFrame,
     k: int = 10,
     nprobe: int = 4,
     stride: int = 31,
+    listed: DataFrame | None = None,
 ) -> DataFrame:
     """Batch ANN over the whole corpus: every vector gets its top-k
     neighbors, scoring only the members of its nprobe nearest IVF lists
@@ -360,7 +386,11 @@ def knn_join_ivf(
     shuffle-free on the corpus side; candidate scoring is a vectorized
     matmul per Arrow batch; the final top-k window shuffles only
     (q_id, vec_id, sim) rows, k-boundable. Recall < 1 by construction —
-    measured against knn_join_brute in tests."""
+    measured against knn_join_brute in tests.
+
+    Pass `listed` (an ivf_corpus_table, bucketed on list_id, built with
+    the SAME stride) to skip the assignment pass and make the corpus
+    side of the probe join exchange-free."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -372,7 +402,9 @@ def knn_join_ivf(
         F.col("vec_id").alias("list_id"), F.col("embedding").alias("c_emb")
     )
     ids, code = _collect_codebook(cent_frame)
-    _, assign = ivf_assignments(embeddings, stride=stride, codebook=(ids, code))
+    if listed is None:
+        _, assign = ivf_assignments(embeddings, stride=stride, codebook=(ids, code))
+        listed = assign.join(embeddings, "vec_id")
     bc = embeddings.sparkSession.sparkContext.broadcast((ids, code, nprobe))
 
     @pandas_udf("array<long>")
@@ -391,7 +423,6 @@ def knn_join_ivf(
         F.col("embedding").alias("q_emb"),
         F.explode(nearest_lists(F.col("embedding"))).alias("list_id"),
     )
-    listed = assign.join(embeddings, "vec_id")
     cos = cosine_batch()
     scored = (
         probes.join(listed, "list_id")

@@ -461,3 +461,50 @@ def test_token_jaccard_lsh_fail_on_dropped_buckets(spark):
         dedup.token_jaccard_pairs_lsh(docs, threshold=0.95, max_bucket_size=5).count()
         == 0
     )
+
+
+def test_knn_join_ivf_bucketed_corpus_matches_and_drops_exchange(spark, tmp_path):
+    # the bucketed-corpus path must return EXACTLY the in-memory result
+    # (same deterministic codebook) while the corpus side of the probe
+    # join loses its exchange (reads bucket-to-bucket)
+    import math
+
+    rows = []
+    for vid in range(90):
+        c = vid % 3
+        base = [1.0 if i == c else 0.0 for i in range(8)]
+        base[(c + 3) % 8] = 0.05 * ((vid * 7) % 11)
+        n = math.sqrt(sum(x * x for x in base))
+        rows.append((vid, [x / n for x in base], c))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").cache()
+
+    tbl = "ivf_corpus_pytest"
+    similarity.ivf_corpus_table(emb, tbl, stride=7, num_buckets=4)
+    try:
+        mem = similarity.knn_join_ivf(emb, k=10, nprobe=3, stride=7)
+        bkt = similarity.knn_join_ivf(
+            emb, k=10, nprobe=3, stride=7, listed=spark.table(tbl)
+        )
+        key = lambda r: (r["q_id"], r["rank"])
+        assert sorted(map(tuple, mem.collect()), key=lambda t: (t[0], t[4])) == sorted(
+            map(tuple, bkt.collect()), key=lambda t: (t[0], t[4])
+        )
+
+        # under a forced shuffle join, only the in-memory corpus pays an
+        # exchange on list_id; the bucketed scan is already partitioned
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            def n_exchanges(df):
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                return plan.count("Exchange hashpartitioning")
+
+            mem_n = n_exchanges(similarity.knn_join_ivf(emb, k=10, nprobe=3, stride=7))
+            bkt_n = n_exchanges(
+                similarity.knn_join_ivf(emb, k=10, nprobe=3, stride=7, listed=spark.table(tbl))
+            )
+            assert bkt_n < mem_n, (bkt_n, mem_n)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -95,6 +95,135 @@ def main() -> None:
         "dup_clusters",
     )
 
+    probe_knn_bucketed(spark, emb)
+    probe_streaming(spark, copies)
+
+
+def probe_knn_bucketed(spark, emb) -> None:
+    """Corpus-side shuffle elimination: knn_join_ivf against the
+    in-memory listed corpus vs the ivf_corpus_table bucketed layout.
+    Broadcast is disabled so the probe join's corpus exchange (the cost
+    that dominates at 100 TB) is visible; the bucketed scan reads
+    bucket-to-bucket and must lose exactly that exchange."""
+    tbl = "ivf_corpus_probe"
+
+    def n_exchanges(df) -> int:
+        return (
+            df._jdf.queryExecution().executedPlan().toString().count("Exchange hashpartitioning")
+        )
+
+    t0 = time.time()
+    similarity.ivf_corpus_table(emb, tbl)
+    build_s = time.time() - t0
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        mem = similarity.knn_join_ivf(emb, k=10, nprobe=4)
+        bkt = similarity.knn_join_ivf(emb, k=10, nprobe=4, listed=spark.table(tbl))
+        mem_x, bkt_x = n_exchanges(mem), n_exchanges(bkt)
+        t0 = time.time(); mem_n = mem.count(); mem_s = time.time() - t0
+        t0 = time.time(); bkt_n = bkt.count(); bkt_s = time.time() - t0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    print(
+        f"knn_join_ivf     in-memory {mem_s:5.2f} s / {mem_x} exchanges vs "
+        f"bucketed {bkt_s:5.2f} s / {bkt_x} exchanges "
+        f"(+{build_s:.2f} s one-time bucketed build; rows {mem_n:,} == {bkt_n:,})"
+    )
+
+
+def probe_streaming(spark, copies: int) -> None:
+    """Keyed-state growth probe: continuous_aggregate and
+    streaming_alert_eval over a 1x and a `copies`x event stream
+    (device/series space scaled, same time span). Reports the
+    state-store row count and trigger latency from the progress
+    metrics, so O(series)/O(open-buckets) state is measured rather
+    than asserted."""
+    import shutil
+    import tempfile
+
+    from metrocloud_data_pipeline_spark import streaming
+
+    ev1 = load(spark, SF, "events").select(
+        F.col("user_id").alias("device_id"),
+        F.col("event_type").alias("device_type"),
+        F.col("ts").alias("timestamp"),
+        F.col("value").cast("double").alias("value"),
+        (F.col("value") > 95.0).alias("is_anomaly"),
+        F.lit(50.0).alias("battery_level"),
+    )
+    sc = "device_id long, device_type string, timestamp timestamp, value double, is_anomaly boolean, battery_level double"
+
+    def run(readings, label):
+        tmp = tempfile.mkdtemp(prefix="probe_stream_")
+        try:
+            src = f"{tmp}/src"
+            readings.coalesce(8).write.parquet(src)
+            stream = spark.readStream.schema(sc).parquet(src)
+            agg = streaming.continuous_aggregate(stream)
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("noop")
+                .option("checkpointLocation", f"{tmp}/ck")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+            p = q.recentProgress
+            state_rows = sum(s["numRowsTotal"] for s in p[-1]["stateOperators"]) if p else -1
+            dur = max(x["durationMs"]["triggerExecution"] for x in p) if p else -1
+            print(
+                f"cont_aggregate   {label:<5} state rows {state_rows:>10,}  "
+                f"max trigger {dur/1000:6.2f} s"
+            )
+
+            # alert eval over the per-device 5-min condition stream
+            bucketed = (
+                readings.groupBy(
+                    F.window("timestamp", "5 minutes").alias("w"),
+                    F.col("device_id").cast("string").alias("series"),
+                )
+                .agg(F.avg("value").alias("metric"))
+                .select(
+                    "series", F.col("w.start").alias("bucket"), "metric",
+                    (F.col("metric") > 50.0).alias("condition_met"),
+                )
+            )
+            asrc = f"{tmp}/alert_src"
+            bucketed.coalesce(8).write.parquet(asrc)
+            astream = spark.readStream.schema(
+                "series string, bucket timestamp, metric double, condition_met boolean"
+            ).parquet(asrc)
+            q2 = (
+                streaming.streaming_alert_eval(astream, width="5 minutes", for_buckets=3)
+                .writeStream.outputMode("append")
+                .format("noop")
+                .option("checkpointLocation", f"{tmp}/ck2")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q2.awaitTermination(600)
+            p2 = q2.recentProgress
+            state2 = sum(s["numRowsTotal"] for s in p2[-1]["stateOperators"]) if p2 else -1
+            dur2 = max(x["durationMs"]["triggerExecution"] for x in p2) if p2 else -1
+            print(
+                f"alert_eval       {label:<5} state rows {state2:>10,}  "
+                f"max trigger {dur2/1000:6.2f} s"
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    run(ev1, "1x")
+    scaled = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            ev1.withColumn("device_id", F.col("device_id") + i * OFFSET)
+            for i in range(copies)
+        ],
+    )
+    run(scaled, f"{copies}x")
+
 
 if __name__ == "__main__":
     main()
