@@ -359,7 +359,15 @@ def ivf_corpus_table(
     The codebook is derived deterministically (vec_id % stride == 0),
     so a later knn_join_ivf over the same embeddings with the same
     stride probes exactly the lists this table was bucketed by."""
-    from ..operators.maintenance import write_bucketed
+    from ..operators.maintenance import _fs_delete, write_bucketed
+
+    # a previous session may have left the managed location behind
+    # without a catalog entry (saveAsTable then refuses the name even
+    # in overwrite mode) — drop both the entry and any orphan dir
+    spark = embeddings.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    _fs_delete(f"{wh.rstrip('/')}/{table_name.lower()}")
 
     _, assign = ivf_assignments(embeddings, stride=stride)
     listed = assign.join(embeddings, "vec_id")

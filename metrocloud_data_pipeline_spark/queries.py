@@ -2301,79 +2301,34 @@ def obs_alert_firing(spark, sf_dir):
 # toward the back, with rows-only / recently-double-checked entries in
 # the rotated-out tail.
 QUERY_ORDER = [
-    # new this round: the four remaining TPC-H plan shapes
+    # new this round (r5): the four remaining TPC-H plan shapes + bucketed ANN
     "h2_min_cost_supplier",
     "h11_important_parts",
     "h12_ship_delay_priority",
     "h20_excess_supply",
-    # new this round: ANN over the bucketed corpus layout
     "knn_join_ivf_bucketed",
-    # unchecked in round 3 (driver verifies only the first 50)
-    "h6_forecast_revenue",
-    "h7_volume_shipping",
-    "h8_market_share",
-    "h10_returned_items",
-    "h13_customer_distribution",
-    "h14_promo_revenue",
-    "h15_top_supplier",
-    "h16_supplier_part_counts",
-    "langid_heuristic",
-    "text_token_stats",
-    "lang_source_stats",
-    "embedding_label_stats",
-    "knn_brute_force",
-    "f1_recent_readings",
-    "f3_anomalous_readings",
-    "f4_between_range",
-    "f6_metadata_lookup",
-    "q1_latest_readings",
-    "q2_export_device_range",
-    "a2_hourly_aggregates",
-    "a3_daily_aggregates",
-    "a5_timeseries_15min",
-    "a7_type_distribution",
-    "a10_realtime_monitor",
-    "w2_moving_average",
-    # new this round: observability dashboard/alert queries (§2.12)
-    "obs_throughput_5min",
-    "obs_anomaly_rate_hourly",
-    "obs_alert_firing",
-    # new this round: batch kNN join (exact audit slice + IVF scale path)
-    "knn_join_brute",
+    # changed this round: knn_join_ivf shuffle removal / new fanout oracle /
+    # LSH cap formulation + dropped-bucket guard / interval_join + alert_eval
+    # guards / ivf_assignments consumers (r4 advice)
     "knn_join_ivf",
-    # new this round: end-to-end dedup decision + bucketed interval join
-    "dedup_keep_list",
-    "iv_error_windows",
-    "a12_type_dow_cube",
-    # changed this round: NTZ loader fix / LSH hot-bucket cap / split-sum
-    "w1_gap_detection",
-    "w3_rate_of_change",
-    "w4_user_sessions",
+    "ingest_fanout_pipeline",
+    "dedup_minhash",
     "dedup_ngram_jaccard",
     "dedup_clusters",
-    "h3_shipping_priority",
-    "h5_local_supplier_volume",
-    # round-3-green rows ALSO touched by this round's split-sum / gram
-    # changes — keep inside the window so every changed query re-verifies
-    "h17_small_qty_revenue",
-    "h19_disc_revenue",
-    "h22_dormant_customers",
-    "h1_pricing_summary",
-    "h9_nation_profit",
-    "h18_large_customers",
-    "h_brand_revenue",
-    "doc_fingerprint_winnow",
-    "decontaminate_ngram",
-    "text_repetition_stats",
-    # --- driver window ends here (first 50) ---
-    # rotated out: r1-green trivial filter, unchanged since round 1
+    "dedup_keep_list",
+    "iv_error_windows",
+    "obs_alert_firing",
+    "knn_ivf",
+    "dedup_embed_cosine_lsh",
+    # rotated back in: every oracle-eligible query last green in r3 or earlier
+    # (two-round invariant: green within the last two rounds)
     "f2_type_filter",
-    # round-3-green and unchanged, aging toward rotation
     "dedup_embed_cosine",
     "media_feature_extract",
     "media_frame_sample",
     "media_type_summary",
     "h21_late_suppliers",
+    "h4_order_priority",
     "sample_weighted_sources",
     "text_clean_stats",
     "quality_filter_report",
@@ -2386,22 +2341,65 @@ QUERY_ORDER = [
     "a1_device_summary",
     "a4_device_stats",
     "a6_table_stats",
-    "a6_table_stats_approx",
     "a8_duplicate_report",
     "a9_daily_quality",
-    "a9_daily_quality_approx",
     "t1_unpivot_measures",
     "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
     "text_bpe_token_stats",
     "text_quality_score",
+    # stale rows-only checks, re-run on the same invariant
+    "a6_table_stats_approx",
+    "a9_daily_quality_approx",
+    "dedup_simhash",
     "knn_lsh",
-    "knn_ivf",
-    "dedup_embed_cosine_lsh",
-    "ingest_fanout_pipeline",
     "seq_pack_summary",
-    "h4_order_priority",
+    # r4-green regression canaries on the heaviest shared paths
+    "h1_pricing_summary",
+    "h5_local_supplier_volume",
+    "w4_user_sessions",
+    "a2_hourly_aggregates",
+    "langid_heuristic",
+    # --- driver window ends here (first 50) ---
+    # green in r04 (within the two-round invariant), rotated out this round
+    "h6_forecast_revenue",
+    "h7_volume_shipping",
+    "h8_market_share",
+    "h10_returned_items",
+    "h13_customer_distribution",
+    "h14_promo_revenue",
+    "h15_top_supplier",
+    "h16_supplier_part_counts",
+    "text_token_stats",
+    "lang_source_stats",
+    "embedding_label_stats",
+    "knn_brute_force",
+    "f1_recent_readings",
+    "f3_anomalous_readings",
+    "f4_between_range",
+    "f6_metadata_lookup",
+    "q1_latest_readings",
+    "q2_export_device_range",
+    "a3_daily_aggregates",
+    "a5_timeseries_15min",
+    "a7_type_distribution",
+    "a10_realtime_monitor",
+    "w2_moving_average",
+    "obs_throughput_5min",
+    "obs_anomaly_rate_hourly",
+    "knn_join_brute",
+    "a12_type_dow_cube",
+    "w1_gap_detection",
+    "w3_rate_of_change",
+    "h3_shipping_priority",
+    "h17_small_qty_revenue",
+    "h19_disc_revenue",
+    "h22_dormant_customers",
+    "h9_nation_profit",
+    "h18_large_customers",
+    "h_brand_revenue",
+    "doc_fingerprint_winnow",
+    "decontaminate_ngram",
+    "text_repetition_stats",
 ]
 
 
