@@ -30,6 +30,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline workload: heavy scan/join/agg/window/dedup/vector coverage.
 HEADLINE = [
     "h1_pricing_summary",
+    "h2_min_cost_supplier",
     "h3_shipping_priority",
     "h4_order_priority",
     "h5_local_supplier_volume",
@@ -38,6 +39,8 @@ HEADLINE = [
     "h8_market_share",
     "h9_nation_profit",
     "h10_returned_items",
+    "h11_important_parts",
+    "h12_ship_delay_priority",
     "h13_customer_distribution",
     "h14_promo_revenue",
     "h15_top_supplier",
@@ -45,6 +48,7 @@ HEADLINE = [
     "h17_small_qty_revenue",
     "h18_large_customers",
     "h19_disc_revenue",
+    "h20_excess_supply",
     "h21_late_suppliers",
     "h22_dormant_customers",
     "h_brand_revenue",
@@ -98,6 +102,11 @@ def main() -> None:
     run_noop(qs["h1_pricing_summary"](spark, SF_DIR))
     run_noop(qs["media_feature_extract"](spark, SF_DIR))
     run_noop(qs["knn_brute_force"](spark, SF_DIR))
+    # the scalar-pandas-UDF scoring path (cosine_batch/nearest_lists)
+    # pays ~3x on its first execution (codebook collect + worker JIT)
+    # even after the mapInPandas warmup above — warm it explicitly so
+    # the timed medians are steady-state like every other query
+    run_noop(qs["knn_join_ivf"](spark, SF_DIR))
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
