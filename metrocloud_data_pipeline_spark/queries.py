@@ -1521,6 +1521,57 @@ def dedup_embed_cosine_lsh(spark, sf_dir):
 
 
 @q(
+    "embed_dedup_keep_list",
+    oracle="""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 20000 AND b.vec_id < 20000
+    AND round(
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) >= 0.4
+),
+edges AS (SELECT va AS a, vb AS b FROM pairs UNION ALL SELECT vb, va FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+),
+lab AS (SELECT node AS vec_id, min(label) AS cluster_id FROM reach GROUP BY node)
+SELECT e.vec_id, lab.cluster_id,
+       (lab.cluster_id IS NULL OR lab.cluster_id = e.vec_id) AS keep
+FROM embeddings e LEFT JOIN lab USING (vec_id)
+""",
+)
+def embed_dedup_keep_list(spark, sf_dir):
+    """SEMANTIC dedup decision — the embedding-space twin of
+    dedup_keep_list: exact cosine near-dup pairs (>= 0.4 over the
+    bounded audit slice) -> connected components (pointer-doubled
+    hash-min, same operator as the token path) -> keep the component's
+    min vec_id, keep everything unclustered. At corpus scale the pair
+    source swaps to the hyperplane-LSH path (dedup_embed_cosine_lsh)
+    unchanged — the cluster/keep stages are pair-source-agnostic. The
+    oracle recomputes components with a recursive CTE over the same
+    exact pair set."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_near_dup_exact(emb, threshold=0.4, max_vecs=20000)
+    clusters = dedup.duplicate_clusters(
+        pairs.select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    ).select(F.col("doc_id").alias("vec_id"), "cluster_id")
+    return emb.select("vec_id").join(clusters, "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("vec_id"))).alias(
+            "keep"
+        ),
+    )
+
+
+@q(
     "doc_fingerprint_winnow",
     oracle="""
 WITH norm AS (
@@ -2307,6 +2358,7 @@ QUERY_ORDER = [
     "h12_ship_delay_priority",
     "h20_excess_supply",
     "knn_join_ivf_bucketed",
+    "embed_dedup_keep_list",
     # changed this round: knn_join_ivf shuffle removal / new fanout oracle /
     # LSH cap formulation + dropped-bucket guard / interval_join + alert_eval
     # guards / ivf_assignments consumers (r4 advice)
@@ -2358,9 +2410,9 @@ QUERY_ORDER = [
     "h5_local_supplier_volume",
     "w4_user_sessions",
     "a2_hourly_aggregates",
-    "langid_heuristic",
     # --- driver window ends here (first 50) ---
     # green in r04 (within the two-round invariant), rotated out this round
+    "langid_heuristic",
     "h6_forecast_revenue",
     "h7_volume_shipping",
     "h8_market_share",
