@@ -477,6 +477,12 @@ def top_supplier(
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(*split_sum(_revenue_u(), "rev"))
         .select("supplier_no", merge_split("rev", 4).alias("total_revenue"))
+        # persisted: both the scalar max and the equality rejoin consume
+        # this frame, and without it Spark re-scans lineitem for each
+        # (pruning makes the subtrees non-identical, so exchange reuse
+        # never fires — same rationale as important_parts). One row per
+        # supplier — the right thing to rescan at 100 TB.
+        .persist()
     )
     best = rev.join(
         F.broadcast(rev.agg(F.max("total_revenue").alias("max_revenue"))),
@@ -521,8 +527,15 @@ def small_quantity_revenue(
     double regardless of summation order (both engines agree bit-for-
     bit); one brand's lines are tiny, so the rejoin broadcasts."""
     pts = part.where(F.col("p_brand") == brand).select("p_partkey")
-    li = lineitem.join(F.broadcast(pts), F.col("l_partkey") == pts.p_partkey).select(
-        "l_partkey", "l_quantity", "l_extendedprice"
+    li = (
+        lineitem.join(F.broadcast(pts), F.col("l_partkey") == pts.p_partkey)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        # persisted: the per-part average and the rejoin both consume
+        # this frame; the brand predicate lives on part, not lineitem,
+        # so without the persist BOTH consumers re-read the full
+        # lineitem scan (no pushdown, no exchange reuse). One brand's
+        # lines (~1/|brands| of the fact) is the right thing to cache.
+        .persist()
     )
     qty_cut = li.groupBy(F.col("l_partkey").alias("cut_partkey")).agg(
         (F.avg("l_quantity") * frac).alias("qty_cut")
@@ -882,8 +895,9 @@ def excess_supply_suppliers(
             (F.col("yr_qty") > 0)
             & (F.col("all_qty").cast("double") > F.col("yr_qty").cast("double") * 1.5)
         )
+        # no distinct: the left-semi join below dedups implicitly, so a
+        # distinct here would only buy an extra exchange on l_suppkey
         .select("l_suppkey")
-        .distinct()
     )
     regional_nations = nation.join(
         F.broadcast(region.where(F.col("r_name") == region_name)),
