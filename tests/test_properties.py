@@ -93,3 +93,65 @@ def test_clamp_bounds_all_timestamps(spark, rows):
     secs = S.CLAMP_WINDOW_HOURS * 3600
     outside = valid.where(F.abs(F.unix_timestamp("timestamp") - F.lit(ANCHOR_EPOCH)) > secs)
     assert outside.count() == 0
+
+
+# --- interval_join vs the naive range join ---------------------------------
+
+_iv_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # key
+        st.integers(min_value=0, max_value=10_000),     # ts offset sec
+    ),
+    min_size=1,
+    max_size=20,
+)
+_iv_intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # key
+        st.integers(min_value=0, max_value=10_000),     # start offset sec
+        st.integers(min_value=-600, max_value=5_000),   # length sec (may be negative -> reversed)
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_iv_events, _iv_intervals)
+def test_interval_join_matches_naive_range_join(spark, evs, ivs):
+    # the bucketed equi-join must return EXACTLY the pairs the naive
+    # (non-scalable) BETWEEN join returns, for arbitrary bucket
+    # alignment, multi-bucket spans, and reversed intervals
+    import datetime as dt
+
+    from metrocloud_data_pipeline_spark.operators import temporal
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(k, t0 + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(evs)],
+        "k long, ts timestamp, ev_id long",
+    )
+    iv = spark.createDataFrame(
+        [
+            (k, t0 + dt.timedelta(seconds=s), t0 + dt.timedelta(seconds=s + ln), i)
+            for i, (k, s, ln) in enumerate(ivs)
+        ],
+        "k long, start timestamp, end timestamp, iv_id long",
+    )
+    got = {
+        (r["ev_id"], r["iv_id"])
+        for r in temporal.interval_join(
+            ev, iv, key_col="k", bucket_width="15 minutes"
+        ).collect()
+    }
+    naive = {
+        (r["ev_id"], r["iv_id"])
+        for r in ev.alias("e")
+        .join(
+            iv.alias("i"),
+            (F.col("e.k") == F.col("i.k"))
+            & F.col("e.ts").between(F.col("i.start"), F.col("i.end")),
+        )
+        .collect()
+    }
+    assert got == naive
