@@ -431,3 +431,79 @@ def quality_filter(
         (F.size(reasons) == 0).alias("keep"),
         F.array_join(reasons, ",").alias("reject_reasons"),
     )
+
+
+# --- temperature-scaled source mixing ---------------------------------------
+
+
+def temperature_mix(docs: DataFrame, alpha: float = 0.5, source_col: str = "source") -> DataFrame:
+    """Temperature-scaled domain mixing weights (the multilingual-LM
+    sampling rule: p_s proportional to n_s^alpha). alpha=1 reproduces
+    natural proportions; alpha->0 flattens toward uniform; 0<alpha<1
+    upsamples small sources without letting any source dominate.
+
+    Per source: doc/token mass, the normalized sampling weight, and the
+    effective epochs a one-total-token-budget run would make over that
+    source (weight * total_tokens / n_tokens — >1 means the source is
+    repeated). One corpus scan into a sources-sized aggregate; the
+    normalizer rides along as a broadcast 1-row aggregate of the tiny
+    per-source frame, so no driver-side collect and no second scan."""
+    toks = tokens_col()
+    per_source = (
+        docs.select(F.col(source_col).alias("source"), F.size(toks).alias("_n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n_tok").alias("n_tokens"),
+        )
+    )
+    mass = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    weighted = per_source.withColumn("_mass", mass)
+    totals = weighted.select(
+        F.sum("_mass").alias("_mass_total"), F.sum("n_tokens").alias("_tok_total")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            round6(F.col("_mass") / F.col("_mass_total")).alias("mix_weight"),
+            round6(
+                (F.col("_mass") / F.col("_mass_total"))
+                * F.col("_tok_total").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("effective_epochs"),
+        )
+    )
+
+
+def quality_quantile_filter(
+    docs: DataFrame, q: float = 0.25, target_chars: float = 400.0
+) -> DataFrame:
+    """Corpus-relative quality gate: score every document (the same
+    deterministic length x diversity heuristic as text.quality_score),
+    take the exact q-quantile of the ROUNDED scores corpus-wide, keep
+    documents at or above it. Unlike quality_filter's fixed rules, the
+    threshold adapts to the corpus — the usual "drop the worst quartile"
+    curation step.
+
+    Two passes over the scores, not the corpus: the per-doc score frame
+    feeds both the 1-row exact-percentile aggregate (broadcast back via
+    crossJoin — no driver collect) and the filter. The quantile is
+    interpolated from round6-ed scores and itself round6-ed before the
+    comparison, so the keep decision is bit-identical cross-engine.
+    At 100 TB the exact percentile's single-pass merge is fine (it
+    aggregates doubles, not rows); approx_percentile is the documented
+    fallback if the score cardinality ever explodes."""
+    from .text import quality_score
+
+    scored = quality_score(docs, target_chars=target_chars).select("doc_id", "quality_score")
+    thr = scored.select(
+        round6(F.expr(f"percentile(quality_score, {q})")).alias("threshold")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .where(F.col("quality_score") >= F.col("threshold"))
+        .select("doc_id", "quality_score", "threshold")
+    )

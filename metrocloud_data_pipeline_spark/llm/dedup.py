@@ -466,3 +466,40 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.withColumn(
         "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
     )
+
+
+def cross_corpus_exact(
+    incoming: DataFrame, corpus: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Incremental-ingest dedup: for every incoming document, how many
+    exact (normalized-text) duplicates already exist in the reference
+    corpus, and the earliest such corpus doc. The decision a training
+    pipeline makes on every new crawl batch before it touches the main
+    store.
+
+    Direction matters at scale: the corpus is the 100 TB side and the
+    incoming batch is small, so the INCOMING digests broadcast and the
+    corpus scan streams against them — corpus rows never shuffle. The
+    match aggregate is then at most |incoming|-sized. Wide text columns
+    are reduced to 32-char digests before any join on either side."""
+    inc = incoming.select("doc_id", F.md5(_norm_text(F.col(text_col))).alias("digest"))
+    corp = corpus.select(
+        F.col("doc_id").alias("_c_doc"), F.md5(_norm_text(F.col(text_col))).alias("digest")
+    )
+    matches = (
+        corp.join(F.broadcast(inc.select("digest").distinct()), "digest")
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_dupes_in_corpus"),
+            F.min("_c_doc").alias("first_dup_doc_id"),
+        )
+    )
+    return (
+        inc.join(F.broadcast(matches), "digest", "left")
+        .select(
+            "doc_id",
+            "digest",
+            F.coalesce("n_dupes_in_corpus", F.lit(0)).alias("n_dupes_in_corpus"),
+            "first_dup_doc_id",
+        )
+    )

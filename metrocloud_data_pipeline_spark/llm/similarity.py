@@ -484,3 +484,144 @@ def ivf_topk(
         round6(cosine_col(F.col("embedding"), F.col("q_emb"))).alias("cosine_sim"),
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(k)
+
+
+# --- distributed k-means (Lloyd's) ------------------------------------------
+
+
+_KMEANS_PARTIALS_SCHEMA = "cluster long, psum array<double>, n long, pinertia double"
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 16,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed Lloyd's k-means over an embedding column; returns
+    (codebook ndarray [k, dim], inertia trace per iteration).
+
+    Deterministic: seeds are the k smallest-id vectors; every update is
+    an exact sum of the same values in a fixed reduction order (partial
+    sums are reduced on the driver sorted by (cluster, partition)), so
+    repeated runs converge identically.
+
+    Scale shape per iteration: broadcast the [k, dim] codebook, one
+    narrow mapInPandas pass emits per-Arrow-batch partial rows
+    (cluster, vector-sum, count, inertia) — the map-side combine for
+    vector means that groupBy cannot express JVM-side — and only
+    ~num_partitions*k tiny rows reach the driver for the final reduce.
+    Corpus rows never shuffle; the corpus is scanned n_iter times, so
+    callers at scale persist/cache the input frame first (the registered
+    query does). Empty clusters keep their previous centroid (standard
+    Lloyd fallback)."""
+    import numpy as np
+
+    seeds = (
+        embeddings.select(id_col, vec_col).orderBy(F.col(id_col)).limit(k).collect()
+    )
+    code = np.vstack([r[vec_col] for r in seeds]).astype(np.float64)
+    dim = code.shape[1]
+    sc = embeddings.sparkSession.sparkContext
+    vecs = embeddings.select(F.col(vec_col).alias("v"))
+    trace: list[float] = []
+
+    for _ in range(n_iter):
+        bc = sc.broadcast(code)
+
+        def partials(batches):
+            import pandas as pd
+
+            cb = bc.value  # [k, dim]
+            sq = (cb * cb).sum(axis=1)  # ||c||^2, [k]
+            for pdf in batches:
+                a = np.vstack(pdf["v"].values).astype(np.float64)  # [m, dim]
+                # argmin ||a - c||^2 = argmin (||c||^2 - 2 a.c); per-row
+                d2 = sq[None, :] - 2.0 * (a @ cb.T)  # [m, k] (+ ||a||^2 const)
+                lab = np.argmin(d2, axis=1)
+                an2 = (a * a).sum(axis=1)
+                rows = []
+                for c in np.unique(lab):
+                    m = lab == c
+                    rows.append(
+                        (
+                            int(c),
+                            (a[m].sum(axis=0)).tolist(),
+                            int(m.sum()),
+                            float((an2[m] + d2[m, c]).sum()),
+                        )
+                    )
+                yield pd.DataFrame(rows, columns=["cluster", "psum", "n", "pinertia"])
+
+        part = vecs.mapInPandas(partials, _KMEANS_PARTIALS_SCHEMA).collect()
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        inertia = 0.0
+        for r in sorted(part, key=lambda r: r.cluster):
+            sums[r.cluster] += np.array(r.psum)
+            counts[r.cluster] += r.n
+            inertia += r.pinertia
+        trace.append(inertia)
+        nonempty = counts > 0
+        code = code.copy()
+        code[nonempty] = sums[nonempty] / counts[nonempty, None]
+        bc.destroy()
+    return code, trace
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster_id, sq_dist) for a fitted codebook: one broadcast +
+    one narrow Arrow pass, same shape as ivf_assignments."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bc = embeddings.sparkSession.sparkContext.broadcast(np.asarray(codebook, dtype=np.float64))
+
+    @pandas_udf("struct<cluster_id: long, sq_dist: double>")
+    def nearest(emb):
+        cb = bc.value
+        sq = (cb * cb).sum(axis=1)
+        a = np.vstack(emb.values).astype(np.float64)
+        d2 = sq[None, :] - 2.0 * (a @ cb.T)
+        lab = np.argmin(d2, axis=1)
+        an2 = (a * a).sum(axis=1)
+        return pd.DataFrame(
+            {"cluster_id": lab, "sq_dist": an2 + d2[np.arange(len(lab)), lab]}
+        )
+
+    return embeddings.select(F.col(id_col), nearest(F.col(vec_col)).alias("_r")).select(
+        id_col,
+        F.col("_r.cluster_id").alias("cluster_id"),
+        F.col("_r.sq_dist").alias("sq_dist"),
+    )
+
+
+def kmeans_cluster_stats(
+    embeddings: DataFrame, k: int = 16, n_iter: int = 4
+) -> DataFrame:
+    """Fit + assign + per-cluster rollup (size, mean squared distance):
+    the semantic-clustering summary used for diversity-aware corpus
+    mixing. Input is cached for the duration of the iterations."""
+    cached = embeddings.select("vec_id", "embedding").persist()
+    try:
+        code, _ = kmeans_fit(cached, k=k, n_iter=n_iter)
+        assign = kmeans_assign(cached, code)
+        return (
+            assign.groupBy("cluster_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                round6(F.avg("sq_dist")).alias("mean_sq_dist"),
+            )
+            .orderBy("cluster_id")
+        )
+    finally:
+        # the returned frame still references cached partitions; Spark
+        # recomputes transparently if they are evicted after unpersist
+        cached.unpersist()

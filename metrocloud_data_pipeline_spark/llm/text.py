@@ -165,3 +165,91 @@ def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5) -> DataFrame:
     )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     return gh.select("doc_id", F.min("gh").over(win).alias("fp")).distinct()
+
+
+def _term_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, term) rows: whitespace-normalized lowercase tokens.
+    Empty documents emit no rows (explode of an empty array)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS, " ")
+    toks = F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    return docs.select("doc_id", F.explode(toks).alias("term"))
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document top-k keywords by smoothed TF-IDF
+    (idf = ln((1+N)/(1+df)) + 1, the scikit-learn smoothing so no term
+    gets a zero or negative weight).
+
+    Shape at scale: term explode -> (doc_id, term) count (one shuffle,
+    map-side combined) -> document-frequency aggregate over the SAME
+    frame (vocabulary-sized, map-side combined) -> rejoin on term ->
+    per-doc top-k window on doc_id. The df frame is |vocab| rows — far
+    smaller than the corpus but not guaranteed broadcastable, so the
+    rejoin is a plain shuffle join on term; the corpus count rides in
+    as a broadcast 1-row aggregate (no driver collect). Ordering uses
+    the ROUNDED score (+ term as tiebreak) so ranks are identical
+    cross-engine."""
+    from pyspark.sql.window import Window
+
+    terms = _term_rows(docs)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            round6(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.lit(1.0) + F.col("_n").cast("double"))
+                        / (F.lit(1.0) + F.col("df").cast("double"))
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("tfidf"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return scored.withColumn("rnk", F.row_number().over(win)).where(F.col("rnk") <= k)
+
+
+def vocab_coverage(docs: DataFrame, top_n: int = 100) -> DataFrame:
+    """Corpus vocabulary head: the top_n most frequent terms with their
+    share of all token occurrences and the cumulative coverage — the
+    standard tokenizer-budget question ("how much of the corpus do the
+    first N vocabulary entries cover?").
+
+    Term counting is one map-side-combined aggregate; the top-N pick is
+    TakeOrderedAndProject (no global sort of the vocabulary); the
+    cumulative window then runs over only top_n rows in a single tiny
+    partition. The corpus-total divisor is a broadcast 1-row aggregate
+    of the vocabulary frame, not a second corpus scan."""
+    from pyspark.sql.window import Window
+
+    counts = _term_rows(docs).groupBy("term").agg(F.count(F.lit(1)).alias("term_count"))
+    total = counts.select(F.sum("term_count").alias("_total"))
+    head = counts.orderBy(F.col("term_count").desc(), F.col("term")).limit(top_n)
+    order_win = Window.orderBy(F.col("term_count").desc(), F.col("term"))
+    win = order_win.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        head.crossJoin(F.broadcast(total))
+        .withColumn("rnk", F.row_number().over(order_win))
+        .select(
+            "rnk",
+            "term",
+            "term_count",
+            round6(F.col("term_count").cast("double") / F.col("_total").cast("double")).alias(
+                "share"
+            ),
+            round6(
+                F.sum("term_count").over(win).cast("double") / F.col("_total").cast("double")
+            ).alias("cum_share"),
+        )
+    )

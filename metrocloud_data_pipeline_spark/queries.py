@@ -2409,6 +2409,168 @@ def corpus_select_pipeline(spark, sf_dir):
     )
 
 
+# --- r5 additions: keyword extraction, vocab budget, corpus-relative -------
+# curation, temperature mixing, incremental ingest dedup, k-means ------------
+
+_NORM_TOKS_SQL = "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+
+
+@q(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_NORM_TOKS_SQL}) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n FROM documents WHERE length(trim(text)) > 0
+), scored AS (
+  SELECT doc_id, tf.term, tf,
+         round(CAST(tf AS DOUBLE) * (ln((1.0 + n) / (1.0 + df)) + 1.0), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+""",
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Per-document top-5 keywords by smoothed TF-IDF (reference has no
+    keyword extractor; this is the §2.14 text-analysis surface a corpus
+    pipeline adds). Rank ties break on the rounded score + term so both
+    engines order identically."""
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    return text.tfidf_top_terms(docs, k=5)
+
+
+@q(
+    "vocab_coverage",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({_NORM_TOKS_SQL}) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), counts AS (
+  SELECT term, count(*) AS term_count FROM toks GROUP BY 1
+), total AS (SELECT sum(term_count) AS t FROM counts),
+head AS (
+  SELECT term, term_count, row_number() OVER (ORDER BY term_count DESC, term) AS rnk
+  FROM counts QUALIFY rnk <= 100
+)
+SELECT rnk, term, term_count,
+       round(CAST(term_count AS DOUBLE) / t, 6) AS share,
+       round(CAST(sum(term_count) OVER (ORDER BY term_count DESC, term
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t, 6) AS cum_share
+FROM head CROSS JOIN total
+""",
+)
+def vocab_coverage(spark, sf_dir):
+    """Top-100 vocabulary head with per-term share and cumulative corpus
+    coverage — the tokenizer-budget question. Counting is one map-side-
+    combined aggregate; only the 100-row head enters a window."""
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    return text.vocab_coverage(docs, top_n=100)
+
+
+@q(
+    "source_mix_temperature",
+    oracle="""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents WHERE length(trim(text)) > 0 GROUP BY 1
+), tot AS (
+  SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS mass_total,
+         sum(n_tokens) AS tok_total
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(pow(CAST(n_tokens AS DOUBLE), 0.5) / mass_total, 6) AS mix_weight,
+       round(pow(CAST(n_tokens AS DOUBLE), 0.5) / mass_total
+             * CAST(tok_total AS DOUBLE) / n_tokens, 6) AS effective_epochs
+FROM per CROSS JOIN tot
+""",
+)
+def source_mix_temperature(spark, sf_dir):
+    """Temperature-scaled (alpha=0.5) source mixing weights + effective
+    epochs — the sampling-rate table that drives weighted_sample. One
+    scan into a sources-sized aggregate; normalizers broadcast."""
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    return curation.temperature_mix(docs, alpha=0.5)
+
+
+@q(
+    "quality_quantile_filter",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         round(least(1.0, CAST(n_chars AS DOUBLE) / 400.0)
+               * (CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+                  / len(string_split_regex(trim(text), '\\s+'))), 6) AS quality_score
+  FROM documents WHERE length(trim(text)) > 0
+), thr AS (
+  SELECT round(quantile_cont(quality_score, 0.25), 6) AS threshold FROM scored
+)
+SELECT doc_id, quality_score, threshold
+FROM scored CROSS JOIN thr
+WHERE quality_score >= threshold
+""",
+)
+def quality_quantile_filter(spark, sf_dir):
+    """Corpus-relative curation: drop the worst quality quartile. The
+    exact 25th percentile of rounded scores is computed corpus-wide and
+    broadcast back — both engines interpolate from identical inputs, so
+    the keep set is value-checked end to end."""
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    return curation.quality_quantile_filter(docs, q=0.25)
+
+
+@q(
+    "dedup_cross_corpus",
+    oracle="""
+WITH inc AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest
+  FROM documents WHERE doc_id % 10 = 0
+), corp AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest
+  FROM documents WHERE doc_id % 10 <> 0
+), m AS (
+  SELECT digest, count(*) AS n_dupes_in_corpus, min(doc_id) AS first_dup_doc_id
+  FROM corp GROUP BY 1
+)
+SELECT i.doc_id, i.digest,
+       coalesce(m.n_dupes_in_corpus, 0) AS n_dupes_in_corpus,
+       m.first_dup_doc_id
+FROM inc i LEFT JOIN m USING (digest)
+""",
+)
+def dedup_cross_corpus(spark, sf_dir):
+    """Incremental-ingest exact dedup: every incoming doc (the 10%
+    doc_id%10==0 slice stands in for a new crawl batch) checked against
+    the standing corpus by normalized-text digest. The small incoming
+    side broadcasts; corpus rows never shuffle — the decision a pipeline
+    runs on every batch before appending to the 100 TB store."""
+    docs = load(spark, sf_dir, "documents")
+    incoming = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return dedup.cross_corpus_exact(incoming, corpus)
+
+
+@q("kmeans_embed_clusters")
+def kmeans_embed_clusters(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embedding corpus (k=16,
+    4 iterations, deterministic smallest-id seeding): per-cluster size
+    and mean squared distance — the semantic-clustering rollup behind
+    diversity-aware corpus mixing. Rows-only by design (iterative
+    floating-point; monotone-inertia and argmin invariants in pytest)."""
+    return similarity.kmeans_cluster_stats(
+        load(spark, sf_dir, "embeddings"), k=16, n_iter=4
+    )
+
+
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (it verifies the first 50
 # of 76). Round-4 rotation: the 26 queries outside round 3's check
@@ -2418,6 +2580,14 @@ def corpus_select_pipeline(spark, sf_dir):
 # toward the back, with rows-only / recently-double-checked entries in
 # the rotated-out tail.
 QUERY_ORDER = [
+    # new this round (r5): keyword extraction, vocab budget, temperature
+    # mixing, corpus-relative curation, incremental dedup, k-means
+    "tfidf_top_terms",
+    "vocab_coverage",
+    "source_mix_temperature",
+    "quality_quantile_filter",
+    "dedup_cross_corpus",
+    "kmeans_embed_clusters",
     # new this round (r5): the four remaining TPC-H plan shapes + bucketed ANN
     "h2_min_cost_supplier",
     "h11_important_parts",
@@ -2467,17 +2637,18 @@ QUERY_ORDER = [
     "text_bpe_token_stats",
     "text_quality_score",
     # stale rows-only checks, re-run on the same invariant
-    "a6_table_stats_approx",
-    "a9_daily_quality_approx",
     "dedup_simhash",
-    "knn_lsh",
     "seq_pack_summary",
-    # r4-green regression canaries on the heaviest shared paths
+    # --- driver window ends here (first 50) ---
+    # green in r04 (within the two-round invariant), rotated out this round
+    # (incl. the r4 canaries + rows-only approx/lsh twins displaced by the
+    # six r5 additions)
     "h1_pricing_summary",
     "h5_local_supplier_volume",
     "w4_user_sessions",
-    # --- driver window ends here (first 50) ---
-    # green in r04 (within the two-round invariant), rotated out this round
+    "a6_table_stats_approx",
+    "a9_daily_quality_approx",
+    "knn_lsh",
     "a2_hourly_aggregates",
     "langid_heuristic",
     "h6_forecast_revenue",

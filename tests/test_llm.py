@@ -5,7 +5,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from metrocloud_data_pipeline_spark.llm import dedup, multimodal, similarity, text
+from metrocloud_data_pipeline_spark.llm import curation, dedup, multimodal, similarity, text
 
 
 @pytest.fixture(scope="module")
@@ -508,3 +508,129 @@ def test_knn_join_ivf_bucketed_corpus_matches_and_drops_exchange(spark, tmp_path
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+# --- r5 additions: tf-idf / vocab / mixing / quantile filter / ---------------
+# cross-corpus dedup / k-means ------------------------------------------------
+
+
+def test_tfidf_top_terms_ranks_distinctive_words(docs):
+    out = text.tfidf_top_terms(docs, k=3)
+    rows = out.collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc emits at most k rows, ranked 1..n with descending scores
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in doc_rows] == list(range(1, len(doc_rows) + 1))
+        scores = [r["tfidf"] for r in doc_rows]
+        assert scores == sorted(scores, reverse=True)
+    # 'the' appears in most docs (high df) so it never beats the
+    # distinctive vocabulary of doc 4 despite tf=3 in docs 0-2
+    assert all(r["term"] != "the" for r in by_doc[4])
+    # a term unique to one doc scores ln((1+N)/2)+1 per occurrence
+    import math
+
+    n = docs.count()
+    solo = [r for r in by_doc[4] if r["tf"] == 1]
+    assert solo and solo[0]["tfidf"] == pytest.approx(math.log((1 + n) / 2) + 1, abs=1e-5)
+
+
+def test_vocab_coverage_cumulative_monotone(docs):
+    out = text.vocab_coverage(docs, top_n=10).collect()
+    assert [r["rnk"] for r in out] == list(range(1, len(out) + 1))
+    counts = [r["term_count"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    cum = [r["cum_share"] for r in out]
+    assert all(b >= a for a, b in zip(cum, cum[1:]))
+    # cumulative share equals the running sum of shares (to rounding)
+    run = 0.0
+    for r in out:
+        run += r["term_count"]
+    assert cum[-1] <= 1.0 + 1e-9
+    # 'the' dominates this corpus -> rank 1
+    assert out[0]["term"] == "the"
+
+
+def test_temperature_mix_weights(spark):
+    rows = [(i, " ".join(["w"] * (100 if i < 9 else 1)), "en", "big" if i < 9 else "small", 10)
+            for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r["source"]: r for r in curation.temperature_mix(docs, alpha=0.5).collect()}
+    assert out["big"]["n_tokens"] == 900 and out["small"]["n_tokens"] == 1
+    # weights sum to 1
+    assert out["big"]["mix_weight"] + out["small"]["mix_weight"] == pytest.approx(1.0, abs=1e-5)
+    # alpha=0.5 upsamples the small source relative to its natural share
+    assert out["small"]["mix_weight"] > 1 / 901
+    # effective epochs: weight * total_tokens / n_tokens
+    w = out["small"]["mix_weight"]
+    assert out["small"]["effective_epochs"] == pytest.approx(w * 901 / 1, abs=1e-3)
+    # alpha=1 reproduces natural proportions
+    nat = {r["source"]: r for r in curation.temperature_mix(docs, alpha=1.0).collect()}
+    assert nat["big"]["mix_weight"] == pytest.approx(900 / 901, abs=1e-5)
+
+
+def test_quality_quantile_filter_keeps_top_three_quartiles(spark):
+    # 20 docs with strictly increasing quality (longer + more diverse)
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(2 + i)), "en", "s", 10 * (2 + i))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = curation.quality_quantile_filter(docs, q=0.25).collect()
+    kept = {r["doc_id"] for r in out}
+    assert len(kept) == 15  # exact quartile on 20 strictly increasing scores
+    assert kept == set(range(5, 20))
+    thr = out[0]["threshold"]
+    assert all(r["quality_score"] >= thr for r in out)
+
+
+def test_cross_corpus_exact_flags_known_digests(spark):
+    mk = lambda i, t: (i, t, "en", "s", len(t))
+    corpus = spark.createDataFrame(
+        [mk(1, "alpha beta gamma"), mk(2, "ALPHA   beta gamma"), mk(3, "unique corpus text")],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    incoming = spark.createDataFrame(
+        [mk(10, "alpha beta gamma"), mk(20, "never seen before")],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in dedup.cross_corpus_exact(incoming, corpus).collect()}
+    assert len(out) == 2  # every incoming doc reported
+    assert out[10]["n_dupes_in_corpus"] == 2  # docs 1 and 2 normalize equal
+    assert out[10]["first_dup_doc_id"] == 1
+    assert out[20]["n_dupes_in_corpus"] == 0
+    assert out[20]["first_dup_doc_id"] is None
+
+
+def test_kmeans_inertia_monotone_and_assignment_argmin(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = np.array([[5.0, 0.0], [-5.0, 0.0], [0.0, 8.0]])
+    pts = np.vstack([c + rng.randn(30, 2) for c in centers])
+    rows = [(i, [float(x) for x in pts[i]], 0) for i in range(len(pts))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").cache()
+
+    code, trace = similarity.kmeans_fit(emb, k=3, n_iter=5)
+    # Lloyd's never increases inertia
+    assert all(b <= a + 1e-9 for a, b in zip(trace, trace[1:]))
+    # determinism: a second fit reproduces the codebook exactly
+    code2, trace2 = similarity.kmeans_fit(emb, k=3, n_iter=5)
+    assert np.allclose(code, code2) and trace == trace2
+
+    assign = similarity.kmeans_assign(emb, code).collect()
+    assert len(assign) == len(pts)
+    # assignment is the true argmin against the final codebook
+    for r in assign[:10]:
+        d = ((pts[r["vec_id"]] - code) ** 2).sum(axis=1)
+        assert r["cluster_id"] == int(np.argmin(d))
+        assert r["sq_dist"] == pytest.approx(float(d.min()), rel=1e-6)
+    # three well-separated blobs -> three clusters of 30
+    sizes = sorted(
+        similarity.kmeans_cluster_stats(emb, k=3, n_iter=5)
+        .toPandas()["n_vecs"]
+        .tolist()
+    )
+    assert sizes == [30, 30, 30]
