@@ -80,6 +80,11 @@ HEADLINE = [
     "knn_join_ivf",
     "media_type_summary",
     "obs_alert_firing",
+    "tfidf_top_terms",
+    "vocab_coverage",
+    "quality_quantile_filter",
+    "dedup_cross_corpus",
+    "kmeans_embed_clusters",
 ]
 # Deliberately absent: the exact-all-pairs baselines (dedup_ngram_jaccard,
 # dedup_embed_cosine) — quadratic verification twins for the oracle gate,

@@ -479,7 +479,10 @@ def temperature_mix(docs: DataFrame, alpha: float = 0.5, source_col: str = "sour
 
 
 def quality_quantile_filter(
-    docs: DataFrame, q: float = 0.25, target_chars: float = 400.0
+    docs: DataFrame,
+    q: float = 0.25,
+    target_chars: float = 400.0,
+    materialize_scores: bool = True,
 ) -> DataFrame:
     """Corpus-relative quality gate: score every document (the same
     deterministic length x diversity heuristic as text.quality_score),
@@ -490,7 +493,10 @@ def quality_quantile_filter(
 
     Two passes over the scores, not the corpus: the per-doc score frame
     feeds both the 1-row exact-percentile aggregate (broadcast back via
-    crossJoin — no driver collect) and the filter. The quantile is
+    crossJoin — no driver collect) and the filter, so it is checkpointed
+    once by default (16-byte rows; re-reading them beats re-tokenizing
+    the corpus per consumer, and Spark plans the two consumers as
+    independent subtrees otherwise). The quantile is
     interpolated from round6-ed scores and itself round6-ed before the
     comparison, so the keep decision is bit-identical cross-engine.
     At 100 TB the exact percentile's single-pass merge is fine (it
@@ -499,6 +505,8 @@ def quality_quantile_filter(
     from .text import quality_score
 
     scored = quality_score(docs, target_chars=target_chars).select("doc_id", "quality_score")
+    if materialize_scores:
+        scored = scored.localCheckpoint()
     thr = scored.select(
         round6(F.expr(f"percentile(quality_score, {q})")).alias("threshold")
     )

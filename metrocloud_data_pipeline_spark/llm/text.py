@@ -177,7 +177,7 @@ def _term_rows(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.explode(toks).alias("term"))
 
 
-def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+def tfidf_top_terms(docs: DataFrame, k: int = 5, materialize_tf: bool = True) -> DataFrame:
     """Per-document top-k keywords by smoothed TF-IDF
     (idf = ln((1+N)/(1+df)) + 1, the scikit-learn smoothing so no term
     gets a zero or negative weight).
@@ -187,14 +187,26 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     frame (vocabulary-sized, map-side combined) -> rejoin on term ->
     per-doc top-k window on doc_id. The df frame is |vocab| rows — far
     smaller than the corpus but not guaranteed broadcastable, so the
-    rejoin is a plain shuffle join on term; the corpus count rides in
-    as a broadcast 1-row aggregate (no driver collect). Ordering uses
-    the ROUNDED score (+ term as tiebreak) so ranks are identical
-    cross-engine."""
+    rejoin is a shuffle join on term (AQE skew-split absorbs stopword-
+    hot keys; a per-term window would put one stopword's whole posting
+    list in a single task, which is why df is NOT a window count). The
+    corpus doc count rides in as a broadcast 1-row aggregate over just
+    the id column. Ordering uses the ROUNDED score (+ term as tiebreak)
+    so ranks are identical cross-engine.
+
+    The tf frame feeds two consumers (the df aggregate and the score
+    join) and Spark plans the branches independently — without
+    materialization the explode+count subtree executes TWICE and the
+    corpus is scanned twice. materialize_tf (default) checkpoints tf
+    once — the "write the term-frequency table, then derive df from it"
+    step every batch TF-IDF pipeline has; at 100 TB that checkpoint is
+    a cluster-store write instead of a second corpus pass."""
     from pyspark.sql.window import Window
 
     terms = _term_rows(docs)
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    if materialize_tf:
+        tf = tf.localCheckpoint()
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
     scored = (
