@@ -84,6 +84,7 @@ HEADLINE = [
     "vocab_coverage",
     "quality_quantile_filter",
     "dedup_cross_corpus",
+    "unigram_surprisal",
     "kmeans_embed_clusters",
 ]
 # Deliberately absent: the exact-all-pairs baselines (dedup_ngram_jaccard,

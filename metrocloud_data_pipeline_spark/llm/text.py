@@ -265,3 +265,45 @@ def vocab_coverage(docs: DataFrame, top_n: int = 100) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+def unigram_surprisal(docs: DataFrame, materialize_tf: bool = True) -> DataFrame:
+    """Per-document mean unigram surprisal in bits/token — the language-
+    model quality signal (CCNet-style): documents whose words are
+    globally rare score high; boilerplate scores low. The "LM" is the
+    corpus's own unigram distribution, so the score is fully
+    deterministic and oracle-checkable (no trained artifact).
+
+    surprisal(doc) = -mean over tokens of log2 p(term),
+    p(term) = corpus_count(term) / corpus_tokens.
+
+    Derived entirely from the (doc_id, term, tf) frame: term totals and
+    the corpus total aggregate from tf (map-side combined), then one
+    shuffle rejoin on term and a per-doc aggregate. tf is checkpointed
+    once (shared by the probability and scoring branches — same
+    rationale as tfidf_top_terms)."""
+    terms = _term_rows(docs)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    if materialize_tf:
+        tf = tf.localCheckpoint()
+    term_counts = tf.groupBy("term").agg(F.sum("tf").alias("term_count"))
+    total = term_counts.select(F.sum("term_count").alias("_total"))
+    ln2 = 0.6931471805599453
+    return (
+        tf.join(term_counts, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("token_count"),
+            round6(
+                -F.sum(
+                    F.col("tf").cast("double")
+                    * F.log(
+                        F.col("term_count").cast("double") / F.col("_total").cast("double")
+                    )
+                )
+                / F.sum("tf").cast("double")
+                / F.lit(ln2)
+            ).alias("bits_per_token"),
+        )
+    )

@@ -2559,6 +2559,32 @@ def dedup_cross_corpus(spark, sf_dir):
     return dedup.cross_corpus_exact(incoming, corpus)
 
 
+@q(
+    "unigram_surprisal",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_NORM_TOKS_SQL}) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), tc AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS term_count FROM tf GROUP BY 1
+), tot AS (SELECT CAST(sum(term_count) AS BIGINT) AS total FROM tc)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS token_count,
+       round(-sum(tf * ln(CAST(term_count AS DOUBLE) / total)) / sum(tf)
+             / 0.6931471805599453, 6) AS bits_per_token
+FROM tf JOIN tc USING (term) CROSS JOIN tot
+GROUP BY doc_id
+""",
+)
+def unigram_surprisal(spark, sf_dir):
+    """Per-document mean unigram surprisal (bits/token) against the
+    corpus's own unigram distribution — the deterministic stand-in for
+    CCNet-style LM perplexity filtering."""
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    return text.unigram_surprisal(docs)
+
+
 @q("kmeans_embed_clusters")
 def kmeans_embed_clusters(spark, sf_dir):
     """Distributed Lloyd's k-means over the embedding corpus (k=16,
@@ -2587,6 +2613,7 @@ QUERY_ORDER = [
     "source_mix_temperature",
     "quality_quantile_filter",
     "dedup_cross_corpus",
+    "unigram_surprisal",
     "kmeans_embed_clusters",
     # new this round (r5): the four remaining TPC-H plan shapes + bucketed ANN
     "h2_min_cost_supplier",
@@ -2638,8 +2665,8 @@ QUERY_ORDER = [
     "text_quality_score",
     # stale rows-only checks, re-run on the same invariant
     "dedup_simhash",
-    "seq_pack_summary",
     # --- driver window ends here (first 50) ---
+    "seq_pack_summary",
     # green in r04 (within the two-round invariant), rotated out this round
     # (incl. the r4 canaries + rows-only approx/lsh twins displaced by the
     # six r5 additions)

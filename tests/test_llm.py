@@ -634,3 +634,17 @@ def test_kmeans_inertia_monotone_and_assignment_argmin(spark):
         .tolist()
     )
     assert sizes == [30, 30, 30]
+
+
+def test_unigram_surprisal_rare_words_score_higher(docs):
+    out = {r["doc_id"]: r for r in text.unigram_surprisal(docs).collect()}
+    # docs 0-2 normalize to the same text -> identical scores
+    assert out[0]["bits_per_token"] == out[1]["bits_per_token"] == out[2]["bits_per_token"]
+    # the doc made of corpus-common words scores lower than the doc of
+    # words appearing nowhere else (4: unique vocabulary)
+    assert out[4]["bits_per_token"] > out[0]["bits_per_token"]
+    # bounds: a token can never be more surprising than log2(total)
+    import math
+
+    total = sum(r["token_count"] for r in out.values())
+    assert all(0 < r["bits_per_token"] <= math.log2(total) + 1e-5 for r in out.values())
