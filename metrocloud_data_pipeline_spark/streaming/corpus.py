@@ -1,0 +1,140 @@
+"""Streaming corpus ingest — the crawl-arrival path for the curation
+operators (SURVEY §2.16).
+
+At 100 TB the training corpus is not loaded once; crawl batches arrive
+continuously. This wires the batch curation operators (which are pure
+DataFrame transforms) into Structured Streaming exactly the way the
+sensor path does (streaming/pipeline.py): a file/Kafka source feeds
+foreachBatch, and every micro-batch goes through
+
+  1. in-batch exact dedup (normalized-text digest, keep min doc_id),
+  2. incremental cross-corpus dedup — anti-join against the DIGEST
+     column of everything already ingested (at scale: a digest-bucketed
+     side table maintained by the same job; here: a column-pruned read
+     of the target table),
+  3. hard quality rules (llm.curation.quality_filter),
+
+and only the surviving rows append to the corpus store. Rejects are
+optionally recorded with their reason for ingest observability — the
+same valid/rejects dual-stream shape as OP-T9/T10.
+
+The append is effectively-once: re-delivered micro-batches lose their
+rows to step 2 (their digests are already in the store), the same
+idempotence argument as maintenance.idempotent_append for OP-ST6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..llm.curation import quality_filter
+from ..llm.dedup import _norm_text
+
+DOCUMENT_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def stream_document_files(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based document stream (stands in for the crawl-delivery
+    bus; swap for a Kafka reader in a deployed pipeline)."""
+    reader = spark.readStream.schema(DOCUMENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def curate_batch(
+    batch: DataFrame,
+    existing_digests: DataFrame | None = None,
+    min_tokens: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of corpus curation -> (kept, rejected-with-reason).
+
+    Pure batch-DataFrame logic so it is unit-testable outside streaming
+    and reusable for backfills. The batch side is small relative to the
+    store, so its digests broadcast into the anti-join and store rows
+    never shuffle (same direction argument as dedup.cross_corpus_exact)."""
+    digested = batch.withColumn("digest", F.md5(_norm_text(F.col("text"))))
+
+    # 1. in-batch exact dedup: keep the smallest doc_id per digest
+    w_keep = digested.groupBy("digest").agg(F.min("doc_id").alias("_keep_id"))
+    deduped = digested.join(F.broadcast(w_keep), "digest").where(
+        F.col("doc_id") == F.col("_keep_id")
+    )
+    in_batch_dropped = digested.join(F.broadcast(w_keep), "digest").where(
+        F.col("doc_id") != F.col("_keep_id")
+    )
+
+    # 2. incremental cross-corpus dedup against the standing store
+    if existing_digests is not None:
+        known = existing_digests.select("digest").distinct()
+        fresh = deduped.join(known, "digest", "left_anti")
+        cross_dropped = deduped.join(known, "digest", "left_semi")
+    else:
+        fresh = deduped
+        cross_dropped = deduped.limit(0)
+
+    # 3. hard quality rules; carry the reason string for rejects
+    verdict = quality_filter(fresh, min_tokens=min_tokens).select(
+        "doc_id", "keep", "reject_reasons"
+    )
+    flagged = fresh.join(verdict, "doc_id")
+    kept = flagged.where(F.col("keep")).drop("keep", "reject_reasons", "_keep_id")
+    quality_dropped = flagged.where(~F.col("keep"))
+
+    rejected = (
+        in_batch_dropped.select("doc_id", "digest", F.lit("duplicate_in_batch").alias("reason"))
+        .unionByName(
+            cross_dropped.select(
+                "doc_id", "digest", F.lit("duplicate_in_corpus").alias("reason")
+            )
+        )
+        .unionByName(
+            quality_dropped.select(
+                "doc_id", "digest", F.col("reject_reasons").alias("reason")
+            )
+        )
+    )
+    return kept, rejected
+
+
+def run_corpus_ingest_stream(
+    doc_stream: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    rejects_path: str | None = None,
+    min_tokens: int = 3,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Wire curate_batch into foreachBatch against a parquet store.
+
+    Each micro-batch reads ONLY the digest column of the standing store
+    (column-pruned parquet scan; at scale a digest-bucketed index table
+    maintained alongside the store) before appending survivors."""
+    spark = doc_stream.sparkSession
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        try:
+            existing = spark.read.parquet(table_path).select("digest")
+        except Exception:
+            existing = None  # first batch: store does not exist yet
+        kept, rejected = curate_batch(
+            batch, existing_digests=existing, min_tokens=min_tokens
+        )
+        kept.write.mode("append").parquet(table_path)
+        if rejects_path is not None:
+            rejected.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(rejects_path)
+
+    writer = doc_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

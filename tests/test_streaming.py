@@ -422,3 +422,63 @@ def test_dedup_within_watermark_drops_in_horizon_repeats(spark, tmp_path):
     run_once()
     ids = sorted(r["reading_id"] for r in read().collect())
     assert ids == [1, 2, 3]  # cross-batch replay dropped by keyed state
+
+
+# --- streaming corpus ingest (r5, SURVEY 2.16) -------------------------------
+
+
+def _doc(i, txt, src="web"):
+    return (i, txt, "en", src, len(txt))
+
+
+def test_corpus_ingest_stream_dedup_and_quality(spark, tmp_path):
+    from metrocloud_data_pipeline_spark.streaming import corpus
+
+    good = "a sufficiently long and varied document about spark pipelines"
+    other = "another perfectly reasonable piece of training text entirely"
+    rows1 = [
+        _doc(1, good),
+        _doc(2, good.upper()),       # normalized dup of 1 (same batch)
+        _doc(3, "tiny"),             # fails min_tokens
+        _doc(4, other),
+    ]
+    rows2 = [
+        _doc(5, good),               # dup of already-ingested 1
+        _doc(6, "fresh unique content arriving in the second crawl batch"),
+    ]
+    src = tmp_path / "crawl"
+    src.mkdir()
+    spark.createDataFrame(rows1, corpus.DOCUMENT_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(rows2, corpus.DOCUMENT_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+
+    table = str(tmp_path / "corpus")
+    rejects = str(tmp_path / "rejects")
+    # one file-batch per trigger so batch 2 must anti-join batch 1's store
+    stream = corpus.stream_document_files(spark, str(src) + "/*", max_files_per_trigger=1)
+    q = corpus.run_corpus_ingest_stream(
+        stream, table, str(tmp_path / "ck"), rejects_path=rejects
+    )
+    q.awaitTermination(120)
+
+    kept = spark.read.parquet(table)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4, 6]
+    # digests are unique in the store by construction
+    assert kept.select("digest").distinct().count() == kept.count()
+
+    reasons = {r["doc_id"]: r["reason"] for r in spark.read.parquet(rejects).collect()}
+    assert reasons[2] == "duplicate_in_batch"
+    assert reasons[5] == "duplicate_in_corpus"
+    assert "too_few_tokens" in reasons[3]
+
+    # redelivery with a fresh checkpoint: store unchanged (effectively-once)
+    q2 = corpus.run_corpus_ingest_stream(
+        corpus.stream_document_files(spark, str(src) + "/*"),
+        table,
+        str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(table).count() == 3
