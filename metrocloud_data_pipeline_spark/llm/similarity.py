@@ -625,3 +625,109 @@ def kmeans_cluster_stats(
         # the returned frame still references cached partitions; Spark
         # recomputes transparently if they are evicted after unpersist
         cached.unpersist()
+
+
+# --- distributed PCA --------------------------------------------------------
+
+_PCA_PARTIALS_SCHEMA = "psum array<double>, pouter array<double>, n long"
+
+
+def pca_fit(embeddings: DataFrame, k: int = 8, vec_col: str = "embedding"):
+    """PCA over an embedding column; returns (components [k, dim],
+    mean [dim], explained_variance_ratio [k]).
+
+    One narrow mapInPandas pass emits per-Arrow-batch partial sums of
+    the vectors and their Gram matrix (dim + dim^2 doubles per batch,
+    flattened) — the same map-side combine shape as kmeans_fit — and
+    only ~num_partitions tiny rows reach the driver, which assembles
+    the covariance and eigendecomposes it (dim x dim, trivial at
+    embedding dims; the corpus never shuffles and is scanned once).
+    Deterministic: partials reduce in a fixed order and each
+    component's sign is fixed by making its largest-|loading| entry
+    positive (eigenvectors are otherwise sign-ambiguous)."""
+    import numpy as np
+
+    vecs = embeddings.select(F.col(vec_col).alias("v"))
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            a = np.vstack(pdf["v"].values).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "psum": [a.sum(axis=0).tolist()],
+                    "pouter": [(a.T @ a).ravel().tolist()],
+                    "n": [len(a)],
+                }
+            )
+
+    part = vecs.mapInPandas(partials, _PCA_PARTIALS_SCHEMA).collect()
+    part = sorted(part, key=lambda r: (r.n, r.psum))
+    dim = len(part[0].psum)
+    s = np.zeros(dim)
+    g = np.zeros((dim, dim))
+    n = 0
+    for r in part:
+        s += np.array(r.psum)
+        g += np.array(r.pouter).reshape(dim, dim)
+        n += r.n
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # [k, dim]
+    # sign convention: largest-|loading| coordinate positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    ratio = evals[order] / evals.sum()
+    return comps, mean, ratio
+
+
+def pca_project(
+    embeddings: DataFrame,
+    components,
+    mean,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "reduced",
+) -> DataFrame:
+    """Project vectors onto fitted components: one broadcast + one
+    narrow Arrow pass. The reduced column feeds the same ANN operators
+    (cosine/IVF) at a fraction of the per-vector cost — the standard
+    pre-ANN dimensionality reduction at corpus scale."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bc = embeddings.sparkSession.sparkContext.broadcast(
+        (np.asarray(components, dtype=np.float64), np.asarray(mean, dtype=np.float64))
+    )
+
+    @pandas_udf("array<double>")
+    def proj(emb):
+        comps, mu = bc.value
+        a = np.vstack(emb.values).astype(np.float64) - mu
+        red = a @ comps.T
+        return pd.Series(list(red))
+
+    return embeddings.select(F.col(id_col), proj(F.col(vec_col)).alias(out_col))
+
+
+def pca_variance_report(embeddings: DataFrame, k: int = 8) -> DataFrame:
+    """Fit + per-component explained-variance rollup — the "how many
+    dimensions does this corpus actually have" report that sizes the
+    reduced ANN index. Rows-only by design (eigendecomposition is
+    floating-point; orthonormality/trace/ordering invariants in
+    pytest)."""
+    comps, mean, ratio = pca_fit(embeddings, k=k)
+    spark = embeddings.sparkSession
+    rows = [
+        (i, round(float(r), 6), round(float(c), 6))
+        for i, (r, c) in enumerate(zip(ratio, ratio.cumsum()))
+    ]
+    return spark.createDataFrame(
+        rows, "component int, variance_ratio double, cum_variance_ratio double"
+    )

@@ -2585,6 +2585,19 @@ def unigram_surprisal(spark, sf_dir):
     return text.unigram_surprisal(docs)
 
 
+@q("pca_variance_report")
+def pca_variance_report(spark, sf_dir):
+    """Distributed PCA over the embedding corpus (covariance via
+    mapInPandas partial Gram sums, dim x dim eigendecomposition on the
+    driver): per-component explained-variance ratios — the report that
+    sizes a reduced ANN index. Rows-only by design (floating-point
+    eigendecomposition; orthonormality/trace/ordering invariants in
+    pytest)."""
+    return similarity.pca_variance_report(
+        load(spark, sf_dir, "embeddings"), k=8
+    )
+
+
 @q("kmeans_embed_clusters")
 def kmeans_embed_clusters(spark, sf_dir):
     """Distributed Lloyd's k-means over the embedding corpus (k=16,
@@ -2615,6 +2628,7 @@ QUERY_ORDER = [
     "dedup_cross_corpus",
     "unigram_surprisal",
     "kmeans_embed_clusters",
+    "pca_variance_report",
     # new this round (r5): the four remaining TPC-H plan shapes + bucketed ANN
     "h2_min_cost_supplier",
     "h11_important_parts",
@@ -2663,9 +2677,9 @@ QUERY_ORDER = [
     "dedup_exact",
     "text_bpe_token_stats",
     "text_quality_score",
-    # stale rows-only checks, re-run on the same invariant
-    "dedup_simhash",
     # --- driver window ends here (first 50) ---
+    # rows-only, recorded in r04, rotated out by the r5 additions
+    "dedup_simhash",
     "seq_pack_summary",
     # green in r04 (within the two-round invariant), rotated out this round
     # (incl. the r4 canaries + rows-only approx/lsh twins displaced by the

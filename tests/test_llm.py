@@ -648,3 +648,37 @@ def test_unigram_surprisal_rare_words_score_higher(docs):
 
     total = sum(r["token_count"] for r in out.values())
     assert all(0 < r["bits_per_token"] <= math.log2(total) + 1e-5 for r in out.values())
+
+
+def test_pca_invariants_and_projection(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    # anisotropic cloud: variance concentrated in two directions
+    base = rng.randn(200, 2) @ np.array([[5.0, 0, 0, 0], [0, 2.0, 0, 0]])
+    pts = base + 0.05 * rng.randn(200, 4)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]], 0) for i in range(200)],
+        "vec_id long, embedding array<float>, label int",
+    ).cache()
+
+    comps, mean, ratio = similarity.pca_fit(emb, k=4)
+    # orthonormal components
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-8)
+    # explained variance descending; top-2 capture nearly everything
+    assert all(b <= a + 1e-12 for a, b in zip(ratio, ratio[1:]))
+    assert ratio[:2].sum() > 0.99
+    # determinism (incl. sign convention)
+    comps2, mean2, ratio2 = similarity.pca_fit(emb, k=4)
+    assert np.allclose(comps, comps2) and np.allclose(ratio, ratio2)
+    # full-rank projection preserves pairwise distance
+    red = {r["vec_id"]: np.array(r["reduced"]) for r in
+           similarity.pca_project(emb, comps, mean).collect()}
+    for i, j in [(0, 1), (5, 50), (100, 199)]:
+        orig = np.linalg.norm(pts[i] - pts[j])
+        proj = np.linalg.norm(red[i] - red[j])
+        assert proj == pytest.approx(orig, rel=1e-4)
+
+    rep = similarity.pca_variance_report(emb, k=4).collect()
+    assert [r["component"] for r in rep] == [0, 1, 2, 3]
+    assert rep[-1]["cum_variance_ratio"] == pytest.approx(1.0, abs=1e-4)

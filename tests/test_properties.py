@@ -155,3 +155,45 @@ def test_interval_join_matches_naive_range_join(spark, evs, ivs):
         .collect()
     }
     assert got == naive
+
+
+# --- tfidf_top_terms vs an independent pandas reference ----------------------
+
+_words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+_doc_texts = st.lists(
+    st.lists(_words, min_size=1, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_doc_texts)
+def test_tfidf_matches_pandas_reference(spark, texts):
+    import math
+    from collections import Counter
+
+    from metrocloud_data_pipeline_spark.llm import text as llm_text
+
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r["doc_id"], r["rnk"]): (r["term"], r["tf"], r["tfidf"])
+        for r in llm_text.tfidf_top_terms(docs, k=3).collect()
+    }
+
+    n = len(texts)
+    tfs = {i: Counter(t.split()) for i, t in enumerate(texts)}
+    df = Counter(term for c in tfs.values() for term in c)
+    for i, c in tfs.items():
+        scored = sorted(
+            (
+                (round(tf * (math.log((1 + n) / (1 + df[term])) + 1), 6), term, tf)
+                for term, tf in c.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        for rnk, (score, term, tf) in enumerate(scored, start=1):
+            assert got[(i, rnk)] == (term, tf, score), (i, rnk, scored)

@@ -95,6 +95,15 @@ def main() -> None:
         "dup_clusters",
     )
 
+    # r5 curation additions: the token-frame pipeline (tfidf/surprisal)
+    # and the iterative k-means — both should grow near-linearly, and
+    # k-means driver traffic stays O(partitions * k) regardless of rows
+    from metrocloud_data_pipeline_spark.llm import text as llm_text
+
+    t(lambda: llm_text.tfidf_top_terms(docs, k=5), "tfidf_topk")
+    t(lambda: llm_text.unigram_surprisal(docs), "surprisal")
+    t(lambda: similarity.kmeans_cluster_stats(emb, k=16, n_iter=4), "kmeans_16x4")
+
     probe_knn_bucketed(spark, emb)
     probe_streaming(spark, copies)
 
