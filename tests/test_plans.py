@@ -122,3 +122,38 @@ def test_media_summary_prunes_payload_column(spark):
     read_schema = scan[scan.index("ReadSchema") : scan.index("\n", scan.index("ReadSchema"))]
     assert "text" in read_schema  # payload derives from text here
     assert "payload" not in read_schema
+
+
+# --- r5 curation queries -----------------------------------------------------
+
+
+def test_tfidf_reuses_checkpointed_tf(spark):
+    """The shared tf subtree must be materialized once: downstream
+    consumers read the checkpoint (ExistingRDD) and the only remaining
+    file scan is the 1-row doc-count aggregate."""
+    plan = _plan(spark, "tfidf_top_terms")
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_surprisal_runs_entirely_from_checkpointed_tf(spark):
+    """Both the probability table and the per-doc score derive from the
+    materialized tf frame — zero parquet scans downstream."""
+    plan = _plan(spark, "unigram_surprisal")
+    assert plan.count("Location: InMemoryFileIndex") == 0, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+
+
+def test_cross_corpus_dedup_broadcasts_incoming_side(spark):
+    """The corpus (100 TB side) must stream against broadcast incoming
+    digests — a SortMergeJoin here would shuffle the store."""
+    plan = _plan(spark, "dedup_cross_corpus")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_vocab_coverage_uses_topk_not_global_sort(spark):
+    plan = _plan(spark, "vocab_coverage")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
