@@ -503,3 +503,71 @@ def cross_corpus_exact(
             "first_dup_doc_id",
         )
     )
+
+
+def token_jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Exact Jaccard pairs via prefix filtering (the AllPairs/PPJoin
+    family, Bayardo et al., WWW '07) — the exactness-GUARANTEED
+    sub-quadratic path next to token_jaccard_pairs_lsh's 1-minus-4e-24
+    probabilistic one.
+
+    Order every document's distinct tokens by global rarity (document
+    frequency, token as tiebreak). If J(A,B) >= t then the two docs'
+    prefixes — the first |X| - ceil(t|X|) + 1 tokens of each — must
+    share at least one token (removing a prefix-disjoint doc's whole
+    prefix still can't push the overlap above t). So: join prefixes on
+    token, verify candidates exactly. Zero false negatives by theorem,
+    not by signature-collision odds.
+
+    Scale shape: df aggregate (map-side combined) -> per-doc rank
+    window (shuffle on doc_id; rows are (doc_id, tok, df) triples) ->
+    prefix explode -> self-join keyed on the RAREST tokens of each doc,
+    which is exactly the anti-skew choice (a stopword never enters a
+    prefix unless a doc consists of stopwords). Caveat measured on the
+    synthetic low-entropy corpus (31-token vocabulary): when every
+    token is common, prefixes degenerate toward all-pairs — on real
+    Zipfian text the prefix join keys are the distribution's long tail.
+    The exact verify reuses the array_intersect expression shared with
+    the LSH path, so all three formulations are value-identical."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split(_norm_text(F.col("text")), " ")).alias("toks")
+    )
+    exploded = toks.select("doc_id", F.explode("toks").alias("tok"))
+    df_tok = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        exploded.join(df_tok, "tok")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.col("df"), F.col("tok"))
+            ),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.where(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("doc_id", "tok")
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = round6(
+        inter.cast("double")
+        / (F.size("toks_a") + F.size("toks_b") - inter).cast("double")
+    )
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1436,6 +1436,36 @@ def h22_dormant_customers(spark, sf_dir):
 
 
 @q(
+    "dedup_jaccard_prefix",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+  FROM documents
+), sizes AS (SELECT doc_id, count(*) AS set_size FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6) >= 0.95
+""",
+)
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Exact token-set Jaccard pairs at >= 0.95 via prefix filtering
+    (AllPairs/PPJoin, Bayardo et al. WWW '07): candidates must share one
+    of each doc's globally-rarest tokens — a no-false-negative THEOREM,
+    next to the LSH path's 1-minus-4e-24 probabilistic bound. Same
+    all-pairs oracle as dedup_ngram_jaccard; the two scale paths and the
+    quadratic baseline are pytest-pinned value-identical."""
+    return dedup.token_jaccard_pairs_prefix(
+        load(spark, sf_dir, "documents"), threshold=0.95
+    )
+
+
+@q(
     "dedup_ngram_jaccard",
     oracle="""
 WITH toks AS (
@@ -2644,11 +2674,11 @@ QUERY_ORDER = [
     "ingest_fanout_pipeline",
     "dedup_minhash",
     "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
     "dedup_clusters",
     "dedup_keep_list",
     "iv_error_windows",
     "obs_alert_firing",
-    "knn_ivf",
     "dedup_embed_cosine_lsh",
     # rotated back in: every oracle-eligible query last green in r3 or earlier
     # (two-round invariant: green within the last two rounds)
@@ -2679,6 +2709,9 @@ QUERY_ORDER = [
     "text_quality_score",
     # --- driver window ends here (first 50) ---
     # rows-only, recorded in r04, rotated out by the r5 additions
+    # (knn_ivf's ivf_assignments dependency is re-verified in-window by
+    # knn_join_ivf and knn_join_ivf_bucketed)
+    "knn_ivf",
     "dedup_simhash",
     "seq_pack_summary",
     # green in r04 (within the two-round invariant), rotated out this round

@@ -682,3 +682,29 @@ def test_pca_invariants_and_projection(spark):
     rep = similarity.pca_variance_report(emb, k=4).collect()
     assert [r["component"] for r in rep] == [0, 1, 2, 3]
     assert rep[-1]["cum_variance_ratio"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_prefix_filter_jaccard_equals_all_pairs(docs):
+    """Prefix filtering (AllPairs) must reproduce the all-pairs output
+    exactly at any threshold — it is a no-false-negative theorem, not a
+    probabilistic bound."""
+    for threshold in (0.95, 0.8, 0.5):
+        exact = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.token_jaccard_pairs(docs, threshold=threshold).collect()
+        )
+        pref = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.token_jaccard_pairs_prefix(docs, threshold=threshold).collect()
+        )
+        assert pref == exact
+
+
+def test_prefix_filter_prunes_candidates(spark):
+    """On a corpus whose docs share only common tokens below threshold,
+    the prefix join generates strictly fewer candidates than all-pairs
+    (rarest-token prefixes are disjoint)."""
+    rows = [(i, f"shared common words plus unique{i} token{i} extra{i}") for i in range(12)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.token_jaccard_pairs_prefix(d, threshold=0.9).collect()
+    assert out == []  # no qualifying pairs, and none invented
