@@ -708,3 +708,23 @@ def test_prefix_filter_prunes_candidates(spark):
     d = spark.createDataFrame(rows, "doc_id long, text string")
     out = dedup.token_jaccard_pairs_prefix(d, threshold=0.9).collect()
     assert out == []  # no qualifying pairs, and none invented
+
+
+def test_kmeans_trained_ivf_index_drives_ivf_topk(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    centers = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    pts = np.vstack([c + 0.1 * rng.randn(20, 4) for c in centers])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]], 0) for i in range(len(pts))],
+        "vec_id long, embedding array<float>, label int",
+    ).cache()
+
+    idx = similarity.kmeans_ivf_index(emb, k=3, n_iter=3)
+    got = [r["vec_id"] for r in
+           similarity.ivf_topk(emb, query_vec_id=0, k=5, nprobe=1, index=idx).collect()]
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(emb, 0, k=5).collect()]
+    # three clean blobs: probing the single trained list containing the
+    # query reproduces the exact top-5
+    assert got == exact
