@@ -521,6 +521,12 @@ def kmeans_fit(
     seeds = (
         embeddings.select(id_col, vec_col).orderBy(F.col(id_col)).limit(k).collect()
     )
+    if not seeds:
+        raise ValueError("kmeans_fit: empty input frame")
+    if len(seeds) < k:
+        # fewer vectors than clusters: fit what exists (every vector its
+        # own centroid) rather than fabricating empty clusters
+        k = len(seeds)
     code = np.vstack([r[vec_col] for r in seeds]).astype(np.float64)
     dim = code.shape[1]
     sc = embeddings.sparkSession.sparkContext

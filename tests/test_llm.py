@@ -728,3 +728,32 @@ def test_kmeans_trained_ivf_index_drives_ivf_topk(spark):
     # three clean blobs: probing the single trained list containing the
     # query reproduces the exact top-5
     assert got == exact
+
+
+def test_curation_ops_on_empty_and_tiny_inputs(spark):
+    """Edge behavior: empty corpus -> empty outputs, no crash; k-means
+    with fewer vectors than k fits what exists."""
+    import numpy as np
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert text.tfidf_top_terms(empty).count() == 0
+    assert text.vocab_coverage(empty).count() == 0
+    assert text.unigram_surprisal(empty).count() == 0
+    assert curation.temperature_mix(empty).count() == 0
+    assert curation.quality_quantile_filter(empty).count() == 0
+
+    two = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    code, trace = similarity.kmeans_fit(two, k=5, n_iter=2)
+    assert code.shape == (2, 2)
+    assert np.allclose(sorted(code.tolist()), [[0.0, 1.0], [1.0, 0.0]])
+
+    with pytest.raises(ValueError, match="empty input"):
+        similarity.kmeans_fit(
+            spark.createDataFrame([], "vec_id long, embedding array<float>, label int"),
+            k=3,
+        )
