@@ -77,24 +77,33 @@ def asof_join(
     key_col: str,
     ts_col: str,
     right_cols: list[str],
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """For every left row, attach the columns of the most recent right
-    row at-or-before its timestamp within the same key (last-
-    observation-carried-forward enrichment; left rows with no prior
-    right row get nulls). `right` must carry key_col, ts_col, and
-    right_cols; at equal timestamps the right row IS visible to the
-    left row.
+    """For every left row, attach the columns of the nearest right row
+    within the same key: the most recent at-or-before its timestamp
+    (direction="backward", last-observation-carried-forward) or the
+    first at-or-after it (direction="forward"); rows with no such
+    right row get nulls. tolerance_seconds additionally nulls a match
+    farther than the bound — the pandas merge_asof contract (the
+    nearest row is the only candidate; beyond tolerance means no
+    match, never a farther fallback). At equal timestamps the right
+    row IS visible in both directions.
 
     Scale shape: tag and union both sides, sort once per key, carry
-    the right-side values forward with last(ignorenulls) — one
+    the right-side values across with last/first(ignorenulls) — one
     exchange total, output exactly |left| rows. Works unchanged when
     one side is 1000x the other; there is no small-side broadcast
     requirement and no per-key quadratic blowup."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     lcols = [c for c in left.columns]
+    carry_cols = [*right_cols, "_r_ts"]
     l2 = left.select(
         *lcols,
         F.lit(1).alias("_side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(None).cast("timestamp").alias("_r_ts"),
     )
     r2 = right.select(
         *[
@@ -103,16 +112,37 @@ def asof_join(
         ],
         F.lit(0).alias("_side"),
         *right_cols,
+        F.col(ts_col).cast("timestamp").alias("_r_ts"),
     )
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(ts_col, "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right (side 0) sorts before left at equal ts -> visible in the
+        # preceding frame
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(ts_col, "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        # left (side 1) sorts before right at equal ts -> the equal-ts
+        # right row lands inside the following frame
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(F.col(ts_col), F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        fill = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     carried = l2.unionByName(r2)
-    for c in right_cols:
-        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return carried.where(F.col("_side") == 1).drop("_side")
+    for c in carry_cols:
+        carried = carried.withColumn(c, fill(c))
+    out = carried.where(F.col("_side") == 1).drop("_side")
+    if tolerance_seconds is not None:
+        within = F.abs(
+            F.unix_timestamp(F.col("_r_ts")) - F.unix_timestamp(F.col(ts_col))
+        ) <= F.lit(tolerance_seconds)
+        for c in right_cols:
+            out = out.withColumn(c, F.when(within, F.col(c)))
+    return out.drop("_r_ts")
 
 
 def interval_join(

@@ -2173,6 +2173,49 @@ def asof_last_error(spark, sf_dir):
 
 
 @q(
+    "asof_next_error",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), errors AS (
+  SELECT user_id, ts AS err_ts, ts AS next_error_ts,
+         event_id AS next_error_id
+  FROM events WHERE event_type = 'error'
+)
+SELECT c.event_id, c.user_id, c.ts, c.value,
+       CASE WHEN e.next_error_ts IS NOT NULL
+                 AND epoch(e.next_error_ts) - epoch(c.ts) <= 7200
+            THEN e.next_error_id END AS next_error_id,
+       CASE WHEN e.next_error_ts IS NOT NULL
+                 AND epoch(e.next_error_ts) - epoch(c.ts) <= 7200
+            THEN e.next_error_ts END AS next_error_ts
+FROM clicks c ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND c.ts <= e.err_ts
+""",
+)
+def asof_next_error(spark, sf_dir):
+    """Forward as-of join with tolerance (the pandas merge_asof
+    contract): every click enriched with the user's FIRST error
+    at-or-after it, nulled when farther than 2 hours — 'did an error
+    follow this action' attribution. Same union-window plan as the
+    backward form; the oracle is DuckDB's native forward ASOF LEFT
+    JOIN plus the tolerance CASE."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("next_error_id"),
+        F.col("ts").alias("next_error_ts"),
+    )
+    return temporal.asof_join(
+        clicks, errors, key_col="user_id", ts_col="ts",
+        right_cols=["next_error_id", "next_error_ts"],
+        direction="forward", tolerance_seconds=7200,
+    )
+
+
+@q(
     "iv_error_windows",
     oracle="""
 WITH errors AS (
@@ -2679,7 +2722,7 @@ QUERY_ORDER = [
     "dedup_keep_list",
     "iv_error_windows",
     "obs_alert_firing",
-    "dedup_embed_cosine_lsh",
+    "asof_next_error",
     # rotated back in: every oracle-eligible query last green in r3 or earlier
     # (two-round invariant: green within the last two rounds)
     "f2_type_filter",
@@ -2710,8 +2753,10 @@ QUERY_ORDER = [
     # --- driver window ends here (first 50) ---
     # rows-only, recorded in r04, rotated out by the r5 additions
     # (knn_ivf's ivf_assignments dependency is re-verified in-window by
-    # knn_join_ivf and knn_join_ivf_bucketed)
+    # knn_join_ivf and knn_join_ivf_bucketed; dedup_embed_cosine_lsh's
+    # hyperplane banding is untouched this round)
     "knn_ivf",
+    "dedup_embed_cosine_lsh",
     "dedup_simhash",
     "seq_pack_summary",
     # green in r04 (within the two-round invariant), rotated out this round

@@ -163,3 +163,34 @@ def test_interval_join_rejects_runaway_fanout(spark):
             clicks, ivs, key_col="user_id",
             start_col="start_ts", end_col="end_ts", bucket_width="15 minutes",
         ).collect()
+
+
+def test_asof_join_forward_with_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, "2025-01-01 10:00:00"), (2, "2025-01-01 12:00:00"), (3, "2025-01-01 13:00:00")],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).withColumn("k", F.lit("a"))
+    right = spark.createDataFrame(
+        [("2025-01-01 10:30:00", 100), ("2025-01-01 12:00:00", 200)],
+        "ts string, v int",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).withColumn("k", F.lit("a"))
+
+    out = {r["id"]: r["v"] for r in temporal.asof_join(
+        left, right.select("k", "ts", "v"), key_col="k", ts_col="ts",
+        right_cols=["v"], direction="forward",
+    ).collect()}
+    assert out[1] == 100      # first right row at-or-after 10:00
+    assert out[2] == 200      # equal timestamp IS visible forward
+    assert out[3] is None     # nothing after 13:00
+
+    tol = {r["id"]: r["v"] for r in temporal.asof_join(
+        left, right.select("k", "ts", "v"), key_col="k", ts_col="ts",
+        right_cols=["v"], direction="forward", tolerance_seconds=600,
+    ).collect()}
+    assert tol[1] is None     # nearest match is 30 min away -> outside 10 min
+    assert tol[2] == 200      # zero distance stays
+
+    with pytest.raises(ValueError, match="direction"):
+        temporal.asof_join(left, right.select("k", "ts", "v"), "k", "ts", ["v"], direction="nearest")
