@@ -515,3 +515,31 @@ def quality_quantile_filter(
         .where(F.col("quality_score") >= F.col("threshold"))
         .select("doc_id", "quality_score", "threshold")
     )
+
+
+def cap_per_source(
+    docs: DataFrame,
+    max_docs: int = 1000,
+    salt: str = "cap-v1",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain cap: keep at most max_docs documents per source, chosen by
+    the salted per-doc hash (deterministic, rerun-stable, unbiased by
+    ingest order) — the "no single domain dominates the corpus" rule.
+
+    One rank window per source over (hash, id) — the shuffle is by
+    source, the same key the rows aggregate on everywhere else, and the
+    per-partition sort is over tiny (source, u, id) triples. A source
+    with a billion docs is one window partition: at that scale pre-prune
+    with a cheap WHERE u < (generous estimate) before ranking, which
+    this operator's salted-uniform u makes exact-in-expectation."""
+    from pyspark.sql.window import Window
+
+    u = round6(sample_uniform_col(salt, id_col))
+    w = Window.partitionBy(source_col).orderBy("sample_u", id_col)
+    return (
+        docs.withColumn("sample_u", u)
+        .withColumn("source_rank", F.row_number().over(w))
+        .where(F.col("source_rank") <= max_docs)
+    )

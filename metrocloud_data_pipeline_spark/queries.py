@@ -2658,6 +2658,31 @@ def unigram_surprisal(spark, sf_dir):
     return text.unigram_surprisal(docs)
 
 
+@q(
+    "cap_per_source",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, source,
+         round(CAST(('0x' || substr(md5('cap-v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0, 6) AS sample_u
+  FROM documents
+)
+SELECT doc_id, source, sample_u, source_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY sample_u, doc_id) AS source_rank
+  FROM scored
+) WHERE source_rank <= 20
+""",
+)
+def cap_per_source(spark, sf_dir):
+    """Domain cap: at most 20 docs per source, chosen by the salted
+    per-doc hash (C4's 'no domain dominates' rule, rerun-stable and
+    unbiased by ingest order). The oracle recomputes the identical
+    md5-derived rank, so the kept set is value-checked."""
+    capped = curation.cap_per_source(
+        load(spark, sf_dir, "documents"), max_docs=20, salt="cap-v1"
+    )
+    return capped.select("doc_id", "source", "sample_u", "source_rank")
+
+
 @q("pca_variance_report")
 def pca_variance_report(spark, sf_dir):
     """Distributed PCA over the embedding corpus (covariance via
@@ -2719,7 +2744,7 @@ QUERY_ORDER = [
     "dedup_ngram_jaccard",
     "dedup_jaccard_prefix",
     "dedup_clusters",
-    "dedup_keep_list",
+    "cap_per_source",
     "iv_error_windows",
     "obs_alert_firing",
     "asof_next_error",
@@ -2759,6 +2784,9 @@ QUERY_ORDER = [
     "dedup_embed_cosine_lsh",
     "dedup_simhash",
     "seq_pack_summary",
+    # r4-green composition of two in-window components (ngram_jaccard +
+    # clusters); displaced by cap_per_source
+    "dedup_keep_list",
     # green in r04 (within the two-round invariant), rotated out this round
     # (incl. the r4 canaries + rows-only approx/lsh twins displaced by the
     # six r5 additions)

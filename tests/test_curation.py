@@ -212,3 +212,23 @@ def test_pii_stats_matches_duckdb_oracle(spark, tmp_path):
     got = curation.pii_stats(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
     cols = ["doc_id", "n_email", "n_ssn", "n_ipv4", "n_phone", "has_pii", "scrubbed_chars"]
     assert got[cols].astype(str).values.tolist() == oracle[cols].astype(str).values.tolist()
+
+
+def test_cap_per_source_deterministic_and_bounded(spark):
+    from metrocloud_data_pipeline_spark.llm import curation
+
+    rows = [(i, f"doc number {i} text", "en", f"s{i % 3}", 15) for i in range(30)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = curation.cap_per_source(docs, max_docs=4).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"s0", "s1", "s2"}
+    assert all(len(v) == 4 for v in by_src.values())
+    # rerun selects the identical subset; a different salt selects another
+    again = {r["doc_id"] for r in curation.cap_per_source(docs, max_docs=4).collect()}
+    assert again == {r["doc_id"] for r in out}
+    other = {r["doc_id"] for r in curation.cap_per_source(docs, max_docs=4, salt="x").collect()}
+    assert other != again
