@@ -410,9 +410,6 @@ def knn_join_ivf(
         F.col("vec_id").alias("list_id"), F.col("embedding").alias("c_emb")
     )
     ids, code = _collect_codebook(cent_frame)
-    if listed is None:
-        _, assign = ivf_assignments(embeddings, stride=stride, codebook=(ids, code))
-        listed = assign.join(embeddings, "vec_id")
     bc = embeddings.sparkSession.sparkContext.broadcast((ids, code, nprobe))
 
     @pandas_udf("array<long>")
@@ -425,6 +422,20 @@ def knn_join_ivf(
         # stable argsort on (-sim, list index)
         order = np.argsort(-sims, axis=1, kind="stable")[:, :npr]
         return pd.Series(list(list_ids[order]))
+
+    if listed is None:
+        # assignment is a pure per-row map: attach it as a COLUMN
+        # (element 1 of the stable top-npr = argmax, ties to the
+        # smallest list_id — identical to ivf_assignments) instead of
+        # computing an (vec_id, list_id) frame and self-joining it back
+        # onto the corpus. The join form cost a full corpus self-join
+        # exchange at scale for nothing.
+        listed = embeddings.select(
+            "vec_id",
+            "embedding",
+            "label",
+            F.element_at(nearest_lists(F.col("embedding")), 1).alias("list_id"),
+        )
 
     probes = embeddings.select(
         F.col("vec_id").alias("q_id"),
