@@ -543,3 +543,34 @@ def cap_per_source(
         .withColumn("source_rank", F.row_number().over(w))
         .where(F.col("source_rank") <= max_docs)
     )
+
+
+def shard_manifest(
+    docs: DataFrame,
+    n_shards: int = 16,
+    salt: str = "shard-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus shuffle + sharding: the manifest that writes
+    a training corpus as n_shards files in reproducible random order.
+    Each doc's shard is floor(u * n) of its salted-hash uniform (balanced
+    in expectation, multinomial deviation ~sqrt(n_docs/n_shards)); its
+    position within the shard is the rank of (u, id) there — re-running
+    on a grown corpus keeps every old doc in its shard (pure function of
+    salt+id), only positions shift.
+
+    One scan + one shuffle keyed by shard — the same exchange the shard
+    WRITE itself needs, so the manifest is free when fused with the
+    writer; per-shard sort is over (u, id) pairs only."""
+    from pyspark.sql.window import Window
+
+    u = round6(sample_uniform_col(salt, id_col))
+    w = Window.partitionBy("shard_id").orderBy("sample_u", id_col)
+    return (
+        docs.withColumn("sample_u", u)
+        .withColumn(
+            "shard_id", F.least(F.floor(F.col("sample_u") * n_shards), F.lit(n_shards - 1)).cast("int")
+        )
+        .withColumn("shard_pos", F.row_number().over(w))
+        .select(id_col, "sample_u", "shard_id", "shard_pos")
+    )

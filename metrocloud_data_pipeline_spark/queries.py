@@ -2683,6 +2683,32 @@ def cap_per_source(spark, sf_dir):
     return capped.select("doc_id", "source", "sample_u", "source_rank")
 
 
+@q(
+    "shard_manifest",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         round(CAST(('0x' || substr(md5('shard-v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0, 6) AS sample_u
+  FROM documents
+), sharded AS (
+  SELECT doc_id, sample_u,
+         CAST(least(floor(sample_u * 16), 15) AS INTEGER) AS shard_id
+  FROM scored
+)
+SELECT doc_id, sample_u, shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY sample_u, doc_id) AS BIGINT) AS shard_pos
+FROM sharded
+""",
+)
+def shard_manifest(spark, sf_dir):
+    """Deterministic corpus shuffle + sharding manifest (16 shards):
+    the reproducible-random training-file layout. Registered after the
+    round-5 window cutoff — enters the round-6 verification window;
+    until then the identical-hash oracle is exercised by pytest's
+    in-process DuckDB cross-check."""
+    return curation.shard_manifest(load(spark, sf_dir, "documents"), n_shards=16)
+
+
 @q("pca_variance_report")
 def pca_variance_report(spark, sf_dir):
     """Distributed PCA over the embedding corpus (covariance via
@@ -2787,6 +2813,9 @@ QUERY_ORDER = [
     # r4-green composition of two in-window components (ngram_jaccard +
     # clusters); displaced by cap_per_source
     "dedup_keep_list",
+    # registered after the r5 window filled; first driver check in r6
+    # (oracle in place; pytest cross-checks it against DuckDB meanwhile)
+    "shard_manifest",
     # green in r04 (within the two-round invariant), rotated out this round
     # (incl. the r4 canaries + rows-only approx/lsh twins displaced by the
     # six r5 additions)

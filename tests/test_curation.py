@@ -232,3 +232,38 @@ def test_cap_per_source_deterministic_and_bounded(spark):
     assert again == {r["doc_id"] for r in out}
     other = {r["doc_id"] for r in curation.cap_per_source(docs, max_docs=4, salt="x").collect()}
     assert other != again
+
+
+def test_shard_manifest_matches_duckdb_and_is_stable(spark):
+    """In-process oracle twin (the query enters the driver window next
+    round): identical md5-derived shard + position on both engines, and
+    growing the corpus never moves an existing doc across shards."""
+    import duckdb
+
+    from metrocloud_data_pipeline_spark.queries import ORACLE_SQL, SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        SPARK_QUERIES["shard_manifest"](spark, sf)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(
+        ORACLE_SQL["shard_manifest"] + " ORDER BY doc_id"
+    ).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["shard_id"].tolist() == want["shard_id"].tolist()
+    assert got["shard_pos"].tolist() == want["shard_pos"].tolist()
+    assert got["sample_u"].tolist() == want["sample_u"].tolist()
+
+    # shard stability: restricting the corpus leaves shard_id unchanged
+    from metrocloud_data_pipeline_spark.llm import curation
+    from metrocloud_data_pipeline_spark.sources import load
+
+    docs = load(spark, sf, "documents")
+    full = {r["doc_id"]: r["shard_id"] for r in curation.shard_manifest(docs).collect()}
+    half = {r["doc_id"]: r["shard_id"]
+            for r in curation.shard_manifest(docs.where("doc_id % 2 = 0")).collect()}
+    assert all(full[d] == s for d, s in half.items())
