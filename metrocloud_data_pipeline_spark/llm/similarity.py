@@ -255,7 +255,10 @@ def _collect_codebook(centroids: DataFrame):
 
 
 def ivf_assignments(
-    embeddings: DataFrame, stride: int = 31, codebook=None
+    embeddings: DataFrame,
+    stride: int = 31,
+    codebook=None,
+    attach_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse index: (centroids, list assignments).
 
@@ -289,7 +292,12 @@ def ivf_assignments(
         a /= np.linalg.norm(a, axis=1, keepdims=True)
         return pd.Series(list_ids[np.argmax(a @ codebook.T, axis=1)])
 
-    assign = embeddings.select("vec_id", nearest_list(F.col("embedding")).alias("list_id"))
+    # attach_cols rides extra columns (e.g. the vector itself) through
+    # the SAME narrow projection, so consumers that need the listed
+    # corpus avoid a vec_id self-join back onto embeddings
+    assign = embeddings.select(
+        "vec_id", *(attach_cols or []), nearest_list(F.col("embedding")).alias("list_id")
+    )
     return centroids, assign
 
 
@@ -478,7 +486,12 @@ def ivf_topk(
     hyperplane LSH (lsh_topk). Pass index=ivf_index(embeddings) to
     amortize the assignment pass across queries. Recall < 1 by
     construction; measured against brute_force_topk in tests."""
-    centroids, assign = index if index is not None else ivf_assignments(embeddings, stride=stride)
+    if index is not None:
+        centroids, assign = index
+    else:
+        centroids, assign = ivf_assignments(
+            embeddings, stride=stride, attach_cols=["embedding", "label"]
+        )
     q = embeddings.where(F.col("vec_id") == query_vec_id).select(F.col("embedding").alias("q_emb"))
     probe_lists = (
         centroids.join(F.broadcast(q))
@@ -487,8 +500,19 @@ def ivf_topk(
         .limit(nprobe)
         .select("list_id")
     )
-    members = assign.join(F.broadcast(probe_lists), "list_id").select("vec_id")
-    cands = embeddings.join(members, "vec_id").where(F.col("vec_id") != query_vec_id)
+    if index is None:
+        # assign carries embedding+label in the same projection (the
+        # assignment is a pure per-row map), so probe_lists joins onto
+        # the listed corpus directly — no members->embeddings vec_id
+        # rejoin
+        cands = assign.join(F.broadcast(probe_lists), "list_id").where(
+            F.col("vec_id") != query_vec_id
+        )
+    else:
+        # a precomputed index stores only (vec_id, list_id): semi-join
+        # the member ids, then fetch their vectors
+        members = assign.join(F.broadcast(probe_lists), "list_id").select("vec_id")
+        cands = embeddings.join(members, "vec_id").where(F.col("vec_id") != query_vec_id)
     scored = cands.join(F.broadcast(q)).select(
         "vec_id",
         "label",
