@@ -227,3 +227,22 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         F.when(is_img, ((F.col("n_chars") * 3) % 768).cast("int")).alias("height"),
         F.when(~is_img, ((F.col("n_chars") * 7) % 60000).cast("int")).alias("duration_ms"),
     )
+
+
+def media_dedup_exact(media: DataFrame) -> DataFrame:
+    """Exact dedup of binary payloads by content digest — the multimodal
+    twin of dedup.exact_dedup (the same image/audio byte-for-byte
+    duplicate removal every crawl pipeline runs before feature
+    extraction). The wide payload column reduces to a fixed-width
+    sha256 digest BEFORE the shuffle, grouped per media_type so an
+    image and an audio clip with identical bytes stay distinct
+    records."""
+    return (
+        media.select(
+            "media_type",
+            F.sha2(F.col("payload"), 256).alias("content_hash"),
+            "media_id",
+        )
+        .groupBy("media_type", "content_hash")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("media_id").alias("keep_media_id"))
+    )

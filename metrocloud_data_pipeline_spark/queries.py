@@ -2709,6 +2709,25 @@ def shard_manifest(spark, sf_dir):
     return curation.shard_manifest(load(spark, sf_dir, "documents"), n_shards=16)
 
 
+@q(
+    "media_dedup_exact",
+    oracle="""
+SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       sha256(text) AS content_hash,
+       count(*) AS dup_count,
+       min(doc_id) AS keep_media_id
+FROM documents
+GROUP BY 1, 2
+""",
+)
+def media_dedup_exact(spark, sf_dir):
+    """Binary-payload exact dedup (the multimodal twin of dedup_exact):
+    payloads digest to sha256 before any shuffle. Registered after the
+    round-5 window cutoff — enters the round-6 driver window."""
+    media = multimodal.media_from_documents(load(spark, sf_dir, "documents"))
+    return multimodal.media_dedup_exact(media)
+
+
 @q("pca_variance_report")
 def pca_variance_report(spark, sf_dir):
     """Distributed PCA over the embedding corpus (covariance via
@@ -2816,6 +2835,7 @@ QUERY_ORDER = [
     # registered after the r5 window filled; first driver check in r6
     # (oracle in place; pytest cross-checks it against DuckDB meanwhile)
     "shard_manifest",
+    "media_dedup_exact",
     # green in r04 (within the two-round invariant), rotated out this round
     # (incl. the r4 canaries + rows-only approx/lsh twins displaced by the
     # six r5 additions)

@@ -757,3 +757,13 @@ def test_curation_ops_on_empty_and_tiny_inputs(spark):
             spark.createDataFrame([], "vec_id long, embedding array<float>, label int"),
             k=3,
         )
+
+
+def test_media_dedup_exact_groups_by_payload(docs):
+    media = multimodal.media_from_documents(docs)
+    out = multimodal.media_dedup_exact(media).collect()
+    # doc 0 and 3 are type-0 (image) and 1/4 audio, 2/5 video; payloads
+    # are the raw text bytes so the only exact dup pair is none (texts
+    # differ byte-wise even when they normalize equal) -> all singletons
+    assert all(r["dup_count"] == 1 for r in out)
+    assert len(out) == 6
