@@ -539,7 +539,8 @@ def kmeans_fit(
 
     Deterministic: seeds are the k smallest-id vectors; every update is
     an exact sum of the same values in a fixed reduction order (partial
-    sums are reduced on the driver sorted by (cluster, partition)), so
+    sums are reduced on the driver in (cluster, count, partial-sum)
+    total order, independent of partition placement), so
     repeated runs converge identically.
 
     Scale shape per iteration: broadcast the [k, dim] codebook, one
@@ -599,7 +600,9 @@ def kmeans_fit(
         sums = np.zeros((k, dim))
         counts = np.zeros(k, dtype=np.int64)
         inertia = 0.0
-        for r in sorted(part, key=lambda r: r.cluster):
+        # total order (cluster, n, psum) so the float reduction is
+        # bit-identical regardless of which partition produced which row
+        for r in sorted(part, key=lambda r: (r.cluster, r.n, r.psum)):
             sums[r.cluster] += np.array(r.psum)
             counts[r.cluster] += r.n
             inertia += r.pinertia

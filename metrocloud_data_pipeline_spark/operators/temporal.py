@@ -137,9 +137,12 @@ def asof_join(
         carried = carried.withColumn(c, fill(c))
     out = carried.where(F.col("_side") == 1).drop("_side")
     if tolerance_seconds is not None:
+        # cast-to-double keeps fractional seconds (unix_timestamp
+        # truncates, which would mis-judge sub-second boundaries against
+        # an epoch()-based oracle)
         within = F.abs(
-            F.unix_timestamp(F.col("_r_ts")) - F.unix_timestamp(F.col(ts_col))
-        ) <= F.lit(tolerance_seconds)
+            F.col("_r_ts").cast("double") - F.col(ts_col).cast("double")
+        ) <= F.lit(float(tolerance_seconds))
         for c in right_cols:
             out = out.withColumn(c, F.when(within, F.col(c)))
     return out.drop("_r_ts")

