@@ -275,7 +275,14 @@ def simhash_candidate_pairs(signatures: DataFrame, max_hamming: int = 3) -> Data
         ).alias("chunk_idx", "chunk"),
     )
     a, b = chunked.alias("a"), chunked.alias("b")
-    cand = (
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # Hamming-verify BEFORE deduplicating: the verify is a codegen'd
+    # xor+popcount on the join output, while distinct is a full exchange
+    # — filtering first shrinks that exchange from |all chunk-join
+    # candidates| (every pair up to 4x, millions at the 10x probe) to
+    # |qualifying pairs|. Output identical: duplicates of a pair agree
+    # on (doc_a, doc_b, hamming).
+    return (
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
@@ -285,14 +292,10 @@ def simhash_candidate_pairs(signatures: DataFrame, max_hamming: int = 3) -> Data
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            hamming.alias("hamming"),
         )
+        .where(F.col("hamming") <= max_hamming)
         .distinct()
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
     )
 
 
