@@ -200,17 +200,20 @@ def cosine_near_dup_pairs(
     b = exploded.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "band", "sig"
     )
-    pairs = (
+    cos = cosine_batch()
+    # score and threshold BEFORE deduplicating: the band join already
+    # shuffles rows carrying both embedding arrays, but scoring them in
+    # the same stage (Arrow matmul; band-duplicates re-score at worst
+    # `bands` times) means the dedup exchange moves only the qualifying
+    # (vec_a, vec_b, sim) triples instead of a second pass of wide
+    # embedding rows. Scores of a pair's duplicates are identical
+    # (round6, deterministic), so id-keyed dropDuplicates is exact.
+    scored = (
         a.join(b, ["band", "sig"])
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "emb_a", "emb_b")
-        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b", round6(cos(F.col("emb_a"), F.col("emb_b"))).alias("cosine_sim"))
     )
-    cos = cosine_batch()
-    scored = pairs.select(
-        "vec_a", "vec_b", round6(cos(F.col("emb_a"), F.col("emb_b"))).alias("cosine_sim")
-    )
-    return scored.where(F.col("cosine_sim") >= threshold)
+    return scored.where(F.col("cosine_sim") >= threshold).dropDuplicates(["vec_a", "vec_b"])
 
 
 def cosine_near_dup_exact(
