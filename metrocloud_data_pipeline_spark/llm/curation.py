@@ -574,3 +574,63 @@ def shard_manifest(
         .withColumn("shard_pos", F.row_number().over(w))
         .select(id_col, "sample_u", "shard_id", "shard_pos")
     )
+
+
+def quality_quantile_filter_approx(
+    docs: DataFrame,
+    q: float = 0.25,
+    target_chars: float = 400.0,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Scale twin of quality_quantile_filter: approx_percentile
+    (Greenwald-Khanna sketch, bounded state at any score cardinality)
+    replaces the exact percentile — the same pattern as
+    a9_daily_quality_approx. Threshold differs from exact by at most
+    1/accuracy of rank, so the kept set can differ near the boundary;
+    rows-only by design with exact-vs-approx agreement asserted in
+    pytest."""
+    from .text import quality_score
+
+    scored = quality_score(docs, target_chars=target_chars).select("doc_id", "quality_score")
+    scored = scored.localCheckpoint()
+    thr = scored.select(
+        round6(
+            F.expr(f"approx_percentile(quality_score, {q}, {accuracy})")
+        ).alias("threshold")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .where(F.col("quality_score") >= F.col("threshold"))
+        .select("doc_id", "quality_score", "threshold")
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    salt: str = "shard-v1",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the shard_manifest layout: the corpus written as
+    shard_id=K parquet directories, each file's rows in the manifest's
+    deterministic (sample_u, id) order — the reproducible-random
+    training-file layout a data loader streams sequentially.
+
+    One scan + ONE exchange (repartition by shard — the same shuffle the
+    manifest's rank window needs, here doing double duty as the write
+    partitioning) + an in-partition sort; no global sort, no window.
+    Re-running after corpus growth rewrites shards with old docs still
+    in their original shard (shard is a pure function of salt+id)."""
+    u = round6(sample_uniform_col(salt, id_col))
+    sharded = docs.withColumn("sample_u", u).withColumn(
+        "shard_id",
+        F.least(F.floor(F.col("sample_u") * n_shards), F.lit(n_shards - 1)).cast("int"),
+    )
+    (
+        sharded.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "sample_u", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

@@ -2601,6 +2601,15 @@ def quality_quantile_filter(spark, sf_dir):
     return curation.quality_quantile_filter(docs, q=0.25)
 
 
+@q("quality_quantile_filter_approx")
+def quality_quantile_filter_approx(spark, sf_dir):
+    """Scale twin of quality_quantile_filter (approx_percentile sketch,
+    bounded state at any cardinality). Rows-only by design; exact-vs-
+    approx agreement pinned in pytest."""
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    return curation.quality_quantile_filter_approx(docs, q=0.25)
+
+
 @q(
     "dedup_cross_corpus",
     oracle="""
@@ -2838,6 +2847,7 @@ QUERY_ORDER = [
     # (oracle in place; pytest cross-checks it against DuckDB meanwhile)
     "shard_manifest",
     "media_dedup_exact",
+    "quality_quantile_filter_approx",
     # green in r04 (within the two-round invariant), rotated out this round
     # (incl. the r4 canaries + rows-only approx/lsh twins displaced by the
     # six r5 additions)

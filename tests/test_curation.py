@@ -267,3 +267,40 @@ def test_shard_manifest_matches_duckdb_and_is_stable(spark):
     half = {r["doc_id"]: r["shard_id"]
             for r in curation.shard_manifest(docs.where("doc_id % 2 = 0")).collect()}
     assert all(full[d] == s for d, s in half.items())
+
+
+def test_write_training_shards_matches_manifest(spark, tmp_path):
+    from metrocloud_data_pipeline_spark.llm import curation
+    from metrocloud_data_pipeline_spark.sources import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "shards")
+    curation.write_training_shards(docs, path, n_shards=4)
+
+    manifest = curation.shard_manifest(docs, n_shards=4)
+    written = spark.read.option("basePath", path).parquet(path)
+    # every doc in exactly the manifest's shard
+    want = {(r["doc_id"], r["shard_id"]) for r in manifest.collect()}
+    got = {(r["doc_id"], r["shard_id"]) for r in written.collect()}
+    assert got == want
+    # within a shard file, rows are stored in manifest order
+    import pyarrow.parquet as pq
+    import glob
+
+    for d in glob.glob(path + "/shard_id=*"):
+        rows = []
+        for f in sorted(glob.glob(d + "/*.parquet")):
+            t = pq.read_table(f, columns=["doc_id", "sample_u"]).to_pydict()
+            rows += list(zip(t["sample_u"], t["doc_id"]))
+        assert rows == sorted(rows)
+
+
+def test_quantile_filter_approx_agrees_with_exact(spark):
+    from metrocloud_data_pipeline_spark.llm import curation
+    from metrocloud_data_pipeline_spark.sources import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").where("length(trim(text)) > 0")
+    exact = {r["doc_id"] for r in curation.quality_quantile_filter(docs).collect()}
+    approx = {r["doc_id"] for r in curation.quality_quantile_filter_approx(docs).collect()}
+    # at accuracy=10000 over ~50 docs the sketch is exact
+    assert approx == exact
