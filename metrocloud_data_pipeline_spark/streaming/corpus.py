@@ -108,6 +108,7 @@ def run_corpus_ingest_stream(
     table_path: str,
     checkpoint_path: str,
     rejects_path: str | None = None,
+    metrics_path: str | None = None,
     min_tokens: int = 3,
     available_now: bool = True,
 ) -> StreamingQuery:
@@ -115,7 +116,12 @@ def run_corpus_ingest_stream(
 
     Each micro-batch reads ONLY the digest column of the standing store
     (column-pruned parquet scan; at scale a digest-bucketed index table
-    maintained alongside the store) before appending survivors."""
+    maintained alongside the store) before appending survivors.
+    metrics_path appends one observability row per batch — ingested /
+    kept / per-reason reject counts and kept char mass, the corpus
+    analog of the sensor pipeline's per-batch pipeline_metrics — so
+    crawl-quality drift (e.g. a source going boilerplate) shows up as a
+    queryable trend, not a log line."""
     spark = doc_stream.sparkSession
 
     def _process(batch: DataFrame, batch_id: int) -> None:
@@ -126,11 +132,43 @@ def run_corpus_ingest_stream(
         kept, rejected = curate_batch(
             batch, existing_digests=existing, min_tokens=min_tokens
         )
+        stats = None
+        if metrics_path is not None:
+            # aggregate BEFORE appending: kept's plan anti-joins the
+            # store's lazy file listing, so an after-append recompute
+            # would see the batch's own rows and undercount (read-your-
+            # own-writes); the 1-row aggregates are bounded driver data
+            k = kept.agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.coalesce(F.sum("n_chars"), F.lit(0)).alias("kept_chars"),
+            ).first()
+            r = rejected.agg(
+                F.count(F.lit(1)).alias("n_rejected"),
+                F.count_if(F.col("reason") == "duplicate_in_batch").alias("n_dup_in_batch"),
+                F.count_if(F.col("reason") == "duplicate_in_corpus").alias("n_dup_in_corpus"),
+            ).first()
+            stats = (
+                batch_id,
+                int(k.n_kept) + int(r.n_rejected),
+                int(k.n_kept),
+                int(k.kept_chars),
+                int(r.n_rejected),
+                int(r.n_dup_in_batch),
+                int(r.n_dup_in_corpus),
+                int(r.n_rejected) - int(r.n_dup_in_batch) - int(r.n_dup_in_corpus),
+            )
         kept.write.mode("append").parquet(table_path)
         if rejects_path is not None:
             rejected.withColumn("batch_id", F.lit(batch_id)).write.mode(
                 "append"
             ).parquet(rejects_path)
+        if stats is not None:
+            spark.createDataFrame(
+                [stats],
+                "batch_id long, n_ingested long, n_kept long, kept_chars long, "
+                "n_rejected long, n_dup_in_batch long, n_dup_in_corpus long, "
+                "n_quality_rejected long",
+            ).write.mode("append").parquet(metrics_path)
 
     writer = doc_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path

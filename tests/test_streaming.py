@@ -459,8 +459,9 @@ def test_corpus_ingest_stream_dedup_and_quality(spark, tmp_path):
     rejects = str(tmp_path / "rejects")
     # one file-batch per trigger so batch 2 must anti-join batch 1's store
     stream = corpus.stream_document_files(spark, str(src) + "/*", max_files_per_trigger=1)
+    metrics = str(tmp_path / "metrics")
     q = corpus.run_corpus_ingest_stream(
-        stream, table, str(tmp_path / "ck"), rejects_path=rejects
+        stream, table, str(tmp_path / "ck"), rejects_path=rejects, metrics_path=metrics
     )
     q.awaitTermination(120)
 
@@ -473,6 +474,14 @@ def test_corpus_ingest_stream_dedup_and_quality(spark, tmp_path):
     assert reasons[2] == "duplicate_in_batch"
     assert reasons[5] == "duplicate_in_corpus"
     assert "too_few_tokens" in reasons[3]
+
+    # per-batch observability rows: batch 1 ingests 4 (2 kept, 1 in-batch
+    # dup, 1 quality), batch 2 ingests 2 (1 kept, 1 corpus dup)
+    m = {r["batch_id"]: r for r in spark.read.parquet(metrics).collect()}
+    assert m[0]["n_ingested"] == 4 and m[0]["n_kept"] == 2
+    assert m[0]["n_dup_in_batch"] == 1 and m[0]["n_quality_rejected"] == 1
+    assert m[1]["n_ingested"] == 2 and m[1]["n_kept"] == 1
+    assert m[1]["n_dup_in_corpus"] == 1
 
     # redelivery with a fresh checkpoint: store unchanged (effectively-once)
     q2 = corpus.run_corpus_ingest_stream(
