@@ -157,11 +157,15 @@ def run_corpus_ingest_stream(
                 int(r.n_dup_in_corpus),
                 int(r.n_rejected) - int(r.n_dup_in_batch) - int(r.n_dup_in_corpus),
             )
-        kept.write.mode("append").parquet(table_path)
+        # rejects BEFORE the kept append: rejected's corpus semi-join
+        # also reads the store's file listing, and an after-append
+        # recompute would flag the batch's own just-appended docs as
+        # corpus duplicates
         if rejects_path is not None:
             rejected.withColumn("batch_id", F.lit(batch_id)).write.mode(
                 "append"
             ).parquet(rejects_path)
+        kept.write.mode("append").parquet(table_path)
         if stats is not None:
             spark.createDataFrame(
                 [stats],

@@ -471,6 +471,9 @@ def test_corpus_ingest_stream_dedup_and_quality(spark, tmp_path):
     assert kept.select("digest").distinct().count() == kept.count()
 
     reasons = {r["doc_id"]: r["reason"] for r in spark.read.parquet(rejects).collect()}
+    # exactly the three rejected docs — in particular doc 6 (kept in
+    # batch 2) must NOT appear as a corpus dup of its own append
+    assert set(reasons) == {2, 3, 5}
     assert reasons[2] == "duplicate_in_batch"
     assert reasons[5] == "duplicate_in_corpus"
     assert "too_few_tokens" in reasons[3]
