@@ -549,8 +549,13 @@ def token_jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.95) -> Data
         )
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
+    # round before ceil: t*n computed in floats can land a hair ABOVE a
+    # mathematically-integral product (0.7*10 -> 7.000000000000001),
+    # which would ceil one higher, shorten the prefix, and break the
+    # no-false-negative guarantee
     prefix = ranked.where(
-        F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        F.col("rn")
+        <= F.col("n") - F.ceil(F.round(F.lit(threshold) * F.col("n"), 9)) + 1
     ).select("doc_id", "tok")
     cands = (
         prefix.alias("a")
