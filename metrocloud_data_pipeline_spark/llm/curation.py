@@ -634,3 +634,66 @@ def write_training_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
+
+
+def quality_deciles(
+    docs: DataFrame, target_chars: float = 400.0, n_bins: int = 10
+) -> DataFrame:
+    """Curriculum binning: every document labeled with its corpus-
+    relative quality decile (1 = worst .. n_bins = best) — the bucket
+    column quality-aware mixture sampling and curricula key on.
+
+    The n_bins-1 exact percentile thresholds come from ONE aggregate
+    over the scores (percentile takes the fraction array in a single
+    pass) and broadcast back; binning is a codegen CASE over the
+    rounded thresholds, so the decile decision is bit-stable
+    cross-engine. Two passes over the 16-byte score frame
+    (checkpointed), one over the corpus."""
+    from .text import quality_score
+
+    scored = quality_score(docs, target_chars=target_chars).select(
+        "doc_id", "quality_score"
+    ).localCheckpoint()
+    fracs = ", ".join(str(round(i / n_bins, 9)) for i in range(1, n_bins))
+    thr = scored.select(
+        F.expr(f"percentile(quality_score, array({fracs}))").alias("_thr")
+    ).select(*[round6(F.col("_thr")[i]).alias(f"_t{i}") for i in range(n_bins - 1)])
+    binned = scored.crossJoin(F.broadcast(thr))
+    decile = F.lit(1)
+    for i in range(n_bins - 1):
+        decile = decile + (F.col("quality_score") > F.col(f"_t{i}")).cast("int")
+    return binned.select("doc_id", "quality_score", decile.alias("decile"))
+
+
+def source_scorecard(docs: DataFrame, target_chars: float = 400.0) -> DataFrame:
+    """Crawl-source scorecard: per source, document/token mass, mean
+    quality score, and corpus token share — the decision table behind
+    source up/down-weighting (pair with temperature_mix /
+    weighted_sample). One corpus scan into a sources-sized aggregate;
+    the corpus-total divisor broadcasts back."""
+    toks = tokens_col()
+    n_tok = F.size(toks).cast("double")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    q = F.least(F.lit(1.0), F.col("n_chars").cast("double") / F.lit(target_chars)) * ttr
+    per_source = (
+        docs.select("source", F.size(toks).alias("_n_tok"), q.alias("_q"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n_tok").cast("long").alias("total_tokens"),
+            round6(F.avg("_q")).alias("avg_quality"),
+        )
+    )
+    tot = per_source.select(F.sum("total_tokens").alias("_tok_total"))
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "avg_quality",
+            round6(
+                F.col("total_tokens").cast("double") / F.col("_tok_total").cast("double")
+            ).alias("token_share"),
+        )
+    )

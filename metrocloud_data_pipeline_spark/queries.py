@@ -2601,6 +2601,66 @@ def quality_quantile_filter(spark, sf_dir):
     return curation.quality_quantile_filter(docs, q=0.25)
 
 
+@q(
+    "quality_deciles",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         round(least(1.0, CAST(n_chars AS DOUBLE) / 400.0)
+               * (CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+                  / len(string_split_regex(trim(text), '\\s+'))), 6) AS quality_score
+  FROM documents WHERE length(trim(text)) > 0
+), thr AS (
+  SELECT list_transform(
+           quantile_cont(quality_score, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+           x -> round(x, 6)
+         ) AS t
+  FROM scored
+)
+SELECT doc_id, quality_score,
+       1 + CAST(quality_score > t[1] AS INTEGER) + CAST(quality_score > t[2] AS INTEGER)
+         + CAST(quality_score > t[3] AS INTEGER) + CAST(quality_score > t[4] AS INTEGER)
+         + CAST(quality_score > t[5] AS INTEGER) + CAST(quality_score > t[6] AS INTEGER)
+         + CAST(quality_score > t[7] AS INTEGER) + CAST(quality_score > t[8] AS INTEGER)
+         + CAST(quality_score > t[9] AS INTEGER) AS decile
+FROM scored CROSS JOIN thr
+""",
+)
+def quality_deciles(spark, sf_dir):
+    """Curriculum binning: per-doc corpus-relative quality decile. Nine
+    exact percentile thresholds in ONE aggregate, broadcast back,
+    codegen CASE binning on rounded values both sides."""
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    return curation.quality_deciles(docs, n_bins=10)
+
+
+@q(
+    "source_scorecard",
+    oracle="""
+WITH per_doc AS (
+  SELECT source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         least(1.0, CAST(n_chars AS DOUBLE) / 400.0)
+           * (CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+              / len(string_split_regex(trim(text), '\\s+'))) AS q
+  FROM documents WHERE length(trim(text)) > 0
+), tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tok_total FROM per_doc)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(avg(q), 6) AS avg_quality,
+       round(CAST(sum(n_tok) AS DOUBLE) / tok_total, 6) AS token_share
+FROM per_doc CROSS JOIN tot
+GROUP BY source, tok_total
+""",
+)
+def source_scorecard(spark, sf_dir):
+    """Crawl-source scorecard: per source, doc/token mass, mean quality,
+    corpus token share — the table that drives source up/down-weighting
+    decisions. One scan into a sources-sized aggregate."""
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    return curation.source_scorecard(docs)
+
+
 @q("quality_quantile_filter_approx")
 def quality_quantile_filter_approx(spark, sf_dir):
     """Scale twin of quality_quantile_filter (approx_percentile sketch,
@@ -2848,6 +2908,8 @@ QUERY_ORDER = [
     "shard_manifest",
     "media_dedup_exact",
     "quality_quantile_filter_approx",
+    "quality_deciles",
+    "source_scorecard",
     # green in r04 (within the two-round invariant), rotated out this round
     # (incl. the r4 canaries + rows-only approx/lsh twins displaced by the
     # six r5 additions)

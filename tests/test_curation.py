@@ -304,3 +304,34 @@ def test_quantile_filter_approx_agrees_with_exact(spark):
     approx = {r["doc_id"] for r in curation.quality_quantile_filter_approx(docs).collect()}
     # at accuracy=10000 over ~50 docs the sketch is exact
     assert approx == exact
+
+
+def test_quality_deciles_balanced_bins(spark):
+    from metrocloud_data_pipeline_spark.llm import curation
+
+    # 40 docs with strictly increasing quality -> exactly 4 per decile
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(2 + i)), "en", "s", 10 * (2 + i))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = curation.quality_deciles(docs, n_bins=10).collect()
+    from collections import Counter
+
+    sizes = Counter(r["decile"] for r in out)
+    assert set(sizes) == set(range(1, 11))
+    assert all(v == 4 for v in sizes.values())
+    # decile order tracks score order
+    by_doc = {r["doc_id"]: r["decile"] for r in out}
+    assert by_doc[0] == 1 and by_doc[39] == 10
+
+
+def test_source_scorecard_shares_sum_to_one(spark):
+    from metrocloud_data_pipeline_spark.llm import curation
+
+    rows = [(i, "some reasonable words here now", "en", f"s{i % 4}", 30) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = curation.source_scorecard(docs).collect()
+    assert len(out) == 4
+    assert sum(r["token_share"] for r in out) == pytest.approx(1.0, abs=1e-5)
+    assert all(r["total_tokens"] == 25 for r in out)
