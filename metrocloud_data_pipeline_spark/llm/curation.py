@@ -458,7 +458,10 @@ def temperature_mix(docs: DataFrame, alpha: float = 0.5, source_col: str = "sour
         )
     )
     mass = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
-    weighted = per_source.withColumn("_mass", mass)
+    # sources-sized and consumed twice (normalizer + output): checkpoint
+    # so the corpus scan provably runs once (exchange reuse is
+    # best-effort, not contractual)
+    weighted = per_source.withColumn("_mass", mass).localCheckpoint()
     totals = weighted.select(
         F.sum("_mass").alias("_mass_total"), F.sum("n_tokens").alias("_tok_total")
     )
@@ -683,6 +686,8 @@ def source_scorecard(docs: DataFrame, target_chars: float = 400.0) -> DataFrame:
             F.sum("_n_tok").cast("long").alias("total_tokens"),
             round6(F.avg("_q")).alias("avg_quality"),
         )
+        # sources-sized, consumed twice: checkpoint = one corpus scan
+        .localCheckpoint()
     )
     tot = per_source.select(F.sum("total_tokens").alias("_tok_total"))
     return (

@@ -245,7 +245,16 @@ def vocab_coverage(docs: DataFrame, top_n: int = 100) -> DataFrame:
     of the vocabulary frame, not a second corpus scan."""
     from pyspark.sql.window import Window
 
-    counts = _term_rows(docs).groupBy("term").agg(F.count(F.lit(1)).alias("term_count"))
+    # vocabulary-sized and consumed twice (top-N pick + corpus-total
+    # divisor): checkpoint so the corpus explode provably runs once —
+    # same rationale as tfidf's tf materialization (exchange reuse is
+    # best-effort, not contractual)
+    counts = (
+        _term_rows(docs)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+        .localCheckpoint()
+    )
     total = counts.select(F.sum("term_count").alias("_total"))
     head = counts.orderBy(F.col("term_count").desc(), F.col("term")).limit(top_n)
     order_win = Window.orderBy(F.col("term_count").desc(), F.col("term"))
