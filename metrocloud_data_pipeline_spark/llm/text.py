@@ -316,3 +316,44 @@ def unigram_surprisal(docs: DataFrame, materialize_tf: bool = True) -> DataFrame
             ).alias("bits_per_token"),
         )
     )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    min_shared: int = 5,
+    k: int = 4,
+    w: int = 5,
+    max_fp_docs: int | None = 500,
+) -> DataFrame:
+    """Shared-passage detection: pairs of documents sharing at least
+    min_shared winnowing fingerprints — the plagiarism/quote/boilerplate
+    relationship whole-document similarity misses (a long doc quoting a
+    paragraph of another scores near-zero Jaccard but lights up here;
+    Schleimer et al.'s original MOSS use case).
+
+    Plan: the distinct (doc_id, fp) set self-joins on fp — sub-quadratic
+    while fingerprints stay selective. max_fp_docs is the hot-key guard
+    (same boilerplate economics as the LSH bucket cap, same explicit
+    trade-off: a fingerprint occurring in more docs than the cap is
+    boilerplate, not a passage worth attributing, and one such fp in a
+    million docs would alone emit 5e11 pairs). The fp frame is
+    checkpointed: three consumers (both join sides + the cap guard),
+    one corpus pass."""
+    fps = winnow_fingerprints(docs, k=k, w=w).localCheckpoint()
+    if max_fp_docs is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_fp_docs)
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )

@@ -2661,6 +2661,30 @@ def source_scorecard(spark, sf_dir):
     return curation.source_scorecard(docs)
 
 
+def _winnow_overlap_oracle() -> str:
+    return """
+WITH fps AS ({winnow})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 5
+""".format(winnow=ORACLE_SQL["doc_fingerprint_winnow"])
+
+
+@q("winnow_overlap_pairs", oracle=_winnow_overlap_oracle())
+def winnow_overlap_pairs(spark, sf_dir):
+    """Shared-passage pairs: documents sharing >= 5 winnowing
+    fingerprints — the quote/plagiarism/boilerplate relationship that
+    whole-doc Jaccard misses (a paragraph quoted inside a long doc).
+    The oracle composes the fingerprint oracle verbatim, so drift in
+    the fingerprints OR the overlap logic hash-fails. The hot-fp cap
+    (500) cannot trigger at oracle scale (500 docs total) and is the
+    documented boilerplate guard at corpus scale."""
+    return text.winnow_overlap_pairs(
+        load(spark, sf_dir, "documents"), min_shared=5, max_fp_docs=500
+    )
+
+
 @q("quality_quantile_filter_approx")
 def quality_quantile_filter_approx(spark, sf_dir):
     """Scale twin of quality_quantile_filter (approx_percentile sketch,
@@ -2910,6 +2934,7 @@ QUERY_ORDER = [
     "quality_quantile_filter_approx",
     "quality_deciles",
     "source_scorecard",
+    "winnow_overlap_pairs",
     # green in r04 (within the two-round invariant), rotated out this round
     # (incl. the r4 canaries + rows-only approx/lsh twins displaced by the
     # six r5 additions)

@@ -767,3 +767,23 @@ def test_media_dedup_exact_groups_by_payload(docs):
     # differ byte-wise even when they normalize equal) -> all singletons
     assert all(r["dup_count"] == 1 for r in out)
     assert len(out) == 6
+
+
+def test_winnow_overlap_finds_shared_passage(spark):
+    passage = " ".join(f"shared{i}" for i in range(12))
+    doc_a = passage + " " + " ".join(f"acontent{i}" for i in range(30))
+    doc_b = " ".join(f"bcontent{i}" for i in range(30)) + " " + passage
+    doc_c = " ".join(f"ccontent{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b), (2, doc_c)], "doc_id long, text string"
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["shared_fps"]
+           for r in text.winnow_overlap_pairs(docs, min_shared=2).collect()}
+    assert (0, 1) in out and out[(0, 1)] >= 2  # the quoted passage links them
+    assert all(2 not in pair for pair in out)  # unrelated doc stays out
+    # hot-fp cap drops boilerplate-wide fingerprints
+    wide = spark.createDataFrame(
+        [(i, passage) for i in range(6)], "doc_id long, text string"
+    )
+    capped = text.winnow_overlap_pairs(wide, min_shared=1, max_fp_docs=3).collect()
+    assert capped == []
