@@ -67,3 +67,53 @@ def batch_metrics(df_valid: DataFrame, df_rejected: DataFrame) -> dict:
         "anomalies": row["anomalies"],
         "validation_failure_rate": (row["rows_rejected"] / row["rows_in"]) if row["rows_in"] else 0.0,
     }
+
+
+def expectations_report(
+    df: DataFrame,
+    expectations: list[tuple[str, F.Column, float]],
+) -> DataFrame:
+    """Declarative data-quality expectations (the Deequ/Great-
+    Expectations shape): each (name, row-predicate, min_pass_fraction)
+    is evaluated corpus-wide in ONE aggregation pass — a conditional
+    count per rule folded into a single agg, never one job per rule —
+    and reported as (expectation, n_rows, n_pass, pass_fraction,
+    min_pass_fraction, passed).
+
+    The predicate is any boolean Column (null-safe: NULL counts as a
+    failure, the conservative reading). One scan at any scale; the
+    output is rules-sized. Pair with integrity_violations for the
+    row-level drill-down of whatever fails here."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, pred, _ in expectations:
+        aggs.append(F.count_if(F.coalesce(pred, F.lit(False))).alias(f"_p_{name}"))
+    row = df.agg(*aggs)
+    out = []
+    for name, _, min_frac in expectations:
+        out.append(
+            F.struct(
+                F.lit(name).alias("expectation"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_p_{name}").alias("n_pass"),
+                F.round(
+                    F.when(
+                        F.col("_n") > 0,
+                        F.col(f"_p_{name}").cast("double") / F.col("_n").cast("double"),
+                    ).otherwise(F.lit(1.0)),
+                    6,
+                ).alias("pass_fraction"),
+                F.lit(float(min_frac)).alias("min_pass_fraction"),
+                (
+                    F.when(
+                        F.col("_n") > 0,
+                        F.col(f"_p_{name}").cast("double") / F.col("_n").cast("double"),
+                    ).otherwise(F.lit(1.0))
+                    >= F.lit(float(min_frac))
+                ).alias("passed"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*out)).alias("_e"))
+        .select("_e.*")
+        .orderBy("expectation")
+    )

@@ -2685,6 +2685,56 @@ def winnow_overlap_pairs(spark, sf_dir):
     )
 
 
+@q(
+    "dq_expectations_report",
+    oracle=f"""
+{_READINGS_CTE},
+agg AS (
+  SELECT count(*) AS n,
+         count(CASE WHEN value IS NOT NULL THEN 1 END) AS p_value_not_null,
+         count(CASE WHEN coalesce(value, 1e9) <= 300.0 THEN 1 END) AS p_value_below_300,
+         count(CASE WHEN coalesce(device_id, -1) >= 0 THEN 1 END) AS p_device_id_nonnegative,
+         count(CASE WHEN ts >= TIMESTAMP '2000-01-01' THEN 1 END) AS p_ts_modern
+  FROM readings
+)
+SELECT * FROM (
+  SELECT 'value_not_null' AS expectation, n AS n_rows, p_value_not_null AS n_pass,
+         round(CAST(p_value_not_null AS DOUBLE)/n, 6) AS pass_fraction,
+         1.0 AS min_pass_fraction, CAST(p_value_not_null AS DOUBLE)/n >= 1.0 AS passed FROM agg
+  UNION ALL
+  SELECT 'value_below_300', n, p_value_below_300,
+         round(CAST(p_value_below_300 AS DOUBLE)/n, 6), 0.95,
+         CAST(p_value_below_300 AS DOUBLE)/n >= 0.95 FROM agg
+  UNION ALL
+  SELECT 'device_id_nonnegative', n, p_device_id_nonnegative,
+         round(CAST(p_device_id_nonnegative AS DOUBLE)/n, 6), 1.0,
+         CAST(p_device_id_nonnegative AS DOUBLE)/n >= 1.0 FROM agg
+  UNION ALL
+  SELECT 'ts_modern', n, p_ts_modern,
+         round(CAST(p_ts_modern AS DOUBLE)/n, 6), 1.0,
+         CAST(p_ts_modern AS DOUBLE)/n >= 1.0 FROM agg
+) ORDER BY expectation
+""",
+)
+def dq_expectations_report(spark, sf_dir):
+    """Declarative data-quality expectations over the readings table
+    (Deequ/Great-Expectations shape): four rules, one aggregation pass,
+    per-rule pass fractions and verdicts. NULL predicates count as
+    failures on both engines (the conservative reading)."""
+    from .operators import quality as Q
+
+    r = readings(spark, sf_dir)
+    return Q.expectations_report(
+        r,
+        [
+            ("value_not_null", F.col("value").isNotNull(), 1.0),
+            ("value_below_300", F.col("value") <= 300.0, 0.95),
+            ("device_id_nonnegative", F.col("device_id") >= 0, 1.0),
+            ("ts_modern", F.col("ts") >= F.lit("2000-01-01").cast("timestamp"), 1.0),
+        ],
+    )
+
+
 @q("quality_quantile_filter_approx")
 def quality_quantile_filter_approx(spark, sf_dir):
     """Scale twin of quality_quantile_filter (approx_percentile sketch,
@@ -2935,6 +2985,7 @@ QUERY_ORDER = [
     "quality_deciles",
     "source_scorecard",
     "winnow_overlap_pairs",
+    "dq_expectations_report",
     # green in r04 (within the two-round invariant), rotated out this round
     # (incl. the r4 canaries + rows-only approx/lsh twins displaced by the
     # six r5 additions)

@@ -150,3 +150,30 @@ def test_integrity_report_counts(spark):
     assert r["null_device_count"] == 1
     assert r["out_of_range_count"] == 1
     assert r["duplicate_rows"] == 0
+
+
+def test_expectations_report_single_pass_and_verdicts(spark):
+    from pyspark.sql import functions as F
+
+    from metrocloud_data_pipeline_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 500.0), (4, 20.0)], "id long, v double"
+    )
+    out = {r["expectation"]: r for r in Q.expectations_report(
+        df,
+        [
+            ("v_not_null", F.col("v").isNotNull(), 1.0),
+            ("v_small", F.col("v") <= 100.0, 0.5),
+            ("id_positive", F.col("id") > 0, 1.0),
+        ],
+    ).collect()}
+    assert out["v_not_null"]["n_pass"] == 3 and not out["v_not_null"]["passed"]
+    # NULL v counts as a failure for v_small (conservative)
+    assert out["v_small"]["n_pass"] == 2 and out["v_small"]["passed"]
+    assert out["id_positive"]["passed"]
+    # empty frame: vacuously passing, fraction 1.0
+    empty = Q.expectations_report(
+        df.where("id < 0"), [("anything", F.col("v").isNotNull(), 1.0)]
+    ).first()
+    assert empty["n_rows"] == 0 and empty["passed"] and empty["pass_fraction"] == 1.0
