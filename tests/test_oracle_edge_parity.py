@@ -1,0 +1,83 @@
+"""Cross-engine edge parity: the registered document queries and their
+DuckDB oracles, run over a PATHOLOGICAL documents table (null text,
+empty text, whitespace-only, unicode, single-token, very long, null
+lang/source) instead of the well-behaved driver fixtures.
+
+The driver regenerates testdata every round; this pins that the
+Spark/DuckDB twins stay hash-identical on the document shapes a fresh
+generator might emit, instead of discovering it as a red
+CORRECTNESS row."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+
+from metrocloud_data_pipeline_spark.queries import ORACLE_SQL, SPARK_QUERIES
+
+DOC_QUERIES = [
+    "tfidf_top_terms",
+    "vocab_coverage",
+    "source_mix_temperature",
+    "quality_quantile_filter",
+    "dedup_cross_corpus",
+    "unigram_surprisal",
+    "cap_per_source",
+    "shard_manifest",
+    "quality_deciles",
+    "source_scorecard",
+    "dedup_jaccard_prefix",
+    "winnow_overlap_pairs",
+    "media_dedup_exact",
+    "text_token_stats",
+    "text_quality_score",
+]
+
+EDGE_ROWS = [
+    (0, None, "en", "s0", 0),                      # null text
+    (1, "", "en", "s0", 0),                        # empty text
+    (2, "   \t  ", "en", "s1", 6),                 # whitespace only
+    (3, "one", "en", "s1", 3),                     # single token
+    (4, "ünïcode tökens naïve café 北京 东京", None, "s2", 33),  # unicode + null lang
+    (5, "a b c d e f g h i j k l m n o p", "en", None, 31),     # null source
+    (6, "repeat " * 200, "en", "s3", 1400),        # long, highly repetitive
+    (7, " ".join(f"w{i}" for i in range(500)), "en", "s3", 2489),  # long diverse
+    (8, "MIXED Case WITH   irregular    spacing", "en", "s4", 38),
+    (9, "MIXED case with irregular spacing", "en", "s4", 33),   # near-dup of 8
+    (10, "shared shard text", "en", "s5", 17),
+    (20, "shared shard text", "en", "s5", 17),     # exact dup, 20 % 10 == 0
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge")
+    spark.createDataFrame(
+        EDGE_ROWS, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def _canon(df) -> str:
+    cols = sorted(df.columns)
+    d = df[cols].copy()
+    d = d.sort_values(by=cols).reset_index(drop=True)
+    return hashlib.md5(d.to_csv(index=False).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_edge_parity(spark, edge_dir, name):
+    got = SPARK_QUERIES[name](spark, edge_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{edge_dir}/documents.parquet/*.parquet'"
+    )
+    want = con.execute(ORACLE_SQL[name]).df()
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    assert _canon(got) == _canon(want), (
+        got.sort_values(by=sorted(got.columns)).head(20),
+        want.sort_values(by=sorted(want.columns)).head(20),
+    )
