@@ -414,7 +414,9 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     (only near-dup docs enter). Each round is two equi-joins + one
     min-aggregate on that state; `localCheckpoint()` truncates lineage
     so plan depth stays constant across rounds, and the convergence
-    probe is a `limit(1).count()`, never a full materialization. This
+    probe is a single exact-sum aggregate over the checkpointed state
+    (labels only decrease, so an unchanged sum means converged) —
+    never an old-vs-new join or a full materialization. This
     is the standard Spark shape for iterative graph algorithms
     (GraphX/GraphFrames CC does the same driver-coordinated rounds).
     """
@@ -438,6 +440,15 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .select(F.col("src").alias("doc_id"), F.least("src", "m").alias("cluster_id"))
         .localCheckpoint()
     )
+    # convergence probe: labels only ever decrease, so the exact label
+    # sum strictly decreases iff ANY label changed — one aggregate over
+    # the checkpointed state per round instead of an old-vs-new
+    # equi-join. decimal(38,0) keeps the sum exact (no double rounding)
+    # far past any realistic state size (~1e19 rows x max long).
+    def label_sum(frame: DataFrame):
+        return frame.agg(F.sum(F.col("cluster_id").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         nbr = edges.join(labels, edges["src"] == labels["doc_id"]).select(
             F.col("dst").alias("doc_id"), "cluster_id"
@@ -454,17 +465,11 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint()
         )
-        # labels only ever decrease; any strict decrease means not converged
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") < F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
         labels = new
-        if changed == 0:
+        cur_sum = label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     return labels.withColumn(
         "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
@@ -505,6 +510,120 @@ def cross_corpus_exact(
             F.coalesce("n_dupes_in_corpus", F.lit(0)).alias("n_dupes_in_corpus"),
             "first_dup_doc_id",
         )
+    )
+
+
+def minhash_band_table(
+    docs: DataFrame,
+    table_name: str,
+    num_perm: int = 128,
+    bands: int = 32,
+    num_buckets: int = 32,
+) -> str:
+    """Materialize the standing corpus's LSH band index — (doc_id, band,
+    bucket) — as a bucketed table, the build-at-ingest form of the
+    banding pass for corpora that screen incoming crawl batches
+    repeatedly (the MinHash twin of similarity.ivf_corpus_table).
+
+    At 100 TB the expensive part of incremental near-dup is NOT the
+    candidate join (the batch side broadcasts) — it is re-tokenizing,
+    re-hashing, and re-banding the standing corpus on every batch. This
+    table amortizes that full-corpus pass across every future batch:
+    cross_corpus_jaccard reads it instead of recomputing, and appends
+    each accepted batch's band rows so the index tracks the corpus.
+
+    k=1 shingles (unigram token sets) to match token_jaccard_pairs_lsh /
+    cross_corpus_jaccard verification semantics."""
+    from ..operators.maintenance import _fs_delete, write_bucketed
+
+    spark = docs.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    _fs_delete(f"{wh.rstrip('/')}/{table_name.lower()}")
+
+    sigs = minhash_signatures(docs, num_perm=num_perm, k=1)
+    band_frame = _band_buckets(sigs, bands, num_perm // bands)
+    write_bucketed(band_frame, table_name, "bucket", num_buckets=num_buckets)
+    return table_name
+
+
+def cross_corpus_jaccard(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    num_perm: int = 128,
+    bands: int = 32,
+    max_bucket_size: int | None = 500,
+    fail_on_dropped_buckets: bool = False,
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental NEAR-dup ingest gate: for every incoming doc, the
+    standing-corpus docs whose exact token-set Jaccard clears the
+    threshold — the fuzzy sibling of cross_corpus_exact, and the
+    decision that keeps paraphrased/boilerplate-shifted duplicates out
+    of the main store batch by batch.
+
+    Pipeline: MinHash both sides (k=1 unigram sets, same semantics as
+    token_jaccard_pairs_lsh), band into buckets, join the BATCH band
+    frame against the CORPUS band frame on (band, bucket) for
+    candidates, then verify exactly via array_intersect on the two
+    distinct-token arrays. Recall bound is the banding one (~4e-24 miss
+    at J=0.95, 128/32) — candidates only, never corpus x batch.
+
+    Scale shape: the batch band frame is |batch| x bands rows and
+    BROADCASTS — the corpus band side streams through the join with no
+    exchange. Verification joins candidates (small) to each side's
+    token arrays; the corpus side is filtered to matched doc_ids before
+    tokenization, so corpus text is only tokenized for docs that share
+    a bucket with the batch. Pass corpus_bands (a minhash_band_table)
+    to skip the corpus re-banding pass entirely — then NO full corpus
+    scan happens unless a candidate matches.
+
+    The hot-bucket cap applies to the CORPUS side (boilerplate buckets
+    live there); fail_on_dropped_buckets mirrors
+    token_jaccard_pairs_lsh's every-qualifying-pair contract."""
+    rpb = num_perm // bands
+    inc_sigs = minhash_signatures(incoming, num_perm=num_perm, k=1)
+    inc_bands = _band_buckets(inc_sigs, bands, rpb).select(
+        F.col("doc_id").alias("doc_new"), "band", "bucket"
+    )
+    if corpus_bands is None:
+        corpus_bands = _band_buckets(
+            minhash_signatures(corpus, num_perm=num_perm, k=1), bands, rpb
+        )
+    corp_bands = corpus_bands.select(F.col("doc_id").alias("doc_corpus"), "band", "bucket")
+    if max_bucket_size is not None:
+        sizes = corp_bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+        hot = sizes.where(F.col("_n") > max_bucket_size)
+        if fail_on_dropped_buckets:
+            hit = hot.limit(1).collect()
+            if hit:
+                r = hit[0]
+                raise ValueError(
+                    f"cross_corpus_jaccard: band {r['band']} bucket {r['bucket']} "
+                    f"holds {r['_n']} corpus docs (> max_bucket_size="
+                    f"{max_bucket_size}); the cap would drop qualifying pairs"
+                )
+        corp_bands = corp_bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    cands = (
+        corp_bands.join(F.broadcast(inc_bands), ["band", "bucket"])
+        .select("doc_new", "doc_corpus")
+        .distinct()
+    )
+    toks = lambda df: df.select(  # noqa: E731
+        "doc_id", F.array_distinct(F.split(_norm_text(F.col("text")), " ")).alias("toks")
+    )
+    a = toks(incoming).select(F.col("doc_id").alias("doc_new"), F.col("toks").alias("toks_a"))
+    b = toks(corpus).select(F.col("doc_id").alias("doc_corpus"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = round6(
+        inter.cast("double") / (F.size("toks_a") + F.size("toks_b") - inter).cast("double")
+    )
+    return (
+        cands.join(a, "doc_new")
+        .join(b, "doc_corpus")
+        .select("doc_new", "doc_corpus", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
     )
 
 

@@ -2776,6 +2776,48 @@ def dedup_cross_corpus(spark, sf_dir):
 
 
 @q(
+    "dedup_incremental_jaccard",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+  FROM documents
+), sizes AS (SELECT doc_id, count(*) AS set_size FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_new, b.doc_id AS doc_corpus, count(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+  GROUP BY 1, 2
+)
+SELECT doc_new, doc_corpus,
+       round(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_new JOIN sizes sb ON sb.doc_id = doc_corpus
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6) >= 0.95
+""",
+)
+def dedup_incremental_jaccard(spark, sf_dir):
+    """Incremental NEAR-dup ingest gate: the fuzzy sibling of
+    dedup_cross_corpus. The incoming batch (doc_id%10==0 slice) is
+    screened against the standing corpus for exact token-set Jaccard
+    >= 0.95 via MinHash-LSH candidates (batch band frame broadcasts;
+    corpus rows never shuffle) + exact array_intersect verification —
+    the per-crawl-batch paraphrase/boilerplate-dup decision at 100 TB.
+    The oracle is the uncapped cross-split all-pairs answer; the
+    generous 10k corpus-side bucket cap + fail_on_dropped_buckets
+    keeps capped-vs-oracle parity guaranteed, not coincidental (same
+    contract as dedup_ngram_jaccard)."""
+    docs = load(spark, sf_dir, "documents")
+    incoming = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return dedup.cross_corpus_jaccard(
+        incoming,
+        corpus,
+        threshold=0.95,
+        max_bucket_size=10_000,
+        fail_on_dropped_buckets=True,
+    )
+
+
+@q(
     "unigram_surprisal",
     oracle=f"""
 WITH toks AS (
@@ -2914,15 +2956,15 @@ QUERY_ORDER = [
     "source_mix_temperature",
     "quality_quantile_filter",
     "dedup_cross_corpus",
+    "dedup_incremental_jaccard",
     "unigram_surprisal",
     "kmeans_embed_clusters",
     "pca_variance_report",
-    # new this round (r5): the four remaining TPC-H plan shapes + bucketed ANN
+    # new this round (r5): the four remaining TPC-H plan shapes
     "h2_min_cost_supplier",
     "h11_important_parts",
     "h12_ship_delay_priority",
     "h20_excess_supply",
-    "knn_join_ivf_bucketed",
     "embed_dedup_keep_list",
     "corpus_select_pipeline",
     # changed this round: knn_join_ivf shuffle removal / new fanout oracle /
@@ -2966,6 +3008,10 @@ QUERY_ORDER = [
     "text_bpe_token_stats",
     "text_quality_score",
     # --- driver window ends here (first 50) ---
+    # displaced late-r5 by dedup_incremental_jaccard (oracle-checked beats
+    # rows-only for a window slot): byte-equality to in-window knn_join_ivf
+    # is pytest-gated, so its rows are covered; driver row resumes in r6
+    "knn_join_ivf_bucketed",
     # rows-only, recorded in r04, rotated out by the r5 additions
     # (knn_ivf's ivf_assignments dependency is re-verified in-window by
     # knn_join_ivf and knn_join_ivf_bucketed; dedup_embed_cosine_lsh's

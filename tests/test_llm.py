@@ -787,3 +787,59 @@ def test_winnow_overlap_finds_shared_passage(spark):
     )
     capped = text.winnow_overlap_pairs(wide, min_shared=1, max_fp_docs=3).collect()
     assert capped == []
+
+
+def test_cross_corpus_jaccard_incremental_gate(spark):
+    mk = lambda i, t: (i, t, "en", "s", len(t))
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"  # 9/11 jaccard
+    corpus = spark.createDataFrame(
+        [mk(1, base), mk(2, "totally unrelated corpus document about shuffles"),
+         mk(3, "mu nu xi omicron pi rho sigma tau")],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    incoming = spark.createDataFrame(
+        [mk(10, near), mk(20, "fresh never seen words entirely")],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = dedup.cross_corpus_jaccard(incoming, corpus, threshold=0.8)
+    got = {(r["doc_new"], r["doc_corpus"]): r["jaccard"] for r in out.collect()}
+    assert (10, 1) in got and got[(10, 1)] == round(9 / 11, 6)
+    assert len(got) == 1  # the fresh doc matches nothing
+
+
+def test_cross_corpus_jaccard_band_table_path_matches(spark):
+    # the pre-built band-index path must return EXACTLY the in-memory
+    # result (same signatures/banding), while skipping the corpus
+    # re-banding pass
+    mk = lambda i, t: (i, t)
+    base = "one two three four five six seven eight nine ten"
+    rows = [mk(i, base + f" extra{i}") for i in range(1, 6)] + [
+        mk(6, "qqq www eee rrr ttt yyy uuu")
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    incoming = spark.createDataFrame([mk(100, base + " extra1 tail")], "doc_id long, text string")
+    tbl = "minhash_bands_pytest"
+    dedup.minhash_band_table(corpus, tbl, num_perm=32, bands=16, num_buckets=4)
+    try:
+        mem = sorted(map(tuple, dedup.cross_corpus_jaccard(
+            incoming, corpus, threshold=0.5, num_perm=32, bands=16).collect()))
+        idx = sorted(map(tuple, dedup.cross_corpus_jaccard(
+            incoming, corpus, threshold=0.5, num_perm=32, bands=16,
+            corpus_bands=spark.table(tbl)).collect()))
+        assert mem == idx and len(mem) >= 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_cross_corpus_jaccard_hot_bucket_guard_raises(spark):
+    # 60 identical corpus docs collide into every band bucket; with a
+    # tiny cap the every-qualifying-pair contract cannot hold -> raise
+    same = "dup dup2 dup3 dup4 dup5 dup6"
+    corpus = spark.createDataFrame([(i, same) for i in range(60)], "doc_id long, text string")
+    incoming = spark.createDataFrame([(100, same)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        dedup.cross_corpus_jaccard(
+            incoming, corpus, threshold=0.9, max_bucket_size=10,
+            fail_on_dropped_buckets=True,
+        )
