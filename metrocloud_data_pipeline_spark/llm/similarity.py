@@ -392,6 +392,7 @@ def knn_join_ivf(
     nprobe: int = 4,
     stride: int = 31,
     listed: DataFrame | None = None,
+    max_queries: int | None = None,
 ) -> DataFrame:
     """Batch ANN over the whole corpus: every vector gets its top-k
     neighbors, scoring only the members of its nprobe nearest IVF lists
@@ -448,7 +449,11 @@ def knn_join_ivf(
             F.element_at(nearest_lists(F.col("embedding")), 1).alias("list_id"),
         )
 
-    probes = embeddings.select(
+    # max_queries bounds the QUERY side only (audit/recall sampling) —
+    # the corpus side still scores in full, so sampled results match
+    # the full run's rows for those queries exactly
+    q_side = embeddings if max_queries is None else embeddings.where(F.col("vec_id") < max_queries)
+    probes = q_side.select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.explode(nearest_lists(F.col("embedding"))).alias("list_id"),
@@ -804,3 +809,123 @@ def kmeans_ivf_index(
         return centroids, assign.persist()
     finally:
         cached.unpersist()
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    k: int = 16,
+    n_iter: int = 4,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Semantic-dedup candidate pairs, SemDeDup shape (Abbas et al.
+    2023, arXiv:2303.09540): k-means-cluster the embedding space, then
+    score cosine pairs ONLY within each cluster — the clustering bounds
+    the pair search the way LSH bands do, but with trained,
+    density-tracking buckets.
+
+    Scale shape: one k-means fit (broadcast codebook, mapInPandas
+    partial sums — corpus never shuffles during iterations), one narrow
+    assignment pass, then a self-join keyed on cluster_id: pair
+    generation is cluster-local, sum over clusters of n_c², with AQE
+    skew-splitting any over-dense cluster. Raise k as the corpus grows
+    (SemDeDup uses k ~ sqrt(n)) to keep clusters bounded. Within-cluster
+    scoring is exact (round6 cosine); misses are exactly the near-dup
+    pairs k-means separates — measured against cosine_near_dup_exact
+    in pytest on separable data (where the miss set is empty)."""
+    cached = embeddings.select("vec_id", "embedding").persist()
+    try:
+        code, _ = kmeans_fit(cached, k=k, n_iter=n_iter)
+        assigned = kmeans_assign(cached, code).select("vec_id", "cluster_id")
+        clustered = cached.join(assigned, "vec_id")
+        a = clustered.select(
+            F.col("cluster_id"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+        )
+        b = clustered.select(
+            F.col("cluster_id"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+        )
+        cos = cosine_batch()
+        return (
+            a.join(b, "cluster_id")
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select(
+                "cluster_id",
+                "vec_a",
+                "vec_b",
+                round6(cos(F.col("emb_a"), F.col("emb_b"))).alias("cosine_sim"),
+            )
+            .where(F.col("cosine_sim") >= threshold)
+        )
+    finally:
+        cached.unpersist()
+
+
+def semdedup_keep_list(
+    embeddings: DataFrame,
+    k: int = 16,
+    n_iter: int = 4,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """End-to-end SemDeDup decision: one row per vector with its
+    cluster, keep flag, and (for dropped rows) the kept near-duplicate
+    that displaced it. Keep rule is deterministic keep-first: a vector
+    is dropped iff some SMALLER-id vector in its cluster matches at
+    >= threshold (the min-id member of every semantic-dup group
+    survives; transitive chains collapse onto their minimum the same
+    way dedup_keep_list's connected components do for token dups).
+
+    The pair frame is near-dup-sized (tiny vs the corpus), so the
+    keep decision is a broadcast-able left join back onto the corpus —
+    one scan at 100 TB, same economics as dedup_keep_list."""
+    pairs = semdedup_pairs(embeddings, k=k, n_iter=n_iter, threshold=threshold)
+    displaced = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("kept_dup")
+    )
+    return (
+        embeddings.select("vec_id")
+        .join(F.broadcast(displaced), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("kept_dup").isNull().alias("keep"),
+            "kept_dup",
+        )
+    )
+
+
+def knn_recall_report(
+    embeddings: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    stride: int = 31,
+    max_queries: int = 200,
+) -> DataFrame:
+    """ANN quality audit: per-query recall@k of knn_join_ivf against
+    the exact knn_join_brute answer over a bounded query sample — the
+    dashboard number an ANN serving tier publishes next to its latency.
+
+    One row per sampled query: (q_id, n_hits, recall). Both sides
+    restrict to the same deterministic sample (q_id < max_queries);
+    the IVF side still scores against the FULL corpus, so the recall
+    measured is the production operating point, not a subset artifact.
+    The overlap join keys on (q_id, vec_id) — both sides are k rows per
+    query, so the audit's own cost is max_queries x k rows, trivial
+    next to either ANN pass."""
+    ivf = knn_join_ivf(
+        embeddings, k=k, nprobe=nprobe, stride=stride, max_queries=max_queries
+    ).select("q_id", "vec_id")
+    brute = knn_join_brute(embeddings, k=k, max_queries=max_queries).select(
+        "q_id", "vec_id"
+    )
+    hits = ivf.join(brute, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    per_q = brute.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        per_q.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            round6(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )

@@ -1727,6 +1727,31 @@ def knn_ivf(spark, sf_dir):
     return similarity.ivf_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, nprobe=4)
 
 
+@q("dedup_embed_semdedup")
+def dedup_embed_semdedup(spark, sf_dir):
+    """Semantic dedup, SemDeDup shape (Abbas et al. 2023): k-means
+    clusters bound the cosine pair search (cluster-local self-join,
+    AQE skew-split), then a deterministic keep-first decision per
+    semantic-dup group. Rows-only by design (k-means is iterative FP);
+    separable-data equality with the exact pair set and keep-rule
+    invariants are pytest-gated."""
+    return similarity.semdedup_keep_list(
+        load(spark, sf_dir, "embeddings"), k=16, n_iter=4, threshold=0.95
+    )
+
+
+@q("knn_recall_report")
+def knn_recall_report(spark, sf_dir):
+    """ANN quality audit: per-query recall@10 of the IVF batch join vs
+    the exact answer over a 200-query deterministic sample — the
+    serving-tier dashboard number. Rows-only by design (recall < 1 by
+    construction is the thing being measured); recall==1 on separable
+    clusters and bounds are pytest-gated."""
+    return similarity.knn_recall_report(
+        load(spark, sf_dir, "embeddings"), k=10, nprobe=4, max_queries=200
+    )
+
+
 @q("knn_join_ivf")
 def knn_join_ivf(spark, sf_dir):
     """Batch ANN scale path: top-10 neighbor lists for EVERY vector,
@@ -3012,6 +3037,10 @@ QUERY_ORDER = [
     # rows-only for a window slot): byte-equality to in-window knn_join_ivf
     # is pytest-gated, so its rows are covered; driver row resumes in r6
     "knn_join_ivf_bucketed",
+    # late-r5 rows-only additions (semantic dedup, ANN recall audit);
+    # first driver rows in r6, invariants pytest-gated meanwhile
+    "dedup_embed_semdedup",
+    "knn_recall_report",
     # rows-only, recorded in r04, rotated out by the r5 additions
     # (knn_ivf's ivf_assignments dependency is re-verified in-window by
     # knn_join_ivf and knn_join_ivf_bucketed; dedup_embed_cosine_lsh's

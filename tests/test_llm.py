@@ -843,3 +843,60 @@ def test_cross_corpus_jaccard_hot_bucket_guard_raises(spark):
             incoming, corpus, threshold=0.9, max_bucket_size=10,
             fail_on_dropped_buckets=True,
         )
+
+
+def _planted_clusters_emb(spark):
+    # 3 tight clusters of 4 near-identical unit vectors + 2 singletons,
+    # well separated in 8-dim space
+    import math
+    rows = []
+    # ids INTERLEAVED across groups (vec c+3j in group c) so kmeans'
+    # deterministic first-k seeding lands one seed per planted group
+    for c in range(3):
+        for j in range(4):
+            v = [0.0] * 8
+            v[c] = 1.0
+            v[c + 4] = 0.01 * j  # tiny perturbation, cosine >> 0.95 in-group
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((c + 3 * j, [x / n for x in v], c))
+    for s in range(2):
+        v = [0.0] * 8
+        v[3] = 1.0 if s == 0 else -1.0
+        rows.append((12 + s, v, 9))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").cache()
+
+
+def test_semdedup_matches_exact_pairs_on_separable_data(spark):
+    emb = _planted_clusters_emb(spark)
+    sem = {(r["vec_a"], r["vec_b"]) for r in
+           similarity.semdedup_pairs(emb, k=3, n_iter=4, threshold=0.95).collect()}
+    exact = {(r["vec_a"], r["vec_b"]) for r in
+             similarity.cosine_near_dup_exact(emb, threshold=0.95).collect()}
+    # on separable data k-means cannot split a tight group, so the
+    # cluster-local pair set IS the exact pair set
+    assert sem == exact and len(exact) == 3 * 6  # C(4,2) per planted cluster
+
+
+def test_semdedup_keep_list_keeps_min_id_per_group(spark):
+    emb = _planted_clusters_emb(spark)
+    out = {r["vec_id"]: r for r in
+           similarity.semdedup_keep_list(emb, k=3, n_iter=4, threshold=0.95).collect()}
+    assert len(out) == 14  # every vector gets a decision
+    for c in (0, 1, 2):  # group c = ids {c, c+3, c+6, c+9}, min id c survives
+        assert out[c]["keep"] is True
+        for j in range(1, 4):
+            r = out[c + 3 * j]
+            assert r["keep"] is False and r["kept_dup"] == c
+    assert out[12]["keep"] is True and out[13]["keep"] is True  # singletons
+
+
+def test_knn_recall_report_bounds_and_separable_recall(spark):
+    emb = _planted_clusters_emb(spark)
+    # stride 5 -> centroids at vec_ids 0,5,10; nprobe=3 probes EVERY
+    # list, so IVF == brute and recall must be exactly 1.0
+    rep = similarity.knn_recall_report(emb, k=3, nprobe=3, stride=5, max_queries=14).collect()
+    assert len(rep) == 14
+    assert all(r["recall"] == 1.0 for r in rep)
+    # nprobe=1 probes a single list: recall stays in [0, 1]
+    rep1 = similarity.knn_recall_report(emb, k=3, nprobe=1, stride=5, max_queries=14).collect()
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rep1)
