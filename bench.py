@@ -84,6 +84,8 @@ HEADLINE = [
     "vocab_coverage",
     "quality_quantile_filter",
     "dedup_cross_corpus",
+    "dedup_incremental_jaccard",
+    "dedup_embed_semdedup",
     "unigram_surprisal",
     "kmeans_embed_clusters",
 ]

@@ -627,9 +627,14 @@ def kmeans_assign(
     codebook,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    attach_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, cluster_id, sq_dist) for a fitted codebook: one broadcast +
-    one narrow Arrow pass, same shape as ivf_assignments."""
+    """(id, cluster_id, sq_dist[, attach_cols...]) for a fitted
+    codebook: one broadcast + one narrow Arrow pass, same shape as
+    ivf_assignments. attach_cols carries input columns through the
+    projection so consumers that need them (e.g. semdedup's
+    cluster-local pair join) never rejoin the corpus on id — the
+    assignment stays a pure per-row map."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -648,10 +653,13 @@ def kmeans_assign(
             {"cluster_id": lab, "sq_dist": an2 + d2[np.arange(len(lab)), lab]}
         )
 
-    return embeddings.select(F.col(id_col), nearest(F.col(vec_col)).alias("_r")).select(
+    return embeddings.select(
+        F.col(id_col), nearest(F.col(vec_col)).alias("_r"), *[F.col(c) for c in attach_cols]
+    ).select(
         id_col,
         F.col("_r.cluster_id").alias("cluster_id"),
         F.col("_r.sq_dist").alias("sq_dist"),
+        *attach_cols,
     )
 
 
@@ -835,8 +843,13 @@ def semdedup_pairs(
     cached = embeddings.select("vec_id", "embedding").persist()
     try:
         code, _ = kmeans_fit(cached, k=k, n_iter=n_iter)
-        assigned = kmeans_assign(cached, code).select("vec_id", "cluster_id")
-        clustered = cached.join(assigned, "vec_id")
+        # cluster attached as a projected COLUMN (pure per-row map), not
+        # a (vec_id, cluster) frame rejoined onto the corpus — the join
+        # form would cost a corpus self-join exchange at scale for
+        # nothing (same shape as knn_join_ivf's assignment)
+        clustered = kmeans_assign(cached, code, attach_cols=("embedding",)).select(
+            "vec_id", "cluster_id", "embedding"
+        )
         a = clustered.select(
             F.col("cluster_id"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
         )
