@@ -12,6 +12,10 @@ foreachBatch, and every micro-batch goes through
      column of everything already ingested (at scale: a digest-bucketed
      side table maintained by the same job; here: a column-pruned read
      of the target table),
+  2.5. (optional) incremental NEAR-dup screen — MinHash-LSH candidates
+     against the standing corpus + exact Jaccard verify
+     (llm.dedup.cross_corpus_jaccard); the batch band frame broadcasts
+     so store rows never shuffle,
   3. hard quality rules (llm.curation.quality_filter),
 
 and only the surviving rows append to the corpus store. Rejects are
@@ -52,6 +56,8 @@ def curate_batch(
     batch: DataFrame,
     existing_digests: DataFrame | None = None,
     min_tokens: int = 3,
+    corpus_docs: DataFrame | None = None,
+    near_dup_threshold: float = 0.95,
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch of corpus curation -> (kept, rejected-with-reason).
 
@@ -79,6 +85,29 @@ def curate_batch(
         fresh = deduped
         cross_dropped = deduped.limit(0)
 
+    # 2.5 (optional) NEAR-dup screen against the standing corpus:
+    # MinHash-LSH candidates + exact Jaccard verify (the
+    # dedup_incremental_jaccard decision, wired into the arrival path).
+    # The matched-id set is batch-bounded and localCheckpoint()ed so the
+    # keep/drop split doesn't re-run the banding pipeline per consumer.
+    if corpus_docs is not None:
+        from ..llm.dedup import cross_corpus_jaccard
+
+        nd_ids = (
+            cross_corpus_jaccard(
+                fresh.select("doc_id", "text"),
+                corpus_docs.select("doc_id", "text"),
+                threshold=near_dup_threshold,
+            )
+            .select(F.col("doc_new").alias("doc_id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        near_dropped = fresh.join(F.broadcast(nd_ids), "doc_id", "left_semi")
+        fresh = fresh.join(F.broadcast(nd_ids), "doc_id", "left_anti")
+    else:
+        near_dropped = fresh.limit(0)
+
     # 3. hard quality rules; carry the reason string for rejects
     verdict = quality_filter(fresh, min_tokens=min_tokens).select(
         "doc_id", "keep", "reject_reasons"
@@ -92,6 +121,11 @@ def curate_batch(
         .unionByName(
             cross_dropped.select(
                 "doc_id", "digest", F.lit("duplicate_in_corpus").alias("reason")
+            )
+        )
+        .unionByName(
+            near_dropped.select(
+                "doc_id", "digest", F.lit("near_duplicate_in_corpus").alias("reason")
             )
         )
         .unionByName(
@@ -111,6 +145,8 @@ def run_corpus_ingest_stream(
     metrics_path: str | None = None,
     min_tokens: int = 3,
     available_now: bool = True,
+    near_dup_screen: bool = False,
+    near_dup_threshold: float = 0.95,
 ) -> StreamingQuery:
     """Wire curate_batch into foreachBatch against a parquet store.
 
@@ -126,11 +162,21 @@ def run_corpus_ingest_stream(
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         try:
-            existing = spark.read.parquet(table_path).select("digest")
+            store = spark.read.parquet(table_path)
+            existing = store.select("digest")
+            # near-dup screen reads (doc_id, text) only — the store scan
+            # stays column-pruned; at scale a minhash_band_table
+            # maintained by this same job replaces the re-banding pass
+            corpus_docs = store.select("doc_id", "text") if near_dup_screen else None
         except Exception:
             existing = None  # first batch: store does not exist yet
+            corpus_docs = None
         kept, rejected = curate_batch(
-            batch, existing_digests=existing, min_tokens=min_tokens
+            batch,
+            existing_digests=existing,
+            min_tokens=min_tokens,
+            corpus_docs=corpus_docs,
+            near_dup_threshold=near_dup_threshold,
         )
         stats = None
         if metrics_path is not None:
@@ -146,6 +192,9 @@ def run_corpus_ingest_stream(
                 F.count(F.lit(1)).alias("n_rejected"),
                 F.count_if(F.col("reason") == "duplicate_in_batch").alias("n_dup_in_batch"),
                 F.count_if(F.col("reason") == "duplicate_in_corpus").alias("n_dup_in_corpus"),
+                F.count_if(F.col("reason") == "near_duplicate_in_corpus").alias(
+                    "n_near_dup_in_corpus"
+                ),
             ).first()
             stats = (
                 batch_id,
@@ -155,7 +204,11 @@ def run_corpus_ingest_stream(
                 int(r.n_rejected),
                 int(r.n_dup_in_batch),
                 int(r.n_dup_in_corpus),
-                int(r.n_rejected) - int(r.n_dup_in_batch) - int(r.n_dup_in_corpus),
+                int(r.n_near_dup_in_corpus),
+                int(r.n_rejected)
+                - int(r.n_dup_in_batch)
+                - int(r.n_dup_in_corpus)
+                - int(r.n_near_dup_in_corpus),
             )
         # rejects BEFORE the kept append: rejected's corpus semi-join
         # also reads the store's file listing, and an after-append
@@ -171,7 +224,7 @@ def run_corpus_ingest_stream(
                 [stats],
                 "batch_id long, n_ingested long, n_kept long, kept_chars long, "
                 "n_rejected long, n_dup_in_batch long, n_dup_in_corpus long, "
-                "n_quality_rejected long",
+                "n_near_dup_in_corpus long, n_quality_rejected long",
             ).write.mode("append").parquet(metrics_path)
 
     writer = doc_stream.writeStream.foreachBatch(_process).option(

@@ -494,3 +494,44 @@ def test_corpus_ingest_stream_dedup_and_quality(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(table).count() == 3
+
+
+def test_corpus_ingest_stream_near_dup_screen(spark, tmp_path):
+    from metrocloud_data_pipeline_spark.streaming import corpus
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    rows1 = [_doc(1, base), _doc(2, "another perfectly ordinary training document here")]
+    rows2 = [
+        _doc(10, near),  # near-dup (12/14 token jaccard) of ingested doc 1
+        _doc(11, "genuinely novel second-batch content about parquet readers"),
+    ]
+    src = tmp_path / "crawl"
+    src.mkdir()
+    spark.createDataFrame(rows1, corpus.DOCUMENT_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(rows2, corpus.DOCUMENT_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+
+    table = str(tmp_path / "corpus")
+    rejects = str(tmp_path / "rejects")
+    metrics = str(tmp_path / "metrics")
+    stream = corpus.stream_document_files(spark, str(src) + "/*", max_files_per_trigger=1)
+    q = corpus.run_corpus_ingest_stream(
+        stream,
+        table,
+        str(tmp_path / "ck"),
+        rejects_path=rejects,
+        metrics_path=metrics,
+        near_dup_screen=True,
+        near_dup_threshold=0.8,
+    )
+    q.awaitTermination(120)
+
+    assert sorted(r["doc_id"] for r in spark.read.parquet(table).collect()) == [1, 2, 11]
+    reasons = {r["doc_id"]: r["reason"] for r in spark.read.parquet(rejects).collect()}
+    assert reasons == {10: "near_duplicate_in_corpus"}
+    m = {r["batch_id"]: r for r in spark.read.parquet(metrics).collect()}
+    assert m[1]["n_near_dup_in_corpus"] == 1 and m[1]["n_kept"] == 1
