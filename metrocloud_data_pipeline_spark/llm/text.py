@@ -357,3 +357,37 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
     )
+
+
+def token_count_histogram(docs: DataFrame, width: int = 50) -> DataFrame:
+    """Fixed-width histogram of per-document token counts — the
+    length-distribution panel behind packing (seq_pack_summary) and
+    truncation decisions: pick max_seq_len / pack bin sizes from the
+    actual mass, not a guess.
+
+    One scan into a histogram-bin-sized aggregate (map-side combined);
+    bins are floor(token_count / width), reported with their bounds and
+    doc/token mass. Empty-text docs count as zero-token rows in bin 0."""
+    toks = tokens_col()
+    binned = docs.select(
+        (F.floor(F.size(toks) / F.lit(width))).cast("long").alias("bin"),
+        F.size(toks).cast("long").alias("_n_tok"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n_tok").alias("total_tokens"),
+            F.min("_n_tok").alias("min_tokens"),
+            F.max("_n_tok").alias("max_tokens"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * width).alias("bin_lo"),
+            ((F.col("bin") + 1) * width - 1).alias("bin_hi"),
+            "n_docs",
+            "total_tokens",
+            "min_tokens",
+            "max_tokens",
+        )
+    )

@@ -127,3 +127,42 @@ def alert_eval(
     if for_buckets > 1:
         firing = firing & F.coalesce(contiguous, F.lit(False))
     return out.withColumn("firing", firing)
+
+
+def hot_keys(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+    skew_factor: float = 10.0,
+) -> DataFrame:
+    """Heavy-hitter / shuffle-skew diagnostic: the top-k keys by row
+    count with their share of the table and multiple-of-mean-key-size —
+    the report you run BEFORE keying a 100 TB shuffle on this column,
+    to decide whether it needs salting (operators/skew.py) or an AQE
+    skew-join hint. is_skewed flags keys holding more than skew_factor
+    times the mean key's rows (the same heuristic
+    spark.sql.adaptive.skewJoin.skewedPartitionFactor applies to
+    partitions at runtime).
+
+    Plan shape: one scan into a per-key count (map-side combined), the
+    1-row total/mean aggregate broadcasts back, and the top-k pick is a
+    TakeOrderedAndProject — never a whole-key-space sort. The rank
+    window runs over the k-row result, not the key space."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.sum("n_rows").alias("_total"), F.avg("n_rows").alias("_mean")
+    )
+    top = counts.orderBy(F.col("n_rows").desc(), F.col("key")).limit(top_k)
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key"))
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "key",
+            "n_rows",
+            round6(F.col("n_rows") * 100.0 / F.col("_total")).alias("share_pct"),
+            round6(F.col("n_rows") / F.col("_mean")).alias("x_mean"),
+            (F.col("n_rows") > F.lit(skew_factor) * F.col("_mean")).alias("is_skewed"),
+        )
+    )

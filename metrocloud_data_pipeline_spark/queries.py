@@ -2388,6 +2388,57 @@ def obs_throughput_5min(spark, sf_dir):
 
 
 @q(
+    "obs_hot_keys",
+    oracle="""
+WITH c AS (SELECT user_id AS key, count(*) AS n_rows FROM events GROUP BY 1),
+s AS (SELECT sum(n_rows) AS total, avg(n_rows) AS mean FROM c),
+top AS (SELECT key, n_rows FROM c ORDER BY n_rows DESC, key LIMIT 20)
+SELECT row_number() OVER (ORDER BY n_rows DESC, key) AS rank,
+       key, n_rows,
+       round(n_rows * 100.0 / s.total, 6) AS share_pct,
+       round(n_rows / s.mean, 6) AS x_mean,
+       n_rows > 10.0 * s.mean AS is_skewed
+FROM top CROSS JOIN s
+""",
+)
+def obs_hot_keys(spark, sf_dir):
+    """Heavy-hitter / shuffle-skew diagnostic over the event stream's
+    user key: top-20 keys with share-of-table and multiple-of-mean —
+    the report that decides whether a 100 TB shuffle keyed on this
+    column needs salting (operators/skew.py) or an AQE skew hint. The
+    top-k pick is a TakeOrderedAndProject over the per-key counts,
+    never a whole-key-space sort."""
+    return OBS.hot_keys(load(spark, sf_dir, "events"), key_col="user_id", top_k=20)
+
+
+@q(
+    "text_length_histogram",
+    oracle="""
+WITH binned AS (
+  SELECT CAST(floor(
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END / 50
+         ) AS BIGINT) AS bin,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT bin, bin * 50 AS bin_lo, (bin + 1) * 50 - 1 AS bin_hi,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       min(n_tok) AS min_tokens,
+       max(n_tok) AS max_tokens
+FROM binned GROUP BY 1
+""",
+)
+def text_length_histogram(spark, sf_dir):
+    """Fixed-width (50-token) histogram of per-document token counts —
+    the length-distribution panel behind max_seq_len / packing-bin
+    decisions. One scan, histogram-sized aggregate."""
+    return text.token_count_histogram(load(spark, sf_dir, "documents"), width=50)
+
+
+@q(
     "obs_anomaly_rate_hourly",
     oracle=f"""
 {_READINGS_CTE}
@@ -3041,6 +3092,10 @@ QUERY_ORDER = [
     # first driver rows in r6, invariants pytest-gated meanwhile
     "dedup_embed_semdedup",
     "knn_recall_report",
+    # late-r5 oracle-checked additions: first driver row in r6; the
+    # in-process DuckDB twin pytest covers them meanwhile
+    "obs_hot_keys",
+    "text_length_histogram",
     # rows-only, recorded in r04, rotated out by the r5 additions
     # (knn_ivf's ivf_assignments dependency is re-verified in-window by
     # knn_join_ivf and knn_join_ivf_bucketed; dedup_embed_cosine_lsh's

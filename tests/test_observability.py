@@ -163,3 +163,35 @@ def test_alert_eval_rejects_multi_series_without_key_cols(spark):
         for_buckets=2, key_cols=("series",),
     ).collect()
     assert len(out) == 3
+
+
+def test_hot_keys_flags_planted_heavy_hitter(spark):
+    from metrocloud_data_pipeline_spark.operators import observability as OBS
+
+    rows = [(i, "hot") for i in range(200)] + [(500 + j, f"cold{j}") for j in range(10)]
+    df = spark.createDataFrame(rows, "row_id long, k string")
+    out = {r["key"]: r for r in OBS.hot_keys(df, "k", top_k=5).collect()}
+    hot = out["hot"]
+    assert hot["rank"] == 1 and hot["n_rows"] == 200
+    assert hot["is_skewed"] is True  # 200 > 10x the (210/11)-row mean
+    assert all(r["is_skewed"] is False for k, r in out.items() if k != "hot")
+    assert len(out) == 5  # top_k honored
+
+
+def test_hot_keys_and_length_histogram_match_duckdb(spark):
+    """In-process oracle twins (the queries enter the driver window next
+    round): same rows on both engines at sf0.001."""
+    import duckdb
+
+    from metrocloud_data_pipeline_spark.queries import ORACLE_SQL, SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    for name, order in (("obs_hot_keys", "rank"), ("text_length_histogram", "bin")):
+        got = SPARK_QUERIES[name](spark, sf).orderBy(order).toPandas()
+        want = con.execute(ORACLE_SQL[name] + f" ORDER BY {order}").df()
+        assert got.columns.tolist() == want.columns.tolist(), name
+        for c in got.columns:
+            assert got[c].tolist() == want[c].tolist(), (name, c)
