@@ -329,3 +329,77 @@ def analyze_table(
             elif part.endswith("rows"):
                 out["rowCount"] = int(part.split()[0])
     return out
+
+
+def zorder_col(cols: list, bits: int = 16, bounds: list | None = None):
+    """Morton (Z-order) interleave of N numeric columns as a pure
+    codegen Column: each column is min-max scaled to [0, 2^bits) with
+    the supplied (lo, hi) bounds, then the bit at position i of column
+    c lands at position i*N + c of the z-value. Locality in z implies
+    locality in EVERY input dimension — the property multi-dimensional
+    file skipping needs and a single-column sort cannot give.
+
+    All shift/mask arithmetic — whole-stage codegen, no UDF. bits*N
+    must fit a long (<= 62)."""
+    n = len(cols)
+    if bits * n > 62:
+        raise ValueError(f"bits*len(cols) must be <= 62, got {bits * n}")
+    if bounds is None or len(bounds) != n:
+        raise ValueError("bounds [(lo, hi), ...] required, one per column")
+    z = F.lit(0).cast("long")
+    span = F.lit((1 << bits) - 1).cast("long")
+    for c_idx, (c, (lo, hi)) in enumerate(zip(cols, bounds)):
+        rng = float(hi) - float(lo)
+        if rng <= 0:
+            scaled = F.lit(0).cast("long")
+        else:
+            clamped = F.least(
+                F.greatest(F.col(c) if isinstance(c, str) else c, F.lit(float(lo))),
+                F.lit(float(hi)),
+            )
+            scaled = F.least(
+                F.floor(
+                    (clamped.cast("double") - float(lo)) * ((1 << bits) / rng)
+                ).cast("long"),
+                span,
+            )
+        for b in range(bits):
+            bit = F.shiftrightunsigned(scaled, b).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + c_idx))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    num_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet layout: range-partition + sort the
+    rows by their Morton interleave so every output file covers a small
+    hyper-rectangle of the clustered columns — parquet min/max stats
+    then prune files for predicates on ANY of the dimensions, where a
+    single-column sort only prunes its leading column (the
+    OPTIMIZE ... ZORDER BY operation of lakehouse table formats,
+    expressed as plain Spark).
+
+    Bounds come from one min/max aggregate (a driver-side 1-row
+    collect); the write itself is one range exchange doing double duty
+    as the file partitioning, with an in-partition sort — the same
+    economics as write_training_shards. At 100 TB this is the
+    compaction-pass layout for the 2-3 columns dashboards slice by."""
+    stats = df.agg(
+        *[f(c).alias(f"{n}_{c}") for c in cols for n, f in (("lo", F.min), ("hi", F.max))]
+    ).first()
+    bounds = [(stats[f"lo_{c}"], stats[f"hi_{c}"]) for c in cols]
+    z = zorder_col(cols, bits=bits, bounds=bounds)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
