@@ -393,6 +393,7 @@ def knn_join_ivf(
     stride: int = 31,
     listed: DataFrame | None = None,
     max_queries: int | None = None,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Batch ANN over the whole corpus: every vector gets its top-k
     neighbors, scoring only the members of its nprobe nearest IVF lists
@@ -410,7 +411,14 @@ def knn_join_ivf(
 
     Pass `listed` (an ivf_corpus_table, bucketed on list_id, built with
     the SAME stride) to skip the assignment pass and make the corpus
-    side of the probe join exchange-free."""
+    side of the probe join exchange-free.
+
+    Pass `queries` (a (vec_id, embedding) frame) to run EXTERNAL-query
+    serving instead of the self-join default: the batch of queries is
+    scored against the corpus, self-match exclusion is skipped (an
+    external query id never collides with a corpus vec_id by contract),
+    and the corpus-side plan is untouched — this is the micro-batch
+    body of streaming/ann.py."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -452,16 +460,21 @@ def knn_join_ivf(
     # max_queries bounds the QUERY side only (audit/recall sampling) —
     # the corpus side still scores in full, so sampled results match
     # the full run's rows for those queries exactly
-    q_side = embeddings if max_queries is None else embeddings.where(F.col("vec_id") < max_queries)
+    q_side = queries if queries is not None else embeddings
+    if max_queries is not None:
+        q_side = q_side.where(F.col("vec_id") < max_queries)
     probes = q_side.select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.explode(nearest_lists(F.col("embedding"))).alias("list_id"),
     )
     cos = cosine_batch()
+    joined = probes.join(listed, "list_id")
+    if queries is None:
+        # self-ANN: a vector is not its own neighbor
+        joined = joined.where(F.col("vec_id") != F.col("q_id"))
     scored = (
-        probes.join(listed, "list_id")
-        .where(F.col("vec_id") != F.col("q_id"))
+        joined
         .select(
             "q_id",
             "vec_id",

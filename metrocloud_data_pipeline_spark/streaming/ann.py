@@ -1,0 +1,85 @@
+"""Streaming ANN serving — micro-batched vector search against a
+standing IVF corpus (SURVEY §2.16).
+
+The batch ANN operators (llm/similarity.py) answer "neighbors of the
+corpus within itself"; a serving tier answers a continuous ARRIVAL of
+external query vectors. This wires knn_join_ivf's external-query mode
+into Structured Streaming the same way corpus ingest does: a file
+source of query batches feeds foreachBatch, and each micro-batch is
+scored against the pre-built corpus layout:
+
+- the IVF codebook is derived from the CORPUS (deterministic stride
+  sample), so every micro-batch probes the same lists the corpus was
+  listed by;
+- with `corpus_table` a bucketed ivf_corpus_table, the corpus side of
+  the probe join reads bucket-to-bucket — per batch the only moving
+  data is the (small) query band: batch rows broadcast, corpus rows
+  never shuffle. At 100 TB this is the difference between a serving
+  tier and a nightly job;
+- results append to parquet keyed by (batch_id, q_id, rank) — an
+  at-least-once sink whose rows are deterministic per query, so
+  re-delivered batches overwrite with identical content (same
+  idempotence-by-determinism argument as OP-ST6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..llm.similarity import knn_join_ivf
+
+QUERY_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def stream_query_vectors(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based query-vector stream (stands in for the request bus;
+    swap for a Kafka reader in a deployed serving tier)."""
+    reader = spark.readStream.schema(QUERY_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def run_ann_serving_stream(
+    query_stream: DataFrame,
+    corpus: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    k: int = 10,
+    nprobe: int = 4,
+    stride: int = 31,
+    corpus_table: DataFrame | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Score each micro-batch of query vectors against the corpus and
+    append (batch_id, q_id, vec_id, label, cosine_sim, rank) rows.
+
+    Pass corpus_table (an ivf_corpus_table built with the SAME stride)
+    to skip per-batch corpus re-listing AND make the corpus side of
+    every batch's probe join exchange-free."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        result = knn_join_ivf(
+            corpus,
+            k=k,
+            nprobe=nprobe,
+            stride=stride,
+            listed=corpus_table,
+            queries=batch.select("vec_id", "embedding"),
+        )
+        result.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            output_path
+        )
+
+    writer = query_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

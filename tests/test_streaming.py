@@ -535,3 +535,65 @@ def test_corpus_ingest_stream_near_dup_screen(spark, tmp_path):
     assert reasons == {10: "near_duplicate_in_corpus"}
     m = {r["batch_id"]: r for r in spark.read.parquet(metrics).collect()}
     assert m[1]["n_near_dup_in_corpus"] == 1 and m[1]["n_kept"] == 1
+
+
+def test_ann_serving_stream_matches_batch_scoring(spark, tmp_path):
+    import math
+
+    from metrocloud_data_pipeline_spark.llm import similarity
+    from metrocloud_data_pipeline_spark.streaming import ann
+
+    # corpus: 3 well-separated clusters of 30 vectors each
+    rows = []
+    for vid in range(90):
+        c = vid % 3
+        v = [1.0 if i == c else 0.0 for i in range(8)]
+        v[(c + 3) % 8] = 0.05 * ((vid * 7) % 11)
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((vid, [x / n for x in v], c))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+
+    # two query batches with ids far outside the corpus id space
+    q1 = [(1000, rows[3][1]), (1001, rows[4][1])]
+    q2 = [(1002, rows[50][1])]
+    src = tmp_path / "queries"
+    src.mkdir()
+    spark.createDataFrame(q1, ann.QUERY_SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(q2, ann.QUERY_SCHEMA).coalesce(1).write.parquet(str(src / "b2"))
+
+    out = str(tmp_path / "results")
+    q = ann.run_ann_serving_stream(
+        ann.stream_query_vectors(spark, str(src) + "/*", max_files_per_trigger=1),
+        corpus,
+        out,
+        str(tmp_path / "ck"),
+        k=5,
+        nprobe=3,
+        stride=7,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    # every query answered with exactly k ranked rows
+    per_q = {r["q_id"]: r["n"] for r in got.groupBy("q_id").agg(F.count("*").alias("n")).collect()}
+    assert per_q == {1000: 5, 1001: 5, 1002: 5}
+    # streamed result == batch external-query scoring, row for row
+    batch_q = spark.createDataFrame(q1 + q2, ann.QUERY_SCHEMA)
+    want = similarity.knn_join_ivf(
+        corpus, k=5, nprobe=3, stride=7, queries=batch_q
+    )
+    key = lambda t: (t[0], t[4])
+    assert sorted(map(tuple, got.drop("batch_id").collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )
+    # an external query's neighbor list may legitimately contain ANY
+    # corpus vector (no self-exclusion): the planted copy of vec 3 must
+    # rank vec 3 first
+    top = {r["q_id"]: r for r in got.where(F.col("rank") == 1).collect()}
+    assert top[1000]["vec_id"] == 3
+    # vec 50's perturbation collides with vec 17's (same (vid*7)%11), so
+    # the exact-duplicate tie breaks to the smaller corpus id — either
+    # way the planted copy scores a perfect match
+    assert top[1002]["vec_id"] in (17, 50) and top[1002]["cosine_sim"] == 1.0
