@@ -206,3 +206,110 @@ def interval_join(
         .where(F.col(ts_col).between(F.col(start_col), F.col(end_col)))
         .drop("_b")
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: per step, how many keys reached it in
+    sequence — a key counts for step i iff it has a step-i event
+    STRICTLY AFTER its earliest qualifying step-(i-1) event (classic
+    first-touch funnel; conversion is reported against both the
+    previous step and the funnel entry).
+
+    Scale shape: one scan PER STEP, each with the event-type filter
+    pushed into the parquet scan (reads only that step's rows), reduced
+    to a keys-sized (key, first_ts) frame; the step-to-step join is
+    keyed on key_col every time, so the same partitioning is reused
+    down the chain and each join input is at most |keys| rows — never
+    the raw event table. The output is len(steps) rows."""
+    spark = events.sparkSession
+    prev: DataFrame | None = None
+    counts: list[tuple[int, str, int]] = []
+    for i, step in enumerate(steps):
+        step_events = events.where(F.col(type_col) == step).select(
+            F.col(key_col).alias("k"), F.col(ts_col).alias("t")
+        )
+        if prev is None:
+            reached = step_events.groupBy("k").agg(F.min("t").alias("first_t"))
+        else:
+            reached = (
+                step_events.join(prev, "k")
+                .where(F.col("t") > F.col("first_t"))
+                .groupBy("k")
+                .agg(F.min("t").alias("first_t"))
+            )
+        reached = reached.localCheckpoint()  # consumed by next step AND the count
+        counts.append((i + 1, step, reached.count()))
+        prev = reached
+    first_n = counts[0][2] if counts else 0
+    rows = []
+    for (step_no, name, n), prev_n in zip(counts, [None] + [c[2] for c in counts[:-1]]):
+        rows.append(
+            (
+                step_no,
+                name,
+                n,
+                round(100.0 * n / prev_n, 6) if prev_n else None,
+                round(100.0 * n / first_n, 6) if first_n else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "step int, event_type string, n_keys long, "
+        "conv_from_prev_pct double, conv_from_entry_pct double",
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset_days: int = 30,
+) -> DataFrame:
+    """Cohort retention matrix: keys are cohorted by their FIRST active
+    day; for each (cohort_day, day_offset) cell, how many of that
+    cohort were active offset days later and what fraction of the
+    cohort that is — the day-N retention table every growth dashboard
+    draws.
+
+    Scale shape: one scan to distinct (key, day) activity (map-side
+    combined), a per-key min over that (days-sized, not events-sized),
+    the cohort day attached back by a key-equi-join between two
+    keys×days-bounded frames, then a cells-sized aggregate. Cohort
+    sizes rejoin as a cohort-days-sized broadcast. Raw events are
+    touched exactly once."""
+    active = (
+        events.select(F.col(key_col).alias("k"), F.to_date(ts_col).alias("day"))
+        .distinct()
+    )
+    # per-key cohort day derived from the SAME distinct frame (persist:
+    # two consumers), never a second event scan
+    act = active.persist()
+    cohort = act.groupBy("k").agg(F.min("day").alias("cohort_day"))
+    cells = (
+        act.join(cohort, "k")
+        .select("k", "cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .where(F.col("day_offset") <= max_offset_days)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = cohort.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
+    out = (
+        cells.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") * 100.0 / F.col("cohort_size"), 6).alias(
+                "retention_pct"
+            ),
+        )
+    )
+    act.unpersist()
+    return out

@@ -2162,6 +2162,59 @@ def w4_user_sessions(spark, sf_dir):
 
 
 @q(
+    "w5_event_funnel",
+    oracle="""
+WITH s1 AS (SELECT user_id AS k, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id AS k, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.k AND e.ts > s1.t
+       WHERE e.event_type = 'click' GROUP BY 1),
+s3 AS (SELECT e.user_id AS k, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.k AND e.ts > s2.t
+       WHERE e.event_type = 'purchase' GROUP BY 1),
+c AS (
+  SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM s1) AS n_keys
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+)
+SELECT step, event_type, n_keys,
+       round(100.0 * n_keys / lag(n_keys) OVER (ORDER BY step), 6) AS conv_from_prev_pct,
+       round(100.0 * n_keys / first_value(n_keys) OVER (ORDER BY step), 6) AS conv_from_entry_pct
+FROM c
+""",
+)
+def w5_event_funnel(spark, sf_dir):
+    """Ordered first-touch funnel view -> click -> purchase: per step,
+    keys reaching it strictly after their previous-step entry. One
+    pushed-filter scan per step reduced to keys-sized frames; the
+    step chain reuses one user_id partitioning end to end."""
+    return temporal.funnel_steps(
+        load(spark, sf_dir, "events"), steps=["view", "click", "purchase"]
+    )
+
+
+@q(
+    "w6_cohort_retention",
+    oracle="""
+WITH act AS (SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS day FROM events),
+coh AS (SELECT k, min(day) AS cohort_day FROM act GROUP BY 1),
+cells AS (
+  SELECT cohort_day, datediff('day', cohort_day, day) AS day_offset, count(*) AS n_active
+  FROM act JOIN coh USING (k)
+  WHERE datediff('day', cohort_day, day) <= 30
+  GROUP BY 1, 2
+),
+sz AS (SELECT cohort_day, count(*) AS cohort_size FROM coh GROUP BY 1)
+SELECT cohort_day, day_offset, n_active, cohort_size,
+       round(n_active * 100.0 / cohort_size, 6) AS retention_pct
+FROM cells JOIN sz USING (cohort_day)
+""",
+)
+def w6_cohort_retention(spark, sf_dir):
+    """Day-N cohort retention matrix (cohort = first active day): raw
+    events reduced once to distinct (key, day); every later join is
+    keys-x-days-bounded and the cohort sizes broadcast."""
+    return temporal.cohort_retention(load(spark, sf_dir, "events"), max_offset_days=30)
+
+
+@q(
     "asof_last_error",
     oracle="""
 WITH clicks AS (
@@ -3096,6 +3149,8 @@ QUERY_ORDER = [
     # in-process DuckDB twin pytest covers them meanwhile
     "obs_hot_keys",
     "text_length_histogram",
+    "w5_event_funnel",
+    "w6_cohort_retention",
     # rows-only, recorded in r04, rotated out by the r5 additions
     # (knn_ivf's ivf_assignments dependency is re-verified in-window by
     # knn_join_ivf and knn_join_ivf_bucketed; dedup_embed_cosine_lsh's

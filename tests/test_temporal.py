@@ -194,3 +194,56 @@ def test_asof_join_forward_with_tolerance(spark):
 
     with pytest.raises(ValueError, match="direction"):
         temporal.asof_join(left, right.select("k", "ts", "v"), "k", "ts", ["v"], direction="nearest")
+
+
+def test_funnel_steps_orders_strictly(spark):
+    from datetime import datetime
+
+    from metrocloud_data_pipeline_spark.operators import temporal
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1 completes the funnel in order
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # u2 clicks BEFORE viewing -> stops at view
+        (2, t(1), "click"), (2, t(2), "view"),
+        # u3 views then clicks, never purchases
+        (3, t(0), "view"), (3, t(5), "click"),
+        # u4 purchase precedes click -> reaches click only
+        (4, t(0), "view"), (4, t(1), "purchase"), (4, t(2), "click"),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["step"]: r for r in temporal.funnel_steps(
+        events, steps=["view", "click", "purchase"]
+    ).collect()}
+    assert out[1]["n_keys"] == 4
+    assert out[2]["n_keys"] == 3          # u2 has no click after the view
+    assert out[3]["n_keys"] == 1          # only u1
+    assert out[1]["conv_from_prev_pct"] is None
+    assert out[2]["conv_from_prev_pct"] == 75.0
+    assert out[3]["conv_from_entry_pct"] == 25.0
+
+
+def test_cohort_retention_counts_and_pct(spark):
+    from datetime import datetime
+
+    from metrocloud_data_pipeline_spark.operators import temporal
+
+    d = lambda day, h=0: datetime(2024, 1, day, h)
+    rows = [
+        # cohort Jan-1: u1 active d1,d2,d3; u2 active d1,d3 (twice on d3)
+        (1, d(1)), (1, d(2)), (1, d(3)),
+        (2, d(1)), (2, d(3)), (2, d(3, 5)),
+        # cohort Jan-2: u3 active d2 only
+        (3, d(2)),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(str(r["cohort_day"]), r["day_offset"]): r for r in temporal.cohort_retention(
+        events
+    ).collect()}
+    assert out[("2024-01-01", 0)]["n_active"] == 2
+    assert out[("2024-01-01", 1)]["n_active"] == 1      # only u1 on d2
+    assert out[("2024-01-01", 2)]["n_active"] == 2      # duplicate d3 visit counts once
+    assert out[("2024-01-01", 2)]["retention_pct"] == 100.0
+    assert out[("2024-01-02", 0)] == out[("2024-01-02", 0)]  # u3's cohort exists
+    assert out[("2024-01-02", 0)]["cohort_size"] == 1
