@@ -2864,6 +2864,49 @@ def dq_expectations_report(spark, sf_dir):
     )
 
 
+@q(
+    "dq_profile_events",
+    oracle="""
+WITH a AS (
+  SELECT count(*) AS n,
+         count(event_id) AS nn0, count(DISTINCT event_id) AS nd0,
+         CAST(min(event_id) AS VARCHAR) AS mn0, CAST(max(event_id) AS VARCHAR) AS mx0,
+         count(ts) AS nn1, count(DISTINCT ts) AS nd1,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS mn1,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS mx1,
+         count(user_id) AS nn2, count(DISTINCT user_id) AS nd2,
+         CAST(min(user_id) AS VARCHAR) AS mn2, CAST(max(user_id) AS VARCHAR) AS mx2,
+         count(event_type) AS nn3, count(DISTINCT event_type) AS nd3,
+         min(event_type) AS mn3, max(event_type) AS mx3,
+         count(value) AS nn4, count(DISTINCT value) AS nd4,
+         CAST(min(value) AS VARCHAR) AS mn4, CAST(max(value) AS VARCHAR) AS mx4
+  FROM events
+)
+SELECT * FROM (
+  SELECT 'event_id' AS column, n AS n_rows, n - nn0 AS n_null, nd0 AS n_distinct,
+         mn0 AS min_value, mx0 AS max_value FROM a
+  UNION ALL SELECT 'ts', n, n - nn1, nd1, mn1, mx1 FROM a
+  UNION ALL SELECT 'user_id', n, n - nn2, nd2, mn2, mx2 FROM a
+  UNION ALL SELECT 'event_type', n, n - nn3, nd3, mn3, mx3 FROM a
+  UNION ALL SELECT 'value', n, n - nn4, nd4, mn4, mx4 FROM a
+)
+""",
+)
+def dq_profile_events(spark, sf_dir):
+    """Column profiler over the event stream — the discovery step
+    before writing expectation rules: per-column null/distinct counts
+    and min/max, ALL columns folded into one aggregation pass (the
+    exact distincts cost one Expand shuffle; the HLL swap is the
+    100 TB variant). props excluded: map-typed JSON has no portable
+    min/max ordering."""
+    from .operators import quality as Q
+
+    return Q.profile_table(
+        load(spark, sf_dir, "events"),
+        cols=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+
 @q("quality_quantile_filter_approx")
 def quality_quantile_filter_approx(spark, sf_dir):
     """Scale twin of quality_quantile_filter (approx_percentile sketch,
@@ -3151,6 +3194,7 @@ QUERY_ORDER = [
     "text_length_histogram",
     "w5_event_funnel",
     "w6_cohort_retention",
+    "dq_profile_events",
     # rows-only, recorded in r04, rotated out by the r5 additions
     # (knn_ivf's ivf_assignments dependency is re-verified in-window by
     # knn_join_ivf and knn_join_ivf_bucketed; dedup_embed_cosine_lsh's

@@ -335,3 +335,18 @@ def test_source_scorecard_shares_sum_to_one(spark):
     assert len(out) == 4
     assert sum(r["token_share"] for r in out) == pytest.approx(1.0, abs=1e-5)
     assert all(r["total_tokens"] == 25 for r in out)
+
+
+def test_profile_table_null_and_distinct_counts(spark):
+    from metrocloud_data_pipeline_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (3, None, 2.5), (3, "b", 2.5)],
+        "id long, s string, v double",
+    )
+    out = {r["column"]: r for r in Q.profile_table(df).collect()}
+    assert out["id"]["n_rows"] == 4 and out["id"]["n_null"] == 0
+    assert out["id"]["n_distinct"] == 3
+    assert out["s"]["n_null"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_value"] == "a" and out["s"]["max_value"] == "b"
+    assert out["v"]["n_null"] == 1 and out["v"]["min_value"] == "1.5"
