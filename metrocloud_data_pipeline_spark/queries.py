@@ -2865,6 +2865,53 @@ def dq_expectations_report(spark, sf_dir):
 
 
 @q(
+    "scd2_customer_dim",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+         TIMESTAMP '2020-01-01' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer
+),
+upd AS (
+  SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment,
+         TIMESTAMP '2024-06-01' AS eff
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT d.c_custkey, d.c_acctbal, d.c_mktsegment, d.valid_from,
+       CASE WHEN u.c_custkey IS NOT NULL THEN u.eff END AS valid_to
+FROM dim d LEFT JOIN upd u USING (c_custkey)
+UNION ALL
+SELECT c_custkey, c_acctbal, c_mktsegment, eff, NULL FROM upd
+""",
+)
+def scd2_customer_dim(spark, sf_dir):
+    """SCD type-2 MERGE demonstrated on the customer dimension: a
+    deterministic update batch (custkey%7, acctbal+100) closes the
+    affected current versions at the effective timestamp and opens new
+    ones; the update batch broadcasts and dimension rows never shuffle
+    (the lakehouse MERGE, engine-agnostic)."""
+    from .operators.maintenance import scd2_merge
+
+    cust = load(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = cust.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit("2024-06-01").cast("timestamp").alias("effective_ts"),
+    )
+    return scd2_merge(
+        dim, updates, "c_custkey", ["c_acctbal", "c_mktsegment"]
+    )
+
+
+@q(
     "dq_profile_events",
     oracle="""
 WITH a AS (
@@ -3195,6 +3242,7 @@ QUERY_ORDER = [
     "w5_event_funnel",
     "w6_cohort_retention",
     "dq_profile_events",
+    "scd2_customer_dim",
     # rows-only, recorded in r04, rotated out by the r5 additions
     # (knn_ivf's ivf_assignments dependency is re-verified in-window by
     # knn_join_ivf and knn_join_ivf_bucketed; dedup_embed_cosine_lsh's

@@ -261,3 +261,52 @@ def test_write_zordered_prunes_files_on_both_dims(spark, tmp_path):
     assert files_admitting(zdir, "x", 10, 20) <= 8
     # row fidelity: nothing lost or duplicated
     assert spark.read.parquet(str(zdir)).count() == 65536
+
+
+def test_scd2_merge_versions_changed_keys(spark):
+    from datetime import datetime
+
+    from metrocloud_data_pipeline_spark.operators.maintenance import scd2_merge
+
+    t0, t1, t2 = datetime(2020, 1, 1), datetime(2023, 1, 1), datetime(2024, 6, 1)
+    dim = spark.createDataFrame(
+        [
+            # key 1: one closed + one open version
+            (1, "gold", t0, t1),
+            (1, "silver", t1, None),
+            # key 2: open, will be updated to a DIFFERENT value
+            (2, "bronze", t0, None),
+            # key 3: open, update carries the SAME value (no-op)
+            (3, "gold", t0, None),
+        ],
+        "k long, tier string, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [(2, "gold", t2), (3, "gold", t2), (4, "new", t2)],
+        "k long, tier string, effective_ts timestamp",
+    )
+    out = scd2_merge(dim, updates, "k", ["tier"]).collect()
+    rows = {(r["k"], r["tier"], r["valid_from"], r["valid_to"]) for r in out}
+    assert rows == {
+        (1, "gold", t0, t1),        # history untouched
+        (1, "silver", t1, None),    # current without update survives
+        (2, "bronze", t0, t2),      # closed at effective ts
+        (2, "gold", t2, None),      # new open version
+        (3, "gold", t0, None),      # no-op update leaves version alone
+        (4, "new", t2, None),       # unseen key gets a first version
+    }
+    # exactly one open version per key
+    open_per_key = {}
+    for r in out:
+        if r["valid_to"] is None:
+            open_per_key[r["k"]] = open_per_key.get(r["k"], 0) + 1
+    assert all(v == 1 for v in open_per_key.values())
+
+    # duplicate update keys are rejected loudly
+    bad = spark.createDataFrame(
+        [(2, "a", t2), (2, "b", t2)], "k long, tier string, effective_ts timestamp"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple updates"):
+        scd2_merge(dim, bad, "k", ["tier"])
