@@ -166,3 +166,18 @@ def hot_keys(
             (F.col("n_rows") > F.lit(skew_factor) * F.col("_mean")).alias("is_skewed"),
         )
     )
+
+
+def hot_keys_approx(df: DataFrame, key_col: str, support: float = 0.01) -> DataFrame:
+    """Scale twin of hot_keys: single-pass approximate heavy hitters
+    via DataFrame.stat.freqItems (Karp/Misra-Gries family). Where the
+    exact report shuffles the distinct key space, this streams every
+    partition once with O(1/support) state and returns a superset of
+    the keys whose frequency exceeds `support` (false POSITIVES
+    possible, false negatives not — the right direction for a skew
+    guard). At 100 TB this is the always-on monitor; hot_keys is the
+    drill-down you run on what it flags."""
+    items = df.stat.freqItems([key_col], support=support)
+    return items.select(
+        F.explode(F.col(f"{key_col}_freqItems")).alias("key")
+    ).withColumn("support_threshold", F.lit(float(support)))

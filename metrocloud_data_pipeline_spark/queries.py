@@ -2491,6 +2491,18 @@ def text_length_histogram(spark, sf_dir):
     return text.token_count_histogram(load(spark, sf_dir, "documents"), width=50)
 
 
+@q("obs_hot_keys_approx")
+def obs_hot_keys_approx(spark, sf_dir):
+    """Always-on scale twin of obs_hot_keys: single-pass Misra-Gries
+    heavy hitters (freqItems), O(1/support) state, no key-space
+    shuffle. Superset-not-subset contract (false positives possible,
+    negatives not) -> rows-only; the planted-hitter guarantee is
+    pytest-gated."""
+    return OBS.hot_keys_approx(
+        load(spark, sf_dir, "events"), key_col="user_id", support=0.005
+    )
+
+
 @q(
     "obs_anomaly_rate_hourly",
     oracle=f"""
@@ -3243,6 +3255,7 @@ QUERY_ORDER = [
     "w6_cohort_retention",
     "dq_profile_events",
     "scd2_customer_dim",
+    "obs_hot_keys_approx",
     # rows-only, recorded in r04, rotated out by the r5 additions
     # (knn_ivf's ivf_assignments dependency is re-verified in-window by
     # knn_join_ivf and knn_join_ivf_bucketed; dedup_embed_cosine_lsh's

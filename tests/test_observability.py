@@ -195,3 +195,13 @@ def test_hot_keys_and_length_histogram_match_duckdb(spark):
         assert got.columns.tolist() == want.columns.tolist(), name
         for c in got.columns:
             assert got[c].tolist() == want[c].tolist(), (name, c)
+
+
+def test_hot_keys_approx_finds_planted_hitter(spark):
+    from metrocloud_data_pipeline_spark.operators import observability as OBS
+
+    rows = [(i, "hot") for i in range(500)] + [(1000 + j, f"c{j % 40}") for j in range(100)]
+    df = spark.createDataFrame(rows, "row_id long, k string")
+    got = {r["key"] for r in OBS.hot_keys_approx(df, "k", support=0.5).collect()}
+    # no false negatives above support: the 83%-frequency key MUST appear
+    assert "hot" in got
