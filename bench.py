@@ -88,6 +88,9 @@ HEADLINE = [
     "dedup_embed_semdedup",
     "unigram_surprisal",
     "kmeans_embed_clusters",
+    "w5_event_funnel",
+    "w6_cohort_retention",
+    "scd2_customer_dim",
 ]
 # Deliberately absent: the exact-all-pairs baselines (dedup_ngram_jaccard,
 # dedup_embed_cosine) — quadratic verification twins for the oracle gate,
