@@ -104,6 +104,23 @@ def main() -> None:
     t(lambda: llm_text.unigram_surprisal(docs), "surprisal")
     t(lambda: similarity.kmeans_cluster_stats(emb, k=16, n_iter=4), "kmeans_16x4")
 
+    # late-r5 additions: the incremental ingest gate (batch vs standing
+    # corpus at `copies`x), cluster-bounded semantic dedup, and the
+    # event-analytics shapes (funnel/retention reduce events to
+    # keys-sized frames, so they should be nearly flat vs data volume)
+    incoming = docs.where(F.col("doc_id") % 97 == 0)
+    standing = docs.where(F.col("doc_id") % 97 != 0)
+    t(
+        lambda: dedup.cross_corpus_jaccard(incoming, standing, threshold=0.95),
+        "incr_jaccard",
+    )
+    t(lambda: similarity.semdedup_pairs(emb, k=32, n_iter=2, threshold=0.99), "semdedup")
+    ev = load(spark, SF, "events")
+    from metrocloud_data_pipeline_spark.operators import temporal as T
+
+    t(lambda: T.funnel_steps(ev, ["view", "click", "purchase"]), "funnel")
+    t(lambda: T.cohort_retention(ev), "retention")
+
     probe_knn_bucketed(spark, emb)
     probe_streaming(spark, copies)
 
