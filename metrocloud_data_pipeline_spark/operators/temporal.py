@@ -221,48 +221,57 @@ def funnel_steps(
     first-touch funnel; conversion is reported against both the
     previous step and the funnel entry).
 
-    Scale shape: one scan PER STEP, each with the event-type filter
-    pushed into the parquet scan (reads only that step's rows), reduced
-    to a keys-sized (key, first_ts) frame; the step-to-step join is
-    keyed on key_col every time, so the same partitioning is reused
-    down the chain and each join input is at most |keys| rows — never
-    the raw event table. The output is len(steps) rows."""
-    spark = events.sparkSession
-    prev: DataFrame | None = None
-    counts: list[tuple[int, str, int]] = []
-    for i, step in enumerate(steps):
-        step_events = events.where(F.col(type_col) == step).select(
-            F.col(key_col).alias("k"), F.col(ts_col).alias("t")
-        )
-        if prev is None:
-            reached = step_events.groupBy("k").agg(F.min("t").alias("first_t"))
-        else:
-            reached = (
-                step_events.join(prev, "k")
-                .where(F.col("t") > F.col("first_t"))
-                .groupBy("k")
-                .agg(F.min("t").alias("first_t"))
-            )
-        reached = reached.localCheckpoint()  # consumed by next step AND the count
-        counts.append((i + 1, step, reached.count()))
-        prev = reached
-    first_n = counts[0][2] if counts else 0
-    rows = []
-    for (step_no, name, n), prev_n in zip(counts, [None] + [c[2] for c in counts[:-1]]):
-        rows.append(
-            (
-                step_no,
-                name,
-                n,
-                round(100.0 * n / prev_n, 6) if prev_n else None,
-                round(100.0 * n / first_n, 6) if first_n else None,
-            )
-        )
-    return spark.createDataFrame(
-        rows,
-        "step int, event_type string, n_keys long, "
-        "conv_from_prev_pct double, conv_from_entry_pct double",
+    Scale shape: ONE scan of the event table (filtered to funnel event
+    types at the parquet scan), ONE exchange on key_col for a chain of
+    per-key window mins (each step's first-qualifying timestamp is a
+    window aggregate referencing the previous step's column — same
+    partitioning, so the chain adds no shuffles), a per-key rollup that
+    reuses that partitioning, and a singleton aggregate whose
+    len(steps)-row unpivot is a literal explode. Fully lazy — no
+    per-step jobs, joins, or checkpoints."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("k")
+    df = events.where(F.col(type_col).isin(steps)).select(
+        F.col(key_col).alias("k"), F.col(ts_col).alias("t"), F.col(type_col).alias("typ")
     )
+    # chain of first-qualifying timestamps: t_i = min t of step-i events
+    # strictly after t_{i-1}; each is a window min over the SAME key
+    # partitioning, referencing the previous step's materialized column
+    for i, step in enumerate(steps):
+        qual = F.col("typ") == step
+        if i > 0:
+            qual = qual & F.col(f"_t{i - 1}").isNotNull() & (F.col("t") > F.col(f"_t{i - 1}"))
+        df = df.withColumn(f"_t{i}", F.min(F.when(qual, F.col("t"))).over(w))
+    per_key = df.groupBy("k").agg(
+        *[F.max(F.col(f"_t{i}").isNotNull()).alias(f"_r{i}") for i in range(len(steps))]
+    )
+    one = per_key.agg(
+        *[F.count_if(F.col(f"_r{i}")).alias(f"_n{i}") for i in range(len(steps))]
+    )
+    entry = F.col("_n0").cast("double")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(step).alias("event_type"),
+                F.col(f"_n{i}").alias("n_keys"),
+                (
+                    F.lit(None).cast("double")
+                    if i == 0
+                    else F.when(
+                        F.col(f"_n{i - 1}") > 0,
+                        F.round(100.0 * F.col(f"_n{i}") / F.col(f"_n{i - 1}"), 6),
+                    )
+                ).alias("conv_from_prev_pct"),
+                F.when(entry > 0, F.round(100.0 * F.col(f"_n{i}") / entry, 6)).alias(
+                    "conv_from_entry_pct"
+                ),
+            )
+            for i, step in enumerate(steps)
+        ]
+    )
+    return one.select(F.explode(rows).alias("s")).select("s.*")
 
 
 def cohort_retention(

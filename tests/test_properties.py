@@ -197,3 +197,99 @@ def test_tfidf_matches_pandas_reference(spark, texts):
         )[:3]
         for rnk, (score, term, tf) in enumerate(scored, start=1):
             assert got[(i, rnk)] == (term, tf, score), (i, rnk, scored)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split()),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=2,
+        max_size=14,
+    )
+)
+def test_cross_corpus_jaccard_matches_naive_cross_pairs(spark, texts):
+    # the LSH-candidates + exact-verify incremental gate must equal the
+    # naive incoming x corpus all-pairs answer (banding miss probability
+    # at J>=0.9 with 128 perms / 32 bands is ~1e-30 — effectively exact)
+    from metrocloud_data_pipeline_spark.llm import dedup
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    incoming = spark.createDataFrame(
+        [d for d in docs if d[0] % 3 == 0], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [d for d in docs if d[0] % 3 != 0], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_new"], r["doc_corpus"], r["jaccard"])
+        for r in dedup.cross_corpus_jaccard(incoming, corpus, threshold=0.9).collect()
+    }
+
+    def toks(t):
+        return set(t.lower().split())
+
+    want = set()
+    for i, ti in docs:
+        if i % 3 != 0:
+            continue
+        for j, tj in docs:
+            if j % 3 == 0:
+                continue
+            inter = len(toks(ti) & toks(tj))
+            union = len(toks(ti) | toks(tj))
+            jac = round(inter / union, 6)
+            if jac >= 0.9:
+                want.add((i, j, jac))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    dim_rows=st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    upd_rows=st.lists(
+        st.tuples(st.integers(0, 7), st.sampled_from(["a", "b", "c", "d"])),
+        min_size=0,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_scd2_merge_invariants(spark, dim_rows, upd_rows):
+    # for ANY current-only dimension and dedup'd update batch: exactly
+    # one open version per key afterward, closed rows end at the
+    # effective ts, and total rows = old + changed + unseen-key inserts
+    import datetime as dt
+
+    from metrocloud_data_pipeline_spark.operators.maintenance import scd2_merge
+
+    t0, t1 = dt.datetime(2020, 1, 1), dt.datetime(2024, 1, 1)
+    dim = spark.createDataFrame(
+        [(k, v, t0, None) for k, v in dim_rows],
+        "k long, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [(k, v, t1) for k, v in upd_rows], "k long, attr string, effective_ts timestamp"
+    )
+    out = scd2_merge(dim, updates, "k", ["attr"]).collect()
+
+    cur = dict(dim_rows)
+    upd = dict(upd_rows)
+    changed = {k for k in upd if k in cur and upd[k] != cur[k]}
+    new_keys = {k for k in upd if k not in cur}
+    assert len(out) == len(dim_rows) + len(changed) + len(new_keys)
+    open_rows = [r for r in out if r["valid_to"] is None]
+    assert sorted(r["k"] for r in open_rows) == sorted(set(cur) | new_keys)
+    for r in open_rows:
+        expect = upd[r["k"]] if r["k"] in changed or r["k"] in new_keys else cur[r["k"]]
+        assert r["attr"] == expect
+    for r in out:
+        if r["valid_to"] is not None:
+            assert r["k"] in changed and r["valid_to"] == t1 and r["attr"] == cur[r["k"]]
