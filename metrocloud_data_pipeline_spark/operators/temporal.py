@@ -286,29 +286,31 @@ def cohort_retention(
     cohort that is — the day-N retention table every growth dashboard
     draws.
 
-    Scale shape: one scan to distinct (key, day) activity (map-side
-    combined), a per-key min over that (days-sized, not events-sized),
-    the cohort day attached back by a key-equi-join between two
-    keys×days-bounded frames, then a cells-sized aggregate. Cohort
-    sizes rejoin as a cohort-days-sized broadcast. Raw events are
-    touched exactly once."""
-    active = (
+    Scale shape: one scan reduced to per-key sorted activity-day sets
+    (ONE exchange on key; per-key state bounded by the calendar span,
+    not the event count), cohort day = element 1 of the sorted set —
+    never a self-join back onto the activity frame. The cell and
+    cohort-size aggregates both read the exploded per-key frame, and
+    cohort sizes rejoin as a cohort-days-sized broadcast. Raw events
+    are touched exactly once, keys shuffle exactly once."""
+    per_key = (
         events.select(F.col(key_col).alias("k"), F.to_date(ts_col).alias("day"))
-        .distinct()
+        .groupBy("k")
+        .agg(F.array_sort(F.collect_set("day")).alias("days"))
+        .select("k", F.element_at("days", 1).alias("cohort_day"), "days")
     )
-    # per-key cohort day derived from the SAME distinct frame (persist:
-    # two consumers), never a second event scan
-    act = active.persist()
-    cohort = act.groupBy("k").agg(F.min("day").alias("cohort_day"))
+    # two consumers (cells + sizes) of a keys-sized frame: checkpoint so
+    # the event scan provably runs once
+    per_key = per_key.localCheckpoint()
     cells = (
-        act.join(cohort, "k")
-        .select("k", "cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        per_key.select("cohort_day", F.explode("days").alias("day"))
+        .select("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
         .where(F.col("day_offset") <= max_offset_days)
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
-    sizes = cohort.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
-    out = (
+    sizes = per_key.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
         cells.join(F.broadcast(sizes), "cohort_day")
         .select(
             "cohort_day",
@@ -320,5 +322,3 @@ def cohort_retention(
             ),
         )
     )
-    act.unpersist()
-    return out
