@@ -157,3 +157,49 @@ def test_vocab_coverage_uses_topk_not_global_sort(spark):
     plan = _plan(spark, "vocab_coverage")
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_funnel_single_scan_no_joins(spark):
+    # the funnel must stay one event scan + chained same-key windows:
+    # no joins, and the funnel-type filter reaches the parquet scan
+    import re
+
+    plan = _plan(spark, "w5_event_funnel")
+    assert "Join" not in plan
+    # formatted explain prints each operator twice (tree + "(N) Op"
+    # detail header); count only the detail headers
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "PushedFilters: [In(event_type" in plan or "PushedFilters: [Or(" in plan, plan[
+        plan.find("PushedFilters"):plan.find("PushedFilters") + 200
+    ]
+
+
+def test_scd2_merge_broadcasts_updates_no_exchange(spark):
+    # dimension rows must never shuffle: every join broadcasts the
+    # update batch and the plan carries zero hash exchanges
+    plan = _plan(spark, "scd2_customer_dim")
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_retention_single_key_exchange_before_checkpoint(spark):
+    # the per-key day-set reduction is the ONLY exchange touching
+    # event-derived rows; cohort attach must not rejoin the activity
+    # frame (localCheckpoint truncates the visible plan, so build the
+    # pre-checkpoint frame directly)
+    from pyspark.sql import functions as F
+
+    from metrocloud_data_pipeline_spark.sources import load
+
+    ev = load(spark, SF, "events")
+    per_key = (
+        ev.select(F.col("user_id").alias("k"), F.to_date("ts").alias("day"))
+        .groupBy("k")
+        .agg(F.array_sort(F.collect_set("day")).alias("days"))
+        .select("k", F.element_at("days", 1).alias("cohort_day"), "days")
+    )
+    plan = per_key._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
