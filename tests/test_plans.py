@@ -201,5 +201,10 @@ def test_retention_single_key_exchange_before_checkpoint(spark):
     plan = per_key._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
-    assert plan.count("Exchange hashpartitioning") == 1
+    import re
+
+    # detail headers only; the collect_set aggregate plans as
+    # ObjectHashAggregate whose exchange prints without its partitioning
+    # in the tree line
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert "Join" not in plan
