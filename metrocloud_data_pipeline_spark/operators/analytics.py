@@ -415,3 +415,53 @@ def export_readings(
         .orderBy(F.desc("ts"), F.desc("reading_id"))
         .limit(limit)
     )
+
+
+def rollup_cascade(
+    df: DataFrame,
+    fine_bucket: str = "1 hour",
+    coarse_bucket: str = "1 day",
+) -> DataFrame:
+    """Hierarchical continuous aggregate: the coarse rollup derives
+    ENTIRELY from the fine level's re-aggregable partials — the
+    TimescaleDB hierarchical-cagg design (daily cagg ON the hourly
+    cagg), and the 100 TB reason continuous aggregates exist at all:
+    day-level queries read hours-per-day × devices rows, never raw.
+
+    The fine partial carries (count, sum, min, max, anomaly_count) plus
+    (first/last value, first/last ts) pairs so every coarse statistic —
+    including avg and the time-ordered first/last picks — reassembles
+    exactly: output is value-identical to aggregating raw directly at
+    the coarse width (oracle-checked), because sum/min/max/count are
+    associative and a coarse-bucket extremum timestamp lives in exactly
+    one fine bucket. The value sum is carried as exact integer cents
+    (the 2-dp source doubles recover exactly; see functions/numeric) so
+    the two-level association CANNOT drift from the direct aggregate —
+    double summation is order-sensitive at the 1e-6 rounding boundary,
+    measured on this very query. Raw rows are touched once; the coarse
+    aggregate's input is the fine frame."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    partial = df.groupBy(
+        time_bucket("ts", fine_bucket).alias("bucket"), F.col("device_type")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(cents).alias("_sum"),
+        F.min("value").alias("_min"),
+        F.max("value").alias("_max"),
+        F.count(F.when(F.col("is_anomaly"), 1)).alias("_anom"),
+        F.min_by("value", "ts").alias("_first_v"),
+        F.min("ts").alias("_first_ts"),
+        F.max_by("value", "ts").alias("_last_v"),
+        F.max("ts").alias("_last_ts"),
+    )
+    return partial.groupBy(
+        time_bucket("bucket", coarse_bucket).alias("bucket"), F.col("device_type")
+    ).agg(
+        F.sum("_n").alias("reading_count"),
+        round6(F.sum("_sum").cast("double") / 100.0 / F.sum("_n")).alias("avg_value"),
+        F.min("_min").alias("min_value"),
+        F.max("_max").alias("max_value"),
+        F.sum("_anom").alias("anomaly_count"),
+        F.max_by("_last_v", "_last_ts").alias("last_value"),
+        F.min_by("_first_v", "_first_ts").alias("first_value"),
+    )

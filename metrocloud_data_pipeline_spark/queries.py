@@ -261,6 +261,31 @@ def a3_daily_aggregates(spark, sf_dir):
 
 
 @q(
+    "a13_daily_from_hourly",
+    oracle=_READINGS_CTE
+    + f"""
+SELECT {_bucket_sql("ts", 86400)} AS bucket, device_type,
+       count(*) AS reading_count,
+       round(CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0/count(*), 6) AS avg_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       count(*) FILTER (WHERE is_anomaly) AS anomaly_count,
+       arg_max(value, ts) AS last_value,
+       arg_min(value, ts) AS first_value
+FROM readings GROUP BY 1, device_type
+""",
+)
+def a13_daily_from_hourly(spark, sf_dir):
+    """Hierarchical continuous aggregate: the daily rollup derived
+    ENTIRELY from hourly re-aggregable partials (TimescaleDB's
+    daily-cagg-on-hourly-cagg design) — the oracle is the DIRECT
+    daily-from-raw aggregation, so the hash gate proves the cascade is
+    value-identical while its input at 100 TB is hours×types rows, not
+    raw readings."""
+    return A.rollup_cascade(readings(spark, sf_dir), "1 hour", "1 day")
+
+
+@q(
     "a4_device_stats",
     oracle=_READINGS_CTE
     + """
@@ -3256,6 +3281,7 @@ QUERY_ORDER = [
     "dq_profile_events",
     "scd2_customer_dim",
     "obs_hot_keys_approx",
+    "a13_daily_from_hourly",
     # rows-only, recorded in r04, rotated out by the r5 additions
     # (knn_ivf's ivf_assignments dependency is re-verified in-window by
     # knn_join_ivf and knn_join_ivf_bucketed; dedup_embed_cosine_lsh's

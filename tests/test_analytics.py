@@ -177,3 +177,35 @@ def test_expectations_report_single_pass_and_verdicts(spark):
         df.where("id < 0"), [("anything", F.col("v").isNotNull(), 1.0)]
     ).first()
     assert empty["n_rows"] == 0 and empty["passed"] and empty["pass_fraction"] == 1.0
+
+
+def test_rollup_cascade_equals_direct_daily(spark):
+    # the hourly->daily cascade must be value-identical to aggregating
+    # raw at daily width directly (exact cent sums make the two-level
+    # association drift-free)
+    from datetime import datetime
+
+    from metrocloud_data_pipeline_spark.operators import analytics as A
+
+    rows = []
+    for d in (1, 2):
+        for h in (0, 5, 23):
+            for i in range(4):
+                rows.append(
+                    (
+                        datetime(2024, 1, d, h, i * 7),
+                        "sensor",
+                        round(10.0 * d + h + 0.01 * i, 2),
+                        i == 0,
+                    )
+                )
+    df = spark.createDataFrame(rows, "ts timestamp, device_type string, value double, is_anomaly boolean")
+    casc = {(str(r["bucket"]), r["device_type"]): r for r in A.rollup_cascade(df).collect()}
+    direct = {
+        (str(r["bucket"]), r["device_type"]): r
+        for r in A.bucket_aggregates(df.withColumn("device_id", F.lit(1)), "1 day", by_device=False, with_first=True).collect()
+    }
+    assert casc.keys() == direct.keys() and len(casc) == 2
+    for k in casc:
+        for c in ("reading_count", "avg_value", "min_value", "max_value", "anomaly_count", "last_value", "first_value"):
+            assert casc[k][c] == direct[k][c], (k, c, casc[k][c], direct[k][c])
