@@ -588,9 +588,15 @@ def cross_corpus_jaccard(
         F.col("doc_id").alias("doc_new"), "band", "bucket"
     )
     if corpus_bands is None:
+        # the corpus band frame feeds BOTH the hot-bucket guard and the
+        # candidate join; persist so the (expensive) corpus signature
+        # pass runs once — same rationale and CacheManager-reuse
+        # methodology as token_jaccard_pairs_lsh's persisted signatures.
+        # A band row is (doc_id, band, bucket) — 3 longs — so this is
+        # ~bands x |corpus| longs, negligible next to the text.
         corpus_bands = _band_buckets(
             minhash_signatures(corpus, num_perm=num_perm, k=1), bands, rpb
-        )
+        ).persist()
     corp_bands = corpus_bands.select(F.col("doc_id").alias("doc_corpus"), "band", "bucket")
     if max_bucket_size is not None:
         sizes = corp_bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
