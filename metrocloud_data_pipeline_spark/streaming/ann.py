@@ -16,10 +16,12 @@ scored against the pre-built corpus layout:
   data is the (small) query band: batch rows broadcast, corpus rows
   never shuffle. At 100 TB this is the difference between a serving
   tier and a nightly job;
-- results append to parquet keyed by (batch_id, q_id, rank) — an
-  at-least-once sink whose rows are deterministic per query, so
-  re-delivered batches overwrite with identical content (same
-  idempotence-by-determinism argument as OP-ST6).
+- results land in parquet partitioned by batch_id with DYNAMIC
+  partition overwrite: a re-delivered micro-batch rewrites exactly its
+  own partition with identical (deterministic) content, so the sink is
+  effectively-once without any read-back — stronger than the
+  append+anti-join shape corpus ingest needs, because here the
+  partition key (batch_id) fully identifies the write.
 """
 
 from __future__ import annotations
@@ -73,9 +75,21 @@ def run_ann_serving_stream(
             listed=corpus_table,
             queries=batch.select("vec_id", "embedding"),
         )
-        result.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            output_path
-        )
+        spark = batch.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # dynamic overwrite touches ONLY partition batch_id=<this>:
+            # a re-delivered batch rewrites its own partition with the
+            # same deterministic rows — effectively-once, no read-back
+            (
+                result.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(output_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     writer = query_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path

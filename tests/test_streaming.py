@@ -597,3 +597,38 @@ def test_ann_serving_stream_matches_batch_scoring(spark, tmp_path):
     # the exact-duplicate tie breaks to the smaller corpus id — either
     # way the planted copy scores a perfect match
     assert top[1002]["vec_id"] in (17, 50) and top[1002]["cosine_sim"] == 1.0
+
+
+def test_ann_serving_redelivery_is_effectively_once(spark, tmp_path):
+    import math
+
+    from metrocloud_data_pipeline_spark.streaming import ann
+
+    rows = []
+    for vid in range(30):
+        v = [1.0 if i == vid % 3 else 0.0 for i in range(8)]
+        v[(vid % 3) + 4] = 0.05 * (vid % 7)
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((vid, [x / n for x in v], vid % 3))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    src = tmp_path / "q"
+    src.mkdir()
+    spark.createDataFrame([(500, rows[1][1])], ann.QUERY_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    out = str(tmp_path / "res")
+    for ck in ("ck1", "ck2"):  # second run = full redelivery (fresh checkpoint)
+        q = ann.run_ann_serving_stream(
+            ann.stream_query_vectors(spark, str(src) + "/*"),
+            corpus,
+            out,
+            str(tmp_path / ck),
+            k=3,
+            nprobe=3,
+            stride=7,
+        )
+        q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # dynamic partition overwrite: redelivery rewrote batch 0, not doubled it
+    assert got.count() == 3
+    assert got.select("q_id").distinct().collect()[0][0] == 500
