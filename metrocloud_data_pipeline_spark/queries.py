@@ -1777,6 +1777,38 @@ def knn_recall_report(spark, sf_dir):
     )
 
 
+@q(
+    "embed_quantize_stats",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+  FROM embeddings
+), e AS (
+  SELECT vec_id, scale,
+         list_transform(xs, x -> x - scale * greatest(least(
+           CASE WHEN scale = 0 THEN 0
+                WHEN x / scale >= 0 THEN floor(x / scale + 0.5)
+                ELSE ceil(x / scale - 0.5) END, 127), -127)) AS errs
+  FROM q
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       round(list_max(list_transform(errs, x -> abs(x))), 6) AS max_abs_err,
+       round(list_sum(list_transform(errs, x -> x * x)) / len(errs) * 1e6, 6) AS mse_x1e6
+FROM e
+""",
+)
+def embed_quantize_stats(spark, sf_dir):
+    """Symmetric int8 quantization audit (FAISS SQ8 shape): per-vector
+    scale + reconstruction error of the 4x-smaller representation —
+    the go/no-go number before committing an ANN corpus to int8 at
+    100 TB. Arrow-batched float64 kernel with explicit
+    half-away-from-zero rounding so the oracle's SQL ROUND semantics
+    match bit-for-bit."""
+    return similarity.embed_quantize_stats(load(spark, sf_dir, "embeddings"))
+
+
 @q("knn_join_ivf")
 def knn_join_ivf(spark, sf_dir):
     """Batch ANN scale path: top-10 neighbor lists for EVERY vector,
@@ -3282,6 +3314,7 @@ QUERY_ORDER = [
     "scd2_customer_dim",
     "obs_hot_keys_approx",
     "a13_daily_from_hourly",
+    "embed_quantize_stats",
     # rows-only, recorded in r04, rotated out by the r5 additions
     # (knn_ivf's ivf_assignments dependency is re-verified in-window by
     # knn_join_ivf and knn_join_ivf_bucketed; dedup_embed_cosine_lsh's

@@ -900,3 +900,24 @@ def test_knn_recall_report_bounds_and_separable_recall(spark):
     # nprobe=1 probes a single list: recall stays in [0, 1]
     rep1 = similarity.knn_recall_report(emb, k=3, nprobe=1, stride=5, max_queries=14).collect()
     assert all(0.0 <= r["recall"] <= 1.0 for r in rep1)
+
+
+def test_quantize_int8_roundtrip_invariants(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, -0.5, 0.25, 0.0]),
+            (1, [0.0, 0.0, 0.0, 0.0]),          # all-zero: scale 0, no NaNs
+            (2, [127.0, -127.0, 63.5, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in similarity.quantize_embeddings_int8(emb).collect()}
+    for r in out.values():
+        assert all(-127 <= v <= 127 for v in r["qvec"])
+        # symmetric quantization error bound: half a quantization step
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+    assert out[0]["scale"] == 1.0 / 127.0
+    assert out[0]["qvec"] == [127, -64, 32, 0]   # -63.5 rounds away from zero
+    assert out[1]["scale"] == 0.0 and out[1]["qvec"] == [0, 0, 0, 0]
+    assert out[1]["mse"] == 0.0
+    assert out[2]["qvec"][0] == 127 and out[2]["qvec"][1] == -127
