@@ -702,3 +702,36 @@ def source_scorecard(docs: DataFrame, target_chars: float = 400.0) -> DataFrame:
             ).alias("token_share"),
         )
     )
+
+
+def split_leakage_report(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split-v1",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval contamination audit: normalized-exact duplicate groups
+    that SPAN split boundaries — each reported row is an eval-set
+    member leaking training signal (the in-house twin of benchmark
+    decontamination; run it before every release cut).
+
+    One scan: split assignment and the text digest are both pure row
+    maps, so the only shuffle is the digest groupBy with the wide text
+    column pruned before the exchange. Near-dup leakage (paraphrases
+    across splits) composes the same split column with
+    dedup.cross_corpus_jaccard on the per-split slices."""
+    from ..llm.dedup import _norm_text
+
+    assigned = assign_splits(docs, fractions=fractions, salt=salt)
+    keyed = assigned.select(
+        F.md5(_norm_text(F.col(text_col))).alias("text_hash"), "split"
+    )
+    return (
+        keyed.groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.size(F.collect_set("split")).alias("n_splits"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
+        )
+        .where(F.col("n_splits") > 1)
+    )

@@ -2981,6 +2981,36 @@ def scd2_customer_dim(spark, sf_dir):
 
 
 @q(
+    "split_leakage_report",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         round(CAST(('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0, 6) AS sample_u
+  FROM documents
+), s AS (
+  SELECT doc_id, CASE WHEN sample_u < 0.9 THEN 'train'
+                      WHEN sample_u < 0.95 THEN 'val'
+                      ELSE 'test' END AS split
+  FROM u
+), d AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash
+  FROM documents
+), j AS (SELECT d.text_hash, s.split FROM d JOIN s USING (doc_id))
+SELECT text_hash, count(*) AS n_docs,
+       count(DISTINCT split) AS n_splits,
+       string_agg(DISTINCT split, ',' ORDER BY split) AS splits
+FROM j GROUP BY 1 HAVING count(DISTINCT split) > 1
+""",
+)
+def split_leakage_report(spark, sf_dir):
+    """Train/eval contamination audit: normalized-exact dup groups that
+    span the deterministic 90/5/5 split — eval rows leaking training
+    signal. Split + digest are pure row maps; the only shuffle is the
+    digest groupBy with text pruned pre-exchange."""
+    return curation.split_leakage_report(load(spark, sf_dir, "documents"))
+
+
+@q(
     "dq_profile_events",
     oracle="""
 WITH a AS (
@@ -3315,6 +3345,7 @@ QUERY_ORDER = [
     "obs_hot_keys_approx",
     "a13_daily_from_hourly",
     "embed_quantize_stats",
+    "split_leakage_report",
     # rows-only, recorded in r04, rotated out by the r5 additions
     # (knn_ivf's ivf_assignments dependency is re-verified in-window by
     # knn_join_ivf and knn_join_ivf_bucketed; dedup_embed_cosine_lsh's

@@ -350,3 +350,30 @@ def test_profile_table_null_and_distinct_counts(spark):
     assert out["s"]["n_null"] == 1 and out["s"]["n_distinct"] == 2
     assert out["s"]["min_value"] == "a" and out["s"]["max_value"] == "b"
     assert out["v"]["n_null"] == 1 and out["v"]["min_value"] == "1.5"
+
+
+def test_split_leakage_report_flags_cross_split_dup(spark):
+    import hashlib
+
+    def u(doc_id):
+        h = hashlib.md5(f"split-v1{doc_id}".encode()).hexdigest()[:8]
+        return round(int(h, 16) / 4294967296.0, 6)
+
+    def split_of(doc_id):
+        x = u(doc_id)
+        return "train" if x < 0.9 else ("val" if x < 0.95 else "test")
+
+    train_id = next(i for i in range(1000) if split_of(i) == "train")
+    test_id = next(i for i in range(1000) if split_of(i) == "test")
+    val_id = next(i for i in range(1000) if split_of(i) == "val")
+    leaked = "this exact document appears in two splits"
+    rows = [
+        (train_id, leaked),
+        (test_id, leaked.upper() + "  "),            # normalizes equal -> leak
+        (val_id, "a unique val-only document here"),  # no leak
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.split_leakage_report(docs).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["n_splits"] == 2
+    assert out[0]["splits"] == "test,train"
