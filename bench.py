@@ -138,11 +138,24 @@ def main() -> None:
     # production (signatures built once per corpus snapshot, reused by
     # banding/estimation/clustering consumers) and keeps the
     # round-over-round bench comparison on one methodology.
+    # Free orphaned localCheckpoint blocks between queries: several
+    # builders checkpoint intermediates (tfidf/surprisal tf frames,
+    # retention day sets, ...) whose block-manager storage is released
+    # only when the Python DataFrame object is GC'd (ContextCleaner).
+    # With 60+ queries x 3 passes those dead blocks pile into the
+    # storage pool and LRU-EVICT the deliberately-persisted signature
+    # caches — measured: dedup_simhash/minhash medians inflate 1.6-1.8x
+    # in the full suite while isolated runs match the warm cost. An
+    # explicit collect after each query keeps the cache methodology
+    # intact without touching live persists.
+    import gc
+
     for _ in range(runs):
         for name in HEADLINE:
             t0 = time.perf_counter()
             run_noop(qs[name](spark, SF_DIR))
             samples[name].append(time.perf_counter() - t0)
+            gc.collect()
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

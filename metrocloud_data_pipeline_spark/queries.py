@@ -261,6 +261,33 @@ def a3_daily_aggregates(spark, sf_dir):
 
 
 @q(
+    "q3_top3_per_device",
+    oracle=_READINGS_CTE
+    + """
+SELECT device_id, ts, value, rn FROM (
+  SELECT device_id, ts, value,
+         row_number() OVER (PARTITION BY device_id ORDER BY ts DESC, value DESC) AS rn
+  FROM readings
+) WHERE rn <= 3
+""",
+)
+def q3_top3_per_device(spark, sf_dir):
+    """Per-group top-N (3 most recent readings per device): the rank
+    window + filter shape. Spark plans the rn <= 3 filter as a
+    WindowGroupLimit — each partition keeps a running top-3 heap
+    BEFORE the sort, so the shuffle carries at most 3 rows per
+    (partition, device) instead of the full history."""
+    from pyspark.sql.window import Window
+
+    r = readings(spark, sf_dir)
+    w = Window.partitionBy("device_id").orderBy(F.desc("ts"), F.desc("value"))
+    return (
+        r.select("device_id", "ts", "value", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@q(
     "a13_daily_from_hourly",
     oracle=_READINGS_CTE
     + f"""
@@ -3346,6 +3373,7 @@ QUERY_ORDER = [
     "a13_daily_from_hourly",
     "embed_quantize_stats",
     "split_leakage_report",
+    "q3_top3_per_device",
     # rows-only, recorded in r04, rotated out by the r5 additions
     # (knn_ivf's ivf_assignments dependency is re-verified in-window by
     # knn_join_ivf and knn_join_ivf_bucketed; dedup_embed_cosine_lsh's
