@@ -423,7 +423,9 @@ def scd2_merge(
     with valid_to NULL for current versions. For each update whose
     attributes DIFFER from the key's current version, the current row
     closes at the update's effective timestamp and a new open version
-    is inserted; no-op updates (identical attributes) are dropped;
+    is inserted; no-op updates (identical attributes) and STALE updates
+    (effective_ts not newer than the current version's valid_from —
+    out-of-order or re-delivered) are dropped;
     updates for unseen keys insert a first version; closed history rows
     pass through untouched. One update per key per batch (enforced —
     micro-batches should pre-dedup to latest-per-key, e.g. with
@@ -457,9 +459,19 @@ def scd2_merge(
         F.col(effective_col).alias("_eff"),
     )
     joined = current.join(F.broadcast(u), key_col, "left")
-    changed = joined["_eff"].isNotNull() & ~F.struct(
-        *[F.col(c) for c in attr_cols]
-    ).eqNullSafe(F.struct(*[F.col(f"_u_{c}").alias(c) for c in attr_cols]))
+    # staleness guard: an update only counts as a change if its
+    # effective timestamp is NEWER than the current version's
+    # valid_from — an out-of-order or re-delivered stale update can
+    # never close a newer version (this is what makes per-batch
+    # redelivery idempotent: replaying old updates against an
+    # already-advanced dimension is a no-op)
+    changed = (
+        joined["_eff"].isNotNull()
+        & (joined["_eff"] > F.col(valid_from_col))
+        & ~F.struct(*[F.col(c) for c in attr_cols]).eqNullSafe(
+            F.struct(*[F.col(f"_u_{c}").alias(c) for c in attr_cols])
+        )
+    )
 
     untouched_current = joined.where(~F.coalesce(changed, F.lit(False))).select(dim.columns)
     closed = joined.where(changed).select(

@@ -33,6 +33,10 @@ DOC_QUERIES = [
     "media_dedup_exact",
     "text_token_stats",
     "text_quality_score",
+    # late-r5 document queries
+    "dedup_incremental_jaccard",
+    "split_leakage_report",
+    "text_length_histogram",
 ]
 
 EDGE_ROWS = [

@@ -632,3 +632,94 @@ def test_ann_serving_redelivery_is_effectively_once(spark, tmp_path):
     # dynamic partition overwrite: redelivery rewrote batch 0, not doubled it
     assert got.count() == 3
     assert got.select("q_id").distinct().collect()[0][0] == 500
+
+
+def test_scd2_stream_versions_dimension_across_batches(spark, tmp_path):
+    from datetime import datetime
+
+    from metrocloud_data_pipeline_spark.streaming import dim as dimmod
+
+    t0, t1, t2 = datetime(2020, 1, 1), datetime(2024, 1, 1), datetime(2024, 6, 1)
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "gold", t0, None), (2, "bronze", t0, None)],
+        "k long, tier string, valid_from timestamp, valid_to timestamp",
+    ).write.parquet(dim_path)
+
+    src = tmp_path / "upd"
+    src.mkdir()
+    # batch 1: key 2 upgrades; in-batch dup for key 2 (older loses)
+    spark.createDataFrame(
+        [(2, "silver", t1), (2, "iron", t0)], "k long, tier string, effective_ts timestamp"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    # batch 2: key 2 upgrades again + new key 3
+    spark.createDataFrame(
+        [(2, "gold", t2), (3, "new", t2)], "k long, tier string, effective_ts timestamp"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = spark.readStream.schema("k long, tier string, effective_ts timestamp").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    q = dimmod.run_scd2_stream(
+        stream, dim_path, str(tmp_path / "ck"), "k", ["tier"]
+    )
+    q.awaitTermination(120)
+
+    rows = {(r["k"], r["tier"], r["valid_from"], r["valid_to"])
+            for r in spark.read.parquet(dim_path).collect()}
+    assert rows == {
+        (1, "gold", t0, None),
+        (2, "bronze", t0, t1),
+        (2, "silver", t1, t2),
+        (2, "gold", t2, None),
+        (3, "new", t2, None),
+    }
+
+    # full redelivery with a fresh checkpoint: merging the same updates
+    # again is a no-op (idempotence lives in the MERGE semantics)
+    q2 = dimmod.run_scd2_stream(
+        spark.readStream.schema("k long, tier string, effective_ts timestamp").parquet(
+            str(src) + "/*"
+        ),
+        dim_path,
+        str(tmp_path / "ck2"),
+        "k",
+        ["tier"],
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(dim_path).count() == 5
+
+
+def test_scd2_stream_partial_redelivery_of_stale_batch_is_noop(spark, tmp_path):
+    # replaying ONLY an old batch (fresh checkpoint, newer versions
+    # already in the store) must not corrupt history: the staleness
+    # guard drops updates whose effective_ts <= current valid_from
+    from datetime import datetime
+
+    from metrocloud_data_pipeline_spark.streaming import dim as dimmod
+
+    t0, t1, t2 = datetime(2020, 1, 1), datetime(2024, 1, 1), datetime(2024, 6, 1)
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(2, "bronze", t0, t1), (2, "silver", t1, t2), (2, "gold", t2, None)],
+        "k long, tier string, valid_from timestamp, valid_to timestamp",
+    ).write.parquet(dim_path)
+    src = tmp_path / "upd"
+    src.mkdir()
+    spark.createDataFrame(
+        [(2, "silver", t1)], "k long, tier string, effective_ts timestamp"
+    ).coalesce(1).write.parquet(str(src / "old_batch"))
+
+    q = dimmod.run_scd2_stream(
+        spark.readStream.schema("k long, tier string, effective_ts timestamp").parquet(
+            str(src) + "/*"
+        ),
+        dim_path,
+        str(tmp_path / "ck"),
+        "k",
+        ["tier"],
+    )
+    q.awaitTermination(120)
+    rows = {(r["tier"], r["valid_from"], r["valid_to"])
+            for r in spark.read.parquet(dim_path).collect()}
+    assert rows == {("bronze", t0, t1), ("silver", t1, t2), ("gold", t2, None)}
