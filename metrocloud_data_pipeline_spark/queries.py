@@ -261,6 +261,51 @@ def a3_daily_aggregates(spark, sf_dir):
 
 
 @q(
+    "a14_sliding_monitor",
+    oracle=_READINGS_CTE
+    + """
+, wins AS (
+  SELECT device_type, value, ts,
+         TIMESTAMP '1970-01-01' + (CAST(floor(epoch(ts)/300) AS BIGINT) - i.i) * 300 * INTERVAL 1 SECOND AS win_start
+  FROM readings CROSS JOIN (SELECT unnest(range(3)) AS i) i
+)
+SELECT win_start, device_type,
+       count(*) AS n_readings,
+       round(avg(value), 6) AS avg_value,
+       max(value) AS max_value
+FROM wins
+WHERE ts >= win_start AND ts < win_start + INTERVAL 15 MINUTE
+GROUP BY 1, 2
+""",
+)
+def a14_sliding_monitor(spark, sf_dir):
+    """SLIDING-window monitor (15-minute window every 5 minutes): each
+    reading lands in width/slide = 3 overlapping windows — the
+    smoothing dashboards use when tumbling buckets alias spikes at
+    bucket edges. Spark's window(ts, width, slide) expands rows
+    JVM-side before one aggregate exchange; the oracle replicates the
+    expansion with an explicit 3-offset unnest."""
+    r = readings(spark, sf_dir)
+    return (
+        r.groupBy(
+            F.window("ts", "15 minutes", "5 minutes").alias("w"), F.col("device_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            round6(F.avg("value")).alias("avg_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "device_type",
+            "n_readings",
+            "avg_value",
+            "max_value",
+        )
+    )
+
+
+@q(
     "q3_top3_per_device",
     oracle=_READINGS_CTE
     + """
@@ -3374,6 +3419,7 @@ QUERY_ORDER = [
     "embed_quantize_stats",
     "split_leakage_report",
     "q3_top3_per_device",
+    "a14_sliding_monitor",
     # rows-only, recorded in r04, rotated out by the r5 additions
     # (knn_ivf's ivf_assignments dependency is re-verified in-window by
     # knn_join_ivf and knn_join_ivf_bucketed; dedup_embed_cosine_lsh's
