@@ -322,3 +322,36 @@ def cohort_retention(
             ),
         )
     )
+
+
+def session_summary_builtin(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """session_summary's twin on Spark's NATIVE session_window operator
+    (SessionWindowing + MergingSessionsExec — sessions merge inside the
+    aggregate, no lag/running-sum window chain). Same session semantics
+    (gap closes after `gap_seconds` of inactivity), same rollup
+    columns; session_end is reported as max(ts) like the custom path,
+    not the window's exclusive end (= max(ts) + gap).
+
+    Exists as a cross-check of the two implementations against one
+    oracle family, and because the native form is the one Structured
+    Streaming can run with watermark-managed state."""
+    return (
+        events.groupBy(
+            F.col(key_col), F.session_window(ts_col, f"{gap_seconds} seconds").alias("w")
+        )
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            round6(F.sum(value_col)).alias("total_value"),
+        )
+        .select(
+            key_col, "session_start", "session_end", "n_events", "total_value"
+        )
+    )

@@ -261,6 +261,40 @@ def a3_daily_aggregates(spark, sf_dir):
 
 
 @q(
+    "w4b_sessions_native",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), s AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM o
+), t AS (
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM s
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM t GROUP BY user_id, session_seq
+""",
+)
+def w4b_sessions_native(spark, sf_dir):
+    """w4_user_sessions on Spark's NATIVE session_window operator
+    (MergingSessionsExec — sessions merge inside the aggregate instead
+    of a lag + running-sum window chain). Same gap semantics, same
+    rollup; oracle is the gaps-and-islands formulation, so the hash
+    gate proves the two implementations agree — and the native form is
+    the one Structured Streaming runs with watermark-managed state."""
+    return temporal.session_summary_builtin(
+        load(spark, sf_dir, "events"), gap_seconds=1800
+    )
+
+
+@q(
     "a14_sliding_monitor",
     oracle=_READINGS_CTE
     + """
@@ -3420,6 +3454,7 @@ QUERY_ORDER = [
     "split_leakage_report",
     "q3_top3_per_device",
     "a14_sliding_monitor",
+    "w4b_sessions_native",
     # rows-only, recorded in r04, rotated out by the r5 additions
     # (knn_ivf's ivf_assignments dependency is re-verified in-window by
     # knn_join_ivf and knn_join_ivf_bucketed; dedup_embed_cosine_lsh's

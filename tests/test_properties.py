@@ -293,3 +293,53 @@ def test_scd2_merge_invariants(spark, dim_rows, upd_rows):
     for r in out:
         if r["valid_to"] is not None:
             assert r["k"] in changed and r["valid_to"] == t1 and r["attr"] == cur[r["k"]]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 4),                         # user
+            st.integers(0, 50),                        # second offset
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_funnel_matches_naive_python(spark, events):
+    # the chained-window funnel must equal a brute-force per-user walk
+    # for ANY event soup (duplicate timestamps, missing steps, noise
+    # event types, users entering mid-funnel)
+    import datetime as dt
+
+    from metrocloud_data_pipeline_spark.operators import temporal
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(u, t0 + dt.timedelta(seconds=s), typ) for u, s, typ in events]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    steps = ["view", "click", "purchase"]
+    got = {r["step"]: r["n_keys"] for r in temporal.funnel_steps(df, steps).collect()}
+
+    def reach(user_rows):
+        t_prev = None
+        out = []
+        for step in steps:
+            cand = [
+                t for (t, typ) in user_rows
+                if typ == step and (t_prev is None or t > t_prev)
+            ]
+            if not cand:
+                return out
+            t_prev = min(cand)
+            out.append(step)
+        return out
+
+    by_user = {}
+    for u, t, typ in rows:
+        by_user.setdefault(u, []).append((t, typ))
+    want = {i + 1: 0 for i in range(len(steps))}
+    for u, urows in by_user.items():
+        for i in range(len(reach(urows))):
+            want[i + 1] += 1
+    assert got == want
