@@ -120,6 +120,32 @@ def main() -> None:
 
     t(lambda: T.funnel_steps(ev, ["view", "click", "purchase"]), "funnel")
     t(lambda: T.cohort_retention(ev), "retention")
+    # int8 quantization is a single narrow Arrow pass — must be ~linear
+    emb10 = emb
+    t(lambda: similarity.quantize_embeddings_int8(emb10), "quantize_int8")
+    # SCD2 merge: dimension = `copies`x customer clone, update batch = 1/7th
+    from metrocloud_data_pipeline_spark.operators.maintenance import scd2_merge
+
+    cust1 = load(spark, SF, "customer")
+    cust = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            cust1.select(
+                (F.col("c_custkey") + i * OFFSET).alias("c_custkey"), "c_acctbal", "c_mktsegment"
+            )
+            for i in range(copies)
+        ],
+    )
+    dim = cust.select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd = cust.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 100.0).alias("c_acctbal"), "c_mktsegment",
+        F.lit("2024-06-01").cast("timestamp").alias("effective_ts"),
+    )
+    t(lambda: scd2_merge(dim, upd, "c_custkey", ["c_acctbal", "c_mktsegment"]), "scd2_merge")
 
     probe_knn_bucketed(spark, emb)
     probe_streaming(spark, copies)
