@@ -91,18 +91,32 @@ def curate_batch(
     # The matched-id set is batch-bounded and localCheckpoint()ed so the
     # keep/drop split doesn't re-run the banding pipeline per consumer.
     if corpus_docs is not None:
-        from ..llm.dedup import cross_corpus_jaccard
+        from ..llm.dedup import _band_buckets, cross_corpus_jaccard, minhash_signatures
 
-        nd_ids = (
-            cross_corpus_jaccard(
-                fresh.select("doc_id", "text"),
-                corpus_docs.select("doc_id", "text"),
-                threshold=near_dup_threshold,
+        # own the corpus band persist HERE and release it once the
+        # matched-id set is checkpointed: per-batch store plans differ
+        # (the store grows), so leaving cross_corpus_jaccard's internal
+        # persist in place would pile one dead cache entry per
+        # micro-batch into the store for the life of the stream
+        corpus_bands = _band_buckets(
+            minhash_signatures(corpus_docs.select("doc_id", "text"), num_perm=128, k=1),
+            32,
+            4,
+        ).persist()
+        try:
+            nd_ids = (
+                cross_corpus_jaccard(
+                    fresh.select("doc_id", "text"),
+                    corpus_docs.select("doc_id", "text"),
+                    threshold=near_dup_threshold,
+                    corpus_bands=corpus_bands,
+                )
+                .select(F.col("doc_new").alias("doc_id"))
+                .distinct()
+                .localCheckpoint()
             )
-            .select(F.col("doc_new").alias("doc_id"))
-            .distinct()
-            .localCheckpoint()
-        )
+        finally:
+            corpus_bands.unpersist()
         near_dropped = fresh.join(F.broadcast(nd_ids), "doc_id", "left_semi")
         fresh = fresh.join(F.broadcast(nd_ids), "doc_id", "left_anti")
     else:
