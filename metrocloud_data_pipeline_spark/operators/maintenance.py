@@ -393,6 +393,10 @@ def write_zordered(
     stats = df.agg(
         *[f(c).alias(f"{n}_{c}") for c in cols for n, f in (("lo", F.min), ("hi", F.max))]
     ).first()
+    if any(stats[f"lo_{c}"] is None for c in cols):
+        # empty input (or an all-null cluster column): nothing to order
+        df.limit(0).write.mode(mode).parquet(path)
+        return
     bounds = [(stats[f"lo_{c}"], stats[f"hi_{c}"]) for c in cols]
     z = zorder_col(cols, bits=bits, bounds=bounds)
     (
