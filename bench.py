@@ -90,6 +90,16 @@ HEADLINE = [
     "w5_event_funnel",
     "w6_cohort_retention",
     "scd2_customer_dim",
+    "a13_daily_from_hourly",
+    "a14_sliding_monitor",
+    "w4b_sessions_native",
+    "q3_top3_per_device",
+    "obs_hot_keys",
+    "obs_hot_keys_approx",
+    "text_length_histogram",
+    "dq_profile_events",
+    "embed_quantize_stats",
+    "split_leakage_report",
 ]
 # Deliberately absent: the exact-all-pairs baselines (dedup_ngram_jaccard,
 # dedup_embed_cosine) — quadratic verification twins for the oracle gate,
