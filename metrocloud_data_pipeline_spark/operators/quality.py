@@ -131,7 +131,14 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     job per column. The exact distinct counts make Spark plan an Expand
     (one input replica per distinct-column) — the honest price of exact
     profiling, paid in one shuffle; at 100 TB swap countDistinct for
-    approx_count_distinct the same way a6_table_stats' HLL twin does."""
+    approx_count_distinct the same way a6_table_stats' HLL twin does.
+
+    Measured alternative, rejected: splitting plain aggs and distincts
+    into two passes crossJoined back is ~2x faster at sf0.1 (fewer agg
+    buffer updates per expanded row: 4.4 -> 2.1 s cold) — but it scans
+    the table TWICE, and a 100 TB profile is IO-bound where the single
+    Expand pass reads once. Cache-warm local wins don't survive the
+    scale-up; one scan stays."""
     if cols is None:
         cols = df.columns
     dtypes = dict(df.dtypes)

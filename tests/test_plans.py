@@ -208,3 +208,11 @@ def test_retention_single_key_exchange_before_checkpoint(spark):
     # in the tree line
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert "Join" not in plan
+
+
+def test_top3_per_device_uses_window_group_limit(spark):
+    # the rn <= 3 filter must push into the shuffle as a per-partition
+    # running top-k (WindowGroupLimit), not sort whole device histories
+    df = get_queries()["q3_top3_per_device"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
