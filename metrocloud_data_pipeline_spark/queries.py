@@ -1877,7 +1877,15 @@ def knn_recall_report(spark, sf_dir):
     the exact answer over a 200-query deterministic sample — the
     serving-tier dashboard number. Rows-only by design (recall < 1 by
     construction is the thing being measured); recall==1 on separable
-    clusters and bounds are pytest-gated."""
+    clusters and bounds are pytest-gated.
+
+    Expected value on THIS corpus: the synthetic embeddings are
+    near-uniform (no cluster structure), so IVF recall ≈ the probed
+    fraction nprobe/n_lists (~4/16 ≈ 0.25-0.45 measured) — exactly the
+    behavior this report exists to surface; on clustered real
+    embeddings the same settings sit near 1 (the pytest case). The
+    knob the report drives is nprobe (or a kmeans-trained codebook,
+    similarity.kmeans_ivf_index)."""
     return similarity.knn_recall_report(
         load(spark, sf_dir, "embeddings"), k=10, nprobe=4, max_queries=200
     )
