@@ -58,6 +58,7 @@ def curate_batch(
     min_tokens: int = 3,
     corpus_docs: DataFrame | None = None,
     near_dup_threshold: float = 0.95,
+    corpus_bands: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch of corpus curation -> (kept, rejected-with-reason).
 
@@ -93,16 +94,23 @@ def curate_batch(
     if corpus_docs is not None:
         from ..llm.dedup import _band_buckets, cross_corpus_jaccard, minhash_signatures
 
-        # own the corpus band persist HERE and release it once the
-        # matched-id set is checkpointed: per-batch store plans differ
-        # (the store grows), so leaving cross_corpus_jaccard's internal
-        # persist in place would pile one dead cache entry per
-        # micro-batch into the store for the life of the stream
-        corpus_bands = _band_buckets(
-            minhash_signatures(corpus_docs.select("doc_id", "text"), num_perm=128, k=1),
-            32,
-            4,
-        ).persist()
+        # corpus_bands may arrive pre-built (the band-index table this
+        # same stream maintains — then NO corpus re-banding happens and
+        # the store is only tokenized for matched candidates); otherwise
+        # own the band persist HERE and release it once the matched-id
+        # set is checkpointed: per-batch store plans differ (the store
+        # grows), so leaving cross_corpus_jaccard's internal persist in
+        # place would pile one dead cache entry per micro-batch into
+        # the store for the life of the stream
+        own_persist = corpus_bands is None
+        if own_persist:
+            corpus_bands = _band_buckets(
+                minhash_signatures(
+                    corpus_docs.select("doc_id", "text"), num_perm=128, k=1
+                ),
+                32,
+                4,
+            ).persist()
         try:
             nd_ids = (
                 cross_corpus_jaccard(
@@ -116,7 +124,8 @@ def curate_batch(
                 .localCheckpoint()
             )
         finally:
-            corpus_bands.unpersist()
+            if own_persist:
+                corpus_bands.unpersist()
         near_dropped = fresh.join(F.broadcast(nd_ids), "doc_id", "left_semi")
         fresh = fresh.join(F.broadcast(nd_ids), "doc_id", "left_anti")
     else:
@@ -161,8 +170,17 @@ def run_corpus_ingest_stream(
     available_now: bool = True,
     near_dup_screen: bool = False,
     near_dup_threshold: float = 0.95,
+    band_index_path: str | None = None,
 ) -> StreamingQuery:
     """Wire curate_batch into foreachBatch against a parquet store.
+
+    band_index_path (with near_dup_screen) maintains the MinHash band
+    index incrementally: each batch screens against the stored
+    (doc_id, band, bucket) rows instead of re-banding the whole corpus
+    — the full-corpus signature pass is paid once per DOCUMENT, not
+    once per batch — and appends the kept docs' band rows after the
+    corpus append. The store text is then only tokenized for matched
+    candidates (verification), never scanned for hashing.
 
     Each micro-batch reads ONLY the digest column of the standing store
     (column-pruned parquet scan; at scale a digest-bucketed index table
@@ -179,19 +197,33 @@ def run_corpus_ingest_stream(
             store = spark.read.parquet(table_path)
             existing = store.select("digest")
             # near-dup screen reads (doc_id, text) only — the store scan
-            # stays column-pruned; at scale a minhash_band_table
-            # maintained by this same job replaces the re-banding pass
+            # stays column-pruned; with band_index_path the stored band
+            # rows replace the re-banding pass entirely
             corpus_docs = store.select("doc_id", "text") if near_dup_screen else None
         except Exception:
             existing = None  # first batch: store does not exist yet
             corpus_docs = None
+        corpus_bands = None
+        if corpus_docs is not None and band_index_path is not None:
+            try:
+                corpus_bands = spark.read.parquet(band_index_path)
+            except Exception:
+                corpus_bands = None  # index missing: fall back to re-banding
         kept, rejected = curate_batch(
             batch,
             existing_digests=existing,
             min_tokens=min_tokens,
             corpus_docs=corpus_docs,
             near_dup_threshold=near_dup_threshold,
+            corpus_bands=corpus_bands,
         )
+        if near_dup_screen and band_index_path is not None:
+            # the band append below re-evaluates kept AFTER the corpus
+            # append; materialize it now so every consumer (metrics,
+            # corpus append, band rows) reads one pre-append snapshot —
+            # otherwise the store anti-join would see the batch's own
+            # just-appended rows and band nothing (read-your-own-writes)
+            kept = kept.localCheckpoint()
         stats = None
         if metrics_path is not None:
             # aggregate BEFORE appending: kept's plan anti-joins the
@@ -233,6 +265,17 @@ def run_corpus_ingest_stream(
                 "append"
             ).parquet(rejects_path)
         kept.write.mode("append").parquet(table_path)
+        if near_dup_screen and band_index_path is not None:
+            # keep the band index tracking the corpus: band the KEPT
+            # docs only (batch-sized) and append — kept's plan reads the
+            # pre-append store listing, so this never double-bands
+            from ..llm.dedup import _band_buckets, minhash_signatures
+
+            _band_buckets(
+                minhash_signatures(kept.select("doc_id", "text"), num_perm=128, k=1),
+                32,
+                4,
+            ).write.mode("append").parquet(band_index_path)
         if stats is not None:
             spark.createDataFrame(
                 [stats],

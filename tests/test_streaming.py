@@ -723,3 +723,42 @@ def test_scd2_stream_partial_redelivery_of_stale_batch_is_noop(spark, tmp_path):
     rows = {(r["tier"], r["valid_from"], r["valid_to"])
             for r in spark.read.parquet(dim_path).collect()}
     assert rows == {("bronze", t0, t1), ("silver", t1, t2), ("gold", t2, None)}
+
+
+def test_corpus_ingest_band_index_maintained_and_screens(spark, tmp_path):
+    from metrocloud_data_pipeline_spark.streaming import corpus
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    rows1 = [_doc(1, base), _doc(2, "another perfectly ordinary training document here")]
+    rows2 = [_doc(10, "genuinely novel second-batch content about parquet readers")]
+    rows3 = [_doc(20, near)]  # near-dup of doc 1, two batches later
+    src = tmp_path / "crawl"
+    src.mkdir()
+    for name, rows in (("b1", rows1), ("b2", rows2), ("b3", rows3)):
+        spark.createDataFrame(rows, corpus.DOCUMENT_SCHEMA).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    table = str(tmp_path / "corpus")
+    rejects = str(tmp_path / "rejects")
+    bands = str(tmp_path / "band_index")
+    q = corpus.run_corpus_ingest_stream(
+        corpus.stream_document_files(spark, str(src) + "/*", max_files_per_trigger=1),
+        table,
+        str(tmp_path / "ck"),
+        rejects_path=rejects,
+        near_dup_screen=True,
+        near_dup_threshold=0.8,
+        band_index_path=bands,
+    )
+    q.awaitTermination(180)
+
+    kept_ids = sorted(r["doc_id"] for r in spark.read.parquet(table).collect())
+    assert kept_ids == [1, 2, 10]  # the batch-3 near-dup was screened out
+    reasons = {r["doc_id"]: r["reason"] for r in spark.read.parquet(rejects).collect()}
+    assert reasons == {20: "near_duplicate_in_corpus"}
+    # the index tracks exactly the kept docs: 32 band rows per doc
+    idx = spark.read.parquet(bands)
+    assert idx.count() == 3 * 32
+    assert sorted(r["doc_id"] for r in idx.select("doc_id").distinct().collect()) == [1, 2, 10]
