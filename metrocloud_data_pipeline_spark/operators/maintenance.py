@@ -517,3 +517,33 @@ def scd2_merge(
         .unionByName(new_versions)
         .unionByName(first_versions)
     )
+
+
+def compact_append_store(
+    spark: SparkSession,
+    path: str,
+    target_partitions: int = 8,
+    sort_cols: list[str] | None = None,
+    codec: str = "zstd",
+) -> int:
+    """Small-file compaction for UNPARTITIONED append stores (the
+    streaming corpus/band-index/rejects sinks append one file set per
+    micro-batch — after thousands of batches the file count, not the
+    byte count, dominates scan planning time). Rewrites the store to
+    `target_partitions` files via a staging directory + atomic rename
+    (readers never see a half-written store); optional in-partition
+    sort adds min/max-pruning order the same way compact_partitions
+    does for the date-partitioned table. Returns the file count before
+    compaction. Run from OP-ST7-style periodic maintenance, between
+    micro-batches (foreachBatch sinks tolerate the swap because every
+    batch re-lists the store)."""
+    df = spark.read.parquet(path)
+    n_before = df.inputFiles().__len__()
+    out = df.repartition(target_partitions)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    out.write.mode("overwrite").option("compression", codec).parquet(tmp)
+    _fs_delete(path)
+    _fs_rename(tmp, path)
+    return n_before

@@ -310,3 +310,19 @@ def test_scd2_merge_versions_changed_keys(spark):
 
     with _pytest.raises(ValueError, match="multiple updates"):
         scd2_merge(dim, bad, "k", ["tier"])
+
+
+def test_compact_append_store_preserves_rows(spark, tmp_path):
+    from metrocloud_data_pipeline_spark.operators.maintenance import compact_append_store
+
+    p = str(tmp_path / "store")
+    for i in range(5):  # 5 appends -> many small files
+        spark.range(i * 10, (i + 1) * 10).selectExpr("id", "id * 2 AS v").coalesce(
+            2
+        ).write.mode("append").parquet(p)
+    before = compact_append_store(spark, p, target_partitions=2, sort_cols=["id"])
+    assert before >= 10
+    df = spark.read.parquet(p)
+    assert df.count() == 50
+    assert len(df.inputFiles()) <= 2
+    assert df.agg({"v": "sum"}).first()[0] == sum(2 * i for i in range(50))
