@@ -343,3 +343,49 @@ def test_funnel_matches_naive_python(spark, events):
         for i in range(len(reach(urows))):
             want[i + 1] += 1
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    visits=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 20), st.integers(0, 23)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cohort_retention_matches_naive_python(spark, visits):
+    # (user, day-offset-from-jan1, hour) soup: the per-key day-set
+    # reduction must equal a brute-force cohort walk, including
+    # duplicate same-day visits and the max_offset cap
+    import datetime as dt
+
+    from metrocloud_data_pipeline_spark.operators import temporal
+
+    rows = [
+        (u, dt.datetime(2024, 1, 1 + d, h)) for u, d, h in visits
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(str(r["cohort_day"]), r["day_offset"]): (r["n_active"], r["cohort_size"], r["retention_pct"])
+           for r in temporal.cohort_retention(df, max_offset_days=7).collect()}
+
+    by_user = {}
+    for u, t in rows:
+        by_user.setdefault(u, set()).add(t.date())
+    cohort_of = {u: min(days) for u, days in by_user.items()}
+    sizes = {}
+    for u, c in cohort_of.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    want = {}
+    for u, days in by_user.items():
+        c = cohort_of[u]
+        for d in days:
+            off = (d - c).days
+            if off <= 7:
+                key = (str(c), off)
+                want[key] = want.get(key, 0) + 1
+    want_full = {
+        k: (n, sizes[dt.date.fromisoformat(k[0])],
+            round(100.0 * n / sizes[dt.date.fromisoformat(k[0])], 6))
+        for k, n in want.items()
+    }
+    assert got == want_full
