@@ -171,6 +171,7 @@ def run_corpus_ingest_stream(
     near_dup_screen: bool = False,
     near_dup_threshold: float = 0.95,
     band_index_path: str | None = None,
+    compact_every_batches: int | None = None,
 ) -> StreamingQuery:
     """Wire curate_batch into foreachBatch against a parquet store.
 
@@ -276,6 +277,20 @@ def run_corpus_ingest_stream(
                 32,
                 4,
             ).write.mode("append").parquet(band_index_path)
+        if compact_every_batches and batch_id % compact_every_batches == (
+            compact_every_batches - 1
+        ):
+            # OP-ST7-shape periodic maintenance, inline between batches:
+            # one file set lands per micro-batch per sink, and after
+            # thousands of batches FILE COUNT (not bytes) dominates the
+            # per-batch store re-listing — rewrite the append sinks down
+            # to a bounded file count (atomic staging swap; the next
+            # batch re-lists and sees the compacted layout)
+            from ..operators.maintenance import compact_append_store
+
+            compact_append_store(spark, table_path, sort_cols=["digest"])
+            if band_index_path is not None:
+                compact_append_store(spark, band_index_path, sort_cols=["bucket"])
         if stats is not None:
             spark.createDataFrame(
                 [stats],

@@ -762,3 +762,35 @@ def test_corpus_ingest_band_index_maintained_and_screens(spark, tmp_path):
     idx = spark.read.parquet(bands)
     assert idx.count() == 3 * 32
     assert sorted(r["doc_id"] for r in idx.select("doc_id").distinct().collect()) == [1, 2, 10]
+
+
+def test_corpus_ingest_periodic_compaction_preserves_data(spark, tmp_path):
+    from metrocloud_data_pipeline_spark.streaming import corpus
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    for i in range(4):
+        spark.createDataFrame(
+            [_doc(100 + i, f"unique document number {i} with plenty of ordinary words")],
+            corpus.DOCUMENT_SCHEMA,
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    table = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+    q = corpus.run_corpus_ingest_stream(
+        corpus.stream_document_files(spark, str(src) + "/*", max_files_per_trigger=1),
+        table,
+        str(tmp_path / "ck"),
+        near_dup_screen=True,
+        band_index_path=bands,
+        compact_every_batches=2,
+    )
+    q.awaitTermination(180)
+
+    store = spark.read.parquet(table)
+    assert sorted(r["doc_id"] for r in store.collect()) == [100, 101, 102, 103]
+    idx = spark.read.parquet(bands)
+    assert idx.count() == 4 * 32
+    # batch 3 (the 4th) triggered compaction: the store re-listed after
+    # the swap holds far fewer files than 4 uncoalesced appends would
+    assert len(store.inputFiles()) <= 8
