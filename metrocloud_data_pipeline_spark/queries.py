@@ -168,6 +168,31 @@ def f6_metadata_lookup(spark, sf_dir):
 
 
 @q(
+    "f7_devices_gone_quiet",
+    oracle=_READINGS_CTE
+    + """
+SELECT device_id FROM (
+  SELECT DISTINCT device_id FROM readings WHERE ts < TIMESTAMP '2024-01-30 12:00:00'
+  EXCEPT
+  SELECT DISTINCT device_id FROM readings WHERE ts >= TIMESTAMP '2024-01-30 12:00:00'
+)
+""",
+)
+def f7_devices_gone_quiet(spark, sf_dir):
+    """Set-operation surface (EXCEPT plan shape): devices seen before
+    the cutoff with NO reading at-or-after it — the gone-quiet fleet
+    report behind the reference's device-offline alerting. Spark plans
+    EXCEPT [DISTINCT] as a left-anti join over pre-aggregated distinct
+    keys; both branches prune to the device column with the time
+    predicate pushed to the scan."""
+    r = readings(spark, sf_dir)
+    cutoff = F.lit("2024-01-30 12:00:00").cast("timestamp")
+    before = r.where(F.col("ts") < cutoff).select("device_id")
+    after = r.where(F.col("ts") >= cutoff).select("device_id")
+    return before.subtract(after)  # EXCEPT DISTINCT
+
+
+@q(
     "q1_latest_readings",
     oracle=_READINGS_CTE
     + """
@@ -3463,6 +3488,7 @@ QUERY_ORDER = [
     "q3_top3_per_device",
     "a14_sliding_monitor",
     "w4b_sessions_native",
+    "f7_devices_gone_quiet",
     # rows-only, recorded in r04, rotated out by the r5 additions
     # (knn_ivf's ivf_assignments dependency is re-verified in-window by
     # knn_join_ivf and knn_join_ivf_bucketed; dedup_embed_cosine_lsh's
