@@ -2594,6 +2594,59 @@ def a12_type_dow_cube(spark, sf_dir):
 
 
 @q(
+    "a15_grouping_sets",
+    oracle="""
+SELECT CAST(GROUPING(event_type, dow) AS INTEGER) AS gid,
+       event_type, dow, count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow, value FROM events)
+GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow))
+""",
+)
+def a15_grouping_sets(spark, sf_dir):
+    """EXPLICIT grouping sets — the third grouping construct next to
+    ROLLUP (a11, hierarchical) and CUBE (a12, full cross): exactly the
+    (type × dow), per-type, and per-dow levels, WITHOUT the grand
+    total a dashboard doesn't want — still one shuffle via the same
+    Expand operator, one level fewer than CUBE materializes."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", (F.weekday("ts") + 1).cast("long").alias("dow"), "value"
+    )
+    return ev.groupingSets(
+        [["event_type", "dow"], ["event_type"], ["dow"]], "event_type", "dow"
+    ).agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        round6(F.sum("value")).alias("total_value"),
+    )
+
+
+@q(
+    "f8_devices_in_both_windows",
+    oracle=_READINGS_CTE
+    + """
+SELECT device_id FROM (
+  SELECT DISTINCT device_id FROM readings WHERE ts < TIMESTAMP '2024-01-02'
+  INTERSECT
+  SELECT DISTINCT device_id FROM readings WHERE ts >= TIMESTAMP '2024-01-30'
+)
+""",
+)
+def f8_devices_in_both_windows(spark, sf_dir):
+    """INTERSECT set-operation shape (the survivor complement of f7's
+    EXCEPT): devices active in BOTH the first day and the last day of
+    the range — planned as a left-semi join over pre-aggregated
+    distinct keys, both scans pruned by the pushed time predicate."""
+    r = readings(spark, sf_dir)
+    first_day = r.where(F.col("ts") < F.lit("2024-01-02").cast("timestamp")).select(
+        "device_id"
+    )
+    last_day = r.where(F.col("ts") >= F.lit("2024-01-30").cast("timestamp")).select(
+        "device_id"
+    )
+    return first_day.intersect(last_day)
+
+
+@q(
     "t2_pivot_event_values",
     oracle="""
 SELECT user_id,
@@ -3489,6 +3542,8 @@ QUERY_ORDER = [
     "a14_sliding_monitor",
     "w4b_sessions_native",
     "f7_devices_gone_quiet",
+    "f8_devices_in_both_windows",
+    "a15_grouping_sets",
     # rows-only, recorded in r04, rotated out by the r5 additions
     # (knn_ivf's ivf_assignments dependency is re-verified in-window by
     # knn_join_ivf and knn_join_ivf_bucketed; dedup_embed_cosine_lsh's
