@@ -2358,6 +2358,43 @@ def w4_user_sessions(spark, sf_dir):
 
 
 @q(
+    "w7_locf_fill",
+    oracle=_READINGS_CTE
+    + """
+, masked AS (
+  SELECT reading_id, device_id, ts,
+         CASE WHEN is_anomaly THEN NULL ELSE value END AS raw_value
+  FROM readings
+)
+SELECT reading_id, device_id, ts, raw_value,
+       last_value(raw_value IGNORE NULLS) OVER (
+         PARTITION BY device_id ORDER BY ts, reading_id
+         ROWS UNBOUNDED PRECEDING) AS filled_value
+FROM masked
+""",
+)
+def w7_locf_fill(spark, sf_dir):
+    """LOCF gap fill (last observation carried forward): anomalous
+    readings are nulled, then each device's series forward-fills from
+    the most recent good value — the standard sensor-cleaning step
+    before resampling. One window (last ignorenulls over an unbounded
+    preceding frame) = one keyed shuffle; a device's leading nulls stay
+    null (nothing to carry)."""
+    from pyspark.sql.window import Window
+
+    r = readings(spark, sf_dir).select(
+        "reading_id",
+        "device_id",
+        "ts",
+        F.when(~F.col("is_anomaly"), F.col("value")).alias("raw_value"),
+    )
+    w = Window.partitionBy("device_id").orderBy("ts", "reading_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return r.withColumn("filled_value", F.last("raw_value", ignorenulls=True).over(w))
+
+
+@q(
     "w5_event_funnel",
     oracle="""
 WITH s1 AS (SELECT user_id AS k, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
@@ -3544,6 +3581,7 @@ QUERY_ORDER = [
     "f7_devices_gone_quiet",
     "f8_devices_in_both_windows",
     "a15_grouping_sets",
+    "w7_locf_fill",
     # rows-only, recorded in r04, rotated out by the r5 additions
     # (knn_ivf's ivf_assignments dependency is re-verified in-window by
     # knn_join_ivf and knn_join_ivf_bucketed; dedup_embed_cosine_lsh's
