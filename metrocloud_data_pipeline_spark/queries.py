@@ -2358,6 +2358,47 @@ def w4_user_sessions(spark, sf_dir):
 
 
 @q(
+    "a16_mad_outliers",
+    oracle=_READINGS_CTE
+    + """
+, med AS (SELECT device_id, median(value) AS med FROM readings GROUP BY 1),
+mad AS (SELECT r.device_id, median(abs(r.value - m.med)) AS mad
+        FROM readings r JOIN med m USING (device_id) GROUP BY 1)
+SELECT r.device_id, round(any_value(m.med), 6) AS med, round(any_value(d.mad), 6) AS mad,
+       count(*) FILTER (WHERE abs(r.value - m.med) > 3 * d.mad) AS n_outliers,
+       count(*) AS n_readings
+FROM readings r JOIN med m USING (device_id) JOIN mad d USING (device_id)
+GROUP BY 1
+""",
+)
+def a16_mad_outliers(spark, sf_dir):
+    """Robust per-device outlier scoring: median absolute deviation with
+    the 3-MAD rule — the statistical upgrade over OP-T7's fixed
+    thresholds (a device's own distribution sets its envelope, so a
+    hot-running sensor doesn't alarm forever). Three passes over the
+    readings, each reduced to a devices-sized frame that BROADCASTS
+    back — exact medians per group (percentile), no global state."""
+    r = readings(spark, sf_dir).select("device_id", "value")
+    med = r.groupBy("device_id").agg(F.percentile("value", 0.5).alias("med"))
+    with_med = r.join(F.broadcast(med), "device_id")
+    mad = with_med.groupBy("device_id").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "device_id")
+        .groupBy("device_id")
+        .agg(
+            round6(F.first("med")).alias("med"),
+            round6(F.first("mad")).alias("mad"),
+            F.count(
+                F.when(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_readings"),
+        )
+    )
+
+
+@q(
     "w7_locf_fill",
     oracle=_READINGS_CTE
     + """
@@ -3582,6 +3623,7 @@ QUERY_ORDER = [
     "f8_devices_in_both_windows",
     "a15_grouping_sets",
     "w7_locf_fill",
+    "a16_mad_outliers",
     # rows-only, recorded in r04, rotated out by the r5 additions
     # (knn_ivf's ivf_assignments dependency is re-verified in-window by
     # knn_join_ivf and knn_join_ivf_bucketed; dedup_embed_cosine_lsh's
