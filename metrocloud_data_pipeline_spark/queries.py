@@ -2358,6 +2358,76 @@ def w4_user_sessions(spark, sf_dir):
 
 
 @q(
+    "a17_diurnal_profile",
+    oracle=_READINGS_CTE
+    + """
+SELECT device_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+       count(*) AS n_readings,
+       round(avg(value), 6) AS avg_value,
+       round(stddev_samp(value), 6) AS stddev_value
+FROM readings GROUP BY 1, 2
+""",
+)
+def a17_diurnal_profile(spark, sf_dir):
+    """Diurnal (hour-of-day) baseline per device type: the seasonal
+    profile a monitoring stack learns before it can tell 'hot because
+    it is 3 pm' from 'hot because it is broken'. One scan into a
+    types×24 aggregate."""
+    r = readings(spark, sf_dir)
+    return r.groupBy(
+        "device_type", F.hour("ts").cast("int").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        round6(F.avg("value")).alias("avg_value"),
+        round6(F.stddev_samp("value")).alias("stddev_value"),
+    )
+
+
+@q(
+    "a18_seasonal_deviation",
+    oracle=_READINGS_CTE
+    + """
+, prof AS (
+  SELECT device_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+         avg(value) AS base_avg, stddev_samp(value) AS base_std
+  FROM readings GROUP BY 1, 2
+)
+SELECT r.reading_id, r.device_id, r.device_type, r.ts, r.value,
+       round((r.value - p.base_avg) / p.base_std, 6) AS z_score
+FROM readings r
+JOIN prof p ON p.device_type = r.device_type AND p.hour_of_day = CAST(hour(r.ts) AS INTEGER)
+WHERE abs((r.value - p.base_avg) / p.base_std) > 2.5
+""",
+)
+def a18_seasonal_deviation(spark, sf_dir):
+    """Seasonality-aware anomaly scoring: each reading z-scored against
+    its OWN (device_type, hour-of-day) baseline, flagged beyond 2.5σ —
+    what OP-T7's flat thresholds become once the diurnal profile
+    exists. The baseline is a types×24 frame that BROADCASTS back onto
+    the one reading scan."""
+    r = readings(spark, sf_dir)
+    prof = r.groupBy(
+        "device_type", F.hour("ts").cast("int").alias("hour_of_day")
+    ).agg(
+        F.avg("value").alias("base_avg"), F.stddev_samp("value").alias("base_std")
+    )
+    z = (F.col("value") - F.col("base_avg")) / F.col("base_std")
+    return (
+        r.withColumn("hour_of_day", F.hour("ts").cast("int"))
+        .join(F.broadcast(prof), ["device_type", "hour_of_day"])
+        .where(F.abs(z) > 2.5)
+        .select(
+            "reading_id",
+            "device_id",
+            "device_type",
+            "ts",
+            "value",
+            round6(z).alias("z_score"),
+        )
+    )
+
+
+@q(
     "a16_mad_outliers",
     oracle=_READINGS_CTE
     + """
@@ -3624,6 +3694,8 @@ QUERY_ORDER = [
     "a15_grouping_sets",
     "w7_locf_fill",
     "a16_mad_outliers",
+    "a17_diurnal_profile",
+    "a18_seasonal_deviation",
     # rows-only, recorded in r04, rotated out by the r5 additions
     # (knn_ivf's ivf_assignments dependency is re-verified in-window by
     # knn_join_ivf and knn_join_ivf_bucketed; dedup_embed_cosine_lsh's
