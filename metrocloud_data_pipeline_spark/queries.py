@@ -3682,6 +3682,8 @@ QUERY_ORDER = [
     "w6_cohort_retention",
     "dq_profile_events",
     "scd2_customer_dim",
+    # (rows-only by design within this block: obs_hot_keys_approx —
+    # superset-not-subset heavy hitters; planted-hitter pytest)
     "obs_hot_keys_approx",
     "a13_daily_from_hourly",
     "embed_quantize_stats",
