@@ -100,6 +100,13 @@ HEADLINE = [
     "dq_profile_events",
     "embed_quantize_stats",
     "split_leakage_report",
+    "f7_devices_gone_quiet",
+    "f8_devices_in_both_windows",
+    "a15_grouping_sets",
+    "w7_locf_fill",
+    "a16_mad_outliers",
+    "a17_diurnal_profile",
+    "a18_seasonal_deviation",
 ]
 # Deliberately absent: the exact-all-pairs baselines (dedup_ngram_jaccard,
 # dedup_embed_cosine) — quadratic verification twins for the oracle gate,
