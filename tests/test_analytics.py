@@ -209,3 +209,57 @@ def test_rollup_cascade_equals_direct_daily(spark):
     for k in casc:
         for c in ("reading_count", "avg_value", "min_value", "max_value", "anomaly_count", "last_value", "first_value"):
             assert casc[k][c] == direct[k][c], (k, c, casc[k][c], direct[k][c])
+
+
+def test_mad_outliers_flags_planted_spike(spark):
+    from metrocloud_data_pipeline_spark.queries import SPARK_QUERIES
+
+    # build a tiny events table through the readings mapping used by the
+    # query: 9 calm values + one spike for device 1; device 2 all calm
+    import datetime as dt
+
+    rows = []
+    for i in range(9):
+        rows.append((i, dt.datetime(2024, 1, 1, i), 1, "view", 10.0 + (i % 3), "{}"))
+    rows.append((9, dt.datetime(2024, 1, 1, 10), 1, "view", 500.0, "{}"))
+    for i in range(5):
+        rows.append((20 + i, dt.datetime(2024, 1, 1, i), 2, "view", 7.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {r["device_id"]: r for r in SPARK_QUERIES["a16_mad_outliers"](spark, d).collect()}
+    assert out[1]["n_outliers"] == 1          # only the spike exceeds 3 MAD
+    assert out[1]["med"] == 11.0
+    assert out[2]["n_outliers"] == 0 and out[2]["mad"] == 0.0
+
+
+def test_locf_fill_carries_last_good_value(spark):
+    from metrocloud_data_pipeline_spark.queries import SPARK_QUERIES
+
+    import datetime as dt
+
+    rows = [
+        # device 1: good, ANOMALY (value>150 under the readings mapping), good
+        (0, dt.datetime(2024, 1, 1, 0), 1, "view", 10.0, "{}"),
+        (1, dt.datetime(2024, 1, 1, 1), 1, "view", 200.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 2), 1, "view", 30.0, "{}"),
+        # device 2: LEADING anomaly stays null after fill
+        (3, dt.datetime(2024, 1, 1, 0), 2, "view", 300.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 1), 2, "view", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {r["reading_id"]: r for r in SPARK_QUERIES["w7_locf_fill"](spark, d).collect()}
+    assert out[1]["raw_value"] is None and out[1]["filled_value"] == 10.0
+    assert out[2]["filled_value"] == 30.0
+    assert out[3]["raw_value"] is None and out[3]["filled_value"] is None
+    assert out[4]["filled_value"] == 5.0
