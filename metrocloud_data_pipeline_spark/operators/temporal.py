@@ -355,3 +355,39 @@ def session_summary_builtin(
             key_col, "session_start", "session_end", "n_events", "total_value"
         )
     )
+
+
+def merge_intervals(
+    intervals: DataFrame,
+    key_col: str,
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Coalesce overlapping/touching intervals per key into maximal
+    islands (interval UNION) — the alert-windows primitive: N raw
+    "error ±30min" spans become the distinct outage windows a pager
+    report shows. Classic gaps-and-islands on intervals: sort by start,
+    carry the running max end, open a new island when a start clears
+    everything seen before it.
+
+    One exchange: both window steps (running max-end over preceding
+    rows, then the island running count) share the (key, start) sort,
+    and the island rollup groups on a prefix of the same partitioning.
+    Touching intervals (start == previous end) merge — intervals are
+    treated as closed."""
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = (
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end)
+    ).cast("int")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    labeled = intervals.withColumn("_new", new_island).withColumn(
+        "island_seq", F.sum("_new").over(run)
+    )
+    return labeled.groupBy(key_col, "island_seq").agg(
+        F.min(start_col).alias("island_start"),
+        F.max(end_col).alias("island_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )

@@ -2638,6 +2638,48 @@ def asof_next_error(spark, sf_dir):
 
 
 @q(
+    "iv_merged_outages",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+  FROM events WHERE event_type = 'error'
+), o AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+  FROM iv
+), lab AS (
+  SELECT *, CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END AS new_island
+  FROM o
+), num AS (
+  SELECT *, CAST(sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_seq
+  FROM lab
+)
+SELECT user_id, island_seq, min(s) AS island_start, max(e) AS island_end,
+       count(*) AS n_intervals
+FROM num GROUP BY 1, 2
+""",
+)
+def iv_merged_outages(spark, sf_dir):
+    """Interval UNION (coalesce overlapping windows): every error opens
+    a 30-minute span; overlapping/touching spans per user merge into
+    the distinct outage islands a pager report shows. One exchange —
+    running-max-end + island labeling share the (key, start) sort, and
+    the island rollup reuses the same partitioning."""
+    ivs = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+        )
+    )
+    return temporal.merge_intervals(ivs, "user_id")
+
+
+@q(
     "iv_error_windows",
     oracle="""
 WITH errors AS (
@@ -3698,6 +3740,7 @@ QUERY_ORDER = [
     "a16_mad_outliers",
     "a17_diurnal_profile",
     "a18_seasonal_deviation",
+    "iv_merged_outages",
     # rows-only, recorded in r04, rotated out by the r5 additions
     # (knn_ivf's ivf_assignments dependency is re-verified in-window by
     # knn_join_ivf and knn_join_ivf_bucketed; dedup_embed_cosine_lsh's

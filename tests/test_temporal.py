@@ -247,3 +247,28 @@ def test_cohort_retention_counts_and_pct(spark):
     assert out[("2024-01-01", 2)]["retention_pct"] == 100.0
     assert out[("2024-01-02", 0)] == out[("2024-01-02", 0)]  # u3's cohort exists
     assert out[("2024-01-02", 0)]["cohort_size"] == 1
+
+
+def test_merge_intervals_islands(spark):
+    from datetime import datetime
+
+    from metrocloud_data_pipeline_spark.operators import temporal
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # key 1: [0,10] + [5,20] overlap; [20,25] touches -> one island;
+        # [40,45] separate
+        (1, t(0), t(10)), (1, t(5), t(20)), (1, t(20), t(25)), (1, t(40), t(45)),
+        # key 2: containment — [0,30] swallows [5,10]
+        (2, t(0), t(30)), (2, t(5), t(10)),
+    ]
+    iv = spark.createDataFrame(rows, "k long, start timestamp, end timestamp")
+    out = {(r["k"], str(r["island_start"])): r
+           for r in temporal.merge_intervals(iv, "k").collect()}
+    assert len(out) == 3
+    a = out[(1, "2024-01-01 00:00:00")]
+    assert str(a["island_end"]) == "2024-01-01 00:25:00" and a["n_intervals"] == 3
+    b = out[(1, "2024-01-01 00:40:00")]
+    assert b["n_intervals"] == 1
+    c = out[(2, "2024-01-01 00:00:00")]
+    assert str(c["island_end"]) == "2024-01-01 00:30:00" and c["n_intervals"] == 2
