@@ -587,35 +587,53 @@ def cross_corpus_jaccard(
     inc_bands = _band_buckets(inc_sigs, bands, rpb).select(
         F.col("doc_id").alias("doc_new"), "band", "bucket"
     )
-    if corpus_bands is None:
+    own_persist = corpus_bands is None
+    if own_persist:
         # the corpus band frame feeds BOTH the hot-bucket guard and the
         # candidate join; persist so the (expensive) corpus signature
         # pass runs once — same rationale and CacheManager-reuse
         # methodology as token_jaccard_pairs_lsh's persisted signatures.
         # A band row is (doc_id, band, bucket) — 3 longs — so this is
-        # ~bands x |corpus| longs, negligible next to the text.
+        # ~bands x |corpus| longs, negligible next to the text. The
+        # cache entry is OWNED here: the candidate set (batch-bounded)
+        # is checkpointed below and the bands released before returning,
+        # so repeated standalone calls never accumulate dead cache
+        # entries (streaming callers pass corpus_bands and manage their
+        # own persist lifetime).
         corpus_bands = _band_buckets(
             minhash_signatures(corpus, num_perm=num_perm, k=1), bands, rpb
         ).persist()
-    corp_bands = corpus_bands.select(F.col("doc_id").alias("doc_corpus"), "band", "bucket")
-    if max_bucket_size is not None:
-        sizes = corp_bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-        hot = sizes.where(F.col("_n") > max_bucket_size)
-        if fail_on_dropped_buckets:
-            hit = hot.limit(1).collect()
-            if hit:
-                r = hit[0]
-                raise ValueError(
-                    f"cross_corpus_jaccard: band {r['band']} bucket {r['bucket']} "
-                    f"holds {r['_n']} corpus docs (> max_bucket_size="
-                    f"{max_bucket_size}); the cap would drop qualifying pairs"
-                )
-        corp_bands = corp_bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-    cands = (
-        corp_bands.join(F.broadcast(inc_bands), ["band", "bucket"])
-        .select("doc_new", "doc_corpus")
-        .distinct()
-    )
+    try:
+        corp_bands = corpus_bands.select(
+            F.col("doc_id").alias("doc_corpus"), "band", "bucket"
+        )
+        if max_bucket_size is not None:
+            sizes = corp_bands.groupBy("band", "bucket").agg(
+                F.count(F.lit(1)).alias("_n")
+            )
+            hot = sizes.where(F.col("_n") > max_bucket_size)
+            if fail_on_dropped_buckets:
+                hit = hot.limit(1).collect()
+                if hit:
+                    r = hit[0]
+                    raise ValueError(
+                        f"cross_corpus_jaccard: band {r['band']} bucket {r['bucket']} "
+                        f"holds {r['_n']} corpus docs (> max_bucket_size="
+                        f"{max_bucket_size}); the cap would drop qualifying pairs"
+                    )
+            corp_bands = corp_bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        cands = (
+            corp_bands.join(F.broadcast(inc_bands), ["band", "bucket"])
+            .select("doc_new", "doc_corpus")
+            .distinct()
+        )
+        if own_persist:
+            # materialize the (batch-bounded) candidate ids so the
+            # returned plan no longer references the band cache
+            cands = cands.localCheckpoint()
+    finally:
+        if own_persist:
+            corpus_bands.unpersist()
     toks = lambda df: df.select(  # noqa: E731
         "doc_id", F.array_distinct(F.split(_norm_text(F.col("text")), " ")).alias("toks")
     )

@@ -901,11 +901,42 @@ def semdedup_keep_list(
 
     The pair frame is near-dup-sized (tiny vs the corpus), so the
     keep decision is a broadcast-able left join back onto the corpus —
-    one scan at 100 TB, same economics as dedup_keep_list."""
+    one scan at 100 TB, same economics as dedup_keep_list.
+
+    kept_dup is resolved through the keep set: the min-id displacer of
+    a dropped vector may itself be dropped (transitive chain (1,2),
+    (2,3) with no (1,3) pair — 3's displacer 2 loses to 1), so the
+    pointer is chased through the displaced mapping until it lands on a
+    SURVIVING vector — pointer doubling over the (tiny) displaced
+    frame, O(log chain) rounds with the same only-decreases sum probe
+    as duplicate_clusters."""
     pairs = semdedup_pairs(embeddings, k=k, n_iter=n_iter, threshold=threshold)
     displaced = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
         F.min("vec_a").alias("kept_dup")
-    )
+    ).localCheckpoint()
+
+    def _sum(frame: DataFrame):
+        return frame.agg(F.sum(F.col("kept_dup").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev = _sum(displaced)
+    for _ in range(20):
+        displaced = (
+            displaced.alias("x")
+            .join(
+                displaced.alias("y"),
+                F.col("x.kept_dup") == F.col("y.vec_id"),
+                "left",
+            )
+            .select(
+                F.col("x.vec_id").alias("vec_id"),
+                F.coalesce(F.col("y.kept_dup"), F.col("x.kept_dup")).alias("kept_dup"),
+            )
+            .localCheckpoint()
+        )
+        cur = _sum(displaced)
+        if cur == prev:  # chased pointers only ever decrease
+            break
+        prev = cur
     return (
         embeddings.select("vec_id")
         .join(F.broadcast(displaced), "vec_id", "left")

@@ -70,6 +70,54 @@ def _fs_rename(src: str, dst: str) -> None:
         raise IOError(f"rename failed: {src} -> {dst}")
 
 
+def _fs_exists(path: str) -> bool:
+    fs, jpath, _ = _jfs(path)
+    return fs.exists(jpath)
+
+
+_OLD_SUFFIX = "._old"
+
+
+def swap_store(path: str, staging: str) -> None:
+    """Crash-recoverable full-store replacement: promote a fully-written
+    staging directory to the live path without a window where the store
+    is simply gone. The naive delete(live)+rename(staging) sequence has
+    exactly that window — a crash between the two ops loses the store
+    permanently, and (under foreachBatch) the retried batch then fails
+    its store read forever.
+
+    Sequence: clear any leftover `path._old` from a prior completed
+    swap, rename the live dir ASIDE to `path._old`, rename staging into
+    place, drop `._old`. Every intermediate crash state keeps at least
+    one complete copy on disk and is repaired by recover_store():
+      - before the aside rename: live store intact, nothing to do;
+      - between aside and promote: live missing but `._old` complete —
+        recover_store() restores it and the caller's retry re-runs;
+      - after promote: live store is the new copy; a leftover `._old`
+        is cleared by the next swap (or recover_store, which sees the
+        live dir and leaves it alone)."""
+    old = path.rstrip("/") + _OLD_SUFFIX
+    _fs_delete(old)
+    if _fs_exists(path):
+        _fs_rename(path, old)
+    _fs_rename(staging, path)
+    _fs_delete(old)
+
+
+def recover_store(path: str) -> bool:
+    """Repair an interrupted swap_store: if the live dir is missing but
+    `path._old` survives (crash between the aside and promote renames),
+    restore it. Idempotent and cheap (two existence probes); call at the
+    top of any foreachBatch that reads a swap-managed store so a retry
+    after an unclean stop sees a complete store. Returns True iff a
+    recovery rename happened."""
+    old = path.rstrip("/") + _OLD_SUFFIX
+    if not _fs_exists(path) and _fs_exists(old):
+        _fs_rename(old, path)
+        return True
+    return False
+
+
 def with_partition_col(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
     return df.withColumn(PARTITION_COL, F.to_date(F.col(ts_col)))
 
@@ -167,8 +215,7 @@ def compact_partitions(
             .option("compression", codec)
             .parquet(tmp)
         )
-        _fs_delete(part_dir)
-        _fs_rename(tmp, part_dir)
+        swap_store(part_dir, tmp)
         compacted += 1
     return compacted
 
@@ -536,7 +583,9 @@ def compact_append_store(
     does for the date-partitioned table. Returns the file count before
     compaction. Run from OP-ST7-style periodic maintenance, between
     micro-batches (foreachBatch sinks tolerate the swap because every
-    batch re-lists the store)."""
+    batch re-lists the store; the swap itself is the crash-recoverable
+    aside-rename sequence — see swap_store — so a kill mid-compaction
+    never loses the store)."""
     df = spark.read.parquet(path)
     n_before = df.inputFiles().__len__()
     out = df.repartition(target_partitions)
@@ -544,6 +593,5 @@ def compact_append_store(
         out = out.sortWithinPartitions(*sort_cols)
     tmp = path.rstrip("/") + "._compact_tmp"
     out.write.mode("overwrite").option("compression", codec).parquet(tmp)
-    _fs_delete(path)
-    _fs_rename(tmp, path)
+    swap_store(path, tmp)
     return n_before

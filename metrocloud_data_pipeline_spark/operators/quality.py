@@ -172,3 +172,50 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         ]
     )
     return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def profile_table_approx(
+    df: DataFrame, cols: list[str] | None = None, rsd: float = 0.02
+) -> DataFrame:
+    """The 100 TB profile_table: identical report shape with per-column
+    NDV from HyperLogLog++ (`approx_count_distinct`, default 2% rsd)
+    instead of exact countDistinct. The exact version's Expand replica
+    per distinct-column (input rows x profiled columns entering the
+    shuffle) is the scale-killer this removes: here every column is one
+    constant-size HLL sketch in a single ordinary aggregate — one scan,
+    one 1-row exchange, no Expand, regardless of column count or
+    cardinality. Same single-pass/explode contract as profile_table;
+    same economics as the a6/a9 approx twins."""
+    if cols is None:
+        cols = df.columns
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        if dtypes[c].startswith("timestamp"):
+            mn = F.date_format(F.min(col), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            mx = F.date_format(F.max(col), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        else:
+            mn = F.min(col).cast("string")
+            mx = F.max(col).cast("string")
+        aggs += [
+            F.count(col).alias(f"_nn{i}"),
+            F.approx_count_distinct(col, rsd).alias(f"_nd{i}"),
+            mn.alias(f"_mn{i}"),
+            mx.alias(f"_mx{i}"),
+        ]
+    one = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"_nn{i}")).alias("n_null"),
+                F.col(f"_nd{i}").alias("n_distinct_approx"),
+                F.col(f"_mn{i}").alias("min_value"),
+                F.col(f"_mx{i}").alias("max_value"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select("p.*")

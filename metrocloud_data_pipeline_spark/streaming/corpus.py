@@ -40,6 +40,68 @@ DOCUMENT_SCHEMA = (
     "doc_id long, text string, lang string, source string, n_chars long"
 )
 
+# MinHash parameters shared by the in-batch screen and the persisted
+# band index — they MUST match, or stored band rows are meaningless.
+NUM_PERM = 128
+BANDS = 32
+ROWS_PER_BAND = NUM_PERM // BANDS
+
+
+def _ensure_band_index(
+    spark: SparkSession, store: DataFrame, band_index_path: str
+) -> DataFrame | None:
+    """Return a band index guaranteed to cover every doc in the corpus
+    store, repairing it first if it has fallen behind. Returns None only
+    if the repair itself cannot make the index trustworthy.
+
+    Two real divergence modes exist (both permanent screening gaps if
+    trusted blindly, because later batches screen ONLY against the
+    index):
+      - bootstrap: the stream is started with band_index_path against a
+        pre-existing corpus store — the index starts empty and would
+        only ever hold post-start docs;
+      - crash gap: a kill between the corpus append and the band append
+        leaves docs in the store with no band rows, and the retried
+        batch sees them as duplicate_in_corpus (kept is empty), so
+        their band rows would never be written.
+
+    Detection is two column-pruned counts (every covered doc contributes
+    exactly BANDS rows, and band rows are only ever appended AFTER their
+    doc is in the store, so index rows == store docs x BANDS iff in
+    sync — parquet job commits are all-or-nothing, so partial per-doc
+    band sets do not occur). Repair bands exactly the missing docs
+    (store doc_ids anti-joined against index doc_ids) and appends them —
+    batch-sized after a crash, store-sized once at bootstrap."""
+    from ..llm.dedup import _band_buckets, minhash_signatures
+
+    n_store = store.select("doc_id").count()
+    try:
+        idx = spark.read.parquet(band_index_path)
+        n_idx = idx.count()
+    except Exception:
+        idx = None
+        n_idx = 0
+    if idx is not None and n_idx == n_store * BANDS:
+        return idx
+    missing_ids = (
+        store.select("doc_id").distinct()
+        if idx is None
+        else store.select("doc_id").join(
+            idx.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+    )
+    missing_docs = store.select("doc_id", "text").join(missing_ids, "doc_id", "left_semi")
+    _band_buckets(
+        minhash_signatures(missing_docs, num_perm=NUM_PERM, k=1), BANDS, ROWS_PER_BAND
+    ).write.mode("append").parquet(band_index_path)
+    repaired = spark.read.parquet(band_index_path)
+    if repaired.count() != n_store * BANDS:  # pragma: no cover - defensive
+        # index holds rows for docs missing from the store (should be
+        # impossible: bands append strictly after their docs) — refuse
+        # to trust it rather than screen against ghosts
+        return None
+    return repaired
+
 
 def stream_document_files(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
@@ -106,10 +168,10 @@ def curate_batch(
         if own_persist:
             corpus_bands = _band_buckets(
                 minhash_signatures(
-                    corpus_docs.select("doc_id", "text"), num_perm=128, k=1
+                    corpus_docs.select("doc_id", "text"), num_perm=NUM_PERM, k=1
                 ),
-                32,
-                4,
+                BANDS,
+                ROWS_PER_BAND,
             ).persist()
         try:
             nd_ids = (
@@ -194,6 +256,13 @@ def run_corpus_ingest_stream(
     spark = doc_stream.sparkSession
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        # the inline compaction below swaps stores via swap_store — if a
+        # prior run died mid-swap, restore the aside copy before reading
+        from ..operators.maintenance import recover_store
+
+        recover_store(table_path)
+        if band_index_path is not None:
+            recover_store(band_index_path)
         try:
             store = spark.read.parquet(table_path)
             existing = store.select("digest")
@@ -206,10 +275,10 @@ def run_corpus_ingest_stream(
             corpus_docs = None
         corpus_bands = None
         if corpus_docs is not None and band_index_path is not None:
-            try:
-                corpus_bands = spark.read.parquet(band_index_path)
-            except Exception:
-                corpus_bands = None  # index missing: fall back to re-banding
+            # NEVER trust the index blindly: bootstrap/crash gaps (docs
+            # in the store with no band rows) would otherwise let their
+            # near-dups through forever — repair before screening
+            corpus_bands = _ensure_band_index(spark, store, band_index_path)
         kept, rejected = curate_batch(
             batch,
             existing_digests=existing,
@@ -273,9 +342,9 @@ def run_corpus_ingest_stream(
             from ..llm.dedup import _band_buckets, minhash_signatures
 
             _band_buckets(
-                minhash_signatures(kept.select("doc_id", "text"), num_perm=128, k=1),
-                32,
-                4,
+                minhash_signatures(kept.select("doc_id", "text"), num_perm=NUM_PERM, k=1),
+                BANDS,
+                ROWS_PER_BAND,
             ).write.mode("append").parquet(band_index_path)
         if compact_every_batches and batch_id % compact_every_batches == (
             compact_every_batches - 1

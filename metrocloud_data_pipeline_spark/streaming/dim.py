@@ -8,11 +8,12 @@ way corpus ingest wires curate_batch:
 - each micro-batch is reduced to LATEST-update-per-key first (several
   updates for one key within a batch collapse to the newest by
   effective_ts — scd2_merge's one-per-key contract);
-- the standing dimension store is read, merged, and atomically
-  replaced via a staging-directory rename (a dimension is small next
-  to facts — full rewrite per batch is the standard lakehouse MERGE
-  cost — and the rename keeps readers from seeing a half-written
-  store);
+- the standing dimension store is read, merged, and replaced via the
+  crash-recoverable staging swap (maintenance.swap_store: live dir
+  renamed aside, staging promoted, aside dropped — one complete copy
+  exists at every crash point, and recover_store() at batch start
+  repairs an interrupted swap; a dimension is small next to facts, so
+  full rewrite per batch is the standard lakehouse MERGE cost);
 - re-delivered batches are harmless: merging the same updates twice is
   a no-op by construction (the second pass sees attributes identical
   to the now-current versions and drops them), so the sink is
@@ -26,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.maintenance import _fs_delete, _fs_rename, scd2_merge
+from ..operators.maintenance import recover_store, scd2_merge, swap_store
 
 
 def latest_per_key(updates: DataFrame, key_col: str, effective_col: str) -> DataFrame:
@@ -62,6 +63,10 @@ def run_scd2_stream(
         if not batch.head(1):
             return
         spark = batch.sparkSession
+        # a prior run may have died mid-swap — restore the aside copy
+        # before reading, so the retried batch merges against a complete
+        # store (swap_store keeps one full copy at every crash point)
+        recover_store(dim_path)
         dim = spark.read.parquet(dim_path)
         merged = scd2_merge(
             dim,
@@ -72,8 +77,7 @@ def run_scd2_stream(
         )
         staging = dim_path.rstrip("/") + f"._staging_{batch_id}"
         merged.write.mode("overwrite").parquet(staging)
-        _fs_delete(dim_path)
-        _fs_rename(staging, dim_path)
+        swap_store(dim_path, staging)
 
     writer = update_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path

@@ -921,3 +921,54 @@ def test_quantize_int8_roundtrip_invariants(spark):
     assert out[1]["scale"] == 0.0 and out[1]["qvec"] == [0, 0, 0, 0]
     assert out[1]["mse"] == 0.0
     assert out[2]["qvec"][0] == 127 and out[2]["qvec"][1] == -127
+
+
+def test_cross_corpus_jaccard_standalone_releases_band_cache(spark):
+    """Standalone calls own their corpus-band persist and must release
+    it once the candidate set is checkpointed (r5 advice: one leaked
+    cache entry per call otherwise)."""
+    corpus_df = spark.createDataFrame(
+        [(i, f"document number {i} speaks about distinct topic {i * 7} only") for i in range(12)],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(100, "document number 3 speaks about distinct topic 21 only")],
+        "doc_id long, text string",
+    )
+    def storage():
+        return {
+            (i.id(), i.name(), i.memSize())
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    before = storage()
+    out = dedup.cross_corpus_jaccard(incoming, corpus_df, threshold=0.95).collect()
+    assert [(r["doc_new"], r["doc_corpus"]) for r in out] == [(100, 3)]
+    leftover = storage() - before
+    # the owned corpus-band persist (a named in-memory table holding the
+    # full corpus signature pass) must be gone; the only storage the call
+    # may leave behind is the batch-bounded candidate localCheckpoint
+    # (a bare MapPartitionsRDD, bytes-sized, reaped by ContextCleaner)
+    assert all(name == "MapPartitionsRDD" for (_, name, _) in leftover), leftover
+    assert len(leftover) <= 1
+
+
+def test_semdedup_kept_dup_resolves_through_transitive_chain(spark):
+    """Chain (1,2),(2,3) with no (1,3) pair: 3's min-id displacer is 2,
+    which is itself dropped — kept_dup must chase through to the
+    surviving representative 1 (r5 advice)."""
+    import math
+
+    def unit(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    # cos(20°)≈0.94 clears 0.9; cos(40°)≈0.77 does not → pairs (1,2),(2,3)
+    emb = spark.createDataFrame(
+        [(1, unit(0.0)), (2, unit(20.0)), (3, unit(40.0))],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in
+           similarity.semdedup_keep_list(emb, k=1, n_iter=1, threshold=0.9).collect()}
+    assert out[1]["keep"] is True and out[1]["kept_dup"] is None
+    assert out[2]["keep"] is False and out[2]["kept_dup"] == 1
+    assert out[3]["keep"] is False and out[3]["kept_dup"] == 1  # chased 2 -> 1

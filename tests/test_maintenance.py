@@ -326,3 +326,29 @@ def test_compact_append_store_preserves_rows(spark, tmp_path):
     assert df.count() == 50
     assert len(df.inputFiles()) <= 2
     assert df.agg({"v": "sum"}).first()[0] == sum(2 * i for i in range(50))
+
+
+def test_swap_store_promotes_staging_and_cleans_up(spark, tmp_path):
+    live = str(tmp_path / "store")
+    staging = live + "._staging"
+    spark.range(5).write.parquet(live)
+    spark.range(10).write.parquet(staging)
+    M.swap_store(live, staging)
+    assert spark.read.parquet(live).count() == 10
+    assert not M._fs_exists(live + "._old")
+    assert not M._fs_exists(staging)
+
+
+def test_recover_store_restores_aside_copy_after_crash(spark, tmp_path):
+    import shutil
+
+    live = str(tmp_path / "store")
+    spark.range(7).write.parquet(live)
+    # simulate the crash window between swap_store's aside rename and
+    # the staging promote: live dir gone, ._old holds the only copy
+    shutil.move(live, live + "._old")
+    assert M.recover_store(live) is True
+    assert spark.read.parquet(live).count() == 7
+    # idempotent no-op once the live dir is back
+    assert M.recover_store(live) is False
+    assert spark.read.parquet(live).count() == 7

@@ -794,3 +794,113 @@ def test_corpus_ingest_periodic_compaction_preserves_data(spark, tmp_path):
     # batch 3 (the 4th) triggered compaction: the store re-listed after
     # the swap holds far fewer files than 4 uncoalesced appends would
     assert len(store.inputFiles()) <= 8
+
+
+def test_band_index_bootstraps_from_preexisting_store(spark, tmp_path):
+    """Starting an indexed stream against a store built WITHOUT the index
+    must first bring the index up to full-store coverage — otherwise
+    near-dups of pre-existing docs pass the screen forever (r5 advice)."""
+    from metrocloud_data_pipeline_spark.streaming import corpus
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    table = str(tmp_path / "corpus")
+    # phase 1: un-indexed ingest seeds the store with docs 1 and 2
+    src1 = tmp_path / "crawl1"
+    src1.mkdir()
+    spark.createDataFrame(
+        [_doc(1, base), _doc(2, "another perfectly ordinary training document here")],
+        corpus.DOCUMENT_SCHEMA,
+    ).coalesce(1).write.parquet(str(src1 / "b1"))
+    corpus.run_corpus_ingest_stream(
+        corpus.stream_document_files(spark, str(src1) + "/*"),
+        table,
+        str(tmp_path / "ck1"),
+    ).awaitTermination(120)
+
+    # phase 2: a NEW stream turns the band index on; its first batch
+    # carries a near-dup of pre-existing doc 1
+    src2 = tmp_path / "crawl2"
+    src2.mkdir()
+    spark.createDataFrame(
+        [_doc(10, near), _doc(11, "genuinely novel content about parquet readers")],
+        corpus.DOCUMENT_SCHEMA,
+    ).coalesce(1).write.parquet(str(src2 / "b2"))
+    rejects = str(tmp_path / "rejects")
+    bands = str(tmp_path / "band_index")
+    corpus.run_corpus_ingest_stream(
+        corpus.stream_document_files(spark, str(src2) + "/*"),
+        table,
+        str(tmp_path / "ck2"),
+        rejects_path=rejects,
+        near_dup_screen=True,
+        near_dup_threshold=0.8,
+        band_index_path=bands,
+    ).awaitTermination(120)
+
+    assert sorted(r["doc_id"] for r in spark.read.parquet(table).collect()) == [1, 2, 11]
+    reasons = {r["doc_id"]: r["reason"] for r in spark.read.parquet(rejects).collect()}
+    assert reasons == {10: "near_duplicate_in_corpus"}
+    idx = spark.read.parquet(bands)
+    assert idx.count() == 3 * corpus.BANDS  # bootstrapped 1,2 + appended 11
+    assert sorted(r["doc_id"] for r in idx.select("doc_id").distinct().collect()) == [1, 2, 11]
+
+
+def test_band_index_crash_gap_is_repaired(spark, tmp_path):
+    """Docs in the store with no band rows (crash between the corpus
+    append and the band append) must regain their rows at the next batch
+    — the retry sees them as corpus dups, so nothing else would ever
+    band them (r5 advice)."""
+    import shutil
+
+    from metrocloud_data_pipeline_spark.streaming import corpus
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    table = str(tmp_path / "corpus")
+    bands = str(tmp_path / "band_index")
+    src1 = tmp_path / "crawl1"
+    src1.mkdir()
+    spark.createDataFrame(
+        [_doc(1, base), _doc(2, "another perfectly ordinary training document here")],
+        corpus.DOCUMENT_SCHEMA,
+    ).coalesce(1).write.parquet(str(src1 / "b1"))
+    corpus.run_corpus_ingest_stream(
+        corpus.stream_document_files(spark, str(src1) + "/*"),
+        table,
+        str(tmp_path / "ck1"),
+        near_dup_screen=True,
+        band_index_path=bands,
+    ).awaitTermination(120)
+
+    # simulate the gap: drop doc 1's band rows from the index
+    partial = spark.read.parquet(bands).where(F.col("doc_id") != 1)
+    tmp_idx = str(tmp_path / "idx_partial")
+    partial.coalesce(1).write.parquet(tmp_idx)
+    shutil.rmtree(bands)
+    shutil.move(tmp_idx, bands)
+    assert spark.read.parquet(bands).select("doc_id").distinct().count() == 1
+
+    src2 = tmp_path / "crawl2"
+    src2.mkdir()
+    spark.createDataFrame([_doc(10, near)], corpus.DOCUMENT_SCHEMA).coalesce(1).write.parquet(
+        str(src2 / "b2")
+    )
+    rejects = str(tmp_path / "rejects")
+    corpus.run_corpus_ingest_stream(
+        corpus.stream_document_files(spark, str(src2) + "/*"),
+        table,
+        str(tmp_path / "ck2"),
+        rejects_path=rejects,
+        near_dup_screen=True,
+        near_dup_threshold=0.8,
+        band_index_path=bands,
+    ).awaitTermination(120)
+
+    # the near-dup of the de-indexed doc was still screened out
+    assert sorted(r["doc_id"] for r in spark.read.parquet(table).collect()) == [1, 2]
+    reasons = {r["doc_id"]: r["reason"] for r in spark.read.parquet(rejects).collect()}
+    assert reasons == {10: "near_duplicate_in_corpus"}
+    # and the repair restored full coverage: every store doc banded
+    idx = spark.read.parquet(bands)
+    assert idx.count() == 2 * corpus.BANDS
