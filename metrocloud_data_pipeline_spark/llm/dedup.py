@@ -651,7 +651,12 @@ def cross_corpus_jaccard(
     )
 
 
-def token_jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.95) -> DataFrame:
+def token_jaccard_pairs_prefix(
+    docs: DataFrame,
+    threshold: float = 0.95,
+    entropy_guard: bool = True,
+    min_vocab_ratio: float = 0.5,
+) -> DataFrame:
     """Exact Jaccard pairs via prefix filtering (the AllPairs/PPJoin
     family, Bayardo et al., WWW '07) — the exactness-GUARANTEED
     sub-quadratic path next to token_jaccard_pairs_lsh's 1-minus-4e-24
@@ -674,7 +679,17 @@ def token_jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.95) -> Data
     token is common, prefixes degenerate toward all-pairs — on real
     Zipfian text the prefix join keys are the distribution's long tail.
     The exact verify reuses the array_intersect expression shared with
-    the LSH path, so all three formulations are value-identical."""
+    the LSH path, so all three formulations are value-identical.
+
+    entropy_guard (default on) turns that caveat into a refusal instead
+    of a silent quadratic run: before the candidate join, one cheap
+    aggregate over the (already-needed) document-frequency frame checks
+    vocabulary size against min_vocab_ratio x n_docs — when every token
+    is common (vocab far smaller than the corpus), prefixes stop
+    pruning and the join degenerates toward all-pairs, so the call
+    raises and points at token_jaccard_pairs_lsh (banded + capped, the
+    path built for low-entropy corpora). Pass entropy_guard=False only
+    when exactness on a known-small degenerate corpus is the point."""
     from pyspark.sql.window import Window
 
     toks = docs.select(
@@ -682,6 +697,18 @@ def token_jaccard_pairs_prefix(docs: DataFrame, threshold: float = 0.95) -> Data
     )
     exploded = toks.select("doc_id", F.explode("toks").alias("tok"))
     df_tok = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    if entropy_guard:
+        stats = df_tok.agg(F.count(F.lit(1)).alias("vocab")).collect()[0]
+        n_docs = docs.count()
+        if n_docs > 1 and stats["vocab"] < min_vocab_ratio * n_docs:
+            raise ValueError(
+                f"token_jaccard_pairs_prefix: vocabulary of {stats['vocab']} distinct "
+                f"tokens across {n_docs} docs (< {min_vocab_ratio} x n_docs) — prefix "
+                "filtering cannot prune a low-entropy corpus and the candidate join "
+                "degenerates toward all-pairs. Use token_jaccard_pairs_lsh (banded "
+                "MinHash + exact verify) for this corpus, or pass "
+                "entropy_guard=False to force the exact path."
+            )
     ranked = (
         exploded.join(df_tok, "tok")
         .withColumn(

@@ -391,3 +391,70 @@ def merge_intervals(
         F.max(end_col).alias("island_end"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+def gapfill_resample(
+    readings: DataFrame,
+    bucket: str = "6 hours",
+    key_col: str = "device_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Dense-grid resample with gap fill — the time_bucket_gapfill +
+    locf() surface (TimescaleDB's family adjacent to the reference's
+    bucket aggregates, init.sql:293-321): per key, EVERY bucket of the
+    observed span gets a row, observed buckets carry their aggregate,
+    missing buckets are emitted with n_readings=0 and the last observed
+    average carried forward. w1_gap_detection finds the holes;
+    w7_locf_fill repairs existing rows; this is the step a real sensor
+    user runs next — a regular grid for charting/joining/model input.
+
+    One row per (key, bucket) in [min observed, max observed] per key:
+      n_readings   rows observed in the bucket (0 for generated rows),
+      avg_value    bucket average (NULL for generated rows),
+      filled_value LOCF from the most recent observed bucket,
+      is_gap       TRUE on generated rows.
+
+    Scale shape, in order: (1) bucket aggregate — the only full-data
+    shuffle, map-side combined, output is keys x buckets; (2) per-key
+    span — a keys-sized aggregate off (1); (3) grid — sequence() over
+    each key's span exploded executor-side (never a driver loop, never
+    a cross join with a calendar table; a key's grid lives on one
+    partition, bounded by span/bucket rows); (4) left join of grid to
+    (1) on (key, bucket) — both sides already keys x buckets sized;
+    (5) one window for the LOCF carry, sharing the (key, bucket) sort.
+    At 100 TB the raw table is touched once, everything after is
+    aggregate-sized."""
+    sec = bucket_seconds(bucket)
+    b = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / sec).cast("long") * sec
+    )
+    bucketed = (
+        readings.select(F.col(key_col), b.alias("bucket_ts"), F.col(value_col))
+        .groupBy(key_col, "bucket_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            round6(F.avg(value_col)).alias("avg_value"),
+        )
+    )
+    span = bucketed.groupBy(key_col).agg(
+        F.min("bucket_ts").alias("_mn"), F.max("bucket_ts").alias("_mx")
+    )
+    grid = span.select(
+        key_col,
+        F.explode(
+            F.expr(f"sequence(_mn, _mx, interval {sec} seconds)")
+        ).alias("bucket_ts"),
+    )
+    joined = grid.join(bucketed, [key_col, "bucket_ts"], "left")
+    w = Window.partitionBy(key_col).orderBy("bucket_ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        key_col,
+        "bucket_ts",
+        F.coalesce("n_readings", F.lit(0)).alias("n_readings"),
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("n_readings").isNull().alias("is_gap"),
+    )

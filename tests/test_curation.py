@@ -377,3 +377,27 @@ def test_split_leakage_report_flags_cross_split_dup(spark):
     assert len(out) == 1
     assert out[0]["n_docs"] == 2 and out[0]["n_splits"] == 2
     assert out[0]["splits"] == "test,train"
+
+
+def test_profile_table_approx_agrees_with_exact(spark):
+    """HLL twin: identical report shape, NDV within the sketch's error
+    bound of the exact profiler, everything else byte-identical."""
+    from pyspark.sql import functions as F
+
+    from metrocloud_data_pipeline_spark.operators import quality as Q
+
+    df = spark.range(0, 5000).select(
+        F.col("id"),
+        (F.col("id") % 137).alias("k"),
+        F.when(F.col("id") % 10 != 0, F.col("id") % 50).alias("sparse"),
+    )
+    exact = {r["column"]: r for r in Q.profile_table(df).collect()}
+    approx = {r["column"]: r for r in Q.profile_table_approx(df, rsd=0.02).collect()}
+    assert set(exact) == set(approx) == {"id", "k", "sparse"}
+    for c in exact:
+        e, a = exact[c], approx[c]
+        assert (a["n_rows"], a["n_null"], a["min_value"], a["max_value"]) == (
+            e["n_rows"], e["n_null"], e["min_value"], e["max_value"]
+        )
+        # HLL++ at rsd=0.02: allow 3 sigma ≈ 6% relative error
+        assert abs(a["n_distinct_approx"] - e["n_distinct"]) <= max(1, 0.06 * e["n_distinct"])

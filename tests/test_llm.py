@@ -972,3 +972,18 @@ def test_semdedup_kept_dup_resolves_through_transitive_chain(spark):
     assert out[1]["keep"] is True and out[1]["kept_dup"] is None
     assert out[2]["keep"] is False and out[2]["kept_dup"] == 1
     assert out[3]["keep"] is False and out[3]["kept_dup"] == 1  # chased 2 -> 1
+
+
+def test_prefix_path_entropy_guard_raises_on_degenerate_corpus(spark):
+    """A corpus whose vocabulary is tiny relative to its size (every
+    token common) defeats prefix pruning — the guard must refuse and
+    point at the LSH path instead of going quadratic (r5 verdict)."""
+    # 40 docs drawn from a 6-word vocabulary: vocab << 0.5 * n_docs
+    rows = [(i, f"alpha beta gamma delta {'epsilon' if i % 2 else 'zeta'}")
+            for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="token_jaccard_pairs_lsh"):
+        dedup.token_jaccard_pairs_prefix(d, threshold=0.9)
+    # explicit override still runs the exact path on the same corpus
+    out = dedup.token_jaccard_pairs_prefix(d, threshold=0.9, entropy_guard=False)
+    assert out.count() == 2 * (20 * 19 // 2)  # identical halves: all-pairs within each

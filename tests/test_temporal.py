@@ -272,3 +272,30 @@ def test_merge_intervals_islands(spark):
     assert b["n_intervals"] == 1
     c = out[(2, "2024-01-01 00:00:00")]
     assert str(c["island_end"]) == "2024-01-01 00:30:00" and c["n_intervals"] == 2
+
+
+def test_gapfill_resample_emits_grid_rows_and_carries_forward(spark):
+    from datetime import datetime
+
+    rows = [
+        # device a: readings in hour-buckets 00 and 03 — 01 and 02 are gaps
+        ("a", datetime(2024, 1, 1, 0, 10), 10.0),
+        ("a", datetime(2024, 1, 1, 0, 50), 20.0),
+        ("a", datetime(2024, 1, 1, 3, 5), 40.0),
+        # device b: a single bucket — no grid rows to generate
+        ("b", datetime(2024, 1, 1, 7, 30), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "device_id string, ts timestamp, value double")
+    out = {(r["device_id"], str(r["bucket_ts"])): r
+           for r in temporal.gapfill_resample(df, bucket="1 hour").collect()}
+    assert len(out) == 5  # a: 4 buckets (2 generated), b: 1
+    a0 = out[("a", "2024-01-01 00:00:00")]
+    assert (a0["n_readings"], a0["avg_value"], a0["is_gap"]) == (2, 15.0, False)
+    for h in (1, 2):  # generated rows: zero count, null avg, LOCF carry
+        g = out[("a", f"2024-01-01 0{h}:00:00")]
+        assert (g["n_readings"], g["avg_value"], g["is_gap"]) == (0, None, True)
+        assert g["filled_value"] == 15.0
+    a3 = out[("a", "2024-01-01 03:00:00")]
+    assert a3["filled_value"] == 40.0 and a3["is_gap"] is False
+    b = out[("b", "2024-01-01 07:00:00")]
+    assert (b["n_readings"], b["filled_value"], b["is_gap"]) == (1, 5.0, False)
