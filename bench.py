@@ -107,7 +107,19 @@ HEADLINE = [
     "a16_mad_outliers",
     "a17_diurnal_profile",
     "a18_seasonal_deviation",
+    "w8_gapfill_resample",
+    "dq_profile_events_approx",
 ]
+
+# Drift sentinel: identical code has measured 49.5 s vs 72.3 s suite
+# totals within one hour on this host (no in-guest pressure — host-level
+# noise), so ABSOLUTE cross-round totals are meaningless. h1 is the
+# sentinel (scan-heavy, zero Python, plan untouched since r1): each
+# query also reports median/sentinel, and round-over-round comparisons
+# should read the normalized number — a query whose normalized ratio
+# moved is a real plan change; one whose raw time moved with the
+# sentinel is host drift.
+SENTINEL = "h1_pricing_summary"
 # Deliberately absent: the exact-all-pairs baselines (dedup_ngram_jaccard,
 # dedup_embed_cosine) — quadratic verification twins for the oracle gate,
 # not scale-path operators; their LSH/MinHash counterparts are benched.
@@ -174,6 +186,10 @@ def main() -> None:
             samples[name].append(time.perf_counter() - t0)
             gc.collect()
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    sentinel_sec = timings[SENTINEL]
+    normalized = {
+        name: round(sec / sentinel_sec, 3) for name, sec in timings.items()
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -187,6 +203,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "sentinel": {"name": SENTINEL, "sec": sentinel_sec},
+                "queries_norm": normalized,
                 "sf": sf_val,
                 "runs": runs,
             }

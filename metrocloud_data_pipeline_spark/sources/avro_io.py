@@ -58,25 +58,123 @@ def _avro_type(spark_type: str) -> object:
     }.get(spark_type, "string")
 
 
-def kafka_avro_sink_frame(readings: DataFrame) -> DataFrame:
+def _avro_jvm_available(spark) -> bool:
+    try:
+        from pyspark.sql.avro.functions import to_avro
+
+        spark.range(1).select(to_avro(F.struct("id"))).schema
+        return True
+    except Exception:  # pragma: no cover - depends on deployment
+        return False
+
+
+def _resolve_engine(spark, engine: str) -> str:
+    if engine == "auto":
+        return "jvm" if _avro_jvm_available(spark) else "python"
+    if engine not in ("jvm", "python"):
+        raise ValueError(f"engine must be auto|jvm|python, got {engine!r}")
+    return engine
+
+
+def kafka_avro_sink_frame(readings: DataFrame, engine: str = "auto") -> DataFrame:
     """Readings -> (key, value) frame for a Kafka writer: Avro-serialized
     value, device_id key (per-device partition ordering, producer.py
     :156-158). Append `.write/.writeStream.format("kafka")` + broker
-    options in deployment."""
-    _require_avro(readings.sparkSession)
-    from pyspark.sql.avro.functions import to_avro
+    options in deployment.
 
+    engine: 'jvm' = spark-avro's to_avro (codegen, the fast path where
+    the package is on the classpath); 'python' = the spec-implemented
+    Arrow-batched codec in avro_codec.py — byte-compatible wire format,
+    chosen automatically when the jar is absent. The reference itself
+    serializes Avro in Python (confluent-kafka, producer.py:147-214),
+    so the fallback is the reference's own shape, Arrow-batched."""
+    engine = _resolve_engine(readings.sparkSession, engine)
+    if engine == "jvm":
+        _require_avro(readings.sparkSession)
+        from pyspark.sql.avro.functions import to_avro
+
+        cols = [f.name for f in readings.schema.fields]
+        return readings.select(
+            F.col("device_id").cast("string").alias("key"),
+            to_avro(F.struct(*cols), reading_avro_schema()).alias("value"),
+        )
+
+    from . import avro_codec
+
+    schema = avro_codec.parse_schema(reading_avro_schema())
     cols = [f.name for f in readings.schema.fields]
-    return readings.select(
-        F.col("device_id").cast("string").alias("key"),
-        to_avro(F.struct(*cols), reading_avro_schema()).alias("value"),
-    )
+    ts_cols = {
+        f.name
+        for f in readings.schema.fields
+        if f.dataType.simpleString().startswith("timestamp")
+    }
+
+    def _serialize(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            keys, vals = [], []
+            for row in pdf.to_dict("records"):
+                rec = {}
+                for c in cols:
+                    v = row.get(c)
+                    if isinstance(v, np.ndarray):
+                        v = list(v)
+                    elif not isinstance(v, (list, dict)) and pd.isna(v):
+                        v = None
+                    elif c in ts_cols:
+                        v = pd.Timestamp(v).value // 1000  # ns -> micros
+                    elif isinstance(v, (np.integer,)):
+                        v = int(v)
+                    elif isinstance(v, (np.floating,)):
+                        v = float(v)
+                    rec[c] = v
+                keys.append(rec.get("device_id"))
+                vals.append(avro_codec.encode_record(schema, rec))
+            yield pd.DataFrame({"key": keys, "value": vals})
+
+    return readings.mapInPandas(_serialize, "key string, value binary")
 
 
-def kafka_avro_source_frame(kafka_frame: DataFrame) -> DataFrame:
+def kafka_avro_source_frame(kafka_frame: DataFrame, engine: str = "auto") -> DataFrame:
     """(key, value) Kafka frame -> typed readings via from_avro (the
-    consumer's deserialize step, schema_registry.py:337-357)."""
-    _require_avro(kafka_frame.sparkSession)
-    from pyspark.sql.avro.functions import from_avro
+    consumer's deserialize step, schema_registry.py:337-357). Same
+    engine contract as kafka_avro_sink_frame; both engines read the
+    identical wire bytes."""
+    engine = _resolve_engine(kafka_frame.sparkSession, engine)
+    if engine == "jvm":
+        _require_avro(kafka_frame.sparkSession)
+        from pyspark.sql.avro.functions import from_avro
 
-    return kafka_frame.select(from_avro(F.col("value"), reading_avro_schema()).alias("r")).select("r.*")
+        return kafka_frame.select(
+            from_avro(F.col("value"), reading_avro_schema()).alias("r")
+        ).select("r.*")
+
+    from . import avro_codec
+
+    schema = avro_codec.parse_schema(reading_avro_schema())
+    flat = S.FLAT_READING_SCHEMA
+    ts_cols = {
+        f.name for f in flat.fields if f.dataType.simpleString().startswith("timestamp")
+    }
+
+    def _deserialize(batches):
+        from datetime import datetime, timedelta
+
+        import pandas as pd
+
+        epoch = datetime(1970, 1, 1)
+        for pdf in batches:
+            recs = []
+            for v in pdf["value"]:
+                rec = avro_codec.decode_record(schema, bytes(v))
+                for c in ts_cols:
+                    if rec.get(c) is not None:
+                        rec[c] = epoch + timedelta(microseconds=rec[c])
+                recs.append(rec)
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in flat.fields], dtype=object
+            )
+
+    return kafka_frame.mapInPandas(_deserialize, flat)

@@ -49,19 +49,14 @@ def test_avro_schema_shape():
     assert {"device_id", "device_type", "timestamp", "value", "unit"} <= names
 
 
-def test_avro_sink_gated_without_package(spark):
+def test_avro_sink_jvm_engine_gated_without_package(spark):
+    """engine='jvm' must fail at construction with the deployment hint
+    when spark-avro is absent (auto falls back to the Python codec)."""
     df = spark.createDataFrame([("d1",)], "device_id string")
-    try:
-        from pyspark.sql.avro.functions import to_avro  # noqa: F401
-        from pyspark.sql import functions as F
-        spark.range(1).select(to_avro(F.struct("id"))).schema
-        loaded = True
-    except Exception:
-        loaded = False
-    if loaded:
+    if _avro_loaded(spark):
         pytest.skip("spark-avro present; gate not exercised")
     with pytest.raises(RuntimeError, match="spark-avro"):
-        avro_io.kafka_avro_sink_frame(df)
+        avro_io.kafka_avro_sink_frame(df, engine="jvm")
 
 
 def _avro_loaded(spark) -> bool:
@@ -75,33 +70,95 @@ def _avro_loaded(spark) -> bool:
         return False
 
 
-def test_avro_wire_roundtrip(spark):
-    """Sink frame -> source frame round-trip through the actual Avro
-    wire bytes (OP-S1/OP-S2). Auto-skips where spark-avro is absent
-    (this container); runs the moment the package is on the classpath,
-    covering the serialize/deserialize parity the Kafka path depends
-    on without needing a broker."""
-    if not _avro_loaded(spark):
-        pytest.skip("spark-avro not on the classpath in this environment")
+def _roundtrip_rows(spark):
+    from datetime import datetime
+
     from metrocloud_data_pipeline_spark import schema as S
 
-    row = {f.name: None for f in S.FLAT_READING_SCHEMA.fields}
-    row.update(
+    full = {f.name: None for f in S.FLAT_READING_SCHEMA.fields}
+    full.update(
         {
             "device_id": "aa:bb:cc",
             "device_type": "ruuvitag",
+            "timestamp": datetime(2025, 9, 26, 12, 0, 0, 123456),
             "value": 21.5,
             "unit": "celsius",
+            "floor": 3,
+            "is_anomaly": False,
+            "device_metadata": {"fw": "1.2", "site": "hq"},
+            "tags": ["temperature", "climate"],
         }
     )
-    readings = spark.createDataFrame([row], S.FLAT_READING_SCHEMA)
-    wire = avro_io.kafka_avro_sink_frame(readings)
+    sparse = {f.name: None for f in S.FLAT_READING_SCHEMA.fields}
+    sparse.update(
+        {
+            "device_id": "dd:ee:ff",
+            "device_type": "ruuvitag",
+            "timestamp": datetime(2025, 9, 26, 12, 5, 0),
+            "unit": "%",
+        }
+    )
+    return spark.createDataFrame([full, sparse], S.FLAT_READING_SCHEMA)
+
+
+def test_avro_wire_roundtrip(spark):
+    """Sink frame -> source frame round-trip through the actual Avro
+    wire bytes (OP-S1/OP-S2) — runs UNCONDITIONALLY: engine='auto'
+    resolves to spark-avro where the jar is present and to the
+    spec-implemented Python codec here, so the serialize/deserialize
+    parity the Kafka path depends on is executed, not asserted."""
+    wire = avro_io.kafka_avro_sink_frame(_roundtrip_rows(spark))
     assert [f.name for f in wire.schema.fields] == ["key", "value"]
     assert wire.schema["value"].dataType.simpleString() == "binary"
-    back = avro_io.kafka_avro_source_frame(wire).first()
-    assert back["device_id"] == "aa:bb:cc"
-    assert back["value"] == 21.5
-    assert back["unit"] == "celsius"
+    back = {r["device_id"]: r for r in avro_io.kafka_avro_source_frame(wire).collect()}
+    full = back["aa:bb:cc"]
+    assert full["value"] == 21.5 and full["unit"] == "celsius"
+    assert str(full["timestamp"]) == "2025-09-26 12:00:00.123456"
+    assert full["floor"] == 3 and full["is_anomaly"] is False
+    assert full["device_metadata"] == {"fw": "1.2", "site": "hq"}
+    assert full["tags"] == ["temperature", "climate"]
+    sparse = back["dd:ee:ff"]
+    assert sparse["value"] is None and sparse["battery_level"] is None
+    assert sparse["tags"] is None and sparse["device_metadata"] is None
+    assert str(sparse["timestamp"]) == "2025-09-26 12:05:00"
+
+
+def test_avro_codec_spec_vectors():
+    """Pin the binary encoding against the published Avro spec examples
+    (zig-zag varints) plus string/union/map/array framing — so wire
+    compatibility with a real Avro reader is checked byte-for-byte,
+    not just self-consistent."""
+    from metrocloud_data_pipeline_spark.sources import avro_codec as C
+
+    # spec table: 0->00, -1->01, 1->02, -2->03, 2->04, -64->7f, 64->80 01
+    for n, want in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"), (-2, b"\x03"),
+                    (2, b"\x04"), (-64, b"\x7f"), (64, b"\x80\x01")]:
+        out = bytearray()
+        C._write_long(out, n)
+        assert bytes(out) == want, (n, bytes(out))
+        assert C._read_long(bytes(out), 0) == (n, len(want))
+    # string "foo": length 3 (zig-zag 06) + utf-8 bytes (spec example)
+    out = bytearray()
+    C._encode("string", "foo", out)
+    assert bytes(out) == b"\x06foo"
+    # union ["null","string"]: null -> index 0 only; "a" -> index 1 + body
+    out = bytearray(); C._encode(["null", "string"], None, out)
+    assert bytes(out) == b"\x00"
+    out = bytearray(); C._encode(["null", "string"], "a", out)
+    assert bytes(out) == b"\x02\x02a"
+    # map {"k":"v"}: block count 1 (02), key, value, end block (00)
+    out = bytearray()
+    C._encode({"type": "map", "values": "string"}, {"k": "v"}, out)
+    assert bytes(out) == b"\x02\x02k\x02v\x00"
+    # array ["x"]: count 1, item, end block
+    out = bytearray()
+    C._encode({"type": "array", "items": "string"}, ["x"], out)
+    assert bytes(out) == b"\x02\x02x\x00"
+    # Confluent framing: magic 0 + big-endian id + body, stripped on read
+    rec_schema = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "long"}]}
+    framed = C.encode_record(rec_schema, {"a": 7}, schema_id=42)
+    assert framed[:5] == b"\x00\x00\x00\x00\x2a"
+    assert C.decode_record(rec_schema, framed, confluent_framed=True) == {"a": 7}
 
 
 def test_jdbc_sink_gated_without_driver(spark):
