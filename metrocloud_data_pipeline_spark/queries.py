@@ -3702,18 +3702,108 @@ def kmeans_embed_clusters(spark, sf_dir):
 
 
 # Registration order is a verification budget: the harness verdicts
-# queries in order and may stop after a prefix (it verifies the first 50
-# of 104). Round-5 rotation: the 13 queries NEW this round go first,
-# then everything semantically changed this round (knn_join_ivf's
-# shuffle removals, the fanout oracle, LSH cap formulation, interval/
-# alert guards), then queries whose last green row is r2/r3 (the
-# two-round invariant: every oracle-eligible query green within the
-# last two rounds), with r4-green entries and rows-only twins in the
-# rotated-out tail. Two late additions (shard_manifest,
-# media_dedup_exact) sit just past the cutoff and enter the r6 window.
+# queries in order and may stop after a prefix (historically the first
+# 50 of the registry). Round-6 rotation: EVERY query that has never
+# earned a driver CORRECTNESS row fills the window first — the 31
+# registered-but-unchecked from r5's overflow plus the two new r6
+# queries (w8_gapfill_resample, dq_profile_events_approx) — with the
+# 27 oracle-backed ones ahead of the 6 rows-only-by-design ones so the
+# hash gate covers the maximum. The remaining 17 slots refresh the
+# oldest r4-green queries (two-round freshness invariant); the rest of
+# the r4 cohort queues immediately below the cutoff as the r7 window,
+# and the r5-green block (fresh through r7) fills the tail.
 QUERY_ORDER = [
-    # new this round (r5): keyword extraction, vocab budget, temperature
-    # mixing, corpus-relative curation, incremental dedup, k-means
+    # --- never driver-checked, oracle-backed (27) ---
+    "obs_hot_keys",
+    "text_length_histogram",
+    "w5_event_funnel",
+    "w6_cohort_retention",
+    "dq_profile_events",
+    "scd2_customer_dim",
+    "a13_daily_from_hourly",
+    "embed_quantize_stats",
+    "split_leakage_report",
+    "q3_top3_per_device",
+    "a14_sliding_monitor",
+    "w4b_sessions_native",
+    "f7_devices_gone_quiet",
+    "f8_devices_in_both_windows",
+    "a15_grouping_sets",
+    "w7_locf_fill",
+    "w8_gapfill_resample",
+    "a16_mad_outliers",
+    "a17_diurnal_profile",
+    "a18_seasonal_deviation",
+    "iv_merged_outages",
+    "shard_manifest",
+    "media_dedup_exact",
+    "quality_deciles",
+    "source_scorecard",
+    "winnow_overlap_pairs",
+    "dq_expectations_report",
+    # --- never driver-checked, rows-only by documented design (6) ---
+    "knn_join_ivf_bucketed",
+    "dedup_embed_semdedup",
+    "knn_recall_report",
+    "dq_profile_events_approx",
+    "obs_hot_keys_approx",
+    "quality_quantile_filter_approx",
+    # --- r4-green refresh (two-round invariant) (17) ---
+    "h1_pricing_summary",
+    "h5_local_supplier_volume",
+    "a2_hourly_aggregates",
+    "h6_forecast_revenue",
+    "h7_volume_shipping",
+    "h8_market_share",
+    "h10_returned_items",
+    "h13_customer_distribution",
+    "h14_promo_revenue",
+    "h15_top_supplier",
+    "h16_supplier_part_counts",
+    "w4_user_sessions",
+    "langid_heuristic",
+    "f1_recent_readings",
+    "q1_latest_readings",
+    "a3_daily_aggregates",
+    "w1_gap_detection",
+    # --- driver window ends here (first 50) ---
+    # r7 queue: remaining r4-green queries, oracle-backed first
+    "text_token_stats",
+    "lang_source_stats",
+    "embedding_label_stats",
+    "f3_anomalous_readings",
+    "f4_between_range",
+    "f6_metadata_lookup",
+    "q2_export_device_range",
+    "a5_timeseries_15min",
+    "a7_type_distribution",
+    "a10_realtime_monitor",
+    "w2_moving_average",
+    "obs_throughput_5min",
+    "obs_anomaly_rate_hourly",
+    "a12_type_dow_cube",
+    "w3_rate_of_change",
+    "h3_shipping_priority",
+    "h17_small_qty_revenue",
+    "h19_disc_revenue",
+    "h22_dormant_customers",
+    "h9_nation_profit",
+    "h18_large_customers",
+    "h_brand_revenue",
+    "doc_fingerprint_winnow",
+    "decontaminate_ngram",
+    "text_repetition_stats",
+    "knn_brute_force",
+    "knn_join_brute",
+    "a6_table_stats_approx",
+    "a9_daily_quality_approx",
+    "knn_lsh",
+    "knn_ivf",
+    "dedup_embed_cosine_lsh",
+    "dedup_simhash",
+    "seq_pack_summary",
+    "dedup_keep_list",
+    # r5-green (fresh through r7), registration order preserved
     "tfidf_top_terms",
     "vocab_coverage",
     "source_mix_temperature",
@@ -3723,16 +3813,12 @@ QUERY_ORDER = [
     "unigram_surprisal",
     "kmeans_embed_clusters",
     "pca_variance_report",
-    # new this round (r5): the four remaining TPC-H plan shapes
     "h2_min_cost_supplier",
     "h11_important_parts",
     "h12_ship_delay_priority",
     "h20_excess_supply",
     "embed_dedup_keep_list",
     "corpus_select_pipeline",
-    # changed this round: knn_join_ivf shuffle removal / new fanout oracle /
-    # LSH cap formulation + dropped-bucket guard / interval_join + alert_eval
-    # guards / ivf_assignments consumers (r4 advice)
     "knn_join_ivf",
     "ingest_fanout_pipeline",
     "dedup_minhash",
@@ -3743,8 +3829,6 @@ QUERY_ORDER = [
     "iv_error_windows",
     "obs_alert_firing",
     "asof_next_error",
-    # rotated back in: every oracle-eligible query last green in r3 or earlier
-    # (two-round invariant: green within the last two rounds)
     "f2_type_filter",
     "dedup_embed_cosine",
     "media_feature_extract",
@@ -3770,112 +3854,6 @@ QUERY_ORDER = [
     "dedup_exact",
     "text_bpe_token_stats",
     "text_quality_score",
-    # --- driver window ends here (first 50) ---
-    # displaced late-r5 by dedup_incremental_jaccard (oracle-checked beats
-    # rows-only for a window slot): byte-equality to in-window knn_join_ivf
-    # is pytest-gated, so its rows are covered; driver row resumes in r6
-    "knn_join_ivf_bucketed",
-    # late-r5 rows-only additions (semantic dedup, ANN recall audit);
-    # first driver rows in r6, invariants pytest-gated meanwhile
-    "dedup_embed_semdedup",
-    "knn_recall_report",
-    # late-r5 oracle-checked additions: first driver row in r6; the
-    # in-process DuckDB twin pytest covers them meanwhile
-    "obs_hot_keys",
-    "text_length_histogram",
-    "w5_event_funnel",
-    "w6_cohort_retention",
-    "dq_profile_events",
-    "dq_profile_events_approx",
-    "scd2_customer_dim",
-    # (rows-only by design within this block: obs_hot_keys_approx —
-    # superset-not-subset heavy hitters; planted-hitter pytest)
-    "obs_hot_keys_approx",
-    "a13_daily_from_hourly",
-    "embed_quantize_stats",
-    "split_leakage_report",
-    "q3_top3_per_device",
-    "a14_sliding_monitor",
-    "w4b_sessions_native",
-    "f7_devices_gone_quiet",
-    "f8_devices_in_both_windows",
-    "a15_grouping_sets",
-    "w7_locf_fill",
-    "w8_gapfill_resample",
-    "a16_mad_outliers",
-    "a17_diurnal_profile",
-    "a18_seasonal_deviation",
-    "iv_merged_outages",
-    # rows-only, recorded in r04, rotated out by the r5 additions
-    # (knn_ivf's ivf_assignments dependency is re-verified in-window by
-    # knn_join_ivf and knn_join_ivf_bucketed; dedup_embed_cosine_lsh's
-    # hyperplane banding is untouched this round)
-    "knn_ivf",
-    "dedup_embed_cosine_lsh",
-    "dedup_simhash",
-    "seq_pack_summary",
-    # r4-green composition of two in-window components (ngram_jaccard +
-    # clusters); displaced by cap_per_source
-    "dedup_keep_list",
-    # registered after the r5 window filled; first driver check in r6
-    # (oracle in place; pytest cross-checks it against DuckDB meanwhile)
-    "shard_manifest",
-    "media_dedup_exact",
-    "quality_quantile_filter_approx",
-    "quality_deciles",
-    "source_scorecard",
-    "winnow_overlap_pairs",
-    "dq_expectations_report",
-    # green in r04 (within the two-round invariant), rotated out this round
-    # (incl. the r4 canaries + rows-only approx/lsh twins displaced by the
-    # six r5 additions)
-    "h1_pricing_summary",
-    "h5_local_supplier_volume",
-    "w4_user_sessions",
-    "a6_table_stats_approx",
-    "a9_daily_quality_approx",
-    "knn_lsh",
-    "a2_hourly_aggregates",
-    "langid_heuristic",
-    "h6_forecast_revenue",
-    "h7_volume_shipping",
-    "h8_market_share",
-    "h10_returned_items",
-    "h13_customer_distribution",
-    "h14_promo_revenue",
-    "h15_top_supplier",
-    "h16_supplier_part_counts",
-    "text_token_stats",
-    "lang_source_stats",
-    "embedding_label_stats",
-    "knn_brute_force",
-    "f1_recent_readings",
-    "f3_anomalous_readings",
-    "f4_between_range",
-    "f6_metadata_lookup",
-    "q1_latest_readings",
-    "q2_export_device_range",
-    "a3_daily_aggregates",
-    "a5_timeseries_15min",
-    "a7_type_distribution",
-    "a10_realtime_monitor",
-    "w2_moving_average",
-    "obs_throughput_5min",
-    "obs_anomaly_rate_hourly",
-    "knn_join_brute",
-    "a12_type_dow_cube",
-    "w1_gap_detection",
-    "w3_rate_of_change",
-    "h3_shipping_priority",
-    "h17_small_qty_revenue",
-    "h19_disc_revenue",
-    "h22_dormant_customers",
-    "h9_nation_profit",
-    "h18_large_customers",
-    "h_brand_revenue",
-    "doc_fingerprint_winnow",
-    "decontaminate_ngram",
-    "text_repetition_stats",
 ]
 
 

@@ -85,3 +85,91 @@ def run_scd2_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- partition-scoped SCD2 (large-dimension upgrade) -------------------------
+
+BUCKET_COL = "_kb"
+
+
+def _key_bucket(key_col: str, n_buckets: int):
+    # xxhash64 is deterministic across sessions/executors, so a key's
+    # bucket never moves between batches or restarts
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+def seed_scd2_store_bucketed(
+    dim: DataFrame, dim_path: str, key_col: str, n_buckets: int = 32
+) -> None:
+    """Write the initial dimension hash-bucketed by key (one partition
+    dir per bucket) — the layout run_scd2_stream_bucketed maintains."""
+    dim.withColumn(BUCKET_COL, _key_bucket(key_col, n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy(BUCKET_COL).parquet(dim_path)
+
+
+def run_scd2_stream_bucketed(
+    update_stream: DataFrame,
+    dim_path: str,
+    checkpoint_path: str,
+    key_col: str,
+    attr_cols: list[str],
+    effective_col: str = "effective_ts",
+    n_buckets: int = 32,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Partition-scoped SCD2 MERGE — the large-dimension upgrade over
+    run_scd2_stream's full rewrite (r5 verdict: fine at 1.5 M rows,
+    wrong shape at a 100x dimension).
+
+    The store is hash-bucketed by key (seed_scd2_store_bucketed); each
+    micro-batch (a) reduces to latest-per-key, (b) collects the SET of
+    buckets its keys hash into (batch-bounded, <= n_buckets ints),
+    (c) reads ONLY those bucket partitions (partition-pruned scan),
+    (d) scd2_merge's them against the batch, and (e) rewrites only
+    those partitions via dynamic partition overwrite. Per-batch IO is
+    |touched buckets| / n_buckets of the dimension, independent of
+    total dimension size for key-concentrated batches — the MERGE cost
+    a lakehouse table format achieves with file-level pruning,
+    expressed with directory-level buckets.
+
+    Same idempotence as the full-rewrite stream (re-merging identical
+    updates is a no-op). Crash window is partition-scoped: dynamic
+    overwrite replaces each touched bucket dir independently, so an
+    unclean stop can leave SOME buckets merged and others not — the
+    retried batch re-merges both kinds correctly (merged buckets no-op).
+    """
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        latest = latest_per_key(batch, key_col, effective_col).withColumn(
+            BUCKET_COL, _key_bucket(key_col, n_buckets)
+        ).localCheckpoint()
+        touched = [r[0] for r in latest.select(BUCKET_COL).distinct().collect()]
+        dim = (
+            spark.read.option("basePath", dim_path)
+            .parquet(dim_path)
+            .where(F.col(BUCKET_COL).isin(touched))
+        )
+        merged = scd2_merge(
+            dim.drop(BUCKET_COL),
+            latest.drop(BUCKET_COL),
+            key_col,
+            attr_cols,
+            effective_col=effective_col,
+        ).withColumn(BUCKET_COL, _key_bucket(key_col, n_buckets))
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(dim_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    writer = update_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

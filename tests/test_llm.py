@@ -987,3 +987,19 @@ def test_prefix_path_entropy_guard_raises_on_degenerate_corpus(spark):
     # explicit override still runs the exact path on the same corpus
     out = dedup.token_jaccard_pairs_prefix(d, threshold=0.9, entropy_guard=False)
     assert out.count() == 2 * (20 * 19 // 2)  # identical halves: all-pairs within each
+
+
+def test_trained_codebook_drives_knn_recall_report(spark):
+    """A k-means codebook sized to the planted cluster count plugs into
+    the recall audit; probing every list reproduces brute force."""
+    emb = _planted_clusters_emb(spark)
+    cb = similarity.trained_codebook(emb, k=3, n_iter=4)
+    assert cb[1].shape == (3, 8)
+    rep = similarity.knn_recall_report(
+        emb, k=3, nprobe=3, max_queries=14, codebook=cb
+    ).collect()
+    assert len(rep) == 14 and all(r["recall"] == 1.0 for r in rep)
+    rep1 = similarity.knn_recall_report(
+        emb, k=3, nprobe=1, max_queries=14, codebook=cb
+    ).collect()
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rep1)

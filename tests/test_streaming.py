@@ -904,3 +904,89 @@ def test_band_index_crash_gap_is_repaired(spark, tmp_path):
     # and the repair restored full coverage: every store doc banded
     idx = spark.read.parquet(bands)
     assert idx.count() == 2 * corpus.BANDS
+
+
+def test_scd2_bucketed_stream_matches_full_rewrite_and_prunes(spark, tmp_path):
+    """Partition-scoped SCD2: same versioning semantics as the full
+    rewrite, and buckets no batch key hashes into are left physically
+    untouched (their files are not rewritten)."""
+    import os
+    from datetime import datetime
+
+    from metrocloud_data_pipeline_spark.streaming import dim as dimmod
+
+    t0, t1, t2 = datetime(2020, 1, 1), datetime(2024, 1, 1), datetime(2024, 6, 1)
+    dim_path = str(tmp_path / "dim")
+    seed = spark.createDataFrame(
+        [(k, "gold" if k == 1 else "bronze", t0, None) for k in range(1, 9)],
+        "k long, tier string, valid_from timestamp, valid_to timestamp",
+    )
+    dimmod.seed_scd2_store_bucketed(seed, dim_path, "k", n_buckets=8)
+
+    def bucket_files():
+        out = {}
+        for d in os.listdir(dim_path):
+            if d.startswith(f"{dimmod.BUCKET_COL}="):
+                files = sorted(
+                    (f, os.path.getmtime(os.path.join(dim_path, d, f)))
+                    for f in os.listdir(os.path.join(dim_path, d))
+                    if f.endswith(".parquet")
+                )
+                out[d] = files
+        return out
+
+    before = bucket_files()
+    assert len(before) >= 4  # 8 keys spread over 8 buckets
+
+    src = tmp_path / "upd"
+    src.mkdir()
+    spark.createDataFrame(
+        [(2, "silver", t1), (2, "iron", t0)], "k long, tier string, effective_ts timestamp"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(2, "gold", t2), (99, "new", t2)], "k long, tier string, effective_ts timestamp"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = spark.readStream.schema(
+        "k long, tier string, effective_ts timestamp"
+    ).option("maxFilesPerTrigger", 1).parquet(str(src) + "/*")
+    dimmod.run_scd2_stream_bucketed(
+        stream, dim_path, str(tmp_path / "ck"), "k", ["tier"], n_buckets=8
+    ).awaitTermination(120)
+
+    rows = {(r["k"], r["tier"], r["valid_from"], r["valid_to"])
+            for r in spark.read.parquet(dim_path).drop(dimmod.BUCKET_COL).collect()}
+    assert (2, "bronze", t0, t1) in rows
+    assert (2, "silver", t1, t2) in rows
+    assert (2, "gold", t2, None) in rows
+    assert (99, "new", t2, None) in rows
+    assert (1, "gold", t0, None) in rows
+    assert len(rows) == 8 + 3  # 8 seed keys + 2 extra key-2 versions + key 99
+
+    # buckets untouched by keys {2, 99} kept their exact files (same
+    # name and mtime — never rewritten)
+    import pyspark.sql.functions as SF
+
+    touched = {
+        f"{dimmod.BUCKET_COL}={r[0]}"
+        for r in spark.createDataFrame([(2,), (99,)], "k long")
+        .select(SF.pmod(SF.xxhash64("k"), SF.lit(8)).cast("int"))
+        .collect()
+    }
+    after = bucket_files()
+    for d, files in before.items():
+        if d not in touched:
+            assert after[d] == files, d
+
+    # redelivery with a fresh checkpoint: no-op (idempotent MERGE)
+    dimmod.run_scd2_stream_bucketed(
+        spark.readStream.schema("k long, tier string, effective_ts timestamp").parquet(
+            str(src) + "/*"
+        ),
+        dim_path,
+        str(tmp_path / "ck2"),
+        "k",
+        ["tier"],
+        n_buckets=8,
+    ).awaitTermination(120)
+    assert spark.read.parquet(dim_path).count() == 11
