@@ -1,0 +1,80 @@
+"""Metadata inverted index — the GIN-index analogue for map/JSON
+predicates (reference: database/init.sql:126-127 creates GIN indexes on
+device_metadata/tags so JSONB containment queries don't scan).
+
+A parquet engine has no GIN; the honest equivalent at 100 TB is an
+inverted SIDE TABLE maintained at ingest (the same pattern as the
+MinHash band index): every (key, value) pair of the metadata map
+becomes one narrow row (meta_key, meta_value, meta_value_num,
+reading_id), written range-partitioned and sorted by
+(meta_key, meta_value_num) so a lookup's file-level min/max stats prune
+to the few files covering the predicate range. A metadata lookup then
+(1) scans the NARROW pruned index — no JSON parsing over the corpus,
+no full-width row reads — and (2) joins the matching reading_ids back
+to the main table (keyed join; with the main table bucketed on
+reading_id, exchange-free on the corpus side).
+
+f6_metadata_lookup remains the direct-scan form (fine when the
+predicate is rare or ad hoc); this is the repeated-lookup path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def metadata_index_frame(readings: DataFrame, props_col: str = "props") -> DataFrame:
+    """Explode the JSON metadata column into inverted rows. String
+    values keep their text form; numeric values additionally populate
+    meta_value_num so range predicates compare numerically (and sort
+    numerically for min/max pruning)."""
+    parsed = readings.select(
+        "reading_id",
+        F.explode(
+            F.from_json(F.col(props_col), "map<string,string>")
+        ).alias("meta_key", "meta_value"),
+    )
+    return parsed.withColumn(
+        "meta_value_num", F.col("meta_value").try_cast("double")  # non-numeric -> NULL (ANSI-safe)
+    )
+
+
+def build_metadata_index(
+    readings: DataFrame,
+    index_path: str,
+    props_col: str = "props",
+    n_files: int = 8,
+) -> None:
+    """Materialize the inverted index range-partitioned + sorted by
+    (meta_key, meta_value_num): one exchange that doubles as the file
+    layout, so every file covers a contiguous (key, value) slab and
+    parquet min/max footer stats answer 'can this file match the
+    predicate?' — the GIN page-skip, as plain sorted parquet. Rebuild
+    per partition/day alongside compaction, or append per ingest batch
+    and compact (same lifecycle as the band index)."""
+    (
+        metadata_index_frame(readings, props_col)
+        .repartitionByRange(n_files, "meta_key", "meta_value_num")
+        .sortWithinPartitions("meta_key", "meta_value_num")
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+
+
+def metadata_lookup_indexed(
+    readings: DataFrame,
+    index: DataFrame,
+    key: str,
+    min_value: int,
+) -> DataFrame:
+    """f6_metadata_lookup through the inverted index: the predicate
+    evaluates on the narrow (pruned) index scan and only matching
+    reading_ids join back for the row payload. Output schema matches
+    metadata_lookup exactly (reading_id, device_id, meta_value)."""
+    hits = index.where(
+        (F.col("meta_key") == key) & (F.col("meta_value_num") >= min_value)
+    ).select(
+        "reading_id", F.col("meta_value_num").cast("int").alias("meta_value")
+    )
+    return readings.select("reading_id", "device_id").join(hits, "reading_id")
