@@ -109,6 +109,9 @@ HEADLINE = [
     "a18_seasonal_deviation",
     "w8_gapfill_resample",
     "dq_profile_events_approx",
+    "a19_time_weighted_avg",
+    "a20_counter_delta",
+    "f6b_metadata_lookup_indexed",
 ]
 
 # Drift sentinel: identical code has measured 49.5 s vs 72.3 s suite

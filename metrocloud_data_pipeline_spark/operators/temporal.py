@@ -458,3 +458,99 @@ def gapfill_resample(
         F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
         F.col("n_readings").isNull().alias("is_gap"),
     )
+
+
+def time_weighted_avg(
+    readings: DataFrame,
+    bucket: str = "1 hour",
+    key_col: str = "device_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "reading_id",
+) -> DataFrame:
+    """Per-(key, bucket) TIME-weighted average with LOCF weighting —
+    TimescaleDB's time_weight('LOCF') family: on irregularly-sampled
+    series the plain AVG over-weights chatty periods; here each reading
+    holds its value until the NEXT reading (or the bucket end, for the
+    bucket's last reading), so the mean reflects time, not sample
+    density. A bucket's weight for reading i is
+        min(next_ts, bucket_end) - ts_i     (seconds, >= 0)
+    with next_ts the key's next reading anywhere in the series (a value
+    holds across quiet spells up to its own bucket's edge).
+
+    One window (lead over the (key, ts) sort) + one (key, bucket)
+    aggregate — the window's exchange is reused by the aggregate
+    (bucket derives from ts), so one shuffle total. All time arithmetic
+    is integer MICROSECONDS (unix_micros), so weights are exact and
+    engine-portable (second-truncation would bias sub-second gaps)."""
+    us = bucket_seconds(bucket) * 1_000_000
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    ts_us = F.unix_micros(F.col(ts_col))
+    bucket_us = ts_us - ts_us % us
+    end_us = bucket_us + us
+    nxt_us = F.lead(ts_us).over(w)
+    weight = (F.least(F.coalesce(nxt_us, end_us), end_us) - ts_us).cast("double")
+    tagged = readings.select(
+        F.col(key_col),
+        F.timestamp_micros(bucket_us).alias("bucket_ts"),
+        F.col(value_col),
+        weight.alias("_w"),
+    )
+    return tagged.groupBy(key_col, "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        round6(F.avg(value_col)).alias("plain_avg"),
+        round6(
+            F.when(
+                F.sum("_w") > 0,
+                F.sum(F.col(value_col) * F.col("_w")) / F.sum("_w"),
+            )
+        ).alias("time_weighted_avg"),
+    )
+
+
+def counter_delta(
+    readings: DataFrame,
+    bucket: str = "1 day",
+    key_col: str = "device_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "reading_id",
+) -> DataFrame:
+    """Monotonic-counter aggregation with reset detection —
+    TimescaleDB's counter_agg / PromQL's increase(): for counters that
+    only ever climb but occasionally RESET to ~0 (device reboot; the
+    reference's movement_counter channel is exactly this shape), the
+    per-bucket increase is the sum of positive deltas, and a negative
+    delta means a reset happened — the post-reset VALUE is the increase
+    since the reset (counter restarted near zero).
+
+    Per (key, bucket): n_resets, counter_increase, plus the raw
+    first/last values for audit. A key's first-ever reading contributes
+    no delta (nothing to diff against). Same one-shuffle shape as
+    time_weighted_avg: one lag window + one aggregate sharing the key
+    sort."""
+    us = bucket_seconds(bucket) * 1_000_000
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    ts_us = F.unix_micros(F.col(ts_col))
+    delta = F.col(value_col) - F.lag(value_col).over(w)
+    tagged = readings.select(
+        F.col(key_col),
+        F.timestamp_micros(ts_us - ts_us % us).alias("bucket_ts"),
+        F.col(ts_col),
+        F.col(value_col),
+        F.col(id_col),
+        delta.alias("_d"),
+    )
+    # two explicit WHEN branches: a NULL delta (the key's first-ever
+    # reading) must contribute NOTHING — an otherwise() branch would
+    # swallow the NULL case and count the first value as an increase
+    inc = F.when(F.col("_d") >= 0, F.col("_d")).when(
+        F.col("_d") < 0, F.col(value_col)
+    )
+    return tagged.groupBy(key_col, "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.count_if(F.col("_d") < 0).alias("n_resets"),
+        round6(F.coalesce(F.sum(inc), F.lit(0.0))).alias("counter_increase"),
+        round6(F.min_by(value_col, F.struct(ts_col, id_col))).alias("first_value"),
+        round6(F.max_by(value_col, F.struct(ts_col, id_col))).alias("last_value"),
+    )

@@ -2543,6 +2543,74 @@ def w7_locf_fill(spark, sf_dir):
 
 
 @q(
+    "a19_time_weighted_avg",
+    oracle=_READINGS_CTE
+    + """
+, t AS (
+  SELECT device_id, value,
+         epoch_us(ts) AS ts_us,
+         epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY device_id ORDER BY ts, reading_id) AS nxt_us
+  FROM readings
+), wtd AS (
+  SELECT device_id, bucket_us, value,
+         CAST(least(coalesce(nxt_us, bucket_us + 3600000000), bucket_us + 3600000000) - ts_us AS DOUBLE) AS w
+  FROM t
+)
+SELECT device_id, make_timestamp(bucket_us) AS bucket_ts,
+       count(*) AS n_readings,
+       round(avg(value), 6) AS plain_avg,
+       round(CASE WHEN sum(w) > 0 THEN sum(value * w) / sum(w) END, 6) AS time_weighted_avg
+FROM wtd GROUP BY 1, 2
+""",
+)
+def a19_time_weighted_avg(spark, sf_dir):
+    """Time-weighted hourly average with LOCF weighting (TimescaleDB
+    time_weight('LOCF')): each reading holds its value until the next
+    reading or the bucket edge, so irregular sampling doesn't let
+    chatty periods dominate the mean (plain_avg reported alongside for
+    the bias audit). One lead window + one (device, bucket) aggregate
+    sharing the device sort; exact integer-microsecond weights."""
+    return temporal.time_weighted_avg(readings(spark, sf_dir), bucket="1 hour")
+
+
+@q(
+    "a20_counter_delta",
+    oracle=_READINGS_CTE
+    + """
+, t AS (
+  SELECT device_id, reading_id, ts, value,
+         epoch_us(ts) - epoch_us(ts) % 86400000000 AS bucket_us,
+         value - lag(value) OVER (PARTITION BY device_id ORDER BY ts, reading_id) AS d
+  FROM readings
+), t2 AS (
+  SELECT *,
+         first_value(value) OVER (PARTITION BY device_id, bucket_us ORDER BY ts, reading_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv,
+         last_value(value) OVER (PARTITION BY device_id, bucket_us ORDER BY ts, reading_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+  FROM t
+)
+SELECT device_id, make_timestamp(bucket_us) AS bucket_ts,
+       count(*) AS n_readings,
+       count(*) FILTER (WHERE d < 0) AS n_resets,
+       round(coalesce(sum(CASE WHEN d >= 0 THEN d WHEN d < 0 THEN value END), 0), 6) AS counter_increase,
+       round(any_value(fv), 6) AS first_value,
+       round(any_value(lv), 6) AS last_value
+FROM t2 GROUP BY 1, 2
+""",
+)
+def a20_counter_delta(spark, sf_dir):
+    """Monotonic-counter aggregation with reset detection (TimescaleDB
+    counter_agg / PromQL increase(); the reference's movement_counter
+    channel is this shape): per (device, day) the sum of positive
+    deltas, resets counted, post-reset value treated as the increase
+    since the restart. Same one-shuffle lag-window + aggregate shape as
+    a19."""
+    return temporal.counter_delta(readings(spark, sf_dir), bucket="1 day")
+
+
+@q(
     "w8_gapfill_resample",
     oracle=_READINGS_CTE
     + f"""
@@ -3770,6 +3838,8 @@ QUERY_ORDER = [
     "winnow_overlap_pairs",
     "dq_expectations_report",
     "f6b_metadata_lookup_indexed",
+    "a19_time_weighted_avg",
+    "a20_counter_delta",
     # --- never driver-checked, rows-only by documented design (6) ---
     "knn_join_ivf_bucketed",
     "dedup_embed_semdedup",
@@ -3792,12 +3862,12 @@ QUERY_ORDER = [
     "w4_user_sessions",
     "langid_heuristic",
     "f1_recent_readings",
-    "q1_latest_readings",
-    "a3_daily_aggregates",
     # --- driver window ends here (first 50) ---
     # r7 queue: remaining r4-green queries, oracle-backed first
-    # (w1_gap_detection demoted from the refresh block to make room for
-    # the new f6b — a never-checked oracle query beats an r4 refresh)
+    # (w1/q1/a3 demoted from the refresh block to make room for the
+    # new r6 queries — never-checked oracle queries beat r4 refreshes)
+    "q1_latest_readings",
+    "a3_daily_aggregates",
     "w1_gap_detection",
     "text_token_stats",
     "lang_source_stats",

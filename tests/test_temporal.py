@@ -299,3 +299,52 @@ def test_gapfill_resample_emits_grid_rows_and_carries_forward(spark):
     assert a3["filled_value"] == 40.0 and a3["is_gap"] is False
     b = out[("b", "2024-01-01 07:00:00")]
     assert (b["n_readings"], b["filled_value"], b["is_gap"]) == (1, 5.0, False)
+
+
+def test_time_weighted_avg_locf_weighting(spark):
+    from datetime import datetime
+
+    rows = [
+        # bucket 00: v=10 holds 45 min, v=20 holds the last 15 min
+        (1, "a", datetime(2024, 1, 1, 0, 0), 10.0),
+        (2, "a", datetime(2024, 1, 1, 0, 45), 20.0),
+        # bucket 02 (after a quiet hour): single reading fills its bucket
+        (3, "a", datetime(2024, 1, 1, 2, 30), 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "reading_id long, device_id string, ts timestamp, value double"
+    )
+    out = {str(r["bucket_ts"]): r
+           for r in temporal.time_weighted_avg(df, bucket="1 hour").collect()}
+    b0 = out["2024-01-01 00:00:00"]
+    # (10*2700 + 20*900) / 3600 = 12.5 vs plain mean 15 — the time
+    # weighting is what differs from AVG on irregular samples
+    assert b0["time_weighted_avg"] == 12.5 and b0["plain_avg"] == 15.0
+    b2 = out["2024-01-01 02:00:00"]
+    assert b2["time_weighted_avg"] == 40.0 and b2["n_readings"] == 1
+    assert len(out) == 2  # the quiet bucket 01 emits nothing (w8's job)
+
+
+def test_counter_delta_detects_resets(spark):
+    from datetime import datetime
+
+    rows = [
+        (1, "a", datetime(2024, 1, 1, 1, 0), 1.0),
+        (2, "a", datetime(2024, 1, 1, 2, 0), 5.0),   # +4
+        (3, "a", datetime(2024, 1, 1, 3, 0), 2.0),   # reset -> +2 since restart
+        (4, "a", datetime(2024, 1, 1, 4, 0), 7.0),   # +5
+        # day 2: first delta bridges days (7 -> 9 = +2)
+        (5, "a", datetime(2024, 1, 2, 1, 0), 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "reading_id long, device_id string, ts timestamp, value double"
+    )
+    out = {str(r["bucket_ts"]): r
+           for r in temporal.counter_delta(df, bucket="1 day").collect()}
+    d1 = out["2024-01-01 00:00:00"]
+    assert d1["n_resets"] == 1
+    assert d1["counter_increase"] == 4 + 2 + 5
+    assert d1["first_value"] == 1.0 and d1["last_value"] == 7.0
+    d2 = out["2024-01-02 00:00:00"]
+    # the cross-day delta lands in the bucket of the LATER reading
+    assert d2["counter_increase"] == 2.0 and d2["n_resets"] == 0
