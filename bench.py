@@ -112,6 +112,8 @@ HEADLINE = [
     "a19_time_weighted_avg",
     "a20_counter_delta",
     "f6b_metadata_lookup_indexed",
+    "seq_pack_ranges",
+    "corpus_budget_select",
 ]
 
 # Drift sentinel: identical code has measured 49.5 s vs 72.3 s suite

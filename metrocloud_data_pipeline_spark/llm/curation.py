@@ -735,3 +735,125 @@ def split_leakage_report(
         )
         .where(F.col("n_splits") > 1)
     )
+
+
+def pack_token_ranges(
+    docs: DataFrame,
+    capacity: int = 512,
+    n_shards: int = 16,
+    salt: str = "pack-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contiguous shuffle-concatenate-chop packing — the OTHER standard
+    sequence-packing discipline next to pack_sequences' first-fit:
+    documents are laid end-to-end in deterministic shuffled order and
+    the token stream is chopped into fixed `capacity` windows, so a
+    document may STRADDLE a window boundary (it gets split at training
+    time rather than leaving slack). This is the layout T5/GPT-style
+    span-corruption pipelines use; unlike FFD it is pure window
+    algebra — fully SQL-expressible and hash-gate checkable.
+
+    Per doc: its shard (salted-hash, same discipline as shard_manifest),
+    the token offset where it starts within the shard's stream, the
+    window its first token lands in, the offset inside that window, and
+    whether it straddles into the next window.
+
+    Scale shape: ONE window (running token sum) partitioned by shard —
+    never a global single-task cumsum; everything else is a projection.
+    The shard count is the parallelism knob, exactly as in the shard
+    writer this feeds."""
+    from pyspark.sql.window import Window
+
+    from .text import tokens_col
+
+    u = round6(sample_uniform_col(salt, id_col))
+    base = docs.select(
+        F.col(id_col),
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+    ).withColumn("sample_u", u).withColumn(
+        "shard_id",
+        F.least(F.floor(F.col("sample_u") * n_shards), F.lit(n_shards - 1)).cast("int"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("sample_u", id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        id_col,
+        "shard_id",
+        "n_tokens",
+        offset.alias("stream_offset"),
+        F.floor(offset / capacity).cast("long").alias("window_id"),
+        (offset % capacity).cast("long").alias("offset_in_window"),
+        (
+            (offset % capacity) + F.col("n_tokens") > capacity
+        ).alias("straddles"),
+    )
+
+
+def budget_select(
+    docs: DataFrame,
+    token_budget: int,
+    target_chars: float = 400.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget corpus selection: keep the highest-quality documents
+    whose cumulative token mass fits `token_budget` — "give me the best
+    N-billion tokens", the final sizing decision after cleaning and
+    dedup. Deterministic total order: (quality_score desc, doc_id).
+
+    Scale shape — deliberately NOT one global cumsum window (a single
+    task sorting the corpus): quality scores are already round6-bucketed,
+    so (1) one aggregate reduces the corpus to per-score token totals
+    (score-cardinality-sized, <= 1e6 rows), (2) a tiny window over that
+    frame computes the running total per score DESC and finds the
+    boundary score, (3) docs strictly above the boundary keep outright
+    (broadcast threshold), and (4) ONLY the boundary score's docs --
+    one score-bucket, not the corpus -- pay an ordered cumsum to fill
+    the remaining budget doc-by-doc. Output: every doc with its
+    quality, token count, and keep flag."""
+    from pyspark.sql.window import Window
+
+    from .text import quality_score
+
+    scored = quality_score(docs, target_chars=target_chars).select(
+        id_col, "quality_score", F.col("token_count").cast("long").alias("n_tokens")
+    ).localCheckpoint()
+    per_score = scored.groupBy("quality_score").agg(
+        F.sum("n_tokens").alias("score_tokens")
+    )
+    wd = Window.orderBy(F.desc("quality_score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_score.withColumn("cum_tokens", F.sum("score_tokens").over(wd))
+    # boundary = highest score whose cumulative total EXCEEDS the budget
+    # (scores above it fit fully); may be absent (everything fits)
+    boundary = ranked.where(F.col("cum_tokens") > token_budget).orderBy(
+        F.desc("quality_score")
+    ).limit(1)
+    b = boundary.collect()
+    if not b:
+        return scored.select(id_col, "quality_score", "n_tokens", F.lit(True).alias("keep"))
+    b_score = b[0]["quality_score"]
+    b_remaining = token_budget - (b[0]["cum_tokens"] - b[0]["score_tokens"])
+    wb = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    at_boundary = scored.where(F.col("quality_score") == b_score).withColumn(
+        "_cum", F.sum("n_tokens").over(wb)
+    )
+    return (
+        scored.where(F.col("quality_score") > b_score)
+        .select(id_col, "quality_score", "n_tokens", F.lit(True).alias("keep"))
+        .unionByName(
+            at_boundary.select(
+                id_col,
+                "quality_score",
+                "n_tokens",
+                (F.col("_cum") <= b_remaining).alias("keep"),
+            )
+        )
+        .unionByName(
+            scored.where(F.col("quality_score") < b_score).select(
+                id_col, "quality_score", "n_tokens", F.lit(False).alias("keep")
+            )
+        )
+    )

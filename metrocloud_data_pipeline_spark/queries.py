@@ -2084,6 +2084,77 @@ def sample_weighted_sources(spark, sf_dir):
     return sampled.select("doc_id", "source", "rate", "sample_u")
 
 
+@q(
+    "seq_pack_ranges",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         round(CAST(('0x' || substr(md5('pack-v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0, 6) AS sample_u
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens, sample_u,
+         CAST(least(floor(sample_u * 16), 15) AS INTEGER) AS shard_id
+  FROM t
+), o AS (
+  SELECT doc_id, shard_id, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY sample_u, doc_id
+           ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS stream_offset
+  FROM s
+)
+SELECT doc_id, shard_id, n_tokens, stream_offset,
+       CAST(floor(stream_offset / 512) AS BIGINT) AS window_id,
+       CAST(stream_offset % 512 AS BIGINT) AS offset_in_window,
+       ((stream_offset % 512) + n_tokens > 512) AS straddles
+FROM o
+""",
+)
+def seq_pack_ranges(spark, sf_dir):
+    """Contiguous shuffle-concatenate-chop packing (the T5/GPT span-
+    corruption layout; complement of seq_pack_summary's first-fit):
+    docs laid end-to-end in salted-hash shuffled order per shard, token
+    stream chopped into 512-token windows, straddling docs flagged for
+    split-at-training. Pure window algebra — unlike FFD this packing IS
+    hash-gate checkable. One running-sum window partitioned by shard
+    (never a global single-task cumsum)."""
+    return curation.pack_token_ranges(
+        load(spark, sf_dir, "documents"), capacity=512, n_shards=16
+    )
+
+
+@q(
+    "corpus_budget_select",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         round(least(1.0, CAST(n_chars AS DOUBLE) / 400.0)
+               * (CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+                  / len(string_split_regex(trim(text), '\\s+'))), 6) AS quality_score,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents WHERE length(trim(text)) > 0
+), o AS (
+  SELECT doc_id, quality_score, n_tokens,
+         sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM scored
+)
+SELECT doc_id, quality_score, n_tokens, (cum <= 15000) AS keep FROM o
+""",
+)
+def corpus_budget_select(spark, sf_dir):
+    """Token-budget selection: the best 15k tokens by quality —
+    "give me the best N-billion tokens", the final corpus-sizing
+    decision after cleaning and dedup. The oracle states the global
+    greedy rule (one cumsum over (quality desc, doc_id)); the Spark
+    plan is the SCALABLE equivalent — per-score token totals (a tiny
+    frame) find the boundary score, only the boundary score's docs pay
+    an ordered cumsum, everything else is a broadcast-threshold filter.
+    The hash gate proves the two formulations identical."""
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    return curation.budget_select(docs, token_budget=15_000)
+
+
 @q("seq_pack_summary")
 def seq_pack_summary(spark, sf_dir):
     """Sequence packing report: greedy first-fit-decreasing assembly of
@@ -3840,6 +3911,8 @@ QUERY_ORDER = [
     "f6b_metadata_lookup_indexed",
     "a19_time_weighted_avg",
     "a20_counter_delta",
+    "seq_pack_ranges",
+    "corpus_budget_select",
     # --- never driver-checked, rows-only by documented design (6) ---
     "knn_join_ivf_bucketed",
     "dedup_embed_semdedup",
@@ -3857,15 +3930,16 @@ QUERY_ORDER = [
     "h10_returned_items",
     "h13_customer_distribution",
     "h14_promo_revenue",
-    "h15_top_supplier",
-    "h16_supplier_part_counts",
     "w4_user_sessions",
     "langid_heuristic",
     "f1_recent_readings",
     # --- driver window ends here (first 50) ---
     # r7 queue: remaining r4-green queries, oracle-backed first
-    # (w1/q1/a3 demoted from the refresh block to make room for the
-    # new r6 queries — never-checked oracle queries beat r4 refreshes)
+    # (w1/q1/a3/h15/h16 demoted from the refresh block to make room for
+    # the new r6 queries — never-checked oracle queries beat r4
+    # refreshes)
+    "h15_top_supplier",
+    "h16_supplier_part_counts",
     "q1_latest_readings",
     "a3_daily_aggregates",
     "w1_gap_detection",

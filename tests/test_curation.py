@@ -401,3 +401,55 @@ def test_profile_table_approx_agrees_with_exact(spark):
         )
         # HLL++ at rsd=0.02: allow 3 sigma ≈ 6% relative error
         assert abs(a["n_distinct_approx"] - e["n_distinct"]) <= max(1, 0.06 * e["n_distinct"])
+
+
+def test_pack_token_ranges_contiguous_and_straddles(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, " ".join(f"w{j}" for j in range(20 + i)), "en", "s", 100)
+            for i in range(30)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = curation.pack_token_ranges(docs, capacity=64, n_shards=4).collect()
+    assert len(out) == 30
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs = sorted(rs, key=lambda r: r["stream_offset"])
+        # offsets tile the shard's token stream exactly — no gaps/overlap
+        expect = 0
+        for r in rs:
+            assert r["stream_offset"] == expect
+            assert r["window_id"] == r["stream_offset"] // 64
+            assert r["offset_in_window"] == r["stream_offset"] % 64
+            assert r["straddles"] == (r["offset_in_window"] + r["n_tokens"] > 64)
+            expect += r["n_tokens"]
+
+
+def test_budget_select_maximal_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, " ".join(f"tok{i}x{j}" for j in range(10 + (i % 5) * 10)), "en", "s",
+             60 * (1 + i % 7)) for i in range(40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = curation.budget_select(docs, token_budget=500)
+    rows_out = out.collect()
+    assert len(rows_out) == 40  # every doc gets a decision
+    kept = [r for r in rows_out if r["keep"]]
+    kept_tokens = sum(r["n_tokens"] for r in kept)
+    assert kept_tokens <= 500
+    # maximality under the greedy order: the best-ranked dropped doc
+    # would not have fit
+    dropped = sorted((r for r in rows_out if not r["keep"]),
+                     key=lambda r: (-r["quality_score"], r["doc_id"]))
+    assert dropped and kept_tokens + dropped[0]["n_tokens"] > 500
+    # rerun identical (pure function of salt-free ordering)
+    again = {(r["doc_id"], r["keep"]) for r in curation.budget_select(docs, token_budget=500).collect()}
+    assert again == {(r["doc_id"], r["keep"]) for r in rows_out}
+    # budget >= corpus: everything kept
+    all_kept = curation.budget_select(docs, token_budget=10**9).collect()
+    assert all(r["keep"] for r in all_kept)
