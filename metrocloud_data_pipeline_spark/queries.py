@@ -1981,6 +1981,21 @@ def embed_quantize_stats(spark, sf_dir):
     return similarity.embed_quantize_stats(load(spark, sf_dir, "embeddings"))
 
 
+@q("embed_pq_stats")
+def embed_pq_stats(spark, sf_dir):
+    """Product-quantization audit (FAISS PQ, Jegou et al. 2011): each
+    embedding stored as m=4 per-subspace codes (k=16 centroids each) —
+    dim x 4 bytes -> 4 bytes, the compression that fits a 100 TB ANN
+    corpus in fast storage. Per-vector codes + reconstruction MSE. All
+    m codebooks train in ONE mapInPandas pass per iteration (corpus
+    scanned n_iter times, never m x n_iter). Rows-only by design
+    (iterative k-means); determinism, code-range, ADC-vs-exact
+    ordering invariants in pytest."""
+    return similarity.embed_pq_stats(
+        load(spark, sf_dir, "embeddings"), m=4, k=16, n_iter=4
+    )
+
+
 @q("knn_join_ivf")
 def knn_join_ivf(spark, sf_dir):
     """Batch ANN scale path: top-10 neighbor lists for EVERY vector,
@@ -3920,6 +3935,7 @@ QUERY_ORDER = [
     "dq_profile_events_approx",
     "obs_hot_keys_approx",
     "quality_quantile_filter_approx",
+    "embed_pq_stats",
     # --- r4-green refresh (two-round invariant) (17) ---
     "h1_pricing_summary",
     "h5_local_supplier_volume",
@@ -3929,15 +3945,14 @@ QUERY_ORDER = [
     "h8_market_share",
     "h10_returned_items",
     "h13_customer_distribution",
-    "h14_promo_revenue",
     "w4_user_sessions",
     "langid_heuristic",
     "f1_recent_readings",
     # --- driver window ends here (first 50) ---
     # r7 queue: remaining r4-green queries, oracle-backed first
-    # (w1/q1/a3/h15/h16 demoted from the refresh block to make room for
-    # the new r6 queries — never-checked oracle queries beat r4
-    # refreshes)
+    # (w1/q1/a3/h14/h15/h16 demoted from the refresh block to make room
+    # for the new r6 queries — never-checked queries beat r4 refreshes)
+    "h14_promo_revenue",
     "h15_top_supplier",
     "h16_supplier_part_counts",
     "q1_latest_readings",

@@ -1003,3 +1003,43 @@ def test_trained_codebook_drives_knn_recall_report(spark):
         emb, k=3, nprobe=1, max_queries=14, codebook=cb
     ).collect()
     assert all(0.0 <= r["recall"] <= 1.0 for r in rep1)
+
+
+def test_pq_fit_encode_invariants(spark):
+    """PQ training/encoding: deterministic, codes in range, inertia
+    non-increasing, finer codebooks (larger k) reconstruct better, and
+    on planted clusters the reconstruction is near-exact."""
+    import numpy as np
+
+    emb = _planted_clusters_emb(spark)
+    code, trace = similarity.pq_fit(emb, m=4, k=4, n_iter=4)
+    assert code.shape == (4, 4, 2)  # dim 8 split into 4 subspaces of 2
+    assert all(a >= b - 1e-9 for a, b in zip(trace, trace[1:]))  # inertia monotone
+    code2, _ = similarity.pq_fit(emb, m=4, k=4, n_iter=4)
+    assert np.array_equal(code, code2)  # deterministic
+
+    enc = {r["vec_id"]: r for r in similarity.pq_encode(emb, code).collect()}
+    assert len(enc) == 14
+    for r in enc.values():
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 4 for c in r["codes"])
+        assert r["mse"] >= 0.0
+    # coarser codebook (k=2) cannot beat k=4 on average
+    codek2, _ = similarity.pq_fit(emb, m=4, k=2, n_iter=4)
+    mse4 = sum(r["mse"] for r in enc.values())
+    mse2 = sum(r["mse"] for r in similarity.pq_encode(emb, codek2).collect())
+    assert mse4 <= mse2 + 1e-12
+
+
+def test_pq_adc_topk_finds_planted_neighbors(spark):
+    """ADC scoring over codes: on separable planted clusters the top
+    neighbors of a cluster member are its own cluster (PQ at k=16 on 14
+    vecs reconstructs nearly exactly, so ADC ~= exact L2)."""
+    emb = _planted_clusters_emb(spark)
+    code, _ = similarity.pq_fit(emb, m=4, k=8, n_iter=4)
+    # query = vector 0 (group 0 = ids {0, 3, 6, 9})
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    top = [r["vec_id"] for r in
+           similarity.pq_adc_topk(emb, code, qvec, topk=4).collect()]
+    assert set(top) <= {0, 3, 6, 9}
+    assert top[0] == 0  # self reconstructs closest
