@@ -114,6 +114,9 @@ HEADLINE = [
     "f6b_metadata_lookup_indexed",
     "seq_pack_ranges",
     "corpus_budget_select",
+    "bigram_surprisal",
+    "w9_event_transitions",
+    "embed_pq_stats",
 ]
 
 # Drift sentinel: identical code has measured 49.5 s vs 72.3 s suite

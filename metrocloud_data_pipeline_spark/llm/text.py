@@ -391,3 +391,52 @@ def token_count_histogram(docs: DataFrame, width: int = 50) -> DataFrame:
             "max_tokens",
         )
     )
+
+
+def bigram_surprisal(docs: DataFrame, materialize: bool = True) -> DataFrame:
+    """Per-document mean BIGRAM surprisal in bits — the next step up
+    from unigram_surprisal's bag-of-words LM: repetitive/templated text
+    whose word PAIRS are globally common scores low even when its
+    individual words are rare, which is exactly the boilerplate the
+    unigram filter misses. The LM is the corpus's own MLE bigram model
+    P(t|p) = c(p,t) / c(p,·), so the score is deterministic and
+    oracle-checkable (no trained artifact).
+
+    Pipeline: bigrams come from zip_with over two array slices (pure
+    codegen, no window over positions), explode once; the (doc, bigram,
+    prev) frame is checkpointed and feeds BOTH count aggregates and the
+    scoring join — one pass over the text, two map-side-combined
+    aggregates, one shuffle rejoin. Hot contexts (stopwords) are the
+    skew; AQE splits them — same posture as tfidf's term join. Docs
+    with < 2 tokens emit no row (no bigram to score)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS, " ")
+    toks = F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    rows = docs.select("doc_id", F.explode(bigrams).alias("bigram")).withColumn(
+        "prev", F.substring_index("bigram", " ", 1)
+    )
+    if materialize:
+        rows = rows.localCheckpoint()
+    c2 = rows.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    c1 = rows.groupBy("prev").agg(F.count(F.lit(1)).alias("cp"))
+    ln2 = 0.6931471805599453
+    return (
+        rows.join(c2, "bigram")
+        .join(c1, "prev")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("bigram_count"),
+            round6(
+                -F.sum(F.log(F.col("cb").cast("double") / F.col("cp").cast("double")))
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(ln2)
+            ).alias("bits_per_bigram"),
+        )
+    )

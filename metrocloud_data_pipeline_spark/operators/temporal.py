@@ -554,3 +554,40 @@ def counter_delta(
         round6(F.min_by(value_col, F.struct(ts_col, id_col))).alias("first_value"),
         round6(F.max_by(value_col, F.struct(ts_col, id_col))).alias("last_value"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition matrix over per-key event sequences
+    (the Markov behavioral summary funnels are a special case of):
+    for every (from, to) event-type pair, how often it occurs and the
+    conditional probability P(to | from) — the what-happens-next panel
+    behind session analysis and anomaly-flow detection.
+
+    One per-key lag window (the only data-sized shuffle), then a
+    types x types aggregate; the probability normalizer is a window
+    over that tiny matrix, not the data. Each key's first event has no
+    predecessor and contributes nothing."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    pairs = events.select(
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    norm = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        round6(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(norm).cast("double")
+        ).alias("p_next"),
+    )

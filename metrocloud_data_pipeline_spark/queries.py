@@ -3789,6 +3789,62 @@ def unigram_surprisal(spark, sf_dir):
 
 
 @q(
+    "w9_event_transitions",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       count(*) AS n_transitions,
+       round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY prev_type), 6) AS p_next
+FROM t WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def w9_event_transitions(spark, sf_dir):
+    """First-order event-type transition matrix: for every (from, to)
+    pair, its count and P(to | from) — the Markov behavioral summary
+    funnels (w5) are a special case of. One per-user lag window (the
+    only data-sized shuffle) into a types x types aggregate; the
+    probability normalizer windows over that tiny matrix."""
+    return temporal.event_transitions(load(spark, sf_dir, "events"))
+
+
+@q(
+    "bigram_surprisal",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_NORM_TOKS_SQL} AS l
+  FROM documents WHERE length(trim(text)) > 0
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS bigram
+  FROM toks WHERE len(l) >= 2
+), bgp AS (
+  SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS prev FROM bg
+), c2 AS (SELECT bigram, count(*) AS cb FROM bgp GROUP BY 1),
+c1 AS (SELECT prev, count(*) AS cp FROM bgp GROUP BY 1)
+SELECT doc_id, count(*) AS bigram_count,
+       round(-sum(ln(CAST(cb AS DOUBLE) / cp)) / count(*) / ln(2), 6) AS bits_per_bigram
+FROM bgp JOIN c2 USING (bigram) JOIN c1 USING (prev)
+GROUP BY 1
+""",
+)
+def bigram_surprisal(spark, sf_dir):
+    """Per-doc mean bigram surprisal vs the corpus's own MLE bigram LM
+    (P(t|p) = c(p,t)/c(p,·)) — the sequence-aware upgrade over
+    unigram_surprisal: templated text whose word PAIRS are common
+    scores low even when its words are individually rare. Bigrams from
+    zip_with over two array slices (pure codegen), one explode; the
+    checkpointed (doc, bigram, prev) frame feeds both count aggregates
+    and the scoring join."""
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    return text.bigram_surprisal(docs)
+
+
+@q(
     "cap_per_source",
     oracle="""
 WITH scored AS (
@@ -3928,6 +3984,8 @@ QUERY_ORDER = [
     "a20_counter_delta",
     "seq_pack_ranges",
     "corpus_budget_select",
+    "bigram_surprisal",
+    "w9_event_transitions",
     # --- never driver-checked, rows-only by documented design (6) ---
     "knn_join_ivf_bucketed",
     "dedup_embed_semdedup",
@@ -3943,8 +4001,6 @@ QUERY_ORDER = [
     "h6_forecast_revenue",
     "h7_volume_shipping",
     "h8_market_share",
-    "h10_returned_items",
-    "h13_customer_distribution",
     "w4_user_sessions",
     "langid_heuristic",
     "f1_recent_readings",
@@ -3952,6 +4008,8 @@ QUERY_ORDER = [
     # r7 queue: remaining r4-green queries, oracle-backed first
     # (w1/q1/a3/h14/h15/h16 demoted from the refresh block to make room
     # for the new r6 queries — never-checked queries beat r4 refreshes)
+    "h10_returned_items",
+    "h13_customer_distribution",
     "h14_promo_revenue",
     "h15_top_supplier",
     "h16_supplier_part_counts",

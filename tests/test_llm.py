@@ -1043,3 +1043,22 @@ def test_pq_adc_topk_finds_planted_neighbors(spark):
            similarity.pq_adc_topk(emb, code, qvec, topk=4).collect()]
     assert set(top) <= {0, 3, 6, 9}
     assert top[0] == 0  # self reconstructs closest
+
+
+def test_bigram_surprisal_flags_templated_text(spark):
+    """Docs built from COMMON word pairs score lower bits than a doc
+    whose pairs are unique, even at similar unigram rarity; docs with
+    fewer than two tokens emit no row."""
+    common = "alpha beta alpha beta alpha beta"
+    rows = [(i, common, "en", "s", len(common)) for i in range(5)]
+    rows.append((10, "alpha gamma beta delta alpha epsilon", "en", "s", 36))
+    rows.append((11, "solo", "en", "s", 4))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in text.bigram_surprisal(docs).collect()}
+    assert 11 not in out  # single token: no bigram
+    assert out[0]["bigram_count"] == 5
+    assert out[10]["bigram_count"] == 5
+    # templated pairs are high-probability -> fewer bits than novel pairs
+    assert out[0]["bits_per_bigram"] < out[10]["bits_per_bigram"]

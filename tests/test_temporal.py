@@ -348,3 +348,34 @@ def test_counter_delta_detects_resets(spark):
     d2 = out["2024-01-02 00:00:00"]
     # the cross-day delta lands in the bucket of the LATER reading
     assert d2["counter_increase"] == 2.0 and d2["n_resets"] == 0
+
+
+def test_event_transitions_counts_and_probabilities(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    seq = {"u1": ["view", "click", "view", "click", "purchase"],
+           "u2": ["view", "view"]}
+    rows = []
+    eid = 0
+    for u, types in seq.items():
+        for i, et in enumerate(types):
+            rows.append((eid, u, et, t0 + timedelta(minutes=i)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id string, event_type string, ts timestamp")
+    out = {(r["prev_type"], r["next_type"]): r
+           for r in temporal.event_transitions(df).collect()}
+    # u1: view->click x2, click->view, click->purchase; u2: view->view
+    assert out[("view", "click")]["n_transitions"] == 2
+    assert out[("view", "view")]["n_transitions"] == 1
+    assert out[("click", "view")]["n_transitions"] == 1
+    assert out[("click", "purchase")]["n_transitions"] == 1
+    assert len(out) == 4
+    # P(.|view): click 2/3, view 1/3; P(.|click): 1/2 each
+    assert out[("view", "click")]["p_next"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[("click", "purchase")]["p_next"] == 0.5
+    from collections import defaultdict
+    by_prev = defaultdict(float)
+    for (p, _), r in out.items():
+        by_prev[p] += r["p_next"]
+    assert all(abs(v - 1.0) < 1e-6 for v in by_prev.values())
