@@ -56,13 +56,18 @@ def run_ann_serving_stream(
     stride: int = 31,
     corpus_table: DataFrame | None = None,
     available_now: bool = True,
+    codebook=None,
 ) -> StreamingQuery:
     """Score each micro-batch of query vectors against the corpus and
     append (batch_id, q_id, vec_id, label, cosine_sim, rank) rows.
 
     Pass corpus_table (an ivf_corpus_table built with the SAME stride)
     to skip per-batch corpus re-listing AND make the corpus side of
-    every batch's probe join exchange-free."""
+    every batch's probe join exchange-free. Pass `codebook` (e.g.
+    similarity.trained_codebook — train ONCE at deploy, serve forever)
+    to replace the stride quantizer: on clustered corpora the trained
+    codebook holds recall ~1.0 where stride degrades with corpus size
+    (PROBE_r06); the per-batch cost is identical."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
@@ -74,6 +79,7 @@ def run_ann_serving_stream(
             stride=stride,
             listed=corpus_table,
             queries=batch.select("vec_id", "embedding"),
+            codebook=codebook,
         )
         spark = batch.sparkSession
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

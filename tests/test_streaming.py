@@ -990,3 +990,53 @@ def test_scd2_bucketed_stream_matches_full_rewrite_and_prunes(spark, tmp_path):
         n_buckets=8,
     ).awaitTermination(120)
     assert spark.read.parquet(dim_path).count() == 11
+
+
+def test_ann_serving_stream_with_trained_codebook(spark, tmp_path):
+    """Serving with a k-means-trained codebook (train once at deploy):
+    streamed results equal the batch external-query scoring under the
+    SAME codebook, and the planted copy still ranks first."""
+    import math
+
+    from metrocloud_data_pipeline_spark.llm import similarity
+    from metrocloud_data_pipeline_spark.streaming import ann
+
+    rows = []
+    for vid in range(90):
+        c = vid % 3
+        v = [1.0 if i == c else 0.0 for i in range(8)]
+        v[(c + 3) % 8] = 0.05 * ((vid * 7) % 11)
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((vid, [x / n for x in v], c))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+    cb = similarity.trained_codebook(corpus, k=3, n_iter=4)
+
+    src = tmp_path / "queries"
+    src.mkdir()
+    qs = [(1000, rows[3][1]), (1001, rows[50][1])]
+    spark.createDataFrame(qs, ann.QUERY_SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
+
+    out = str(tmp_path / "results")
+    ann.run_ann_serving_stream(
+        ann.stream_query_vectors(spark, str(src) + "/*"),
+        corpus,
+        out,
+        str(tmp_path / "ck"),
+        k=5,
+        nprobe=1,
+        codebook=cb,
+    ).awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    want = similarity.knn_join_ivf(
+        corpus, k=5, nprobe=1,
+        queries=spark.createDataFrame(qs, ann.QUERY_SCHEMA), codebook=cb,
+    )
+    key = lambda t: (t[0], t[4])
+    assert sorted(map(tuple, got.drop("batch_id").collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )
+    top = {r["q_id"]: r["vec_id"] for r in got.where(F.col("rank") == 1).collect()}
+    assert top[1000] == 3

@@ -147,6 +147,16 @@ def main() -> None:
     )
     t(lambda: scd2_merge(dim, upd, "c_custkey", ["c_acctbal", "c_mktsegment"]), "scd2_merge")
 
+    # r6 additions: bigram LM scoring (token-pair frame ~= corpus token
+    # count — the heaviest text shape), contiguous packing (one window
+    # per shard), budget selection (score-bucketed threshold — the
+    # boundary cumsum must stay bucket-sized), and PQ training/encoding
+    # (n_iter scans, driver traffic O(partitions * m * k))
+    t(lambda: llm_text.bigram_surprisal(docs), "bigram_surprisal")
+    t(lambda: curation.pack_token_ranges(docs, capacity=512), "pack_ranges")
+    t(lambda: curation.budget_select(docs, token_budget=500_000), "budget_select")
+    t(lambda: similarity.embed_pq_stats(emb, m=4, k=16, n_iter=2), "pq_stats")
+
     probe_knn_bucketed(spark, emb)
     probe_streaming(spark, copies)
 
