@@ -595,3 +595,36 @@ def compact_append_store(
     out.write.mode("overwrite").option("compression", codec).parquet(tmp)
     swap_store(path, tmp)
     return n_before
+
+
+def vacuum_store_artifacts(root: str, live_names: list[str] | None = None) -> list[str]:
+    """Remove leftover swap/compaction artifacts under `root`: the
+    `._staging_*` / `._compact_tmp` / `._old` sibling directories that
+    an unclean stop can strand next to their stores. Safe by
+    construction: an `._old` dir is only deleted when its live store
+    EXISTS (when the live dir is missing, the artifact is the store's
+    sole copy — recover_store() promotes it instead, and this function
+    leaves it alone); staging/compact temps are always disposable
+    because swap_store only ever renames a FULLY-written staging dir
+    into place. Run from OP-ST7-style periodic maintenance alongside
+    compaction. Returns the paths removed."""
+    fs, jroot, jvm = _jfs(root)
+    if not fs.exists(jroot):
+        return []
+    removed = []
+    for st in fs.listStatus(jroot):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        base, sep, suffix = name.partition("._")
+        if not sep:
+            continue
+        live = f"{root.rstrip('/')}/{base}"
+        path = f"{root.rstrip('/')}/{name}"
+        if suffix.startswith("staging") or suffix == "compact_tmp":
+            _fs_delete(path)
+            removed.append(path)
+        elif suffix == "old" and _fs_exists(live):
+            _fs_delete(path)
+            removed.append(path)
+    return removed

@@ -406,3 +406,26 @@ def test_metadata_index_lookup_matches_direct_and_prunes(spark, tmp_path):
     total = len(list((tmp_path / "meta_idx").glob("part-*.parquet")))
     assert total >= 4
     assert files_admitting(90, 95) <= total // 2
+
+
+def test_vacuum_store_artifacts_keeps_sole_copies(spark, tmp_path):
+    import shutil
+
+    root = str(tmp_path)
+    spark.range(3).write.parquet(f"{root}/dim")
+    spark.range(3).write.parquet(f"{root}/dim._staging_7")     # stranded staging
+    spark.range(3).write.parquet(f"{root}/dim._old")           # completed-swap leftover
+    spark.range(3).write.parquet(f"{root}/corpus._compact_tmp")
+    spark.range(5).write.parquet(f"{root}/orphan")
+    # orphan's live dir is GONE: its ._old is the only copy — must survive
+    shutil.move(f"{root}/orphan", f"{root}/orphan_tmp")
+    shutil.move(f"{root}/orphan_tmp", f"{root}/orphan._old")
+
+    removed = sorted(M.vacuum_store_artifacts(root))
+    assert removed == sorted(
+        [f"{root}/dim._staging_7", f"{root}/dim._old", f"{root}/corpus._compact_tmp"]
+    )
+    assert M._fs_exists(f"{root}/orphan._old")          # sole copy kept
+    assert M.recover_store(f"{root}/orphan") is True    # and still recoverable
+    assert spark.read.parquet(f"{root}/orphan").count() == 5
+    assert spark.read.parquet(f"{root}/dim").count() == 3
