@@ -178,3 +178,62 @@ def test_jdbc_sink_gated_without_driver(spark):
         jdbc_io.write_jdbc(df, "jdbc:postgresql://localhost/db", "sensor_readings")
     with pytest.raises(RuntimeError, match="JDBC driver"):
         jdbc_io.read_jdbc(spark, "jdbc:postgresql://localhost/db", "sensor_readings")
+
+
+def test_ruuvitag_rawv2_decode_spec_vector(spark):
+    """Decode the published Ruuvi data-format-5 'valid data' test vector
+    (temp 24.3 C, humidity 53.49 %, pressure 100044 Pa, accel
+    (0.004, -0.004, 1.036) g, battery 2.977 V, tx +4 dBm, movement 66,
+    sequence 205) from a realistic advertisement layout — flags AD
+    structure first, manufacturer data at a nonzero offset, exactly the
+    byte walk the reference's ESP32 gateway does (main.c:305-368)."""
+    from metrocloud_data_pipeline_spark.sources.ble_decoder import decode_ruuvitag_rawv2
+
+    payload = bytes.fromhex("12FC5394C37C0004FFFC040CAC364200CD")  # temp..seq
+    adv = bytes([0x02, 0x01, 0x06, 0x1B, 0xFF, 0x99, 0x04, 0x05]) + payload + bytes(6)
+    mac = bytes.fromhex("CBB8334C884F")
+    too_short = bytes([0xFF, 0x99, 0x04, 0x05])
+    not_ruuvi = bytes([0x02, 0x01, 0x06]) + bytes(24)
+    frames = spark.createDataFrame(
+        [(mac, adv, "1695715200"), (mac, too_short, "1695715201"),
+         (mac, not_ruuvi, "1695715202")],
+        "mac binary, adv_data binary, timestamp string",
+    )
+    out = decode_ruuvitag_rawv2(frames).collect()
+    assert len(out) == 1  # short/non-Ruuvi frames dropped like the C early-returns
+    r = out[0]
+    assert r["device_id"] == "cb:b8:33:4c:88:4f"
+    assert r["device_type"] == "ruuvitag"
+    assert r["temperature"] == pytest.approx(24.3)
+    assert r["humidity"] == pytest.approx(53.49)
+    assert r["pressure"] == pytest.approx(100044.0)
+    assert r["acceleration_x"] == pytest.approx(0.004)
+    assert r["acceleration_y"] == pytest.approx(-0.004)
+    assert r["acceleration_z"] == pytest.approx(1.036)
+    assert r["battery_voltage"] == pytest.approx(2.977)
+    assert r["tx_power"] == pytest.approx(4.0)
+    assert r["movement_counter"] == 66.0
+    assert r["measurement_sequence"] == 205.0
+
+
+def test_ruuvitag_decode_feeds_normalize_chain(spark):
+    """Decoded frames carry the wide RAW_RUUVITAG_SCHEMA shape, so they
+    run through the SAME normalize/fan-out chain as the JSON source —
+    the decoder is just another front door (OP-S8 -> OP-T1..)."""
+    from metrocloud_data_pipeline_spark.sources.ble_decoder import decode_ruuvitag_rawv2
+
+    payload = bytes.fromhex("12FC5394C37C0004FFFC040CAC364200CD")
+    adv = bytes([0xFF, 0x99, 0x04, 0x05]) + payload + bytes(6)
+    frames = spark.createDataFrame(
+        [(bytes.fromhex("CBB8334C884F"), adv, "1695715200")],
+        "mac binary, adv_data binary, timestamp string",
+    )
+    wide = decode_ruuvitag_rawv2(frames)
+    valid, rejected = ingest.normalize_raw(wide, anchor="2025-09-26 12:00:00")
+    rows = valid.collect()
+    assert rejected.count() == 0
+    # fan-out produced one per-channel reading, each suffixing the MAC
+    assert all(r["device_id"].startswith("cb:b8:33:4c:88:4f") for r in rows)
+    by_type = {r["device_type"]: r["value"] for r in rows}
+    assert by_type["temperature_sensor"] == pytest.approx(24.3)
+    assert by_type["humidity_sensor"] == pytest.approx(53.49)
