@@ -117,6 +117,7 @@ HEADLINE = [
     "bigram_surprisal",
     "w9_event_transitions",
     "embed_pq_stats",
+    "w10_m4_downsample",
 ]
 
 # Drift sentinel: identical code has measured 49.5 s vs 72.3 s suite

@@ -591,3 +591,62 @@ def event_transitions(
             / F.sum("n_transitions").over(norm).cast("double")
         ).alias("p_next"),
     )
+
+
+def m4_downsample(
+    readings: DataFrame,
+    bucket: str = "1 hour",
+    key_col: str = "device_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "reading_id",
+) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., VLDB 2014; the
+    TimescaleDB-toolkit/Grafana downsample family): per (key, bucket)
+    keep exactly the FIRST, LAST, MIN and MAX readings — the four
+    points per pixel column that make a line chart of millions of rows
+    render pixel-identically to the full series. Output one row per
+    (key, bucket, role); a reading holding several roles appears once
+    per role, so charts can style extrema separately.
+
+    One map-side-combined aggregate (4 min_by/max_by picks over struct
+    orderings — deterministic ties by (ts, id)) + a 4-struct explode of
+    the bucket-sized result: single exchange, no windows, no sort of
+    the raw data."""
+    us = bucket_seconds(bucket) * 1_000_000
+    ts_us = F.unix_micros(F.col(ts_col))
+    pick = lambda c: F.struct(  # noqa: E731
+        F.col(ts_col).alias("ts"), F.col(value_col).alias("value"), F.col(id_col).alias("reading_id")
+    )
+    by_time = F.struct(F.col(ts_col), F.col(id_col))
+    by_value = F.struct(F.col(value_col), F.col(ts_col), F.col(id_col))
+    agg = (
+        readings.select(
+            F.col(key_col),
+            F.timestamp_micros(ts_us - ts_us % us).alias("bucket_ts"),
+            F.col(ts_col),
+            F.col(value_col),
+            F.col(id_col),
+        )
+        .groupBy(key_col, "bucket_ts")
+        .agg(
+            F.min_by(pick("f"), by_time).alias("_first"),
+            F.max_by(pick("l"), by_time).alias("_last"),
+            F.min_by(pick("mn"), by_value).alias("_min"),
+            F.max_by(pick("mx"), by_value).alias("_max"),
+        )
+    )
+    roles = F.array(
+        F.struct(F.lit("first").alias("role"), F.col("_first").alias("p")),
+        F.struct(F.lit("last").alias("role"), F.col("_last").alias("p")),
+        F.struct(F.lit("min").alias("role"), F.col("_min").alias("p")),
+        F.struct(F.lit("max").alias("role"), F.col("_max").alias("p")),
+    )
+    return agg.select(key_col, "bucket_ts", F.explode(roles).alias("r")).select(
+        key_col,
+        "bucket_ts",
+        F.col("r.role").alias("role"),
+        F.col("r.p.ts").alias("ts"),
+        F.col("r.p.value").alias("value"),
+        F.col("r.p.reading_id").alias("reading_id"),
+    )

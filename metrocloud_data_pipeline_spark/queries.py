@@ -3789,6 +3789,38 @@ def unigram_surprisal(spark, sf_dir):
 
 
 @q(
+    "w10_m4_downsample",
+    oracle=_READINGS_CTE
+    + f"""
+, b AS (
+  SELECT device_id, {_bucket_sql('ts', 21600)} AS bucket_ts, reading_id, ts, value,
+         row_number() OVER (PARTITION BY device_id, {_bucket_sql('ts', 21600)}
+           ORDER BY ts, reading_id) AS rn_first,
+         row_number() OVER (PARTITION BY device_id, {_bucket_sql('ts', 21600)}
+           ORDER BY ts DESC, reading_id DESC) AS rn_last,
+         row_number() OVER (PARTITION BY device_id, {_bucket_sql('ts', 21600)}
+           ORDER BY value, ts, reading_id) AS rn_min,
+         row_number() OVER (PARTITION BY device_id, {_bucket_sql('ts', 21600)}
+           ORDER BY value DESC, ts DESC, reading_id DESC) AS rn_max
+  FROM readings
+)
+SELECT device_id, bucket_ts, 'first' AS role, ts, value, reading_id FROM b WHERE rn_first = 1
+UNION ALL SELECT device_id, bucket_ts, 'last', ts, value, reading_id FROM b WHERE rn_last = 1
+UNION ALL SELECT device_id, bucket_ts, 'min', ts, value, reading_id FROM b WHERE rn_min = 1
+UNION ALL SELECT device_id, bucket_ts, 'max', ts, value, reading_id FROM b WHERE rn_max = 1
+""",
+)
+def w10_m4_downsample(spark, sf_dir):
+    """M4 visualization downsampling (Jugel et al. VLDB 2014): per
+    (device, 6h bucket) exactly the first/last/min/max readings — the
+    four points per pixel column that render a line chart of the full
+    series pixel-identically. One map-side-combined aggregate (min_by/
+    max_by struct picks, deterministic ties) + a 4-role explode of the
+    bucket-sized result; no window over the raw data."""
+    return temporal.m4_downsample(readings(spark, sf_dir), bucket="6 hours")
+
+
+@q(
     "w9_event_transitions",
     oracle="""
 WITH t AS (
@@ -3986,6 +4018,7 @@ QUERY_ORDER = [
     "corpus_budget_select",
     "bigram_surprisal",
     "w9_event_transitions",
+    "w10_m4_downsample",
     # --- never driver-checked, rows-only by documented design (6) ---
     "knn_join_ivf_bucketed",
     "dedup_embed_semdedup",
@@ -4003,11 +4036,12 @@ QUERY_ORDER = [
     "h8_market_share",
     "w4_user_sessions",
     "langid_heuristic",
-    "f1_recent_readings",
     # --- driver window ends here (first 50) ---
     # r7 queue: remaining r4-green queries, oracle-backed first
-    # (w1/q1/a3/h14/h15/h16 demoted from the refresh block to make room
-    # for the new r6 queries — never-checked queries beat r4 refreshes)
+    # (w1/q1/a3/f1/h10/h14/h15/h16 demoted from the refresh block to
+    # make room for the new r6 queries — never-checked queries beat r4
+    # refreshes)
+    "f1_recent_readings",
     "h10_returned_items",
     "h13_customer_distribution",
     "h14_promo_revenue",

@@ -379,3 +379,28 @@ def test_event_transitions_counts_and_probabilities(spark):
     for (p, _), r in out.items():
         by_prev[p] += r["p_next"]
     assert all(abs(v - 1.0) < 1e-6 for v in by_prev.values())
+
+
+def test_m4_downsample_roles(spark):
+    from datetime import datetime
+
+    rows = [
+        (1, "a", datetime(2024, 1, 1, 0, 5), 10.0),
+        (2, "a", datetime(2024, 1, 1, 0, 20), 50.0),   # max
+        (3, "a", datetime(2024, 1, 1, 0, 40), 2.0),    # min
+        (4, "a", datetime(2024, 1, 1, 0, 55), 30.0),   # last
+        (5, "a", datetime(2024, 1, 1, 1, 10), 7.0),    # lone point: all 4 roles
+    ]
+    df = spark.createDataFrame(
+        rows, "reading_id long, device_id string, ts timestamp, value double"
+    )
+    out = {(str(r["bucket_ts"]), r["role"]): r
+           for r in temporal.m4_downsample(df, bucket="1 hour").collect()}
+    b0 = "2024-01-01 00:00:00"
+    assert out[(b0, "first")]["reading_id"] == 1
+    assert out[(b0, "last")]["reading_id"] == 4
+    assert out[(b0, "min")]["reading_id"] == 3 and out[(b0, "min")]["value"] == 2.0
+    assert out[(b0, "max")]["reading_id"] == 2 and out[(b0, "max")]["value"] == 50.0
+    b1 = "2024-01-01 01:00:00"
+    assert {out[(b1, r)]["reading_id"] for r in ("first", "last", "min", "max")} == {5}
+    assert len(out) == 8
