@@ -3975,15 +3975,17 @@ def kmeans_embed_clusters(spark, sf_dir):
 # queries in order and may stop after a prefix (historically the first
 # 50 of the registry). Round-6 rotation: EVERY query that has never
 # earned a driver CORRECTNESS row fills the window first — the 31
-# registered-but-unchecked from r5's overflow plus the two new r6
-# queries (w8_gapfill_resample, dq_profile_events_approx) — with the
-# 27 oracle-backed ones ahead of the 6 rows-only-by-design ones so the
-# hash gate covers the maximum. The remaining 17 slots refresh the
-# oldest r4-green queries (two-round freshness invariant); the rest of
-# the r4 cohort queues immediately below the cutoff as the r7 window,
-# and the r5-green block (fresh through r7) fills the tail.
+# registered-but-unchecked from r5's overflow plus the 12 queries new
+# in r6 (w8 gapfill, dq approx profiler, f6b indexed lookup, a19 TWA,
+# a20 counter, seq_pack_ranges, corpus_budget_select, bigram_surprisal,
+# w9 transitions, w10 M4, embed_pq_stats; 43 of the 50 oracle-backed,
+# rows-only-by-design grouped after them so the hash gate covers the
+# maximum). The remaining slots refresh the oldest r4-green queries
+# (two-round freshness invariant); the REST of the r4 cohort queues
+# immediately below the cutoff as the r7 window — rotate it in next
+# round — and the r5-green block (fresh through r7) fills the tail.
 QUERY_ORDER = [
-    # --- never driver-checked, oracle-backed (27) ---
+    # --- never driver-checked, oracle-backed ---
     "obs_hot_keys",
     "text_length_histogram",
     "w5_event_funnel",
