@@ -389,3 +389,108 @@ def test_cohort_retention_matches_naive_python(spark, visits):
         for k, n in want.items()
     }
     assert got == want_full
+
+
+# --- r6 temporal operators vs naive Python references ------------------------
+
+_series = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),           # device
+        st.integers(min_value=0, max_value=20_000),      # ts offset sec
+        st.floats(min_value=-100, max_value=100, allow_nan=False),  # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _series_df(spark, rows):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    uniq = [(i, f"d{k}", t0 + dt.timedelta(seconds=off), float(v))
+            for i, (k, off, v) in enumerate(rows)]
+    return uniq, spark.createDataFrame(
+        uniq, "reading_id long, device_id string, ts timestamp, value double"
+    )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_series)
+def test_gapfill_tiles_span_and_carries(spark, rows):
+    from metrocloud_data_pipeline_spark.operators import temporal
+
+    uniq, df = _series_df(spark, rows)
+    out = temporal.gapfill_resample(df, bucket="1 hour").collect()
+    by_dev = {}
+    for r in out:
+        by_dev.setdefault(r["device_id"], []).append(r)
+    for dev, rs in by_dev.items():
+        rs = sorted(rs, key=lambda r: r["bucket_ts"])
+        # grid is dense: consecutive buckets exactly 1h apart, span = observed span
+        for a, b in zip(rs, rs[1:]):
+            assert (b["bucket_ts"] - a["bucket_ts"]).total_seconds() == 3600
+        obs = [r for r in rs if not r["is_gap"]]
+        assert rs[0]["is_gap"] is False and rs[-1]["is_gap"] is False
+        assert sum(r["n_readings"] for r in rs) == sum(1 for u in uniq if u[1] == dev)
+        # LOCF: filled equals the most recent observed bucket average
+        last = None
+        for r in rs:
+            if not r["is_gap"]:
+                last = r["avg_value"]
+            assert r["filled_value"] == last
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_series)
+def test_counter_delta_matches_naive(spark, rows):
+    from collections import defaultdict
+
+    from metrocloud_data_pipeline_spark.operators import temporal
+
+    uniq, df = _series_df(spark, rows)
+    out = {(r["device_id"], r["bucket_ts"]): r
+           for r in temporal.counter_delta(df, bucket="1 day").collect()}
+    # naive reference
+    want = defaultdict(lambda: [0, 0.0])  # (dev, day) -> [resets, increase]
+    prev = {}
+    for i, dev, ts, v in sorted(uniq, key=lambda u: (u[1], u[2], u[0])):
+        day = ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        if dev in prev:
+            d = v - prev[dev]
+            if d >= 0:
+                want[(dev, day)][1] += d
+            else:
+                want[(dev, day)][0] += 1
+                want[(dev, day)][1] += v
+        prev[dev] = v
+    for (dev, day), (resets, inc) in want.items():
+        r = out[(dev, day)]
+        assert r["n_resets"] == resets
+        assert abs(r["counter_increase"] - round(inc, 6)) < 1e-6
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_series)
+def test_m4_roles_are_true_extrema(spark, rows):
+    from collections import defaultdict
+
+    from metrocloud_data_pipeline_spark.operators import temporal
+
+    uniq, df = _series_df(spark, rows)
+    out = temporal.m4_downsample(df, bucket="1 hour").collect()
+    groups = defaultdict(list)
+    for i, dev, ts, v in uniq:
+        b = ts.replace(minute=0, second=0, microsecond=0)
+        groups[(dev, b)].append((ts, v, i))
+    roles = defaultdict(dict)
+    for r in out:
+        roles[(r["device_id"], r["bucket_ts"])][r["role"]] = r
+    assert set(roles) == set(groups)
+    for key, pts in groups.items():
+        rr = roles[key]
+        assert set(rr) == {"first", "last", "min", "max"}
+        assert rr["first"]["reading_id"] == min(pts, key=lambda p: (p[0], p[2]))[2]
+        assert rr["last"]["reading_id"] == max(pts, key=lambda p: (p[0], p[2]))[2]
+        assert rr["min"]["value"] == min(v for _, v, _ in pts)
+        assert rr["max"]["value"] == max(v for _, v, _ in pts)
