@@ -1289,3 +1289,85 @@ def pq_adc_topk(
         .orderBy("adc_dist2", id_col)
         .limit(topk)
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    stride: int = 31,
+    m: int = 4,
+    pq_k: int = 16,
+    n_iter: int = 4,
+    codes: DataFrame | None = None,
+    codebooks=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search — the full FAISS IndexIVFPQ architecture composed
+    from the engine's primitives: the coarse IVF quantizer prunes the
+    corpus to the query's nprobe nearest lists, and the survivors are
+    scored from their PRODUCT-QUANTIZED codes via the ADC lookup table
+    — so neither pass touches the float vectors (m table lookups per
+    candidate), which is how a 100 TB ANN corpus serves from codes that
+    fit hot storage. Distances are squared L2 over the PQ
+    reconstruction (ascending).
+
+    At ingest the corpus is encoded once (`codes` = pq_encode output
+    WITH a list_id column, e.g. persisted bucketed by list_id so probes
+    prune physically); pass `codebooks` alongside. When omitted, both
+    derive here (each one corpus pass + the k-means fit).
+
+    Recall < 1 twice over (coarse pruning + PQ distortion) — bounds and
+    planted-cluster behavior pytest-gated, same contract as knn_ivf."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    if codebooks is None:
+        codebooks = pq_fit(embeddings, m=m, k=pq_k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)[0]
+    cb = np.asarray(codebooks, dtype=np.float64)
+    mm, kk, dd = cb.shape
+    if codes is None:
+        centroids, listed = ivf_assignments(embeddings, stride=stride, attach_cols=[vec_col])
+        enc = pq_encode(listed.select(id_col, vec_col, "list_id"), cb, id_col=id_col, vec_col=vec_col)
+        codes = enc.join(listed.select(id_col, "list_id"), id_col)
+    else:
+        centroids, _ = ivf_assignments(embeddings, stride=stride)
+
+    # coarse probe: nprobe nearest centroid lists (driver-side codebook
+    # already collected inside ivf_assignments — reuse its frame here)
+    qn = q / np.linalg.norm(q)
+    cent_rows = centroids.collect()
+    sims = sorted(
+        (
+            (float(np.dot(qn, np.asarray(r["c_emb"], dtype=np.float64) / np.linalg.norm(r["c_emb"]))), r["list_id"])
+            for r in cent_rows
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probe = [list_id for _, list_id in sims[:nprobe]]
+
+    # ADC lookup table for the query
+    lut = np.stack(
+        [((q[j * dd:(j + 1) * dd][None, :] - cb[j]) ** 2).sum(axis=1) for j in range(mm)]
+    )
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast(lut)
+
+    def score(batches):
+        import pandas as pd
+
+        tbl = bc.value
+        for pdf in batches:
+            cd = np.vstack(pdf["codes"].values)
+            d2 = tbl[np.arange(mm)[None, :], cd].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "adc_dist2": d2})
+
+    pruned = codes.where(F.col("list_id").isin([int(p) for p in probe]))
+    return (
+        pruned.select(id_col, "codes")
+        .mapInPandas(score, f"{id_col} long, adc_dist2 double")
+        .orderBy("adc_dist2", id_col)
+        .limit(k)
+    )

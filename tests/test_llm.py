@@ -1062,3 +1062,25 @@ def test_bigram_surprisal_flags_templated_text(spark):
     assert out[10]["bigram_count"] == 5
     # templated pairs are high-probability -> fewer bits than novel pairs
     assert out[0]["bits_per_bigram"] < out[10]["bits_per_bigram"]
+
+
+def test_ivfpq_topk_composes_pruning_and_adc(spark):
+    """IVF-PQ: coarse pruning + ADC scoring over codes. On separable
+    planted clusters with enough probes, the result set matches the
+    query's own cluster; with nprobe covering all lists the ranking is
+    the PQ-ADC ranking (pq_adc_topk) restricted to the probed corpus."""
+    emb = _planted_clusters_emb(spark)
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    cb, _ = similarity.pq_fit(emb, m=4, k=8, n_iter=4)
+    # stride 5 -> centroid seeds at vec_ids 0,5,10; probing ALL 3 lists
+    # makes the candidate set the whole corpus -> equals plain ADC top-k
+    full = [r["vec_id"] for r in similarity.ivfpq_topk(
+        emb, qvec, k=4, nprobe=3, stride=5, codebooks=cb).collect()]
+    adc = [r["vec_id"] for r in similarity.pq_adc_topk(emb, cb, qvec, topk=4).collect()]
+    assert full == adc
+    # with 1 probe, results stay within the probed subset and the
+    # query's planted group (ids {0,3,6,9}) dominates
+    one = [r["vec_id"] for r in similarity.ivfpq_topk(
+        emb, qvec, k=4, nprobe=1, stride=5, codebooks=cb).collect()]
+    assert one[0] == 0  # self reconstructs closest
+    assert set(one) <= {0, 3, 6, 9, 12, 13} and len(one) <= 4
