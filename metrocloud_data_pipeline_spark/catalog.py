@@ -132,3 +132,58 @@ def assert_backward_compatible(old: StructType, new: StructType) -> None:
         raise ValueError(
             "schema evolution is not BACKWARD compatible: " + "; ".join(errors)
         )
+
+
+def forward_incompatibilities(old: StructType, new: StructType) -> list[str]:
+    """FORWARD violations of evolving writer schema `old` to `new`:
+    every OLD reader must be able to read records written under NEW —
+    exactly the BACKWARD relation with the roles swapped (writer=new,
+    reader=old). Asymmetry examples: adding a non-nullable field is
+    FORWARD-fine (old readers ignore it) but BACKWARD-broken; widening
+    int -> bigint is BACKWARD-fine but FORWARD-broken (old readers
+    can't hold the wider values)."""
+    return backward_incompatibilities(new, old)
+
+
+def full_incompatibilities(old: StructType, new: StructType) -> list[str]:
+    """FULL = BACKWARD and FORWARD both hold (readers and writers on
+    either schema interoperate)."""
+    return [f"backward: {e}" for e in backward_incompatibilities(old, new)] + [
+        f"forward: {e}" for e in forward_incompatibilities(old, new)
+    ]
+
+
+_COMPAT_CHECKS = {
+    "BACKWARD": lambda hist, new: backward_incompatibilities(hist[-1], new),
+    "FORWARD": lambda hist, new: forward_incompatibilities(hist[-1], new),
+    "FULL": lambda hist, new: full_incompatibilities(hist[-1], new),
+    "BACKWARD_TRANSITIVE": lambda hist, new: [
+        e for old in hist for e in backward_incompatibilities(old, new)
+    ],
+    "FORWARD_TRANSITIVE": lambda hist, new: [
+        e for old in hist for e in forward_incompatibilities(old, new)
+    ],
+    "FULL_TRANSITIVE": lambda hist, new: [
+        e for old in hist for e in full_incompatibilities(old, new)
+    ],
+    "NONE": lambda hist, new: [],
+}
+
+
+def check_compatibility(
+    mode: str, history: list[StructType], new: StructType
+) -> list[str]:
+    """The Schema Registry's full compatibility matrix as a local check
+    (the reference's compatibility_level is configurable to any of
+    these, config.py:324-340; it deploys BACKWARD): non-transitive
+    modes gate against the LATEST registered schema, _TRANSITIVE modes
+    against every schema in the subject's history. Returns the
+    violation list (empty == the evolution is accepted)."""
+    mode = mode.upper()
+    if mode not in _COMPAT_CHECKS:
+        raise ValueError(
+            f"unknown compatibility mode {mode!r}; expected one of {sorted(_COMPAT_CHECKS)}"
+        )
+    if not history:
+        return []
+    return _COMPAT_CHECKS[mode](history, new)

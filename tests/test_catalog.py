@@ -135,3 +135,52 @@ def test_nested_map_value_change_is_rejected():
     )
     errs = backward_incompatibilities(BASE, new)
     assert any("device_metadata<value>" in e for e in errs)
+
+
+def test_forward_and_full_asymmetries():
+    from metrocloud_data_pipeline_spark.catalog import (
+        check_compatibility,
+        forward_incompatibilities,
+        full_incompatibilities,
+    )
+
+    # adding a NON-nullable field: FORWARD-fine (old readers ignore it),
+    # BACKWARD-broken (old records have no value)
+    add_req = _evolved(**{"+v2": StructField("v2", StringType(), nullable=False)})
+    assert forward_incompatibilities(BASE, add_req) == []
+    assert backward_incompatibilities(BASE, add_req)
+    # widening float -> double: BACKWARD-fine, FORWARD-broken
+    widened = _evolved(value=StructField("value", DoubleType(), nullable=True))
+    assert backward_incompatibilities(BASE, widened) == []
+    assert any("double -> float" in e for e in forward_incompatibilities(BASE, widened))
+    # FULL demands both directions
+    errs = full_incompatibilities(BASE, widened)
+    assert errs and all(e.startswith("forward:") for e in errs)
+    # dropping a nullable field is FULL-compatible both ways
+    dropped = _evolved(tags=None)
+    assert full_incompatibilities(BASE, dropped) == []
+    assert check_compatibility("FULL", [BASE], dropped) == []
+
+
+def test_transitive_modes_gate_against_whole_history():
+    from metrocloud_data_pipeline_spark.catalog import check_compatibility
+
+    v2 = _evolved(**{"+fw": StructField("firmware_version", StringType(), nullable=True)})
+    # v3 drops a field v1 still carries nullable -> BACKWARD ok vs both
+    v3 = StructType([f for f in v2.fields if f.name != "tags"])
+    assert check_compatibility("BACKWARD", [BASE, v2], v3) == []
+    assert check_compatibility("BACKWARD_TRANSITIVE", [BASE, v2], v3) == []
+    # narrowing int -> float? use a type change incompatible with v1 only:
+    # v2b widens battery int->bigint; v3b keeps bigint (ok vs v2b) but is
+    # transitively still fine; instead make v3c re-narrow to int:
+    v2b = _evolved(battery_level=StructField("battery_level", LongType(), nullable=True))
+    v3c = _evolved(battery_level=StructField("battery_level", IntegerType(), nullable=True))
+    # vs latest (v2b) the narrowing bigint->int fails; vs BASE it's identity
+    assert check_compatibility("BACKWARD", [BASE, v2b], v3c)
+    assert check_compatibility("BACKWARD_TRANSITIVE", [BASE, v2b], v3c)
+    # unknown modes fail loudly; empty history is vacuously accepted
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown compatibility mode"):
+        check_compatibility("SIDEWAYS", [BASE], v2)
+    assert check_compatibility("FULL_TRANSITIVE", [], v2) == []
