@@ -20,7 +20,7 @@ predicate is rare or ad hoc); this is the repeated-lookup path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
