@@ -1371,3 +1371,66 @@ def ivfpq_topk(
         .orderBy("adc_dist2", id_col)
         .limit(k)
     )
+
+
+def ivfpq_corpus_table(
+    embeddings: DataFrame,
+    table_name: str,
+    stride: int = 31,
+    m: int = 4,
+    pq_k: int = 16,
+    n_iter: int = 4,
+    num_buckets: int = 32,
+):
+    """Materialize the COMPRESSED ANN corpus — (vec_id, list_id, codes)
+    bucketed on list_id — plus its codebook tensor persisted alongside
+    as `<table>_codebook` (one row per (subspace, cluster) centroid).
+    This is the encode-once-at-ingest layout ivfpq_topk serves from:
+    probes read only their lists' buckets and score m-byte codes, so
+    the float corpus is never touched after this build (FAISS's
+    IndexIVFPQ persisted as plain bucketed parquet tables).
+
+    Returns (codebook ndarray, codes table name). Reload the codebook
+    in a later session with load_pq_codebook(spark, table_name)."""
+    import numpy as np
+
+    from ..operators.maintenance import _fs_delete, write_bucketed
+
+    spark = embeddings.sparkSession
+    for t in (table_name, f"{table_name}_codebook"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        _fs_delete(f"{wh.rstrip('/')}/{t.lower()}")
+
+    cb, _ = pq_fit(embeddings, m=m, k=pq_k, n_iter=n_iter)
+    _, listed = ivf_assignments(embeddings, stride=stride, attach_cols=["embedding"])
+    enc = pq_encode(listed.select("vec_id", "embedding", "list_id"), cb)
+    codes = enc.join(listed.select("vec_id", "list_id"), "vec_id").select(
+        "vec_id", "list_id", "codes"
+    )
+    write_bucketed(codes, table_name, "list_id", num_buckets=num_buckets)
+    rows = [
+        (j, c, [float(x) for x in cb[j, c]])
+        for j in range(cb.shape[0])
+        for c in range(cb.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, cluster int, centroid array<double>"
+    ).write.mode("overwrite").saveAsTable(f"{table_name}_codebook")
+    return cb, table_name
+
+
+def load_pq_codebook(spark, table_name: str):
+    """Rehydrate the [m, k, d_sub] codebook tensor persisted by
+    ivfpq_corpus_table (cross-session serving: the codebook is part of
+    the index, not a per-query artifact)."""
+    import numpy as np
+
+    rows = spark.table(f"{table_name}_codebook").collect()
+    m = 1 + max(r["subspace"] for r in rows)
+    k = 1 + max(r["cluster"] for r in rows)
+    d = len(rows[0]["centroid"])
+    cb = np.zeros((m, k, d))
+    for r in rows:
+        cb[r["subspace"], r["cluster"]] = r["centroid"]
+    return cb

@@ -1084,3 +1084,26 @@ def test_ivfpq_topk_composes_pruning_and_adc(spark):
         emb, qvec, k=4, nprobe=1, stride=5, codebooks=cb).collect()]
     assert one[0] == 0  # self reconstructs closest
     assert set(one) <= {0, 3, 6, 9, 12, 13} and len(one) <= 4
+
+
+def test_ivfpq_corpus_table_serves_identically(spark):
+    """The persisted (codes bucketed by list + codebook table) layout
+    serves ivfpq_topk byte-identically to the in-memory build, across a
+    codebook reload — the encode-once-at-ingest contract."""
+    import numpy as np
+
+    emb = _planted_clusters_emb(spark)
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    cb, tbl = similarity.ivfpq_corpus_table(
+        emb, "ivfpq_probe", stride=5, m=4, pq_k=8, n_iter=4
+    )
+    cb2 = similarity.load_pq_codebook(spark, tbl)
+    assert np.array_equal(cb, cb2)
+    served = similarity.ivfpq_topk(
+        emb, qvec, k=4, nprobe=3, stride=5,
+        codes=spark.table(tbl), codebooks=cb2,
+    ).collect()
+    in_mem = similarity.ivfpq_topk(
+        emb, qvec, k=4, nprobe=3, stride=5, codebooks=cb
+    ).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in in_mem]
