@@ -257,6 +257,85 @@ def _collect_codebook(centroids: DataFrame):
     return ids, code
 
 
+# Cap for the auto-trained coarse quantizer. PROBE_r06: on clustered
+# corpora the training-free stride sample ties list count to corpus
+# SIZE and recall@10 collapses (0.41 avg / 0.00 min at 100k vectors),
+# while a k-means codebook sized near the natural cluster count holds
+# 1.00 at both 1x and 10x — list structure should track cluster
+# structure, not corpus size.
+DEFAULT_TRAIN_K = 32
+
+# Minimum training points per centroid when auto-sizing (FAISS's
+# clustering guidance warns below ~39 points/centroid): more lists than
+# the data can populate over-segments natural clusters and scatters
+# true neighbors — the same failure mode as the stride sample, measured
+# as recall 0.77 on a 90-vector/3-cluster corpus at k=32 vs 1.0 sized.
+TRAIN_POINTS_PER_LIST = 39
+
+
+def _auto_train_k(embeddings: DataFrame) -> int:
+    """Auto-size the trained coarse quantizer: at most one list per
+    TRAIN_POINTS_PER_LIST corpus vectors, capped at DEFAULT_TRAIN_K.
+    Costs one column-pruned count — the default convenience path; a
+    deploy-scale caller trains once with an explicit k near its known
+    cluster structure and passes the codebook through."""
+    n = embeddings.count()
+    return max(1, min(DEFAULT_TRAIN_K, n // TRAIN_POINTS_PER_LIST))
+
+
+def quantizer_fingerprint(ids, code) -> str:
+    """Deterministic fingerprint of a coarse quantizer — sha256 over the
+    exact int64 list_ids + float64 centroid bytes. Persisted with every
+    ivf_corpus_table so a serving path can PROVE the codebook it probes
+    with is the one the table was bucketed by (a trained codebook's
+    list_ids 0..k-1 partially overlap a stride sample's vec_id multiples,
+    so a mismatch returns silently wrong neighbors instead of erroring
+    — this check turns that into a loud failure)."""
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(np.asarray(ids, dtype=np.int64)).tobytes())
+    h.update(np.ascontiguousarray(np.asarray(code, dtype=np.float64)).tobytes())
+    return h.hexdigest()
+
+
+def _persist_quantizer(spark, name: str, ids, code) -> str:
+    """Write a coarse quantizer as a tiny catalog table (list_id, c_emb,
+    fp) — the index's codebook is part of the index, not a per-session
+    artifact. float64 round-trips parquet exactly, so the fingerprint
+    re-verifies bit-for-bit on reload."""
+    fp = quantizer_fingerprint(ids, code)
+    rows = [(int(i), [float(x) for x in v], fp) for i, v in zip(ids, code)]
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.createDataFrame(
+        rows, "list_id long, c_emb array<double>, fp string"
+    ).write.mode("overwrite").saveAsTable(name)
+    return fp
+
+
+def load_ivf_quantizer(spark, table_name: str):
+    """Rehydrate the coarse quantizer persisted next to an
+    ivf_corpus_table (as `<table>_quantizer`) or ivfpq_corpus_table (as
+    `<table>_coarse`). Returns (ids, code, fingerprint) with the
+    fingerprint re-verified against the reloaded bytes — pass all three
+    through to knn_join_ivf so the probe path is validated against the
+    layout it reads."""
+    import numpy as np
+
+    rows = spark.table(table_name).orderBy("list_id").collect()
+    ids = np.array([r.list_id for r in rows], dtype=np.int64)
+    code = np.vstack([r.c_emb for r in rows]).astype(np.float64)
+    fp = rows[0].fp
+    if quantizer_fingerprint(ids, code) != fp:
+        raise ValueError(
+            f"load_ivf_quantizer: {table_name} is corrupt — stored fingerprint "
+            "does not match the reloaded centroid bytes"
+        )
+    return ids, code, fp
+
+
 def ivf_assignments(
     embeddings: DataFrame,
     stride: int = 31,
@@ -358,6 +437,10 @@ def ivf_corpus_table(
     table_name: str,
     stride: int = 31,
     num_buckets: int = 32,
+    codebook=None,
+    quantizer: str = "trained",
+    train_k: int | None = None,
+    train_iter: int = 4,
 ) -> str:
     """Materialize the IVF-listed corpus — (list_id, vec_id, label,
     embedding) — as a table BUCKETED on list_id, the build-at-ingest
@@ -367,22 +450,46 @@ def ivf_corpus_table(
     exchange — at 100 TB the corpus shuffle is the join's dominant
     cost, and it disappears (measured by tools/scale_probe.py).
 
-    The codebook is derived deterministically (vec_id % stride == 0),
-    so a later knn_join_ivf over the same embeddings with the same
-    stride probes exactly the lists this table was bucketed by."""
+    The coarse quantizer defaults to the k-means TRAINED codebook
+    (PROBE_r06: the stride sample's recall collapses with corpus size
+    on clustered data; trained holds 1.0). Pass `quantizer="stride"`
+    for the training-free sample, or `codebook` to reuse one fit.
+    Whichever is used, it is persisted alongside as
+    `<table>_quantizer` with a byte fingerprint — reload it with
+    load_ivf_quantizer and hand (codebook, fingerprint) to
+    knn_join_ivf, which REFUSES a pre-listed corpus without the
+    matching quantizer (probing a table with a different codebook's
+    list_ids returns silently wrong neighbors)."""
     from ..operators.maintenance import _fs_delete, write_bucketed
 
     # a previous session may have left the managed location behind
     # without a catalog entry (saveAsTable then refuses the name even
     # in overwrite mode) — drop both the entry and any orphan dir
     spark = embeddings.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    _fs_delete(f"{wh.rstrip('/')}/{table_name.lower()}")
+    for t in (table_name, f"{table_name}_quantizer"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        _fs_delete(f"{wh.rstrip('/')}/{t.lower()}")
 
-    _, assign = ivf_assignments(embeddings, stride=stride)
+    if codebook is None:
+        if quantizer == "trained":
+            codebook = trained_codebook(
+                embeddings,
+                k=train_k if train_k is not None else _auto_train_k(embeddings),
+                n_iter=train_iter,
+            )
+        elif quantizer == "stride":
+            codebook = _collect_codebook(
+                embeddings.where(F.col("vec_id") % stride == 0).select(
+                    F.col("vec_id").alias("list_id"), F.col("embedding").alias("c_emb")
+                )
+            )
+        else:
+            raise ValueError(f"ivf_corpus_table: unknown quantizer {quantizer!r}")
+    _, assign = ivf_assignments(embeddings, stride=stride, codebook=codebook)
     listed = assign.join(embeddings, "vec_id")
     write_bucketed(listed, table_name, "list_id", num_buckets=num_buckets)
+    _persist_quantizer(spark, f"{table_name}_quantizer", *codebook)
     return table_name
 
 
@@ -395,6 +502,10 @@ def knn_join_ivf(
     max_queries: int | None = None,
     queries: DataFrame | None = None,
     codebook=None,
+    quantizer: str = "trained",
+    train_k: int | None = None,
+    train_iter: int = 4,
+    codebook_fingerprint: str | None = None,
 ) -> DataFrame:
     """Batch ANN over the whole corpus: every vector gets its top-k
     neighbors, scoring only the members of its nprobe nearest IVF lists
@@ -421,25 +532,62 @@ def knn_join_ivf(
     and the corpus-side plan is untouched — this is the micro-batch
     body of streaming/ann.py.
 
-    Pass `codebook` ((list_ids, unit-normalized [n_lists, dim] matrix),
-    e.g. from trained_codebook) to replace the training-free stride
-    sample with a TRAINED coarse quantizer — on clustered corpora the
-    stride sample over-segments every natural cluster into many
-    near-identical lists and true neighbors scatter across them
-    (measured: recall@10 0.32 at nprobe=4 on 32-cluster synthetics vs
-    0.99+ with a k-means codebook sized near the cluster count)."""
+    The coarse quantizer DEFAULTS to a k-means trained codebook
+    (auto-fit here when neither `codebook` nor `listed` is given) —
+    PROBE_r06 measured the training-free stride sample collapsing to
+    recall@10 0.41 avg / 0.00 min at 100k clustered vectors (list count
+    tied to corpus size over-segments every natural cluster) while the
+    trained codebook holds 1.00 at 1x AND 10x; the fit is n_iter
+    shuffle-free corpus scans (kmeans_fit mapInPandas partials).
+    Pass `quantizer="stride"` to get the training-free sample back
+    (uniform corpora where list count should track size), or
+    `codebook` ((list_ids, unit-normalized [n_lists, dim] matrix),
+    e.g. from trained_codebook) to reuse a fit — train once at deploy,
+    serve forever.
+
+    A pre-built `listed` corpus REQUIRES the quantizer it was bucketed
+    by: pass `codebook` + `codebook_fingerprint` from
+    load_ivf_quantizer(spark, f"{table}_quantizer"). Probing a table
+    against any other codebook silently returns wrong neighbors (a
+    trained codebook's 0..k-1 list_ids partially collide with a stride
+    sample's vec_id multiples), so this raises instead of guessing."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.window import Window
 
-    if codebook is None:
-        # one driver-side centroid collect serves BOTH passes (assignment
-        # and per-query probe selection) via the shared codebook
-        cent_frame = embeddings.where(F.col("vec_id") % stride == 0).select(
-            F.col("vec_id").alias("list_id"), F.col("embedding").alias("c_emb")
-        )
-        ids, code = _collect_codebook(cent_frame)
+    if listed is not None:
+        if codebook is None:
+            raise ValueError(
+                "knn_join_ivf: a pre-listed corpus must come with the quantizer "
+                "it was built with — load_ivf_quantizer(spark, f'{table}_quantizer') "
+                "and pass codebook=(ids, code), codebook_fingerprint=fp"
+            )
+        ids, code = codebook
+        if codebook_fingerprint is None or (
+            quantizer_fingerprint(ids, code) != codebook_fingerprint
+        ):
+            raise ValueError(
+                "knn_join_ivf: codebook does not match the fingerprint persisted "
+                "with the listed corpus table — probing a layout with a different "
+                "quantizer's list_ids returns silently wrong neighbors"
+            )
+    elif codebook is None:
+        if quantizer == "trained":
+            ids, code = trained_codebook(
+                embeddings,
+                k=train_k if train_k is not None else _auto_train_k(embeddings),
+                n_iter=train_iter,
+            )
+        elif quantizer == "stride":
+            # one driver-side centroid collect serves BOTH passes
+            # (assignment and per-query probe selection)
+            cent_frame = embeddings.where(F.col("vec_id") % stride == 0).select(
+                F.col("vec_id").alias("list_id"), F.col("embedding").alias("c_emb")
+            )
+            ids, code = _collect_codebook(cent_frame)
+        else:
+            raise ValueError(f"knn_join_ivf: unknown quantizer {quantizer!r}")
     else:
         ids, code = codebook
     bc = embeddings.sparkSession.sparkContext.broadcast((ids, code, nprobe))
@@ -1302,6 +1450,7 @@ def ivfpq_topk(
     n_iter: int = 4,
     codes: DataFrame | None = None,
     codebooks=None,
+    coarse=None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1316,8 +1465,14 @@ def ivfpq_topk(
 
     At ingest the corpus is encoded once (`codes` = pq_encode output
     WITH a list_id column, e.g. persisted bucketed by list_id so probes
-    prune physically); pass `codebooks` alongside. When omitted, both
-    derive here (each one corpus pass + the k-means fit).
+    prune physically); pass `codebooks` AND `coarse` (the (ids, code)
+    coarse quantizer from load_ivf_quantizer(spark, f"{table}_coarse"))
+    alongside — re-deriving coarse centroids from the LIVE embeddings
+    frame would silently select lists inconsistent with the stored
+    list_id column whenever the corpus has drifted since the build, so
+    a persisted `codes` without `coarse` raises. When `codes` is
+    omitted, everything derives here (one corpus pass + the k-means
+    fit).
 
     Recall < 1 twice over (coarse pruning + PQ distortion) — bounds and
     planted-cluster behavior pytest-gated, same contract as knn_ivf."""
@@ -1332,21 +1487,24 @@ def ivfpq_topk(
         centroids, listed = ivf_assignments(embeddings, stride=stride, attach_cols=[vec_col])
         enc = pq_encode(listed.select(id_col, vec_col, "list_id"), cb, id_col=id_col, vec_col=vec_col)
         codes = enc.join(listed.select(id_col, "list_id"), id_col)
+        cent_ids, cent_code = _collect_codebook(centroids)
+    elif coarse is None:
+        raise ValueError(
+            "ivfpq_topk: a pre-encoded codes frame must come with the coarse "
+            "quantizer it was listed by — load_ivf_quantizer(spark, "
+            "f'{table}_coarse') and pass coarse=(ids, code)"
+        )
     else:
-        centroids, _ = ivf_assignments(embeddings, stride=stride)
+        cent_ids, cent_code = coarse
 
-    # coarse probe: nprobe nearest centroid lists (driver-side codebook
-    # already collected inside ivf_assignments — reuse its frame here)
+    # coarse probe: nprobe nearest centroid lists against the SAME
+    # quantizer the codes were listed by (driver-side, k rows)
     qn = q / np.linalg.norm(q)
-    cent_rows = centroids.collect()
-    sims = sorted(
-        (
-            (float(np.dot(qn, np.asarray(r["c_emb"], dtype=np.float64) / np.linalg.norm(r["c_emb"]))), r["list_id"])
-            for r in cent_rows
-        ),
-        key=lambda t: (-t[0], t[1]),
-    )
-    probe = [list_id for _, list_id in sims[:nprobe]]
+    norms = np.linalg.norm(cent_code, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    sims_v = (cent_code / norms) @ qn
+    order = sorted(range(len(cent_ids)), key=lambda i: (-float(sims_v[i]), int(cent_ids[i])))
+    probe = [int(cent_ids[i]) for i in order[:nprobe]]
 
     # ADC lookup table for the query
     lut = np.stack(
@@ -1383,27 +1541,35 @@ def ivfpq_corpus_table(
     num_buckets: int = 32,
 ):
     """Materialize the COMPRESSED ANN corpus — (vec_id, list_id, codes)
-    bucketed on list_id — plus its codebook tensor persisted alongside
-    as `<table>_codebook` (one row per (subspace, cluster) centroid).
-    This is the encode-once-at-ingest layout ivfpq_topk serves from:
-    probes read only their lists' buckets and score m-byte codes, so
-    the float corpus is never touched after this build (FAISS's
-    IndexIVFPQ persisted as plain bucketed parquet tables).
+    bucketed on list_id — plus BOTH halves of the index's quantizer
+    state persisted alongside: the PQ codebook tensor as
+    `<table>_codebook` (one row per (subspace, cluster) centroid) and
+    the COARSE quantizer as `<table>_coarse` (load_ivf_quantizer
+    schema, fingerprinted) — the centroids the codes were listed by
+    are part of the index; re-deriving them from live embeddings at
+    probe time would drift the moment the corpus changes. This is the
+    encode-once-at-ingest layout ivfpq_topk serves from: probes read
+    only their lists' buckets and score m-byte codes, so the float
+    corpus is never touched after this build (FAISS's IndexIVFPQ
+    persisted as plain bucketed parquet tables).
 
     Returns (codebook ndarray, codes table name). Reload the codebook
-    in a later session with load_pq_codebook(spark, table_name)."""
+    in a later session with load_pq_codebook(spark, table_name) and
+    the coarse quantizer with
+    load_ivf_quantizer(spark, f"{table_name}_coarse")."""
     import numpy as np
 
     from ..operators.maintenance import _fs_delete, write_bucketed
 
     spark = embeddings.sparkSession
-    for t in (table_name, f"{table_name}_codebook"):
+    for t in (table_name, f"{table_name}_codebook", f"{table_name}_coarse"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         wh = spark.conf.get("spark.sql.warehouse.dir")
         _fs_delete(f"{wh.rstrip('/')}/{t.lower()}")
 
     cb, _ = pq_fit(embeddings, m=m, k=pq_k, n_iter=n_iter)
-    _, listed = ivf_assignments(embeddings, stride=stride, attach_cols=["embedding"])
+    centroids, listed = ivf_assignments(embeddings, stride=stride, attach_cols=["embedding"])
+    _persist_quantizer(spark, f"{table_name}_coarse", *_collect_codebook(centroids))
     enc = pq_encode(listed.select("vec_id", "embedding", "list_id"), cb)
     codes = enc.join(listed.select("vec_id", "list_id"), "vec_id").select(
         "vec_id", "list_id", "codes"
@@ -1434,3 +1600,91 @@ def load_pq_codebook(spark, table_name: str):
     for r in rows:
         cb[r["subspace"], r["cluster"]] = r["centroid"]
     return cb
+
+
+def ivfpq_topk_batch(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks,
+    coarse,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Batched IVF-PQ search for a FRAME of external query vectors
+    against a pre-encoded codes corpus — the distributed serving form
+    of ivfpq_topk (which answers one driver-side query). This is the
+    100 TB ANN serving tier's inner loop: the float corpus is never
+    read, candidates are scored from 4-byte codes.
+
+    queries: (vec_id, embedding); codes: (vec_id, list_id, codes) from
+    spark.table(<ivfpq_corpus_table>); codebooks: the [m, k, d_sub] PQ
+    tensor (load_pq_codebook); coarse: the (ids, code) coarse quantizer
+    the codes were LISTED by (load_ivf_quantizer on f"{table}_coarse" —
+    never re-derived from live embeddings, which drifts the moment the
+    corpus changes).
+
+    Plan shape: per-query probe selection is one Arrow pass against the
+    broadcast coarse codebook; the probe explode joins codes on
+    list_id (bucket-pruned against the persisted layout, so the code
+    side never shuffles); ADC scoring is one mapInPandas pass that
+    reconstructs candidates subspace-by-subspace from the broadcast PQ
+    tensor — per candidate it is exactly the LUT sum ivfpq_topk
+    computes (sum_j ||q_j - c_{j,code_j}||^2), vectorized across the
+    batch; the final top-k window moves only (q_id, vec_id, dist)
+    rows. Returns (q_id, vec_id, adc_dist2, rank), ascending distance,
+    ties to the smaller vec_id."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.window import Window
+
+    cent_ids, cent_code = coarse
+    norms = np.linalg.norm(cent_code, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    sc = queries.sparkSession.sparkContext
+    bc_coarse = sc.broadcast(
+        (np.asarray(cent_ids, dtype=np.int64), cent_code / norms, int(nprobe))
+    )
+    bc_pq = sc.broadcast(np.asarray(codebooks, dtype=np.float64))
+
+    @pandas_udf("array<long>")
+    def nearest_lists(emb):
+        ids, code, npr = bc_coarse.value
+        a = np.vstack(emb.values).astype(np.float64)
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        sims = a @ code.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :npr]
+        return pd.Series(list(ids[order]))
+
+    probes = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(nearest_lists(F.col("embedding"))).alias("list_id"),
+    )
+    cand = probes.join(codes.select("list_id", "vec_id", "codes"), "list_id").select(
+        "q_id", "q_emb", "vec_id", "codes"
+    )
+
+    def score(batches):
+        cb = bc_pq.value
+        mm, kk, dd = cb.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.vstack(pdf["q_emb"].values).astype(np.float64)
+            cd = np.vstack(pdf["codes"].values)
+            d2 = np.zeros(len(pdf))
+            for j in range(mm):
+                diff = q[:, j * dd:(j + 1) * dd] - cb[j][cd[:, j]]
+                d2 += (diff * diff).sum(axis=1)
+            yield pd.DataFrame(
+                {"q_id": pdf["q_id"].values, "vec_id": pdf["vec_id"].values, "adc_dist2": d2}
+            )
+
+    scored = cand.mapInPandas(score, "q_id long, vec_id long, adc_dist2 double")
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "adc_dist2", "rank")
+    )

@@ -414,9 +414,12 @@ def bigram_surprisal(docs: DataFrame, materialize: bool = True) -> DataFrame:
         F.split(norm, " ")
     )
     n = F.size(toks)
+    # slice length must be >= 0: an empty/1-token doc would otherwise make
+    # n-1 negative and slice() raise INVALID_PARAMETER_VALUE.LENGTH
+    m = F.greatest(n - F.lit(1), F.lit(0))
     bigrams = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     rows = docs.select("doc_id", F.explode(bigrams).alias("bigram")).withColumn(

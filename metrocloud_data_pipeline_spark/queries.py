@@ -1937,13 +1937,15 @@ def knn_recall_report(spark, sf_dir):
     construction is the thing being measured); recall==1 on separable
     clusters and bounds are pytest-gated.
 
-    Expected value on THIS corpus: the synthetic embeddings are
-    near-uniform (no cluster structure), so IVF recall ≈ the probed
-    fraction nprobe/n_lists (~4/16 ≈ 0.25-0.45 measured) — exactly the
-    behavior this report exists to surface; on clustered real
-    embeddings the same settings sit near 1 (the pytest case). The
-    knob the report drives is nprobe (or a kmeans-trained codebook,
-    similarity.kmeans_ivf_index)."""
+    Runs the DEFAULT knn_join_ivf path — since r7 that is the k-means
+    TRAINED coarse quantizer (auto-fit; PROBE_r06/r07: trained holds
+    recall 1.00 on clustered data at 1x and 10x where the training-free
+    stride sample collapses to 0.41). On THIS corpus the synthetic
+    embeddings are near-uniform (no cluster structure), so recall ≈
+    the probed fraction nprobe/train_k — exactly the behavior the
+    report exists to surface; on clustered real embeddings the same
+    settings sit near 1 (the pytest case). The knobs the report drives
+    are nprobe and train_k."""
     return similarity.knn_recall_report(
         load(spark, sf_dir, "embeddings"), k=10, nprobe=4, max_queries=200
     )
@@ -2000,9 +2002,11 @@ def embed_pq_stats(spark, sf_dir):
 def knn_join_ivf(spark, sf_dir):
     """Batch ANN scale path: top-10 neighbor lists for EVERY vector,
     scoring only each query's 4 nearest IVF lists (corpus x nprobe/
-    stride candidates, Arrow-batched matmul scoring). Approximate by
-    construction -> rows-only check; recall vs knn_join_brute on the
-    shared query slice is pytest-gated."""
+    n_lists candidates, Arrow-batched matmul scoring). The coarse
+    quantizer is the r7 DEFAULT: k-means trained, auto-fit from the
+    corpus (the measured-good operating point, PROBE_r06/r07).
+    Approximate by construction -> rows-only check; recall vs
+    knn_join_brute on the shared query slice is pytest-gated."""
     return similarity.knn_join_ivf(load(spark, sf_dir, "embeddings"), k=10, nprobe=4)
 
 
@@ -2015,8 +2019,10 @@ def knn_join_ivf_bucketed(spark, sf_dir):
     bucket-to-bucket — its exchange disappears (5 -> 2 exchanges
     measured by tools/scale_probe.py, result rows identical), which at
     100 TB removes the join's dominant shuffle. Output is byte-equal
-    to knn_join_ivf (same deterministic codebook), so the same
-    rows-only check applies; bucketed==in-memory equality is
+    to knn_join_ivf (same deterministic trained codebook, reloaded
+    from the table's fingerprinted `_quantizer` sidecar — knn_join_ivf
+    REFUSES a pre-listed corpus without its matching quantizer), so
+    the same rows-only check applies; bucketed==in-memory equality is
     pytest-gated."""
     import re as _re
 
@@ -2024,7 +2030,15 @@ def knn_join_ivf_bucketed(spark, sf_dir):
     tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     tbl = f"ivf_corpus_{tag}"
     similarity.ivf_corpus_table(emb, tbl)
-    return similarity.knn_join_ivf(emb, k=10, nprobe=4, listed=spark.table(tbl))
+    ids, code, fp = similarity.load_ivf_quantizer(spark, f"{tbl}_quantizer")
+    return similarity.knn_join_ivf(
+        emb,
+        k=10,
+        nprobe=4,
+        listed=spark.table(tbl),
+        codebook=(ids, code),
+        codebook_fingerprint=fp,
+    )
 
 
 # --- corpus curation (llm/curation.py) --------------------------------------

@@ -8,14 +8,22 @@ into Structured Streaming the same way corpus ingest does: a file
 source of query batches feeds foreachBatch, and each micro-batch is
 scored against the pre-built corpus layout:
 
-- the IVF codebook is derived from the CORPUS (deterministic stride
-  sample), so every micro-batch probes the same lists the corpus was
-  listed by;
+- the coarse quantizer defaults to a k-means TRAINED codebook fit ONCE
+  at stream start (PROBE_r06: the training-free stride sample's recall
+  collapses with corpus size on clustered data — 0.41@10x vs trained
+  1.00 — so the default operating point is the measured-good one);
+  every micro-batch probes the same lists the corpus was listed by;
 - with `corpus_table` a bucketed ivf_corpus_table, the corpus side of
   the probe join reads bucket-to-bucket — per batch the only moving
   data is the (small) query band: batch rows broadcast, corpus rows
-  never shuffle. At 100 TB this is the difference between a serving
-  tier and a nightly job;
+  never shuffle. A pre-built table REQUIRES its persisted quantizer
+  ((codebook, fingerprint) from load_ivf_quantizer) — knn_join_ivf
+  refuses the combination otherwise, because probing a layout with a
+  different quantizer's list_ids returns silently wrong neighbors;
+- run_ann_serving_stream_pq serves from the COMPRESSED corpus instead:
+  the persisted ivfpq_corpus_table codes (4 B/vector) + its codebook
+  tables are the only thing read per batch — the float corpus is never
+  touched after ingest, which is the 100 TB serving tier;
 - results land in parquet partitioned by batch_id with DYNAMIC
   partition overwrite: a re-delivered micro-batch rewrites exactly its
   own partition with identical (deterministic) content, so the sink is
@@ -30,7 +38,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..llm.similarity import knn_join_ivf
+from ..llm.similarity import (
+    _auto_train_k,
+    ivfpq_topk_batch,
+    knn_join_ivf,
+    load_ivf_quantizer,
+    load_pq_codebook,
+    trained_codebook,
+)
 
 QUERY_SCHEMA = "vec_id long, embedding array<float>"
 
@@ -46,6 +61,24 @@ def stream_query_vectors(
     return reader.parquet(path)
 
 
+def _write_effectively_once(result: DataFrame, batch_id: int, output_path: str) -> None:
+    """Dynamic partition overwrite keyed by batch_id: a re-delivered
+    batch rewrites exactly its own partition with the same
+    deterministic rows — effectively-once with no read-back."""
+    spark = result.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            result.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(output_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def run_ann_serving_stream(
     query_stream: DataFrame,
     corpus: DataFrame,
@@ -57,17 +90,38 @@ def run_ann_serving_stream(
     corpus_table: DataFrame | None = None,
     available_now: bool = True,
     codebook=None,
+    codebook_fingerprint: str | None = None,
+    quantizer: str = "trained",
+    train_k: int | None = None,
 ) -> StreamingQuery:
     """Score each micro-batch of query vectors against the corpus and
     append (batch_id, q_id, vec_id, label, cosine_sim, rank) rows.
 
-    Pass corpus_table (an ivf_corpus_table built with the SAME stride)
-    to skip per-batch corpus re-listing AND make the corpus side of
-    every batch's probe join exchange-free. Pass `codebook` (e.g.
-    similarity.trained_codebook — train ONCE at deploy, serve forever)
-    to replace the stride quantizer: on clustered corpora the trained
-    codebook holds recall ~1.0 where stride degrades with corpus size
-    (PROBE_r06); the per-batch cost is identical."""
+    With no `codebook`, a k-means coarse quantizer is TRAINED from the
+    corpus once, here, before the stream starts (train once at deploy,
+    serve forever — the per-batch cost is identical to stride, and on
+    clustered corpora recall holds ~1.0 where stride degrades with
+    corpus size, PROBE_r06). Pass quantizer="stride" for the
+    training-free sample.
+
+    Pass corpus_table (a bucketed ivf_corpus_table) to skip per-batch
+    corpus re-listing AND make the corpus side of every batch's probe
+    join exchange-free — its persisted quantizer is REQUIRED alongside:
+    codebook, codebook_fingerprint = the (ids, code) and fp from
+    load_ivf_quantizer(spark, f"{table}_quantizer")."""
+    if codebook is None:
+        if corpus_table is not None:
+            raise ValueError(
+                "run_ann_serving_stream: a pre-built corpus_table must come "
+                "with its persisted quantizer — load_ivf_quantizer(spark, "
+                "f'{table}_quantizer') and pass codebook + codebook_fingerprint"
+            )
+        if quantizer == "trained":
+            codebook = trained_codebook(
+                corpus, k=train_k if train_k is not None else _auto_train_k(corpus)
+            )
+        elif quantizer != "stride":
+            raise ValueError(f"run_ann_serving_stream: unknown quantizer {quantizer!r}")
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
@@ -80,22 +134,58 @@ def run_ann_serving_stream(
             listed=corpus_table,
             queries=batch.select("vec_id", "embedding"),
             codebook=codebook,
+            codebook_fingerprint=codebook_fingerprint,
+            quantizer=quantizer,
         )
-        spark = batch.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            # dynamic overwrite touches ONLY partition batch_id=<this>:
-            # a re-delivered batch rewrites its own partition with the
-            # same deterministic rows — effectively-once, no read-back
-            (
-                result.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(output_path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        _write_effectively_once(result, batch_id, output_path)
+
+    writer = query_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_ann_serving_stream_pq(
+    spark: SparkSession,
+    query_stream: DataFrame,
+    table_name: str,
+    output_path: str,
+    checkpoint_path: str,
+    k: int = 10,
+    nprobe: int = 4,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Serve ANN micro-batches from the COMPRESSED persisted index —
+    the ivfpq_corpus_table codes (4 B/vector, bucketed by list_id) plus
+    its two persisted quantizer tables. Emits (batch_id, q_id, vec_id,
+    adc_dist2, rank) rows with the same effectively-once sink as the
+    float path.
+
+    This is the 100 TB serving tier: per batch the only reads are the
+    probed lists' code buckets; the float corpus is never touched after
+    ingest. Both quantizer halves reload from the catalog (codebook =
+    load_pq_codebook, coarse = load_ivf_quantizer on f"{table}_coarse",
+    fingerprint re-verified) — nothing is re-derived from live
+    embeddings, so serving stays consistent with the stored list_id
+    column no matter how the corpus drifts after the build."""
+    codebooks = load_pq_codebook(spark, table_name)
+    cent_ids, cent_code, _fp = load_ivf_quantizer(spark, f"{table_name}_coarse")
+    codes = spark.table(table_name)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        result = ivfpq_topk_batch(
+            batch.select("vec_id", "embedding"),
+            codes,
+            codebooks,
+            (cent_ids, cent_code),
+            k=k,
+            nprobe=nprobe,
+        )
+        _write_effectively_once(result, batch_id, output_path)
 
     writer = query_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path

@@ -479,16 +479,38 @@ def test_knn_join_ivf_bucketed_corpus_matches_and_drops_exchange(spark, tmp_path
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").cache()
 
     tbl = "ivf_corpus_pytest"
-    similarity.ivf_corpus_table(emb, tbl, stride=7, num_buckets=4)
+    similarity.ivf_corpus_table(emb, tbl, num_buckets=4)
     try:
-        mem = similarity.knn_join_ivf(emb, k=10, nprobe=3, stride=7)
+        # the table's quantizer ships with the table (fingerprinted);
+        # the in-memory default auto-trains the SAME deterministic
+        # codebook, so results must match row for row
+        ids, code, fp = similarity.load_ivf_quantizer(spark, f"{tbl}_quantizer")
+        mem = similarity.knn_join_ivf(emb, k=10, nprobe=3)
         bkt = similarity.knn_join_ivf(
-            emb, k=10, nprobe=3, stride=7, listed=spark.table(tbl)
+            emb, k=10, nprobe=3, listed=spark.table(tbl),
+            codebook=(ids, code), codebook_fingerprint=fp,
         )
-        key = lambda r: (r["q_id"], r["rank"])
         assert sorted(map(tuple, mem.collect()), key=lambda t: (t[0], t[4])) == sorted(
             map(tuple, bkt.collect()), key=lambda t: (t[0], t[4])
         )
+
+        # a listed corpus without its quantizer (or with a mismatched
+        # one) must REFUSE instead of silently probing wrong lists
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="pre-listed corpus"):
+            similarity.knn_join_ivf(emb, k=10, nprobe=3, listed=spark.table(tbl))
+        with _pytest.raises(ValueError, match="fingerprint"):
+            similarity.knn_join_ivf(
+                emb, k=10, nprobe=3, listed=spark.table(tbl),
+                codebook=(ids, code), codebook_fingerprint="deadbeef",
+            )
+        other = similarity.trained_codebook(emb, k=5, n_iter=2)
+        with _pytest.raises(ValueError, match="fingerprint"):
+            similarity.knn_join_ivf(
+                emb, k=10, nprobe=3, listed=spark.table(tbl),
+                codebook=other, codebook_fingerprint=fp,
+            )
 
         # under a forced shuffle join, only the in-memory corpus pays an
         # exchange on list_id; the bucketed scan is already partitioned
@@ -499,15 +521,19 @@ def test_knn_join_ivf_bucketed_corpus_matches_and_drops_exchange(spark, tmp_path
                 plan = df._jdf.queryExecution().executedPlan().toString()
                 return plan.count("Exchange hashpartitioning")
 
-            mem_n = n_exchanges(similarity.knn_join_ivf(emb, k=10, nprobe=3, stride=7))
+            mem_n = n_exchanges(similarity.knn_join_ivf(emb, k=10, nprobe=3))
             bkt_n = n_exchanges(
-                similarity.knn_join_ivf(emb, k=10, nprobe=3, stride=7, listed=spark.table(tbl))
+                similarity.knn_join_ivf(
+                    emb, k=10, nprobe=3, listed=spark.table(tbl),
+                    codebook=(ids, code), codebook_fingerprint=fp,
+                )
             )
             assert bkt_n < mem_n, (bkt_n, mem_n)
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_quantizer")
 
 
 # --- r5 additions: tf-idf / vocab / mixing / quantile filter / ---------------
@@ -1005,6 +1031,31 @@ def test_trained_codebook_drives_knn_recall_report(spark):
     assert all(0.0 <= r["recall"] <= 1.0 for r in rep1)
 
 
+def test_knn_recall_default_path_holds_on_clustered_corpus(spark):
+    """The DEFAULT knn path (no codebook, no quantizer arg — what a
+    caller who configures nothing gets) must hold high recall on
+    clustered data: since r7 that path auto-trains a k-means coarse
+    quantizer sized by corpus count (PROBE_r06 measured the old stride
+    default collapsing to 0.41@10x on clustered corpora)."""
+    import math
+
+    # 3 tight clusters of 60 vectors each — auto k = 180 // 39 = 4 lists
+    rows = []
+    for vid in range(180):
+        c = vid % 3
+        v = [1.0 if i == c else 0.0 for i in range(8)]
+        v[(c + 3) % 8] = 0.02 * ((vid * 7) % 11)
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((vid, [x / n for x in v], c))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+    rep = similarity.knn_recall_report(emb, k=10, nprobe=4, max_queries=20).collect()
+    assert len(rep) == 20
+    avg = sum(r["recall"] for r in rep) / len(rep)
+    assert avg >= 0.9, avg
+
+
 def test_pq_fit_encode_invariants(spark):
     """PQ training/encoding: deterministic, codes in range, inertia
     non-increasing, finer codebooks (larger k) reconstruct better, and
@@ -1099,11 +1150,23 @@ def test_ivfpq_corpus_table_serves_identically(spark):
     )
     cb2 = similarity.load_pq_codebook(spark, tbl)
     assert np.array_equal(cb, cb2)
+    # the coarse quantizer reloads from the fingerprinted sidecar the
+    # build persisted — never re-derived from the live embeddings frame
+    cids, ccode, _fp = similarity.load_ivf_quantizer(spark, f"{tbl}_coarse")
     served = similarity.ivfpq_topk(
         emb, qvec, k=4, nprobe=3, stride=5,
-        codes=spark.table(tbl), codebooks=cb2,
+        codes=spark.table(tbl), codebooks=cb2, coarse=(cids, ccode),
     ).collect()
     in_mem = similarity.ivfpq_topk(
         emb, qvec, k=4, nprobe=3, stride=5, codebooks=cb
     ).collect()
     assert [tuple(r) for r in served] == [tuple(r) for r in in_mem]
+    # pre-encoded codes without their coarse quantizer must refuse —
+    # re-deriving centroids from live embeddings drifts silently
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="coarse"):
+        similarity.ivfpq_topk(
+            emb, qvec, k=4, nprobe=3, stride=5,
+            codes=spark.table(tbl), codebooks=cb2,
+        )

@@ -1040,3 +1040,107 @@ def test_ann_serving_stream_with_trained_codebook(spark, tmp_path):
     )
     top = {r["q_id"]: r["vec_id"] for r in got.where(F.col("rank") == 1).collect()}
     assert top[1000] == 3
+
+
+def test_ann_serving_stream_pq_serves_from_code_table(spark, tmp_path):
+    """The compressed serving tier: micro-batches scored against the
+    PERSISTED ivfpq code table (4 B/vector, bucketed by list_id) with
+    both quantizer halves reloaded from their catalog sidecars — the
+    float corpus is never read per batch. Streamed rows must equal the
+    batch ivfpq_topk_batch ADC scoring row for row, and the planted
+    near-copy must rank first."""
+    import math
+
+    from metrocloud_data_pipeline_spark.llm import similarity
+    from metrocloud_data_pipeline_spark.streaming import ann
+
+    rows = []
+    for vid in range(90):
+        c = vid % 3
+        v = [1.0 if i == c else 0.0 for i in range(8)]
+        v[(c + 3) % 8] = 0.05 * ((vid * 7) % 11)
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((vid, [x / n for x in v], c))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+    tbl = "ivfpq_serve_pytest"
+    try:
+        cb, _ = similarity.ivfpq_corpus_table(
+            corpus, tbl, stride=7, m=4, pq_k=8, n_iter=4, num_buckets=4
+        )
+
+        src = tmp_path / "queries"
+        src.mkdir()
+        q1 = [(1000, rows[3][1]), (1001, rows[4][1])]
+        q2 = [(1002, rows[50][1])]
+        spark.createDataFrame(q1, ann.QUERY_SCHEMA).coalesce(1).write.parquet(
+            str(src / "b1")
+        )
+        spark.createDataFrame(q2, ann.QUERY_SCHEMA).coalesce(1).write.parquet(
+            str(src / "b2")
+        )
+
+        out = str(tmp_path / "results")
+        ann.run_ann_serving_stream_pq(
+            spark,
+            ann.stream_query_vectors(spark, str(src) + "/*", max_files_per_trigger=1),
+            tbl,
+            out,
+            str(tmp_path / "ck"),
+            k=5,
+            nprobe=3,
+        ).awaitTermination(120)
+
+        got = spark.read.parquet(out)
+        per_q = {
+            r["q_id"]: r["n"]
+            for r in got.groupBy("q_id").agg(F.count("*").alias("n")).collect()
+        }
+        assert per_q == {1000: 5, 1001: 5, 1002: 5}
+
+        # row-for-row equality with the batch ADC scoring path over the
+        # same persisted index
+        cids, ccode, _fp = similarity.load_ivf_quantizer(spark, f"{tbl}_coarse")
+        cb2 = similarity.load_pq_codebook(spark, tbl)
+        want = similarity.ivfpq_topk_batch(
+            spark.createDataFrame(q1 + q2, ann.QUERY_SCHEMA),
+            spark.table(tbl),
+            cb2,
+            (cids, ccode),
+            k=5,
+            nprobe=3,
+        )
+        key = lambda t: (t[0], t[3])
+        assert sorted(map(tuple, got.drop("batch_id").collect()), key=key) == sorted(
+            map(tuple, want.collect()), key=key
+        )
+
+        # the planted near-copy of vec 3 reconstructs closest: ADC rank 1
+        top = {r["q_id"]: r["vec_id"] for r in got.where(F.col("rank") == 1).collect()}
+        assert top[1000] == 3
+    finally:
+        for t in (tbl, f"{tbl}_codebook", f"{tbl}_coarse"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ann_serving_stream_refuses_unfingerprinted_corpus_table(spark, tmp_path):
+    """A pre-built corpus_table without its persisted quantizer must be
+    refused at stream START (not per batch): probing a layout with a
+    different quantizer's list_ids returns silently wrong neighbors."""
+    import pytest
+
+    from metrocloud_data_pipeline_spark.streaming import ann
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0], 0) for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with pytest.raises(ValueError, match="quantizer"):
+        ann.run_ann_serving_stream(
+            ann.stream_query_vectors(spark, str(tmp_path) + "/*"),
+            corpus,
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+            corpus_table=corpus,  # stands in for any pre-listed frame
+        )

@@ -177,17 +177,22 @@ def probe_knn_bucketed(spark, emb) -> None:
     t0 = time.time()
     similarity.ivf_corpus_table(emb, tbl)
     build_s = time.time() - t0
+    ids, code, fp = similarity.load_ivf_quantizer(spark, f"{tbl}_quantizer")
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        mem = similarity.knn_join_ivf(emb, k=10, nprobe=4)
-        bkt = similarity.knn_join_ivf(emb, k=10, nprobe=4, listed=spark.table(tbl))
+        mem = similarity.knn_join_ivf(emb, k=10, nprobe=4, codebook=(ids, code))
+        bkt = similarity.knn_join_ivf(
+            emb, k=10, nprobe=4, listed=spark.table(tbl),
+            codebook=(ids, code), codebook_fingerprint=fp,
+        )
         mem_x, bkt_x = n_exchanges(mem), n_exchanges(bkt)
         t0 = time.time(); mem_n = mem.count(); mem_s = time.time() - t0
         t0 = time.time(); bkt_n = bkt.count(); bkt_s = time.time() - t0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_quantizer")
     print(
         f"knn_join_ivf     in-memory {mem_s:5.2f} s / {mem_x} exchanges vs "
         f"bucketed {bkt_s:5.2f} s / {bkt_x} exchanges "
