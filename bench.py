@@ -112,6 +112,8 @@ HEADLINE = [
     "a19_time_weighted_avg",
     "a20_counter_delta",
     "f6b_metadata_lookup_indexed",
+    "f6c_tags_lookup_indexed",
+    "w8b_gapfill_interpolate",
     "seq_pack_ranges",
     "corpus_budget_select",
     "bigram_surprisal",
@@ -205,20 +207,92 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sentinel": {"name": SENTINEL, "sec": sentinel_sec},
-                "queries_norm": normalized,
-                "sf": sf_val,
-                "runs": runs,
-            }
-        )
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sentinel": {"name": SENTINEL, "sec": sentinel_sec},
+        "queries_norm": normalized,
+        "sf": sf_val,
+        "runs": runs,
+    }
+    out.update(_vs_prev(normalized))
+    print(json.dumps(out))
+
+
+def _norm_pairs_from_tail(tail: str) -> dict[str, float]:
+    """Recover queries_norm pairs from the driver's truncated bench
+    tail. The output line ends `..."queries_norm": {...}, "sf": ...,
+    "runs": N}`, and the recorded tail usually begins INSIDE the
+    queries_norm object — so take everything before the `}, "sf"`
+    closer, cut to after the last `{` if one survived, drop the first
+    (possibly half-truncated) pair, and parse the rest. Best-effort by
+    construction: the result is only used for the round-over-round
+    drift table, never for the primary metrics."""
+    import re
+
+    seg = tail.split('}, "sf"')[0]
+    if "{" in seg:
+        seg = seg[seg.rindex("{") + 1:]
+    pairs = re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', seg)
+    if pairs and not seg.lstrip().startswith('"'):
+        pairs = pairs[1:]  # first pair may have lost its key prefix
+    return {k: float(v) for k, v in pairs}
+
+
+def _vs_prev(normalized: dict[str, float]) -> dict:
+    """Round-over-round drift gate on the SENTINEL-NORMALIZED medians
+    (the only cross-round-comparable number on this host — absolute
+    totals swing ±30% with host load): against the newest BENCH_r*.json
+    next to this script, report each common query's norm ratio and
+    flag anything past the 1.3x regression line for plan-level review.
+    Purely additive metadata — the primary metrics are unchanged."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
     )
+    if not prior:
+        return {}
+    path = prior[-1]
+    try:
+        with open(path) as f:
+            raw = f.read().strip()
+        try:
+            prev = json.loads(raw)  # driver record: one pretty-printed doc
+        except json.JSONDecodeError:
+            prev = json.loads(raw.splitlines()[-1])  # raw bench.py line
+        # the driver wraps bench's JSON line ("parsed" when it fit,
+        # else a TRUNCATED "tail" fragment); a direct bench.py output
+        # is unwrapped
+        if isinstance(prev.get("parsed"), dict):
+            prev = prev["parsed"]
+        prev_norm = prev.get("queries_norm")
+        if not prev_norm and isinstance(prev.get("tail"), str):
+            prev_norm = _norm_pairs_from_tail(prev["tail"])
+        if not prev_norm:
+            return {}
+        ratios = {
+            name: round(normalized[name] / prev_norm[name], 3)
+            for name in normalized
+            if name in prev_norm and prev_norm[name] > 0
+        }
+        return {
+            "vs_prev": {
+                "baseline": os.path.basename(path),
+                "common_queries": len(ratios),
+                "norm_ratio": ratios,
+                "norm_regressions_gt_1_3": {
+                    n: r for n, r in sorted(ratios.items()) if r > 1.3
+                },
+            }
+        }
+    except Exception:  # pragma: no cover - a malformed prior file never blocks the bench
+        return {}
 
 
 if __name__ == "__main__":

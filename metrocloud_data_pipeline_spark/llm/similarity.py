@@ -1131,6 +1131,8 @@ def knn_recall_report(
     stride: int = 31,
     max_queries: int = 200,
     codebook=None,
+    quantizer: str = "trained",
+    train_k: int | None = None,
 ) -> DataFrame:
     """ANN quality audit: per-query recall@k of knn_join_ivf against
     the exact knn_join_brute answer over a bounded query sample — the
@@ -1150,6 +1152,8 @@ def knn_recall_report(
         stride=stride,
         max_queries=max_queries,
         codebook=codebook,
+        quantizer=quantizer,
+        train_k=train_k,
     ).select("q_id", "vec_id")
     brute = knn_join_brute(embeddings, k=k, max_queries=max_queries).select(
         "q_id", "vec_id"

@@ -440,8 +440,18 @@ def rollup_cascade(
     double summation is order-sensitive at the 1e-6 rounding boundary,
     measured on this very query. Raw rows are touched once; the coarse
     aggregate's input is the fine frame."""
+    return rollup_finalize(rollup_partials(df, fine_bucket), coarse_bucket)
+
+
+def rollup_partials(df: DataFrame, fine_bucket: str = "1 hour") -> DataFrame:
+    """The fine-level RE-AGGREGABLE partial frame of rollup_cascade —
+    split out so an incremental refresh (maintenance.
+    refresh_rollup_cascade) can persist it per date partition and
+    rebuild only dirty days. Carries everything the coarse level needs
+    to reassemble exactly: count, exact integer-cent sum, min/max,
+    anomaly count, and time-ordered (first/last value, ts) pairs."""
     cents = F.round(F.col("value") * 100).cast("long")
-    partial = df.groupBy(
+    return df.groupBy(
         time_bucket("ts", fine_bucket).alias("bucket"), F.col("device_type")
     ).agg(
         F.count(F.lit(1)).alias("_n"),
@@ -454,6 +464,11 @@ def rollup_cascade(
         F.max_by("value", "ts").alias("_last_v"),
         F.max("ts").alias("_last_ts"),
     )
+
+
+def rollup_finalize(partial: DataFrame, coarse_bucket: str = "1 day") -> DataFrame:
+    """Coarse statistics from rollup_partials' frame — value-identical
+    to aggregating raw at the coarse width (see rollup_cascade)."""
     return partial.groupBy(
         time_bucket("bucket", coarse_bucket).alias("bucket"), F.col("device_type")
     ).agg(

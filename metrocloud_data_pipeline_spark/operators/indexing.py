@@ -62,6 +62,54 @@ def build_metadata_index(
     )
 
 
+def tags_index_frame(readings: DataFrame, tags_col: str = "tags") -> DataFrame:
+    """Explode the tags array into inverted (tag, reading_id) rows —
+    the GIN analogue for the reference's TEXT[] tags column
+    (init.sql:127 GIN-indexes tags next to device_metadata; avsc
+    :145-151 declares the array). One narrow row per array element, the
+    same maintained-at-ingest side-table pattern as the metadata
+    index."""
+    return readings.select(
+        "reading_id", F.explode(F.col(tags_col)).alias("tag")
+    )
+
+
+def build_tags_index(
+    readings: DataFrame,
+    index_path: str,
+    tags_col: str = "tags",
+    n_files: int = 8,
+) -> None:
+    """Materialize the tags inverted index range-partitioned + sorted
+    by tag: every file covers a contiguous tag slab, so an
+    array_contains lookup prunes to the files whose min/max footer
+    stats admit the tag — the GIN page-skip as plain sorted parquet
+    (same lifecycle as the metadata/band indexes: rebuild with
+    compaction or append per ingest batch)."""
+    (
+        tags_index_frame(readings, tags_col)
+        .repartitionByRange(n_files, "tag")
+        .sortWithinPartitions("tag")
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+
+
+def tags_lookup_indexed(
+    readings: DataFrame,
+    index: DataFrame,
+    tag: str,
+) -> DataFrame:
+    """array_contains(tags, tag) through the inverted index: the
+    equality predicate evaluates on the narrow (pruned) index scan —
+    the corpus's array column is never read — and only matching
+    reading_ids join back for the row payload. Returns
+    (reading_id, device_id), the same rows as the direct
+    array_contains scan."""
+    hits = index.where(F.col("tag") == tag).select("reading_id")
+    return readings.select("reading_id", "device_id").join(hits, "reading_id")
+
+
 def metadata_lookup_indexed(
     readings: DataFrame,
     index: DataFrame,

@@ -220,12 +220,38 @@ def compact_partitions(
     return compacted
 
 
-def idempotent_append(spark: SparkSession, batch: DataFrame, path: str, ts_col: str = "timestamp") -> int:
+def idempotent_append(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    ts_col: str = "timestamp",
+    days: list[date] | None = None,
+) -> int:
     """OP-D4: ON CONFLICT DO NOTHING (database.py:300) — dedup the batch on
     the natural key, then anti-join against only the target partitions the
-    batch touches (partition-pruned read, not a full-table scan)."""
+    batch touches (partition-pruned read, not a full-table scan).
+
+    Pass `days` (the batch's event-date bounds) when the caller knows
+    its window — a backfill job or a trigger with a bounded source —
+    and the batch is never scanned to discover target partitions.
+    Without it, the day set is read off the batch: the batch is
+    localCheckpoint-ed once, so dedup runs a single time and the
+    day-discovery is a metadata-sized read of the checkpointed rows,
+    shared with the final count and write. (A collect-free formulation
+    was measured and rejected: Spark's dynamic partition pruning
+    never fires for LEFT ANTI — canPruneRight covers Inner/LeftSemi
+    only — so the 'pure join' shape silently reads the whole store;
+    the bounded day list, calendar-sized by construction, is the
+    correct trade.)"""
     deduped = batch.dropDuplicates(list(NATURAL_KEY))
-    days = [r[0] for r in deduped.select(F.to_date(F.col(ts_col)).alias("d")).distinct().collect()]
+    if days is None:
+        # one computation of the dedup shuffle, shared by day discovery,
+        # the insert count, and the write
+        deduped = deduped.localCheckpoint(eager=True)
+        days = [
+            r[0]
+            for r in deduped.select(F.to_date(F.col(ts_col)).alias("d")).distinct().collect()
+        ]
     existing_days = set(list_partitions(path))
     overlap = [d for d in days if d in existing_days]
     if overlap:
@@ -281,6 +307,62 @@ def refresh_bucket_aggregate(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         agg.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(agg_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(target)
+
+
+def refresh_rollup_cascade(
+    spark: SparkSession,
+    readings_path: str,
+    hourly_path: str,
+    daily_path: str,
+    days: list[date] | None = None,
+    fine_bucket: str = "1 hour",
+) -> int:
+    """Incremental HIERARCHICAL continuous-aggregate refresh — the
+    dirty-partition form of analytics.rollup_cascade (TimescaleDB's
+    daily-cagg-on-hourly-cagg with a refresh policy, init.sql:324-368):
+
+      1. the HOURLY re-aggregable partial store is recomputed for ONLY
+         the named dirty days (raw read partition-pruned, dynamic
+         partition overwrite — same contract as refresh_bucket_aggregate);
+      2. the DAILY rows for exactly those days are re-finalized FROM
+         the hourly partials (a partition-pruned read of hours x types
+         rows, never raw) and swapped in via dynamic overwrite.
+
+    One new hour of data therefore touches one raw partition, rewrites
+    one hourly partition and one daily partition; untouched days'
+    aggregates are never read or rewritten — refresh cost tracks new
+    data, not table size. Correct for any fine bucket that divides a
+    day (bucket boundaries never straddle the partition boundary), and
+    the daily finalize is value-identical to the direct daily aggregate
+    because the partials carry exact integer-cent sums and time-ordered
+    first/last pairs (rollup_cascade's invariant, oracle-gated by the
+    a13b registered query). Returns partitions refreshed."""
+    from .analytics import rollup_finalize, rollup_partials
+
+    target = days if days is not None else list_partitions(readings_path)
+    if not target:
+        return 0
+    day_strs = [d.isoformat() for d in target]
+    src = read_table(spark, readings_path).where(F.col(PARTITION_COL).isin(day_strs))
+    src = src.withColumnRenamed("timestamp", "ts") if "ts" not in src.columns else src
+    hourly = rollup_partials(src, fine_bucket=fine_bucket).withColumn(
+        PARTITION_COL, F.to_date(F.col("bucket"))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        hourly.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(hourly_path)
+        # daily re-finalize reads ONLY the dirty days' hourly partitions
+        parts = read_table(spark, hourly_path).where(
+            F.col(PARTITION_COL).isin(day_strs)
+        )
+        daily = rollup_finalize(parts.drop(PARTITION_COL), "1 day").withColumn(
+            PARTITION_COL, F.to_date(F.col("bucket"))
+        )
+        daily.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(daily_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return len(target)

@@ -195,6 +195,57 @@ def f6b_metadata_lookup_indexed(spark, sf_dir):
     )
 
 
+def _with_tags(r: DataFrame) -> DataFrame:
+    """Deterministic tags array over the canonical readings — the
+    testdata has no array column, so derive one the way FIXTURES
+    derives RuuviTag shapes: a type tag, a band tag from the id, and a
+    conditional anomaly tag (mirrors the reference's TEXT[] tags
+    column, avsc:145-151 / init.sql:57)."""
+    base = F.array(
+        F.concat(F.lit("type:"), F.col("device_type")),
+        F.concat(F.lit("band:"), (F.col("reading_id") % 7).cast("string")),
+    )
+    extra = F.when(F.col("value") > 150.0, F.array(F.lit("anomaly"))).otherwise(
+        F.array().cast("array<string>")
+    )
+    return r.withColumn("tags", F.concat(base, extra))
+
+
+_TAGS_CTE = """
+, tagged AS (
+  SELECT *,
+         ['type:' || device_type, 'band:' || CAST(reading_id % 7 AS VARCHAR)]
+           || (CASE WHEN value > 150.0 THEN ['anomaly'] ELSE [] END) AS tags
+  FROM readings
+)"""
+
+
+@q(
+    "f6c_tags_lookup_indexed",
+    oracle=_READINGS_CTE
+    + _TAGS_CTE
+    + """
+SELECT reading_id, device_id FROM tagged WHERE list_contains(tags, 'band:3')
+""",
+)
+def f6c_tags_lookup_indexed(spark, sf_dir):
+    """array_contains(tags, x) through the tags inverted index — the
+    second half of the reference's GIN pair (init.sql:127 GIN-indexes
+    tags next to device_metadata; f6b covers the JSONB half): the tag
+    equality evaluates on the narrow exploded (tag, reading_id) side
+    table and only matching ids join back for the payload — the
+    corpus's array column is never read at lookup time. Same oracle as
+    the direct list_contains scan, so the hash gate proves index path
+    ≡ direct scan; at 100 TB the index persists sorted by tag for
+    file-level pruning (build_tags_index; pruning pytest)."""
+    from .operators import indexing
+
+    r = _with_tags(readings(spark, sf_dir))
+    return indexing.tags_lookup_indexed(
+        r, indexing.tags_index_frame(r), tag="band:3"
+    )
+
+
 @q(
     "f7_devices_gone_quiet",
     oracle=_READINGS_CTE
@@ -442,6 +493,57 @@ def a13_daily_from_hourly(spark, sf_dir):
     value-identical while its input at 100 TB is hours×types rows, not
     raw readings."""
     return A.rollup_cascade(readings(spark, sf_dir), "1 hour", "1 day")
+
+
+@q(
+    "a13b_cascade_incremental",
+    oracle=_READINGS_CTE
+    + f"""
+SELECT {_bucket_sql("ts", 86400)} AS bucket, device_type,
+       count(*) AS reading_count,
+       round(CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0/count(*), 6) AS avg_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       count(*) FILTER (WHERE is_anomaly) AS anomaly_count,
+       arg_max(value, ts) AS last_value,
+       arg_min(value, ts) AS first_value
+FROM readings GROUP BY 1, device_type
+""",
+)
+def a13b_cascade_incremental(spark, sf_dir):
+    """a13's cascade through the INCREMENTAL refresh machinery
+    (maintenance.refresh_rollup_cascade, the dirty-partition form of
+    TimescaleDB's hierarchical cagg + refresh policy): the raw store is
+    laid out date-partitioned, the hourly partial store and the daily
+    rollup are built partition-by-partition via dynamic overwrite, and
+    the returned frame is read back FROM the persisted daily store.
+    The oracle is the direct daily-from-raw aggregation — the hash gate
+    proves the persisted incremental cascade is value-identical to
+    recomputing from scratch, while a steady-state refresh touches one
+    raw partition + one hourly partition + one daily partition per new
+    hour (pruning pytest + PROBE evidence)."""
+    import re as _re
+
+    from .operators import maintenance as M
+
+    tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    root = f"{wh}/a13b_cascade_{tag}"
+    M._fs_delete(root)
+    raw = readings(spark, sf_dir).withColumnRenamed("ts", "timestamp")
+    M.write_partitioned(raw, f"{root}/raw", mode="overwrite")
+    M.refresh_rollup_cascade(spark, f"{root}/raw", f"{root}/hourly", f"{root}/daily")
+    return M.read_table(spark, f"{root}/daily").select(
+        "bucket",
+        "device_type",
+        "reading_count",
+        "avg_value",
+        "min_value",
+        "max_value",
+        "anomaly_count",
+        "last_value",
+        "first_value",
+    )
 
 
 @q(
@@ -2747,6 +2849,64 @@ def w8_gapfill_resample(spark, sf_dir):
 
 
 @q(
+    "w8b_gapfill_interpolate",
+    oracle=_READINGS_CTE
+    + f"""
+, b AS (
+  SELECT device_id, {_bucket_sql('ts', 21600)} AS bucket_ts,
+         count(*) AS n_readings, round(avg(value), 6) AS avg_value
+  FROM readings GROUP BY 1, 2
+), span AS (
+  SELECT device_id, min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM b GROUP BY 1
+), grid AS (
+  SELECT device_id, unnest(generate_series(mn, mx, INTERVAL 21600 SECOND)) AS bucket_ts
+  FROM span
+), j AS (
+  SELECT g.device_id, g.bucket_ts, b.n_readings, b.avg_value
+  FROM grid g LEFT JOIN b ON g.device_id = b.device_id AND g.bucket_ts = b.bucket_ts
+), br AS (
+  SELECT *,
+    last_value(avg_value IGNORE NULLS) OVER (
+      PARTITION BY device_id ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING) AS pv,
+    last_value(CASE WHEN avg_value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER (
+      PARTITION BY device_id ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING) AS pt,
+    first_value(avg_value IGNORE NULLS) OVER (
+      PARTITION BY device_id ORDER BY bucket_ts
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN avg_value IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER (
+      PARTITION BY device_id ORDER BY bucket_ts
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j
+)
+SELECT device_id, bucket_ts,
+       coalesce(n_readings, 0) AS n_readings,
+       avg_value,
+       CASE WHEN avg_value IS NOT NULL THEN avg_value
+            ELSE CAST(round(
+                   (CAST(round(pv * 1e6) AS BIGINT)
+                      * (epoch(nt) - epoch(bucket_ts))
+                    + CAST(round(nv * 1e6) AS BIGINT)
+                      * (epoch(bucket_ts) - epoch(pt)))
+                   / CAST(epoch(nt) - epoch(pt) AS DOUBLE)
+                 ) AS BIGINT) / 1e6 END AS interp_value,
+       (n_readings IS NULL) AS is_gap
+FROM br
+""",
+)
+def w8b_gapfill_interpolate(spark, sf_dir):
+    """Dense-grid resample + LINEAR interpolation (time_bucket_gapfill
+    + interpolate(), the lead-side twin of w8's locf — r6 verdict's
+    missing #2): a gap bucket gets the time-weighted blend of its
+    bracketing observed averages instead of a flat carry. Backward and
+    forward bracket windows share one (device, bucket) sort, so the
+    fill costs a single WindowExec over aggregate-sized rows; the raw
+    table is still scanned exactly once."""
+    return temporal.gapfill_interpolate(
+        readings(spark, sf_dir), bucket="6 hours"
+    )
+
+
+@q(
     "w5_event_funnel",
     oracle="""
 WITH s1 AS (SELECT user_id AS k, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
@@ -3999,64 +4159,14 @@ def kmeans_embed_clusters(spark, sf_dir):
 # immediately below the cutoff as the r7 window — rotate it in next
 # round — and the r5-green block (fresh through r7) fills the tail.
 QUERY_ORDER = [
-    # --- never driver-checked, oracle-backed ---
-    "obs_hot_keys",
-    "text_length_histogram",
-    "w5_event_funnel",
-    "w6_cohort_retention",
-    "dq_profile_events",
-    "scd2_customer_dim",
-    "a13_daily_from_hourly",
-    "embed_quantize_stats",
-    "split_leakage_report",
-    "q3_top3_per_device",
-    "a14_sliding_monitor",
-    "w4b_sessions_native",
-    "f7_devices_gone_quiet",
-    "f8_devices_in_both_windows",
-    "a15_grouping_sets",
-    "w7_locf_fill",
-    "w8_gapfill_resample",
-    "a16_mad_outliers",
-    "a17_diurnal_profile",
-    "a18_seasonal_deviation",
-    "iv_merged_outages",
-    "shard_manifest",
-    "media_dedup_exact",
-    "quality_deciles",
-    "source_scorecard",
-    "winnow_overlap_pairs",
-    "dq_expectations_report",
-    "f6b_metadata_lookup_indexed",
-    "a19_time_weighted_avg",
-    "a20_counter_delta",
-    "seq_pack_ranges",
-    "corpus_budget_select",
-    "bigram_surprisal",
-    "w9_event_transitions",
-    "w10_m4_downsample",
-    # --- never driver-checked, rows-only by documented design (6) ---
-    "knn_join_ivf_bucketed",
-    "dedup_embed_semdedup",
-    "knn_recall_report",
-    "dq_profile_events_approx",
-    "obs_hot_keys_approx",
-    "quality_quantile_filter_approx",
-    "embed_pq_stats",
-    # --- r4-green refresh (two-round invariant) (17) ---
-    "h1_pricing_summary",
-    "h5_local_supplier_volume",
-    "a2_hourly_aggregates",
-    "h6_forecast_revenue",
-    "h7_volume_shipping",
-    "h8_market_share",
-    "w4_user_sessions",
-    "langid_heuristic",
-    # --- driver window ends here (first 50) ---
-    # r7 queue: remaining r4-green queries, oracle-backed first
-    # (w1/q1/a3/f1/h10/h14/h15/h16 demoted from the refresh block to
-    # make room for the new r6 queries — never-checked queries beat r4
-    # refreshes)
+    # --- r7 window (first 50 = driver-checked this round) ---
+    # new this round, never checked (w8b/f6c oracle-backed; a13b
+    # oracle-backed through the persisted incremental cascade):
+    "w8b_gapfill_interpolate",
+    "f6c_tags_lookup_indexed",
+    "a13b_cascade_incremental",
+    # stale rotation: every query whose last driver row is r4 or
+    # older (oldest-first, the r6 verdict's freshness invariant):
     "f1_recent_readings",
     "h10_returned_items",
     "h13_customer_distribution",
@@ -4101,7 +4211,63 @@ QUERY_ORDER = [
     "dedup_simhash",
     "seq_pack_summary",
     "dedup_keep_list",
-    # r5-green (fresh through r7), registration order preserved
+    # ANN defaults changed this round (trained coarse quantizer is
+    # now the default) — re-check the rows-only trio:
+    "knn_join_ivf",
+    "knn_join_ivf_bucketed",
+    "knn_recall_report",
+    # --- driver window ends here (first 50) ---
+    # r8 queue: r6-green queries (refresh next round, oracle-backed
+    # first), then the r5/r7-green remainder; registration order
+    # preserved within each block
+    "obs_hot_keys",
+    "text_length_histogram",
+    "w5_event_funnel",
+    "w6_cohort_retention",
+    "dq_profile_events",
+    "scd2_customer_dim",
+    "a13_daily_from_hourly",
+    "embed_quantize_stats",
+    "split_leakage_report",
+    "q3_top3_per_device",
+    "a14_sliding_monitor",
+    "w4b_sessions_native",
+    "f7_devices_gone_quiet",
+    "f8_devices_in_both_windows",
+    "a15_grouping_sets",
+    "w7_locf_fill",
+    "w8_gapfill_resample",
+    "a16_mad_outliers",
+    "a17_diurnal_profile",
+    "a18_seasonal_deviation",
+    "iv_merged_outages",
+    "shard_manifest",
+    "media_dedup_exact",
+    "quality_deciles",
+    "source_scorecard",
+    "winnow_overlap_pairs",
+    "dq_expectations_report",
+    "f6b_metadata_lookup_indexed",
+    "a19_time_weighted_avg",
+    "a20_counter_delta",
+    "seq_pack_ranges",
+    "corpus_budget_select",
+    "bigram_surprisal",
+    "w9_event_transitions",
+    "w10_m4_downsample",
+    "dedup_embed_semdedup",
+    "dq_profile_events_approx",
+    "obs_hot_keys_approx",
+    "quality_quantile_filter_approx",
+    "embed_pq_stats",
+    "h1_pricing_summary",
+    "h5_local_supplier_volume",
+    "a2_hourly_aggregates",
+    "h6_forecast_revenue",
+    "h7_volume_shipping",
+    "h8_market_share",
+    "w4_user_sessions",
+    "langid_heuristic",
     "tfidf_top_terms",
     "vocab_coverage",
     "source_mix_temperature",
@@ -4117,7 +4283,6 @@ QUERY_ORDER = [
     "h20_excess_supply",
     "embed_dedup_keep_list",
     "corpus_select_pipeline",
-    "knn_join_ivf",
     "ingest_fanout_pipeline",
     "dedup_minhash",
     "dedup_ngram_jaccard",

@@ -108,6 +108,12 @@ def kafka_avro_sink_frame(readings: DataFrame, engine: str = "auto") -> DataFram
         for f in readings.schema.fields
         if f.dataType.simpleString().startswith("timestamp")
     }
+    # Arrow hands mapInPandas NAIVE wall-clock values in the SESSION
+    # timezone; Avro timestamp-micros is epoch-UTC. Localize+convert so
+    # the wire bytes match JVM to_avro under ANY session timezone (a
+    # bare .value read would skew by the UTC offset; the decode side
+    # mirrors the conversion back).
+    session_tz = readings.sparkSession.conf.get("spark.sql.session.timeZone")
 
     def _serialize(batches):
         import numpy as np
@@ -124,7 +130,10 @@ def kafka_avro_sink_frame(readings: DataFrame, engine: str = "auto") -> DataFram
                     elif not isinstance(v, (list, dict)) and pd.isna(v):
                         v = None
                     elif c in ts_cols:
-                        v = pd.Timestamp(v).value // 1000  # ns -> micros
+                        ts = pd.Timestamp(v)
+                        if ts.tz is None:
+                            ts = ts.tz_localize(session_tz)
+                        v = ts.tz_convert("UTC").value // 1000  # ns -> micros
                     elif isinstance(v, (np.integer,)):
                         v = int(v)
                     elif isinstance(v, (np.floating,)):
@@ -158,20 +167,27 @@ def kafka_avro_source_frame(kafka_frame: DataFrame, engine: str = "auto") -> Dat
     ts_cols = {
         f.name for f in flat.fields if f.dataType.simpleString().startswith("timestamp")
     }
+    # mirror of the sink's conversion: wire micros are epoch-UTC, and
+    # the naive datetimes handed back through Arrow are interpreted as
+    # session-timezone wall clock — convert UTC -> session tz first so
+    # the round-trip is the identity under any session timezone
+    session_tz = kafka_frame.sparkSession.conf.get("spark.sql.session.timeZone")
 
     def _deserialize(batches):
-        from datetime import datetime, timedelta
-
         import pandas as pd
 
-        epoch = datetime(1970, 1, 1)
         for pdf in batches:
             recs = []
             for v in pdf["value"]:
                 rec = avro_codec.decode_record(schema, bytes(v))
                 for c in ts_cols:
                     if rec.get(c) is not None:
-                        rec[c] = epoch + timedelta(microseconds=rec[c])
+                        rec[c] = (
+                            pd.Timestamp(rec[c], unit="us", tz="UTC")
+                            .tz_convert(session_tz)
+                            .tz_localize(None)
+                            .to_pydatetime()
+                        )
                 recs.append(rec)
             yield pd.DataFrame(
                 recs, columns=[f.name for f in flat.fields], dtype=object

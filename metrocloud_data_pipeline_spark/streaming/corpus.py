@@ -65,40 +65,45 @@ def _ensure_band_index(
         batch sees them as duplicate_in_corpus (kept is empty), so
         their band rows would never be written.
 
-    Detection is two column-pruned counts (every covered doc contributes
-    exactly BANDS rows, and band rows are only ever appended AFTER their
-    doc is in the store, so index rows == store docs x BANDS iff in
-    sync — parquet job commits are all-or-nothing, so partial per-doc
-    band sets do not occur). Repair bands exactly the missing docs
-    (store doc_ids anti-joined against index doc_ids) and appends them —
-    batch-sized after a crash, store-sized once at bootstrap."""
+    Detection is doc_id COVERAGE (store ids anti-joined against index
+    ids), not a row-count product: a doc whose text normalizes to
+    nothing yields no MinHash signature and can never be banded, and a
+    count-based check (index rows == store docs x BANDS) would fail
+    forever on such a doc — every batch re-running the repair AND
+    re-banding the whole corpus, a silent permanent regression. With
+    the anti-join, an unbandable doc costs one doc-sized no-op repair
+    attempt per batch (bounded, and correctly absent from screening —
+    a doc with no signature has no bands to collide on). Repair bands
+    exactly the missing docs and appends them — batch-sized after a
+    crash, store-sized once at bootstrap. Parquet job commits are
+    all-or-nothing, so partial per-doc band sets do not occur."""
     from ..llm.dedup import _band_buckets, minhash_signatures
 
-    n_store = store.select("doc_id").count()
     try:
         idx = spark.read.parquet(band_index_path)
-        n_idx = idx.count()
     except Exception:
         idx = None
-        n_idx = 0
-    if idx is not None and n_idx == n_store * BANDS:
-        return idx
-    missing_ids = (
-        store.select("doc_id").distinct()
-        if idx is None
-        else store.select("doc_id").join(
-            idx.select("doc_id").distinct(), "doc_id", "left_anti"
-        )
-    )
+    store_ids = store.select("doc_id")
+    if idx is not None:
+        idx_ids = idx.select("doc_id").distinct()
+        missing_ids = store_ids.join(idx_ids, "doc_id", "left_anti")
+        if missing_ids.isEmpty():
+            # ghost check: index rows for docs absent from the store
+            # (should be impossible — bands append strictly after their
+            # docs) — refuse to screen against them
+            if not idx_ids.join(store_ids, "doc_id", "left_anti").isEmpty():  # pragma: no cover - defensive
+                return None
+            return idx
+    else:
+        missing_ids = store_ids.distinct()
     missing_docs = store.select("doc_id", "text").join(missing_ids, "doc_id", "left_semi")
     _band_buckets(
         minhash_signatures(missing_docs, num_perm=NUM_PERM, k=1), BANDS, ROWS_PER_BAND
     ).write.mode("append").parquet(band_index_path)
     repaired = spark.read.parquet(band_index_path)
-    if repaired.count() != n_store * BANDS:  # pragma: no cover - defensive
-        # index holds rows for docs missing from the store (should be
-        # impossible: bands append strictly after their docs) — refuse
-        # to trust it rather than screen against ghosts
+    if not repaired.select("doc_id").distinct().join(
+        store_ids, "doc_id", "left_anti"
+    ).isEmpty():  # pragma: no cover - defensive
         return None
     return repaired
 

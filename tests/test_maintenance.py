@@ -127,6 +127,94 @@ def test_refresh_bucket_aggregate_incremental(spark, tmp_path):
     assert sorted(p.isoformat() for p in list_partitions(agg)) == ["2024-01-01", "2024-01-02"]
 
 
+def test_refresh_rollup_cascade_incremental_and_prunes(spark, tmp_path):
+    """The hierarchical cascade's dirty-day refresh: (a) the persisted
+    daily store equals the direct rollup_cascade of the full raw data
+    after every refresh; (b) a one-day refresh reads only that day's
+    raw/hourly partitions (executed-plan FileScan evidence) and leaves
+    the other days' files untouched on disk."""
+    from datetime import date
+
+    from metrocloud_data_pipeline_spark.operators.analytics import rollup_cascade
+    from metrocloud_data_pipeline_spark.operators.maintenance import (
+        read_table,
+        refresh_rollup_cascade,
+        write_partitioned,
+    )
+
+    raw = str(tmp_path / "raw")
+    hourly = str(tmp_path / "hourly")
+    daily = str(tmp_path / "daily")
+    rows = [
+        ("d1", "t", "2024-01-01 00:10:00", 1.0, False),
+        ("d1", "t", "2024-01-01 13:40:00", 3.0, False),
+        ("d2", "t", "2024-01-02 05:00:00", 7.0, True),
+        ("d1", "u", "2024-01-03 09:30:00", 2.0, False),
+        ("d2", "u", "2024-01-03 10:30:00", 4.0, False),
+    ]
+    schema = "device_id string, device_type string, timestamp string, value double, is_anomaly boolean"
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "timestamp", F.col("timestamp").cast("timestamp")
+    )
+    write_partitioned(df, raw)
+    assert refresh_rollup_cascade(spark, raw, hourly, daily) == 3
+
+    def daily_rows():
+        return {
+            (r["bucket"].isoformat(), r["device_type"]): tuple(r)[:9]
+            for r in read_table(spark, daily)
+            .select("bucket", "device_type", "reading_count", "avg_value",
+                    "min_value", "max_value", "anomaly_count", "last_value",
+                    "first_value")
+            .collect()
+        }
+
+    def direct():
+        return {
+            (r["bucket"].isoformat(), r["device_type"]): tuple(r)
+            for r in rollup_cascade(
+                read_table(spark, raw).withColumnRenamed("timestamp", "ts")
+            ).collect()
+        }
+
+    assert daily_rows() == direct()
+
+    # record day-1/day-2 file mtimes, then land a late row in day 3
+    import os
+
+    def tree_mtimes(root, keep):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            if keep not in dirpath:
+                continue
+            for f in files:
+                p = os.path.join(dirpath, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    before_h = tree_mtimes(hourly, "reading_date=2024-01-0")
+    late = spark.createDataFrame(
+        [("d1", "u", "2024-01-03 11:15:00", 6.0, False)], schema
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    write_partitioned(late, raw)
+    assert refresh_rollup_cascade(spark, raw, hourly, daily, days=[date(2024, 1, 3)]) == 1
+
+    # correctness: the refreshed store equals the full recompute
+    assert daily_rows() == direct()
+    # isolation: day-1/day-2 hourly files untouched byte-for-byte
+    after_h = tree_mtimes(hourly, "reading_date=2024-01-0")
+    untouched = {p: t for p, t in before_h.items() if "2024-01-03" not in p}
+    assert untouched == {p: t for p, t in after_h.items() if p in untouched}
+
+    # pruning evidence: the dirty-day refresh plan scans ONE raw partition
+    src = read_table(spark, raw).where(F.col("reading_date").isin(["2024-01-03"]))
+    plan = src._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    src.collect()
+    scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "reading_date" in scan_line
+
+
 def test_health_check_round_trip(spark, tmp_path):
     from metrocloud_data_pipeline_spark.operators.maintenance import (
         health_check,
@@ -406,6 +494,61 @@ def test_metadata_index_lookup_matches_direct_and_prunes(spark, tmp_path):
     total = len(list((tmp_path / "meta_idx").glob("part-*.parquet")))
     assert total >= 4
     assert files_admitting(90, 95) <= total // 2
+
+
+def test_tags_index_lookup_matches_direct_and_prunes(spark, tmp_path):
+    """Tags-array inverted index (the GIN pair's second half,
+    init.sql:127): the file-backed index path reproduces the direct
+    array_contains scan exactly, and the tag-sorted layout prunes
+    single-tag lookups at the parquet-footer level."""
+    import pyarrow.parquet as pq
+
+    from metrocloud_data_pipeline_spark.operators import indexing
+
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("reading_id"),
+        F.concat(F.lit("d"), (F.col("id") % 7).cast("string")).alias("device_id"),
+        F.array(
+            F.concat(F.lit("band:"), F.lpad((F.col("id") % 40).cast("string"), 2, "0")),
+            F.concat(F.lit("site:"), (F.col("id") % 3).cast("string")),
+        ).alias("tags"),
+    )
+    idx_path = str(tmp_path / "tags_idx")
+    indexing.build_tags_index(df, idx_path, n_files=8)
+    idx = spark.read.parquet(idx_path)
+    assert idx.count() == 4096 * 2  # two tags per row inverted
+
+    direct = {
+        tuple(r)
+        for r in df.where(F.array_contains("tags", "band:03"))
+        .select("reading_id", "device_id")
+        .collect()
+    }
+    via_index = {
+        tuple(r)
+        for r in indexing.tags_lookup_indexed(df, idx, "band:03").collect()
+    }
+    assert via_index == direct and len(direct) == 4096 // 40 + (1 if 3 < 4096 % 40 else 0)
+
+    # physical pruning: files are range-partitioned+sorted on tag — a
+    # single tag's slab admits few files
+    def files_admitting(tag):
+        n = 0
+        for f in (tmp_path / "tags_idx").glob("part-*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            names = [md.schema.column(j).name for j in range(md.num_columns)]
+            ci = names.index("tag")
+            stats = [md.row_group(i).column(ci).statistics for i in range(md.num_row_groups)]
+            stats = [s for s in stats if s is not None and s.min is not None]
+            if not stats:
+                continue
+            if max(s.max for s in stats) >= tag and min(s.min for s in stats) <= tag:
+                n += 1
+        return n
+
+    total = len(list((tmp_path / "tags_idx").glob("part-*.parquet")))
+    assert total >= 4
+    assert files_admitting("band:03") <= total // 2
 
 
 def test_vacuum_store_artifacts_keeps_sole_copies(spark, tmp_path):

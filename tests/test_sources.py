@@ -123,6 +123,45 @@ def test_avro_wire_roundtrip(spark):
     assert str(sparse["timestamp"]) == "2025-09-26 12:05:00"
 
 
+def test_avro_wire_bytes_are_utc_under_any_session_timezone(spark):
+    """Avro timestamp-micros is epoch-UTC by spec; the Python engine
+    must emit the SAME wire bytes whatever spark.sql.session.timeZone
+    is (Arrow hands the codec session-local wall clock — an unlocalized
+    epoch read would skew by the UTC offset, r6 advice), and the
+    decode side must mirror the conversion so the round-trip is the
+    identity."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc_bytes = {
+            r["key"]: bytes(r["value"])
+            for r in avro_io.kafka_avro_sink_frame(_roundtrip_rows(spark)).collect()
+        }
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        # the same INSTANTS (createDataFrame fixes the instant at create
+        # time) must encode to the same wire bytes under any session tz:
+        # Arrow hands the codec NY wall-clock values here, so without
+        # the localize step the bytes would skew by the UTC offset
+        # (exactly the pre-fix failure)
+        ny_wire = avro_io.kafka_avro_sink_frame(_roundtrip_rows(spark))
+        ny_bytes = {r["key"]: bytes(r["value"]) for r in ny_wire.collect()}
+        assert ny_bytes["aa:bb:cc"] == utc_bytes["aa:bb:cc"]
+        assert ny_bytes["dd:ee:ff"] == utc_bytes["dd:ee:ff"]
+        # and the round-trip under the non-UTC session preserves the
+        # INSTANT: collect() renders session-local wall clock, so the
+        # 12:00 UTC instant reads back as 08:00 New York — same moment
+        back_ts = {
+            r["device_id"]: str(r["timestamp"])
+            for r in avro_io.kafka_avro_source_frame(ny_wire).collect()
+        }
+        assert back_ts == {
+            "aa:bb:cc": "2025-09-26 08:00:00.123456",
+            "dd:ee:ff": "2025-09-26 08:05:00",
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_avro_codec_spec_vectors():
     """Pin the binary encoding against the published Avro spec examples
     (zig-zag varints) plus string/union/map/array framing — so wire

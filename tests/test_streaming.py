@@ -906,6 +906,35 @@ def test_band_index_crash_gap_is_repaired(spark, tmp_path):
     assert idx.count() == 2 * corpus.BANDS
 
 
+def test_band_index_tolerates_unbandable_docs(spark, tmp_path):
+    """A store doc that yields NO MinHash signature (null text — nothing
+    to shingle) can never be banded. The coverage check must not treat
+    it as a permanent gap: with the old rows==docs*BANDS count check
+    every batch re-ran the repair AND re-banded the whole corpus
+    forever (r6 advice). Now the index stays trusted, repair attempts
+    are bounded to the unbandable doc, and the index never grows."""
+    from metrocloud_data_pipeline_spark.streaming import corpus
+
+    store = spark.createDataFrame(
+        [
+            (1, "a perfectly ordinary training document", "en", "web", 38),
+            (2, None, "en", "web", 0),  # unbandable: no text to shingle
+        ],
+        corpus.DOCUMENT_SCHEMA,
+    )
+    bands = str(tmp_path / "band_index")
+
+    idx1 = corpus._ensure_band_index(spark, store, bands)
+    assert idx1 is not None
+    assert idx1.count() == 1 * corpus.BANDS  # doc 1 fully banded
+    assert [r["doc_id"] for r in idx1.select("doc_id").distinct().collect()] == [1]
+
+    # steady state: a second pass neither refuses the index nor grows it
+    idx2 = corpus._ensure_band_index(spark, store, bands)
+    assert idx2 is not None
+    assert idx2.count() == 1 * corpus.BANDS
+
+
 def test_scd2_bucketed_stream_matches_full_rewrite_and_prunes(spark, tmp_path):
     """Partition-scoped SCD2: same versioning semantics as the full
     rewrite, and buckets no batch key hashes into are left physically

@@ -301,6 +301,37 @@ def test_gapfill_resample_emits_grid_rows_and_carries_forward(spark):
     assert (b["n_readings"], b["filled_value"], b["is_gap"]) == (1, 5.0, False)
 
 
+def test_gapfill_interpolate_blends_bracketing_buckets(spark):
+    from datetime import datetime
+
+    rows = [
+        # device a: observed in hour-buckets 00 (avg 15) and 03 (40) —
+        # gaps at 01 and 02 interpolate linearly: 15 + 25*(1/3), 15 + 25*(2/3)
+        ("a", datetime(2024, 1, 1, 0, 10), 10.0),
+        ("a", datetime(2024, 1, 1, 0, 50), 20.0),
+        ("a", datetime(2024, 1, 1, 3, 5), 40.0),
+        # device b: single bucket — nothing to interpolate
+        ("b", datetime(2024, 1, 1, 7, 30), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "device_id string, ts timestamp, value double")
+    out = {(r["device_id"], str(r["bucket_ts"])): r
+           for r in temporal.gapfill_interpolate(df, bucket="1 hour").collect()}
+    assert len(out) == 5
+    a0 = out[("a", "2024-01-01 00:00:00")]
+    assert (a0["n_readings"], a0["interp_value"], a0["is_gap"]) == (2, 15.0, False)
+    g1 = out[("a", "2024-01-01 01:00:00")]
+    g2 = out[("a", "2024-01-01 02:00:00")]
+    assert g1["is_gap"] is True and g1["avg_value"] is None
+    assert abs(g1["interp_value"] - (15.0 + 25.0 / 3)) < 1e-6
+    assert abs(g2["interp_value"] - (15.0 + 50.0 / 3)) < 1e-6
+    a3 = out[("a", "2024-01-01 03:00:00")]
+    assert a3["interp_value"] == 40.0 and a3["is_gap"] is False
+    b = out[("b", "2024-01-01 07:00:00")]
+    assert (b["n_readings"], b["interp_value"], b["is_gap"]) == (1, 5.0, False)
+    # every row (observed or generated) carries a non-null fill
+    assert all(r["interp_value"] is not None for r in out.values())
+
+
 def test_time_weighted_avg_locf_weighting(spark):
     from datetime import datetime
 

@@ -1,5 +1,7 @@
-"""Round-6 probes: (a) IVF recall at a realistic operating point, and
-(b) incremental continuous-aggregate refresh scan pruning.
+"""Round-6/7 probes: (a) IVF recall at a realistic operating point —
+including the r7 DEFAULT path (auto-trained coarse quantizer) — and
+(b) incremental continuous-aggregate refresh scan pruning, extended in
+r7 to the hierarchical cascade (refresh_rollup_cascade).
 
 (a) The r5 recall numbers were measured on uniform random vectors — a
 documented degeneracy (every list looks alike, nprobe tells you
@@ -87,7 +89,7 @@ def recall_sweep(spark, fast: bool) -> None:
             _one_recall(
                 spark, emb, n,
                 f"stride=31 ({n // 31 + 1} lists) nprobe={nprobe}",
-                nprobe=nprobe, stride=31,
+                nprobe=nprobe, stride=31, quantizer="stride",
             )
         # stride sized to the natural cluster count
         s = n // K_CLUSTERS
@@ -95,7 +97,7 @@ def recall_sweep(spark, fast: bool) -> None:
             _one_recall(
                 spark, emb, n,
                 f"stride={s} ({n // s + 1} lists) nprobe={nprobe}",
-                nprobe=nprobe, stride=s,
+                nprobe=nprobe, stride=s, quantizer="stride",
             )
         # k-means-trained codebook at the cluster count (the FAISS
         # train step; corpus-shuffle-free mapInPandas partial sums)
@@ -108,6 +110,23 @@ def recall_sweep(spark, fast: bool) -> None:
                 f"trained k={K_CLUSTERS} (fit {train_s:.1f} s) nprobe={nprobe}",
                 nprobe=nprobe, codebook=cb,
             )
+        # the r7 DEFAULT path: no codebook, no quantizer argument —
+        # knn_join_ivf auto-trains (k auto-sized by corpus count,
+        # capped at DEFAULT_TRAIN_K). This is what a caller who
+        # configures nothing gets; the r6 default (stride) measured
+        # 0.41 avg here. Gate: >= 0.9 at both scales.
+        t0 = time.perf_counter()
+        rep = similarity.knn_recall_report(emb, k=10, nprobe=4, max_queries=200).agg(
+            F.round(F.avg("recall"), 4).alias("avg"),
+            F.round(F.min("recall"), 4).alias("min"),
+        ).first()
+        dt = time.perf_counter() - t0
+        auto_k = similarity._auto_train_k(emb)
+        print(
+            f"ivf_recall  n={n:>7,}  {'DEFAULT (auto-trained k=%d) nprobe=4' % auto_k:<34}  recall@10 "
+            f"avg={rep['avg']:.4f} min={rep['min']:.4f}  (200 queries, {dt:5.1f} s)"
+        )
+        assert rep["avg"] >= 0.9, f"default ANN path recall {rep['avg']} < 0.9 at n={n}"
         emb.unpersist()
 
 
@@ -175,15 +194,89 @@ def refresh_pruning(spark, tmp: Path, copies: int = 10) -> None:
     assert m_one["numPartitions"] == 1 and m_one["filesSize"] < m_all["filesSize"] / 10
 
 
+def cascade_refresh_pruning(spark, tmp: Path, copies: int = 10) -> None:
+    """r7: the HIERARCHICAL cascade's dirty-day refresh
+    (refresh_rollup_cascade). Evidence that a one-day refresh (a) reads
+    one raw partition, (b) re-finalizes the daily level from ONE
+    hourly partition (hours x types rows, never raw), and (c) the
+    refreshed daily store still hashes equal to the direct daily
+    aggregate (the a13b oracle gate covers the value identity; here we
+    show the scan economics)."""
+    ev = load(spark, SF, "events").select(
+        F.col("event_id").alias("reading_id"),
+        F.col("user_id").cast("string").alias("device_id"),
+        F.col("event_type").alias("device_type"),
+        F.col("ts").alias("timestamp"),
+        F.col("value"),
+        (F.col("value") > 150.0).alias("is_anomaly"),
+    )
+    big = ev
+    for i in range(1, copies):
+        big = big.unionByName(
+            ev.withColumn("reading_id", F.col("reading_id") + i * 10_000_000)
+        )
+    raw = str(tmp / "cascade_raw")
+    hourly = str(tmp / "cascade_hourly")
+    daily = str(tmp / "cascade_daily")
+    M.write_partitioned(big, raw, mode="overwrite")
+
+    t0 = time.perf_counter()
+    n_full = M.refresh_rollup_cascade(spark, raw, hourly, daily)
+    full_s = time.perf_counter() - t0
+
+    dirty = [date(2024, 1, 15)]
+    t0 = time.perf_counter()
+    M.refresh_rollup_cascade(spark, raw, hourly, daily, days=dirty)
+    one_s = time.perf_counter() - t0
+
+    def scan_metrics(frame):
+        narrow = frame.select(M.PARTITION_COL)
+        narrow.collect()
+        out = {}
+        leaves = narrow._jdf.queryExecution().executedPlan().collectLeaves()
+        for i in range(leaves.size()):
+            m = leaves.apply(i).metrics()
+            it = m.iterator()
+            while it.hasNext():
+                kv = it.next()
+                out[kv._1()] = out.get(kv._1(), 0) + kv._2().value()
+        return out
+
+    sel = [d.isoformat() for d in dirty]
+    raw_one = scan_metrics(
+        M.read_table(spark, raw).where(F.col(M.PARTITION_COL).isin(sel))
+    )
+    raw_all = scan_metrics(M.read_table(spark, raw))
+    h_one = scan_metrics(
+        M.read_table(spark, hourly).where(F.col(M.PARTITION_COL).isin(sel))
+    )
+    h_all = scan_metrics(M.read_table(spark, hourly))
+    print(
+        f"cascade_refresh  {copies}x raw rows={big.count():,}  days={n_full}  "
+        f"full {full_s:5.1f} s  one dirty day {one_s:5.1f} s"
+    )
+    print(
+        f"cascade_refresh  raw scan {raw_one['numPartitions']}/{raw_all['numPartitions']} partitions "
+        f"{raw_one['filesSize']:,}/{raw_all['filesSize']:,} bytes "
+        f"({100 * raw_one['filesSize'] / raw_all['filesSize']:.1f}%); "
+        f"daily re-finalize reads hourly {h_one['numPartitions']}/{h_all['numPartitions']} partitions "
+        f"{h_one['filesSize']:,}/{h_all['filesSize']:,} bytes "
+        f"({100 * h_one['filesSize'] / h_all['filesSize']:.1f}%)"
+    )
+    assert raw_one["numPartitions"] == 1 and h_one["numPartitions"] == 1
+
+
 def main() -> None:
     fast = "--fast" in sys.argv
-    spark = get_spark("probe_r06")
+    spark = get_spark("probe_r07")
     spark.sparkContext.setLogLevel("ERROR")
     recall_sweep(spark, fast)
     import tempfile
 
     with tempfile.TemporaryDirectory() as td:
         refresh_pruning(spark, Path(td), copies=2 if fast else 10)
+    with tempfile.TemporaryDirectory() as td:
+        cascade_refresh_pruning(spark, Path(td), copies=2 if fast else 10)
 
 
 if __name__ == "__main__":
