@@ -114,6 +114,7 @@ HEADLINE = [
     "f6b_metadata_lookup_indexed",
     "f6c_tags_lookup_indexed",
     "w8b_gapfill_interpolate",
+    "dsir_importance_weights",
     "seq_pack_ranges",
     "corpus_budget_select",
     "bigram_surprisal",
@@ -134,6 +135,10 @@ SENTINEL = "h1_pricing_summary"
 # Deliberately absent: the exact-all-pairs baselines (dedup_ngram_jaccard,
 # dedup_embed_cosine) — quadratic verification twins for the oracle gate,
 # not scale-path operators; their LSH/MinHash counterparts are benched.
+# Also absent: quality_lr_score and a13b_cascade_incremental — the first
+# is an n_iter-job TRAINING loop (fit once per corpus snapshot, not per
+# query; scoring alone is a codegen projection), the second is a persisted
+# store build whose cost is the write, measured by the cascade probe.
 # Also absent: dedup_incremental_jaccard in its oracle-parity config
 # (10k bucket cap + fail-on-dropped) — on the synthetic 31-token
 # vocabulary, unigram band buckets admit ~83% of incoming x corpus as

@@ -158,6 +158,208 @@ def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 8) -> Da
 _HASH_SPACE = float(2**32)
 
 
+def dsir_importance_weights(
+    docs: DataFrame,
+    target,
+    alpha: float = 0.5,
+    materialize: bool = True,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — the published
+    method behind targeting a pretraining mix at a domain): per-doc
+    mean log2 likelihood ratio between a TARGET unigram LM and the
+    raw-corpus unigram LM, both Laplace-smoothed over the raw
+    vocabulary. Docs whose token distribution looks like the target
+    slice score high; resampling/thresholding on the weight shifts the
+    corpus toward the target domain. `target` is a boolean Column
+    selecting the in-corpus target slice (e.g. source == 'wiki').
+
+    Pipeline: ONE tokenization pass (checkpointed) feeds both LM count
+    aggregates — c_raw and c_tgt come out of a single groupBy with a
+    conditional count, so the raw corpus is never scanned twice; the
+    three scalars (token totals + vocab) ride a broadcast 1-row cross
+    join; scoring is the same shuffle rejoin on token as tfidf/
+    surprisal (AQE absorbs stopword-hot keys). The registered query
+    uses exact token identity so a SQL oracle reproduces it bit-for-
+    bit; at 100 TB swap the token key for pmod(xxhash64(token), 2^k) —
+    DSIR's hashed-feature form — which bounds LM state at the cost of
+    oracle-checkability (the plan is unchanged).
+
+    Returns (doc_id, n_tokens, bits_per_token)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    rows = docs.select(
+        "doc_id",
+        target.cast("boolean").alias("is_target"),
+        F.explode(F.split(norm, " ")).alias("token"),
+    )
+    if materialize:
+        rows = rows.localCheckpoint()
+    stats = rows.groupBy("token").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.count(F.when(F.col("is_target"), 1)).alias("c_tgt"),
+    )
+    totals = stats.agg(
+        F.sum("c_raw").alias("n_raw"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    a = F.lit(float(alpha))
+    lr = stats.crossJoin(F.broadcast(totals)).select(
+        "token",
+        (
+            F.log((F.col("c_tgt") + a) / (F.col("n_tgt") + a * F.col("v")))
+            - F.log((F.col("c_raw") + a) / (F.col("n_raw") + a * F.col("v")))
+        ).alias("log_ratio"),
+    )
+    ln2 = 0.6931471805599453
+    return (
+        rows.join(lr, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            round6(
+                F.sum("log_ratio") / F.count(F.lit(1)).cast("double") / F.lit(ln2)
+            ).alias("bits_per_token"),
+        )
+    )
+
+
+def lr_fit(
+    frame: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_iter: int = 50,
+    lr: float = 0.5,
+):
+    """Distributed batch-gradient logistic regression — the trainable
+    quality classifier real pretraining pipelines run after the
+    heuristic gates (GPT-3's LR filter over quality features; CCNet's
+    LM-based scoring): features are cheap per-doc statistics, labels a
+    small seed set (a trusted slice, human tags, or a stronger model's
+    verdicts), and the fitted scorer generalizes the seed to the whole
+    corpus as one codegen expression (lr_score_col).
+
+    Deterministic by the kmeans_fit construction: full-batch gradient,
+    zero-init weights, per-Arrow-batch partial (gradient-sum, loss,
+    count) rows reduced on the driver in total order — repeated fits
+    are bit-identical, so the fitted weights are a reproducible
+    artifact of the corpus snapshot. Scale shape per iteration: one
+    broadcast of the (d+1)-vector, one narrow mapInPandas pass, ~
+    partitions x 1 tiny rows to the driver; the corpus never shuffles
+    and is scanned n_iter times (persist upstream, same contract as
+    kmeans_fit). Features are standardized internally (mean/std from
+    one aggregate) so one learning rate fits unscaled inputs; returned
+    weights are FOLDED BACK to raw feature space.
+
+    Returns (weights [d], bias, loss trace)."""
+    import numpy as np
+
+    d = len(feature_cols)
+    stats = frame.agg(
+        *[F.avg(c).alias(f"m{i}") for i, c in enumerate(feature_cols)],
+        *[F.stddev_pop(c).alias(f"s{i}") for i, c in enumerate(feature_cols)],
+    ).first()
+    mu = np.array([stats[f"m{i}"] for i in range(d)], dtype=np.float64)
+    sd = np.array([stats[f"s{i}"] or 0.0 for i in range(d)], dtype=np.float64)
+    sd[sd == 0.0] = 1.0
+
+    sc = frame.sparkSession.sparkContext
+    vecs = frame.select(
+        F.array(*[F.col(c).cast("double") for c in feature_cols]).alias("x"),
+        F.col(label_col).cast("double").alias("y"),
+    )
+    w = np.zeros(d + 1)  # [weights..., bias] in standardized space
+    trace: list[float] = []
+    for _ in range(n_iter):
+        bc = sc.broadcast((w, mu, sd))
+
+        def partials(batches):
+            import pandas as pd
+
+            wb, m, s = bc.value
+            for pdf in batches:
+                x = (np.vstack(pdf["x"].values).astype(np.float64) - m) / s
+                y = pdf["y"].values.astype(np.float64)
+                z = x @ wb[:-1] + wb[-1]
+                p = 1.0 / (1.0 + np.exp(-z))
+                g = np.concatenate([(p - y) @ x, [(p - y).sum()]])
+                eps = 1e-12
+                loss = -(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).sum()
+                yield pd.DataFrame(
+                    {"g": [g.tolist()], "loss": [float(loss)], "n": [len(y)]}
+                )
+
+        part = vecs.mapInPandas(
+            partials, "g array<double>, loss double, n long"
+        ).collect()
+        grad = np.zeros(d + 1)
+        loss = 0.0
+        n = 0
+        # total order so the float reduction is partition-placement-proof
+        for r in sorted(part, key=lambda r: (r.n, r.loss, r.g)):
+            grad += np.array(r.g)
+            loss += r.loss
+            n += r.n
+        trace.append(loss / max(n, 1))
+        w = w - lr * grad / max(n, 1)
+        bc.destroy()
+    # fold standardization back into raw-space weights:
+    # z = w·(x-mu)/sd + b  ->  (w/sd)·x + (b - w·(mu/sd))
+    raw_w = w[:-1] / sd
+    raw_b = float(w[-1] - (w[:-1] * (mu / sd)).sum())
+    return raw_w, raw_b, trace
+
+
+def lr_score_col(feature_cols: list[str], weights, bias: float) -> F.Column:
+    """sigmoid(w.x + b) as a pure codegen Column — scoring the full
+    corpus with a fitted lr_fit classifier is a narrow projection, no
+    Python anywhere."""
+    z = F.lit(float(bias))
+    for c, w in zip(feature_cols, weights):
+        z = z + F.col(c).cast("double") * F.lit(float(w))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def quality_lr_score(docs: DataFrame, n_iter: int = 50, lr: float = 0.5) -> DataFrame:
+    """End-to-end trained quality scoring: engineer the cheap per-doc
+    features (token count, type-token ratio, chars/token), weak-label a
+    seed from the corpus's own extremes (top/bottom length-saturation x
+    diversity heuristic — the bootstrap real pipelines use when no
+    human labels exist yet), fit the deterministic LR on the seed, and
+    score EVERY doc with the resulting codegen expression.
+
+    Rows-only by design (iterative fit); separability, determinism and
+    agreement-with-heuristic invariants are pytest-gated. Returns
+    (doc_id, token_count, type_token_ratio, quality_prob)."""
+    from .text import quality_score
+
+    feats = quality_score(docs).select(
+        "doc_id",
+        "token_count",
+        "type_token_ratio",
+        "quality_score",
+    ).withColumn(
+        "log_tokens", F.log(F.col("token_count").cast("double") + F.lit(1.0))
+    )
+    feats = feats.localCheckpoint()
+    cols = ["log_tokens", "type_token_ratio"]
+    # weak seed: heuristic extremes (deterministic quantile boundaries)
+    qs = feats.agg(
+        F.expr("percentile(quality_score, 0.25)").alias("lo"),
+        F.expr("percentile(quality_score, 0.75)").alias("hi"),
+    ).first()
+    seed = feats.where(
+        (F.col("quality_score") <= qs["lo"]) | (F.col("quality_score") >= qs["hi"])
+    ).withColumn("y", (F.col("quality_score") >= qs["hi"]).cast("int"))
+    w, b, _ = lr_fit(seed, cols, "y", n_iter=n_iter, lr=lr)
+    return feats.select(
+        "doc_id",
+        "token_count",
+        "type_token_ratio",
+        round6(lr_score_col(cols, w, b)).alias("quality_prob"),
+    )
+
+
 def sample_uniform_col(salt: str, id_col: str = "doc_id") -> F.Column:
     """Deterministic uniform-ish u in [0,1) from (salt, id): the first 8
     hex digits of md5 as a 32-bit integer. Pure function of its inputs —

@@ -453,3 +453,79 @@ def test_budget_select_maximal_and_deterministic(spark):
     # budget >= corpus: everything kept
     all_kept = curation.budget_select(docs, token_budget=10**9).collect()
     assert all(r["keep"] for r in all_kept)
+
+
+# --- r7 additions: DSIR importance weights + trained LR quality filter ------
+
+
+def test_dsir_importance_weights_rank_target_like_docs(spark):
+    """Docs sharing the target slice's vocabulary must outscore docs
+    that don't, and a doc OF the target slice scores highest; weights
+    are a pure function of the corpus (rerun identical)."""
+    tgt_text = "alpha beta gamma delta alpha beta"
+    rows = [
+        (1, tgt_text, "en", "tgt", 30),                       # the target slice
+        (2, "alpha beta gamma epsilon", "en", "raw", 24),      # target-like
+        (3, "zeta eta theta iota kappa", "en", "raw", 25),     # disjoint vocab
+        (4, tgt_text, "en", "raw", 30),                        # exact copy, raw
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    from pyspark.sql import functions as F
+
+    out = {r["doc_id"]: r for r in curation.dsir_importance_weights(
+        docs, target=F.col("source") == "tgt"
+    ).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # a verbatim copy of target text scores identically to the target doc
+    assert out[4]["bits_per_token"] == out[1]["bits_per_token"]
+    # target-like beats vocabulary-disjoint
+    assert out[2]["bits_per_token"] > out[3]["bits_per_token"]
+    assert out[1]["bits_per_token"] > out[3]["bits_per_token"]
+    # token counts are the doc's own
+    assert out[1]["n_tokens"] == 6 and out[3]["n_tokens"] == 5
+    again = {r["doc_id"]: r["bits_per_token"] for r in curation.dsir_importance_weights(
+        docs, target=F.col("source") == "tgt"
+    ).collect()}
+    assert again == {k: v["bits_per_token"] for k, v in out.items()}
+
+
+def test_lr_fit_separable_deterministic_and_converges(spark):
+    """Batch-GD logistic regression: on linearly separable data the
+    fitted scorer classifies perfectly, the loss trace decreases, and
+    repeated fits are bit-identical (total-order partial reduction)."""
+    rows = [(float(i), 1 if i >= 10 else 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "x double, y int").repartition(4)
+    w, b, trace = curation.lr_fit(df, ["x"], "y", n_iter=60, lr=0.5)
+    assert trace[-1] < trace[0]
+    scored = df.select(
+        "y", curation.lr_score_col(["x"], w, b).alias("p")
+    ).collect()
+    assert all((r["p"] >= 0.5) == (r["y"] == 1) for r in scored)
+    w2, b2, trace2 = curation.lr_fit(df, ["x"], "y", n_iter=60, lr=0.5)
+    assert list(w) == list(w2) and b == b2 and trace == trace2
+
+
+def test_quality_lr_score_agrees_with_heuristic_extremes(spark):
+    """The weak-seed trained classifier must reproduce the heuristic's
+    verdict on the extremes it was seeded from: long diverse docs score
+    high, one-word-repeated junk scores low; output is deterministic."""
+    good = " ".join(f"word{i}" for i in range(60))
+    junk = "spam " * 30
+    rows = (
+        [(i, good + f" extra{i}", "en", "s", 400) for i in range(8)]
+        + [(100 + i, junk.strip(), "en", "s", 149) for i in range(8)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r["quality_prob"] for r in
+           curation.quality_lr_score(docs, n_iter=60).collect()}
+    assert len(out) == 16
+    good_p = [out[i] for i in range(8)]
+    junk_p = [out[100 + i] for i in range(8)]
+    assert min(good_p) > max(junk_p)
+    again = {r["doc_id"]: r["quality_prob"] for r in
+             curation.quality_lr_score(docs, n_iter=60).collect()}
+    assert again == out
