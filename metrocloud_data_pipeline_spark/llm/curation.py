@@ -343,7 +343,11 @@ def quality_lr_score(docs: DataFrame, n_iter: int = 50, lr: float = 0.5) -> Data
     )
     feats = feats.localCheckpoint()
     cols = ["log_tokens", "type_token_ratio"]
-    # weak seed: heuristic extremes (deterministic quantile boundaries)
+    # weak seed: heuristic extremes. Exact percentile keeps the seed
+    # (and therefore the fit) bit-deterministic for the test/oracle
+    # surface; at 100 TB swap for approx_percentile(..., 1e-4) — the
+    # seed boundary needs no exactness, only stability, and the exact
+    # aggregate's state is distinct-value-sized
     qs = feats.agg(
         F.expr("percentile(quality_score, 0.25)").alias("lo"),
         F.expr("percentile(quality_score, 0.75)").alias("hi"),

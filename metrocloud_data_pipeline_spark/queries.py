@@ -4028,6 +4028,36 @@ def dsir_importance_weights(spark, sf_dir):
     )
 
 
+@q("knn_join_ivfpq")
+def knn_join_ivfpq(spark, sf_dir):
+    """Batch ANN entirely from the COMPRESSED persisted index: build
+    the ivfpq corpus table once (codes bucketed by list_id + both
+    quantizer sidecars), then answer every corpus vector's top-10 via
+    ivfpq_topk_batch — coarse probe against the reloaded fingerprinted
+    centroids, candidates scored from 4-byte codes by batched ADC
+    reconstruction. The float corpus is read only at build time; this
+    is the serving tier's batch twin (streaming form:
+    run_ann_serving_stream_pq). Rows-only by design (double
+    approximation: coarse pruning + PQ distortion); streamed==batch
+    row equality and planted-cluster behavior are pytest-gated."""
+    import re as _re
+
+    emb = load(spark, sf_dir, "embeddings")
+    tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tbl = f"ivfpq_corpus_{tag}"
+    similarity.ivfpq_corpus_table(emb, tbl, m=4, pq_k=16, n_iter=4)
+    cb = similarity.load_pq_codebook(spark, tbl)
+    cids, ccode, _fp = similarity.load_ivf_quantizer(spark, f"{tbl}_coarse")
+    return similarity.ivfpq_topk_batch(
+        emb.select("vec_id", "embedding"),
+        spark.table(tbl),
+        cb,
+        (cids, ccode),
+        k=10,
+        nprobe=4,
+    )
+
+
 @q("quality_lr_score")
 def quality_lr_score(spark, sf_dir):
     """Trained quality classifier (the LR filter real pretraining
@@ -4302,6 +4332,7 @@ QUERY_ORDER = [
     # (refresh next round), then the r5/r7-green remainder
     "knn_join_ivf_bucketed",
     "knn_recall_report",
+    "knn_join_ivfpq",
     "obs_hot_keys",
     "text_length_histogram",
     "w5_event_funnel",

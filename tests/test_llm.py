@@ -1170,3 +1170,42 @@ def test_ivfpq_corpus_table_serves_identically(spark):
             emb, qvec, k=4, nprobe=3, stride=5,
             codes=spark.table(tbl), codebooks=cb2,
         )
+
+
+def test_ivfpq_topk_batch_self_query_finds_own_cluster(spark):
+    """Batch ADC over the persisted compressed index: every query gets
+    exactly k ranked rows, the rank-1 neighbor lies in the query's own
+    planted cluster at (near-)zero ADC distance, and the query's own
+    codes tie that minimum (PQ maps tight-cluster members to IDENTICAL
+    codes, so exact self-rank-1 is not guaranteed — ties break to the
+    smaller vec_id — but the self distance must equal the best)."""
+    emb = _planted_clusters_emb(spark)
+    tbl = "ivfpq_batch_pytest"
+    try:
+        similarity.ivfpq_corpus_table(emb, tbl, stride=5, m=4, pq_k=8, n_iter=4)
+        cb = similarity.load_pq_codebook(spark, tbl)
+        cids, ccode, _fp = similarity.load_ivf_quantizer(spark, f"{tbl}_coarse")
+        out = similarity.ivfpq_topk_batch(
+            emb.select("vec_id", "embedding"), spark.table(tbl), cb,
+            (cids, ccode), k=3, nprobe=5,
+        ).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["q_id"], []).append(r)
+        assert set(by_q) == set(range(14))
+
+        def cluster(vid):
+            return vid % 3 if vid < 12 else 9  # planted layout
+
+        for q, rs in by_q.items():
+            rs = sorted(rs, key=lambda r: r["rank"])
+            assert [r["rank"] for r in rs] == [1, 2, 3]
+            assert cluster(rs[0]["vec_id"]) == cluster(q)
+            # q's own codes tie the winning distance (identical codes
+            # for tight-cluster members under coarse PQ)
+            self_rows = [r for r in rs if r["vec_id"] == q]
+            if self_rows:
+                assert self_rows[0]["adc_dist2"] == rs[0]["adc_dist2"]
+    finally:
+        for t in (tbl, f"{tbl}_codebook", f"{tbl}_coarse"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
