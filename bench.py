@@ -286,13 +286,25 @@ def _vs_prev(normalized: dict[str, float]) -> dict:
             for name in normalized
             if name in prev_norm and prev_norm[name] > 0
         }
+        # the sentinel is itself one noisy measurement: when IT drifts
+        # relative to the pack, every ratio shifts uniformly (measured:
+        # a fast-sentinel pass put the whole 67-query distribution at
+        # median 1.21 with zero structure). The robust read divides out
+        # the MEDIAN ratio — a query is a real plan regression only if
+        # it moved against the PACK, not against one query
+        med = statistics.median(ratios.values()) if ratios else 1.0
+        rel = {n: round(r / med, 3) for n, r in ratios.items()}
         return {
             "vs_prev": {
                 "baseline": os.path.basename(path),
                 "common_queries": len(ratios),
+                "median_norm_ratio": round(med, 3),
                 "norm_ratio": ratios,
                 "norm_regressions_gt_1_3": {
                     n: r for n, r in sorted(ratios.items()) if r > 1.3
+                },
+                "vs_median_regressions_gt_1_3": {
+                    n: r for n, r in sorted(rel.items()) if r > 1.3
                 },
             }
         }
