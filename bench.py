@@ -257,12 +257,17 @@ def _vs_prev(normalized: dict[str, float]) -> dict:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    prior = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
-    )
-    if not prior:
+    # discovery must be crash-proof too: a stray BENCH_rX.json matches
+    # the glob but not the number pattern — skip it rather than lose
+    # the whole suite's results to an AttributeError after measuring
+    numbered = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            numbered.append((int(m.group(1)), p))
+    if not numbered:
         return {}
+    prior = [p for _, p in sorted(numbered)]
     path = prior[-1]
     try:
         with open(path) as f:

@@ -383,6 +383,38 @@ def ivf_assignments(
     return centroids, assign
 
 
+def knn_join_ivf_table(
+    spark,
+    table_name: str,
+    embeddings: DataFrame | None = None,
+    k: int = 10,
+    nprobe: int = 4,
+    queries: DataFrame | None = None,
+    max_queries: int | None = None,
+) -> DataFrame:
+    """knn_join_ivf against a persisted ivf_corpus_table, loading the
+    LISTED corpus and its quantizer from the SAME table name in one
+    call — the supported way to combine them. knn_join_ivf's
+    fingerprint check proves the codebook OBJECT matches a persisted
+    quantizer's bytes (stale in-session codebooks, hand-edited tuples),
+    but it cannot prove which TABLE that quantizer belongs to; this
+    loader closes that gap by construction (both halves come from one
+    name). For self-query mode pass `embeddings` (the corpus frame the
+    query side iterates); external serving passes `queries`."""
+    listed = spark.table(table_name)
+    ids, code, fp = load_ivf_quantizer(spark, f"{table_name}_quantizer")
+    return knn_join_ivf(
+        embeddings if embeddings is not None else listed,
+        k=k,
+        nprobe=nprobe,
+        listed=listed,
+        queries=queries,
+        max_queries=max_queries,
+        codebook=(ids, code),
+        codebook_fingerprint=fp,
+    )
+
+
 def ivf_index(
     embeddings: DataFrame, stride: int = 31
 ) -> tuple[DataFrame, DataFrame]:
@@ -550,7 +582,12 @@ def knn_join_ivf(
     load_ivf_quantizer(spark, f"{table}_quantizer"). Probing a table
     against any other codebook silently returns wrong neighbors (a
     trained codebook's 0..k-1 list_ids partially collide with a stride
-    sample's vec_id multiples), so this raises instead of guessing."""
+    sample's vec_id multiples), so this raises instead of guessing.
+    Scope of the check: it binds the codebook OBJECT to a persisted
+    quantizer's exact bytes (catches stale/mixed in-session codebooks);
+    it cannot know which table a bare DataFrame came from — pair the
+    halves through knn_join_ivf_table, which loads both from one table
+    name, to close that by construction."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

@@ -103,11 +103,16 @@ def tags_lookup_indexed(
     """array_contains(tags, tag) through the inverted index: the
     equality predicate evaluates on the narrow (pruned) index scan —
     the corpus's array column is never read — and only matching
-    reading_ids join back for the row payload. Returns
-    (reading_id, device_id), the same rows as the direct
-    array_contains scan."""
+    reading_ids join back for the row payload. The join is LEFT SEMI
+    (membership, not multiplication): a reading whose array repeats a
+    tag has several index rows for it, and an inner join would emit
+    the reading once per occurrence where array_contains emits it
+    once. Returns (reading_id, device_id), the same rows as the
+    direct array_contains scan."""
     hits = index.where(F.col("tag") == tag).select("reading_id")
-    return readings.select("reading_id", "device_id").join(hits, "reading_id")
+    return readings.select("reading_id", "device_id").join(
+        hits, "reading_id", "left_semi"
+    )
 
 
 def metadata_lookup_indexed(

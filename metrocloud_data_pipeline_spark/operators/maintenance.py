@@ -23,10 +23,25 @@ maps to date-partitioned parquet tables plus scheduled jobs:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from datetime import date, datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def dynamic_partition_overwrite(spark: SparkSession):
+    """Scoped spark.sql.sources.partitionOverwriteMode=dynamic — the
+    one shared implementation of the save/set/restore dance every
+    partition-scoped rewrite sink needs (refresh jobs, the ANN serving
+    sinks, SCD2 bucket maintenance)."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 PARTITION_COL = "reading_date"
 NATURAL_KEY = ("device_id", "timestamp", "device_type")
@@ -290,7 +305,13 @@ def refresh_bucket_aggregate(
     partitions' aggregates are never read or rewritten, so refresh cost
     is proportional to new data, not table size. Correct for any bucket
     that divides a day (hourly/15-min/...) because bucket boundaries then
-    never straddle a partition boundary. Returns partitions refreshed."""
+    never straddle a partition boundary.
+
+    A targeted day that turned out EMPTY in the source (retention or
+    archival dropped its raw partition) has its aggregate partition
+    DELETED: dynamic overwrite only rewrites partitions present in the
+    new data, so without the explicit clear the old aggregate would
+    serve deleted rows forever. Returns partitions refreshed."""
     from .analytics import bucket_aggregates
 
     target = days if days is not None else list_partitions(readings_path)
@@ -302,13 +323,13 @@ def refresh_bucket_aggregate(
     src = src.withColumnRenamed("timestamp", "ts") if "ts" not in src.columns else src
     agg = bucket_aggregates(src, bucket=bucket).withColumn(
         PARTITION_COL, F.to_date(F.col("bucket"))
-    )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    ).localCheckpoint(eager=True)  # aggregate-sized; shared by day-set + write
+    present = {r[0] for r in agg.select(PARTITION_COL).distinct().collect()}
+    with dynamic_partition_overwrite(spark):
         agg.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(agg_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for day in target:
+        if day not in present:
+            _fs_delete(_partition_dir(agg_path, day))
     return len(target)
 
 
@@ -339,7 +360,14 @@ def refresh_rollup_cascade(
     the daily finalize is value-identical to the direct daily aggregate
     because the partials carry exact integer-cent sums and time-ordered
     first/last pairs (rollup_cascade's invariant, oracle-gated by the
-    a13b registered query). Returns partitions refreshed."""
+    a13b registered query).
+
+    A targeted day with NO raw rows left (retention/archival dropped
+    its partition) is CLEARED at both cascade levels — dynamic
+    overwrite writes nothing for a day absent from the new partials,
+    so without the explicit delete the hourly and daily stores would
+    keep serving the pre-deletion aggregates and the value-identity
+    invariant would silently break. Returns partitions refreshed."""
     from .analytics import rollup_finalize, rollup_partials
 
     target = days if days is not None else list_partitions(readings_path)
@@ -350,11 +378,13 @@ def refresh_rollup_cascade(
     src = src.withColumnRenamed("timestamp", "ts") if "ts" not in src.columns else src
     hourly = rollup_partials(src, fine_bucket=fine_bucket).withColumn(
         PARTITION_COL, F.to_date(F.col("bucket"))
-    )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    ).localCheckpoint(eager=True)  # hours x types rows; day-set + write share it
+    present = {r[0] for r in hourly.select(PARTITION_COL).distinct().collect()}
+    with dynamic_partition_overwrite(spark):
         hourly.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(hourly_path)
+        for day in target:
+            if day not in present:
+                _fs_delete(_partition_dir(hourly_path, day))
         # daily re-finalize reads ONLY the dirty days' hourly partitions
         parts = read_table(spark, hourly_path).where(
             F.col(PARTITION_COL).isin(day_strs)
@@ -363,8 +393,9 @@ def refresh_rollup_cascade(
             PARTITION_COL, F.to_date(F.col("bucket"))
         )
         daily.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(daily_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        for day in target:
+            if day not in present:
+                _fs_delete(_partition_dir(daily_path, day))
     return len(target)
 
 

@@ -2156,15 +2156,9 @@ def knn_join_ivf_bucketed(spark, sf_dir):
     tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     tbl = f"ivf_corpus_{tag}"
     similarity.ivf_corpus_table(emb, tbl)
-    ids, code, fp = similarity.load_ivf_quantizer(spark, f"{tbl}_quantizer")
-    return similarity.knn_join_ivf(
-        emb,
-        k=10,
-        nprobe=4,
-        listed=spark.table(tbl),
-        codebook=(ids, code),
-        codebook_fingerprint=fp,
-    )
+    # listed corpus + quantizer load from ONE table name — the pairing
+    # the fingerprint check alone cannot prove
+    return similarity.knn_join_ivf_table(spark, tbl, embeddings=emb, k=10, nprobe=4)
 
 
 # --- corpus curation (llm/curation.py) --------------------------------------

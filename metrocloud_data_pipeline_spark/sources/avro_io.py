@@ -132,7 +132,17 @@ def kafka_avro_sink_frame(readings: DataFrame, engine: str = "auto") -> DataFram
                     elif c in ts_cols:
                         ts = pd.Timestamp(v)
                         if ts.tz is None:
-                            ts = ts.tz_localize(session_tz)
+                            # DST edge parity with the JVM resolver
+                            # (java.time): fall-back overlaps take the
+                            # EARLIER offset (summer time), spring-
+                            # forward gaps shift forward — pandas'
+                            # default ambiguous='raise' would instead
+                            # kill the job on a perfectly valid instant
+                            ts = ts.tz_localize(
+                                session_tz,
+                                ambiguous=True,
+                                nonexistent="shift_forward",
+                            )
                         v = ts.tz_convert("UTC").value // 1000  # ns -> micros
                     elif isinstance(v, (np.integer,)):
                         v = int(v)

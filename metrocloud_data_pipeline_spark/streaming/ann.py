@@ -65,18 +65,15 @@ def _write_effectively_once(result: DataFrame, batch_id: int, output_path: str) 
     """Dynamic partition overwrite keyed by batch_id: a re-delivered
     batch rewrites exactly its own partition with the same
     deterministic rows — effectively-once with no read-back."""
-    spark = result.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    from ..operators.maintenance import dynamic_partition_overwrite
+
+    with dynamic_partition_overwrite(result.sparkSession):
         (
             result.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .partitionBy("batch_id")
             .parquet(output_path)
         )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def run_ann_serving_stream(
@@ -109,13 +106,17 @@ def run_ann_serving_stream(
     join exchange-free — its persisted quantizer is REQUIRED alongside:
     codebook, codebook_fingerprint = the (ids, code) and fp from
     load_ivf_quantizer(spark, f"{table}_quantizer")."""
+    if corpus_table is not None and (codebook is None or codebook_fingerprint is None):
+        # refuse at stream START (not inside the first micro-batch,
+        # where the same knn_join_ivf guard would kill the stream
+        # mid-flight): a pre-built layout needs BOTH halves of its
+        # persisted quantizer
+        raise ValueError(
+            "run_ann_serving_stream: a pre-built corpus_table must come "
+            "with its persisted quantizer — load_ivf_quantizer(spark, "
+            "f'{table}_quantizer') and pass codebook + codebook_fingerprint"
+        )
     if codebook is None:
-        if corpus_table is not None:
-            raise ValueError(
-                "run_ann_serving_stream: a pre-built corpus_table must come "
-                "with its persisted quantizer — load_ivf_quantizer(spark, "
-                "f'{table}_quantizer') and pass codebook + codebook_fingerprint"
-            )
         if quantizer == "trained":
             codebook = trained_codebook(
                 corpus, k=train_k if train_k is not None else _auto_train_k(corpus)

@@ -160,12 +160,10 @@ def run_scd2_stream_bucketed(
             attr_cols,
             effective_col=effective_col,
         ).withColumn(BUCKET_COL, _key_bucket(key_col, n_buckets))
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
+        from ..operators.maintenance import dynamic_partition_overwrite
+
+        with dynamic_partition_overwrite(spark):
             merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(dim_path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     writer = update_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path

@@ -126,6 +126,14 @@ def test_refresh_bucket_aggregate_incremental(spark, tmp_path):
     assert out2[("2024-01-02T05:00:00", "d1")]["anomaly_count"] == 1
     assert sorted(p.isoformat() for p in list_partitions(agg)) == ["2024-01-01", "2024-01-02"]
 
+    # retention interaction: a refreshed day whose raw partition was
+    # dropped must CLEAR its aggregate partition, not keep serving it
+    import shutil
+
+    shutil.rmtree(f"{main}/reading_date=2024-01-02")
+    assert refresh_bucket_aggregate(spark, main, agg, days=[date(2024, 1, 2)]) == 1
+    assert sorted(p.isoformat() for p in list_partitions(agg)) == ["2024-01-01"]
+
 
 def test_refresh_rollup_cascade_incremental_and_prunes(spark, tmp_path):
     """The hierarchical cascade's dirty-day refresh: (a) the persisted
@@ -213,6 +221,18 @@ def test_refresh_rollup_cascade_incremental_and_prunes(spark, tmp_path):
     src.collect()
     scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
     assert "reading_date" in scan_line
+
+    # retention interaction: dropping a raw day and refreshing it must
+    # CLEAR both cascade levels (dynamic overwrite writes nothing for an
+    # absent day — without the explicit delete the old aggregates would
+    # serve deleted rows forever)
+    import shutil
+
+    shutil.rmtree(os.path.join(raw, "reading_date=2024-01-02"))
+    assert refresh_rollup_cascade(spark, raw, hourly, daily, days=[date(2024, 1, 2)]) == 1
+    assert daily_rows() == direct()
+    assert not os.path.exists(os.path.join(hourly, "reading_date=2024-01-02"))
+    assert not os.path.exists(os.path.join(daily, "reading_date=2024-01-02"))
 
 
 def test_health_check_round_trip(spark, tmp_path):
@@ -529,6 +549,17 @@ def test_tags_index_lookup_matches_direct_and_prunes(spark, tmp_path):
         for r in indexing.tags_lookup_indexed(df, idx, "band:03").collect()
     }
     assert via_index == direct and len(direct) == 4096 // 40 + (1 if 3 < 4096 % 40 else 0)
+
+    # a repeated tag in one reading's array must NOT multiply the row:
+    # the lookup is a semi join (membership), exactly like array_contains
+    dup = spark.createDataFrame(
+        [(1, "d1", ["x", "x", "y"]), (2, "d2", ["y"])],
+        "reading_id long, device_id string, tags array<string>",
+    )
+    dup_rows = indexing.tags_lookup_indexed(
+        dup, indexing.tags_index_frame(dup), "x"
+    ).collect()
+    assert [tuple(r) for r in dup_rows] == [(1, "d1")]
 
     # physical pruning: files are range-partitioned+sorted on tag — a
     # single tag's slab admits few files

@@ -162,6 +162,46 @@ def test_avro_wire_bytes_are_utc_under_any_session_timezone(spark):
         spark.conf.set("spark.sql.session.timeZone", prev)
 
 
+def test_avro_sink_survives_dst_edges(spark):
+    """Under a DST-observing session timezone, fall-back wall clocks
+    are AMBIGUOUS (01:30 happens twice) and spring-forward ones are
+    NONEXISTENT (02:30 never happens) — pandas' default tz_localize
+    raises on both, which would kill the whole sink job on perfectly
+    valid instants. The codec resolves like java.time: overlaps take
+    the earlier offset, gaps shift forward — and the ambiguous case
+    round-trips to a real instant."""
+    from datetime import datetime
+
+    from metrocloud_data_pipeline_spark import schema as S
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        amb = {f.name: None for f in S.FLAT_READING_SCHEMA.fields}
+        amb.update({
+            "device_id": "amb", "device_type": "ruuvitag", "unit": "%",
+            # createDataFrame fixes the INSTANT (naive = UTC here):
+            # 05:30Z = 01:30 EDT on fall-back day — the New York wall
+            # clock Arrow hands the codec is the ambiguous 01:30
+            "timestamp": datetime(2025, 11, 2, 5, 30, 0),
+        })
+        frame = spark.createDataFrame([amb], S.FLAT_READING_SCHEMA)
+        wire = avro_io.kafka_avro_sink_frame(frame)
+        back = {
+            r["device_id"]: str(r["timestamp"])
+            for r in avro_io.kafka_avro_source_frame(wire).collect()
+        }
+        # no AmbiguousTimeError, and the earlier-offset resolution
+        # round-trips to the same session-local wall clock
+        assert back["amb"] == "2025-11-02 01:30:00"
+        # (the NONEXISTENT spring-forward case cannot be produced by a
+        # real instant — no instant renders to a gapped wall clock — so
+        # nonexistent='shift_forward' in the codec is pure defense
+        # against corrupted upstream wall-clock data)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_avro_codec_spec_vectors():
     """Pin the binary encoding against the published Avro spec examples
     (zig-zag varints) plus string/union/map/array framing — so wire

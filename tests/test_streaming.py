@@ -1173,3 +1173,17 @@ def test_ann_serving_stream_refuses_unfingerprinted_corpus_table(spark, tmp_path
             str(tmp_path / "ck"),
             corpus_table=corpus,  # stands in for any pre-listed frame
         )
+    # codebook WITHOUT its fingerprint must also refuse at stream start
+    # (not die inside the first micro-batch on knn_join_ivf's guard)
+    from metrocloud_data_pipeline_spark.llm import similarity
+
+    cb = similarity.trained_codebook(corpus, k=2, n_iter=1)
+    with pytest.raises(ValueError, match="quantizer"):
+        ann.run_ann_serving_stream(
+            ann.stream_query_vectors(spark, str(tmp_path) + "/*"),
+            corpus,
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+            corpus_table=corpus,
+            codebook=cb,
+        )

@@ -182,10 +182,7 @@ def probe_knn_bucketed(spark, emb) -> None:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         mem = similarity.knn_join_ivf(emb, k=10, nprobe=4, codebook=(ids, code))
-        bkt = similarity.knn_join_ivf(
-            emb, k=10, nprobe=4, listed=spark.table(tbl),
-            codebook=(ids, code), codebook_fingerprint=fp,
-        )
+        bkt = similarity.knn_join_ivf_table(spark, tbl, embeddings=emb, k=10, nprobe=4)
         mem_x, bkt_x = n_exchanges(mem), n_exchanges(bkt)
         t0 = time.time(); mem_n = mem.count(); mem_s = time.time() - t0
         t0 = time.time(); bkt_n = bkt.count(); bkt_s = time.time() - t0
