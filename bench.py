@@ -115,6 +115,7 @@ HEADLINE = [
     "f6c_tags_lookup_indexed",
     "w8b_gapfill_interpolate",
     "dsir_importance_weights",
+    "rag_chunk_documents",
     "seq_pack_ranges",
     "corpus_budget_select",
     "bigram_surprisal",
@@ -135,10 +136,11 @@ SENTINEL = "h1_pricing_summary"
 # Deliberately absent: the exact-all-pairs baselines (dedup_ngram_jaccard,
 # dedup_embed_cosine) — quadratic verification twins for the oracle gate,
 # not scale-path operators; their LSH/MinHash counterparts are benched.
-# Also absent: quality_lr_score and a13b_cascade_incremental — the first
-# is an n_iter-job TRAINING loop (fit once per corpus snapshot, not per
-# query; scoring alone is a codegen projection), the second is a persisted
-# store build whose cost is the write, measured by the cascade probe.
+# Also absent: quality_lr_score, bpe_train_merges, and
+# a13b_cascade_incremental/knn_join_ivfpq — the first two are n-round
+# TRAINING loops (fit once per corpus snapshot, not per query; scoring/
+# segmenting alone is cheap), the last two are persisted-store builds
+# whose cost is the write, measured by the cascade probe / ANN probes.
 # Also absent: dedup_incremental_jaccard in its oracle-parity config
 # (10k bucket cap + fail-on-dropped) — on the synthetic 31-token
 # vocabulary, unigram band buckets admit ~83% of incoming x corpus as

@@ -443,3 +443,151 @@ def bigram_surprisal(docs: DataFrame, materialize: bool = True) -> DataFrame:
             ).alias("bits_per_bigram"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Token-window document chunking — the retrieval/embedding prep
+    step every RAG or long-context pipeline runs before embedding: each
+    doc is cut into windows of `chunk_tokens` whitespace tokens whose
+    starts advance by `chunk_tokens - overlap`, so consecutive chunks
+    share `overlap` tokens of context and no token is lost. The final
+    window may be short; a doc shorter than one window yields exactly
+    one chunk; empty docs yield none.
+
+    Pure codegen, one scan, no shuffle: chunk starts come from
+    sequence() over the token count, the window text from slice() +
+    array_join — the same executor-side grid-explode shape as
+    gapfill's calendar. Chunk ids are deterministic (start-ordered), so
+    a re-run or an incremental re-chunk of changed docs produces
+    identical rows — the property the downstream embedding cache keys
+    on. Returns (doc_id, chunk_id, n_tokens, chunk_text)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("chunk_documents: overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    n = F.size(F.col("_toks"))
+    # starts: 0, step, 2*step, ... covering every token (the last
+    # window may be short); one window for any non-empty doc
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.ceil((n - F.lit(chunk_tokens)) / F.lit(step)), F.lit(0)).cast("long") * step,
+        F.lit(step),
+    )
+    return (
+        docs.select("doc_id", tokens_col().alias("_toks"))
+        .where(F.size("_toks") > 0)
+        .select("doc_id", "_toks", F.explode(starts).alias("_start"))
+        .select(
+            "doc_id",
+            (F.col("_start") / step).cast("int").alias("chunk_id"),
+            F.least(
+                F.lit(chunk_tokens), F.size("_toks") - F.col("_start")
+            ).cast("int").alias("n_tokens"),
+            F.array_join(
+                F.slice("_toks", F.col("_start") + 1, F.lit(chunk_tokens)), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def bpe_word_state(docs: DataFrame) -> DataFrame:
+    """The word-frequency dictionary BPE trains on: (word, count, syms)
+    with each word split into character symbols plus a word-end marker
+    (Sennrich's '</w>'). This is the key scale property of classic BPE
+    training — every round operates on the DISTINCT-word state (vocab-
+    sized), never the raw corpus; the corpus is scanned exactly once,
+    here."""
+    words = (
+        docs.select(F.explode(tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    # split("") yields chars; the trailing empty element (Spark keeps
+    # it) is replaced by the word-end marker
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))
+    return words.select(
+        "word", "count", F.concat(chars, F.array(F.lit("</w>"))).alias("syms")
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame, n_merges: int = 16, min_count: int = 2
+):
+    """Byte-pair-encoding merge training (Sennrich et al. 2016) at
+    corpus scale — the tokenizer-training step of a pretraining
+    pipeline, run distributed: each round counts all adjacent symbol
+    pairs across the word dictionary (weighted by word frequency,
+    map-side-combined JVM aggregate), takes the most frequent pair to
+    the driver (1 row; ties break lexicographically so training is
+    bit-deterministic), and rewrites the vocab-sized state with the
+    pair merged (one Arrow pass against the broadcast pair). Stops
+    early when no pair reaches min_count — the standard termination.
+
+    Scale shape: the corpus is scanned ONCE (bpe_word_state); every
+    round after that touches only the distinct-word state, checkpointed
+    per round to keep lineage flat. Driver traffic is 1 row per round.
+    This is the map-reduce formulation HF/sentencepiece-style trainers
+    use for the count step, with the merge-apply kept distributed too.
+
+    Returns (merges, state): merges = [(rank, left, right, pair_count)],
+    state = the final (word, count, syms) frame — the trained
+    segmentation of every corpus word."""
+    import pandas as pd
+
+    state = bpe_word_state(docs).localCheckpoint(eager=True)
+    sc = docs.sparkSession.sparkContext
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        m = F.size("syms") - 1
+        pairs = (
+            state.where(F.size("syms") >= 2)
+            .select(
+                "count",
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, F.greatest(m, F.lit(0))),
+                        F.slice("syms", 2, F.greatest(m, F.lit(0))),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.sum("count").alias("n"))
+            .orderBy(F.desc("n"), F.asc("p.l"), F.asc("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["n"] < min_count:
+            break
+        left, right, n = pairs[0]["p"]["l"], pairs[0]["p"]["r"], pairs[0]["n"]
+        merges.append((rank, left, right, int(n)))
+        bc = sc.broadcast((left, right))
+
+        def apply_merge(batches):
+            a, b = bc.value
+            ab = a + b
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"].values:
+                    res = []
+                    i = 0
+                    L = len(syms)
+                    while i < L:
+                        if i + 1 < L and syms[i] == a and syms[i + 1] == b:
+                            res.append(ab)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    out.append(res)
+                yield pd.DataFrame(
+                    {"word": pdf["word"], "count": pdf["count"], "syms": out}
+                )
+
+        state = state.mapInPandas(
+            apply_merge, "word string, count long, syms array<string>"
+        ).localCheckpoint(eager=True)
+    return merges, state

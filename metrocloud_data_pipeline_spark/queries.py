@@ -4052,6 +4052,59 @@ def knn_join_ivfpq(spark, sf_dir):
     )
 
 
+@q(
+    "rag_chunk_documents",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(generate_series(
+           0,
+           CAST(greatest(ceil((len(toks) - 64) / 48.0), 0) AS BIGINT) * 48,
+           48)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start / 48 AS INT) AS chunk_id,
+       CAST(least(64, n - start) AS INT) AS n_tokens,
+       array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text
+FROM s
+""",
+)
+def rag_chunk_documents(spark, sf_dir):
+    """Token-window chunking with overlap (64-token windows, 16-token
+    overlap) — the retrieval/embedding prep step every RAG and
+    long-context pipeline runs before embedding. Pure codegen, one
+    scan, no shuffle: starts from sequence(), text from slice() +
+    array_join; chunk ids deterministic so the downstream embedding
+    cache can key on them. Oracle = the same window algebra in
+    DuckDB."""
+    return text.chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+@q("bpe_train_merges")
+def bpe_train_merges(spark, sf_dir):
+    """BPE merge training (Sennrich et al. 2016) — the tokenizer-
+    training step of a pretraining pipeline, distributed: the corpus is
+    scanned once into the distinct-word frequency state; each round is
+    a map-side-combined pair count over that vocab-sized state, a 1-row
+    driver pick (deterministic lexicographic ties), and one Arrow
+    merge-apply pass. Rows-only by design (iterative); the classic
+    worked example (lowest/newest/widest) and determinism are
+    pytest-gated."""
+    merges, _ = text.bpe_train_merges(
+        load(spark, sf_dir, "documents"), n_merges=16
+    )
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long"
+    )
+
+
 @q("quality_lr_score")
 def quality_lr_score(spark, sf_dir):
     """Trained quality classifier (the LR filter real pretraining
@@ -4264,13 +4317,17 @@ def kmeans_embed_clusters(spark, sf_dir):
 # round — and the r5-green block (fresh through r7) fills the tail.
 QUERY_ORDER = [
     # --- r7 window (first 50 = driver-checked this round) ---
-    # new this round, never checked (w8b/f6c/a13b/dsir oracle-backed;
-    # quality_lr_score rows-only by design):
+    # new this round, never checked (w8b/f6c/a13b/rag_chunk/dsir
+    # oracle-backed; ivfpq/bpe/quality_lr rows-only by design):
     "w8b_gapfill_interpolate",
     "f6c_tags_lookup_indexed",
     "a13b_cascade_incremental",
-    # stale rotation: every query whose last driver row is r4 or
-    # older (oldest-first, the r6 verdict's freshness invariant):
+    "knn_join_ivfpq",
+    "rag_chunk_documents",
+    "bpe_train_merges",
+    # stale rotation: queries whose last driver row is r4 or older
+    # (oldest-first; 3 equally-stale entries wait in the r8 queue
+    # head - never-checked beats stale-refresh, the r6 precedent):
     "f1_recent_readings",
     "h10_returned_items",
     "h13_customer_distribution",
@@ -4312,21 +4369,21 @@ QUERY_ORDER = [
     "knn_lsh",
     "knn_ivf",
     "dedup_embed_cosine_lsh",
-    "dedup_simhash",
-    "seq_pack_summary",
-    "dedup_keep_list",
-    # ANN default changed to the trained quantizer this round —
-    # knn_join_ivf re-checked; plus the two other r7 additions:
+    # ANN default changed to the trained quantizer this round;
+    # plus the two other new r7 curation queries:
     "knn_join_ivf",
     "dsir_importance_weights",
     "quality_lr_score",
     # --- driver window ends here (first 50) ---
-    # r8 queue: the ANN rows-only twins (r6-green, row counts
-    # unchanged by the default switch), then the r6-green block
-    # (refresh next round), then the r5/r7-green remainder
+    # r8 queue: the 3 demoted stale entries first, then the ANN
+    # rows-only twins (r6-green, row counts unchanged by the
+    # default switch), then the r6-green block, then the
+    # r5/r7-green remainder
+    "dedup_simhash",
+    "seq_pack_summary",
+    "dedup_keep_list",
     "knn_join_ivf_bucketed",
     "knn_recall_report",
-    "knn_join_ivfpq",
     "obs_hot_keys",
     "text_length_histogram",
     "w5_event_funnel",

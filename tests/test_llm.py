@@ -1209,3 +1209,63 @@ def test_ivfpq_topk_batch_self_query_finds_own_cluster(spark):
     finally:
         for t in (tbl, f"{tbl}_codebook", f"{tbl}_coarse"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    """Window algebra: consecutive chunks share `overlap` tokens, every
+    token is covered, short docs yield one short chunk, empty docs
+    none; re-runs are identical (deterministic chunk ids)."""
+    long_doc = " ".join(f"t{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = text.chunk_documents(docs, chunk_tokens=10, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc  # empty doc -> no chunks
+    assert [(r["chunk_id"], r["n_tokens"]) for r in sorted(by_doc[2], key=lambda r: r["chunk_id"])] == [(0, 3)]
+    ch = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    # starts advance by 6: 0, 6, 12, 18 -> lengths 10, 10, 10, 7
+    assert [(r["chunk_id"], r["n_tokens"]) for r in ch] == [(0, 10), (1, 10), (2, 10), (3, 7)]
+    toks = long_doc.split()
+    for i, r in enumerate(ch):
+        assert r["chunk_text"].split() == toks[i * 6 : i * 6 + 10]
+    # overlap: chunk i's last 4 tokens == chunk i+1's first 4
+    for a, b in zip(ch, ch[1:]):
+        assert a["chunk_text"].split()[-4:] == b["chunk_text"].split()[:4]
+    again = sorted(map(tuple, text.chunk_documents(docs, chunk_tokens=10, overlap=4).collect()))
+    assert again == sorted(map(tuple, out))
+
+
+def test_bpe_train_merges_classic_example(spark):
+    """Sennrich et al.'s worked corpus: {low x5, lower x2, newest x6,
+    widest x3}. The most frequent pair sequence starts (e,s) -> (es,t)
+    -> (est,</w>) with count 9 each (newest+widest share the suffix);
+    training is bit-deterministic and the final state segments every
+    word with the learned merges applied greedily left-to-right."""
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    merges, state = text.bpe_train_merges(docs, n_merges=6)
+    first3 = [(m[1], m[2], m[3]) for m in merges[:3]]
+    assert first3 == [("e", "s", 9), ("es", "t", 9), ("est", "</w>", 9)]
+    assert [m[0] for m in merges] == list(range(len(merges)))
+    segs = {r["word"]: (r["count"], list(r["syms"])) for r in state.collect()}
+    assert segs["newest"][0] == 6
+    assert segs["newest"][1][-1] == "est</w>"  # suffix fully merged
+    # determinism: a rerun reproduces merges exactly
+    merges2, _ = text.bpe_train_merges(docs, n_merges=6)
+    assert merges2 == merges
+
+
+def test_bpe_train_merges_early_stop(spark):
+    """No pair reaching min_count stops training (standard BPE
+    termination) instead of burning rounds on singleton merges."""
+    docs = spark.createDataFrame(
+        [(1, "abc xyz")], "doc_id long, text string"
+    )
+    merges, _ = text.bpe_train_merges(docs, n_merges=10, min_count=2)
+    assert merges == []
