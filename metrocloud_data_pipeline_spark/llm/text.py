@@ -591,3 +591,66 @@ def bpe_train_merges(
             apply_merge, "word string, count long, syms array<string>"
         ).localCheckpoint(eager=True)
     return merges, state
+
+
+def bpe_segment_stats(docs: DataFrame, merges) -> DataFrame:
+    """Apply trained BPE merges (bpe_train_merges output) to a document
+    frame — the encode side of the tokenizer: per DISTINCT word the
+    merges replay in rank order (the standard greedy BPE encode), then
+    doc tokens map through the segmentation. The expensive part is
+    vocab-sized (one Arrow pass over distinct words against the
+    broadcast merge list); the per-doc rollup is one shuffle join on
+    word + one aggregate — the corpus text is scanned once.
+
+    Returns (doc_id, word_count, bpe_token_count, bpe_per_word):
+    the exact subword cost of the corpus under THIS tokenizer, the
+    number bpe_token_stats approximates with a regex."""
+    import pandas as pd
+
+    merge_list = [(m[1], m[2]) for m in merges]
+    sc = docs.sparkSession.sparkContext
+    bc = sc.broadcast(merge_list)
+
+    words = (
+        docs.select(F.explode(tokens_col()).alias("word")).distinct()
+    )
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))
+    state = words.select(
+        "word", F.concat(chars, F.array(F.lit("</w>"))).alias("syms")
+    )
+
+    def encode(batches):
+        ms = bc.value
+        for pdf in batches:
+            counts = []
+            for syms in pdf["syms"].values:
+                syms = list(syms)
+                for a, b in ms:
+                    ab = a + b
+                    res = []
+                    i = 0
+                    L = len(syms)
+                    while i < L:
+                        if i + 1 < L and syms[i] == a and syms[i + 1] == b:
+                            res.append(ab)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    syms = res
+                counts.append(len(syms))
+            yield pd.DataFrame({"word": pdf["word"], "n_syms": counts})
+
+    seg = state.mapInPandas(encode, "word string, n_syms int")
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("word"))
+    return (
+        toks.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("word_count"),
+            F.sum("n_syms").cast("long").alias("bpe_token_count"),
+            round6(
+                F.sum("n_syms").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("bpe_per_word"),
+        )
+    )

@@ -4105,6 +4105,21 @@ def bpe_train_merges(spark, sf_dir):
     )
 
 
+@q("bpe_segment_stats")
+def bpe_segment_stats(spark, sf_dir):
+    """The encode side of the trained tokenizer: replay
+    bpe_train_merges' merges over every distinct corpus word (one
+    vocab-sized Arrow pass against the broadcast merge list), roll up
+    per doc — the EXACT subword cost of the corpus under this
+    tokenizer, where bpe_token_stats approximates with a regex.
+    Rows-only by design (depends on the iterative training); trained-
+    vs-unseen compression invariants pytest-gated."""
+    merges, _ = text.bpe_train_merges(
+        load(spark, sf_dir, "documents"), n_merges=16
+    )
+    return text.bpe_segment_stats(load(spark, sf_dir, "documents"), merges)
+
+
 @q("quality_lr_score")
 def quality_lr_score(spark, sf_dir):
     """Trained quality classifier (the LR filter real pretraining
@@ -4382,6 +4397,7 @@ QUERY_ORDER = [
     "dedup_simhash",
     "seq_pack_summary",
     "dedup_keep_list",
+    "bpe_segment_stats",
     "knn_join_ivf_bucketed",
     "knn_recall_report",
     "obs_hot_keys",

@@ -1269,3 +1269,22 @@ def test_bpe_train_merges_early_stop(spark):
     )
     merges, _ = text.bpe_train_merges(docs, n_merges=10, min_count=2)
     assert merges == []
+
+
+def test_bpe_segment_stats_compresses_trained_words(spark):
+    """Encoding with trained merges: words the merges were learned on
+    segment into few symbols, unseen words stay near character-length,
+    and the per-doc rollup counts every token occurrence."""
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    train = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    merges, _ = text.bpe_train_merges(train, n_merges=10)
+    docs = spark.createDataFrame(
+        [(1, "newest newest widest"), (2, "zzzz")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.bpe_segment_stats(docs, merges).collect()}
+    assert out[1]["word_count"] == 3
+    # trained suffixes merged: far fewer symbols than characters
+    assert out[1]["bpe_token_count"] < 3 * 7
+    # unseen word: chars + end marker, nothing merges
+    assert out[2]["word_count"] == 1 and out[2]["bpe_token_count"] == 5
