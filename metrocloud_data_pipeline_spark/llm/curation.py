@@ -186,34 +186,67 @@ def dsir_importance_weights(
     oracle-checkability (the plan is unchanged).
 
     Returns (doc_id, n_tokens, bits_per_token)."""
+    rows = lm_token_rows(docs, target)
+    if materialize:
+        rows = rows.localCheckpoint()
+    return dsir_score_rows(rows, lm_token_counts(rows), alpha=alpha)
+
+
+def lm_token_rows(docs: DataFrame, target) -> DataFrame:
+    """(doc_id, is_target, token) occurrence rows over whitespace-
+    normalized lowercase text — the single tokenization pass both DSIR
+    LM aggregates and the scoring join consume."""
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    rows = docs.select(
+    return docs.select(
         "doc_id",
         target.cast("boolean").alias("is_target"),
         F.explode(F.split(norm, " ")).alias("token"),
     )
-    if materialize:
-        rows = rows.localCheckpoint()
-    stats = rows.groupBy("token").agg(
+
+
+def lm_token_counts(rows: DataFrame) -> DataFrame:
+    """The DSIR LM state: (token, c_raw, c_tgt) from one conditional-
+    count groupBy. MERGEABLE by summation — per-batch deltas of this
+    frame add up to the full-corpus counts, which is what lets the
+    corpus ingest stream maintain the LM incrementally
+    (streaming/corpus.py lm_counts_path) instead of rescanning the
+    corpus per scoring run."""
+    return rows.groupBy("token").agg(
         F.count(F.lit(1)).alias("c_raw"),
         F.count(F.when(F.col("is_target"), 1)).alias("c_tgt"),
     )
+
+
+def dsir_score_rows(
+    rows: DataFrame, stats: DataFrame, alpha: float = 0.5
+) -> DataFrame:
+    """Score tokenized docs against an LM-count frame (lm_token_counts
+    shape) — split out so arriving docs can be scored against the
+    STANDING corpus's maintained counts without touching corpus text.
+    Tokens absent from the counts contribute the pure-smoothing ratio
+    (both LMs back off to alpha), exactly as if they had count 0."""
     totals = stats.agg(
         F.sum("c_raw").alias("n_raw"),
         F.sum("c_tgt").alias("n_tgt"),
         F.count(F.lit(1)).alias("v"),
     )
     a = F.lit(float(alpha))
-    lr = stats.crossJoin(F.broadcast(totals)).select(
-        "token",
-        (
-            F.log((F.col("c_tgt") + a) / (F.col("n_tgt") + a * F.col("v")))
-            - F.log((F.col("c_raw") + a) / (F.col("n_raw") + a * F.col("v")))
-        ).alias("log_ratio"),
+    joined = (
+        rows.join(stats, "token", "left")
+        .select(
+            "doc_id",
+            F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
+            F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    lr = (
+        F.log((F.col("c_tgt") + a) / (F.col("n_tgt") + a * F.col("v")))
+        - F.log((F.col("c_raw") + a) / (F.col("n_raw") + a * F.col("v")))
     )
     ln2 = 0.6931471805599453
     return (
-        rows.join(lr, "token")
+        joined.select("doc_id", lr.alias("log_ratio"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),

@@ -108,6 +108,20 @@ def _ensure_band_index(
     return repaired
 
 
+def load_lm_counts(spark: SparkSession, lm_counts_path: str) -> DataFrame:
+    """Aggregate the per-batch LM deltas run_corpus_ingest_stream
+    maintains into the corpus-wide (token, c_raw, c_tgt) state —
+    curation.lm_token_counts is mergeable by summation, so the log-
+    structured layout reads back exactly as if computed over the whole
+    store. Feed this to curation.dsir_score_rows to weight ARRIVING
+    docs against the standing corpus without rescanning its text."""
+    return (
+        spark.read.parquet(lm_counts_path)
+        .groupBy("token")
+        .agg(F.sum("c_raw").alias("c_raw"), F.sum("c_tgt").alias("c_tgt"))
+    )
+
+
 def stream_document_files(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -239,6 +253,8 @@ def run_corpus_ingest_stream(
     near_dup_threshold: float = 0.95,
     band_index_path: str | None = None,
     compact_every_batches: int | None = None,
+    lm_counts_path: str | None = None,
+    lm_target=None,
 ) -> StreamingQuery:
     """Wire curate_batch into foreachBatch against a parquet store.
 
@@ -257,7 +273,20 @@ def run_corpus_ingest_stream(
     kept / per-reason reject counts and kept char mass, the corpus
     analog of the sensor pipeline's per-batch pipeline_metrics — so
     crawl-quality drift (e.g. a source going boilerplate) shows up as a
-    queryable trend, not a log line."""
+    queryable trend, not a log line.
+
+    lm_counts_path maintains the DSIR unigram-LM state incrementally
+    (curation.lm_token_counts deltas, one partition per batch_id): the
+    importance-resampling weights for ARRIVING docs are then scored
+    against load_lm_counts() without ever rescanning corpus text — the
+    LM is part of the corpus like the band index is. `lm_target` is
+    the boolean Column marking the target slice (defaults to none of
+    the corpus). Effectively-once: the delta lands via dynamic
+    partition overwrite keyed by batch_id BEFORE the corpus append, so
+    a crash between the two re-delivers a batch whose kept set (and
+    therefore delta) is recomputed identically, and a re-delivery
+    after the append keeps an empty kept set whose empty delta
+    overwrites nothing."""
     spark = doc_stream.sparkSession
 
     def _process(batch: DataFrame, batch_id: int) -> None:
@@ -292,12 +321,13 @@ def run_corpus_ingest_stream(
             near_dup_threshold=near_dup_threshold,
             corpus_bands=corpus_bands,
         )
-        if near_dup_screen and band_index_path is not None:
-            # the band append below re-evaluates kept AFTER the corpus
-            # append; materialize it now so every consumer (metrics,
-            # corpus append, band rows) reads one pre-append snapshot —
-            # otherwise the store anti-join would see the batch's own
-            # just-appended rows and band nothing (read-your-own-writes)
+        if (near_dup_screen and band_index_path is not None) or lm_counts_path is not None:
+            # the band/LM appends below re-evaluate kept AFTER the
+            # corpus append; materialize it now so every consumer
+            # (metrics, corpus append, band rows, LM deltas) reads one
+            # pre-append snapshot — otherwise the store anti-join would
+            # see the batch's own just-appended rows and emit nothing
+            # (read-your-own-writes)
             kept = kept.localCheckpoint()
         stats = None
         if metrics_path is not None:
@@ -339,6 +369,26 @@ def run_corpus_ingest_stream(
             rejected.withColumn("batch_id", F.lit(batch_id)).write.mode(
                 "append"
             ).parquet(rejects_path)
+        if lm_counts_path is not None:
+            # BEFORE the corpus append: a crash between the delta and
+            # the append re-delivers the batch with the same kept set,
+            # and the batch_id-keyed dynamic overwrite rewrites the
+            # partition with identical rows (see docstring)
+            from ..llm.curation import lm_token_counts, lm_token_rows
+            from ..operators.maintenance import dynamic_partition_overwrite
+
+            tgt = lm_target if lm_target is not None else F.lit(False)
+            delta = lm_token_counts(
+                lm_token_rows(kept.select("doc_id", "text", "source"), tgt)
+            ).withColumn("batch_id", F.lit(batch_id))
+            # conf must go on the BATCH's session: foreachBatch hands an
+            # isolated session clone, and a mode set on the outer session
+            # leaves the clone on static overwrite (which wipes every
+            # other batch's partition — measured, not hypothetical)
+            with dynamic_partition_overwrite(kept.sparkSession):
+                delta.write.mode("overwrite").partitionBy("batch_id").parquet(
+                    lm_counts_path
+                )
         kept.write.mode("append").parquet(table_path)
         if near_dup_screen and band_index_path is not None:
             # keep the band index tracking the corpus: band the KEPT

@@ -1187,3 +1187,88 @@ def test_ann_serving_stream_refuses_unfingerprinted_corpus_table(spark, tmp_path
             corpus_table=corpus,
             codebook=cb,
         )
+
+
+def test_corpus_ingest_maintains_lm_counts_for_dsir(spark, tmp_path):
+    """The ingest stream's incremental DSIR-LM state: after two
+    micro-batches, load_lm_counts equals a direct lm_token_counts over
+    the standing store (mergeable-delta invariant), and scoring a new
+    arrival against the maintained counts equals scoring against
+    freshly-computed ones — the corpus text is never rescanned."""
+    from pyspark.sql import functions as F
+
+    from metrocloud_data_pipeline_spark.llm import curation
+    from metrocloud_data_pipeline_spark.streaming import corpus
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    b1 = [
+        (1, "alpha beta gamma delta epsilon", "en", "tgt", 29),
+        (2, "zeta eta theta iota kappa", "en", "web", 25),
+    ]
+    b2 = [
+        (3, "alpha beta lambda mu nu", "en", "web", 23),
+        (4, "alpha beta gamma delta epsilon", "en", "web", 29),  # corpus dup of 1
+    ]
+    spark.createDataFrame(b1, corpus.DOCUMENT_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(b2, corpus.DOCUMENT_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+
+    table = str(tmp_path / "corpus")
+    lm = str(tmp_path / "lm_counts")
+    corpus.run_corpus_ingest_stream(
+        corpus.stream_document_files(spark, str(src) + "/*", max_files_per_trigger=1),
+        table,
+        str(tmp_path / "ck"),
+        lm_counts_path=lm,
+        lm_target=F.col("source") == "tgt",
+    ).awaitTermination(120)
+
+    store = spark.read.parquet(table)
+    assert sorted(r["doc_id"] for r in store.collect()) == [1, 2, 3]  # 4 deduped
+
+    maintained = {
+        r["token"]: (r["c_raw"], r["c_tgt"])
+        for r in corpus.load_lm_counts(spark, lm).collect()
+    }
+    direct = {
+        r["token"]: (r["c_raw"], r["c_tgt"])
+        for r in curation.lm_token_counts(
+            curation.lm_token_rows(store, F.col("source") == "tgt")
+        ).collect()
+    }
+    assert maintained == direct
+
+    # score an arrival against the maintained LM: equals the fresh-count
+    # formulation bit-for-bit (same stats frame content)
+    arrival = spark.createDataFrame(
+        [(100, "alpha beta gamma qqq", "en", "web", 20)], corpus.DOCUMENT_SCHEMA
+    )
+    rows = curation.lm_token_rows(arrival, F.lit(False))
+    via_maintained = curation.dsir_score_rows(
+        rows, corpus.load_lm_counts(spark, lm)
+    ).collect()
+    via_direct = curation.dsir_score_rows(
+        rows,
+        curation.lm_token_counts(
+            curation.lm_token_rows(store, F.col("source") == "tgt")
+        ),
+    ).collect()
+    assert [tuple(r) for r in via_maintained] == [tuple(r) for r in via_direct]
+    # target-vocab tokens push the arrival's weight ABOVE an arrival
+    # built from raw-only corpus vocabulary (zeta/eta/... appear only
+    # in the non-target doc). NOTE: fully-OOV tokens would NOT work as
+    # the contrast here — under asymmetric normalizers the smoothing
+    # ratio for an unseen token is (n_raw + aV)/(n_tgt + aV) > 1, the
+    # known DSIR artifact the hashed-feature form exists to bound.
+    other = spark.createDataFrame(
+        [(101, "zeta eta theta iota", "en", "web", 19)], corpus.DOCUMENT_SCHEMA
+    )
+    w_other = curation.dsir_score_rows(
+        curation.lm_token_rows(other, F.lit(False)),
+        corpus.load_lm_counts(spark, lm),
+    ).first()["bits_per_token"]
+    assert via_maintained[0]["bits_per_token"] > w_other
