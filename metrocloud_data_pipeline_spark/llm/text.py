@@ -465,8 +465,11 @@ def chunk_documents(
     a re-run or an incremental re-chunk of changed docs produces
     identical rows — the property the downstream embedding cache keys
     on. Returns (doc_id, chunk_id, n_tokens, chunk_text)."""
-    if overlap >= chunk_tokens:
-        raise ValueError("chunk_documents: overlap must be < chunk_tokens")
+    if chunk_tokens <= 0 or not (0 <= overlap < chunk_tokens):
+        raise ValueError(
+            "chunk_documents: need chunk_tokens > 0 and 0 <= overlap < "
+            "chunk_tokens — any other combination silently loses tokens"
+        )
     step = chunk_tokens - overlap
     n = F.size(F.col("_toks"))
     # starts: 0, step, 2*step, ... covering every token (the last
@@ -493,6 +496,33 @@ def chunk_documents(
     )
 
 
+def _syms_col() -> F.Column:
+    """Character symbols of `word` plus the '</w>' end marker — the
+    initial BPE symbol sequence, shared by training and encoding so
+    the two can never disagree on the alphabet."""
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))
+    return F.concat(chars, F.array(F.lit("</w>")))
+
+
+def _merge_pair(syms, a: str, b: str) -> list:
+    """Greedy left-to-right single-pair merge — THE merge semantics of
+    BPE, shared by training's apply step and encoding's replay so the
+    two can never diverge (a disagreement would silently skew segment
+    counts)."""
+    ab = a + b
+    res = []
+    i = 0
+    L = len(syms)
+    while i < L:
+        if i + 1 < L and syms[i] == a and syms[i + 1] == b:
+            res.append(ab)
+            i += 2
+        else:
+            res.append(syms[i])
+            i += 1
+    return res
+
+
 def bpe_word_state(docs: DataFrame) -> DataFrame:
     """The word-frequency dictionary BPE trains on: (word, count, syms)
     with each word split into character symbols plus a word-end marker
@@ -505,12 +535,7 @@ def bpe_word_state(docs: DataFrame) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("count"))
     )
-    # split("") yields chars; the trailing empty element (Spark keeps
-    # it) is replaced by the word-end marker
-    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))
-    return words.select(
-        "word", "count", F.concat(chars, F.array(F.lit("</w>"))).alias("syms")
-    )
+    return words.select("word", "count", _syms_col().alias("syms"))
 
 
 def bpe_train_merges(
@@ -568,21 +593,8 @@ def bpe_train_merges(
 
         def apply_merge(batches):
             a, b = bc.value
-            ab = a + b
             for pdf in batches:
-                out = []
-                for syms in pdf["syms"].values:
-                    res = []
-                    i = 0
-                    L = len(syms)
-                    while i < L:
-                        if i + 1 < L and syms[i] == a and syms[i + 1] == b:
-                            res.append(ab)
-                            i += 2
-                        else:
-                            res.append(syms[i])
-                            i += 1
-                    out.append(res)
+                out = [_merge_pair(list(syms), a, b) for syms in pdf["syms"].values]
                 yield pd.DataFrame(
                     {"word": pdf["word"], "count": pdf["count"], "syms": out}
                 )
@@ -590,6 +602,12 @@ def bpe_train_merges(
         state = state.mapInPandas(
             apply_merge, "word string, count long, syms array<string>"
         ).localCheckpoint(eager=True)
+        # the EAGER checkpoint above is load-bearing twice over: it is
+        # what lets bc be destroyed here (a lazy plan would read a dead
+        # broadcast), AND what pins this round's (a, b) before bc is
+        # rebound next round. Destroying frees executor memory that
+        # would otherwise accumulate one broadcast per merge round.
+        bc.destroy()
     return merges, state
 
 
@@ -614,10 +632,7 @@ def bpe_segment_stats(docs: DataFrame, merges) -> DataFrame:
     words = (
         docs.select(F.explode(tokens_col()).alias("word")).distinct()
     )
-    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))
-    state = words.select(
-        "word", F.concat(chars, F.array(F.lit("</w>"))).alias("syms")
-    )
+    state = words.select("word", _syms_col().alias("syms"))
 
     def encode(batches):
         ms = bc.value
@@ -626,18 +641,7 @@ def bpe_segment_stats(docs: DataFrame, merges) -> DataFrame:
             for syms in pdf["syms"].values:
                 syms = list(syms)
                 for a, b in ms:
-                    ab = a + b
-                    res = []
-                    i = 0
-                    L = len(syms)
-                    while i < L:
-                        if i + 1 < L and syms[i] == a and syms[i + 1] == b:
-                            res.append(ab)
-                            i += 2
-                        else:
-                            res.append(syms[i])
-                            i += 1
-                    syms = res
+                    syms = _merge_pair(syms, a, b)
                 counts.append(len(syms))
             yield pd.DataFrame({"word": pdf["word"], "n_syms": counts})
 

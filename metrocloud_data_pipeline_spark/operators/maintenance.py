@@ -317,16 +317,20 @@ def refresh_bucket_aggregate(
     target = days if days is not None else list_partitions(readings_path)
     if not target:
         return 0
-    src = read_table(spark, readings_path).where(
-        F.col(PARTITION_COL).isin([d.isoformat() for d in target])
-    )
-    src = src.withColumnRenamed("timestamp", "ts") if "ts" not in src.columns else src
-    agg = bucket_aggregates(src, bucket=bucket).withColumn(
-        PARTITION_COL, F.to_date(F.col("bucket"))
-    ).localCheckpoint(eager=True)  # aggregate-sized; shared by day-set + write
-    present = {r[0] for r in agg.select(PARTITION_COL).distinct().collect()}
-    with dynamic_partition_overwrite(spark):
-        agg.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(agg_path)
+    avail = [d for d in target if d in set(list_partitions(readings_path))]
+    if avail:
+        src = read_table(spark, readings_path).where(
+            F.col(PARTITION_COL).isin([d.isoformat() for d in avail])
+        )
+        src = src.withColumnRenamed("timestamp", "ts") if "ts" not in src.columns else src
+        agg = bucket_aggregates(src, bucket=bucket).withColumn(
+            PARTITION_COL, F.to_date(F.col("bucket"))
+        ).localCheckpoint(eager=True)  # aggregate-sized; shared by day-set + write
+        present = {r[0] for r in agg.select(PARTITION_COL).distinct().collect()}
+        with dynamic_partition_overwrite(spark):
+            agg.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(agg_path)
+    else:
+        present = set()
     for day in target:
         if day not in present:
             _fs_delete(_partition_dir(agg_path, day))
@@ -373,26 +377,44 @@ def refresh_rollup_cascade(
     target = days if days is not None else list_partitions(readings_path)
     if not target:
         return 0
-    day_strs = [d.isoformat() for d in target]
-    src = read_table(spark, readings_path).where(F.col(PARTITION_COL).isin(day_strs))
-    src = src.withColumnRenamed("timestamp", "ts") if "ts" not in src.columns else src
-    hourly = rollup_partials(src, fine_bucket=fine_bucket).withColumn(
-        PARTITION_COL, F.to_date(F.col("bucket"))
-    ).localCheckpoint(eager=True)  # hours x types rows; day-set + write share it
-    present = {r[0] for r in hourly.select(PARTITION_COL).distinct().collect()}
+    # intersect with what actually exists: a targeted day whose raw
+    # partition was dropped contributes nothing (and a raw store with
+    # NO partitions left cannot even be read — schema inference has no
+    # footers to look at)
+    avail = [d for d in target if d in set(list_partitions(readings_path))]
+    day_strs = [d.isoformat() for d in avail]
+    if avail:
+        src = read_table(spark, readings_path).where(
+            F.col(PARTITION_COL).isin(day_strs)
+        )
+        src = src.withColumnRenamed("timestamp", "ts") if "ts" not in src.columns else src
+        hourly = rollup_partials(src, fine_bucket=fine_bucket).withColumn(
+            PARTITION_COL, F.to_date(F.col("bucket"))
+        ).localCheckpoint(eager=True)  # hours x types rows; day-set + write share it
+        present = {r[0] for r in hourly.select(PARTITION_COL).distinct().collect()}
+    else:
+        hourly = None
+        present = set()
     with dynamic_partition_overwrite(spark):
-        hourly.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(hourly_path)
+        if hourly is not None:
+            hourly.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(hourly_path)
         for day in target:
             if day not in present:
                 _fs_delete(_partition_dir(hourly_path, day))
-        # daily re-finalize reads ONLY the dirty days' hourly partitions
-        parts = read_table(spark, hourly_path).where(
-            F.col(PARTITION_COL).isin(day_strs)
-        )
-        daily = rollup_finalize(parts.drop(PARTITION_COL), "1 day").withColumn(
-            PARTITION_COL, F.to_date(F.col("bucket"))
-        )
-        daily.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(daily_path)
+        if present:
+            # daily re-finalize reads ONLY the dirty days' hourly
+            # partitions. Guarded on `present`: when every targeted day
+            # emptied out (retention cleared the last data), the hourly
+            # store may hold no partitions at all and a parquet read of
+            # the bare directory cannot infer a schema — and there is
+            # nothing to finalize anyway, only daily partitions to clear
+            parts = read_table(spark, hourly_path).where(
+                F.col(PARTITION_COL).isin(day_strs)
+            )
+            daily = rollup_finalize(parts.drop(PARTITION_COL), "1 day").withColumn(
+                PARTITION_COL, F.to_date(F.col("bucket"))
+            )
+            daily.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(daily_path)
         for day in target:
             if day not in present:
                 _fs_delete(_partition_dir(daily_path, day))

@@ -378,8 +378,12 @@ def run_corpus_ingest_stream(
             from ..operators.maintenance import dynamic_partition_overwrite
 
             tgt = lm_target if lm_target is not None else F.lit(False)
+            # kept goes through UNPROJECTED: lm_target may reference any
+            # DOCUMENT_SCHEMA column (lang, n_chars, ...), and
+            # lm_token_rows projects down to (doc_id, is_target, token)
+            # itself
             delta = lm_token_counts(
-                lm_token_rows(kept.select("doc_id", "text", "source"), tgt)
+                lm_token_rows(kept, tgt)
             ).withColumn("batch_id", F.lit(batch_id))
             # conf must go on the BATCH's session: foreachBatch hands an
             # isolated session clone, and a mode set on the outer session

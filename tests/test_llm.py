@@ -1288,3 +1288,12 @@ def test_bpe_segment_stats_compresses_trained_words(spark):
     assert out[1]["bpe_token_count"] < 3 * 7
     # unseen word: chars + end marker, nothing merges
     assert out[2]["word_count"] == 1 and out[2]["bpe_token_count"] == 5
+
+
+def test_chunk_documents_rejects_token_losing_parameters(spark):
+    """Negative overlap (step > window: tokens silently skipped) and
+    non-positive window sizes must refuse instead of losing content."""
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for ct, ov in [(10, -2), (0, 0), (-5, 0), (10, 10), (10, 12)]:
+        with pytest.raises(ValueError, match="chunk_tokens"):
+            text.chunk_documents(docs, chunk_tokens=ct, overlap=ov)

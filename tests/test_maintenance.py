@@ -603,3 +603,34 @@ def test_vacuum_store_artifacts_keeps_sole_copies(spark, tmp_path):
     assert M.recover_store(f"{root}/orphan") is True    # and still recoverable
     assert spark.read.parquet(f"{root}/orphan").count() == 5
     assert spark.read.parquet(f"{root}/dim").count() == 3
+
+
+def test_refresh_rollup_cascade_clears_everything_when_raw_is_empty(spark, tmp_path):
+    """Edge of the retention interaction: when EVERY targeted day lost
+    its raw partition, the refresh must clear both cascade levels and
+    return cleanly (the hourly store may end up with no partitions at
+    all — a bare-directory parquet read would fail schema inference,
+    so the daily finalize is skipped, not crashed)."""
+    import os
+    import shutil
+    from datetime import date
+
+    from metrocloud_data_pipeline_spark.operators.maintenance import (
+        refresh_rollup_cascade,
+        write_partitioned,
+    )
+
+    raw = str(tmp_path / "raw")
+    hourly = str(tmp_path / "hourly")
+    daily = str(tmp_path / "daily")
+    df = spark.createDataFrame(
+        [("d1", "t", "2024-01-01 00:10:00", 1.0, False)],
+        "device_id string, device_type string, timestamp string, value double, is_anomaly boolean",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    write_partitioned(df, raw)
+    assert refresh_rollup_cascade(spark, raw, hourly, daily) == 1
+
+    shutil.rmtree(os.path.join(raw, "reading_date=2024-01-01"))
+    assert refresh_rollup_cascade(spark, raw, hourly, daily, days=[date(2024, 1, 1)]) == 1
+    assert not os.path.exists(os.path.join(hourly, "reading_date=2024-01-01"))
+    assert not os.path.exists(os.path.join(daily, "reading_date=2024-01-01"))
