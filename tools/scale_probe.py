@@ -157,6 +157,19 @@ def main() -> None:
     t(lambda: curation.budget_select(docs, token_budget=500_000), "budget_select")
     t(lambda: similarity.embed_pq_stats(emb, m=4, k=16, n_iter=2), "pq_stats")
 
+    # r7 additions: DSIR weighting (token-frame shape, like surprisal),
+    # RAG chunking (pure codegen single scan — must be ~linear), the
+    # trained LR quality filter (n-round vocabulary-free training —
+    # driver traffic O(partitions) per round), and BPE merge training
+    # (per-round cost is VOCAB-sized: the synthetic corpus's bounded
+    # vocabulary keeps rounds flat regardless of corpus copies)
+    t(lambda: curation.dsir_importance_weights(docs, target=F.col("source") == "src0"), "dsir_weights")
+    t(lambda: llm_text.chunk_documents(docs, chunk_tokens=64, overlap=16), "rag_chunk")
+    t(lambda: curation.quality_lr_score(docs, n_iter=20), "quality_lr")
+    t(lambda: (lambda mr: spark.createDataFrame(mr[0] or [(0, "", "", 0)], "r int, l string, rt string, n long"))(
+        llm_text.bpe_train_merges(docs, n_merges=8)
+    ), "bpe_train_8")
+
     probe_knn_bucketed(spark, emb)
     probe_streaming(spark, copies)
 
