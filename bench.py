@@ -111,6 +111,8 @@ HEADLINE = [
     "dq_profile_events_approx",
     "a19_time_weighted_avg",
     "a20_counter_delta",
+    "a21_value_histogram",
+    "a22_trend_slope",
     "f6b_metadata_lookup_indexed",
     "f6c_tags_lookup_indexed",
     "w8b_gapfill_interpolate",

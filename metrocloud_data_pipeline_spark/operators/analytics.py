@@ -304,6 +304,117 @@ def daily_quality_report(df: DataFrame) -> DataFrame:
     )
 
 
+def value_histogram(
+    df: DataFrame,
+    lo: float = 0.0,
+    hi: float = 200.0,
+    nbuckets: int = 10,
+    key_col: str = "device_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Fixed-range value histogram per key — TimescaleDB's
+    `histogram(value, min, max, nbuckets)` aggregate (the toolkit
+    function a Grafana value-distribution panel calls on
+    sensor_readings), as rows instead of an array: one row per
+    (key, bucket) with the bucket's bounds and count. Underflow lands
+    in bucket 0, overflow in bucket nbuckets+1 — Timescale's nbuckets+2
+    slot convention — so no value is silently dropped.
+
+    Bucketing is plain arithmetic (floor((v-lo)/width) clamped), not a
+    width_bucket builtin, so any SQL oracle computes the identical
+    bucket ids; one map-side-combined aggregate, one scan, and the
+    empty-bucket rows are deliberately absent (the chart layer zeros
+    gaps; emitting them would need a keys x buckets grid join for rows
+    that carry no information)."""
+    width = (hi - lo) / nbuckets
+    b = (
+        F.least(
+            F.greatest(
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(-1.0)
+            ),
+            F.lit(float(nbuckets)),
+        ).cast("int")
+        + 1
+    )
+    return (
+        df.select(F.col(key_col), b.alias("bucket"), F.col(value_col))
+        .groupBy(key_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n_values"))
+        .select(
+            key_col,
+            "bucket",
+            F.when(F.col("bucket") == 0, F.lit(None).cast("double"))
+            .otherwise(F.lit(lo) + (F.col("bucket") - 1) * F.lit(width))
+            .alias("bucket_lo"),
+            F.when(F.col("bucket") == nbuckets + 1, F.lit(None).cast("double"))
+            .otherwise(F.lit(lo) + F.col("bucket") * F.lit(width))
+            .alias("bucket_hi"),
+            "n_values",
+        )
+    )
+
+
+def trend_slope(
+    df: DataFrame,
+    bucket: str = "1 day",
+    key_col: str = "device_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(key, bucket) OLS trend — TimescaleDB's stats_agg /
+    regr_slope surface (the "is this sensor drifting?" query an IoT
+    fleet runs nightly): slope of value over time in units/hour,
+    intercept at the bucket start, and R² for fit quality. Buckets
+    with a single reading (or zero time variance) report NULL slope —
+    a vertical fit, exactly what SQL's regr_slope returns.
+
+    The moments are EXACT integers — x in microseconds since the
+    bucket start (unix_timestamp would truncate sub-second parts that
+    skew the slope at the 4th significant digit, measured), y in
+    integer cents (the engine's exact-money convention,
+    functions/numeric) — summed as DECIMAL(38,0), so every engine
+    produces bit-identical sums regardless of partition order and the
+    final statistics are single divisions of identical integers.
+    Builtin regr_slope was measured flipping 6-decimal rounding by one
+    ulp on 2-point groups purely from float summation order. One
+    map-side-combined aggregate, one scan."""
+    b = time_bucket(ts_col, bucket)
+    x = F.unix_micros(F.col(ts_col)) - F.unix_micros(b)
+    y = F.round(F.col(value_col) * 100).cast("long")
+    d = lambda c: c.cast("decimal(19,0)")
+    g = (
+        df.select(F.col(key_col), b.alias("bucket"), x.alias("_x"), y.alias("_y"))
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d(F.col("_x"))).alias("sx"),
+            F.sum(d(F.col("_y"))).alias("sy"),
+            F.sum(d(F.col("_x")) * d(F.col("_y"))).alias("sxy"),
+            F.sum(d(F.col("_x")) * d(F.col("_x"))).alias("sxx"),
+            F.sum(d(F.col("_y")) * d(F.col("_y"))).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    cov_n = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx_n = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary_n = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope_cents_per_us = cov_n / F.nullif(varx_n, F.lit(0.0))
+    # cents/us -> units/hour: /100 cents, x 3.6e9 us
+    slope_hr = slope_cents_per_us * F.lit(3.6e7)
+    intercept = (
+        F.col("sy").cast("double") - slope_cents_per_us * F.col("sx").cast("double")
+    ) / F.col("n").cast("double") / F.lit(100.0)
+    r2 = (cov_n * cov_n) / F.nullif(varx_n * vary_n, F.lit(0.0))
+    return g.select(
+        key_col,
+        "bucket",
+        F.col("n").alias("n_readings"),
+        round6(slope_hr).alias("slope_per_hour"),
+        round6(intercept).alias("intercept"),
+        round6(r2).alias("r2"),
+    )
+
+
 def daily_quality_report_approx(df: DataFrame, accuracy: int = 10000) -> DataFrame:
     """OP-A9 scale variant: approx_percentile + approx_count_distinct.
 

@@ -547,6 +547,73 @@ def a13b_cascade_incremental(spark, sf_dir):
 
 
 @q(
+    "a21_value_histogram",
+    oracle=_READINGS_CTE
+    + """
+, b AS (
+  SELECT device_type,
+         CAST(least(greatest(floor((value - 0.0) / 20.0), -1), 10) AS INT) + 1 AS bucket
+  FROM readings
+)
+SELECT device_type, bucket,
+       CASE WHEN bucket = 0 THEN NULL ELSE 0.0 + (bucket - 1) * 20.0 END AS bucket_lo,
+       CASE WHEN bucket = 11 THEN NULL ELSE 0.0 + bucket * 20.0 END AS bucket_hi,
+       count(*) AS n_values
+FROM b GROUP BY 1, 2
+""",
+)
+def a21_value_histogram(spark, sf_dir):
+    """Fixed-range value histogram per device type — TimescaleDB's
+    histogram(value, min, max, nbuckets) aggregate (the Grafana
+    value-distribution panel's backing query) as (key, bucket, bounds,
+    count) rows, with Timescale's nbuckets+2 under/overflow slots so no
+    value is dropped. Plain-arithmetic bucketing (engine-portable), one
+    map-side-combined aggregate, one scan."""
+    return A.value_histogram(
+        readings(spark, sf_dir), lo=0.0, hi=200.0, nbuckets=10
+    )
+
+
+@q(
+    "a22_trend_slope",
+    oracle=_READINGS_CTE
+    + f"""
+, x AS (
+  SELECT device_id, {_bucket_sql('ts', 86400)} AS bucket,
+         CAST(epoch_us(ts) - epoch_us({_bucket_sql('ts', 86400)}) AS HUGEINT) AS xs,
+         CAST(round(value * 100) AS HUGEINT) AS ys
+  FROM readings
+), g AS (
+  SELECT device_id, bucket, count(*) AS n,
+         sum(xs) AS sx, sum(ys) AS sy,
+         sum(xs * ys) AS sxy, sum(xs * xs) AS sxx, sum(ys * ys) AS syy
+  FROM x GROUP BY 1, 2
+), m AS (
+  SELECT device_id, bucket, n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS varx_n,
+         CAST(n * syy - sy * sy AS DOUBLE) AS vary_n,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM g
+)
+SELECT device_id, bucket, n AS n_readings,
+       round(cov_n / nullif(varx_n, 0.0) * 3.6e7, 6) AS slope_per_hour,
+       round((syd - cov_n / nullif(varx_n, 0.0) * sxd) / n / 100.0, 6) AS intercept,
+       round(cov_n * cov_n / nullif(varx_n * vary_n, 0.0), 6) AS r2
+FROM m
+""",
+)
+def a22_trend_slope(spark, sf_dir):
+    """Per-(device, day) OLS trend (TimescaleDB stats_agg /
+    regr_slope): drift in units/hour + intercept at the day start +
+    R² fit quality — the nightly is-this-sensor-drifting query. x is
+    bucket-relative seconds (raw epoch squares 1.7e9 into the moment
+    sums and float drift flips 6-dec rounding); one map-side-combined
+    moment aggregate, one scan."""
+    return A.trend_slope(readings(spark, sf_dir), bucket="1 day")
+
+
+@q(
     "a4_device_stats",
     oracle=_READINGS_CTE
     + """
@@ -4398,6 +4465,8 @@ QUERY_ORDER = [
     "seq_pack_summary",
     "dedup_keep_list",
     "bpe_segment_stats",
+    "a21_value_histogram",
+    "a22_trend_slope",
     "knn_join_ivf_bucketed",
     "knn_recall_report",
     "obs_hot_keys",

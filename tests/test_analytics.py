@@ -263,3 +263,70 @@ def test_locf_fill_carries_last_good_value(spark):
     assert out[2]["filled_value"] == 30.0
     assert out[3]["raw_value"] is None and out[3]["filled_value"] is None
     assert out[4]["filled_value"] == 5.0
+
+
+def test_value_histogram_slots_and_bounds(spark):
+    """Timescale histogram() slot convention: underflow in bucket 0
+    (open lower bound), overflow in bucket nbuckets+1 (open upper
+    bound), interior buckets carry [lo, hi) arithmetic bounds; empty
+    buckets emit no rows."""
+    from metrocloud_data_pipeline_spark.operators.analytics import value_histogram
+
+    rows = [
+        ("t", -5.0),   # underflow
+        ("t", 0.0),    # bucket 1 [0, 10)
+        ("t", 9.99),   # bucket 1
+        ("t", 10.0),   # bucket 2 [10, 20)
+        ("t", 99.9),   # bucket 10 [90, 100)
+        ("t", 100.0),  # overflow (hi is exclusive of the top bucket)
+        ("t", 250.0),  # overflow
+        ("u", 55.0),   # bucket 6 for the other key
+    ]
+    df = spark.createDataFrame(rows, "device_type string, value double")
+    out = {
+        (r["device_type"], r["bucket"]): r
+        for r in value_histogram(df, lo=0.0, hi=100.0, nbuckets=10).collect()
+    }
+    assert out[("t", 0)]["n_values"] == 1
+    assert out[("t", 0)]["bucket_lo"] is None and out[("t", 0)]["bucket_hi"] == 0.0
+    assert out[("t", 1)]["n_values"] == 2
+    assert (out[("t", 1)]["bucket_lo"], out[("t", 1)]["bucket_hi"]) == (0.0, 10.0)
+    assert out[("t", 2)]["n_values"] == 1
+    assert out[("t", 10)]["n_values"] == 1
+    assert out[("t", 11)]["n_values"] == 2
+    assert out[("t", 11)]["bucket_hi"] is None and out[("t", 11)]["bucket_lo"] == 100.0
+    assert out[("u", 6)]["n_values"] == 1
+    # empty buckets absent (e.g. t bucket 5)
+    assert ("t", 5) not in out
+    # every value accounted for
+    assert sum(r["n_values"] for r in out.values()) == len(rows)
+
+
+def test_trend_slope_recovers_planted_drift(spark):
+    """OLS on planted linear data recovers the exact slope/intercept
+    with r2 = 1; a single-reading bucket reports NULL (vertical fit);
+    a flat series reports slope 0 with NULL r2 (zero y-variance)."""
+    from datetime import datetime
+
+    from metrocloud_data_pipeline_spark.operators.analytics import trend_slope
+
+    rows = []
+    # device a: value = 10 + 2.5 * hours_since_midnight (exact 2dp points)
+    for h in range(6):
+        rows.append(("a", datetime(2024, 1, 1, h), 10.0 + 2.5 * h))
+    # device b: one reading
+    rows.append(("b", datetime(2024, 1, 1, 3), 42.0))
+    # device c: flat
+    for h in range(4):
+        rows.append(("c", datetime(2024, 1, 1, h), 7.0))
+    df = spark.createDataFrame(rows, "device_id string, ts timestamp, value double")
+    out = {r["device_id"]: r for r in trend_slope(df, bucket="1 day").collect()}
+    a = out["a"]
+    assert a["n_readings"] == 6
+    assert abs(a["slope_per_hour"] - 2.5) < 1e-6
+    assert abs(a["intercept"] - 10.0) < 1e-6
+    assert a["r2"] == 1.0
+    b = out["b"]
+    assert b["slope_per_hour"] is None and b["r2"] is None
+    c = out["c"]
+    assert c["slope_per_hour"] == 0.0 and c["intercept"] == 7.0 and c["r2"] is None
