@@ -1643,6 +1643,25 @@ def load_pq_codebook(spark, table_name: str):
     return cb
 
 
+def ivfpq_topk_batch_table(
+    spark,
+    table_name: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ivfpq_topk_batch against a persisted ivfpq_corpus_table, loading
+    the codes AND both quantizer halves from the SAME table name — the
+    IVFPQ twin of knn_join_ivf_table: mixing table A's codes with table
+    B's quantizers cannot happen by construction."""
+    codes = spark.table(table_name)
+    cb = load_pq_codebook(spark, table_name)
+    cids, ccode, _fp = load_ivf_quantizer(spark, f"{table_name}_coarse")
+    return ivfpq_topk_batch(
+        queries, codes, cb, (cids, ccode), k=k, nprobe=nprobe
+    )
+
+
 def ivfpq_topk_batch(
     queries: DataFrame,
     codes: DataFrame,

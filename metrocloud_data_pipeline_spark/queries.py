@@ -4107,15 +4107,9 @@ def knn_join_ivfpq(spark, sf_dir):
     tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     tbl = f"ivfpq_corpus_{tag}"
     similarity.ivfpq_corpus_table(emb, tbl, m=4, pq_k=16, n_iter=4)
-    cb = similarity.load_pq_codebook(spark, tbl)
-    cids, ccode, _fp = similarity.load_ivf_quantizer(spark, f"{tbl}_coarse")
-    return similarity.ivfpq_topk_batch(
-        emb.select("vec_id", "embedding"),
-        spark.table(tbl),
-        cb,
-        (cids, ccode),
-        k=10,
-        nprobe=4,
+    # codes + both quantizer halves load from ONE table name
+    return similarity.ivfpq_topk_batch_table(
+        spark, tbl, emb.select("vec_id", "embedding"), k=10, nprobe=4
     )
 
 

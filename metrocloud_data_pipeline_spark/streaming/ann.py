@@ -171,6 +171,8 @@ def run_ann_serving_stream_pq(
     fingerprint re-verified) — nothing is re-derived from live
     embeddings, so serving stays consistent with the stored list_id
     column no matter how the corpus drifts after the build."""
+    # resolve once at stream start so a missing/corrupt sidecar fails
+    # HERE, not inside the first micro-batch
     codebooks = load_pq_codebook(spark, table_name)
     cent_ids, cent_code, _fp = load_ivf_quantizer(spark, f"{table_name}_coarse")
     codes = spark.table(table_name)
