@@ -494,3 +494,98 @@ def test_m4_roles_are_true_extrema(spark, rows):
         assert rr["last"]["reading_id"] == max(pts, key=lambda p: (p[0], p[2]))[2]
         assert rr["min"]["value"] == min(v for _, v, _ in pts)
         assert rr["max"]["value"] == max(v for _, v, _ in pts)
+
+
+# --- r7 operator invariants --------------------------------------------------
+
+_doc_texts = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=60),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_doc_texts)
+def test_chunking_reconstructs_token_stream(spark, texts):
+    """chunk_documents invariant (any corpus): dropping each chunk's
+    overlap prefix (after chunk 0) and concatenating reconstructs the
+    doc's exact token stream — no token lost, none duplicated."""
+    from metrocloud_data_pipeline_spark.llm import text as T
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    ct, ov = 7, 3
+    out = T.chunk_documents(docs, chunk_tokens=ct, overlap=ov).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, txt in enumerate(texts):
+        toks = txt.split()
+        if not toks:
+            assert i not in by_doc
+            continue
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        rebuilt = chunks[0]["chunk_text"].split()
+        for c in chunks[1:]:
+            rebuilt += c["chunk_text"].split()[ov:]
+        assert rebuilt == toks, (txt, [c["chunk_text"] for c in chunks])
+        # every chunk's token count matches its text
+        assert all(len(c["chunk_text"].split()) == c["n_tokens"] for c in chunks)
+
+
+_values = st.lists(
+    st.floats(min_value=-500.0, max_value=500.0, allow_nan=False),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=_values)
+def test_value_histogram_conserves_count(spark, vals):
+    """histogram invariant (any values): bucket counts sum to the row
+    count (under/overflow slots catch everything), and every bucket id
+    is within [0, nbuckets+1]."""
+    from metrocloud_data_pipeline_spark.operators.analytics import value_histogram
+
+    df = spark.createDataFrame(
+        [("t", float(v)) for v in vals], "device_type string, value double"
+    )
+    out = value_histogram(df, lo=0.0, hi=100.0, nbuckets=5).collect()
+    assert sum(r["n_values"] for r in out) == len(vals)
+    assert all(0 <= r["bucket"] <= 6 for r in out)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.integers(min_value=0, max_value=40000), min_size=1, max_size=20))
+def test_gapfill_interpolate_bounded_by_brackets(spark, vals):
+    """interpolation invariant (any series): every generated value lies
+    within [min, max] of the two bracketing observed bucket averages
+    (linear blends never overshoot), and observed rows pass through."""
+    from datetime import datetime, timedelta
+
+    from metrocloud_data_pipeline_spark.operators import temporal
+
+    base = datetime(2024, 1, 1)
+    # values land in hour buckets 0, 3, 6, ... so interior gaps exist
+    rows = [
+        ("d", base + timedelta(hours=3 * i), v / 100.0)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "device_id string, ts timestamp, value double")
+    out = sorted(
+        temporal.gapfill_interpolate(df, bucket="1 hour").collect(),
+        key=lambda r: r["bucket_ts"],
+    )
+    obs = [r for r in out if not r["is_gap"]]
+    assert len(obs) == len(vals)
+    for r in out:
+        if r["is_gap"]:
+            lo_side = [o["avg_value"] for o in obs if o["bucket_ts"] < r["bucket_ts"]]
+            hi_side = [o["avg_value"] for o in obs if o["bucket_ts"] > r["bucket_ts"]]
+            pv, nv = lo_side[-1], hi_side[0]
+            assert min(pv, nv) - 1e-6 <= r["interp_value"] <= max(pv, nv) + 1e-6
+        else:
+            assert r["interp_value"] == r["avg_value"]
