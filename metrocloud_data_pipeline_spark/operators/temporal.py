@@ -735,3 +735,80 @@ def m4_downsample(
         F.col("r.p.value").alias("value"),
         F.col("r.p.reading_id").alias("reading_id"),
     )
+
+
+def lttb_downsample(
+    readings: DataFrame,
+    n_out: int = 100,
+    key_col: str = "device_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    — the charting downsample next to w10's M4: per key, keep exactly
+    n_out points chosen to preserve the series' visual shape (first and
+    last always kept; each interior bucket keeps the point forming the
+    largest triangle with the PREVIOUSLY kept point and the next
+    bucket's centroid). Where M4 preserves pixel-column extrema, LTTB
+    preserves perceived line shape at arbitrary target sizes.
+
+    The selection chain is inherently sequential (each pick depends on
+    the previous pick), so this is the engine's per-key-sequential
+    pattern: applyInPandas partitions by key and runs the linear-time
+    kernel per series — keys parallelize across the cluster, each
+    key's series sorts once within its task. A series at 100 TB scale
+    is still one device's data (bounded); the shuffle is the only
+    data movement. Keys with <= n_out points pass through unchanged.
+
+    Returns (key, ts, value, pt_rank) with pt_rank the kept point's
+    order in the downsampled series."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"{key_col} string, {ts_col} timestamp, {value_col} double, pt_rank int"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        if n <= n_out:
+            return pd.DataFrame(
+                {
+                    key_col: pdf[key_col],
+                    ts_col: pdf[ts_col],
+                    value_col: pdf[value_col],
+                    "pt_rank": np.arange(n, dtype=np.int32),
+                }
+            )
+        x = pdf[ts_col].astype("int64").to_numpy(dtype=np.float64)
+        y = pdf[value_col].to_numpy(dtype=np.float64)
+        # bucket boundaries over the interior points (first/last pinned)
+        bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        keep = [0]
+        a = 0
+        for i in range(n_out - 2):
+            lo, hi = bounds[i], bounds[i + 1]
+            nlo, nhi = bounds[i + 1], (bounds[i + 2] if i + 2 < len(bounds) else n)
+            cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+            ax, ay = x[a], y[a]
+            # triangle areas vs the previous pick and the next centroid
+            areas = np.abs(
+                (ax - cx) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (cy - ay)
+            )
+            a = lo + int(np.argmax(areas))  # ties -> first (deterministic)
+            keep.append(a)
+        keep.append(n - 1)
+        sel = pdf.iloc[keep]
+        return pd.DataFrame(
+            {
+                key_col: sel[key_col].values,
+                ts_col: sel[ts_col].values,
+                value_col: sel[value_col].values,
+                "pt_rank": np.arange(len(keep), dtype=np.int32),
+            }
+        )
+
+    return (
+        readings.select(F.col(key_col).cast("string"), ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(kernel, out_schema)
+    )

@@ -613,6 +613,21 @@ def a22_trend_slope(spark, sf_dir):
     return A.trend_slope(readings(spark, sf_dir), bucket="1 day")
 
 
+@q("w11_lttb_downsample")
+def w11_lttb_downsample(spark, sf_dir):
+    """LTTB downsampling (Steinarsson 2013) — the shape-preserving
+    charting downsample next to w10's M4: per device exactly n_out
+    points, endpoints pinned, each interior bucket keeping the point
+    forming the largest triangle with the previous pick and the next
+    bucket's centroid. The selection chain is sequential per series, so
+    this is the engine's per-key-sequential pattern (applyInPandas:
+    keys parallelize, each series runs the linear kernel in its own
+    task). Rows-only by design (the pick chain is recursive — not
+    SQL-expressible without recursion); spike-retention, endpoint and
+    determinism invariants pytest-gated."""
+    return temporal.lttb_downsample(readings(spark, sf_dir), n_out=50)
+
+
 @q(
     "a4_device_stats",
     oracle=_READINGS_CTE
@@ -4461,6 +4476,7 @@ QUERY_ORDER = [
     "bpe_segment_stats",
     "a21_value_histogram",
     "a22_trend_slope",
+    "w11_lttb_downsample",
     "knn_join_ivf_bucketed",
     "knn_recall_report",
     "obs_hot_keys",

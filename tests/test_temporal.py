@@ -435,3 +435,37 @@ def test_m4_downsample_roles(spark):
     b1 = "2024-01-01 01:00:00"
     assert {out[(b1, r)]["reading_id"] for r in ("first", "last", "min", "max")} == {5}
     assert len(out) == 8
+
+
+def test_lttb_downsample_preserves_shape_points(spark):
+    """LTTB invariants: exactly n_out points per large series with the
+    endpoints pinned; a planted extreme spike is always kept (it forms
+    the largest triangle of its bucket); short series pass through;
+    deterministic across reruns."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # smooth series with one violent spike at i=137
+    for i in range(400):
+        v = 50.0 + 10.0 * ((i % 20) / 20.0)
+        if i == 137:
+            v = 500.0
+        rows.append(("a", base + timedelta(minutes=i), v))
+    # short series: passes through unchanged
+    for i in range(5):
+        rows.append(("b", base + timedelta(minutes=i), float(i)))
+    df = spark.createDataFrame(rows, "device_id string, ts timestamp, value double")
+    out = temporal.lttb_downsample(df, n_out=40).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["device_id"], []).append(r)
+    a = sorted(by_key["a"], key=lambda r: r["pt_rank"])
+    assert len(a) == 40
+    assert a[0]["ts"] == base and a[-1]["ts"] == base + timedelta(minutes=399)
+    assert any(r["value"] == 500.0 for r in a)  # spike survives
+    assert [r["pt_rank"] for r in a] == list(range(40))
+    b = sorted(by_key["b"], key=lambda r: r["pt_rank"])
+    assert [r["value"] for r in b] == [0.0, 1.0, 2.0, 3.0, 4.0]
+    again = sorted(map(tuple, temporal.lttb_downsample(df, n_out=40).collect()))
+    assert again == sorted(map(tuple, out))
