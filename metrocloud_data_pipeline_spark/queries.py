@@ -4408,17 +4408,23 @@ def kmeans_embed_clusters(spark, sf_dir):
 # round — and the r5-green block (fresh through r7) fills the tail.
 QUERY_ORDER = [
     # --- r7 window (first 50 = driver-checked this round) ---
-    # new this round, never checked (w8b/f6c/a13b/rag_chunk/dsir
-    # oracle-backed; ivfpq/bpe/quality_lr rows-only by design):
+    # new this round, never checked (w8b/f6c/a13b/rag_chunk/dsir/
+    # a21/a22 oracle-backed; ivfpq/bpe x2/lttb/quality_lr rows-only
+    # by design):
     "w8b_gapfill_interpolate",
     "f6c_tags_lookup_indexed",
     "a13b_cascade_incremental",
     "knn_join_ivfpq",
     "rag_chunk_documents",
     "bpe_train_merges",
+    "a21_value_histogram",
+    "a22_trend_slope",
+    "bpe_segment_stats",
+    "w11_lttb_downsample",
     # stale rotation: queries whose last driver row is r4 or older
-    # (oldest-first; 3 equally-stale entries wait in the r8 queue
-    # head - never-checked beats stale-refresh, the r6 precedent):
+    # (oldest-first; 7 stale entries wait in the r8 queue head —
+    # never-checked beats stale-refresh, the r6 precedent; the
+    # demoted seven all hold green r3/r4 rows):
     "f1_recent_readings",
     "h10_returned_items",
     "h13_customer_distribution",
@@ -4455,28 +4461,25 @@ QUERY_ORDER = [
     "text_repetition_stats",
     "knn_brute_force",
     "knn_join_brute",
-    "a6_table_stats_approx",
-    "a9_daily_quality_approx",
-    "knn_lsh",
     "knn_ivf",
-    "dedup_embed_cosine_lsh",
     # ANN default changed to the trained quantizer this round;
     # plus the two other new r7 curation queries:
     "knn_join_ivf",
     "dsir_importance_weights",
     "quality_lr_score",
     # --- driver window ends here (first 50) ---
-    # r8 queue: the 3 demoted stale entries first, then the ANN
-    # rows-only twins (r6-green, row counts unchanged by the
-    # default switch), then the r6-green block, then the
-    # r5/r7-green remainder
+    # r8 queue: the 7 demoted stale entries first (4 approx/LSH
+    # rows-only + the 3 from the first rotation), then the ANN
+    # rows-only twins (r6-green, counts unchanged by the default
+    # switch), then the r6-green block, then the r5/r7-green
+    # remainder
+    "a6_table_stats_approx",
+    "a9_daily_quality_approx",
+    "knn_lsh",
+    "dedup_embed_cosine_lsh",
     "dedup_simhash",
     "seq_pack_summary",
     "dedup_keep_list",
-    "bpe_segment_stats",
-    "a21_value_histogram",
-    "a22_trend_slope",
-    "w11_lttb_downsample",
     "knn_join_ivf_bucketed",
     "knn_recall_report",
     "obs_hot_keys",
