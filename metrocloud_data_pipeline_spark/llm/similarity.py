@@ -283,6 +283,30 @@ def _auto_train_k(embeddings: DataFrame) -> int:
     return max(1, min(DEFAULT_TRAIN_K, n // TRAIN_POINTS_PER_LIST))
 
 
+def _resolve_quantizer(fn: str, quantizer: str | None, stride: int | None):
+    """Resolve the (quantizer, stride) pair for a coarse-quantizer
+    consumer. stride= names a SPECIFIC training-free sample, while
+    quantizer="trained" takes no stride — so an explicit stride with
+    quantizer unset IMPLIES quantizer="stride" (the caller asked for
+    that sample), and an explicit stride WITH quantizer="trained"
+    CONFLICTS and raises: silently ignoring the stride would hand back
+    a different index than the caller asked for, with no signal
+    (ADVICE r7 — tests passing stride=7 were getting auto-trained
+    codebooks)."""
+    if quantizer is None:
+        quantizer = "stride" if stride is not None else "trained"
+    elif quantizer == "trained" and stride is not None:
+        raise ValueError(
+            f"{fn}: stride={stride} was passed together with "
+            "quantizer='trained', which takes no stride — pass "
+            "quantizer='stride' for the training-free sample, or drop "
+            "stride= to train"
+        )
+    if quantizer not in ("trained", "stride"):
+        raise ValueError(f"{fn}: unknown quantizer {quantizer!r}")
+    return quantizer, 31 if stride is None else stride
+
+
 def quantizer_fingerprint(ids, code) -> str:
     """Deterministic fingerprint of a coarse quantizer — sha256 over the
     exact int64 list_ids + float64 centroid bytes. Persisted with every
@@ -467,10 +491,10 @@ def knn_join_brute(
 def ivf_corpus_table(
     embeddings: DataFrame,
     table_name: str,
-    stride: int = 31,
+    stride: int | None = None,
     num_buckets: int = 32,
     codebook=None,
-    quantizer: str = "trained",
+    quantizer: str | None = None,
     train_k: int | None = None,
     train_iter: int = 4,
 ) -> str:
@@ -485,7 +509,9 @@ def ivf_corpus_table(
     The coarse quantizer defaults to the k-means TRAINED codebook
     (PROBE_r06: the stride sample's recall collapses with corpus size
     on clustered data; trained holds 1.0). Pass `quantizer="stride"`
-    for the training-free sample, or `codebook` to reuse one fit.
+    for the training-free sample — an explicit `stride=` alone implies
+    it, and stride= with quantizer="trained" raises rather than being
+    silently ignored — or `codebook` to reuse one fit.
     Whichever is used, it is persisted alongside as
     `<table>_quantizer` with a byte fingerprint — reload it with
     load_ivf_quantizer and hand (codebook, fingerprint) to
@@ -504,21 +530,20 @@ def ivf_corpus_table(
         _fs_delete(f"{wh.rstrip('/')}/{t.lower()}")
 
     if codebook is None:
+        quantizer, stride = _resolve_quantizer("ivf_corpus_table", quantizer, stride)
         if quantizer == "trained":
             codebook = trained_codebook(
                 embeddings,
                 k=train_k if train_k is not None else _auto_train_k(embeddings),
                 n_iter=train_iter,
             )
-        elif quantizer == "stride":
+        else:
             codebook = _collect_codebook(
                 embeddings.where(F.col("vec_id") % stride == 0).select(
                     F.col("vec_id").alias("list_id"), F.col("embedding").alias("c_emb")
                 )
             )
-        else:
-            raise ValueError(f"ivf_corpus_table: unknown quantizer {quantizer!r}")
-    _, assign = ivf_assignments(embeddings, stride=stride, codebook=codebook)
+    _, assign = ivf_assignments(embeddings, codebook=codebook)
     listed = assign.join(embeddings, "vec_id")
     write_bucketed(listed, table_name, "list_id", num_buckets=num_buckets)
     _persist_quantizer(spark, f"{table_name}_quantizer", *codebook)
@@ -529,12 +554,12 @@ def knn_join_ivf(
     embeddings: DataFrame,
     k: int = 10,
     nprobe: int = 4,
-    stride: int = 31,
+    stride: int | None = None,
     listed: DataFrame | None = None,
     max_queries: int | None = None,
     queries: DataFrame | None = None,
     codebook=None,
-    quantizer: str = "trained",
+    quantizer: str | None = None,
     train_k: int | None = None,
     train_iter: int = 4,
     codebook_fingerprint: str | None = None,
@@ -572,7 +597,9 @@ def knn_join_ivf(
     trained codebook holds 1.00 at 1x AND 10x; the fit is n_iter
     shuffle-free corpus scans (kmeans_fit mapInPandas partials).
     Pass `quantizer="stride"` to get the training-free sample back
-    (uniform corpora where list count should track size), or
+    (uniform corpora where list count should track size) — an explicit
+    `stride=` alone implies it, and stride= combined with
+    quantizer="trained" raises rather than being silently ignored — or
     `codebook` ((list_ids, unit-normalized [n_lists, dim] matrix),
     e.g. from trained_codebook) to reuse a fit — train once at deploy,
     serve forever.
@@ -610,21 +637,20 @@ def knn_join_ivf(
                 "quantizer's list_ids returns silently wrong neighbors"
             )
     elif codebook is None:
+        quantizer, stride = _resolve_quantizer("knn_join_ivf", quantizer, stride)
         if quantizer == "trained":
             ids, code = trained_codebook(
                 embeddings,
                 k=train_k if train_k is not None else _auto_train_k(embeddings),
                 n_iter=train_iter,
             )
-        elif quantizer == "stride":
+        else:
             # one driver-side centroid collect serves BOTH passes
             # (assignment and per-query probe selection)
             cent_frame = embeddings.where(F.col("vec_id") % stride == 0).select(
                 F.col("vec_id").alias("list_id"), F.col("embedding").alias("c_emb")
             )
             ids, code = _collect_codebook(cent_frame)
-        else:
-            raise ValueError(f"knn_join_ivf: unknown quantizer {quantizer!r}")
     else:
         ids, code = codebook
     bc = embeddings.sparkSession.sparkContext.broadcast((ids, code, nprobe))
@@ -1165,10 +1191,10 @@ def knn_recall_report(
     embeddings: DataFrame,
     k: int = 10,
     nprobe: int = 4,
-    stride: int = 31,
+    stride: int | None = None,
     max_queries: int = 200,
     codebook=None,
-    quantizer: str = "trained",
+    quantizer: str | None = None,
     train_k: int | None = None,
 ) -> DataFrame:
     """ANN quality audit: per-query recall@k of knn_join_ivf against
@@ -1485,7 +1511,7 @@ def ivfpq_topk(
     query_vec,
     k: int = 10,
     nprobe: int = 4,
-    stride: int = 31,
+    stride: int | None = None,
     m: int = 4,
     pq_k: int = 16,
     n_iter: int = 4,
@@ -1494,6 +1520,8 @@ def ivfpq_topk(
     coarse=None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer: str | None = None,
+    train_k: int | None = None,
 ) -> DataFrame:
     """IVF-PQ search — the full FAISS IndexIVFPQ architecture composed
     from the engine's primitives: the coarse IVF quantizer prunes the
@@ -1525,10 +1553,39 @@ def ivfpq_topk(
     cb = np.asarray(codebooks, dtype=np.float64)
     mm, kk, dd = cb.shape
     if codes is None:
-        centroids, listed = ivf_assignments(embeddings, stride=stride, attach_cols=[vec_col])
+        # same trained-by-default coarse quantizer as ivfpq_corpus_table
+        # (stride= alone implies the sample; stride + "trained" raises)
+        if coarse is None:
+            cq, stride = _resolve_quantizer("ivfpq_topk", quantizer, stride)
+            if cq == "trained":
+                coarse = trained_codebook(
+                    embeddings.select(
+                        F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("embedding"),
+                    ),
+                    k=train_k if train_k is not None else _auto_train_k(embeddings),
+                    n_iter=n_iter,
+                )
+            else:
+                coarse = _collect_codebook(
+                    embeddings.where(F.col(id_col) % stride == 0).select(
+                        F.col(id_col).alias("list_id"),
+                        F.col(vec_col).alias("c_emb"),
+                    )
+                )
+        _, listed = ivf_assignments(
+            embeddings.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+            ),
+            codebook=coarse,
+            attach_cols=["embedding"],
+        )
+        listed = listed.select(
+            F.col("vec_id").alias(id_col), F.col("embedding").alias(vec_col), "list_id"
+        )
         enc = pq_encode(listed.select(id_col, vec_col, "list_id"), cb, id_col=id_col, vec_col=vec_col)
         codes = enc.join(listed.select(id_col, "list_id"), id_col)
-        cent_ids, cent_code = _collect_codebook(centroids)
+        cent_ids, cent_code = coarse
     elif coarse is None:
         raise ValueError(
             "ivfpq_topk: a pre-encoded codes frame must come with the coarse "
@@ -1575,11 +1632,15 @@ def ivfpq_topk(
 def ivfpq_corpus_table(
     embeddings: DataFrame,
     table_name: str,
-    stride: int = 31,
+    stride: int | None = None,
     m: int = 4,
     pq_k: int = 16,
     n_iter: int = 4,
     num_buckets: int = 32,
+    quantizer: str | None = None,
+    coarse_codebook=None,
+    train_k: int | None = None,
+    train_iter: int = 4,
 ):
     """Materialize the COMPRESSED ANN corpus — (vec_id, list_id, codes)
     bucketed on list_id — plus BOTH halves of the index's quantizer
@@ -1609,8 +1670,30 @@ def ivfpq_corpus_table(
         _fs_delete(f"{wh.rstrip('/')}/{t.lower()}")
 
     cb, _ = pq_fit(embeddings, m=m, k=pq_k, n_iter=n_iter)
-    centroids, listed = ivf_assignments(embeddings, stride=stride, attach_cols=["embedding"])
-    _persist_quantizer(spark, f"{table_name}_coarse", *_collect_codebook(centroids))
+    # the COARSE quantizer follows the same default as every other ANN
+    # surface since r7: k-means TRAINED, auto-k (PROBE_r06/r07 — the
+    # stride sample's recall collapses with corpus size on clustered
+    # data). stride= alone implies quantizer="stride"; stride= with
+    # quantizer="trained" raises (_resolve_quantizer).
+    if coarse_codebook is None:
+        cq, stride = _resolve_quantizer("ivfpq_corpus_table", quantizer, stride)
+        if cq == "trained":
+            coarse_codebook = trained_codebook(
+                embeddings,
+                k=train_k if train_k is not None else _auto_train_k(embeddings),
+                n_iter=train_iter,
+            )
+        else:
+            coarse_codebook = _collect_codebook(
+                embeddings.where(F.col("vec_id") % stride == 0).select(
+                    F.col("vec_id").alias("list_id"),
+                    F.col("embedding").alias("c_emb"),
+                )
+            )
+    _, listed = ivf_assignments(
+        embeddings, codebook=coarse_codebook, attach_cols=["embedding"]
+    )
+    _persist_quantizer(spark, f"{table_name}_coarse", *coarse_codebook)
     enc = pq_encode(listed.select("vec_id", "embedding", "list_id"), cb)
     codes = enc.join(listed.select("vec_id", "list_id"), "vec_id").select(
         "vec_id", "list_id", "codes"

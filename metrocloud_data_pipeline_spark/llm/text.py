@@ -359,6 +359,96 @@ def winnow_overlap_pairs(
     )
 
 
+def substring_dup_spans(docs: DataFrame, min_tokens: int = 50) -> DataFrame:
+    """Exact-substring deduplication with EXCISE SPANS (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): per document, the maximal token ranges covered by
+    some >= min_tokens-token substring that occurs MORE THAN ONCE in
+    the corpus (cross-doc or self-repeat, the paper's definition) —
+    the ranges a training pipeline excises, where
+    winnow_overlap_pairs only names the document PAIRS that share
+    passages.
+
+    The paper builds a corpus suffix array; the equivalent distributed
+    decomposition: a token is inside a duplicated >=L substring iff it
+    is covered by a duplicated L-gram (every window of a longer dup is
+    itself a dup, and any dup L-gram is itself a qualifying
+    substring), so dup-marking L-grams and UNIONING their [pos,
+    pos+L-1] intervals reproduces the paper's excise set exactly — no
+    suffix array, three shuffles, all linear in corpus tokens:
+
+      1. gram assembly is the winnowing zip-slice projection (narrow,
+         codegen, md5 map-side); docs shorter than L emit nothing (a
+         doc that short cannot contain a >=L dup);
+      2. dup marking: count per gram hash (map-side partial combine
+         collapses boilerplate hot keys before the exchange), then a
+         left-semi join of positions against the >=2 hashes (AQE
+         splits skewed hashes);
+      3. interval union per doc: fixed-length intervals sorted by pos
+         merge iff next_pos - prev_pos <= L, so one lag + running-sum
+         window (the gaps-and-islands shape w4 sessions use) emits
+         maximal spans.
+
+    Output: (doc_id, span_start, span_end, n_tokens, dup_group) in
+    TOKEN offsets of the whitespace-normalized document; dup_group =
+    md5 of the span's text, so byte-identical excised passages share a
+    group id corpus-wide. The span-text lookup joins the span list
+    (dup-sized, small) back to the token arrays — broadcast-able
+    whenever dup coverage is sparse, AQE decides. Unlike the banded
+    near-dup paths there is NO quadratic anywhere: every stage is
+    bounded by the corpus gram count."""
+    from pyspark.sql.window import Window
+
+    L = int(min_tokens)
+    if L < 2:
+        raise ValueError(f"substring_dup_spans: min_tokens must be >= 2, got {L}")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS, " ")
+    toks = (
+        docs.select("doc_id", F.split(norm, " ").alias("_toks"))
+        .where(F.size("_toks") >= L)
+        .localCheckpoint()  # two consumers: gram assembly + span-text lookup
+    )
+    m = F.size(F.col("_toks")) - (L - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("_toks"), i + 1, m).alias(f"t{i}") for i in range(L)]
+    )
+    gram = F.concat_ws(" ", *[F.col(f"g.t{i}") for i in range(L)])
+    grams = (
+        toks.select("doc_id", F.posexplode(zipped).alias("pos", "g"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), F.md5(gram).alias("gh"))
+    )
+    dup = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("_n")).where(F.col("_n") >= 2)
+    dup_pos = grams.join(dup.select("gh"), "gh", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup_pos.withColumn(
+        "_new",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= L, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn("_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    spans = islands.groupBy("doc_id", "_island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(L - 1)).alias("span_end"),
+    )
+    return (
+        toks.join(spans, "doc_id")
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("_toks"),
+                        (F.col("span_start") + 1).cast("int"),
+                        (F.col("span_end") - F.col("span_start") + 1).cast("int"),
+                    ),
+                )
+            ).alias("dup_group"),
+        )
+    )
+
+
 def token_count_histogram(docs: DataFrame, width: int = 50) -> DataFrame:
     """Fixed-width histogram of per-document token counts — the
     length-distribution panel behind packing (seq_pack_summary) and

@@ -317,7 +317,8 @@ def refresh_bucket_aggregate(
     target = days if days is not None else list_partitions(readings_path)
     if not target:
         return 0
-    avail = [d for d in target if d in set(list_partitions(readings_path))]
+    existing = set(list_partitions(readings_path))
+    avail = [d for d in target if d in existing]
     if avail:
         src = read_table(spark, readings_path).where(
             F.col(PARTITION_COL).isin([d.isoformat() for d in avail])
@@ -381,7 +382,8 @@ def refresh_rollup_cascade(
     # partition was dropped contributes nothing (and a raw store with
     # NO partitions left cannot even be read — schema inference has no
     # footers to look at)
-    avail = [d for d in target if d in set(list_partitions(readings_path))]
+    existing = set(list_partitions(readings_path))
+    avail = [d for d in target if d in existing]
     day_strs = [d.isoformat() for d in avail]
     if avail:
         src = read_table(spark, readings_path).where(

@@ -761,11 +761,28 @@ def lttb_downsample(
     data movement. Keys with <= n_out points pass through unchanged.
 
     Returns (key, ts, value, pt_rank) with pt_rank the kept point's
-    order in the downsampled series."""
+    order in the downsampled series. The key column keeps its INPUT
+    dtype (m4_downsample's contract — r7 hard-cast it to string, which
+    silently rewrote long device keys)."""
     import numpy as np
     import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
-    out_schema = f"{key_col} string, {ts_col} timestamp, {value_col} double, pt_rank int"
+    if n_out < 3:
+        # first/last are pinned unconditionally, so n_out <= 2 cannot
+        # select any shape-preserving interior point — the caller asked
+        # for a downsample the algorithm cannot produce
+        raise ValueError(f"lttb_downsample: n_out must be >= 3, got {n_out}")
+
+    in_fields = {f.name: f for f in readings.schema.fields}
+    out_schema = StructType(
+        [
+            StructField(key_col, in_fields[key_col].dataType),
+            StructField(ts_col, in_fields[ts_col].dataType),
+            StructField(value_col, in_fields[value_col].dataType),
+            StructField("pt_rank", IntegerType()),
+        ]
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
@@ -808,7 +825,7 @@ def lttb_downsample(
         )
 
     return (
-        readings.select(F.col(key_col).cast("string"), ts_col, value_col)
+        readings.select(key_col, ts_col, value_col)
         .groupBy(key_col)
         .applyInPandas(kernel, out_schema)
     )

@@ -3767,6 +3767,57 @@ def winnow_overlap_pairs(spark, sf_dir):
 
 
 @q(
+    "dedup_substring_spans",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), tl AS (
+  SELECT doc_id, toks FROM t WHERE len(toks) >= 8
+), g AS (
+  SELECT doc_id, CAST(u.p - 1 AS BIGINT) AS pos,
+         md5(array_to_string(toks[u.p:u.p+7], ' ')) AS gh
+  FROM tl, unnest(generate_series(1, len(toks) - 7)) u(p)
+), d AS (
+  SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2
+), hit AS (
+  SELECT g.doc_id, g.pos FROM g JOIN d USING (gh)
+), isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                  THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM hit
+), s AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+  FROM isl GROUP BY doc_id, island
+)
+SELECT s.doc_id, s.span_start, s.span_end,
+       s.span_end - s.span_start + 1 AS n_tokens,
+       md5(array_to_string(
+         tl.toks[CAST(s.span_start + 1 AS INTEGER):CAST(s.span_end + 1 AS INTEGER)], ' '
+       )) AS dup_group
+FROM s JOIN tl USING (doc_id)
+""",
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Exact-substring dedup EXCISE RANGES (Lee et al. 2022
+    ExactSubstr): per doc, the maximal token spans covered by an
+    >= 8-token substring occurring more than once in the corpus — the
+    ranges the training pipeline cuts out, where winnow_overlap_pairs
+    only names the sharing pairs. Suffix-array-free decomposition: a
+    token is excised iff a duplicated 8-gram covers it, so dup-marked
+    gram positions interval-union into the paper's exact spans (one
+    gaps-and-islands window per doc). min_tokens=8 here — the
+    corpus-scale default is the paper's 50; every stage is linear in
+    corpus tokens (no pair blowup anywhere). dup_group = md5 of the
+    span text, so byte-identical excised passages share an id
+    corpus-wide."""
+    return text.substring_dup_spans(load(spark, sf_dir, "documents"), min_tokens=8)
+
+
+@q(
     "dq_expectations_report",
     oracle=f"""
 {_READINGS_CTE},

@@ -40,6 +40,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..llm.similarity import (
     _auto_train_k,
+    _resolve_quantizer,
     ivfpq_topk_batch,
     knn_join_ivf,
     load_ivf_quantizer,
@@ -83,12 +84,12 @@ def run_ann_serving_stream(
     checkpoint_path: str,
     k: int = 10,
     nprobe: int = 4,
-    stride: int = 31,
+    stride: int | None = None,
     corpus_table: DataFrame | None = None,
     available_now: bool = True,
     codebook=None,
     codebook_fingerprint: str | None = None,
-    quantizer: str = "trained",
+    quantizer: str | None = None,
     train_k: int | None = None,
 ) -> StreamingQuery:
     """Score each micro-batch of query vectors against the corpus and
@@ -117,12 +118,15 @@ def run_ann_serving_stream(
             "f'{table}_quantizer') and pass codebook + codebook_fingerprint"
         )
     if codebook is None:
+        # an explicit stride implies the sample quantizer; stride with
+        # quantizer="trained" raises (never silently ignored)
+        quantizer, stride = _resolve_quantizer(
+            "run_ann_serving_stream", quantizer, stride
+        )
         if quantizer == "trained":
             codebook = trained_codebook(
                 corpus, k=train_k if train_k is not None else _auto_train_k(corpus)
             )
-        elif quantizer != "stride":
-            raise ValueError(f"run_ann_serving_stream: unknown quantizer {quantizer!r}")
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):

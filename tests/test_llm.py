@@ -343,6 +343,55 @@ def test_knn_join_ivf_recall_vs_brute(spark):
     assert sum(recalls) / len(recalls) >= 0.8
 
 
+def test_quantizer_stride_trained_conflict_raises(spark):
+    """An explicit stride= with quantizer='trained' must raise, not be
+    silently ignored (r7 ADVICE: callers got a different index than
+    they asked for with no signal); stride= alone implies the sample
+    quantizer — list_ids are then vec_id multiples, not 0..k-1."""
+    import pytest
+
+    rows = [(v, [float(v % 3 == i) for i in range(4)]) for v in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb = emb.withColumn("label", F.lit(0))
+    with pytest.raises(ValueError, match="stride"):
+        similarity.knn_join_ivf(emb, k=2, stride=7, quantizer="trained")
+    with pytest.raises(ValueError, match="stride"):
+        similarity.ivf_corpus_table(emb, "conflict_tbl", stride=7, quantizer="trained")
+    with pytest.raises(ValueError, match="stride"):
+        similarity.ivfpq_corpus_table(emb, "conflict_tbl", stride=7, quantizer="trained")
+    # stride alone -> the sample quantizer: probing every list must
+    # reproduce the stride-sample seeds (vec_id multiples of 10)
+    out = similarity.knn_join_ivf(emb, k=2, nprobe=3, stride=10)
+    assert out.count() == 60  # 30 queries x k=2 — the sample path ran
+
+
+def test_ivfpq_corpus_table_default_coarse_is_trained(spark):
+    """ADVICE r7 #2: the compressed serving tier's coarse quantizer now
+    follows the same trained/auto-k default as every other ANN surface
+    — the persisted _coarse sidecar holds 0..k-1 k-means list_ids, not
+    stride-sample vec_id multiples."""
+    emb = _planted_clusters_emb(spark)
+    tbl = "ivfpq_trained_default_pytest"
+    try:
+        similarity.ivfpq_corpus_table(emb, tbl, m=4, pq_k=8, n_iter=4)
+        cids, ccode, _fp = similarity.load_ivf_quantizer(spark, f"{tbl}_coarse")
+        # auto-k on a 14-vector corpus -> 1 trained list (39 pts/list
+        # floor), ids contiguous from 0 — impossible for a stride
+        # sample, whose ids are {0, 5, 10} here
+        assert list(cids) == list(range(len(cids)))
+        # and the layout still serves: batch ADC finds each query's
+        # own planted cluster at rank 1
+        cb = similarity.load_pq_codebook(spark, tbl)
+        out = similarity.ivfpq_topk_batch(
+            emb.select("vec_id", "embedding"), spark.table(tbl), cb,
+            (cids, ccode), k=3, nprobe=max(1, len(cids)),
+        ).collect()
+        assert {r["q_id"] for r in out} == set(range(14))
+    finally:
+        for t in (tbl, f"{tbl}_codebook", f"{tbl}_coarse"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_winnow_fingerprints_shared_passages(docs):
     fps = text.winnow_fingerprints(docs, k=4, w=5)
     by_doc = {r["doc_id"]: set() for r in fps.collect()}

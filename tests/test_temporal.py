@@ -469,3 +469,21 @@ def test_lttb_downsample_preserves_shape_points(spark):
     assert [r["value"] for r in b] == [0.0, 1.0, 2.0, 3.0, 4.0]
     again = sorted(map(tuple, temporal.lttb_downsample(df, n_out=40).collect()))
     assert again == sorted(map(tuple, out))
+
+
+def test_lttb_downsample_preserves_key_dtype_and_validates_n_out(spark):
+    """r7 ADVICE: the key column keeps its INPUT dtype (the r7 version
+    hard-cast it to string, silently rewriting long keys), and
+    n_out < 3 raises up front (first/last are pinned, so 2 points
+    cannot be a shape-preserving downsample)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = [(7, base + timedelta(minutes=i), float(i % 9)) for i in range(50)]
+    df = spark.createDataFrame(rows, "device_id long, ts timestamp, value double")
+    out = temporal.lttb_downsample(df, n_out=10)
+    assert dict(out.dtypes)["device_id"] == "bigint"
+    got = out.collect()
+    assert len(got) == 10 and all(r["device_id"] == 7 for r in got)
+    with pytest.raises(ValueError, match="n_out"):
+        temporal.lttb_downsample(df, n_out=2)
