@@ -223,7 +223,7 @@ def main() -> None:
     # FIRST; everything a reader needs without re-running — suite
     # total, sentinel seconds, worst-5 normalized, both regression
     # tables — goes LAST so it always survives the truncation window.
-    vs = _vs_prev(normalized)
+    vs = _vs_prev(normalized, sf_val)
     vs_full = vs.get("vs_prev", {})
     worst5 = dict(
         sorted(normalized.items(), key=lambda kv: kv[1], reverse=True)[:5]
@@ -258,25 +258,35 @@ def main() -> None:
 
 def _norm_pairs_from_tail(tail: str) -> dict[str, float]:
     """Recover queries_norm pairs from the driver's truncated bench
-    tail. The output line ends `..."queries_norm": {...}, "sf": ...,
-    "runs": N}`, and the recorded tail usually begins INSIDE the
-    queries_norm object — so take everything before the `}, "sf"`
-    closer, cut to after the last `{` if one survived, drop the first
-    (possibly half-truncated) pair, and parse the rest. Best-effort by
-    construction: the result is only used for the round-over-round
-    drift table, never for the primary metrics."""
+    tail. Anchored on the literal `"queries_norm": {` key: if the
+    truncation window cut that key away, BAIL with {} rather than
+    guess — under the r8+ layout a left-truncated tail ends with the
+    vs_prev ratio tables, and the old rindex('{') heuristic would
+    mis-parse a regression table as queries_norm and poison the drift
+    ratios. Best-effort by construction: the result is only used for
+    the round-over-round drift table, never for the primary metrics."""
     import re
 
-    seg = tail.split('}, "sf"')[0]
-    if "{" in seg:
-        seg = seg[seg.rindex("{") + 1:]
+    key = '"queries_norm": {'
+    idx = tail.find(key)
+    if idx < 0:
+        return {}
+    seg = tail[idx + len(key):].split("}", 1)[0]
     pairs = re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', seg)
-    if pairs and not seg.lstrip().startswith('"'):
-        pairs = pairs[1:]  # first pair may have lost its key prefix
     return {k: float(v) for k, v in pairs}
 
 
-def _vs_prev(normalized: dict[str, float]) -> dict:
+def _tail_sf(tail: str):
+    """Scale factor recorded in a truncated driver tail (the compact
+    summary keys sit LAST in the artifact contract, so `"sf"` survives
+    truncation whenever anything does). None when unparseable."""
+    import re
+
+    m = re.search(r'"sf": ([0-9.]+)', tail)
+    return float(m.group(1)) if m else None
+
+
+def _vs_prev(normalized: dict[str, float], sf_val) -> dict:
     """Round-over-round drift gate on the SENTINEL-NORMALIZED medians
     (the only cross-round-comparable number on this host — absolute
     totals swing ±30% with host load): against the newest BENCH_r*.json
@@ -311,20 +321,31 @@ def _vs_prev(normalized: dict[str, float]) -> dict:
         # is unwrapped
         if isinstance(prev.get("parsed"), dict):
             prev = prev["parsed"]
+        # SF GATE (r8 judge: a sf0.1 pass ratio'd against a sf0.001
+        # BENCH_LOCAL archive produced 21 phantom ">1.3x regressions" —
+        # just superlinear queries at 100x the data). A baseline whose
+        # scale factor differs from this run's is NOT a baseline.
         prev_norm = prev.get("queries_norm")
-        if not prev_norm and isinstance(prev.get("tail"), str):
-            prev_norm = _norm_pairs_from_tail(prev["tail"])
+        if prev_norm is not None and prev.get("sf") != sf_val:
+            prev_norm = None
         if not prev_norm:
             # r8+ layout: the driver tail keeps only the compact
             # summary; the full per-query document self-archives to
-            # BENCH_LOCAL.json on every bench run — use the most
-            # recent full local pass as the drift baseline (same
-            # methodology, best-effort metadata either way)
+            # BENCH_LOCAL.json on every bench run — prefer the most
+            # recent sf-MATCHED full local pass over tail-scraping
             local = os.path.join(here, "BENCH_LOCAL.json")
             if os.path.exists(local):
                 with open(local) as f:
-                    prev_norm = json.load(f).get("queries_norm")
-                path = local
+                    loc = json.load(f)
+                if loc.get("sf") == sf_val and loc.get("queries_norm"):
+                    prev_norm = loc["queries_norm"]
+                    path = local
+        if not prev_norm and isinstance(prev.get("tail"), str):
+            # last resort: scrape the truncated driver tail — only if
+            # its recorded sf matches this run's
+            if _tail_sf(prev["tail"]) == sf_val:
+                prev_norm = _norm_pairs_from_tail(prev["tail"])
+                path = prior[-1]
         if not prev_norm:
             return {}
         ratios = {

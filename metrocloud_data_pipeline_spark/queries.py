@@ -3783,12 +3783,15 @@ WITH t AS (
   SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2
 ), hit AS (
   SELECT g.doc_id, g.pos FROM g JOIN d USING (gh)
+), lagged AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
+  FROM hit
 ), isl AS (
   SELECT doc_id, pos,
-         sum(CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
-                  THEN 0 ELSE 1 END)
+         sum(CASE WHEN pos - prev_pos <= 8 THEN 0 ELSE 1 END)
            OVER (PARTITION BY doc_id ORDER BY pos) AS island
-  FROM hit
+  FROM lagged
 ), s AS (
   SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
   FROM isl GROUP BY doc_id, island
@@ -4446,91 +4449,82 @@ def kmeans_embed_clusters(spark, sf_dir):
 
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (historically the first
-# 50 of the registry). Round-6 rotation: EVERY query that has never
-# earned a driver CORRECTNESS row fills the window first — the 31
-# registered-but-unchecked from r5's overflow plus the 12 queries new
-# in r6 (w8 gapfill, dq approx profiler, f6b indexed lookup, a19 TWA,
-# a20 counter, seq_pack_ranges, corpus_budget_select, bigram_surprisal,
-# w9 transitions, w10 M4, embed_pq_stats; 43 of the 50 oracle-backed,
-# rows-only-by-design grouped after them so the hash gate covers the
-# maximum). The remaining slots refresh the oldest r4-green queries
-# (two-round freshness invariant); the REST of the r4 cohort queues
-# immediately below the cutoff as the r7 window — rotate it in next
-# round — and the r5-green block (fresh through r7) fills the tail.
+# 50 of the registry). Round-9 rotation (freshness invariant): the
+# window is NEVER-CHECKED queries first (dedup_substring_spans, whose
+# missing list entry broke the r8 registry), then STALEST-FIRST by the
+# last driver CORRECTNESS round each query earned a row in — the six
+# r3 rows, the one r4 row, then the oldest r5 rows up to the 50-query
+# cutoff. New queries registered this round are inserted at the head
+# (never-checked beats stale-refresh, the r6 precedent). The queue
+# below the cutoff continues stalest-first: the remaining r5 rows (the
+# r10 window head), then the r6-green block, then the r7-green block
+# (freshest last).
 QUERY_ORDER = [
-    # --- r7 window (first 50 = driver-checked this round) ---
-    # new this round, never checked (w8b/f6c/a13b/rag_chunk/dsir/
-    # a21/a22 oracle-backed; ivfpq/bpe x2/lttb/quality_lr rows-only
-    # by design):
-    "w8b_gapfill_interpolate",
-    "f6c_tags_lookup_indexed",
-    "a13b_cascade_incremental",
-    "knn_join_ivfpq",
-    "rag_chunk_documents",
-    "bpe_train_merges",
-    "a21_value_histogram",
-    "a22_trend_slope",
-    "bpe_segment_stats",
-    "w11_lttb_downsample",
-    # stale rotation: queries whose last driver row is r4 or older
-    # (oldest-first; 7 stale entries wait in the r8 queue head —
-    # never-checked beats stale-refresh, the r6 precedent; the
-    # demoted seven all hold green r3/r4 rows):
-    "f1_recent_readings",
-    "h10_returned_items",
-    "h13_customer_distribution",
-    "h14_promo_revenue",
-    "h15_top_supplier",
-    "h16_supplier_part_counts",
-    "q1_latest_readings",
-    "a3_daily_aggregates",
-    "w1_gap_detection",
-    "text_token_stats",
-    "lang_source_stats",
-    "embedding_label_stats",
-    "f3_anomalous_readings",
-    "f4_between_range",
-    "f6_metadata_lookup",
-    "q2_export_device_range",
-    "a5_timeseries_15min",
-    "a7_type_distribution",
-    "a10_realtime_monitor",
-    "w2_moving_average",
-    "obs_throughput_5min",
-    "obs_anomaly_rate_hourly",
-    "a12_type_dow_cube",
-    "w3_rate_of_change",
-    "h3_shipping_priority",
-    "h17_small_qty_revenue",
-    "h19_disc_revenue",
-    "h22_dormant_customers",
-    "h9_nation_profit",
-    "h18_large_customers",
-    "h_brand_revenue",
-    "doc_fingerprint_winnow",
-    "decontaminate_ngram",
-    "text_repetition_stats",
-    "knn_brute_force",
-    "knn_join_brute",
-    "knn_ivf",
-    # ANN default changed to the trained quantizer this round;
-    # plus the two other new r7 curation queries:
-    "knn_join_ivf",
-    "dsir_importance_weights",
-    "quality_lr_score",
-    # --- driver window ends here (first 50) ---
-    # r8 queue: the 7 demoted stale entries first (4 approx/LSH
-    # rows-only + the 3 from the first rotation), then the ANN
-    # rows-only twins (r6-green, counts unchanged by the default
-    # switch), then the r6-green block, then the r5/r7-green
-    # remainder
+    # --- r9 window (first 50 = driver-checked this round) ---
+    # never-checked (the r8 breaker, oracle repaired this round):
+    "dedup_substring_spans",
+    # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
     "knn_lsh",
     "dedup_embed_cosine_lsh",
     "dedup_simhash",
     "seq_pack_summary",
+    # last driver row r4:
     "dedup_keep_list",
+    # last driver row r5 (oldest-first; window cutoff after 50):
+    "tfidf_top_terms",
+    "vocab_coverage",
+    "source_mix_temperature",
+    "quality_quantile_filter",
+    "dedup_cross_corpus",
+    "dedup_incremental_jaccard",
+    "unigram_surprisal",
+    "kmeans_embed_clusters",
+    "pca_variance_report",
+    "h2_min_cost_supplier",
+    "h11_important_parts",
+    "h12_ship_delay_priority",
+    "h20_excess_supply",
+    "embed_dedup_keep_list",
+    "corpus_select_pipeline",
+    "ingest_fanout_pipeline",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
+    "dedup_clusters",
+    "cap_per_source",
+    "iv_error_windows",
+    "obs_alert_firing",
+    "asof_next_error",
+    "f2_type_filter",
+    "dedup_embed_cosine",
+    "media_feature_extract",
+    "media_frame_sample",
+    "media_type_summary",
+    "h21_late_suppliers",
+    "h4_order_priority",
+    "sample_weighted_sources",
+    "text_clean_stats",
+    "quality_filter_report",
+    "pii_scrub_stats",
+    "stratified_split",
+    "asof_last_error",
+    "a11_type_daily_rollup",
+    "t2_pivot_event_values",
+    "f5_integrity_report",
+    "a1_device_summary",
+    "a4_device_stats",
+    # --- driver window ends here (first 50) ---
+    # r10 queue head: the seven r5 rows past the cutoff:
+    "a6_table_stats",
+    "a8_duplicate_report",
+    "a9_daily_quality",
+    "t1_unpivot_measures",
+    "dedup_exact",
+    "text_bpe_token_stats",
+    "text_quality_score",
+    # r6-green block:
     "knn_join_ivf_bucketed",
     "knn_recall_report",
     "obs_hot_keys",
@@ -4581,55 +4575,57 @@ QUERY_ORDER = [
     "h8_market_share",
     "w4_user_sessions",
     "langid_heuristic",
-    "tfidf_top_terms",
-    "vocab_coverage",
-    "source_mix_temperature",
-    "quality_quantile_filter",
-    "dedup_cross_corpus",
-    "dedup_incremental_jaccard",
-    "unigram_surprisal",
-    "kmeans_embed_clusters",
-    "pca_variance_report",
-    "h2_min_cost_supplier",
-    "h11_important_parts",
-    "h12_ship_delay_priority",
-    "h20_excess_supply",
-    "embed_dedup_keep_list",
-    "corpus_select_pipeline",
-    "ingest_fanout_pipeline",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_prefix",
-    "dedup_clusters",
-    "cap_per_source",
-    "iv_error_windows",
-    "obs_alert_firing",
-    "asof_next_error",
-    "f2_type_filter",
-    "dedup_embed_cosine",
-    "media_feature_extract",
-    "media_frame_sample",
-    "media_type_summary",
-    "h21_late_suppliers",
-    "h4_order_priority",
-    "sample_weighted_sources",
-    "text_clean_stats",
-    "quality_filter_report",
-    "pii_scrub_stats",
-    "stratified_split",
-    "asof_last_error",
-    "a11_type_daily_rollup",
-    "t2_pivot_event_values",
-    "f5_integrity_report",
-    "a1_device_summary",
-    "a4_device_stats",
-    "a6_table_stats",
-    "a8_duplicate_report",
-    "a9_daily_quality",
-    "t1_unpivot_measures",
-    "dedup_exact",
-    "text_bpe_token_stats",
-    "text_quality_score",
+    # r7-green block (freshest):
+    "w8b_gapfill_interpolate",
+    "f6c_tags_lookup_indexed",
+    "a13b_cascade_incremental",
+    "knn_join_ivfpq",
+    "rag_chunk_documents",
+    "bpe_train_merges",
+    "a21_value_histogram",
+    "a22_trend_slope",
+    "bpe_segment_stats",
+    "w11_lttb_downsample",
+    "f1_recent_readings",
+    "h10_returned_items",
+    "h13_customer_distribution",
+    "h14_promo_revenue",
+    "h15_top_supplier",
+    "h16_supplier_part_counts",
+    "q1_latest_readings",
+    "a3_daily_aggregates",
+    "w1_gap_detection",
+    "text_token_stats",
+    "lang_source_stats",
+    "embedding_label_stats",
+    "f3_anomalous_readings",
+    "f4_between_range",
+    "f6_metadata_lookup",
+    "q2_export_device_range",
+    "a5_timeseries_15min",
+    "a7_type_distribution",
+    "a10_realtime_monitor",
+    "w2_moving_average",
+    "obs_throughput_5min",
+    "obs_anomaly_rate_hourly",
+    "a12_type_dow_cube",
+    "w3_rate_of_change",
+    "h3_shipping_priority",
+    "h17_small_qty_revenue",
+    "h19_disc_revenue",
+    "h22_dormant_customers",
+    "h9_nation_profit",
+    "h18_large_customers",
+    "h_brand_revenue",
+    "doc_fingerprint_winnow",
+    "decontaminate_ngram",
+    "text_repetition_stats",
+    "knn_brute_force",
+    "knn_join_brute",
+    "knn_ivf",
+    "knn_join_ivf",
+    "dsir_importance_weights",
+    "quality_lr_score",
 ]
 
 

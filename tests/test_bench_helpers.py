@@ -1,0 +1,84 @@
+"""Unit tests for bench.py's drift-baseline helpers — no Spark.
+
+The r8 judge found two failure modes here: (1) a left-truncated driver
+tail being mis-parsed (regression tables read as queries_norm), and
+(2) a sf0.1 run ratio'd against a sf0.001 BENCH_LOCAL archive, which
+manufactured 21 phantom regressions. Both are now structural: the tail
+parse is anchored on the literal key and bails when absent, and every
+baseline candidate is gated on an exact scale-factor match.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench  # noqa: E402
+
+
+def test_tail_parse_anchored_on_key():
+    tail = '"queries_norm": {"q1": 1.0, "q2": 2.5}, "sf": 0.1, "runs": 1}'
+    assert bench._norm_pairs_from_tail(tail) == {"q1": 1.0, "q2": 2.5}
+
+
+def test_tail_parse_bails_when_key_truncated_away():
+    # r8+ layout: a hard-truncated tail ends inside the vs_prev ratio
+    # tables — these numbers must NOT be mistaken for queries_norm
+    tail = ('1.02, "w8b": 3.04}, "vs_median_regressions_gt_1_3": '
+            '{"pii": 2.19}, "sf": 0.1, "runs": 1}')
+    assert bench._norm_pairs_from_tail(tail) == {}
+
+
+def test_tail_sf_extraction():
+    assert bench._tail_sf('..., "sf": 0.1, "runs": 1}') == 0.1
+    assert bench._tail_sf("no sf here") is None
+
+
+def _write(tmp_path, name, doc):
+    (tmp_path / name).write_text(json.dumps(doc))
+
+
+def test_vs_prev_skips_sf_mismatched_baseline(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    # newest driver record at a DIFFERENT sf: must be ignored entirely
+    _write(tmp_path, "BENCH_r08.json",
+           {"queries_norm": {"q1": 1.0, "q2": 1.0}, "sf": 0.001})
+    _write(tmp_path, "BENCH_LOCAL.json",
+           {"queries_norm": {"q1": 1.0, "q2": 1.0}, "sf": 0.001})
+    assert bench._vs_prev({"q1": 1.0, "q2": 3.0}, 0.1) == {}
+
+
+def test_vs_prev_uses_sf_matched_driver_record(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    _write(tmp_path, "BENCH_r08.json",
+           {"queries_norm": {"q1": 1.0, "q2": 1.0}, "sf": 0.1})
+    out = bench._vs_prev({"q1": 1.0, "q2": 2.0}, 0.1)["vs_prev"]
+    assert out["baseline"] == "BENCH_r08.json"
+    assert out["norm_ratio"] == {"q1": 1.0, "q2": 2.0}
+
+
+def test_vs_prev_prefers_sf_matched_local_over_tail(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    # driver record is a truncated tail at the right sf, but a full
+    # sf-matched BENCH_LOCAL exists: the local archive wins
+    _write(tmp_path, "BENCH_r08.json",
+           {"tail": '"queries_norm": {"q1": 9.0}, "sf": 0.1, "runs": 1}'})
+    _write(tmp_path, "BENCH_LOCAL.json",
+           {"queries_norm": {"q1": 1.0}, "sf": 0.1})
+    out = bench._vs_prev({"q1": 2.0}, 0.1)["vs_prev"]
+    assert out["baseline"] == "BENCH_LOCAL.json"
+    assert out["norm_ratio"] == {"q1": 2.0}
+
+
+def test_vs_prev_tail_fallback_respects_sf(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    _write(tmp_path, "BENCH_r08.json",
+           {"tail": '"queries_norm": {"q1": 2.0}, "sf": 0.001, "runs": 1}'})
+    assert bench._vs_prev({"q1": 2.0}, 0.1) == {}
+    _write(tmp_path, "BENCH_r09.json",
+           {"tail": '"queries_norm": {"q1": 2.0}, "sf": 0.1, "runs": 1}'})
+    out = bench._vs_prev({"q1": 2.0}, 0.1)["vs_prev"]
+    assert out["norm_ratio"] == {"q1": 1.0}

@@ -1346,3 +1346,88 @@ def test_chunk_documents_rejects_token_losing_parameters(spark):
     for ct, ov in [(10, -2), (0, 0), (-5, 0), (10, 10), (10, 12)]:
         with pytest.raises(ValueError, match="chunk_tokens"):
             text.chunk_documents(docs, chunk_tokens=ct, overlap=ov)
+
+
+# --- exact-substring excise spans (Lee et al. 2022 ExactSubstr) ---
+
+
+def _span_rows(out):
+    return sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"], r["dup_group"])
+        for r in out.collect()
+    )
+
+
+def test_substring_spans_planted_duplicate_passage(spark):
+    passage = " ".join(f"shared{i}" for i in range(6))
+    doc_a = passage + " " + " ".join(f"aword{i}" for i in range(10))
+    doc_b = " ".join(f"bword{i}" for i in range(10)) + " " + passage
+    doc_c = " ".join(f"cword{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b), (2, doc_c)], "doc_id long, text string"
+    )
+    rows = _span_rows(text.substring_dup_spans(docs, min_tokens=4))
+    # exactly the planted passage is excised, at its token offsets:
+    # doc 0 tokens [0,5], doc 1 tokens [10,15]; doc 2 untouched
+    assert [(r[0], r[1], r[2], r[3]) for r in rows] == [(0, 0, 5, 6), (1, 10, 15, 6)]
+    # byte-identical passage -> one corpus-wide dup_group
+    assert rows[0][4] == rows[1][4]
+
+
+def test_substring_spans_doc_shorter_than_L_emits_nothing(spark):
+    # both docs are the same 3-token text, duplicated corpus-wide, but
+    # shorter than min_tokens=4: no qualifying substring can exist
+    docs = spark.createDataFrame(
+        [(0, "tiny dup text"), (1, "tiny dup text")], "doc_id long, text string"
+    )
+    assert text.substring_dup_spans(docs, min_tokens=4).count() == 0
+
+
+def test_substring_spans_self_repeat_within_one_doc(spark):
+    # the paper's definition counts a substring repeated WITHIN a
+    # single document; phrase at token 0 and again at token 5
+    phrase = "rep0 rep1 rep2 rep3"
+    doc = phrase + " onlyonce " + phrase
+    other = " ".join(f"zword{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(0, doc), (1, other)], "doc_id long, text string"
+    )
+    rows = _span_rows(text.substring_dup_spans(docs, min_tokens=4))
+    # gap 5 > L=4 -> two separate spans, one per occurrence
+    assert [(r[0], r[1], r[2], r[3]) for r in rows] == [(0, 0, 3, 4), (0, 5, 8, 4)]
+    # identical phrase text -> same dup_group for both occurrences
+    assert rows[0][4] == rows[1][4]
+
+
+def test_substring_spans_adjacent_islands_merge_at_gap_L(spark):
+    # two duplicated 4-grams at positions 0 and 4 in doc 0: their
+    # covered intervals [0,3] and [4,7] touch, so the union is ONE
+    # maximal span [0,7] (merge condition is gap <= L exactly)
+    g1, g2 = "m0 m1 m2 m3", "n0 n1 n2 n3"
+    doc_a = g1 + " " + g2 + " " + " ".join(f"atail{i}" for i in range(6))
+    # doc B repeats g1 and g2 far apart so each gram is corpus-dup but
+    # B's own islands stay separate (gap 9 > 4)
+    doc_b = g1 + " " + " ".join(f"bmid{i}" for i in range(5)) + " " + g2
+    docs = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b)], "doc_id long, text string"
+    )
+    rows = _span_rows(text.substring_dup_spans(docs, min_tokens=4))
+    got = [(r[0], r[1], r[2], r[3]) for r in rows]
+    assert (0, 0, 7, 8) in got  # merged maximal span in doc A
+    assert (1, 0, 3, 4) in got and (1, 9, 12, 4) in got  # B stays split
+    assert len(got) == 3
+
+
+def test_substring_spans_unique_corpus_emits_nothing(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"u{i}w{j}" for j in range(12))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    assert text.substring_dup_spans(docs, min_tokens=4).count() == 0
+
+
+def test_substring_spans_min_tokens_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        text.substring_dup_spans(None, min_tokens=1)
