@@ -307,6 +307,21 @@ def _resolve_quantizer(fn: str, quantizer: str | None, stride: int | None):
     return quantizer, 31 if stride is None else stride
 
 
+def _reject_stride_with_codebook(fn: str, stride, param: str) -> None:
+    """The codebook-path twin of _resolve_quantizer's conflict check
+    (ADVICE r8): an explicit stride= together with a caller-supplied
+    codebook used to be SILENTLY ignored — the caller got a different
+    index than asked for, with no signal. The supplied codebook IS the
+    coarse quantizer, so the stride sample it names cannot apply."""
+    if stride is not None:
+        raise ValueError(
+            f"{fn}: stride={stride} was passed together with an explicit "
+            f"{param}= — the supplied {param} IS the coarse quantizer, so "
+            "the training-free sample stride names would be silently "
+            "ignored; drop one of the two"
+        )
+
+
 def quantizer_fingerprint(ids, code) -> str:
     """Deterministic fingerprint of a coarse quantizer — sha256 over the
     exact int64 list_ids + float64 centroid bytes. Persisted with every
@@ -520,6 +535,15 @@ def ivf_corpus_table(
     list_ids returns silently wrong neighbors)."""
     from ..operators.maintenance import _fs_delete, write_bucketed
 
+    # validate EVERY argument before touching the existing index
+    # (ADVICE r8: validation used to run AFTER the drop loop, so the
+    # rejected call this check exists for destroyed a previously
+    # persisted serving index and THEN raised, leaving nothing behind)
+    if codebook is not None:
+        _reject_stride_with_codebook("ivf_corpus_table", stride, "codebook")
+    else:
+        quantizer, stride = _resolve_quantizer("ivf_corpus_table", quantizer, stride)
+
     # a previous session may have left the managed location behind
     # without a catalog entry (saveAsTable then refuses the name even
     # in overwrite mode) — drop both the entry and any orphan dir
@@ -530,7 +554,6 @@ def ivf_corpus_table(
         _fs_delete(f"{wh.rstrip('/')}/{t.lower()}")
 
     if codebook is None:
-        quantizer, stride = _resolve_quantizer("ivf_corpus_table", quantizer, stride)
         if quantizer == "trained":
             codebook = trained_codebook(
                 embeddings,
@@ -620,6 +643,8 @@ def knn_join_ivf(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.window import Window
 
+    if codebook is not None:
+        _reject_stride_with_codebook("knn_join_ivf", stride, "codebook")
     if listed is not None:
         if codebook is None:
             raise ValueError(
@@ -1547,6 +1572,8 @@ def ivfpq_topk(
     planted-cluster behavior pytest-gated, same contract as knn_ivf."""
     import numpy as np
 
+    if coarse is not None:
+        _reject_stride_with_codebook("ivfpq_topk", stride, "coarse")
     q = np.asarray(query_vec, dtype=np.float64)
     if codebooks is None:
         codebooks = pq_fit(embeddings, m=m, k=pq_k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)[0]
@@ -1664,19 +1691,26 @@ def ivfpq_corpus_table(
     from ..operators.maintenance import _fs_delete, write_bucketed
 
     spark = embeddings.sparkSession
+    # the COARSE quantizer follows the same default as every other ANN
+    # surface since r7: k-means TRAINED, auto-k (PROBE_r06/r07 — the
+    # stride sample's recall collapses with corpus size on clustered
+    # data). stride= alone implies quantizer="stride"; stride= with
+    # quantizer="trained" raises (_resolve_quantizer). All argument
+    # validation runs BEFORE the destructive drop of a previous index
+    # (ADVICE r8: a rejected call used to delete the persisted tables
+    # and THEN raise).
+    if coarse_codebook is not None:
+        _reject_stride_with_codebook("ivfpq_corpus_table", stride, "coarse_codebook")
+    else:
+        cq, stride = _resolve_quantizer("ivfpq_corpus_table", quantizer, stride)
+
     for t in (table_name, f"{table_name}_codebook", f"{table_name}_coarse"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         wh = spark.conf.get("spark.sql.warehouse.dir")
         _fs_delete(f"{wh.rstrip('/')}/{t.lower()}")
 
     cb, _ = pq_fit(embeddings, m=m, k=pq_k, n_iter=n_iter)
-    # the COARSE quantizer follows the same default as every other ANN
-    # surface since r7: k-means TRAINED, auto-k (PROBE_r06/r07 — the
-    # stride sample's recall collapses with corpus size on clustered
-    # data). stride= alone implies quantizer="stride"; stride= with
-    # quantizer="trained" raises (_resolve_quantizer).
     if coarse_codebook is None:
-        cq, stride = _resolve_quantizer("ivfpq_corpus_table", quantizer, stride)
         if cq == "trained":
             coarse_codebook = trained_codebook(
                 embeddings,

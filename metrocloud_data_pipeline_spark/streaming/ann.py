@@ -40,6 +40,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..llm.similarity import (
     _auto_train_k,
+    _reject_stride_with_codebook,
     _resolve_quantizer,
     ivfpq_topk_batch,
     knn_join_ivf,
@@ -107,6 +108,11 @@ def run_ann_serving_stream(
     join exchange-free — its persisted quantizer is REQUIRED alongside:
     codebook, codebook_fingerprint = the (ids, code) and fp from
     load_ivf_quantizer(spark, f"{table}_quantizer")."""
+    if codebook is not None:
+        # refuse at stream START: the same stride-vs-codebook conflict
+        # knn_join_ivf raises on would otherwise kill the stream inside
+        # its first micro-batch
+        _reject_stride_with_codebook("run_ann_serving_stream", stride, "codebook")
     if corpus_table is not None and (codebook is None or codebook_fingerprint is None):
         # refuse at stream START (not inside the first micro-batch,
         # where the same knn_join_ivf guard would kill the stream
@@ -127,6 +133,10 @@ def run_ann_serving_stream(
             codebook = trained_codebook(
                 corpus, k=train_k if train_k is not None else _auto_train_k(corpus)
             )
+            # the trained codebook IS the quantizer now — the
+            # resolver's default stride fill (31) must not reach
+            # knn_join_ivf's stride-vs-codebook conflict guard
+            stride = None
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):

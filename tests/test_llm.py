@@ -1202,8 +1202,10 @@ def test_ivfpq_corpus_table_serves_identically(spark):
     # the coarse quantizer reloads from the fingerprinted sidecar the
     # build persisted — never re-derived from the live embeddings frame
     cids, ccode, _fp = similarity.load_ivf_quantizer(spark, f"{tbl}_coarse")
+    # NOTE no stride= here: the reloaded coarse quantizer IS the
+    # quantizer — passing a stride alongside it now raises (ADVICE r8)
     served = similarity.ivfpq_topk(
-        emb, qvec, k=4, nprobe=3, stride=5,
+        emb, qvec, k=4, nprobe=3,
         codes=spark.table(tbl), codebooks=cb2, coarse=(cids, ccode),
     ).collect()
     in_mem = similarity.ivfpq_topk(
@@ -1431,3 +1433,58 @@ def test_substring_spans_min_tokens_validation():
 
     with _pytest.raises(ValueError):
         text.substring_dup_spans(None, min_tokens=1)
+
+
+def test_stride_with_explicit_codebook_raises(spark):
+    """ADVICE r8: stride= alongside a caller-supplied codebook/coarse
+    used to be SILENTLY ignored on the codebook path — the same
+    caller-gets-a-different-index-than-asked bug the trained-path
+    guard closed. All four surfaces must raise."""
+    import pytest
+
+    rows = [(v, [float(v % 3 == i) for i in range(4)]) for v in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb = emb.withColumn("label", F.lit(0))
+    cbk = similarity.trained_codebook(emb, k=3, n_iter=2)
+    with pytest.raises(ValueError, match="stride"):
+        similarity.knn_join_ivf(emb, k=2, stride=7, codebook=cbk)
+    with pytest.raises(ValueError, match="stride"):
+        similarity.ivf_corpus_table(emb, "conflict_tbl2", stride=7, codebook=cbk)
+    with pytest.raises(ValueError, match="stride"):
+        similarity.ivfpq_corpus_table(
+            emb, "conflict_tbl2", stride=7, coarse_codebook=cbk
+        )
+    with pytest.raises(ValueError, match="stride"):
+        similarity.ivfpq_topk(
+            emb, [1.0, 0.0, 0.0, 0.0], k=2, stride=7, coarse=cbk
+        )
+
+
+def test_rejected_corpus_build_preserves_existing_index(spark):
+    """ADVICE r8 (medium): argument validation must run BEFORE the
+    builders drop the existing table + quantizer sidecar — a rejected
+    rebuild used to destroy the persisted serving index and THEN
+    raise, leaving nothing behind."""
+    import pytest
+
+    rows = [(v, [float(v % 3 == i) for i in range(4)]) for v in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb = emb.withColumn("label", F.lit(0))
+
+    tbl = "preserve_ivf_tbl"
+    similarity.ivf_corpus_table(emb, tbl, num_buckets=2)
+    n_before = spark.table(tbl).count()
+    fp_before = similarity.load_ivf_quantizer(spark, f"{tbl}_quantizer")[2]
+    with pytest.raises(ValueError, match="stride"):
+        similarity.ivf_corpus_table(emb, tbl, stride=7, quantizer="trained")
+    assert spark.table(tbl).count() == n_before
+    assert similarity.load_ivf_quantizer(spark, f"{tbl}_quantizer")[2] == fp_before
+
+    tbl2 = "preserve_ivfpq_tbl"
+    similarity.ivfpq_corpus_table(emb, tbl2, m=4, pq_k=8, n_iter=2, num_buckets=2)
+    n2_before = spark.table(tbl2).count()
+    fp2_before = similarity.load_ivf_quantizer(spark, f"{tbl2}_coarse")[2]
+    with pytest.raises(ValueError, match="stride"):
+        similarity.ivfpq_corpus_table(emb, tbl2, stride=7, quantizer="trained")
+    assert spark.table(tbl2).count() == n2_before
+    assert similarity.load_ivf_quantizer(spark, f"{tbl2}_coarse")[2] == fp2_before
