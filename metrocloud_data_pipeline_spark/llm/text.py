@@ -701,6 +701,72 @@ def bpe_train_merges(
     return merges, state
 
 
+def bpe_fingerprint(merges) -> str:
+    """Deterministic fingerprint of a trained BPE merge list — sha256
+    over the exact (rank, left, right, pair_count) sequence, field- and
+    record-delimited so no two distinct lists collide by concatenation.
+    The tokenizer is part of the dataset contract: retokenizing a
+    corpus with merges that differ from the ones its token counts were
+    computed with silently skews every downstream length/packing
+    decision, so persistence carries this fingerprint and reload
+    re-verifies it (the quantizer_fingerprint pattern from the ANN
+    index, similarity.py)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for rank, left, right, n in merges:
+        h.update(f"{rank}\x1f{left}\x1f{right}\x1f{n}\x1e".encode("utf-8"))
+    return h.hexdigest()
+
+
+def persist_bpe_merges(spark, table_name: str, merges) -> str:
+    """Write trained BPE merges (bpe_train_merges output) as a tiny
+    catalog table (rank, left, right, pair_count, fp) — train once at
+    corpus build, encode forever: the merge list is part of the corpus
+    artifact, not a per-session value. Strings and int64 round-trip
+    parquet exactly, so the fingerprint re-verifies bit-for-bit on
+    reload. Returns the fingerprint."""
+    if not merges:
+        raise ValueError(
+            "persist_bpe_merges: refusing to persist an empty merge list — "
+            "training stopped before its first merge (min_count never "
+            "reached); an empty tokenizer table could not be re-verified"
+        )
+    from ..operators.maintenance import _fs_delete
+
+    fp = bpe_fingerprint(merges)
+    rows = [(int(r), left, right, int(n), fp) for r, left, right, n in merges]
+    # a previous session may have left the managed location behind
+    # without a catalog entry (saveAsTable then refuses the name even
+    # in overwrite mode) — drop both the entry and any orphan dir
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    _fs_delete(f"{wh.rstrip('/')}/{table_name.lower()}")
+    spark.createDataFrame(
+        rows, "rank int, left string, right string, pair_count long, fp string"
+    ).write.mode("overwrite").saveAsTable(table_name)
+    return fp
+
+
+def load_bpe_merges(spark, table_name: str):
+    """Rehydrate a persisted BPE merge table. Returns (merges, fp) with
+    the fingerprint re-verified against the reloaded rows — a mismatch
+    (hand-edited table, partial write, wrong table) raises instead of
+    silently encoding with a different tokenizer. The merges list is
+    bpe_train_merges-shaped, so it feeds bpe_segment_stats directly."""
+    rows = spark.table(table_name).orderBy("rank").collect()
+    if not rows:
+        raise ValueError(f"load_bpe_merges: {table_name} is empty")
+    merges = [(int(r["rank"]), r["left"], r["right"], int(r["pair_count"])) for r in rows]
+    fp = rows[0]["fp"]
+    if bpe_fingerprint(merges) != fp:
+        raise ValueError(
+            f"load_bpe_merges: {table_name} is corrupt — stored fingerprint "
+            "does not match the reloaded merge rows"
+        )
+    return merges, fp
+
+
 def bpe_segment_stats(docs: DataFrame, merges) -> DataFrame:
     """Apply trained BPE merges (bpe_train_merges output) to a document
     frame — the encode side of the tokenizer: per DISTINCT word the

@@ -1488,3 +1488,50 @@ def test_rejected_corpus_build_preserves_existing_index(spark):
         similarity.ivfpq_corpus_table(emb, tbl2, stride=7, quantizer="trained")
     assert spark.table(tbl2).count() == n2_before
     assert similarity.load_ivf_quantizer(spark, f"{tbl2}_coarse")[2] == fp2_before
+
+
+def test_bpe_merges_persist_reload_roundtrip(spark):
+    """Train once, persist, reload in a 'later session': the reloaded
+    merges must encode byte-identically to the in-memory list, and the
+    fingerprint must re-verify on load (the tokenizer is part of the
+    dataset contract)."""
+    rows = [(i, "low lower lowest low low newer newest new") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, _ = text.bpe_train_merges(docs, n_merges=8)
+    assert merges  # the fixture trains at least one merge
+
+    tbl = "bpe_merges_pytest"
+    fp = text.persist_bpe_merges(spark, tbl, merges)
+    loaded, fp2 = text.load_bpe_merges(spark, tbl)
+    assert loaded == [(int(r), l, rt, int(n)) for r, l, rt, n in merges]
+    assert fp2 == fp == text.bpe_fingerprint(merges)
+
+    in_mem = sorted(map(tuple, text.bpe_segment_stats(docs, merges).collect()))
+    reloaded = sorted(map(tuple, text.bpe_segment_stats(docs, loaded).collect()))
+    assert in_mem == reloaded
+
+
+def test_bpe_merges_fingerprint_mismatch_raises(spark):
+    rows = [(0, "aa aa aa ab ab")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, _ = text.bpe_train_merges(docs, n_merges=4, min_count=2)
+    tbl = "bpe_merges_corrupt_pytest"
+    text.persist_bpe_merges(spark, tbl, merges)
+    # tamper with one merge row, keeping the stored fingerprint
+    from metrocloud_data_pipeline_spark.operators.maintenance import _fs_delete
+
+    bad = spark.table(tbl).withColumn("right", F.lit("ZZZ"))
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_bad")
+    _fs_delete(f"{spark.conf.get('spark.sql.warehouse.dir').rstrip('/')}/{tbl}_bad")
+    bad.write.mode("overwrite").saveAsTable(f"{tbl}_bad")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fingerprint"):
+        text.load_bpe_merges(spark, f"{tbl}_bad")
+
+
+def test_bpe_persist_rejects_empty_and_load_rejects_missing_rows(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        text.persist_bpe_merges(spark, "bpe_never_written", [])
