@@ -192,6 +192,40 @@ def dsir_importance_weights(
     return dsir_score_rows(rows, lm_token_counts(rows), alpha=alpha)
 
 
+def dsir_importance_weights_hashed(
+    docs: DataFrame,
+    target,
+    alpha: float = 0.5,
+    hash_bits: int = 18,
+    materialize: bool = True,
+) -> DataFrame:
+    """DSIR importance weights over HASHED n-gram features — the form
+    Xie et al. 2023 actually run at scale: each token maps to
+    pmod(xxhash64(token), 2^hash_bits), so the LM state is BOUNDED at
+    2^hash_bits rows regardless of corpus vocabulary (at 100 TB the
+    exact form's (token, c_raw, c_tgt) frame grows with the open
+    vocabulary; the hashed form is a fixed-width array that fits
+    broadcast/serving budgets). The plan is IDENTICAL to
+    dsir_importance_weights — one tokenization pass, one conditional-
+    count groupBy, one scoring rejoin — only the join key narrows from
+    string to long, which also shrinks the shuffle. Collisions blur
+    the LM slightly (two tokens share a bucket's counts); the
+    exact-vs-hashed rank correlation is pytest-gated >= 0.95 at
+    hash_bits=18, and rows-only at the driver (the bucket ids are
+    hash-dependent, not SQL-reproducible).
+
+    Returns (doc_id, n_tokens, bits_per_token), same contract as the
+    exact form."""
+    rows = lm_token_rows(docs, target).select(
+        "doc_id",
+        "is_target",
+        F.pmod(F.xxhash64("token"), F.lit(2 ** int(hash_bits))).alias("token"),
+    )
+    if materialize:
+        rows = rows.localCheckpoint()
+    return dsir_score_rows(rows, lm_token_counts(rows), alpha=alpha)
+
+
 def lm_token_rows(docs: DataFrame, target) -> DataFrame:
     """(doc_id, is_target, token) occurrence rows over whitespace-
     normalized lowercase text — the single tokenization pass both DSIR

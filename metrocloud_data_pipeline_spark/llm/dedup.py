@@ -43,6 +43,44 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def exact_chunk_dedup(chunks: DataFrame) -> DataFrame:
+    """Chunk-digest dedup for the RAG path: exact duplicate CHUNK
+    groups keyed by md5 of the lowercased chunk text — composed from
+    chunk_documents (llm/text.py), whose windows are already
+    whitespace-normalized. Boilerplate passages (headers, footers,
+    license blocks, quoted snippets) duplicate at chunk granularity
+    long before whole documents do, and an embedding cache that keys
+    on chunk digests skips re-embedding every repeated window — at
+    RAG-corpus scale the chunk table is several times the doc table,
+    so this digest groupBy is the difference between embedding the
+    corpus and embedding its distinct passages.
+
+    Same plan shape as exact_dedup: the shuffle key is the 32-char
+    digest (wide chunk text pruned before the exchange), map-side
+    combine collapses repeats early. The keeper is the lexicographic
+    min (doc_id, chunk_id) pair — one struct-min aggregate, no second
+    pass. Returns (chunk_hash, dup_count, keep_doc_id,
+    keep_chunk_id)."""
+    return (
+        chunks.select(
+            F.md5(F.lower(F.col("chunk_text"))).alias("chunk_hash"),
+            "doc_id",
+            "chunk_id",
+        )
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(F.struct("doc_id", "chunk_id")).alias("_keep"),
+        )
+        .select(
+            "chunk_hash",
+            "dup_count",
+            F.col("_keep.doc_id").alias("keep_doc_id"),
+            F.col("_keep.chunk_id").alias("keep_chunk_id"),
+        )
+    )
+
+
 def shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, shingle-hash) pairs: k-token shingles hashed to 64-bit.
 

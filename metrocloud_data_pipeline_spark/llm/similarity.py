@@ -1865,3 +1865,171 @@ def ivfpq_topk_batch(
         .where(F.col("rank") <= k)
         .select("q_id", "vec_id", "adc_dist2", "rank")
     )
+
+
+def ivfpq_topk_batch_refined(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks,
+    coarse,
+    corpus: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    refine_factor: int = 4,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF-PQ retrieve + exact re-rank — FAISS's IndexRefineFlat
+    pattern, the production shape for serving out of a compressed
+    corpus when the answer needs FINE ordering: ADC retrieves
+    refine_factor*k candidates from the 4-byte codes (the corpus-scale
+    pruning stage, float corpus untouched), then ONLY those candidates'
+    float vectors are fetched and re-scored with exact cosine.
+
+    Why it exists (measured, PROBE_r09): inside a dense cluster the
+    exact top-k ordering sits BELOW PQ reconstruction resolution —
+    pure-ADC recall@10 vs brute is 0.28 at m=4/pq_k=256 and still 0.73
+    at 16 bytes/vector on 10k planted-cluster vectors, while the
+    candidate SET almost always contains the true neighbors. Re-ranking
+    refine_factor*k candidates restores the ordering at a float-fetch
+    cost of rk rows per query — at 100 TB the codes prune 99.99% and
+    the float reads stay candidate-bounded (a selective join on vec_id
+    against the float table, never a corpus scan).
+
+    corpus: the float (vec_id, embedding) table the codes were encoded
+    from. exclude_self drops q_id==vec_id candidates before the re-rank
+    (corpus-member queries auditing themselves); external-query serving
+    leaves it False. Returns (q_id, vec_id, cosine_sim, rank),
+    descending similarity, ties to the smaller vec_id."""
+    from pyspark.sql.window import Window
+
+    n_cand = refine_factor * k + (1 if exclude_self else 0)
+    cand = ivfpq_topk_batch(
+        queries, codes, codebooks, coarse, k=n_cand, nprobe=nprobe
+    ).select("q_id", "vec_id")
+    if exclude_self:
+        cand = cand.where(F.col("vec_id") != F.col("q_id"))
+    qe = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    # the query batch is micro-batch/audit-sized next to the corpus:
+    # broadcast it onto the candidate list, then fetch ONLY the
+    # candidates' float rows (selective vec_id join, candidate-bounded)
+    scored = (
+        cand.join(F.broadcast(qe), "q_id")
+        .join(corpus.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "q_id",
+            "vec_id",
+            round6(cosine_col(F.col("embedding"), F.col("q_emb"))).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cosine_sim", "rank")
+    )
+
+
+def ivfpq_recall_report(
+    embeddings: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    max_queries: int = 200,
+    m: int = 4,
+    pq_k: int = 16,
+    n_iter: int = 4,
+    codes: DataFrame | None = None,
+    codebooks=None,
+    coarse=None,
+    train_k: int | None = None,
+    refine_factor: int | None = None,
+) -> DataFrame:
+    """IVF-PQ quality audit: per-query recall@k of ivfpq_topk_batch
+    against the exact knn_join_brute answer over a bounded query
+    sample — knn_recall_report's twin for the COMPRESSED serving tier,
+    where recall degrades twice (coarse pruning AND PQ reconstruction
+    distortion) and the report is how a deployment picks (m, pq_k,
+    nprobe, refine_factor) against its own corpus. With refine_factor
+    set, the audited path is ivfpq_topk_batch_refined (ADC retrieve
+    rf*k -> exact re-rank) — the operating point that recovers fine
+    ordering PQ resolution alone cannot (PROBE_r09).
+
+    One row per sampled query: (q_id, n_hits, recall). Both sides
+    restrict to the same deterministic sample (q_id < max_queries); the
+    PQ side still probes the FULL codes corpus, so the number is the
+    production operating point. Queries are corpus members, so the PQ
+    side asks for k+1 and drops self-matches before re-ranking (the
+    external-query serving path has no self to exclude). Metric note:
+    ADC ranks by squared L2 over the PQ reconstruction while the exact
+    side ranks by cosine — identical orderings on (near-)unit-norm
+    embeddings, and exactly what the serving tier returns, which is the
+    thing the audit should measure.
+
+    Pass (codes, codebooks, coarse) from a persisted ivfpq_corpus_table
+    to audit the LIVE index; with codes omitted the index derives here
+    (pq_fit + the trained coarse default + one encode pass — the same
+    build ivfpq_corpus_table persists). A pre-encoded codes frame
+    without both quantizer halves raises: re-deriving either from live
+    embeddings drifts the moment the corpus changes."""
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    if codes is None:
+        if codebooks is None:
+            codebooks = pq_fit(embeddings, m=m, k=pq_k, n_iter=n_iter)[0]
+        if coarse is None:
+            coarse = trained_codebook(
+                embeddings,
+                k=train_k if train_k is not None else _auto_train_k(embeddings),
+                n_iter=n_iter,
+            )
+        _, listed = ivf_assignments(
+            embeddings, codebook=coarse, attach_cols=["embedding"]
+        )
+        cb = np.asarray(codebooks, dtype=np.float64)
+        enc = pq_encode(listed.select("vec_id", "embedding", "list_id"), cb)
+        codes = enc.join(listed.select("vec_id", "list_id"), "vec_id").select(
+            "vec_id", "list_id", "codes"
+        )
+    elif codebooks is None or coarse is None:
+        raise ValueError(
+            "ivfpq_recall_report: a pre-encoded codes frame must come with "
+            "BOTH quantizer halves — load_pq_codebook(spark, table) and "
+            "load_ivf_quantizer(spark, f'{table}_coarse')"
+        )
+
+    qs = embeddings.where(F.col("vec_id") < max_queries).select(
+        "vec_id", "embedding"
+    )
+    if refine_factor is not None:
+        pq_topk = ivfpq_topk_batch_refined(
+            qs, codes, codebooks, coarse, embeddings,
+            k=k, nprobe=nprobe, refine_factor=refine_factor, exclude_self=True,
+        ).select("q_id", "vec_id")
+    else:
+        pq = ivfpq_topk_batch(qs, codes, codebooks, coarse, k=k + 1, nprobe=nprobe)
+        w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist2"), F.asc("vec_id"))
+        pq_topk = (
+            pq.where(F.col("vec_id") != F.col("q_id"))
+            .withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k)
+            .select("q_id", "vec_id")
+        )
+    brute = knn_join_brute(embeddings, k=k, max_queries=max_queries).select(
+        "q_id", "vec_id"
+    )
+    hits = pq_topk.join(brute, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    per_q = brute.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return per_q.join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        round6(
+            F.coalesce("n_hits", F.lit(0)).cast("double")
+            / F.col("n_exact").cast("double")
+        ).alias("recall"),
+    )

@@ -4158,6 +4158,23 @@ def dsir_importance_weights(spark, sf_dir):
     )
 
 
+@q("dsir_hashed_weights")
+def dsir_hashed_weights(spark, sf_dir):
+    """DSIR importance weights in the HASHED-feature form Xie et al.
+    2023 deploy — token -> pmod(xxhash64(token), 2^18), LM state
+    bounded at 2^18 rows regardless of corpus vocabulary, plan
+    byte-identical to the exact twin (dsir_importance_weights) with a
+    narrower long join key. Rows-only by design: bucket ids are
+    hash-function-dependent, so no SQL oracle reproduces them — the
+    exact-vs-hashed rank correlation >= 0.95 is pytest-gated instead,
+    and the exact twin holds the hash-green driver row."""
+    return curation.dsir_importance_weights_hashed(
+        load(spark, sf_dir, "documents"),
+        target=F.col("source") == "src0",
+        hash_bits=18,
+    )
+
+
 @q("knn_join_ivfpq")
 def knn_join_ivfpq(spark, sf_dir):
     """Batch ANN entirely from the COMPRESSED persisted index: build
@@ -4179,6 +4196,27 @@ def knn_join_ivfpq(spark, sf_dir):
     # codes + both quantizer halves load from ONE table name
     return similarity.ivfpq_topk_batch_table(
         spark, tbl, emb.select("vec_id", "embedding"), k=10, nprobe=4
+    )
+
+
+@q("ivfpq_recall_report")
+def ivfpq_recall_report(spark, sf_dir):
+    """Compressed-index quality audit: per-query recall@10 of
+    ivfpq_topk_batch vs the exact answer over a 200-query deterministic
+    sample — knn_recall_report's twin for the PQ serving tier, where
+    recall degrades twice (coarse pruning + ADC reconstruction
+    distortion) and THIS report is how a deployment picks (m, pq_k,
+    nprobe). Rows-only by design (recall < 1 by construction is the
+    measurement); recall bounds on planted clusters and the
+    degradation-vs-brute ordering are pytest-gated, and PROBE_r09
+    records the 1x/10x operating points. Audits the PRODUCTION serving
+    shape — ADC retrieve 4x over-sampled, exact re-rank
+    (ivfpq_topk_batch_refined; pure ADC cannot resolve ordering below
+    code resolution, the distortion ladder PROBE_r09 measures)."""
+    return similarity.ivfpq_recall_report(
+        load(spark, sf_dir, "embeddings"),
+        k=10, nprobe=4, max_queries=200, m=4, pq_k=16, n_iter=4,
+        refine_factor=4,
     )
 
 
@@ -4214,6 +4252,52 @@ def rag_chunk_documents(spark, sf_dir):
     DuckDB."""
     return text.chunk_documents(
         load(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+@q(
+    "dedup_rag_chunks",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(generate_series(
+           0,
+           CAST(greatest(ceil((len(toks) - 64) / 48.0), 0) AS BIGINT) * 48,
+           48)) AS start
+  FROM t
+), c AS (
+  SELECT doc_id,
+         CAST(start / 48 AS INT) AS chunk_id,
+         array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text
+  FROM s
+), g AS (
+  SELECT md5(lower(chunk_text)) AS chunk_hash,
+         count(*) AS dup_count,
+         min({'d': doc_id, 'c': chunk_id}) AS kp
+  FROM c GROUP BY 1
+)
+SELECT chunk_hash, dup_count,
+       kp.d AS keep_doc_id, kp.c AS keep_chunk_id
+FROM g
+""",
+)
+def dedup_rag_chunks(spark, sf_dir):
+    """Chunk-digest dedup for the RAG path (verdict r7 #7): compose
+    chunk_documents (64-token windows, 16 overlap) with the exact
+    digest groupBy — duplicate PASSAGES collapse at chunk granularity
+    (boilerplate, quotes, license blocks) so the embedding cache
+    embeds distinct windows, not the corpus. Oracle = the chunking
+    oracle verbatim + md5(lower) GROUP BY with a lexicographic
+    struct-min keeper, so drift in EITHER the windows or the dedup
+    hash-fails."""
+    return dedup.exact_chunk_dedup(
+        text.chunk_documents(
+            load(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+        )
     )
 
 
@@ -4461,8 +4545,12 @@ def kmeans_embed_clusters(spark, sf_dir):
 # (freshest last).
 QUERY_ORDER = [
     # --- r9 window (first 50 = driver-checked this round) ---
-    # never-checked (the r8 breaker, oracle repaired this round):
+    # never-checked (the r8 breaker, oracle repaired this round; plus
+    # the queries new in r9):
     "dedup_substring_spans",
+    "ivfpq_recall_report",
+    "dsir_hashed_weights",
+    "dedup_rag_chunks",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -4512,11 +4600,12 @@ QUERY_ORDER = [
     "asof_last_error",
     "a11_type_daily_rollup",
     "t2_pivot_event_values",
+    # --- driver window ends here (first 50) ---
+    # r10 queue head: the r5 rows past the cutoff (the three new-query
+    # insertions above displaced f5/a1/a4 into the queue):
     "f5_integrity_report",
     "a1_device_summary",
     "a4_device_stats",
-    # --- driver window ends here (first 50) ---
-    # r10 queue head: the seven r5 rows past the cutoff:
     "a6_table_stats",
     "a8_duplicate_report",
     "a9_daily_quality",

@@ -1535,3 +1535,115 @@ def test_bpe_persist_rejects_empty_and_load_rejects_missing_rows(spark):
 
     with _pytest.raises(ValueError, match="empty"):
         text.persist_bpe_merges(spark, "bpe_never_written", [])
+
+
+def test_ivfpq_recall_report_bounds_and_planted_clusters(spark):
+    """On well-separated planted clusters with enough probes and a
+    fine-enough PQ, the compressed index recovers the exact in-cluster
+    neighborhood: recall bounds [0,1] always, and near-1 here. Also
+    verifies the self-exclusion contract (a corpus query is never its
+    own neighbor, so n_hits <= k for every row)."""
+    emb = _planted_clusters_emb(spark)
+    k = 3
+    rep = {r["q_id"]: r for r in similarity.ivfpq_recall_report(
+        emb, k=k, nprobe=3, max_queries=12, m=4, pq_k=8, n_iter=4
+    ).collect()}
+    assert set(rep) == set(range(12))  # every sampled query reported
+    for r in rep.values():
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_hits"] <= k
+    # cluster members' true top-3 are the other 3 members; generous
+    # probes + 8 codes/subspace on 12 tight vectors recover them
+    avg = sum(r["recall"] for r in rep.values()) / len(rep)
+    assert avg >= 0.9
+
+
+def test_ivfpq_recall_report_audits_persisted_index(spark):
+    """The report audits a LIVE persisted ivfpq_corpus_table through
+    the same reload path the serving tier uses — and refuses codes
+    without both quantizer halves."""
+    import pytest as _pytest
+
+    emb = _planted_clusters_emb(spark)
+    tbl = "ivfpq_recall_pytest"
+    similarity.ivfpq_corpus_table(emb, tbl, m=4, pq_k=8, n_iter=4, num_buckets=2)
+    cb = similarity.load_pq_codebook(spark, tbl)
+    cids, ccode, _fp = similarity.load_ivf_quantizer(spark, f"{tbl}_coarse")
+    rep = similarity.ivfpq_recall_report(
+        emb, k=3, nprobe=3, max_queries=12,
+        codes=spark.table(tbl), codebooks=cb, coarse=(cids, ccode),
+    ).collect()
+    assert len(rep) == 12
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rep)
+    with _pytest.raises(ValueError, match="quantizer halves"):
+        similarity.ivfpq_recall_report(
+            emb, k=3, codes=spark.table(tbl), codebooks=cb
+        )
+
+
+def test_ivfpq_refined_beats_pure_adc_and_serves_external_queries(spark):
+    """The refine stage (ADC retrieve rf*k -> exact cosine re-rank,
+    FAISS IndexRefineFlat) must dominate pure ADC on the recall audit,
+    and in external-query mode return exactly k ranked rows per query
+    with no self-exclusion applied."""
+    emb = _planted_clusters_emb(spark)
+    pure = similarity.ivfpq_recall_report(
+        emb, k=3, nprobe=3, max_queries=12, m=4, pq_k=8, n_iter=4
+    ).agg(F.avg("recall").alias("a")).first()["a"]
+    refined = similarity.ivfpq_recall_report(
+        emb, k=3, nprobe=3, max_queries=12, m=4, pq_k=8, n_iter=4,
+        refine_factor=3,
+    ).agg(F.avg("recall").alias("a")).first()["a"]
+    assert refined >= pure
+    assert refined >= 0.9  # exact re-rank recovers the planted order
+
+    # external serving: queries disjoint from the corpus, k rows each,
+    # rank-1 lands in the query's own planted cluster
+    import numpy as np
+    tbl = "ivfpq_refined_pytest"
+    similarity.ivfpq_corpus_table(emb, tbl, m=4, pq_k=8, n_iter=4, num_buckets=2)
+    cb = similarity.load_pq_codebook(spark, tbl)
+    cids, ccode, _fp = similarity.load_ivf_quantizer(spark, f"{tbl}_coarse")
+    qrows = []
+    for c in range(3):
+        v = [0.0] * 8
+        v[c] = 1.0
+        qrows.append((1000 + c, [float(x) for x in np.array(v) / np.linalg.norm(v)]))
+    qs = spark.createDataFrame(qrows, "vec_id long, embedding array<float>")
+    out = similarity.ivfpq_topk_batch_refined(
+        qs, spark.table(tbl), cb, (cids, ccode), emb,
+        k=3, nprobe=2, refine_factor=2,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == {1000, 1001, 1002}
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    for qid, rows in by_q.items():
+        assert len(rows) == 3
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == [1, 2, 3]
+        top = min(rows, key=lambda r: r["rank"])
+        assert labels[top["vec_id"]] == qid - 1000  # own planted cluster
+
+
+def test_exact_chunk_dedup_planted_boilerplate(spark):
+    """A boilerplate passage repeated across docs (and twice inside one
+    doc) collapses to ONE keeper chunk — the lexicographic min
+    (doc_id, chunk_id) pair — while unique chunks stay singletons.
+    Case-insensitive digest, chunk-grid alignment from
+    chunk_documents."""
+    boiler = " ".join(f"lic{i}" for i in range(4))  # one full 4-token chunk
+    rows = [
+        (1, boiler + " " + boiler),     # chunks 0 and 1 both == boiler
+        (2, boiler.upper()),            # case-variant copy
+        (3, " ".join(f"u{i}" for i in range(4))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = text.chunk_documents(docs, chunk_tokens=4, overlap=0)
+    out = {r["chunk_hash"]: r for r in dedup.exact_chunk_dedup(chunks).collect()}
+    groups = sorted((r["dup_count"], r["keep_doc_id"], r["keep_chunk_id"])
+                    for r in out.values())
+    # boiler appears 3x (doc1 chunk0, doc1 chunk1, doc2 chunk0);
+    # keeper = (1, 0). doc3's chunk is unique.
+    assert groups == [(1, 3, 0), (3, 1, 0)]

@@ -266,11 +266,61 @@ def cascade_refresh_pruning(spark, tmp: Path, copies: int = 10) -> None:
     assert raw_one["numPartitions"] == 1 and h_one["numPartitions"] == 1
 
 
+def ivfpq_recall_sweep(spark, fast: bool) -> None:
+    """r9: the COMPRESSED index's operating points — ivfpq_recall_report
+    (recall@10 vs exact brute) on the same planted clusters at 1x and
+    10x. The fixture is deliberately hard for PQ: every in-cluster
+    candidate sits at cosine ~0.996+, so the exact top-10 ordering lies
+    BELOW code resolution — the pure-ADC rows measure that distortion
+    ladder (m x log2(pq_k) bits/vector), and the refined rows measure
+    what serving actually ships: ADC retrieves rf*k candidates, exact
+    cosine re-ranks them (ivfpq_topk_batch_refined, the FAISS
+    IndexRefineFlat pattern). Gate: the production point (16 B/vector
+    + rf=4) holds >= 0.9 at BOTH scales."""
+    scales = [1] if fast else [1, 10]
+    for scale in scales:
+        n = 10_000 * scale
+        emb = planted_embeddings(spark, n).cache()
+        emb.count()
+        for m, pq_k, nprobe, rf, gate in (
+            (4, 16, 4, None, None),    # 2 B/vec: distortion floor
+            (4, 256, 8, None, None),   # 4 B/vec, classic 8-bit codes
+            (16, 256, 8, None, None),  # 16 B/vec: ADC alone still short
+            (4, 256, 8, 4, None),      # 4 B/vec + refine
+            (16, 256, 8, 4, 0.9),      # production point + refine
+        ):
+            t0 = time.perf_counter()
+            rep = similarity.ivfpq_recall_report(
+                emb, k=10, nprobe=nprobe, max_queries=200,
+                m=m, pq_k=pq_k, n_iter=4, refine_factor=rf,
+            ).agg(
+                F.round(F.avg("recall"), 4).alias("avg"),
+                F.round(F.min("recall"), 4).alias("min"),
+                F.count(F.lit(1)).alias("n_q"),
+            ).first()
+            dt = time.perf_counter() - t0
+            print(
+                f"ivfpq_recall  n={n:>7,}  m={m:>2} pq_k={pq_k:>3} "
+                f"nprobe={nprobe} refine={str(rf):>4}  "
+                f"recall@10 avg={rep['avg']:.4f} min={rep['min']:.4f}  "
+                f"({rep['n_q']} queries, {dt:5.1f} s)"
+            )
+            if gate is not None:
+                assert rep["avg"] >= gate, (
+                    f"ivfpq recall {rep['avg']} < {gate} at n={n}, pq_k={pq_k}"
+                )
+        emb.unpersist()
+
+
 def main() -> None:
     fast = "--fast" in sys.argv
     spark = get_spark("probe_r07")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--ivfpq-only" in sys.argv:
+        ivfpq_recall_sweep(spark, fast)
+        return
     recall_sweep(spark, fast)
+    ivfpq_recall_sweep(spark, fast)
     import tempfile
 
     with tempfile.TemporaryDirectory() as td:
