@@ -124,6 +124,12 @@ HEADLINE = [
     "w9_event_transitions",
     "embed_pq_stats",
     "w10_m4_downsample",
+    # r9 additions: ExactSubstr excise spans, chunk-digest dedup,
+    # hashed DSIR, and the refined-PQ recall audit
+    "dedup_substring_spans",
+    "dedup_rag_chunks",
+    "dsir_hashed_weights",
+    "ivfpq_recall_report",
 ]
 
 # Drift sentinel: identical code has measured 49.5 s vs 72.3 s suite
