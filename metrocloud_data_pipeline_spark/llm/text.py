@@ -449,6 +449,52 @@ def substring_dup_spans(docs: DataFrame, min_tokens: int = 50) -> DataFrame:
     )
 
 
+def excise_dup_spans(
+    docs: DataFrame, min_tokens: int = 50, spans: DataFrame | None = None
+) -> DataFrame:
+    """APPLY ExactSubstr dedup (Lee et al. 2022): return the corpus
+    with every duplicated >= min_tokens-token span REMOVED — the
+    cleaned training text, where substring_dup_spans only reports the
+    ranges. Text is emitted in the same normalized form the spans were
+    computed over (lowercased, whitespace-collapsed) so offsets are
+    exact by construction — which is also what the paper's pipeline
+    trains on.
+
+    Plan: spans collapse to one (doc_id, [span...]) row per affected
+    doc (dup-bounded, small) and LEFT-join the token arrays; removal
+    is a per-token codegen filter against the doc's own span list
+    (spans per doc are few — islands are maximal and non-overlapping,
+    so the exists() probe is O(spans) per token with no explode and no
+    second shuffle). Unaffected docs pass through untouched. Pass a
+    precomputed `spans` frame to reuse one substring_dup_spans pass
+    across report + excise.
+
+    Returns (doc_id, clean_text, n_tokens_removed)."""
+    if spans is None:
+        spans = substring_dup_spans(docs, min_tokens=min_tokens)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_removed"),
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS, " ")
+    toks = docs.select("doc_id", F.split(norm, " ").alias("_toks"))
+    kept = F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
+        F.filter(
+            "_toks",
+            lambda t, i: ~F.exists(
+                "_spans",
+                lambda s: (i >= s.getField("span_start"))
+                & (i <= s.getField("span_end")),
+            ),
+        )
+    )
+    return toks.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.coalesce("n_tokens_removed", F.lit(0)).alias("n_tokens_removed"),
+    )
+
+
 def token_count_histogram(docs: DataFrame, width: int = 50) -> DataFrame:
     """Fixed-width histogram of per-document token counts — the
     length-distribution panel behind packing (seq_pack_summary) and

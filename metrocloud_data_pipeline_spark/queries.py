@@ -3821,6 +3821,69 @@ def dedup_substring_spans(spark, sf_dir):
 
 
 @q(
+    "dedup_substring_excise",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), tl AS (
+  SELECT doc_id, toks FROM t WHERE len(toks) >= 8
+), g AS (
+  SELECT doc_id, CAST(u.p - 1 AS BIGINT) AS pos,
+         md5(array_to_string(toks[u.p:u.p+7], ' ')) AS gh
+  FROM tl, unnest(generate_series(1, len(toks) - 7)) u(p)
+), d AS (
+  SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2
+), hit AS (
+  SELECT g.doc_id, g.pos FROM g JOIN d USING (gh)
+), lagged AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
+  FROM hit
+), isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN pos - prev_pos <= 8 THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM lagged
+), s AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+  FROM isl GROUP BY doc_id, island
+), pos AS (
+  SELECT t.doc_id, u.p AS p, t.toks[u.p] AS tok
+  FROM t, unnest(generate_series(1, len(t.toks))) u(p)
+), kept AS (
+  SELECT pos.doc_id, pos.p, pos.tok
+  FROM pos LEFT JOIN s ON pos.doc_id = s.doc_id
+       AND pos.p - 1 BETWEEN s.span_start AND s.span_end
+  WHERE s.doc_id IS NULL
+), agg AS (
+  SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS clean_text
+  FROM kept GROUP BY doc_id
+), rem AS (
+  SELECT doc_id,
+         CAST(sum(span_end - span_start + 1) AS BIGINT) AS n_tokens_removed
+  FROM s GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(agg.clean_text, '') AS clean_text,
+       coalesce(rem.n_tokens_removed, 0) AS n_tokens_removed
+FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN rem USING (doc_id)
+""",
+)
+def dedup_substring_excise(spark, sf_dir):
+    """APPLY ExactSubstr dedup: the corpus with every duplicated
+    >= 8-token span REMOVED — the cleaned training text
+    dedup_substring_spans only reports. Every doc returns one row
+    (untouched docs pass through; a fully-duplicated doc becomes
+    empty); text is the normalized form the spans were computed over,
+    so offsets are exact by construction. The oracle composes the
+    spans oracle verbatim + a position anti-join rebuild, so drift in
+    the spans OR the removal hash-fails."""
+    return text.excise_dup_spans(load(spark, sf_dir, "documents"), min_tokens=8)
+
+
+@q(
     "dq_expectations_report",
     oracle=f"""
 {_READINGS_CTE},
@@ -4551,6 +4614,7 @@ QUERY_ORDER = [
     "ivfpq_recall_report",
     "dsir_hashed_weights",
     "dedup_rag_chunks",
+    "dedup_substring_excise",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -4599,10 +4663,10 @@ QUERY_ORDER = [
     "stratified_split",
     "asof_last_error",
     "a11_type_daily_rollup",
-    "t2_pivot_event_values",
     # --- driver window ends here (first 50) ---
-    # r10 queue head: the r5 rows past the cutoff (the three new-query
-    # insertions above displaced f5/a1/a4 into the queue):
+    # r10 queue head: the r5 rows past the cutoff (the new-query
+    # insertions above displaced t2/f5/a1/a4 into the queue):
+    "t2_pivot_event_values",
     "f5_integrity_report",
     "a1_device_summary",
     "a4_device_stats",

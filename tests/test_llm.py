@@ -1647,3 +1647,30 @@ def test_exact_chunk_dedup_planted_boilerplate(spark):
     # boiler appears 3x (doc1 chunk0, doc1 chunk1, doc2 chunk0);
     # keeper = (1, 0). doc3's chunk is unique.
     assert groups == [(1, 3, 0), (3, 1, 0)]
+
+
+def test_excise_dup_spans_removes_planted_passages(spark):
+    """Applying ExactSubstr: the duplicated passage disappears from
+    every doc (case-insensitively), unique docs pass through in
+    normalized form, a fully-duplicated doc becomes empty, and
+    n_tokens_removed matches the span report."""
+    passage = " ".join(f"s{i}" for i in range(6))
+    rows = [
+        (1, passage + " " + " ".join(f"a{i}" for i in range(5))),
+        (2, " ".join(f"b{i}" for i in range(5)) + " " + passage.upper()),
+        (3, " ".join(f"c{i}" for i in range(8))),
+        (4, passage),  # nothing but the duplicated passage
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.excise_dup_spans(docs, min_tokens=4).collect()}
+    assert set(out) == {1, 2, 3, 4}  # every doc returns exactly one row
+    assert out[1]["clean_text"] == " ".join(f"a{i}" for i in range(5))
+    assert out[2]["clean_text"] == " ".join(f"b{i}" for i in range(5))
+    assert out[3]["clean_text"] == " ".join(f"c{i}" for i in range(8))
+    assert out[4]["clean_text"] == ""
+    assert {d: r["n_tokens_removed"] for d, r in out.items()} == {1: 6, 2: 6, 3: 0, 4: 6}
+    # reusing a precomputed spans frame gives identical output
+    spans = text.substring_dup_spans(docs, min_tokens=4)
+    again = {r["doc_id"]: tuple(r)
+             for r in text.excise_dup_spans(docs, spans=spans).collect()}
+    assert again == {d: tuple(r) for d, r in out.items()}
