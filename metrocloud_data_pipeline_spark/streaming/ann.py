@@ -171,20 +171,39 @@ def run_ann_serving_stream_pq(
     k: int = 10,
     nprobe: int = 4,
     available_now: bool = True,
+    refine_factor: int | None = None,
+    corpus: DataFrame | None = None,
 ) -> StreamingQuery:
     """Serve ANN micro-batches from the COMPRESSED persisted index —
     the ivfpq_corpus_table codes (4 B/vector, bucketed by list_id) plus
     its two persisted quantizer tables. Emits (batch_id, q_id, vec_id,
     adc_dist2, rank) rows with the same effectively-once sink as the
-    float path.
+    float path — or, with `refine_factor` set, (batch_id, q_id, vec_id,
+    cosine_sim, rank) through the refined path: ADC retrieves
+    refine_factor*k candidates per query and ONLY those rows' float
+    vectors are fetched from `corpus` for the exact re-rank
+    (ivfpq_topk_batch_refined, FAISS IndexRefineFlat — PROBE_r09: pure
+    ADC saturates at 0.64-0.72 recall in dense clusters; refined holds
+    >= 0.96 at 10x). `corpus` is the float (vec_id, embedding) table
+    and is REQUIRED with refine_factor: the candidate fetch is a
+    selective vec_id join, never a corpus scan.
 
     This is the 100 TB serving tier: per batch the only reads are the
-    probed lists' code buckets; the float corpus is never touched after
-    ingest. Both quantizer halves reload from the catalog (codebook =
-    load_pq_codebook, coarse = load_ivf_quantizer on f"{table}_coarse",
-    fingerprint re-verified) — nothing is re-derived from live
-    embeddings, so serving stays consistent with the stored list_id
-    column no matter how the corpus drifts after the build."""
+    probed lists' code buckets (plus rf*k float rows per query when
+    refining). Both quantizer halves reload from the catalog (codebook
+    = load_pq_codebook, coarse = load_ivf_quantizer on
+    f"{table}_coarse", fingerprint re-verified) — nothing is re-derived
+    from live embeddings, so serving stays consistent with the stored
+    list_id column no matter how the corpus drifts after the build."""
+    from ..llm.similarity import ivfpq_topk_batch_refined
+
+    if refine_factor is not None and corpus is None:
+        # refuse at stream START, not inside the first micro-batch
+        raise ValueError(
+            "run_ann_serving_stream_pq: refine_factor requires the float "
+            "corpus frame (vec_id, embedding) — the exact re-rank fetches "
+            "candidates' float rows from it"
+        )
     # resolve once at stream start so a missing/corrupt sidecar fails
     # HERE, not inside the first micro-batch
     codebooks = load_pq_codebook(spark, table_name)
@@ -194,14 +213,26 @@ def run_ann_serving_stream_pq(
     def _process(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
             return
-        result = ivfpq_topk_batch(
-            batch.select("vec_id", "embedding"),
-            codes,
-            codebooks,
-            (cent_ids, cent_code),
-            k=k,
-            nprobe=nprobe,
-        )
+        if refine_factor is not None:
+            result = ivfpq_topk_batch_refined(
+                batch.select("vec_id", "embedding"),
+                codes,
+                codebooks,
+                (cent_ids, cent_code),
+                corpus,
+                k=k,
+                nprobe=nprobe,
+                refine_factor=refine_factor,
+            )
+        else:
+            result = ivfpq_topk_batch(
+                batch.select("vec_id", "embedding"),
+                codes,
+                codebooks,
+                (cent_ids, cent_code),
+                k=k,
+                nprobe=nprobe,
+            )
         _write_effectively_once(result, batch_id, output_path)
 
     writer = query_stream.writeStream.foreachBatch(_process).option(

@@ -1272,3 +1272,86 @@ def test_corpus_ingest_maintains_lm_counts_for_dsir(spark, tmp_path):
         corpus.load_lm_counts(spark, lm),
     ).first()["bits_per_token"]
     assert via_maintained[0]["bits_per_token"] > w_other
+
+
+def test_ann_serving_stream_pq_refined_reranks_exact(spark, tmp_path):
+    """The refined serving path: ADC retrieves rf*k candidates per
+    micro-batch, ONLY those rows' float vectors are fetched for the
+    exact cosine re-rank (FAISS IndexRefineFlat). Streamed rows must
+    equal the batch ivfpq_topk_batch_refined output row for row, emit
+    cosine_sim (not adc_dist2), and refuse to start without the float
+    corpus."""
+    import math
+
+    import pytest as _pytest
+
+    from metrocloud_data_pipeline_spark.llm import similarity
+    from metrocloud_data_pipeline_spark.streaming import ann
+
+    rows = []
+    for vid in range(90):
+        c = vid % 3
+        v = [1.0 if i == c else 0.0 for i in range(8)]
+        v[(c + 3) % 8] = 0.05 * ((vid * 7) % 11)
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((vid, [x / n for x in v], c))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+    tbl = "ivfpq_serve_refined_pytest"
+    try:
+        similarity.ivfpq_corpus_table(
+            corpus, tbl, m=4, pq_k=8, n_iter=4, num_buckets=4
+        )
+        src = tmp_path / "queries"
+        src.mkdir()
+        qrows = [(1000, rows[3][1]), (1001, rows[50][1])]
+        spark.createDataFrame(qrows, ann.QUERY_SCHEMA).coalesce(1).write.parquet(
+            str(src / "b1")
+        )
+        with _pytest.raises(ValueError, match="float"):
+            ann.run_ann_serving_stream_pq(
+                spark,
+                ann.stream_query_vectors(spark, str(src) + "/*"),
+                tbl, str(tmp_path / "r0"), str(tmp_path / "ck0"),
+                k=4, nprobe=3, refine_factor=3,
+            )
+        out = str(tmp_path / "results")
+        ann.run_ann_serving_stream_pq(
+            spark,
+            ann.stream_query_vectors(spark, str(src) + "/*"),
+            tbl, out, str(tmp_path / "ck"),
+            k=4, nprobe=3, refine_factor=3,
+            corpus=corpus.select("vec_id", "embedding"),
+        ).awaitTermination(120)
+
+        got = spark.read.parquet(out)
+        assert "cosine_sim" in got.columns and "adc_dist2" not in got.columns
+        streamed = sorted(
+            (r["q_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+            for r in got.collect()
+        )
+        cb = similarity.load_pq_codebook(spark, tbl)
+        cids, ccode, _fp = similarity.load_ivf_quantizer(spark, f"{tbl}_coarse")
+        batch = sorted(
+            (r["q_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+            for r in similarity.ivfpq_topk_batch_refined(
+                spark.createDataFrame(qrows, ann.QUERY_SCHEMA),
+                spark.table(tbl), cb, (cids, ccode),
+                corpus.select("vec_id", "embedding"),
+                k=4, nprobe=3, refine_factor=3,
+            ).collect()
+        )
+        assert streamed == batch
+        # exact re-rank: rank-1 similarity is 1.0 (the corpus contains
+        # the query vector — possibly as a byte-identical twin, ties to
+        # the smaller vec_id) and lies in the query's planted cluster
+        labels = {r[0]: r[2] for r in rows}
+        by_q = {}
+        for qid, vid, sim, rank in streamed:
+            if rank == 1:
+                by_q[qid] = (vid, sim)
+        assert abs(by_q[1000][1] - 1.0) < 1e-6 and labels[by_q[1000][0]] == 0
+        assert abs(by_q[1001][1] - 1.0) < 1e-6 and labels[by_q[1001][0]] == 2
+    finally:
+        corpus.unpersist()
