@@ -124,12 +124,12 @@ HEADLINE = [
     "w9_event_transitions",
     "embed_pq_stats",
     "w10_m4_downsample",
-    # r9 additions: ExactSubstr excise spans, chunk-digest dedup,
-    # hashed DSIR, and the refined-PQ recall audit
+    # r9 additions: ExactSubstr excise spans + apply, chunk-digest
+    # dedup, hashed DSIR
     "dedup_substring_spans",
+    "dedup_substring_excise",
     "dedup_rag_chunks",
     "dsir_hashed_weights",
-    "ivfpq_recall_report",
 ]
 
 # Drift sentinel: identical code has measured 49.5 s vs 72.3 s suite
@@ -149,6 +149,12 @@ SENTINEL = "h1_pricing_summary"
 # TRAINING loops (fit once per corpus snapshot, not per query; scoring/
 # segmenting alone is cheap), the last two are persisted-store builds
 # whose cost is the write, measured by the cascade probe / ANN probes.
+# Also absent: ivfpq_recall_report — an index-build-plus-audit (pq_fit
+# + coarse fit + encode + brute baseline, ~30 sequential driver-round
+# jobs that dominate at bench scale: measured 10.9 s vs 3.4 s for the
+# next-worst query, pure fit overhead, not a scale-path signal); its
+# operating points are measured by tools/ann_refresh_probe.py
+# --ivfpq-only at 1x and 10x (PROBE_r09) instead.
 # Also absent: dedup_incremental_jaccard in its oracle-parity config
 # (10k bucket cap + fail-on-dropped) — on the synthetic 31-token
 # vocabulary, unigram band buckets admit ~83% of incoming x corpus as
