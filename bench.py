@@ -130,6 +130,7 @@ HEADLINE = [
     "dedup_substring_excise",
     "dedup_rag_chunks",
     "dsir_hashed_weights",
+    "decontaminate_embed",
 ]
 
 # Drift sentinel: identical code has measured 49.5 s vs 72.3 s suite

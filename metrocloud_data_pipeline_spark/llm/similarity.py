@@ -503,6 +503,52 @@ def knn_join_brute(
     )
 
 
+def embed_decontaminate(
+    corpus: DataFrame, eval_set: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic twin of
+    decontaminate_ngram (llm/curation.py): for every corpus vector,
+    the nearest EVAL-SET vector's cosine and a contaminated flag at
+    `threshold`. N-gram overlap misses paraphrased/translated benchmark
+    leakage; embedding similarity is how the published decontamination
+    pipelines catch it (e.g. the paraphrase-aware followups to GPT-3's
+    13-gram rule).
+
+    Plan: the eval set is benchmark-sized (thousands), the corpus is
+    not — eval broadcasts, the corpus scans ONCE, and the per-vector
+    top-1 is a map-side-combinable struct-max aggregate (ties to the
+    smaller eval id via negated-id ordering), so the exchange carries
+    ONE row per corpus vector, never the corpus x eval cross product.
+    The |corpus| x |eval| scoring work itself is irreducible for the
+    exact form; the banded/ANN path (knn_join_ivf with queries=eval)
+    bounds it when the eval set grows. Returns (vec_id, eval_vec_id,
+    max_sim, contaminated) — every corpus vector reports, so the
+    output is also the audit trail."""
+    ev = eval_set.select(
+        F.col("vec_id").alias("eval_vec_id"), F.col("embedding").alias("e_emb")
+    )
+    scored = (
+        corpus.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(ev))
+        .select(
+            "vec_id",
+            "eval_vec_id",
+            round6(cosine_col(F.col("embedding"), F.col("e_emb"))).alias("sim"),
+        )
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("sim"), (-F.col("eval_vec_id")).alias("nid"))
+        ).alias("_k")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("_k.nid")).alias("eval_vec_id"),
+        F.col("_k.sim").alias("max_sim"),
+        (F.col("_k.sim") >= F.lit(float(threshold))).alias("contaminated"),
+    )
+
+
 def ivf_corpus_table(
     embeddings: DataFrame,
     table_name: str,

@@ -1882,6 +1882,51 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @q(
+    "decontaminate_embed",
+    oracle="""
+WITH ev AS (
+  SELECT vec_id AS eval_vec_id, embedding AS e_emb
+  FROM embeddings WHERE vec_id % 101 = 0
+), co AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 101 <> 0
+), sc AS (
+  SELECT co.vec_id, ev.eval_vec_id,
+         round(
+           list_sum(list_transform(list_zip(co.embedding, ev.e_emb),
+                                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(co.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(ev.e_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS sim
+  FROM co CROSS JOIN ev
+), m AS (
+  SELECT vec_id, max({'sim': sim, 'nid': -eval_vec_id}) AS k
+  FROM sc GROUP BY vec_id
+)
+SELECT vec_id, -k.nid AS eval_vec_id, k.sim AS max_sim,
+       k.sim >= 0.9 AS contaminated
+FROM m
+""",
+)
+def decontaminate_embed(spark, sf_dir):
+    """Embedding-space benchmark decontamination — the semantic twin of
+    decontaminate_ngram: n-gram overlap misses paraphrased benchmark
+    leakage, nearest-eval-vector cosine catches it. Eval set = the
+    deterministic vec_id %% 101 == 0 slice (stands in for a benchmark's
+    embedded items); every remaining corpus vector reports its nearest
+    eval item, max cosine, and the >= 0.9 contaminated flag. Exact
+    form: eval broadcasts, corpus scans once, per-vector top-1 is a
+    map-side struct-max (ties to the smaller eval id) so the exchange
+    carries one row per corpus vector. The ANN path (knn_join_ivf with
+    queries=eval) bounds the scoring when the eval set grows."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.embed_decontaminate(
+        emb.where(F.col("vec_id") % 101 != 0),
+        emb.where(F.col("vec_id") % 101 == 0),
+        threshold=0.9,
+    )
+
+
+@q(
     "dedup_embed_cosine",
     oracle="""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -4615,6 +4660,7 @@ QUERY_ORDER = [
     "dsir_hashed_weights",
     "dedup_rag_chunks",
     "dedup_substring_excise",
+    "decontaminate_embed",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -4662,10 +4708,10 @@ QUERY_ORDER = [
     "pii_scrub_stats",
     "stratified_split",
     "asof_last_error",
-    "a11_type_daily_rollup",
     # --- driver window ends here (first 50) ---
     # r10 queue head: the r5 rows past the cutoff (the new-query
-    # insertions above displaced t2/f5/a1/a4 into the queue):
+    # insertions above displaced a11/t2/f5/a1/a4 into the queue):
+    "a11_type_daily_rollup",
     "t2_pivot_event_values",
     "f5_integrity_report",
     "a1_device_summary",

@@ -1674,3 +1674,32 @@ def test_excise_dup_spans_removes_planted_passages(spark):
     again = {r["doc_id"]: tuple(r)
              for r in text.excise_dup_spans(docs, spans=spans).collect()}
     assert again == {d: tuple(r) for d, r in out.items()}
+
+
+def test_embed_decontaminate_flags_planted_leakage(spark):
+    """A corpus copy of an eval vector flags contaminated at sim 1.0,
+    an orthogonal vector does not, every corpus vector reports exactly
+    once, and equidistant eval ties resolve to the smaller eval id."""
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),     # exact copy of eval 100
+            (2, [0.9, 0.1, 0.0, 0.0]),     # near eval 100
+            (3, [0.0, 0.0, 0.0, 1.0]),     # orthogonal to both
+            (4, [1.0, 1.0, 0.0, 0.0]),     # equidistant from 100 and 101
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in similarity.embed_decontaminate(
+        corpus, ev, threshold=0.95
+    ).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["contaminated"] and out[1]["max_sim"] == 1.0
+    assert out[1]["eval_vec_id"] == 100
+    assert out[2]["contaminated"] and out[2]["eval_vec_id"] == 100
+    assert not out[3]["contaminated"] and out[3]["max_sim"] == 0.0
+    assert out[4]["eval_vec_id"] == 100  # tie -> smaller eval id
+    assert not out[4]["contaminated"]   # cos = 1/sqrt(2) < 0.95
