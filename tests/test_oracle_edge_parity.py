@@ -37,6 +37,13 @@ DOC_QUERIES = [
     "dedup_incremental_jaccard",
     "split_leakage_report",
     "text_length_histogram",
+    # r9 document queries: substring spans/excise stress the null/
+    # empty/whitespace/unicode/long-repetitive rows hardest (gram
+    # assembly + interval union + position rebuild), rag chunk dedup
+    # the chunk-grid edges
+    "dedup_substring_spans",
+    "dedup_substring_excise",
+    "dedup_rag_chunks",
 ]
 
 EDGE_ROWS = [
