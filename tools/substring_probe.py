@@ -88,6 +88,24 @@ def one_scale(spark, copies: int) -> None:
         f"spans={agg['n_spans']:>8,}  docs_excised={agg['n_docs_excised']:>7,}  "
         f"tokens_excised={agg['tokens_excised']:>12,}  {dt:6.1f} s"
     )
+    # the APPLY side: full cleaned-corpus rebuild (per-token filter
+    # against each doc's own span list) — shares the span stages above,
+    # so the delta is the rebuild cost alone
+    t0 = time.time()
+    cleaned = llm_text.excise_dup_spans(docs, min_tokens=L)
+    cagg = cleaned.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens_removed").alias("removed"),
+        F.sum(F.length("clean_text")).alias("clean_chars"),
+    ).first()
+    dt = time.time() - t0
+    assert cagg["n_docs"] == n_docs  # every doc returns exactly once
+    assert cagg["removed"] == agg["tokens_excised"]
+    print(
+        f"substring_excise {copies:>2}x  docs={cagg['n_docs']:>7,}  "
+        f"removed={cagg['removed']:>12,}  clean_chars={cagg['clean_chars']:>13,}  "
+        f"{dt:6.1f} s"
+    )
     if copies == 1:
         # every planted doc must excise (the corpus also contains
         # NATURAL >=50-token duplicated passages — measured 353 excised
