@@ -589,3 +589,82 @@ def test_gapfill_interpolate_bounded_by_brackets(spark, vals):
             assert min(pv, nv) - 1e-6 <= r["interp_value"] <= max(pv, nv) + 1e-6
         else:
             assert r["interp_value"] == r["avg_value"]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd".split()),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_substring_spans_and_excise_match_naive(spark, texts):
+    """substring_dup_spans + excise_dup_spans vs a brute-force Python
+    reference on random small-alphabet corpora (dense with duplicated
+    3-grams by construction): same spans, same dup_group digests, same
+    cleaned text, same removed-token accounting."""
+    import hashlib
+    import re as _re
+    from collections import Counter
+
+    from metrocloud_data_pipeline_spark.llm import text as llm_text
+
+    L = 3
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+    toks = {i: _re.sub(r"\s+", " ", t.lower().strip()).split(" ")
+            for i, t in enumerate(texts)}
+    grams = Counter()
+    positions = {}
+    for i, ts in toks.items():
+        positions[i] = []
+        for p in range(len(ts) - L + 1):
+            g = tuple(ts[p:p + L])
+            grams[g] += 1
+            positions[i].append((p, g))
+    want_spans = set()
+    covered = {}
+    for i, ps in positions.items():
+        dup = sorted(p for p, g in ps if grams[g] >= 2)
+        covered[i] = set()
+        if not dup:
+            continue
+        start = prev = dup[0]
+        runs = []
+        for p in dup[1:]:
+            if p - prev <= L:
+                prev = p
+            else:
+                runs.append((start, prev + L - 1))
+                start = prev = p
+        runs.append((start, prev + L - 1))
+        for s, e in runs:
+            covered[i].update(range(s, e + 1))
+            grp = hashlib.md5(" ".join(toks[i][s:e + 1]).encode()).hexdigest()
+            want_spans.add((i, s, e, e - s + 1, grp))
+
+    got_spans = set(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"], r["dup_group"])
+        for r in llm_text.substring_dup_spans(docs, min_tokens=L).collect()
+    )
+    assert got_spans == want_spans
+
+    got_clean = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+        for r in llm_text.excise_dup_spans(docs, min_tokens=L).collect()
+    }
+    want_clean = {
+        i: (
+            " ".join(t for p, t in enumerate(ts) if p not in covered[i]),
+            len(covered[i]),
+        )
+        for i, ts in toks.items()
+    }
+    assert got_clean == want_clean
