@@ -527,6 +527,14 @@ def embed_decontaminate(
     ev = eval_set.select(
         F.col("vec_id").alias("eval_vec_id"), F.col("embedding").alias("e_emb")
     )
+    if not ev.head(1):
+        # an empty eval set would make every corpus row silently vanish
+        # from the report (inner cross join) — the caller almost
+        # certainly selected the wrong slice; fail loudly instead
+        raise ValueError(
+            "embed_decontaminate: eval_set is empty — every corpus vector "
+            "would silently drop from the report; check the eval slice"
+        )
     scored = (
         corpus.select("vec_id", "embedding")
         .crossJoin(F.broadcast(ev))

@@ -1703,3 +1703,14 @@ def test_embed_decontaminate_flags_planted_leakage(spark):
     assert not out[3]["contaminated"] and out[3]["max_sim"] == 0.0
     assert out[4]["eval_vec_id"] == 100  # tie -> smaller eval id
     assert not out[4]["contaminated"]   # cos = 1/sqrt(2) < 0.95
+
+
+def test_embed_decontaminate_empty_eval_raises(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    empty = corpus.where(F.lit(False))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        similarity.embed_decontaminate(corpus, empty)
