@@ -435,6 +435,43 @@ def token_jaccard_pairs_lsh(
     return out.where(F.col("jaccard") >= threshold)
 
 
+def keep_best_list(
+    docs: DataFrame, clusters: DataFrame, quality_col: str = "n_chars"
+) -> DataFrame:
+    """Quality-aware dedup decision: in each near-dup cluster KEEP the
+    member with the highest `quality_col` (ties to the smallest
+    doc_id); unclustered docs keep. The min-id keeper (dedup_keep_list)
+    discards arbitrarily; real pipelines keep the best copy — longest /
+    cleanest — because near-dup clusters routinely mix a full document
+    with its truncated or boilerplate-wrapped variants, and dropping
+    the full copy loses content.
+
+    clusters: (doc_id, cluster_id) from duplicate_clusters — dup-
+    bounded, small. The per-cluster winner is one map-side-combinable
+    struct-max over that small frame, broadcast back onto the corpus
+    labels: the corpus itself is scanned once and never shuffles.
+    Returns (doc_id, cluster_id, keep) — same contract as
+    dedup_keep_list, so downstream `where(keep)` is unchanged."""
+    labeled = docs.select("doc_id", F.col(quality_col).alias("_q")).join(
+        clusters, "doc_id", "left"
+    )
+    winners = (
+        labeled.where(F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.struct(F.col("_q"), (-F.col("doc_id")).alias("nid"))).alias("_w")
+        )
+        .select("cluster_id", (-F.col("_w.nid")).alias("_keep_doc_id"))
+    )
+    return labeled.join(F.broadcast(winners), "cluster_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        (
+            F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("_keep_doc_id"))
+        ).alias("keep"),
+    )
+
+
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over near-duplicate pairs: groups of
     transitively-linked docs get one cluster_id (the component's min

@@ -2705,6 +2705,60 @@ def dedup_keep_list(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_keep_best",
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+  FROM documents
+), sizes AS (SELECT doc_id, count(*) AS set_size FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6) >= 0.95
+), edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+),
+lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+win AS (
+  SELECT lab.cluster_id, max({'q': d.n_chars, 'nid': -d.doc_id}) AS w
+  FROM lab JOIN documents d USING (doc_id) GROUP BY 1
+)
+SELECT d.doc_id, lab.cluster_id,
+       (lab.cluster_id IS NULL OR d.doc_id = -(win.w).nid) AS keep
+FROM documents d LEFT JOIN lab USING (doc_id)
+       LEFT JOIN win ON lab.cluster_id = win.cluster_id
+""",
+)
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware dedup decision — dedup_keep_list's keeper upgraded
+    from arbitrary-min-id to BEST-member (highest n_chars, ties to the
+    smaller doc_id): near-dup clusters routinely mix a full document
+    with truncated/boilerplate-wrapped variants, and the min-id rule
+    can drop the full copy. Same detect (LSH) -> cluster (pointer
+    doubling) -> decide pipeline; the per-cluster winner is one
+    struct-max over the dup-bounded labels frame broadcast back onto
+    the corpus, so the corpus still never shuffles. Oracle = the
+    keep_list recursive-CTE clusters + an n_chars arg-max per
+    cluster."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.token_jaccard_pairs_lsh(
+        docs, threshold=0.95, max_bucket_size=10_000, fail_on_dropped_buckets=True
+    )
+    clusters = dedup.duplicate_clusters(pairs.select("doc_a", "doc_b")).select(
+        "doc_id", "cluster_id"
+    )
+    return dedup.keep_best_list(docs, clusters, quality_col="n_chars")
+
+
 # --- timeseries: sessionization / as-of (operators/temporal.py) -------------
 
 
@@ -4661,6 +4715,7 @@ QUERY_ORDER = [
     "dedup_rag_chunks",
     "dedup_substring_excise",
     "decontaminate_embed",
+    "dedup_keep_best",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -4707,10 +4762,10 @@ QUERY_ORDER = [
     "quality_filter_report",
     "pii_scrub_stats",
     "stratified_split",
-    "asof_last_error",
     # --- driver window ends here (first 50) ---
     # r10 queue head: the r5 rows past the cutoff (the new-query
-    # insertions above displaced a11/t2/f5/a1/a4 into the queue):
+    # insertions above displaced asof/a11/t2/f5/a1/a4 into the queue):
+    "asof_last_error",
     "a11_type_daily_rollup",
     "t2_pivot_event_values",
     "f5_integrity_report",

@@ -1714,3 +1714,34 @@ def test_embed_decontaminate_empty_eval_raises(spark):
 
     with _pytest.raises(ValueError, match="empty"):
         similarity.embed_decontaminate(corpus, empty)
+
+
+def test_keep_best_list_keeps_highest_quality_member(spark):
+    """The quality-aware keeper: in each cluster the highest-quality
+    member keeps (ties to the smaller doc_id), everything else drops,
+    unclustered docs keep — and exactly one keeper per cluster."""
+    docs = spark.createDataFrame(
+        [
+            (1, "short", 5),
+            (2, "the full long copy", 18),   # cluster A winner (longest)
+            (3, "the full long c", 15),
+            (10, "tie a", 7),                # cluster B: tie on quality,
+            (11, "tie b", 7),                # smaller doc_id (10) wins
+            (20, "unique standalone", 17),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    out = {r["doc_id"]: r for r in dedup.keep_best_list(docs, clusters).collect()}
+    assert {d: r["keep"] for d, r in out.items()} == {
+        1: False, 2: True, 3: False, 10: True, 11: False, 20: True,
+    }
+    assert out[20]["cluster_id"] is None
+    per_cluster = {}
+    for r in out.values():
+        if r["cluster_id"] is not None and r["keep"]:
+            per_cluster[r["cluster_id"]] = per_cluster.get(r["cluster_id"], 0) + 1
+    assert per_cluster == {1: 1, 10: 1}
