@@ -131,7 +131,6 @@ HEADLINE = [
     "dedup_rag_chunks",
     "dsir_hashed_weights",
     "decontaminate_embed",
-    "dedup_keep_best",
 ]
 
 # Drift sentinel: identical code has measured 49.5 s vs 72.3 s suite
@@ -157,6 +156,12 @@ SENTINEL = "h1_pricing_summary"
 # next-worst query, pure fit overhead, not a scale-path signal); its
 # operating points are measured by tools/ann_refresh_probe.py
 # --ivfpq-only at 1x and 10x (PROBE_r09) instead.
+# Also absent (same degeneracy): the keep-list family
+# (dedup_keep_list / dedup_keep_best), whose detect stage runs the
+# oracle-parity LSH config below — measured 17.8 s for dedup_keep_best
+# at sf0.1, all of it the degenerate candidate verify; the PRODUCTION
+# candidate path is benched via dedup_minhash/dedup_simhash and probed
+# at 10x by tools/scale_probe.py (dup_clusters).
 # Also absent: dedup_incremental_jaccard in its oracle-parity config
 # (10k bucket cap + fail-on-dropped) — on the synthetic 31-token
 # vocabulary, unigram band buckets admit ~83% of incoming x corpus as
