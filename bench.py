@@ -131,6 +131,7 @@ HEADLINE = [
     "dedup_rag_chunks",
     "dsir_hashed_weights",
     "decontaminate_embed",
+    "text_repetition_panel",
 ]
 
 # Drift sentinel: identical code has measured 49.5 s vs 72.3 s suite

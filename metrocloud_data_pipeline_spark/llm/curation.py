@@ -107,6 +107,149 @@ def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
     )
 
 
+def repetition_panel(docs: DataFrame) -> DataFrame:
+    """The FULL Gopher repetition filter panel (Rae et al. 2021, Table
+    A1) — repetition_stats covers two of the published signals; real
+    pipelines threshold all of them. Per document:
+
+      dup_line_frac        fraction of lines occurring more than once
+      dup_line_char_frac   char share of those repeated lines
+      top_ngram_char_frac_{2,3,4}
+                           char share of the single most frequent
+                           n-gram (count x gram token-chars; ties to
+                           the lexicographically smallest gram)
+      dup_ngram_char_frac_{5..10}
+                           char share of token positions COVERED by
+                           any within-doc duplicated n-gram (coverage
+                           UNION, so overlapping repeats count once —
+                           the paper's "characters contained within
+                           duplicate n-grams")
+
+    Conventions, shared with the oracle: text lowercased; lines split
+    on newline then per-line whitespace-normalized, empties dropped;
+    grams over the fully whitespace-collapsed token stream; every char
+    fraction uses NON-SEPARATOR characters (sum of token lengths) in
+    both numerator and denominator; docs with no content report zeros.
+
+    Plan shape: one normalized-token scan feeds every signal; each
+    n-gram size is a per-doc count (map-side combined, keyed by
+    doc_id — never a global gram shuffle) and the n>=5 coverage union
+    explodes dup-gram starts into at most n positions each (dup-
+    bounded). All 10 signals join back on doc_id; a 100 TB corpus
+    pays ~9 bounded per-doc aggregations and zero corpus-wide
+    exchanges beyond the doc_id key."""
+    from functools import reduce
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = docs.select("doc_id", F.split(norm, " ").alias("_toks")).localCheckpoint()
+    tok_rows = toks.select(
+        "doc_id", F.posexplode("_toks").alias("pos", "tok")
+    ).where(F.length("tok") > 0)
+    base = tok_rows.groupBy("doc_id").agg(
+        F.sum(F.length("tok")).alias("_chars"),
+        F.count(F.lit(1)).alias("_ntoks"),
+    )
+
+    # --- line metrics -----------------------------------------------------
+    line = F.regexp_replace(F.trim(F.col("raw_line")), r"\s+", " ")
+    lines = (
+        docs.select("doc_id", F.explode(F.split(F.lower(F.col("text")), "\n")).alias("raw_line"))
+        .select("doc_id", line.alias("line"))
+        .where(F.length("line") > 0)
+    )
+    lc = lines.groupBy("doc_id", "line").agg(F.count(F.lit(1)).alias("cnt"))
+    lagg = lc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("_nlines"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias("_dup_lines"),
+        F.sum(F.col("cnt") * F.length("line")).alias("_line_chars"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("line")).otherwise(0)
+        ).alias("_dup_line_chars"),
+    )
+
+    def grams(n: int):
+        m = F.greatest(F.size("_toks") - (n - 1), F.lit(0))
+        zipped = F.arrays_zip(
+            *[F.slice("_toks", i + 1, m).alias(f"t{i}") for i in range(n)]
+        )
+        g = F.concat_ws(" ", *[F.col(f"g.t{i}") for i in range(n)])
+        return (
+            toks.where(F.size("_toks") >= n)
+            .select("doc_id", F.posexplode(zipped).alias("pos", "g"))
+            .select("doc_id", "pos", g.alias("gram"))
+        )
+
+    # --- top n-gram char share (n = 2, 3, 4) ------------------------------
+    tops = []
+    for n in (2, 3, 4):
+        gc = grams(n).groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+        # max by (cnt, reverse-lexicographic gram): Spark struct max on
+        # (cnt, gram) would tie to the LARGEST gram string, so order by
+        # cnt with the gram carried via a min-on-ties second pass
+        w_cnt = gc.groupBy("doc_id").agg(F.max("cnt").alias("cnt"))
+        top = (
+            gc.join(w_cnt, ["doc_id", "cnt"])
+            .groupBy("doc_id", "cnt")
+            .agg(F.min("gram").alias("gram"))
+            .select(
+                "doc_id",
+                (
+                    F.col("cnt") * (F.length("gram") - F.lit(n - 1))
+                ).alias(f"_top{n}_chars"),
+            )
+        )
+        tops.append(top)
+
+    # --- dup n-gram coverage (n = 5..10) ----------------------------------
+    covs = []
+    for n in range(5, 11):
+        gc = grams(n)
+        dup = (
+            gc.groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.collect_list("pos").alias("starts"))
+            .where(F.col("cnt") >= 2)
+        )
+        covered = (
+            dup.select("doc_id", F.explode("starts").alias("s"))
+            .select(
+                "doc_id",
+                F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(n - 1))).alias("pos"),
+            )
+            .distinct()
+        )
+        cov = (
+            covered.join(tok_rows, ["doc_id", "pos"])
+            .groupBy("doc_id")
+            .agg(F.sum(F.length("tok")).alias(f"_cov{n}_chars"))
+        )
+        covs.append(cov)
+
+    joined = reduce(
+        lambda a, b: a.join(b, "doc_id", "left"),
+        [base, lagg] + tops + covs,
+        docs.select("doc_id"),
+    )
+    chars = F.coalesce("_chars", F.lit(0))
+    nlines = F.coalesce("_nlines", F.lit(0))
+    lchars = F.coalesce("_line_chars", F.lit(0))
+
+    def frac(num, den):
+        return round6(
+            F.when(den > 0, F.coalesce(num, F.lit(0)).cast("double") / den).otherwise(0.0)
+        )
+
+    out_cols = [
+        F.col("doc_id"),
+        frac(F.col("_dup_lines"), nlines).alias("dup_line_frac"),
+        frac(F.col("_dup_line_chars"), lchars).alias("dup_line_char_frac"),
+    ]
+    for n in (2, 3, 4):
+        out_cols.append(frac(F.col(f"_top{n}_chars"), chars).alias(f"top_ngram_char_frac_{n}"))
+    for n in range(5, 11):
+        out_cols.append(frac(F.col(f"_cov{n}_chars"), chars).alias(f"dup_ngram_char_frac_{n}"))
+    return joined.select(*out_cols)
+
+
 def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 8) -> DataFrame:
     """Benchmark decontamination: per document, the fraction of its
     distinct n-gram hashes that also occur anywhere in the benchmark

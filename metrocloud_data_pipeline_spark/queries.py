@@ -2581,6 +2581,114 @@ def text_repetition_stats(spark, sf_dir):
     return curation.repetition_stats(load(spark, sf_dir, "documents"), n=2)
 
 
+def _repetition_panel_oracle() -> str:
+    """Generate the Gopher-panel oracle: the per-n gram CTEs (top-gram
+    char share for n=2..4, dup-gram coverage union for n=5..10) are
+    mechanical repetitions, so they are assembled here instead of
+    hand-written ten times."""
+    top_ctes, cov_ctes, top_cols, cov_cols, joins = [], [], [], [], []
+    for n in (2, 3, 4):
+        top_ctes.append(f"""
+g{n} AS (
+  SELECT doc_id, array_to_string(toks[u.p:u.p+{n - 1}], ' ') AS gram
+  FROM t, unnest(generate_series(1, len(toks) - {n - 1})) u(p)
+  WHERE len(toks) >= {n}
+), c{n} AS (SELECT doc_id, gram, count(*) AS cnt FROM g{n} GROUP BY 1, 2),
+m{n} AS (SELECT doc_id, max(cnt) AS cnt FROM c{n} GROUP BY 1),
+top{n} AS (
+  SELECT c.doc_id, c.cnt * (length(min(c.gram)) - {n - 1}) AS top_chars
+  FROM c{n} c JOIN m{n} m ON c.doc_id = m.doc_id AND c.cnt = m.cnt
+  GROUP BY c.doc_id, c.cnt
+)""")
+        top_cols.append(
+            f"round(CASE WHEN coalesce(base.chars, 0) > 0 THEN "
+            f"CAST(coalesce(top{n}.top_chars, 0) AS DOUBLE) / base.chars "
+            f"ELSE 0.0 END, 6) AS top_ngram_char_frac_{n}"
+        )
+        joins.append(f"LEFT JOIN top{n} ON d0.doc_id = top{n}.doc_id")
+    for n in range(5, 11):
+        cov_ctes.append(f"""
+h{n} AS (
+  SELECT doc_id, CAST(u.p - 1 AS BIGINT) AS pos,
+         array_to_string(toks[u.p:u.p+{n - 1}], ' ') AS gram
+  FROM t, unnest(generate_series(1, len(toks) - {n - 1})) u(p)
+  WHERE len(toks) >= {n}
+), dup{n} AS (
+  SELECT doc_id, gram FROM h{n} GROUP BY 1, 2 HAVING count(*) >= 2
+), pos{n} AS (
+  SELECT DISTINCT h.doc_id, h.pos + u.o AS pos
+  FROM h{n} h JOIN dup{n} USING (doc_id, gram),
+       unnest(generate_series(0, {n - 1})) u(o)
+), cov{n} AS (
+  SELECT p.doc_id, sum(length(tok.tok)) AS cov_chars
+  FROM pos{n} p JOIN tok ON p.doc_id = tok.doc_id AND p.pos = tok.pos
+  GROUP BY 1
+)""")
+        cov_cols.append(
+            f"round(CASE WHEN coalesce(base.chars, 0) > 0 THEN "
+            f"CAST(coalesce(cov{n}.cov_chars, 0) AS DOUBLE) / base.chars "
+            f"ELSE 0.0 END, 6) AS dup_ngram_char_frac_{n}"
+        )
+        joins.append(f"LEFT JOIN cov{n} ON d0.doc_id = cov{n}.doc_id")
+    return """
+WITH d0 AS (SELECT doc_id FROM documents),
+d AS (
+  SELECT doc_id, lower(text) AS lt,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+), t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM d),
+tok AS (
+  SELECT doc_id, CAST(u.p - 1 AS BIGINT) AS pos, toks[u.p] AS tok
+  FROM t, unnest(generate_series(1, len(toks))) u(p)
+  WHERE length(toks[u.p]) > 0
+), base AS (SELECT doc_id, sum(length(tok)) AS chars FROM tok GROUP BY 1),
+lraw AS (
+  SELECT doc_id, regexp_replace(trim(u.l), '\\s+', ' ', 'g') AS line
+  FROM d, unnest(string_split(lt, chr(10))) u(l)
+), l AS (SELECT doc_id, line FROM lraw WHERE length(line) > 0),
+lc AS (SELECT doc_id, line, count(*) AS cnt FROM l GROUP BY 1, 2),
+lagg AS (
+  SELECT doc_id, sum(cnt) AS nlines,
+         sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_lines,
+         sum(cnt * length(line)) AS line_chars,
+         sum(CASE WHEN cnt >= 2 THEN cnt * length(line) ELSE 0 END) AS dup_line_chars
+  FROM lc GROUP BY 1
+),{tops},{covs}
+SELECT d0.doc_id,
+       round(CASE WHEN coalesce(lagg.nlines, 0) > 0 THEN
+         CAST(coalesce(lagg.dup_lines, 0) AS DOUBLE) / lagg.nlines
+         ELSE 0.0 END, 6) AS dup_line_frac,
+       round(CASE WHEN coalesce(lagg.line_chars, 0) > 0 THEN
+         CAST(coalesce(lagg.dup_line_chars, 0) AS DOUBLE) / lagg.line_chars
+         ELSE 0.0 END, 6) AS dup_line_char_frac,
+       {top_cols},
+       {cov_cols}
+FROM d0 LEFT JOIN base ON d0.doc_id = base.doc_id
+        LEFT JOIN lagg ON d0.doc_id = lagg.doc_id
+        {joins}
+""".format(
+        tops=",".join(top_ctes),
+        covs=",".join(cov_ctes),
+        top_cols=",\n       ".join(top_cols),
+        cov_cols=",\n       ".join(cov_cols),
+        joins="\n        ".join(joins),
+    )
+
+
+@q("text_repetition_panel", oracle=_repetition_panel_oracle())
+def text_repetition_panel(spark, sf_dir):
+    """The FULL Gopher repetition filter panel (Rae et al. 2021 Table
+    A1): dup line fraction + char share, top n-gram char share for
+    n=2..4 (count x token-chars — exceeds 1.0 only on degenerate
+    self-overlapping repeats, which the thresholds catch anyway), and
+    dup n-gram char COVERAGE for n=5..10 (position union, overlapping
+    repeats count once). text_repetition_stats carries two of these
+    signals; production pipelines threshold all ten. One normalized
+    token scan feeds every signal; each n is a per-doc map-side
+    aggregate keyed by doc_id — no corpus-wide gram shuffle."""
+    return curation.repetition_panel(load(spark, sf_dir, "documents"))
+
+
 @q(
     "stratified_split",
     oracle="""
@@ -4716,6 +4824,7 @@ QUERY_ORDER = [
     "dedup_substring_excise",
     "decontaminate_embed",
     "dedup_keep_best",
+    "text_repetition_panel",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -4761,10 +4870,10 @@ QUERY_ORDER = [
     "text_clean_stats",
     "quality_filter_report",
     "pii_scrub_stats",
-    "stratified_split",
     # --- driver window ends here (first 50) ---
     # r10 queue head: the r5 rows past the cutoff (the new-query
-    # insertions above displaced asof/a11/t2/f5/a1/a4 into the queue):
+    # insertions above displaced strat/asof/a11/t2/f5/a1/a4):
+    "stratified_split",
     "asof_last_error",
     "a11_type_daily_rollup",
     "t2_pivot_event_values",

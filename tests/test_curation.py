@@ -572,3 +572,45 @@ def test_dsir_hashed_rank_correlates_with_exact(spark):
                 for r in curation.dsir_importance_weights_hashed(
                     docs, target=tgt).collect()}
     assert n_exact == n_hashed
+
+
+def test_repetition_panel_gopher_signals(spark):
+    """The full Gopher Table A1 panel on hand-computed fixtures:
+    repeated lines, heavy bigram repetition, a duplicated 9-gram's
+    coverage union, empty docs, and a clean doc."""
+    rows = [
+        (1, "line one\nline one\nunique line"),
+        (2, "a b a b a b a b a b"),
+        (3, "p q r s t u v w x p q r s t u v w x zz"),
+        (4, ""),
+        (5, "just some plain unique words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curation.repetition_panel(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+
+    # doc 1: "line one" x2 of 3 lines -> 2/3; chars 8+8 of 8+8+11=27
+    assert out[1]["dup_line_frac"] == round(2 / 3, 6)
+    assert out[1]["dup_line_char_frac"] == round(16 / 27, 6)
+    assert out[1]["dup_ngram_char_frac_5"] == 0.0
+
+    # doc 2: 10 single-char tokens; top bigram "a b" occurs 5x -> 10/10;
+    # every position covered by a dup 5..8-gram; no dup 9/10-gram
+    assert out[2]["top_ngram_char_frac_2"] == 1.0
+    for n in (5, 6, 7, 8):
+        assert out[2][f"dup_ngram_char_frac_{n}"] == 1.0
+    assert out[2]["dup_ngram_char_frac_9"] == 0.0
+
+    # doc 3: dup 9-gram at pos 0 and 9 covers tokens 0..17 of 19
+    # single-char tokens + "zz" (20 chars total) -> 18/20
+    assert out[3]["dup_ngram_char_frac_9"] == 0.9
+    assert out[3]["dup_ngram_char_frac_10"] == 0.0
+
+    # doc 4 (empty): all-zero row, still reported
+    assert all(out[4][c] == 0.0 for c in out[4].asDict() if c != "doc_id")
+
+    # doc 5 (clean): no dup lines, no dup >=5-grams; unique top bigram
+    # = one occurrence's char share ("just some" = 8 of 28 chars)
+    assert out[5]["dup_line_frac"] == 0.0
+    assert out[5]["top_ngram_char_frac_2"] == round(8 / 28, 6)
+    assert out[5]["dup_ngram_char_frac_5"] == 0.0
