@@ -44,6 +44,8 @@ DOC_QUERIES = [
     "dedup_substring_spans",
     "dedup_substring_excise",
     "dedup_rag_chunks",
+    "dedup_keep_best",
+    "text_repetition_panel",
 ]
 
 EDGE_ROWS = [
