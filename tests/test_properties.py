@@ -668,3 +668,62 @@ def test_substring_spans_and_excise_match_naive(spark, texts):
         for i, ts in toks.items()
     }
     assert got_clean == want_clean
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc".split()),
+            min_size=0,
+            max_size=14,
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_repetition_panel_matches_naive(spark, texts):
+    """All ten Gopher panel signals vs a brute-force recomputation on
+    random 3-token-alphabet corpora (saturated with repeats by
+    construction, incl. empty docs)."""
+    from collections import Counter
+
+    from metrocloud_data_pipeline_spark.llm import curation as llm_curation
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in llm_curation.repetition_panel(docs).collect()}
+
+    for i, t in enumerate(texts):
+        toks = [x for x in t.lower().strip().split() if x]
+        chars = sum(len(x) for x in toks)
+        want = {"doc_id": i}
+        lines = [" ".join(l.split()) for l in t.lower().split("\n")]
+        lines = [l for l in lines if l]
+        lcnt = Counter(lines)
+        nl = len(lines)
+        lch = sum(len(l) for l in lines)
+        want["dup_line_frac"] = round(
+            sum(c for c in lcnt.values() if c >= 2) / nl, 6) if nl else 0.0
+        want["dup_line_char_frac"] = round(
+            sum(c * len(l) for l, c in lcnt.items() if c >= 2) / lch, 6) if lch else 0.0
+        for n in (2, 3, 4):
+            gc = Counter(tuple(toks[p:p + n]) for p in range(len(toks) - n + 1))
+            if gc and chars:
+                top = max(gc.items(), key=lambda kv: (kv[1], [-ord(c) for c in " ".join(kv[0])]))
+                # tie-break: max count, then lexicographically SMALLEST gram
+                best = min((g for g, c in gc.items() if c == top[1]))
+                want[f"top_ngram_char_frac_{n}"] = round(
+                    gc[best] * sum(len(x) for x in best) / chars, 6)
+            else:
+                want[f"top_ngram_char_frac_{n}"] = 0.0
+        for n in range(5, 11):
+            gc = Counter(tuple(toks[p:p + n]) for p in range(len(toks) - n + 1))
+            covered = set()
+            for p in range(len(toks) - n + 1):
+                if gc[tuple(toks[p:p + n])] >= 2:
+                    covered.update(range(p, p + n))
+            want[f"dup_ngram_char_frac_{n}"] = round(
+                sum(len(toks[p]) for p in covered) / chars, 6) if chars else 0.0
+        assert got[i] == want, (i, t, got[i], want)
