@@ -132,6 +132,8 @@ HEADLINE = [
     "dsir_hashed_weights",
     "decontaminate_embed",
     "text_repetition_panel",
+    "gopher_quality_panel",
+    "c4_line_filter",
 ]
 
 # Drift sentinel: identical code has measured 49.5 s vs 72.3 s suite

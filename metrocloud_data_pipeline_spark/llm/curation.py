@@ -250,6 +250,196 @@ def repetition_panel(docs: DataFrame) -> DataFrame:
     return joined.select(*out_cols)
 
 
+# Gopher's "contains at least two of" required English words (Rae et
+# al. 2021, Table A1) — presence, not frequency.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# Line-start markers treated as bullets: common bullet glyphs as a
+# first character, or the markdown forms "- " / "* " (marker + space,
+# so hyphenated words and leading negatives don't count).
+_BULLET_GLYPHS = ("•", "‣", "▪", "●", "◦")
+
+
+def _occurrences(col: F.Column, needle: str) -> F.Column:
+    """Non-overlapping occurrence count of a literal needle (length
+    delta under removal — no regex, so '...' needs no escaping)."""
+    removed = F.replace(col, F.lit(needle), F.lit(""))
+    return (F.length(col) - F.length(removed)) / F.lit(len(needle))
+
+
+def gopher_quality_panel(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The NON-repetition half of the Gopher quality filter (Rae et al.
+    2021, Table A1) — repetition_panel carries the other ten signals.
+    Per document:
+
+      n_words              whitespace words (lowercased, collapsed)
+      mean_word_len        word chars / words
+      symbol_word_ratio    ('#' + '...' + unicode-ellipsis counts) / words
+      bullet_line_frac     lines starting with a bullet glyph or '- '/'* '
+      ellipsis_line_frac   lines ending with '...' or the one-char ellipsis
+      alpha_word_frac      words containing at least one [a-z]
+      stopword_hits        how many of Gopher's 8 required words appear
+      gopher_pass          the paper's conjunction: 50 <= words <= 100k,
+                           3 <= mean word len <= 10, symbol ratio <= 0.1,
+                           bullet lines <= 90%, ellipsis lines <= 30%,
+                           alpha words >= 80%, >= 2 required stopwords
+
+    Conventions shared with the oracle (and with repetition_panel):
+    text lowercased; words from the whitespace-collapsed stream with
+    empties dropped; lines split on newline, per-line whitespace-
+    normalized, empties dropped; ratios 0 when the denominator is 0.
+
+    Plan shape: every signal is a per-row higher-order-function
+    expression over the token/line arrays — ZERO shuffles, one scan,
+    fully codegen. At 100 TB this is a map-only pass; the repetition
+    panel's per-doc aggregations are the expensive half, this one is
+    free. Reference has no corpus layer (SURVEY §2.11 extension)."""
+    lt = F.lower(F.col("text"))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = F.filter(F.split(norm, " "), lambda t: F.length(t) > 0)
+    lines = F.filter(
+        F.transform(
+            F.split(lt, "\n"), lambda l: F.regexp_replace(F.trim(l), r"\s+", " ")
+        ),
+        lambda l: F.length(l) > 0,
+    )
+
+    def is_bullet(l):
+        first = l.substr(1, 1)
+        return first.isin(*_BULLET_GLYPHS) | l.startswith("- ") | l.startswith("* ")
+
+    def is_ellipsis(l):
+        return l.endswith("...") | l.endswith("…")
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.length(F.concat_ws("", toks)).cast("long").alias("_word_chars"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long").alias("_alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+            )
+        ).cast("long").alias("stopword_hits"),
+        (
+            _occurrences(lt, "#") + _occurrences(lt, "...") + _occurrences(lt, "…")
+        ).alias("_symbols"),
+        F.size(lines).cast("long").alias("_n_lines"),
+        F.size(F.filter(lines, is_bullet)).cast("long").alias("_bullet_lines"),
+        F.size(F.filter(lines, is_ellipsis)).cast("long").alias("_ellipsis_lines"),
+    )
+
+    def frac(num, den):
+        return round6(
+            F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0)
+        )
+
+    n_words = F.col("n_words")
+    scored = base.select(
+        "doc_id",
+        "n_words",
+        frac(F.col("_word_chars"), n_words).alias("mean_word_len"),
+        frac(F.col("_symbols"), n_words).alias("symbol_word_ratio"),
+        frac(F.col("_bullet_lines"), F.col("_n_lines")).alias("bullet_line_frac"),
+        frac(F.col("_ellipsis_lines"), F.col("_n_lines")).alias("ellipsis_line_frac"),
+        frac(F.col("_alpha_words"), n_words).alias("alpha_word_frac"),
+        "stopword_hits",
+    )
+    return scored.withColumn(
+        "gopher_pass",
+        n_words.between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits),
+    )
+
+
+# C4's "end quotation mark" terminal set alongside . ! ? (Raffel et
+# al. 2020 §2.2) — straight and curly closing quotes.
+_C4_TERMINALS = (".", "!", "?", '"', "”")
+
+
+def c4_line_filter(docs: DataFrame, min_words: int = 5, min_sentences: int = 3) -> DataFrame:
+    """The C4 cleaning pass (Raffel et al. 2020, §2.2): per document,
+    keep only lines that end in a terminal punctuation mark, contain at
+    least `min_words` words, and do not mention "javascript"; then apply
+    the page-level rules — at least `min_sentences` sentences survive,
+    no "lorem ipsum", no curly brace. Emits per-doc line accounting,
+    the CLEANED text (kept lines joined by newline — the actual
+    training-corpus product), and the page keep decision.
+
+    Conventions shared with the oracle: lines split on newline, trimmed
+    and whitespace-collapsed, empties dropped, ORIGINAL case preserved
+    in the cleaned text; drop reasons are mutually exclusive with
+    precedence no-terminal-punct > too-short > javascript; sentences
+    are terminal-punctuation runs ([.!?]+) in the cleaned text; the
+    "javascript" and "lorem ipsum" probes are case-insensitive. The
+    paper's bad-words list is deliberately omitted (externally
+    licensed); the hook is the same line-predicate shape.
+
+    Plan shape: per-row higher-order functions over the line array —
+    zero shuffles, one map-only codegen scan. The 100 TB corpus pays a
+    single pass and writes the cleaned column alongside the flags.
+    Null text behaves as empty text (zero counts, empty clean_text,
+    not kept) so the cleaned column is never null downstream."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    lines = F.filter(
+        F.transform(
+            F.split(txt, "\n"),
+            lambda l: F.regexp_replace(F.trim(l), r"\s+", " "),
+        ),
+        lambda l: F.length(l) > 0,
+    )
+
+    def terminal(l):
+        return l.substr(F.length(l), F.lit(1)).isin(*_C4_TERMINALS)
+
+    def enough_words(l):
+        return F.size(F.split(l, " ")) >= min_words
+
+    def has_js(l):
+        return F.lower(l).contains("javascript")
+
+    kept = F.filter(lines, lambda l: terminal(l) & enough_words(l) & ~has_js(l))
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.regexp_count(clean, F.lit(r"[.!?]+"))
+    has_lorem = F.lower(txt).contains("lorem ipsum")
+    has_brace = txt.contains("{")
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("kept_lines"),
+        F.size(F.filter(lines, lambda l: ~terminal(l))).cast("long").alias("dropped_no_punct"),
+        F.size(F.filter(lines, lambda l: terminal(l) & ~enough_words(l)))
+        .cast("long")
+        .alias("dropped_short"),
+        F.size(F.filter(lines, lambda l: terminal(l) & enough_words(l) & has_js(l)))
+        .cast("long")
+        .alias("dropped_js"),
+        n_sentences.cast("long").alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        (
+            (n_sentences >= min_sentences) & ~has_lorem & ~has_brace
+        ).alias("c4_keep"),
+        clean.alias("clean_text"),
+    )
+
+
 def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 8) -> DataFrame:
     """Benchmark decontamination: per document, the fraction of its
     distinct n-gram hashes that also occur anywhere in the benchmark

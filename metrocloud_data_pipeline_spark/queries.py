@@ -2690,6 +2690,116 @@ def text_repetition_panel(spark, sf_dir):
 
 
 @q(
+    "gopher_quality_panel",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS lt,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, lt,
+         list_filter(string_split(norm, ' '), x -> length(x) > 0) AS toks,
+         list_filter(list_transform(string_split(lt, chr(10)),
+                     l -> regexp_replace(trim(l), '\s+', ' ', 'g')),
+                     l -> length(l) > 0) AS lines
+  FROM d
+), m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS word_chars,
+    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+    CAST(len(list_intersect(list_distinct(toks),
+         ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stopword_hits,
+    (length(lt) - length(replace(lt, '#', '')))
+      + (length(lt) - length(replace(lt, '...', ''))) / 3
+      + (length(lt) - length(replace(lt, '…', ''))) AS symbols,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines, l -> substr(l,1,1) IN ('•','‣','▪','●','◦')
+         OR l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS bullet_lines,
+    CAST(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS ellipsis_lines
+  FROM t
+), s AS (
+  SELECT doc_id, n_words, stopword_hits,
+    round(CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / n_words ELSE 0.0 END, 6) AS mean_word_len,
+    round(CASE WHEN n_words > 0 THEN CAST(symbols AS DOUBLE) / n_words ELSE 0.0 END, 6) AS symbol_word_ratio,
+    round(CASE WHEN n_lines > 0 THEN CAST(bullet_lines AS DOUBLE) / n_lines ELSE 0.0 END, 6) AS bullet_line_frac,
+    round(CASE WHEN n_lines > 0 THEN CAST(ellipsis_lines AS DOUBLE) / n_lines ELSE 0.0 END, 6) AS ellipsis_line_frac,
+    round(CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words ELSE 0.0 END, 6) AS alpha_word_frac
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+       ellipsis_line_frac, alpha_word_frac, stopword_hits,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND stopword_hits >= 2) AS gopher_pass
+FROM s
+""",
+)
+def gopher_quality_panel(spark, sf_dir):
+    """The NON-repetition half of the Gopher quality filter (Rae et al.
+    2021 Table A1): word-count bounds, mean word length band, symbol-to-
+    word ratio, bullet/ellipsis line fractions, alphabetic-word floor,
+    required-stopword presence, and the paper's pass conjunction.
+    text_repetition_panel carries the other ten signals. Every signal is
+    a per-row higher-order-function expression — zero shuffles, one
+    map-only codegen scan even at 100 TB."""
+    return curation.gopher_quality_panel(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "c4_line_filter",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+    list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                l -> regexp_replace(trim(l), '\s+', ' ', 'g')),
+                l -> length(l) > 0) AS lines
+  FROM documents
+), c AS (
+  SELECT doc_id, text, lines,
+    list_filter(lines, l -> right(l, 1) IN ('.','!','?','"','”')
+                AND len(string_split(l, ' ')) >= 5
+                AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM d
+), s AS (
+  SELECT doc_id, text, lines, kept,
+    coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+    contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+    contains(text, '{') AS has_brace
+  FROM c
+)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS kept_lines,
+  CAST(len(list_filter(lines, l -> right(l, 1) NOT IN ('.','!','?','"','”'))) AS BIGINT) AS dropped_no_punct,
+  CAST(len(list_filter(lines, l -> right(l, 1) IN ('.','!','?','"','”')
+       AND len(string_split(l, ' ')) < 5)) AS BIGINT) AS dropped_short,
+  CAST(len(list_filter(lines, l -> right(l, 1) IN ('.','!','?','"','”')
+       AND len(string_split(l, ' ')) >= 5
+       AND contains(lower(l), 'javascript'))) AS BIGINT) AS dropped_js,
+  CAST(len(regexp_extract_all(clean_text, '[.!?]+')) AS BIGINT) AS n_sentences,
+  has_lorem_ipsum, has_brace,
+  (len(regexp_extract_all(clean_text, '[.!?]+')) >= 3
+   AND NOT has_lorem_ipsum AND NOT has_brace) AS c4_keep,
+  clean_text
+FROM s
+""",
+)
+def c4_line_filter(spark, sf_dir):
+    """The C4 cleaning pass (Raffel et al. 2020 §2.2): line-level
+    terminal-punctuation / >=5-words / javascript rules with mutually
+    exclusive drop accounting, the CLEANED text product, and the
+    page-level >=3-sentences / lorem-ipsum / curly-brace keep decision.
+    Per-row higher-order functions over the line array — zero shuffles,
+    one map-only codegen scan at any scale."""
+    return curation.c4_line_filter(load(spark, sf_dir, "documents"))
+
+
+@q(
     "stratified_split",
     oracle="""
 WITH u AS (
@@ -4825,6 +4935,8 @@ QUERY_ORDER = [
     "decontaminate_embed",
     "dedup_keep_best",
     "text_repetition_panel",
+    "gopher_quality_panel",
+    "c4_line_filter",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -4868,9 +4980,9 @@ QUERY_ORDER = [
     "h4_order_priority",
     "sample_weighted_sources",
     "text_clean_stats",
+    # --- driver window ends here (first 50) ---
     "quality_filter_report",
     "pii_scrub_stats",
-    # --- driver window ends here (first 50) ---
     # r10 queue head: the r5 rows past the cutoff (the new-query
     # insertions above displaced strat/asof/a11/t2/f5/a1/a4):
     "stratified_split",

@@ -614,3 +614,122 @@ def test_repetition_panel_gopher_signals(spark):
     assert out[5]["dup_line_frac"] == 0.0
     assert out[5]["top_ngram_char_frac_2"] == round(8 / 28, 6)
     assert out[5]["dup_ngram_char_frac_5"] == 0.0
+
+
+def test_gopher_quality_panel_signals(spark):
+    """The non-repetition Gopher Table A1 rules on hand-computed
+    fixtures: a passing doc, bullet/ellipsis line fractions, symbol
+    ratio, non-alpha words, and the empty doc."""
+    good = " ".join(
+        ["the quick brown foxes jumped with grace and that was fine to see have some"] * 5
+    )
+    rows = [
+        (1, good),
+        (2, "• item one\n• item two\n- item three\n-5 degrees out"),
+        (3, "to be continued...\nmore text…\nplain line"),
+        (4, "# one two... three… hmm...."),
+        (5, "123 456 789 000"),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curation.gopher_quality_panel(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+
+    # doc 1: 75 words, mean 60/15 = 4.0 chars, 6 required stopwords,
+    # all alphabetic, no symbols/bullets/ellipses -> passes every rule
+    r1 = out[1]
+    assert r1["n_words"] == 75
+    assert r1["mean_word_len"] == 4.0
+    assert r1["alpha_word_frac"] == 1.0
+    assert r1["stopword_hits"] == 6
+    assert r1["symbol_word_ratio"] == 0.0
+    assert r1["gopher_pass"] is True
+
+    # doc 2: bullet glyph x2 + "- " x1 = 3 bullet lines of 4; the
+    # "-5 degrees" line is NOT a bullet (no marker+space)
+    assert out[2]["bullet_line_frac"] == 0.75
+    assert out[2]["gopher_pass"] is False  # word count rule
+
+    # doc 3: "..." and the one-char ellipsis end 2 of 3 lines
+    assert out[3]["ellipsis_line_frac"] == round(2 / 3, 6)
+
+    # doc 4: symbols = one '#' + "two..." + "three…" + "hmm...." (the
+    # 4-dot run holds ONE non-overlapping '...') = 4 over 5 words;
+    # alpha words exclude the bare '#'
+    r4 = out[4]
+    assert r4["n_words"] == 5
+    assert r4["symbol_word_ratio"] == 0.8
+    assert r4["alpha_word_frac"] == 0.8
+
+    # doc 5: no word contains a letter
+    assert out[5]["alpha_word_frac"] == 0.0
+    assert out[5]["stopword_hits"] == 0
+
+    # doc 6 (empty): zero row, still reported, fails
+    r6 = out[6]
+    assert r6["n_words"] == 0
+    assert r6["mean_word_len"] == 0.0
+    assert r6["gopher_pass"] is False
+
+
+def test_c4_line_filter_rules(spark):
+    """C4 line + page rules on hand-computed fixtures: terminal-punct
+    precedence, the five-word floor, javascript lines, lorem ipsum /
+    brace page drops, and the three-sentence floor."""
+    good = (
+        "This is a perfectly fine sentence with words.\n"
+        "Another complete sentence follows right here today!\n"
+        "Does a question also count as terminal?\n"
+        "short line.\n"
+        "no terminal punctuation here at all\n"
+        "Please enable javascript to view this page.\n"
+    )
+    rows = [
+        (1, good),
+        (2, "Lorem Ipsum dolor sit amet, consectetur adipiscing elit.\n"
+            "A second real sentence sits right here.\n"
+            "A third real sentence sits right here.\n"),
+        (3, "function f() { return 1; }\n"
+            "One real sentence lives in this document today.\n"
+            "Two real sentences live in this document today.\n"
+            "Three real sentences live in this document today.\n"),
+        (4, "Only two sentences survive the line rules here.\n"
+            "So the page fails the sentence floor anyway.\n"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curation.c4_line_filter(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+
+    # doc 1: 6 lines -> 3 kept; "short line." fails the word floor,
+    # the bare line fails terminal punct, the javascript line is cut
+    r1 = out[1]
+    assert r1["n_lines"] == 6
+    assert r1["kept_lines"] == 3
+    assert r1["dropped_no_punct"] == 1
+    assert r1["dropped_short"] == 1
+    assert r1["dropped_js"] == 1
+    assert r1["n_sentences"] == 3
+    assert r1["c4_keep"] is True
+    assert r1["clean_text"].count("\n") == 2
+
+    # doc 2: three clean sentences but the lorem-ipsum page rule fires
+    assert out[2]["kept_lines"] == 3
+    assert out[2]["has_lorem_ipsum"] is True
+    assert out[2]["c4_keep"] is False
+
+    # doc 3: the brace page rule fires even though 3 sentences survive
+    assert out[3]["n_sentences"] == 3
+    assert out[3]["has_brace"] is True
+    assert out[3]["c4_keep"] is False
+
+    # doc 4: clean page, only 2 sentences -> sentence floor fails
+    assert out[4]["kept_lines"] == 2
+    assert out[4]["n_sentences"] == 2
+    assert out[4]["c4_keep"] is False
+
+    # doc 5 (empty): zero counts, empty clean text, not kept
+    r5 = out[5]
+    assert r5["n_lines"] == 0 and r5["kept_lines"] == 0
+    assert r5["clean_text"] == ""
+    assert r5["c4_keep"] is False

@@ -46,6 +46,8 @@ DOC_QUERIES = [
     "dedup_rag_chunks",
     "dedup_keep_best",
     "text_repetition_panel",
+    "gopher_quality_panel",
+    "c4_line_filter",
 ]
 
 EDGE_ROWS = [
