@@ -134,6 +134,7 @@ HEADLINE = [
     "text_repetition_panel",
     "gopher_quality_panel",
     "c4_line_filter",
+    "minhash_recall_report",
 ]
 
 # Drift sentinel: identical code has measured 49.5 s vs 72.3 s suite

@@ -824,3 +824,98 @@ def token_jaccard_pairs_prefix(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_recall_report(
+    docs: DataFrame,
+    k: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    max_docs: int = 200,
+    min_jaccard: float = 0.2,
+    n_buckets: int = 5,
+    max_bucket_size: int | None = 500,
+) -> DataFrame:
+    """MinHash-LSH quality audit — knn_recall_report's twin for the
+    dedup tier: measured candidate recall per TRUE-Jaccard bucket
+    against the banding S-curve an operator tunes (num_perm, bands)
+    with.
+
+    Ground truth: exact shingle-set Jaccard over every pair inside a
+    deterministic doc sample (doc_id < max_docs), computed from the
+    distinct hashed-shingle sets (xxhash64 collisions are negligible
+    at audit scale). The LSH side bands the FULL corpus — bucket
+    occupancy, the cap, and hot-bucket behavior are the production
+    operating point, not a subset artifact — and is then restricted to
+    pairs with both ends in the sample.
+
+    One row per Jaccard bucket of width 1/n_buckets starting at the
+    bucket containing min_jaccard:
+
+      bucket_lo       inclusive lower edge (jaccard 1.0 joins the top)
+      n_true_pairs    exact pairs in the bucket
+      n_caught        of those, surfaced as LSH candidates
+      recall          n_caught / n_true_pairs
+      expected_recall mean over the bucket of 1 - (1 - J^r)^b, the
+                      banding hit probability at r = num_perm/bands
+
+    A measured recall sitting far under expected at mid-J flags a cap
+    dropping honest buckets; expected itself shows where the S-curve
+    cuts for the chosen (r, b). Audit cost: one banding pass over the
+    corpus plus sample-bounded pair joins (max_docs^2/2 rows) — rows-
+    only by design (the seeded xxhash64 permutations have no SQL twin)."""
+    rows_per_band = num_perm // bands
+    if rows_per_band * bands != num_perm:
+        raise ValueError(
+            f"minhash_recall_report: bands={bands} must divide num_perm={num_perm}"
+        )
+    sample = docs.where(F.col("doc_id") < max_docs)
+    sets_ = (
+        shingles(sample, k=k)
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+    a = sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
+    truth = (
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+    cand = (
+        lsh_candidate_pairs(
+            minhash_signatures(docs, num_perm=num_perm, k=k),
+            bands=bands,
+            rows_per_band=rows_per_band,
+            max_bucket_size=max_bucket_size,
+        )
+        .where((F.col("doc_a") < max_docs) & (F.col("doc_b") < max_docs))
+        .withColumn("caught", F.lit(1))
+    )
+    scored = truth.join(cand, ["doc_a", "doc_b"], "left")
+    bucket_lo = (
+        F.least(F.floor(F.col("jaccard") * n_buckets), F.lit(n_buckets - 1))
+        / F.lit(float(n_buckets))
+    )
+    hit_p = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(F.col("jaccard"), F.lit(float(rows_per_band))),
+        F.lit(float(bands)),
+    )
+    return (
+        scored.select(
+            bucket_lo.alias("bucket_lo"),
+            F.coalesce("caught", F.lit(0)).alias("caught"),
+            hit_p.alias("hit_p"),
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum("caught").alias("n_caught"),
+            round6(F.avg(F.col("caught").cast("double"))).alias("recall"),
+            round6(F.avg("hit_p")).alias("expected_recall"),
+        )
+        .orderBy("bucket_lo")
+    )

@@ -2180,6 +2180,21 @@ def knn_recall_report(spark, sf_dir):
     )
 
 
+@q("minhash_recall_report")
+def minhash_recall_report(spark, sf_dir):
+    """MinHash-LSH quality audit — knn_recall_report's twin for the
+    dedup tier: measured candidate recall per TRUE-Jaccard bucket next
+    to the banding S-curve 1-(1-J^r)^b at the default 128-perm/32-band
+    setting. Ground truth is exact shingle-set Jaccard over a 200-doc
+    deterministic sample; the LSH side bands the FULL corpus (bucket
+    occupancy and the cap at the production operating point) then
+    restricts to sample pairs. Rows-only by design (the seeded xxhash64
+    permutations have no SQL twin); the S-curve tracking and the
+    high-J recall==1 bound are pytest-gated on a planted-overlap
+    corpus."""
+    return dedup.minhash_recall_report(load(spark, sf_dir, "documents"))
+
+
 @q(
     "embed_quantize_stats",
     oracle="""
@@ -4937,6 +4952,7 @@ QUERY_ORDER = [
     "text_repetition_panel",
     "gopher_quality_panel",
     "c4_line_filter",
+    "minhash_recall_report",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -4979,8 +4995,8 @@ QUERY_ORDER = [
     "h21_late_suppliers",
     "h4_order_priority",
     "sample_weighted_sources",
-    "text_clean_stats",
     # --- driver window ends here (first 50) ---
+    "text_clean_stats",
     "quality_filter_report",
     "pii_scrub_stats",
     # r10 queue head: the r5 rows past the cutoff (the new-query

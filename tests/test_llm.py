@@ -1745,3 +1745,40 @@ def test_keep_best_list_keeps_highest_quality_member(spark):
         if r["cluster_id"] is not None and r["keep"]:
             per_cluster[r["cluster_id"]] = per_cluster.get(r["cluster_id"], 0) + 1
     assert per_cluster == {1: 1, 10: 1}
+
+
+def test_minhash_recall_report_tracks_s_curve(spark):
+    """Planted-overlap corpus: top-Jaccard bucket recall is exactly 1,
+    every bucket is bounded, and the theoretical S-curve is monotone
+    with the bucket edge."""
+    base = [f"tok{i}" for i in range(60)]
+    rows, did = [], 0
+    for frac in (1.0, 0.97, 0.9, 0.8, 0.6, 0.45, 0.3):
+        for _ in range(6):
+            n_keep = int(60 * frac)
+            toks = base[:n_keep] + [f"x{did}_{j}" for j in range(60 - n_keep)]
+            rows.append((did, " ".join(toks)))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = dedup.minhash_recall_report(docs, max_docs=100).collect()
+    assert rep, "no buckets reported"
+    by_lo = {r["bucket_lo"]: r for r in rep}
+    # identical + 0.9-overlap variants land in the top bucket: at
+    # J >= 0.8 the 32-band hit probability is 1 - 1e-10 — recall 1.0
+    assert by_lo[0.8]["recall"] == 1.0
+    for r in rep:
+        assert 0.0 <= r["recall"] <= 1.0
+        assert 0.0 <= r["expected_recall"] <= 1.0
+        assert r["n_caught"] <= r["n_true_pairs"]
+    los = sorted(by_lo)
+    exp = [by_lo[lo]["expected_recall"] for lo in los]
+    assert exp == sorted(exp), "S-curve must be monotone in J"
+    # the measured curve rises with J as well (end-to-end sanity)
+    rec = [by_lo[lo]["recall"] for lo in los]
+    assert rec[-1] >= rec[0]
+
+
+def test_minhash_recall_report_rejects_bad_bands(spark):
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.minhash_recall_report(docs, num_perm=100, bands=32)
