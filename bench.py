@@ -135,6 +135,7 @@ HEADLINE = [
     "gopher_quality_panel",
     "c4_line_filter",
     "minhash_recall_report",
+    "dedup_c4_sentence_spans",
 ]
 
 # Drift sentinel: identical code has measured 49.5 s vs 72.3 s suite

@@ -860,3 +860,90 @@ def bpe_segment_stats(docs: DataFrame, merges) -> DataFrame:
             ).alias("bpe_per_word"),
         )
     )
+
+
+def sentence_span_dedup(docs: DataFrame, span_sentences: int = 3) -> DataFrame:
+    """C4's three-sentence-span deduplication (Raffel et al. 2020
+    §2.2): any span of `span_sentences` consecutive sentences that
+    occurs more than once in the CORPUS is removed from every
+    occurrence except the first — the span-granularity complement of
+    the token-granularity ExactSubstr pair (substring_dup_spans /
+    excise_dup_spans).
+
+    Conventions shared with the oracle: sentences are the non-empty
+    trimmed whitespace-collapsed segments between terminal-punctuation
+    runs ([.!?]+); spans hash md5 over the chr(31)-joined sentences;
+    the keeper is the lexicographic (doc_id, start) minimum; removal
+    is the POSITION UNION of non-keeper duplicate spans; clean_text
+    re-joins surviving sentences with single spaces (punctuation does
+    not survive the sentence split — C4 trains on the cleaned stream).
+
+    Per doc: (doc_id, n_sentences, n_spans, n_dup_spans,
+    removed_sentences, clean_text); untouched docs pass through, docs
+    shorter than one span emit zero spans.
+
+    Plan shape: sentence split is a map-only projection (recomputed by
+    the rebuild side rather than checkpointed — two cheap scans beat
+    materializing a 100 TB sentence column); ONE corpus shuffle on the
+    16-byte span hash with map-side combine; duplicate spans and the
+    covered-index lists are dup-bounded (tiny), so the rebuild is a
+    left join + per-sentence codegen filter, no explode and no second
+    corpus shuffle. Linear in corpus sentences, no pair blowup."""
+    k = span_sentences
+    if k < 1:
+        raise ValueError(f"sentence_span_dedup: span_sentences={k} must be >= 1")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    sents = F.filter(
+        F.transform(
+            F.split(txt, r"[.!?]+"),
+            lambda s: F.regexp_replace(F.trim(s), _WS, " "),
+        ),
+        lambda s: F.length(s) > 0,
+    )
+    base = docs.select("doc_id", sents.alias("_sents"))
+
+    m = F.size("_sents") - (k - 1)
+    zipped = F.arrays_zip(*[F.slice("_sents", i + 1, m).alias(f"t{i}") for i in range(k)])
+    span_text = F.concat_ws("\x1f", *[F.col(f"g.t{i}") for i in range(k)])
+    spans = (
+        base.where(F.size("_sents") >= k)
+        .select("doc_id", F.posexplode(zipped).alias("start", "g"))
+        .select("doc_id", "start", F.md5(span_text).alias("h"))
+    )
+    agg = spans.groupBy("h").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.struct("doc_id", "start")).alias("_kp"),
+    )
+    nonkeep = (
+        spans.join(agg.where(F.col("_c") >= 2), "h")
+        .where(
+            (F.col("doc_id") != F.col("_kp.doc_id"))
+            | (F.col("start") != F.col("_kp.start"))
+        )
+        .select("doc_id", "start")
+    )
+    covered = (
+        nonkeep.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))).alias("sidx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("sidx").alias("_cov"))
+    )
+    n_dup = nonkeep.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_ndup"))
+
+    kept = F.when(F.col("_cov").isNull(), F.col("_sents")).otherwise(
+        F.filter("_sents", lambda s, i: ~F.exists("_cov", lambda c: c == i))
+    )
+    return (
+        base.join(covered, "doc_id", "left")
+        .join(n_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("_sents").cast("long").alias("n_sentences"),
+            F.greatest(F.size("_sents") - (k - 1), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("_ndup", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce(F.size("_cov"), F.lit(0)).cast("long").alias("removed_sentences"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+    )

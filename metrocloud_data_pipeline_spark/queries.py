@@ -2815,6 +2815,53 @@ def c4_line_filter(spark, sf_dir):
 
 
 @q(
+    "dedup_c4_sentence_spans",
+    oracle=r"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+sarr AS (
+  SELECT doc_id,
+    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                s -> regexp_replace(trim(s), '\s+', ' ', 'g')),
+                s -> length(s) > 0) AS sents
+  FROM d
+), sp AS (
+  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS start,
+         md5(array_to_string(sents[u.i:u.i+2], chr(31))) AS h
+  FROM sarr, unnest(generate_series(1, len(sents) - 2)) u(i)
+  WHERE len(sents) >= 3
+), g AS (
+  SELECT h, count(*) AS c, min({'d': doc_id, 's': start}) AS kp FROM sp GROUP BY 1
+), nk AS (
+  SELECT sp.doc_id, sp.start FROM sp JOIN g USING (h)
+  WHERE g.c >= 2 AND NOT (sp.doc_id = g.kp.d AND sp.start = g.kp.s)
+), cov AS (
+  SELECT DISTINCT doc_id, start + u.o AS sidx FROM nk, unnest(generate_series(0, 2)) u(o)
+), covl AS (SELECT doc_id, list(sidx ORDER BY sidx) AS cov, count(*) AS removed FROM cov GROUP BY 1),
+nd AS (SELECT doc_id, count(*) AS n_dup FROM nk GROUP BY 1)
+SELECT sarr.doc_id,
+  CAST(len(sents) AS BIGINT) AS n_sentences,
+  CAST(greatest(len(sents) - 2, 0) AS BIGINT) AS n_spans,
+  CAST(coalesce(nd.n_dup, 0) AS BIGINT) AS n_dup_spans,
+  CAST(coalesce(covl.removed, 0) AS BIGINT) AS removed_sentences,
+  coalesce(array_to_string(list_transform(
+      list_filter(range(0, len(sents)), i -> NOT list_contains(coalesce(covl.cov, CAST([] AS BIGINT[])), i)),
+      i -> sents[i+1]), ' '), '') AS clean_text
+FROM sarr LEFT JOIN covl USING (doc_id) LEFT JOIN nd USING (doc_id)
+""",
+)
+def dedup_c4_sentence_spans(spark, sf_dir):
+    """C4's three-sentence-span dedup (Raffel et al. 2020 §2.2): any
+    3-consecutive-sentence span occurring more than once in the corpus
+    is removed from every occurrence except the lexicographic-first —
+    the span-granularity complement of the token-level ExactSubstr pair.
+    One corpus shuffle on the 16-byte span hash (map-side combined);
+    duplicate spans and covered-index lists are dup-bounded, so the
+    rebuild is a left join + per-sentence codegen filter. Linear in
+    corpus sentences, no pair blowup."""
+    return text.sentence_span_dedup(load(spark, sf_dir, "documents"))
+
+
+@q(
     "stratified_split",
     oracle="""
 WITH u AS (
@@ -4953,6 +5000,7 @@ QUERY_ORDER = [
     "gopher_quality_panel",
     "c4_line_filter",
     "minhash_recall_report",
+    "dedup_c4_sentence_spans",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -4994,8 +5042,8 @@ QUERY_ORDER = [
     "media_type_summary",
     "h21_late_suppliers",
     "h4_order_priority",
-    "sample_weighted_sources",
     # --- driver window ends here (first 50) ---
+    "sample_weighted_sources",
     "text_clean_stats",
     "quality_filter_report",
     "pii_scrub_stats",

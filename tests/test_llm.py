@@ -1782,3 +1782,47 @@ def test_minhash_recall_report_rejects_bad_bands(spark):
     docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="must divide"):
         dedup.minhash_recall_report(docs, num_perm=100, bands=32)
+
+
+def test_sentence_span_dedup_c4(spark):
+    """C4 three-sentence-span dedup on planted fixtures: the first
+    occurrence keeps its span, every later occurrence is excised as a
+    position union; short/empty/null docs pass through."""
+    rows = [
+        (1, "Alpha one here. Beta two here. Gamma three here. Delta four here."),
+        (2, "Intro line! Alpha one here. Beta two here. Gamma three here. Outro."),
+        (3, "Totally unique sentence. Another unique one? Third unique one."),
+        (4, "Short."),
+        (5, ""),
+        (6, None),
+        # self-repeat within one doc: spans (0,1,2) and (3,4,5) are
+        # identical -> the second occurrence is removed
+        (7, "One a. Two b. Three c. One a. Two b. Three c."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.sentence_span_dedup(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+
+    # doc 1 is the lexicographic-first owner of the shared span -> intact
+    assert out[1]["removed_sentences"] == 0
+    assert out[1]["clean_text"].startswith("Alpha one here")
+
+    # doc 2 loses the duplicated 3-sentence span, keeps intro/outro
+    r2 = out[2]
+    assert r2["n_sentences"] == 5 and r2["n_spans"] == 3
+    assert r2["n_dup_spans"] == 1 and r2["removed_sentences"] == 3
+    assert r2["clean_text"] == "Intro line Outro"
+
+    # unique docs untouched; sub-span docs emit zero spans
+    assert out[3]["removed_sentences"] == 0
+    assert out[4]["n_spans"] == 0 and out[4]["clean_text"] == "Short"
+    for d in (5, 6):
+        assert out[d]["n_sentences"] == 0 and out[d]["clean_text"] == ""
+
+    # doc 7 self-repeat: 6 sentences, spans at 0..3; span(0) == span(3),
+    # keeper is start 0 -> positions 3,4,5 removed. Spans 1 and 2 are
+    # unique (they straddle the seam), so exactly one dup span.
+    r7 = out[7]
+    assert r7["n_dup_spans"] == 1
+    assert r7["removed_sentences"] == 3
+    assert r7["clean_text"] == "One a Two b Three c"

@@ -48,6 +48,7 @@ DOC_QUERIES = [
     "text_repetition_panel",
     "gopher_quality_panel",
     "c4_line_filter",
+    "dedup_c4_sentence_spans",
 ]
 
 EDGE_ROWS = [
