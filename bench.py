@@ -136,6 +136,8 @@ HEADLINE = [
     "c4_line_filter",
     "minhash_recall_report",
     "dedup_c4_sentence_spans",
+    "boilerplate_line_filter",
+    "ccnet_perplexity_buckets_approx",
 ]
 
 # Drift sentinel: identical code has measured 49.5 s vs 72.3 s suite

@@ -1463,3 +1463,123 @@ def budget_select(
             )
         )
     )
+
+
+def boilerplate_line_filter(docs: DataFrame, min_docs: int = 3) -> DataFrame:
+    """CCNet-style corpus-level boilerplate removal (Wenzek et al.
+    2020 §3.1 paragraph dedup): a line whose normalized hash appears in
+    at least `min_docs` DISTINCT documents is navigation/footer/license
+    boilerplate and is removed from every document (unlike
+    sentence_span_dedup, no occurrence survives — boilerplate carries
+    no training signal at all). Within-doc repeats of a non-boilerplate
+    line survive untouched.
+
+    Conventions shared with the oracle: lines lowercased, split on
+    newline, whitespace-collapsed, empties dropped; membership keyed on
+    md5 of the normalized line; clean_text re-joins surviving lines
+    with newlines; null text behaves as empty.
+
+    Per doc: (doc_id, n_lines, removed_lines, clean_text).
+
+    Plan shape: one distinct (doc_id, hash) pass + a count keyed on the
+    16-byte hash (both map-side combined), the boilerplate set joined
+    back on the same hash key, and per-doc membership arrays collected
+    (bounded by the doc's own boilerplate lines). The rebuild is a
+    left join + per-line codegen filter against that array — the
+    corpus text itself never shuffles. Linear in corpus lines."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    lines_col = F.filter(
+        F.transform(
+            F.split(F.lower(txt), "\n"),
+            lambda l: F.regexp_replace(F.trim(l), r"\s+", " "),
+        ),
+        lambda l: F.length(l) > 0,
+    )
+    base = docs.select("doc_id", lines_col.alias("_lines"))
+    occurrences = base.select(
+        "doc_id", F.explode("_lines").alias("line")
+    ).select("doc_id", F.md5("line").alias("h"))
+    present = occurrences.distinct()
+    bp = (
+        present.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("h")
+    )
+    per_doc_bp = (
+        present.join(bp, "h")
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("_bp"))
+    )
+    kept = F.when(F.col("_bp").isNull(), F.col("_lines")).otherwise(
+        F.filter("_lines", lambda l: ~F.exists("_bp", lambda b: b == F.md5(l)))
+    )
+    return base.join(per_doc_bp, "doc_id", "left").select(
+        "doc_id",
+        F.size("_lines").cast("long").alias("n_lines"),
+        (F.size("_lines") - F.size(kept)).cast("long").alias("removed_lines"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+def ccnet_perplexity_buckets(
+    docs: DataFrame, mode: str = "exact", surprisal: DataFrame | None = None
+) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020 §3.3): split
+    each language's documents into head / middle / tail thirds by
+    language-model score — head (lowest perplexity) is the
+    highest-quality slice a pretraining mix upsamples. The LM is the
+    corpus's own unigram distribution (unigram_surprisal, the
+    deterministic stand-in for CCNet's KenLM); pass `surprisal=` to
+    reuse a precomputed pass.
+
+    mode='exact': ntile(3) over (PARTITION BY lang ORDER BY
+    bits_per_token, doc_id) — rank-exact thirds, bit-portable to the
+    SQL oracle (the ordering key is the ROUNDED bits value plus doc_id,
+    so cross-engine float noise cannot flip an ordering). The window
+    sorts each language in ONE task — correct at audit scale, wrong at
+    100 TB where one language dominates the corpus.
+
+    mode='approx': the production form CCNet itself uses — per-lang
+    tercile CUTOFFS from percentile_approx (a tiny aggregate),
+    broadcast back, bucket by comparison. No per-lang sort, no
+    single-task skew: one map-side pass after a sketch-sized agg.
+    Bucket edges can differ from exact by the sketch tolerance at the
+    boundaries (pytest gates >= 95% agreement); rows-only semantics.
+
+    Output: (doc_id, lang, token_count, bits_per_token, ppl_bucket)
+    with null lang coalesced to ''."""
+    from .text import unigram_surprisal
+
+    if mode not in ("exact", "approx"):
+        raise ValueError(f"ccnet_perplexity_buckets: unknown mode {mode!r}")
+    nonempty = docs.where(F.length(F.trim(F.col("text"))) > 0)
+    if surprisal is None:
+        surprisal = unigram_surprisal(nonempty)
+    langs = nonempty.select(
+        "doc_id", F.coalesce(F.col("lang"), F.lit("")).alias("lang")
+    )
+    scored = surprisal.join(langs, "doc_id")
+    if mode == "exact":
+        from pyspark.sql.window import Window
+
+        t = F.ntile(3).over(
+            Window.partitionBy("lang").orderBy("bits_per_token", "doc_id")
+        )
+        bucket = (
+            F.when(t == 1, F.lit("head")).when(t == 2, F.lit("middle")).otherwise(F.lit("tail"))
+        )
+        return scored.select(
+            "doc_id", "lang", "token_count", "bits_per_token", bucket.alias("ppl_bucket")
+        )
+    cuts = scored.groupBy("lang").agg(
+        F.percentile_approx("bits_per_token", [1.0 / 3.0, 2.0 / 3.0], 10_000).alias("_c")
+    )
+    bucket = (
+        F.when(F.col("bits_per_token") <= F.col("_c")[0], F.lit("head"))
+        .when(F.col("bits_per_token") <= F.col("_c")[1], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id", "lang", "token_count", "bits_per_token", bucket.alias("ppl_bucket")
+    )

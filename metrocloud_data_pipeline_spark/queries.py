@@ -32,6 +32,11 @@ from .sources import load
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
+# Shared oracle fragment: the normalized whitespace token array of a
+# document (lowercased, trimmed, runs collapsed) — the tokenization
+# every text/curation oracle agrees on.
+_NORM_TOKS_SQL = "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+
 
 def q(name: str, oracle: str | None = None):
     def deco(fn):
@@ -2862,6 +2867,96 @@ def dedup_c4_sentence_spans(spark, sf_dir):
 
 
 @q(
+    "boilerplate_line_filter",
+    oracle=r"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+b AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(lower(text), chr(10)),
+                l -> regexp_replace(trim(l), '\s+', ' ', 'g')),
+                l -> length(l) > 0) AS lines
+  FROM d
+), occ AS (
+  SELECT DISTINCT doc_id, md5(u.l) AS h FROM b, unnest(lines) u(l)
+), bp AS (
+  SELECT h FROM occ GROUP BY h HAVING count(*) >= 3
+), pdb AS (
+  SELECT occ.doc_id, list(occ.h) AS bph FROM occ JOIN bp USING (h) GROUP BY 1
+), k AS (
+  SELECT b.doc_id, lines,
+    list_filter(lines, l -> NOT list_contains(coalesce(pdb.bph, CAST([] AS VARCHAR[])), md5(l))) AS kept
+  FROM b LEFT JOIN pdb USING (doc_id)
+)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(lines) - len(kept) AS BIGINT) AS removed_lines,
+  coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+FROM k
+""",
+)
+def boilerplate_line_filter(spark, sf_dir):
+    """CCNet-style corpus-level boilerplate removal (Wenzek et al. 2020
+    §3.1): a normalized line appearing in >= 3 distinct documents is
+    navigation/footer/license boilerplate and is removed from EVERY
+    occurrence (no keeper — boilerplate carries no training signal);
+    within-doc repeats of honest lines survive. One distinct pass + a
+    count on the 16-byte line hash (map-side combined); per-doc
+    membership arrays are doc-bounded; the rebuild is a left join +
+    per-line codegen filter — corpus text never shuffles."""
+    return curation.boilerplate_line_filter(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_NORM_TOKS_SQL}) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), tc AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS term_count FROM tf GROUP BY 1
+), tot AS (SELECT CAST(sum(term_count) AS BIGINT) AS total FROM tc),
+s AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS token_count,
+         round(-sum(tf * ln(CAST(term_count AS DOUBLE) / total)) / sum(tf)
+               / 0.6931471805599453, 6) AS bits_per_token
+  FROM tf JOIN tc USING (term) CROSS JOIN tot
+  GROUP BY doc_id
+), l AS (
+  SELECT doc_id, coalesce(lang, '') AS lang
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT s.doc_id, l.lang, s.token_count, s.bits_per_token,
+  CASE ntile(3) OVER (PARTITION BY l.lang ORDER BY s.bits_per_token, s.doc_id)
+    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM s JOIN l ON s.doc_id = l.doc_id
+""",
+)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing (Wenzek et al. 2020 §3.3): per
+    language, head/middle/tail thirds by LM bits-per-token (the
+    corpus-unigram stand-in for CCNet's KenLM) — head is the slice a
+    pretraining mix upsamples. Exact rank form: ntile(3) ordered by the
+    ROUNDED bits + doc_id so cross-engine float noise cannot flip an
+    ordering. The per-lang window sorts one task per language — right
+    at audit scale; ccnet_perplexity_buckets_approx is the production
+    form."""
+    return curation.ccnet_perplexity_buckets(load(spark, sf_dir, "documents"), mode="exact")
+
+
+@q("ccnet_perplexity_buckets_approx")
+def ccnet_perplexity_buckets_approx(spark, sf_dir):
+    """The 100 TB form of ccnet_perplexity_buckets — what CCNet itself
+    deploys: per-lang tercile CUTOFFS from percentile_approx (a
+    sketch-sized aggregate), broadcast back, bucket by map-side
+    comparison. No per-lang sort, no single-task language skew. Bucket
+    edges move by the sketch tolerance at the boundaries -> rows-only;
+    the >= 95% agreement vs the exact form is pytest-gated."""
+    return curation.ccnet_perplexity_buckets(load(spark, sf_dir, "documents"), mode="approx")
+
+
+@q(
     "stratified_split",
     oracle="""
 WITH u AS (
@@ -3945,8 +4040,6 @@ def corpus_select_pipeline(spark, sf_dir):
 # --- r5 additions: keyword extraction, vocab budget, corpus-relative -------
 # curation, temperature mixing, incremental ingest dedup, k-means ------------
 
-_NORM_TOKS_SQL = "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
-
 
 @q(
     "tfidf_top_terms",
@@ -5001,6 +5094,9 @@ QUERY_ORDER = [
     "c4_line_filter",
     "minhash_recall_report",
     "dedup_c4_sentence_spans",
+    "boilerplate_line_filter",
+    "ccnet_perplexity_buckets",
+    "ccnet_perplexity_buckets_approx",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -5039,10 +5135,10 @@ QUERY_ORDER = [
     "dedup_embed_cosine",
     "media_feature_extract",
     "media_frame_sample",
+    # --- driver window ends here (first 50) ---
     "media_type_summary",
     "h21_late_suppliers",
     "h4_order_priority",
-    # --- driver window ends here (first 50) ---
     "sample_weighted_sources",
     "text_clean_stats",
     "quality_filter_report",

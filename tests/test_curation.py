@@ -733,3 +733,69 @@ def test_c4_line_filter_rules(spark):
     assert r5["n_lines"] == 0 and r5["kept_lines"] == 0
     assert r5["clean_text"] == ""
     assert r5["c4_keep"] is False
+
+
+def test_boilerplate_line_filter(spark):
+    """Corpus-level boilerplate: a line in >= 3 distinct docs is
+    removed everywhere (case/spacing-normalized); within-doc repeats of
+    honest lines survive; empty/null docs pass through."""
+    rows = [
+        (1, "Home | About\nReal content number one.\nCopyright 2020 Corp"),
+        (2, "Home | About\nDifferent real content here.\nCopyright 2020 Corp"),
+        (3, "HOME | about\nThird body text.\ncopyright 2020   corp"),
+        (4, "Unique page body.\nRepeated inner line.\nRepeated inner line."),
+        (5, ""),
+        (6, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curation.boilerplate_line_filter(docs).collect()}
+    for d in (1, 2, 3):
+        assert out[d]["n_lines"] == 3
+        assert out[d]["removed_lines"] == 2, d
+        assert "copyright" not in out[d]["clean_text"]
+        assert "home" not in out[d]["clean_text"]
+    # within-doc duplicate (2 occurrences, 1 doc) is NOT boilerplate
+    assert out[4]["removed_lines"] == 0
+    assert out[4]["clean_text"].count("repeated inner line.") == 2
+    for d in (5, 6):
+        assert out[d]["n_lines"] == 0 and out[d]["clean_text"] == ""
+
+
+def test_ccnet_perplexity_buckets_exact_and_approx(spark):
+    """Exact ntile thirds per lang; the approx-threshold production
+    form agrees with exact on >= 95% of docs at fixture scale."""
+    import random
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(90):
+        lang = "en" if i % 2 == 0 else "fi"
+        # vary rarity: low ids draw common words -> low surprisal
+        hi = 5 + (i % 45)
+        toks = [vocab[rng.randrange(0, hi)] for _ in range(30)]
+        rows.append((i, " ".join(toks), lang, "s", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    exact = {r["doc_id"]: r for r in
+             curation.ccnet_perplexity_buckets(docs, mode="exact").collect()}
+    # thirds are balanced per lang (45 docs -> 15/15/15)
+    for lang in ("en", "fi"):
+        sizes = {}
+        for r in exact.values():
+            if r["lang"] == lang:
+                sizes[r["ppl_bucket"]] = sizes.get(r["ppl_bucket"], 0) + 1
+        assert sizes == {"head": 15, "middle": 15, "tail": 15}, sizes
+    # head has lower mean bits than tail
+    import statistics
+    head = [r["bits_per_token"] for r in exact.values() if r["ppl_bucket"] == "head"]
+    tail = [r["bits_per_token"] for r in exact.values() if r["ppl_bucket"] == "tail"]
+    assert statistics.mean(head) < statistics.mean(tail)
+
+    approx = {r["doc_id"]: r["ppl_bucket"] for r in
+              curation.ccnet_perplexity_buckets(docs, mode="approx").collect()}
+    agree = sum(1 for d in exact if approx[d] == exact[d]["ppl_bucket"])
+    assert agree / len(exact) >= 0.95, f"approx/exact agreement {agree}/{len(exact)}"
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        curation.ccnet_perplexity_buckets(docs, mode="bogus")

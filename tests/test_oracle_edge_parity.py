@@ -49,6 +49,8 @@ DOC_QUERIES = [
     "gopher_quality_panel",
     "c4_line_filter",
     "dedup_c4_sentence_spans",
+    "boilerplate_line_filter",
+    "ccnet_perplexity_buckets",
 ]
 
 EDGE_ROWS = [
