@@ -278,6 +278,7 @@ def gopher_quality_panel(
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_stopword_hits: int = 2,
+    with_reasons: bool = False,
 ) -> DataFrame:
     """The NON-repetition half of the Gopher quality filter (Rae et al.
     2021, Table A1) — repetition_panel carries the other ten signals.
@@ -356,16 +357,32 @@ def gopher_quality_panel(
         frac(F.col("_alpha_words"), n_words).alias("alpha_word_frac"),
         "stopword_hits",
     )
-    return scored.withColumn(
-        "gopher_pass",
-        n_words.between(min_words, max_words)
-        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
-        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
-        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
-        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
-        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
-        & (F.col("stopword_hits") >= min_stopword_hits),
+    # single rule list drives BOTH the pass conjunction and the reject
+    # reasons — the streaming ingest gate and the registered query can
+    # never disagree on a threshold
+    rules = [
+        (n_words.between(min_words, max_words), "word_count"),
+        (
+            F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len),
+            "mean_word_len",
+        ),
+        (F.col("symbol_word_ratio") <= max_symbol_word_ratio, "symbol_ratio"),
+        (F.col("bullet_line_frac") <= max_bullet_line_frac, "bullet_lines"),
+        (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac, "ellipsis_lines"),
+        (F.col("alpha_word_frac") >= min_alpha_word_frac, "alpha_words"),
+        (F.col("stopword_hits") >= min_stopword_hits, "stopwords"),
+    ]
+    from functools import reduce as _reduce
+
+    out = scored.withColumn(
+        "gopher_pass", _reduce(lambda a, b: a & b, [ok for ok, _ in rules])
     )
+    if not with_reasons:
+        return out
+    fails = F.array_compact(
+        F.array(*[F.when(~ok, F.lit(f"gopher_{name}")) for ok, name in rules])
+    )
+    return out.withColumn("reject_reasons", F.array_join(fails, ","))
 
 
 # C4's "end quotation mark" terminal set alongside . ! ? (Raffel et

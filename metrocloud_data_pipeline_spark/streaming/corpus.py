@@ -140,13 +140,27 @@ def curate_batch(
     corpus_docs: DataFrame | None = None,
     near_dup_threshold: float = 0.95,
     corpus_bands: DataFrame | None = None,
+    quality_mode: str = "basic",
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch of corpus curation -> (kept, rejected-with-reason).
 
     Pure batch-DataFrame logic so it is unit-testable outside streaming
     and reusable for backfills. The batch side is small relative to the
     store, so its digests broadcast into the anti-join and store rows
-    never shuffle (same direction argument as dedup.cross_corpus_exact)."""
+    never shuffle (same direction argument as dedup.cross_corpus_exact).
+
+    quality_mode selects the ingest quality gate on top of the dedup
+    stages: 'basic' = quality_filter's hard rules (token bounds, mean
+    token length, TTR); 'gopher' adds the full Gopher Table A1
+    non-repetition panel (per-rule reject reasons via
+    gopher_quality_panel(with_reasons=True) — the SAME rule list as
+    the registered query, so the gate and the audit can't drift);
+    'c4' adds the C4 page decision (>= 3 surviving sentences, no
+    lorem-ipsum, no brace); 'strict' applies both. Every added gate is
+    a stateless map-only expression over the batch — nothing new is
+    stateful, so streaming semantics are unchanged."""
+    if quality_mode not in ("basic", "gopher", "c4", "strict"):
+        raise ValueError(f"curate_batch: unknown quality_mode {quality_mode!r}")
     digested = batch.withColumn("digest", F.md5(_norm_text(F.col("text"))))
 
     # 1. in-batch exact dedup: keep the smallest doc_id per digest
@@ -220,6 +234,39 @@ def curate_batch(
     kept = flagged.where(F.col("keep")).drop("keep", "reject_reasons", "_keep_id")
     quality_dropped = flagged.where(~F.col("keep"))
 
+    # 3b. optional panel gates (map-only, stateless)
+    gopher_dropped = kept.limit(0).withColumn("reject_reasons", F.lit(""))
+    if quality_mode in ("gopher", "strict"):
+        from ..llm.curation import gopher_quality_panel
+
+        gp = gopher_quality_panel(kept, with_reasons=True).select(
+            "doc_id", F.col("gopher_pass").alias("_gp"), "reject_reasons"
+        )
+        g_flagged = kept.join(gp, "doc_id")
+        gopher_dropped = g_flagged.where(~F.col("_gp")).drop("_gp")
+        kept = g_flagged.where(F.col("_gp")).drop("_gp", "reject_reasons")
+    c4_dropped = kept.limit(0).withColumn("reject_reasons", F.lit(""))
+    if quality_mode in ("c4", "strict"):
+        from ..llm.curation import c4_line_filter
+
+        c4 = c4_line_filter(kept).select(
+            "doc_id",
+            F.col("c4_keep").alias("_c4"),
+            F.array_join(
+                F.array_compact(
+                    F.array(
+                        F.when(F.col("n_sentences") < 3, F.lit("c4_too_few_sentences")),
+                        F.when(F.col("has_lorem_ipsum"), F.lit("c4_lorem_ipsum")),
+                        F.when(F.col("has_brace"), F.lit("c4_brace")),
+                    )
+                ),
+                ",",
+            ).alias("reject_reasons"),
+        )
+        c_flagged = kept.join(c4, "doc_id")
+        c4_dropped = c_flagged.where(~F.col("_c4")).drop("_c4")
+        kept = c_flagged.where(F.col("_c4")).drop("_c4", "reject_reasons")
+
     rejected = (
         in_batch_dropped.select("doc_id", "digest", F.lit("duplicate_in_batch").alias("reason"))
         .unionByName(
@@ -237,6 +284,16 @@ def curate_batch(
                 "doc_id", "digest", F.col("reject_reasons").alias("reason")
             )
         )
+        .unionByName(
+            gopher_dropped.select(
+                "doc_id", "digest", F.col("reject_reasons").alias("reason")
+            )
+        )
+        .unionByName(
+            c4_dropped.select(
+                "doc_id", "digest", F.col("reject_reasons").alias("reason")
+            )
+        )
     )
     return kept, rejected
 
@@ -248,6 +305,7 @@ def run_corpus_ingest_stream(
     rejects_path: str | None = None,
     metrics_path: str | None = None,
     min_tokens: int = 3,
+    quality_mode: str = "basic",
     available_now: bool = True,
     near_dup_screen: bool = False,
     near_dup_threshold: float = 0.95,
@@ -286,7 +344,15 @@ def run_corpus_ingest_stream(
     a crash between the two re-delivers a batch whose kept set (and
     therefore delta) is recomputed identically, and a re-delivery
     after the append keeps an empty kept set whose empty delta
-    overwrites nothing."""
+    overwrites nothing.
+
+    quality_mode ('basic' | 'gopher' | 'c4' | 'strict') selects the
+    ingest quality gate (see curate_batch) — validated HERE so a typo
+    fails at stream start, not inside the first micro-batch."""
+    if quality_mode not in ("basic", "gopher", "c4", "strict"):
+        raise ValueError(
+            f"run_corpus_ingest_stream: unknown quality_mode {quality_mode!r}"
+        )
     spark = doc_stream.sparkSession
 
     def _process(batch: DataFrame, batch_id: int) -> None:
@@ -320,6 +386,7 @@ def run_corpus_ingest_stream(
             corpus_docs=corpus_docs,
             near_dup_threshold=near_dup_threshold,
             corpus_bands=corpus_bands,
+            quality_mode=quality_mode,
         )
         if (near_dup_screen and band_index_path is not None) or lm_counts_path is not None:
             # the band/LM appends below re-evaluate kept AFTER the

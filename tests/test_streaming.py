@@ -1355,3 +1355,76 @@ def test_ann_serving_stream_pq_refined_reranks_exact(spark, tmp_path):
         assert abs(by_q[1001][1] - 1.0) < 1e-6 and labels[by_q[1001][0]] == 2
     finally:
         corpus.unpersist()
+
+
+def test_curate_batch_quality_modes(spark):
+    """The gopher/c4/strict ingest gates: per-rule reasons surface in
+    the rejects, the pass-through doc survives every mode, and an
+    unknown mode raises."""
+    from metrocloud_data_pipeline_spark.streaming import corpus
+
+    passing = " ".join(
+        ["the quick brown foxes jumped with grace and that was fine to see have some."] * 5
+    )
+    no_stopwords = " ".join(f"w{i} unique varied token stream" for i in range(20))
+    braces = " ".join(
+        f"the sentence number {i} talks about varied things with care." for i in range(8)
+    ) + " { }"
+    batch = spark.createDataFrame(
+        [_doc(1, passing), _doc(2, no_stopwords), _doc(3, braces)],
+        corpus.DOCUMENT_SCHEMA,
+    )
+
+    kept, rejected = corpus.curate_batch(batch, quality_mode="basic")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 3]
+
+    kept, rejected = corpus.curate_batch(batch, quality_mode="gopher")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+    reasons = {r["doc_id"]: r["reason"] for r in rejected.collect()}
+    assert "gopher_stopwords" in reasons[2]
+
+    kept, rejected = corpus.curate_batch(batch, quality_mode="c4")
+    got = {r["doc_id"]: r["reason"] for r in rejected.collect()}
+    assert 3 in got and "c4_brace" in got[3]
+    # doc 2 has no terminal punctuation at all -> every line dropped
+    assert "c4_too_few_sentences" in got[2]
+
+    kept, rejected = corpus.curate_batch(batch, quality_mode="strict")
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+
+    with pytest.raises(ValueError, match="unknown quality_mode"):
+        corpus.curate_batch(batch, quality_mode="bogus")
+
+
+def test_corpus_ingest_stream_gopher_gate(spark, tmp_path):
+    """quality_mode='strict' wired through the stream: the failing doc
+    lands in rejects with its panel reason, the store holds only the
+    clean doc, and a bogus mode fails at stream START."""
+    from metrocloud_data_pipeline_spark.streaming import corpus
+
+    passing = " ".join(
+        ["the quick brown foxes jumped with grace and that was fine to see have some."] * 5
+    )
+    no_stopwords = " ".join(f"w{i} unique varied token stream." for i in range(20))
+    src = tmp_path / "crawl"
+    src.mkdir()
+    spark.createDataFrame(
+        [_doc(1, passing), _doc(2, no_stopwords)], corpus.DOCUMENT_SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    table = str(tmp_path / "corpus")
+    rejects = str(tmp_path / "rejects")
+    stream = corpus.stream_document_files(spark, str(src) + "/*")
+    q = corpus.run_corpus_ingest_stream(
+        stream, table, str(tmp_path / "ck"), rejects_path=rejects,
+        quality_mode="strict",
+    )
+    q.awaitTermination(120)
+    assert [r["doc_id"] for r in spark.read.parquet(table).collect()] == [1]
+    rej = {r["doc_id"]: r["reason"] for r in spark.read.parquet(rejects).collect()}
+    assert "gopher_stopwords" in rej[2]
+
+    with pytest.raises(ValueError, match="unknown quality_mode"):
+        corpus.run_corpus_ingest_stream(
+            stream, table, str(tmp_path / "ck2"), quality_mode="nope"
+        )
