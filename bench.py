@@ -138,6 +138,7 @@ HEADLINE = [
     "dedup_c4_sentence_spans",
     "boilerplate_line_filter",
     "ccnet_perplexity_buckets_approx",
+    "corpus_filter_funnel",
 ]
 
 # Drift sentinel: identical code has measured 49.5 s vs 72.3 s suite

@@ -1600,3 +1600,62 @@ def ccnet_perplexity_buckets(
     return scored.join(F.broadcast(cuts), "lang").select(
         "doc_id", "lang", "token_count", "bits_per_token", bucket.alias("ppl_bucket")
     )
+
+
+def corpus_filter_funnel(docs: DataFrame) -> DataFrame:
+    """The curation-pipeline survival funnel — the dashboard a corpus
+    build publishes: how many documents survive each successive gate,
+    in the order a real pipeline runs them (cheap map-only panels
+    first, the shuffling dedup last):
+
+      stage 0 'all'     the raw corpus
+      stage 1 'gopher'  + gopher_quality_panel pass (Rae et al. 2021)
+      stage 2 'c4'      + c4_line_filter page keep (Raffel et al. 2020)
+      stage 3 'dedup'   + exact-dedup keeper (min doc_id per normalized
+                          md5 digest) AMONG THE SURVIVORS of stages
+                          1-2 — dedup after filtering, as deployed
+
+    Output: (stage, stage_name, n_docs, frac_of_corpus), 4 rows.
+
+    Plan shape: the two panels are map-only expressions; the digest
+    groupBy is the only shuffle and runs over the already-filtered
+    survivor set; the funnel itself is one aggregate row unpivoted via
+    stack — at 100 TB this costs one filtered scan plus the dedup
+    exchange the pipeline pays anyway."""
+    g = gopher_quality_panel(docs).select("doc_id", "gopher_pass")
+    c = c4_line_filter(docs).select("doc_id", "c4_keep")
+    from .dedup import _norm_text
+
+    flags = (
+        docs.select("doc_id", F.md5(_norm_text(F.col("text"))).alias("_digest"))
+        .join(g, "doc_id")
+        .join(c, "doc_id")
+    )
+    surv = flags.where(F.col("gopher_pass") & F.col("c4_keep"))
+    keep = surv.groupBy("_digest").agg(F.min("doc_id").alias("_kid"))
+    survivors = surv.join(keep, "_digest").where(F.col("doc_id") == F.col("_kid"))
+    head = flags.agg(
+        F.count(F.lit(1)).alias("c0"),
+        F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0)).alias("c1"),
+        F.sum(
+            F.when(F.col("gopher_pass") & F.col("c4_keep"), 1).otherwise(0)
+        ).alias("c2"),
+    )
+    tail = survivors.agg(F.count(F.lit(1)).alias("c3"))
+    row = head.crossJoin(tail)
+    return row.select(
+        F.expr(
+            "stack(4, 0, 'all', c0, 1, 'gopher', c1, 2, 'c4', c2, 3, 'dedup', c3)"
+        ).alias("stage", "stage_name", "n_docs"),
+        F.col("c0").alias("_total"),
+    ).select(
+        "stage",
+        "stage_name",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        round6(
+            F.when(
+                F.col("_total") > 0,
+                F.col("n_docs").cast("double") / F.col("_total").cast("double"),
+            ).otherwise(0.0)
+        ).alias("frac_of_corpus"),
+    )

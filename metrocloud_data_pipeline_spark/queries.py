@@ -2957,6 +2957,84 @@ def ccnet_perplexity_buckets_approx(spark, sf_dir):
 
 
 @q(
+    "corpus_filter_funnel",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS ctext, lower(coalesce(text, '')) AS lt,
+         regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g') AS norm
+  FROM documents
+), t AS (
+  SELECT doc_id, lt, ctext, norm,
+         list_filter(string_split(norm, ' '), x -> length(x) > 0) AS toks,
+         list_filter(list_transform(string_split(lt, chr(10)),
+                     l -> regexp_replace(trim(l), '\s+', ' ', 'g')),
+                     l -> length(l) > 0) AS glines,
+         list_filter(list_transform(string_split(ctext, chr(10)),
+                     l -> regexp_replace(trim(l), '\s+', ' ', 'g')),
+                     l -> length(l) > 0) AS clines
+  FROM d
+), m AS (
+  SELECT doc_id, lt, ctext, norm,
+    len(toks) AS n_words,
+    coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS word_chars,
+    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+    len(list_intersect(list_distinct(toks),
+        ['the','be','to','of','and','that','have','with'])) AS stop_hits,
+    (length(lt) - length(replace(lt, '#', '')))
+      + (length(lt) - length(replace(lt, '...', ''))) / 3
+      + (length(lt) - length(replace(lt, '…', ''))) AS symbols,
+    len(glines) AS n_lines,
+    len(list_filter(glines, l -> substr(l,1,1) IN ('•','‣','▪','●','◦')
+        OR l LIKE '- %' OR l LIKE '* %')) AS bullet_lines,
+    len(list_filter(glines, l -> l LIKE '%...' OR l LIKE '%…')) AS ellipsis_lines,
+    coalesce(array_to_string(list_filter(clines,
+        l -> right(l, 1) IN ('.','!','?','"','”')
+             AND len(string_split(l, ' ')) >= 5
+             AND NOT contains(lower(l), 'javascript')), chr(10)), '') AS c4_clean
+  FROM t
+), f AS (
+  SELECT doc_id, md5(norm) AS digest,
+    (n_words BETWEEN 50 AND 100000
+     AND round(CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / n_words ELSE 0.0 END, 6) BETWEEN 3.0 AND 10.0
+     AND round(CASE WHEN n_words > 0 THEN CAST(symbols AS DOUBLE) / n_words ELSE 0.0 END, 6) <= 0.1
+     AND round(CASE WHEN n_lines > 0 THEN CAST(bullet_lines AS DOUBLE) / n_lines ELSE 0.0 END, 6) <= 0.9
+     AND round(CASE WHEN n_lines > 0 THEN CAST(ellipsis_lines AS DOUBLE) / n_lines ELSE 0.0 END, 6) <= 0.3
+     AND round(CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words ELSE 0.0 END, 6) >= 0.8
+     AND stop_hits >= 2) AS gpass,
+    (len(regexp_extract_all(c4_clean, '[.!?]+')) >= 3
+     AND NOT contains(lt, 'lorem ipsum')
+     AND NOT contains(ctext, '{')) AS ckeep
+  FROM m
+), s AS (SELECT doc_id, digest FROM f WHERE gpass AND ckeep),
+k AS (SELECT digest, min(doc_id) AS kid FROM s GROUP BY 1),
+c3 AS (SELECT count(*) AS n FROM s JOIN k ON s.digest = k.digest AND s.doc_id = k.kid),
+tot AS (
+  SELECT count(*) AS c0,
+         coalesce(sum(CASE WHEN gpass THEN 1 ELSE 0 END), 0) AS c1,
+         coalesce(sum(CASE WHEN gpass AND ckeep THEN 1 ELSE 0 END), 0) AS c2
+  FROM f
+), stages AS (
+  SELECT 0 AS stage, 'all' AS stage_name, c0 AS n_docs, c0 FROM tot
+  UNION ALL SELECT 1, 'gopher', c1, c0 FROM tot
+  UNION ALL SELECT 2, 'c4', c2, c0 FROM tot
+  UNION ALL SELECT 3, 'dedup', (SELECT n FROM c3), c0 FROM tot
+)
+SELECT CAST(stage AS INT) AS stage, stage_name,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       round(CASE WHEN c0 > 0 THEN CAST(n_docs AS DOUBLE) / c0 ELSE 0.0 END, 6) AS frac_of_corpus
+FROM stages
+""",
+)
+def corpus_filter_funnel(spark, sf_dir):
+    """The curation-pipeline survival funnel: documents surviving each
+    successive gate — raw -> Gopher panel -> C4 page keep -> exact-dedup
+    keeper among the survivors (dedup after filtering, as deployed).
+    Map-only panels + ONE digest shuffle over the filtered set; the
+    funnel itself is a single aggregate row unpivoted via stack."""
+    return curation.corpus_filter_funnel(load(spark, sf_dir, "documents"))
+
+
+@q(
     "stratified_split",
     oracle="""
 WITH u AS (
@@ -5097,6 +5175,7 @@ QUERY_ORDER = [
     "boilerplate_line_filter",
     "ccnet_perplexity_buckets",
     "ccnet_perplexity_buckets_approx",
+    "corpus_filter_funnel",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -5134,8 +5213,8 @@ QUERY_ORDER = [
     "f2_type_filter",
     "dedup_embed_cosine",
     "media_feature_extract",
-    "media_frame_sample",
     # --- driver window ends here (first 50) ---
+    "media_frame_sample",
     "media_type_summary",
     "h21_late_suppliers",
     "h4_order_priority",

@@ -799,3 +799,34 @@ def test_ccnet_perplexity_buckets_exact_and_approx(spark):
 
     with pytest.raises(ValueError, match="unknown mode"):
         curation.ccnet_perplexity_buckets(docs, mode="bogus")
+
+
+def test_corpus_filter_funnel_stages(spark):
+    """Funnel counts on fixtures that exercise every stage: two docs
+    pass everything but are exact dups (keeper survives), one fails
+    gopher, one fails only c4, plus an empty doc."""
+    passing = " ".join(
+        ["The quick brown foxes jumped with grace and that was fine to see have some."] * 7
+    )
+    no_stop = " ".join(
+        f"w{i}a unique varied token stream flows here nicely again today." for i in range(9)
+    )
+    braced = " ".join(
+        f"The sentence number {i} talks with all of that detail here." for i in range(9)
+    ) + " { }"
+    rows = [
+        (1, passing),
+        (2, passing.upper()),   # normalized exact dup of 1; passes panels
+        (3, no_stop),           # fails gopher (stopword rule)
+        (4, braced),            # passes gopher, fails c4 (brace)
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["stage_name"]: r for r in curation.corpus_filter_funnel(docs).collect()}
+    assert out["all"]["n_docs"] == 5
+    assert out["gopher"]["n_docs"] == 3          # 1, 2, 4 survive the panel
+    assert out["c4"]["n_docs"] == 2              # 4 drops on the brace
+    assert out["dedup"]["n_docs"] == 1           # 2 collapses into 1
+    assert out["all"]["frac_of_corpus"] == 1.0
+    assert out["dedup"]["frac_of_corpus"] == 0.2
+    assert [out[k]["stage"] for k in ("all", "gopher", "c4", "dedup")] == [0, 1, 2, 3]

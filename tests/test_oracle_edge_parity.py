@@ -51,6 +51,7 @@ DOC_QUERIES = [
     "dedup_c4_sentence_spans",
     "boilerplate_line_filter",
     "ccnet_perplexity_buckets",
+    "corpus_filter_funnel",
 ]
 
 EDGE_ROWS = [
