@@ -139,6 +139,9 @@ HEADLINE = [
     "boilerplate_line_filter",
     "ccnet_perplexity_buckets_approx",
     "corpus_filter_funnel",
+    # ivfpq_refine_sweep deliberately NOT here: like ivfpq_recall_report
+    # it runs multiple brute-force audit passes — a tuning table, not a
+    # drift sentinel (same call as r9's HEADLINE swap).
 ]
 
 # Drift sentinel: identical code has measured 49.5 s vs 72.3 s suite

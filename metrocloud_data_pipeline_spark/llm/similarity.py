@@ -1987,6 +1987,41 @@ def ivfpq_topk_batch_refined(
     )
 
 
+def _derive_ivfpq_index(
+    embeddings: DataFrame,
+    m: int = 4,
+    pq_k: int = 16,
+    n_iter: int = 4,
+    codebooks=None,
+    coarse=None,
+    train_k: int | None = None,
+):
+    """Build the in-place IVF-PQ index the audits run against when no
+    persisted table is supplied: PQ codebooks (pq_fit), the trained
+    coarse quantizer, one assignment pass, one encode pass — the exact
+    build ivfpq_corpus_table persists. Returns (codes, codebooks,
+    coarse) so a SWEEP over serving knobs derives the index ONCE."""
+    import numpy as np
+
+    if codebooks is None:
+        codebooks = pq_fit(embeddings, m=m, k=pq_k, n_iter=n_iter)[0]
+    if coarse is None:
+        coarse = trained_codebook(
+            embeddings,
+            k=train_k if train_k is not None else _auto_train_k(embeddings),
+            n_iter=n_iter,
+        )
+    _, listed = ivf_assignments(
+        embeddings, codebook=coarse, attach_cols=["embedding"]
+    )
+    cb = np.asarray(codebooks, dtype=np.float64)
+    enc = pq_encode(listed.select("vec_id", "embedding", "list_id"), cb)
+    codes = enc.join(listed.select("vec_id", "list_id"), "vec_id").select(
+        "vec_id", "list_id", "codes"
+    )
+    return codes, codebooks, coarse
+
+
 def ivfpq_recall_report(
     embeddings: DataFrame,
     k: int = 10,
@@ -2028,25 +2063,12 @@ def ivfpq_recall_report(
     build ivfpq_corpus_table persists). A pre-encoded codes frame
     without both quantizer halves raises: re-deriving either from live
     embeddings drifts the moment the corpus changes."""
-    import numpy as np
     from pyspark.sql.window import Window
 
     if codes is None:
-        if codebooks is None:
-            codebooks = pq_fit(embeddings, m=m, k=pq_k, n_iter=n_iter)[0]
-        if coarse is None:
-            coarse = trained_codebook(
-                embeddings,
-                k=train_k if train_k is not None else _auto_train_k(embeddings),
-                n_iter=n_iter,
-            )
-        _, listed = ivf_assignments(
-            embeddings, codebook=coarse, attach_cols=["embedding"]
-        )
-        cb = np.asarray(codebooks, dtype=np.float64)
-        enc = pq_encode(listed.select("vec_id", "embedding", "list_id"), cb)
-        codes = enc.join(listed.select("vec_id", "list_id"), "vec_id").select(
-            "vec_id", "list_id", "codes"
+        codes, codebooks, coarse = _derive_ivfpq_index(
+            embeddings, m=m, pq_k=pq_k, n_iter=n_iter,
+            codebooks=codebooks, coarse=coarse, train_k=train_k,
         )
     elif codebooks is None or coarse is None:
         raise ValueError(
@@ -2086,4 +2108,68 @@ def ivfpq_recall_report(
             F.coalesce("n_hits", F.lit(0)).cast("double")
             / F.col("n_exact").cast("double")
         ).alias("recall"),
+    )
+
+
+def ivfpq_refine_sweep(
+    embeddings: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    max_queries: int = 100,
+    factors: tuple[int, ...] = (1, 2, 4, 8),
+    m: int = 4,
+    pq_k: int = 16,
+    n_iter: int = 4,
+    train_k: int | None = None,
+) -> DataFrame:
+    """The refine-factor tuning curve for the compressed serving tier:
+    mean/min recall@k of the refined IVF-PQ path at each refine factor,
+    against the exact brute answer — the table an operator reads to
+    pick refine_factor (float-fetch cost grows linearly in rf; recall
+    saturates). rf=1 re-ranks exactly the ADC top-k, so its recall
+    EQUALS the pure-ADC operating point (same candidate set; recall is
+    set overlap, unaffected by reordering).
+
+    The index derives ONCE (_derive_ivfpq_index) and every factor
+    audits the same codes/quantizers — the sweep measures rf, not
+    training noise. The driver loop is over len(factors) bounded audit
+    jobs (each max_queries x k rows), the same economics as running
+    the recall report N times; the output is a tiny local frame.
+
+    One row per factor: (refine_factor, n_queries, mean_recall,
+    min_recall), ascending rf. Monotone non-decreasing mean recall is
+    pytest-gated on the planted-cluster corpus."""
+    if not factors or any(int(f) < 1 for f in factors):
+        raise ValueError(f"ivfpq_refine_sweep: factors must be >= 1, got {factors!r}")
+    codes, codebooks, coarse = _derive_ivfpq_index(
+        embeddings, m=m, pq_k=pq_k, n_iter=n_iter, train_k=train_k
+    )
+    codes = codes.localCheckpoint()  # len(factors) consumers, one encode pass
+    rows = []
+    for rf in sorted(set(int(f) for f in factors)):
+        rep = ivfpq_recall_report(
+            embeddings,
+            k=k,
+            nprobe=nprobe,
+            max_queries=max_queries,
+            codes=codes,
+            codebooks=codebooks,
+            coarse=coarse,
+            refine_factor=rf,
+        )
+        agg = rep.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("recall").alias("mean_r"),
+            F.min("recall").alias("min_r"),
+        ).collect()[0]
+        rows.append(
+            (
+                rf,
+                int(agg["n"]),
+                round(float(agg["mean_r"] or 0.0), 6),
+                round(float(agg["min_r"] or 0.0), 6),
+            )
+        )
+    return embeddings.sparkSession.createDataFrame(
+        rows, "refine_factor int, n_queries long, mean_recall double, min_recall double"
     )

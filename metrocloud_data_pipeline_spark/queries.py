@@ -2185,6 +2185,22 @@ def knn_recall_report(spark, sf_dir):
     )
 
 
+@q("ivfpq_refine_sweep")
+def ivfpq_refine_sweep(spark, sf_dir):
+    """The refine-factor tuning curve for the compressed ANN serving
+    tier: mean/min recall@10 of the refined IVF-PQ path at rf in
+    {1,2,4,8} vs exact brute over a 50-query deterministic sample —
+    the table an operator reads to pick refine_factor (float-fetch
+    cost grows linearly in rf; recall saturates). rf=1 equals the
+    pure-ADC operating point. The index derives ONCE and every factor
+    audits the same codes/quantizers. Rows-only by design (recall < 1
+    is the thing measured); monotone non-decreasing mean recall is
+    pytest-gated on the planted-cluster corpus."""
+    return similarity.ivfpq_refine_sweep(
+        load(spark, sf_dir, "embeddings"), max_queries=50
+    )
+
+
 @q("minhash_recall_report")
 def minhash_recall_report(spark, sf_dir):
     """MinHash-LSH quality audit — knn_recall_report's twin for the
@@ -5176,6 +5192,7 @@ QUERY_ORDER = [
     "ccnet_perplexity_buckets",
     "ccnet_perplexity_buckets_approx",
     "corpus_filter_funnel",
+    "ivfpq_refine_sweep",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -5212,8 +5229,8 @@ QUERY_ORDER = [
     "asof_next_error",
     "f2_type_filter",
     "dedup_embed_cosine",
-    "media_feature_extract",
     # --- driver window ends here (first 50) ---
+    "media_feature_extract",
     "media_frame_sample",
     "media_type_summary",
     "h21_late_suppliers",

@@ -1826,3 +1826,25 @@ def test_sentence_span_dedup_c4(spark):
     assert r7["n_dup_spans"] == 1
     assert r7["removed_sentences"] == 3
     assert r7["clean_text"] == "One a Two b Three c"
+
+
+def test_ivfpq_refine_sweep_monotone(spark):
+    """The refine sweep on planted clusters: one row per factor in
+    ascending order, recalls bounded, mean recall monotone
+    non-decreasing in rf, and a bad factor raises."""
+    emb = _planted_clusters_emb(spark)
+    rows = similarity.ivfpq_refine_sweep(
+        emb, k=3, nprobe=3, max_queries=12, factors=(1, 2, 4),
+        m=4, pq_k=8, n_iter=4,
+    ).collect()
+    assert [r["refine_factor"] for r in rows] == [1, 2, 4]
+    for r in rows:
+        assert r["n_queries"] == 12
+        assert 0.0 <= r["min_recall"] <= r["mean_recall"] <= 1.0
+    means = [r["mean_recall"] for r in rows]
+    assert means == sorted(means), f"recall must not degrade with rf: {means}"
+    # separable clusters + generous settings: the curve saturates high
+    assert means[-1] >= 0.9
+
+    with pytest.raises(ValueError, match="factors must be >= 1"):
+        similarity.ivfpq_refine_sweep(emb, factors=(0, 2))
