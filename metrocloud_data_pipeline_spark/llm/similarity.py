@@ -2173,3 +2173,55 @@ def ivfpq_refine_sweep(
     return embeddings.sparkSession.createDataFrame(
         rows, "refine_factor int, n_queries long, mean_recall double, min_recall double"
     )
+
+
+def diverse_sample(
+    embeddings: DataFrame,
+    frac: float = 0.1,
+    k: int = 16,
+    n_iter: int = 4,
+    exact: bool = True,
+    salt: str = "diverse-v1",
+) -> DataFrame:
+    """Cluster-stratified embedding-space sampling: draw ~frac of the
+    corpus while preserving every embedding-space region — per k-means
+    cluster, a deterministic uniform draw keeps ceil(frac * cluster
+    size) members, so tail clusters keep representation that a global
+    uniform sample of a skewed corpus would lose. The curation use is
+    a diversity-preserving subset for expensive downstream passes
+    (human eval, quality-classifier training, embedding re-runs).
+
+    exact=True: per-cluster quota via a rank window ordered by the
+    hash draw (ties to vec_id) — exactly ceil(frac*n_c) per cluster;
+    the window shuffles once on cluster_id. exact=False: keep iff
+    draw < frac — binomially-approximate per-cluster counts but
+    MAP-ONLY after assignment (no shuffle at all), the 100 TB form.
+
+    The draw is sample_uniform_col's md5 construction (pure function
+    of (salt, vec_id) — stable across runs, partitionings, engines;
+    rand(seed) is none of those). Output: every vector as
+    (vec_id, cluster_id, sample_u, keep)."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"diverse_sample: frac={frac} must be in (0, 1]")
+    from .curation import sample_uniform_col
+
+    codebook, _ = kmeans_fit(embeddings, k=k, n_iter=n_iter)
+    assign = kmeans_assign(embeddings, codebook).select("vec_id", "cluster_id")
+    u = sample_uniform_col(salt, id_col="vec_id")
+    drawn = assign.select("vec_id", "cluster_id", round6(u).alias("sample_u"))
+    if not exact:
+        return drawn.withColumn("keep", F.col("sample_u") < frac)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cluster_id").orderBy("sample_u", "vec_id")
+    sizes = drawn.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        drawn.withColumn("_rk", F.row_number().over(w))
+        .join(F.broadcast(sizes), "cluster_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "sample_u",
+            (F.col("_rk") <= F.ceil(F.col("_n") * frac)).alias("keep"),
+        )
+    )

@@ -2201,6 +2201,21 @@ def ivfpq_refine_sweep(spark, sf_dir):
     )
 
 
+@q("embed_diverse_sample")
+def embed_diverse_sample(spark, sf_dir):
+    """Cluster-stratified embedding sampling: per k-means cluster, a
+    deterministic md5 draw keeps ceil(frac * cluster size) members —
+    a ~10% subset that preserves every embedding-space region (tail
+    clusters survive; a global uniform sample of a skewed corpus loses
+    them). Exact quotas via one rank window on cluster_id; the
+    exact=False twin is map-only after assignment (the 100 TB form).
+    Rows-only (k-means assignment has no SQL twin); quota exactness
+    and determinism are pytest-gated on planted clusters."""
+    return similarity.diverse_sample(
+        load(spark, sf_dir, "embeddings"), frac=0.1, k=8
+    )
+
+
 @q("minhash_recall_report")
 def minhash_recall_report(spark, sf_dir):
     """MinHash-LSH quality audit — knn_recall_report's twin for the
@@ -5193,6 +5208,7 @@ QUERY_ORDER = [
     "ccnet_perplexity_buckets_approx",
     "corpus_filter_funnel",
     "ivfpq_refine_sweep",
+    "embed_diverse_sample",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -5228,8 +5244,8 @@ QUERY_ORDER = [
     "obs_alert_firing",
     "asof_next_error",
     "f2_type_filter",
-    "dedup_embed_cosine",
     # --- driver window ends here (first 50) ---
+    "dedup_embed_cosine",
     "media_feature_extract",
     "media_frame_sample",
     "media_type_summary",

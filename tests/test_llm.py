@@ -1848,3 +1848,31 @@ def test_ivfpq_refine_sweep_monotone(spark):
 
     with pytest.raises(ValueError, match="factors must be >= 1"):
         similarity.ivfpq_refine_sweep(emb, factors=(0, 2))
+
+
+def test_diverse_sample_quotas_and_determinism(spark):
+    """Exact mode keeps ceil(frac * n_c) per cluster (singleton tail
+    clusters always survive), reruns are identical, and the approx
+    twin is the pure hash threshold."""
+    emb = _planted_clusters_emb(spark)
+    out = similarity.diverse_sample(emb, frac=0.5, k=4).collect()
+    assert len(out) == 14
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    import math
+    for cid, rows in by_cluster.items():
+        kept = sum(1 for r in rows if r["keep"])
+        assert kept == math.ceil(len(rows) * 0.5), (cid, len(rows), kept)
+    # every cluster keeps at least one member — the diversity contract
+    assert all(any(r["keep"] for r in rows) for rows in by_cluster.values())
+    # deterministic: identical rerun
+    again = similarity.diverse_sample(emb, frac=0.5, k=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    approx = similarity.diverse_sample(emb, frac=0.5, k=4, exact=False).collect()
+    for r in approx:
+        assert r["keep"] == (r["sample_u"] < 0.5)
+
+    with pytest.raises(ValueError, match="frac"):
+        similarity.diverse_sample(emb, frac=0.0)
