@@ -140,6 +140,7 @@ HEADLINE = [
     "ccnet_perplexity_buckets_approx",
     "corpus_filter_funnel",
     "embed_diverse_sample",
+    "dedup_cluster_histogram",
     # ivfpq_refine_sweep deliberately NOT here: like ivfpq_recall_report
     # it runs multiple brute-force audit passes — a tuning table, not a
     # drift sentinel (same call as r9's HEADLINE swap).

@@ -37,6 +37,33 @@ ORACLE_SQL: dict[str, str] = {}
 # every text/curation oracle agrees on.
 _NORM_TOKS_SQL = "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
 
+# Shared oracle fragment: connected components over exact token-set
+# Jaccard >= 0.95 pairs (recursive CTE) ending at `lab(doc_id,
+# cluster_id)` — consumed by dedup_clusters and the cluster-size
+# histogram so the two can never disagree on the component semantics.
+_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+  FROM documents
+), sizes AS (SELECT doc_id, count(*) AS set_size FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6) >= 0.95
+), edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+),
+lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node)
+"""
+
 
 def q(name: str, oracle: str | None = None):
     def deco(fn):
@@ -3095,27 +3122,8 @@ def stratified_split(spark, sf_dir):
 
 @q(
     "dedup_clusters",
-    oracle="""
-WITH RECURSIVE toks AS (
-  SELECT doc_id, unnest(list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
-  FROM documents
-), sizes AS (SELECT doc_id, count(*) AS set_size FROM toks GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), pairs AS (
-  SELECT doc_a, doc_b
-  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE round(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6) >= 0.95
-), edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
-nodes AS (SELECT DISTINCT a AS node FROM edges),
-reach(node, label) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
-),
-lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node)
+    oracle=_DEDUP_CLUSTERS_SQL
+    + """
 SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM lab
 """,
 )
@@ -3135,6 +3143,48 @@ def dedup_clusters(spark, sf_dir):
         fail_on_dropped_buckets=True,
     )
     return dedup.duplicate_clusters(pairs.select("doc_a", "doc_b"))
+
+
+@q(
+    "dedup_cluster_histogram",
+    oracle=_DEDUP_CLUSTERS_SQL
+    + """
+, cl AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM cl GROUP BY 1
+""",
+)
+def dedup_cluster_histogram(spark, sf_dir):
+    """Near-dup cluster-SIZE distribution — the dedup-tuning dashboard:
+    how many clusters of each size the >= 0.95-Jaccard components form
+    (a fat tail of giant clusters means boilerplate that should be
+    line-filtered before pairwise dedup; all-size-2 means the threshold
+    is conservative). Same pair source and components as dedup_clusters
+    (shared oracle fragment — the two cannot disagree); the histogram
+    is two dup-bounded aggregates on top."""
+    pairs = dedup.token_jaccard_pairs_lsh(
+        load(spark, sf_dir, "documents"),
+        threshold=0.95,
+        max_bucket_size=10_000,
+        fail_on_dropped_buckets=True,
+    )
+    clusters = dedup.duplicate_clusters(pairs.select("doc_a", "doc_b"))
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
 
 
 @q(
@@ -5209,6 +5259,7 @@ QUERY_ORDER = [
     "corpus_filter_funnel",
     "ivfpq_refine_sweep",
     "embed_diverse_sample",
+    "dedup_cluster_histogram",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -5243,8 +5294,8 @@ QUERY_ORDER = [
     "iv_error_windows",
     "obs_alert_firing",
     "asof_next_error",
-    "f2_type_filter",
     # --- driver window ends here (first 50) ---
+    "f2_type_filter",
     "dedup_embed_cosine",
     "media_feature_extract",
     "media_frame_sample",

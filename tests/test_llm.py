@@ -1876,3 +1876,20 @@ def test_diverse_sample_quotas_and_determinism(spark):
 
     with pytest.raises(ValueError, match="frac"):
         similarity.diverse_sample(emb, frac=0.0)
+
+
+def test_dedup_cluster_histogram_shapes(spark):
+    """Histogram over planted components: a 3-chain, a 2-pair, and a
+    singleton-free tail — sizes and doc mass add up."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    hist = {r["cluster_size"]: r for r in (
+        clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"), F.sum("cluster_size").alias("n_docs"))
+        .collect())}
+    assert hist[3]["n_clusters"] == 1 and hist[3]["n_docs"] == 3
+    assert hist[2]["n_clusters"] == 1 and hist[2]["n_docs"] == 2
+    assert sum(r["n_docs"] for r in hist.values()) == 5
