@@ -141,6 +141,13 @@ HEADLINE = [
     "corpus_filter_funnel",
     "embed_diverse_sample",
     "dedup_cluster_histogram",
+    # r9 batch 2: fertility/diversity/entropy panels, cross-source
+    # overlap matrix, rank fusion
+    "text_fertility_by_lang",
+    "text_ngram_diversity",
+    "text_char_entropy",
+    "dedup_source_overlap",
+    "quality_rank_fusion",
     # ivfpq_refine_sweep deliberately NOT here: like ivfpq_recall_report
     # it runs multiple brute-force audit passes — a tuning table, not a
     # drift sentinel (same call as r9's HEADLINE swap).

@@ -1659,3 +1659,56 @@ def corpus_filter_funnel(docs: DataFrame) -> DataFrame:
             ).otherwise(0.0)
         ).alias("frac_of_corpus"),
     )
+
+
+def quality_rank_fusion(docs: DataFrame, k: int = 60, top_n: int = 50) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of independent
+    quality signals into one selection order — the standard way to
+    combine heterogeneous quality scores (length, lexical diversity,
+    density) without calibrating them onto a common scale. Signals
+    here are the deterministic trio every pipeline already has: token
+    count (longer is better, saturating), type-token ratio (diversity),
+    and chars-per-token (density; closer-to-typical is better, ranked
+    ascending by |ratio - 5|). rrf = sum_i 1/(k + rank_i); top_n docs
+    by fused score, doc_id tiebreak.
+
+    Plan shape: one scan computes all three signals from the token
+    array (codegen, no shuffle), three global rank windows over the
+    SAME single-partition sort of a 4-column projection (rank state is
+    row-sized, not text-sized), one final top-n. Global windows on a
+    100 TB corpus rank the PROJECTED signal frame (~16 bytes/doc);
+    for fleet-scale selection swap rank() for percent_rank over
+    range-partitioned quantiles — semantics identical at the top end."""
+    from ..llm.text import tokens_col
+
+    toks = tokens_col()
+    sig = docs.where(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.size(toks).cast("double").alias("_nt"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("_ttr"),
+        (F.col("n_chars").cast("double") / F.size(toks)).alias("_cpt"),
+    )
+    from pyspark.sql import Window
+
+    w_len = Window.orderBy(F.col("_nt").desc(), F.col("doc_id"))
+    w_ttr = Window.orderBy(F.col("_ttr").desc(), F.col("doc_id"))
+    w_cpt = Window.orderBy(F.abs(F.col("_cpt") - F.lit(5.0)), F.col("doc_id"))
+    ranked = sig.select(
+        "doc_id",
+        F.rank().over(w_len).cast("long").alias("rank_len"),
+        F.rank().over(w_ttr).cast("long").alias("rank_ttr"),
+        F.rank().over(w_cpt).cast("long").alias("rank_cpt"),
+    )
+    kf = float(k)
+    rrf = (
+        1.0 / (F.lit(kf) + F.col("rank_len"))
+        + 1.0 / (F.lit(kf) + F.col("rank_ttr"))
+        + 1.0 / (F.lit(kf) + F.col("rank_cpt"))
+    )
+    from ..functions.numeric import round6
+
+    return (
+        ranked.select("doc_id", "rank_len", "rank_ttr", "rank_cpt", round6(rrf).alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+        .limit(top_n)
+    )

@@ -919,3 +919,62 @@ def minhash_recall_report(
         )
         .orderBy("bucket_lo")
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame, n: int = 8, max_sources_per_gram: int = 64
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix: for each source pair, how
+    many DISTINCT n-token grams the two share — the "which corpora
+    copy from which" audit run before mixing sources (e.g. successive
+    CommonCrawl snapshots overlap heavily; a mixing plan that ignores
+    it double-counts the shared text). Symmetric; emitted once per
+    pair with src_a < src_b.
+
+    Plan shape: distinct (gram-hash, source) via a map-side-combined
+    agg (shuffle bounded by distinct grams, never gram occurrences),
+    then grams are folded to their source SET (bounded by the source
+    count) and pairs explode combinationally from sets of size >= 2 —
+    only grams that actually cross sources survive to the pair stage,
+    so the explode is sized by the overlap, not the corpus. Grams in
+    more than max_sources_per_gram sources (stopword-grams at corpus
+    scale: C(s,2) pairs each) are dropped FAIL-LOUD via the
+    dropped_grams accounting row (source='__dropped_grams__') rather
+    than silently, mirroring lsh_dropped_buckets."""
+    from .curation import _gram_rows
+
+    grams = (
+        _gram_rows(docs, n, id_col="source")
+        .select(F.md5("gram").alias("gh"), "source")
+        .groupBy("gh", "source")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("gh")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .where(F.size("srcs") >= 2)
+    )
+    kept = grams.where(F.size("srcs") <= max_sources_per_gram)
+    dropped = grams.where(F.size("srcs") > max_sources_per_gram).agg(
+        F.count(F.lit(1)).alias("shared_grams")
+    )
+    pairs = kept.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.slice("srcs", 1, F.size("srcs") - 1),
+                    lambda a, i: F.transform(
+                        F.slice("srcs", i + 2, F.size("srcs")),
+                        lambda b: F.struct(a.alias("src_a"), b.alias("src_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    matrix = pairs.groupBy(
+        F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b")
+    ).agg(F.count(F.lit(1)).alias("shared_grams"))
+    audit = dropped.where(F.col("shared_grams") > 0).select(
+        F.lit("__dropped_grams__").alias("src_a"),
+        F.lit("__dropped_grams__").alias("src_b"),
+        "shared_grams",
+    )
+    return matrix.unionByName(audit)

@@ -947,3 +947,127 @@ def sentence_span_dedup(docs: DataFrame, span_sentences: int = 3) -> DataFrame:
             F.array_join(kept, " ").alias("clean_text"),
         )
     )
+
+
+def subword_fertility_stats(docs: DataFrame, piece_len: int = 4) -> DataFrame:
+    """Per-language tokenizer-fertility audit — the numbers you check
+    before committing to a tokenizer for a multilingual corpus: words,
+    mean word length, subword pieces per word ("fertility", the
+    tokens-per-word blowup that makes under-served languages expensive
+    to train on), and chars per piece (the bytes-per-token analogue).
+    The subword stand-in is deterministic fixed-width chunking
+    (ceil(len/piece_len) pieces per word) so the metric is exactly
+    reproducible corpus-wide without a trained vocab; swap in
+    bpe_segment_stats for the trained-tokenizer form.
+
+    Plan shape: one scan, token explode, partial-agg groupBy on `lang`
+    (low cardinality) — map-side combines reduce each executor's
+    contribution to a handful of rows, so the shuffle is bytes-sized at
+    100 TB."""
+    wlen = F.length("word").cast("double")
+    pieces = F.ceil(wlen / F.lit(float(piece_len))).cast("long")
+    return (
+        docs.where(F.length(F.trim("text")) > 0)
+        .select("lang", F.explode(tokens_col()).alias("word"))
+        .select("lang", wlen.alias("_wl"), pieces.alias("_pc"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            round6(F.avg("_wl")).alias("avg_word_len"),
+            round6(F.sum("_pc").cast("double") / F.count(F.lit(1))).alias(
+                "pieces_per_word"
+            ),
+            round6(F.sum("_wl") / F.sum("_pc").cast("double")).alias(
+                "chars_per_piece"
+            ),
+        )
+    )
+
+
+def ngram_diversity(docs: DataFrame, ns: tuple = (1, 2, 3)) -> DataFrame:
+    """Per-source n-gram diversity (distinct-n): distinct n-grams over
+    total n-gram occurrences, the self-repetition measure used to
+    detect template/boilerplate-heavy sources (low distinct-2/3 means
+    the source repeats itself; Zhu et al. 2018 "Texygen" use the same
+    ratio as Distinct-n). One output row per (source, n).
+
+    Plan shape: per n, a gram explode + two-stage agg keyed on
+    (source, gram) — map-side combine collapses repeats before the
+    shuffle, so shuffle volume is bounded by DISTINCT grams per source,
+    not corpus tokens. The n's union independent subplans (no barrier
+    between them). At 100 TB swap count_distinct for approx_count_
+    distinct to keep the gram agg sketch-sized (the exact form here is
+    the oracle-checkable one)."""
+    from .curation import _gram_rows
+
+    parts = []
+    for n in ns:
+        g = _gram_rows(docs, n, id_col="source")
+        parts.append(
+            g.groupBy("source").agg(
+                F.lit(n).cast("int").alias("n"),
+                F.count(F.lit(1)).alias("total_grams"),
+                F.count_distinct("gram").alias("distinct_grams"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "source",
+        "n",
+        "total_grams",
+        "distinct_grams",
+        round6(
+            F.col("distinct_grams").cast("double") / F.col("total_grams").cast("double")
+        ).alias("diversity"),
+    )
+
+
+def char_entropy_panel(docs: DataFrame, low_bits: float = 3.5) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) over
+    whitespace-normalized lowercase text, with a low-entropy flag —
+    the cheap screen for degenerate content (repeated characters,
+    base64 blobs read LOW/HIGH extremes; natural language sits ~4
+    bits). CCNet and RefinedWeb both carry a character-statistics
+    screen of this family ahead of the LM filter.
+
+    Plan shape: normalize + per-position char explode, then a
+    (doc_id, char) partial agg — per-doc state is alphabet-sized, and
+    map-side combine collapses each doc's chars before the shuffle, so
+    the exchange carries ~|alphabet| rows per doc, not one row per
+    character. Entropy folds in a second doc-keyed agg. Linear, two
+    narrow shuffles, no UDFs."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS, " ")
+    chars = F.filter(F.split(norm, ""), lambda c: c != F.lit(""))
+    counts = (
+        docs.where(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(chars).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ln2 = 0.6931471805599453
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_chars_norm"),
+            (
+                -F.sum(
+                    F.col("cnt").cast("double")
+                    * F.log(F.col("cnt").cast("double"))
+                )
+            ).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_chars_norm").cast("long").alias("n_chars_norm"),
+            round6(
+                (
+                    F.col("_s") / F.col("n_chars_norm").cast("double")
+                    + F.log(F.col("n_chars_norm").cast("double"))
+                )
+                / F.lit(ln2)
+            ).alias("entropy_bits"),
+        )
+        .withColumn("low_entropy", F.col("entropy_bits") < F.lit(low_bits))
+    )

@@ -5225,6 +5225,162 @@ def kmeans_embed_clusters(spark, sf_dir):
     )
 
 
+@q(
+    "text_fertility_by_lang",
+    oracle=f"""
+WITH w AS (
+  SELECT lang, unnest({_NORM_TOKS_SQL}) AS word
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT lang, count(*) AS n_words,
+       round(avg(length(word)), 6) AS avg_word_len,
+       round(sum(CAST(ceil(length(word) / 4.0) AS BIGINT)) * 1.0 / count(*), 6)
+         AS pieces_per_word,
+       round(sum(length(word)) * 1.0
+             / sum(CAST(ceil(length(word) / 4.0) AS BIGINT)), 6)
+         AS chars_per_piece
+FROM w GROUP BY lang
+""",
+)
+def text_fertility_by_lang(spark, sf_dir):
+    """Per-language tokenizer-fertility audit: words, mean word length,
+    subword pieces per word (fixed-width-4 chunking as the
+    deterministic subword stand-in) and chars per piece — the
+    multilingual-tokenizer fit check (high fertility = the language
+    pays more tokens per word). Word lengths are integers, so every
+    double sum is exact and order-independent."""
+    return text.subword_fertility_stats(
+        load(spark, sf_dir, "documents"), piece_len=4
+    )
+
+
+@q(
+    "text_ngram_diversity",
+    oracle=f"""
+WITH t AS (
+  SELECT source, {_NORM_TOKS_SQL} AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), g AS (
+  SELECT source, n.n AS n, array_to_string(toks[u.p:u.p+n.n-1], ' ') AS gram
+  FROM t, (VALUES (1), (2), (3)) n(n),
+       unnest(generate_series(1, len(toks) - n.n + 1)) u(p)
+  WHERE len(toks) >= n.n
+)
+SELECT source, CAST(n AS INTEGER) AS n,
+       count(*) AS total_grams,
+       count(DISTINCT gram) AS distinct_grams,
+       round(count(DISTINCT gram) * 1.0 / count(*), 6) AS diversity
+FROM g GROUP BY source, n
+""",
+)
+def text_ngram_diversity(spark, sf_dir):
+    """Distinct-n n-gram diversity per source (n=1,2,3): the
+    self-repetition screen that flags template/boilerplate-heavy
+    sources before mixing (low distinct-2/3 = the source repeats
+    itself). Exact form here (oracle-checkable); the 100 TB variant
+    swaps count_distinct for approx_count_distinct."""
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    return text.ngram_diversity(docs, ns=(1, 2, 3))
+
+
+@q(
+    "text_char_entropy",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), c AS (
+  SELECT doc_id, substr(t, u.p, 1) AS ch
+  FROM d, unnest(generate_series(1, length(t))) u(p)
+), cc AS (
+  SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY 1, 2
+), e AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars_norm,
+         round((-sum(cnt * ln(CAST(cnt AS DOUBLE))) / sum(cnt)
+                + ln(CAST(sum(cnt) AS DOUBLE))) / 0.6931471805599453, 6)
+           AS entropy_bits
+  FROM cc GROUP BY doc_id
+)
+SELECT doc_id, n_chars_norm, entropy_bits,
+       entropy_bits < 3.5 AS low_entropy
+FROM e
+""",
+)
+def text_char_entropy(spark, sf_dir):
+    """Per-document character-level Shannon entropy (bits/char) with a
+    low-entropy flag — the cheap degenerate-content screen (repeated
+    chars and binary-ish blobs sit at the entropy extremes; natural
+    text ~4 bits). The flag compares the ROUNDED entropy on both sides
+    so the boundary can never diverge on the 7th decimal."""
+    return text.char_entropy_panel(load(spark, sf_dir, "documents"), low_bits=3.5)
+
+
+@q(
+    "dedup_source_overlap",
+    oracle=f"""
+WITH t AS (
+  SELECT source, {_NORM_TOKS_SQL} AS toks FROM documents
+), g AS (
+  SELECT DISTINCT source, md5(array_to_string(toks[u.p:u.p+7], ' ')) AS gh
+  FROM t, unnest(generate_series(1, len(toks) - 7)) u(p)
+  WHERE len(toks) >= 8
+)
+SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_grams
+FROM g a JOIN g b USING (gh)
+WHERE a.source < b.source
+GROUP BY 1, 2
+""",
+)
+def dedup_source_overlap(spark, sf_dir):
+    """Cross-source 8-gram overlap matrix — which corpora share text
+    with which (the CommonCrawl-snapshot-overlap audit run before a
+    mixing plan double-counts shared passages). Spark side folds each
+    gram to its source SET so the pair explode is sized by the actual
+    overlap; grams crossing >64 sources drop into a fail-loud
+    accounting row (never binds at this source count, so the oracle
+    is the plain distinct self-join)."""
+    return dedup.source_overlap_matrix(
+        load(spark, sf_dir, "documents"), n=8, max_sources_per_gram=64
+    )
+
+
+@q(
+    "quality_rank_fusion",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS nt,
+         len(list_distinct(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))) * 1.0
+           / len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS ttr,
+         n_chars * 1.0
+           / len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS cpt
+  FROM documents WHERE length(trim(text)) > 0
+), r AS (
+  SELECT doc_id,
+         CAST(rank() OVER (ORDER BY nt DESC, doc_id) AS BIGINT) AS rank_len,
+         CAST(rank() OVER (ORDER BY ttr DESC, doc_id) AS BIGINT) AS rank_ttr,
+         CAST(rank() OVER (ORDER BY abs(cpt - 5.0), doc_id) AS BIGINT) AS rank_cpt
+  FROM s
+)
+SELECT doc_id, rank_len, rank_ttr, rank_cpt,
+       round(1.0 / (60 + rank_len) + 1.0 / (60 + rank_ttr)
+             + 1.0 / (60 + rank_cpt), 6) AS rrf_score
+FROM r
+ORDER BY rrf_score DESC, doc_id
+LIMIT 50
+""",
+)
+def quality_rank_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of three deterministic quality signals
+    (token count desc, type-token ratio desc, chars-per-token nearest
+    5) into one top-50 selection — the calibration-free way to combine
+    heterogeneous quality scores. Ranks are fully tiebroken by doc_id,
+    so the fused order is bit-deterministic on both sides."""
+    return curation.quality_rank_fusion(
+        load(spark, sf_dir, "documents"), k=60, top_n=50
+    )
+
+
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (historically the first
 # 50 of the registry). Round-9 rotation (freshness invariant): the
@@ -5260,6 +5416,11 @@ QUERY_ORDER = [
     "ivfpq_refine_sweep",
     "embed_diverse_sample",
     "dedup_cluster_histogram",
+    "text_fertility_by_lang",
+    "text_ngram_diversity",
+    "text_char_entropy",
+    "dedup_source_overlap",
+    "quality_rank_fusion",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -5289,12 +5450,15 @@ QUERY_ORDER = [
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "dedup_jaccard_prefix",
+    # --- driver window ends here (first 50) ---
+    # r10 queue head (displaced from the window by the five text/
+    # curation queries new this round — never-checked beats
+    # stale-refresh):
     "dedup_clusters",
     "cap_per_source",
     "iv_error_windows",
     "obs_alert_firing",
     "asof_next_error",
-    # --- driver window ends here (first 50) ---
     "f2_type_filter",
     "dedup_embed_cosine",
     "media_feature_extract",

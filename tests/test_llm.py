@@ -1893,3 +1893,104 @@ def test_dedup_cluster_histogram_shapes(spark):
     assert hist[3]["n_clusters"] == 1 and hist[3]["n_docs"] == 3
     assert hist[2]["n_clusters"] == 1 and hist[2]["n_docs"] == 2
     assert sum(r["n_docs"] for r in hist.values()) == 5
+
+
+# --- round-9 batch 2: fertility / diversity / entropy / overlap / fusion ---
+
+
+def test_subword_fertility_exact_values(spark):
+    rows = [
+        (0, "ab abcd abcdefgh", "en", "s0", 16),
+        (1, "xyzzy", "de", "s0", 5),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["lang"]: r for r in text.subword_fertility_stats(docs, piece_len=4).collect()}
+    en = out["en"]
+    # words: ab(2), abcd(4), abcdefgh(8) -> pieces 1,1,2
+    assert en["n_words"] == 3
+    assert en["avg_word_len"] == pytest.approx((2 + 4 + 8) / 3, abs=1e-6)
+    assert en["pieces_per_word"] == pytest.approx(4 / 3, abs=1e-6)
+    assert en["chars_per_piece"] == pytest.approx(14 / 4, abs=1e-6)
+    de = out["de"]
+    assert de["n_words"] == 1 and de["pieces_per_word"] == 2.0
+
+
+def test_ngram_diversity_flags_repetitive_source(spark):
+    rep = " ".join(["spam"] * 40)
+    div = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, rep, "en", "boiler", len(rep)), (1, div, "en", "fresh", len(div))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {(r["source"], r["n"]): r for r in text.ngram_diversity(docs).collect()}
+    assert out[("boiler", 1)]["distinct_grams"] == 1
+    assert out[("boiler", 2)]["diversity"] == pytest.approx(1 / 39, abs=1e-6)
+    assert out[("fresh", 1)]["diversity"] == 1.0
+    assert out[("fresh", 3)]["total_grams"] == 38
+    assert out[("fresh", 3)]["distinct_grams"] == 38
+
+
+def test_char_entropy_extremes(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "aaaaaaaa", "en", "s0", 8),     # one symbol -> 0 bits
+            (1, "abababab", "en", "s0", 8),     # two equiprobable -> 1 bit
+            (2, "abcdefgh", "en", "s0", 8),     # eight equiprobable -> 3 bits
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in text.char_entropy_panel(docs, low_bits=3.5).collect()}
+    assert out[0]["entropy_bits"] == 0.0 and out[0]["low_entropy"]
+    assert out[1]["entropy_bits"] == pytest.approx(1.0, abs=1e-6)
+    assert out[2]["entropy_bits"] == pytest.approx(3.0, abs=1e-6)
+    assert out[2]["low_entropy"]
+    assert out[0]["n_chars_norm"] == 8
+
+
+def test_source_overlap_matrix_planted_share(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    rows = [
+        (0, shared + " tail0 only0", "en", "sA", 60),
+        (1, "head1 " + shared, "en", "sB", 54),
+        (2, "totally unrelated words that never overlap anything here", "en", "sC", 57),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = dedup.source_overlap_matrix(docs, n=8).collect()
+    got = {(r["src_a"], r["src_b"]): r["shared_grams"] for r in out}
+    # the single planted 8-gram is the only one both sources contain
+    assert got == {("sA", "sB"): 1}
+
+
+def test_source_overlap_matrix_cap_fails_loud(spark):
+    shared = "one two three four five six seven eight"
+    rows = [(i, shared, "en", f"s{i}", len(shared)) for i in range(5)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = dedup.source_overlap_matrix(docs, n=8, max_sources_per_gram=3).collect()
+    # the gram crosses 5 > 3 sources: no silent pairs, one accounting row
+    assert len(out) == 1
+    r = out[0]
+    assert r["src_a"] == "__dropped_grams__" and r["shared_grams"] == 1
+
+
+def test_quality_rank_fusion_order_and_scores(spark):
+    rows = [
+        (0, " ".join(f"w{i}" for i in range(30)), "en", "s0", 150),  # long+diverse
+        (1, " ".join(["dup"] * 30), "en", "s0", 150),                # long, no diversity
+        (2, "short text here", "en", "s0", 15),                      # short
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = curation.quality_rank_fusion(docs, k=60, top_n=3).collect()
+    assert [r["doc_id"] for r in out][0] == 0  # wins len AND diversity
+    r0 = out[0]
+    expect = 1 / (60 + r0["rank_len"]) + 1 / (60 + r0["rank_ttr"]) + 1 / (60 + r0["rank_cpt"])
+    assert r0["rrf_score"] == pytest.approx(expect, abs=1e-6)
+    # ranks are a permutation with doc_id tiebreaks -> all distinct per signal
+    assert len({r["rank_len"] for r in out}) == 3

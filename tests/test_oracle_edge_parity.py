@@ -52,6 +52,15 @@ DOC_QUERIES = [
     "boilerplate_line_filter",
     "ccnet_perplexity_buckets",
     "corpus_filter_funnel",
+    # round-9 batch 2: fertility/diversity/entropy panels, the
+    # cross-source overlap matrix and rank fusion — entropy and the
+    # gram ops stress the unicode/whitespace-only/long-repetitive
+    # rows, rank fusion the tie-dense short rows
+    "text_fertility_by_lang",
+    "text_ngram_diversity",
+    "text_char_entropy",
+    "dedup_source_overlap",
+    "quality_rank_fusion",
 ]
 
 EDGE_ROWS = [
