@@ -148,6 +148,9 @@ HEADLINE = [
     "text_char_entropy",
     "dedup_source_overlap",
     "quality_rank_fusion",
+    "text_zipf_slope",
+    "source_js_divergence",
+    "embed_label_purity",
     # ivfpq_refine_sweep deliberately NOT here: like ivfpq_recall_report
     # it runs multiple brute-force audit passes — a tuning table, not a
     # drift sentinel (same call as r9's HEADLINE swap).

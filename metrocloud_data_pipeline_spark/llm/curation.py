@@ -1712,3 +1712,71 @@ def quality_rank_fusion(docs: DataFrame, k: int = 60, top_n: int = 50) -> DataFr
         .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
         .limit(top_n)
     )
+
+
+def source_js_divergence(docs: DataFrame) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between per-source
+    unigram distributions — the distributional-distance matrix a
+    mixture designer reads next to dedup_source_overlap: overlap says
+    who SHARES text, JSD says whose language is interchangeable (low
+    JSD sources are redundant in a mixture; high JSD sources add
+    coverage). Lin 1991; bounded [0, 1] bit.
+
+    The off-support mass needs no full-outer join: tokens present in
+    only one side contribute exactly 0.5*ln2 per unit of probability
+    mass, so JSD folds from the INNER join plus each side's shared
+    mass: jsd_nats = sum_shared 0.5*(pa*ln(pa/m) + pb*ln(pb/m))
+    + 0.5*ln2*((1 - sum pa) + (1 - sum pb)), m = (pa+pb)/2. Source
+    pairs with fully disjoint vocabularies never reach the join and
+    are (consistently, both engines) absent — their JSD is the
+    definitional maximum 1 bit.
+
+    Plan shape: one token explode + (source, token) partial-agg count,
+    totals broadcast back, and ONE inner self-join on token whose
+    fan-out is C(sources_with_token, 2) <= C(n_sources, 2) per
+    distinct token — vocab-bounded, never corpus-bounded; the pair agg
+    map-side combines to n_sources^2/2 rows. At fleet scale with
+    thousands of sources, pre-hash tokens into 2^k buckets (the DSIR
+    move) to bound the join fan-out."""
+    cnt = (
+        _gram_rows(docs, 1, id_col="source")
+        .groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    p = cnt.join(F.broadcast(tot), "source").select(
+        "source", "gram", (F.col("c").cast("double") / F.col("n").cast("double")).alias("p")
+    )
+    a = p.select(
+        F.col("source").alias("src_a"), "gram", F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("src_b"), "gram", F.col("p").alias("pb")
+    )
+    joined = a.join(b, "gram").where(F.col("src_a") < F.col("src_b"))
+    m = (F.col("pa") + F.col("pb")) / 2.0
+    term = 0.5 * (
+        F.col("pa") * F.log(F.col("pa") / m) + F.col("pb") * F.log(F.col("pb") / m)
+    )
+    ln2 = 0.6931471805599453
+    return (
+        joined.groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared_vocab"),
+            F.sum(term).alias("_shared_nats"),
+            F.sum("pa").alias("_mass_a"),
+            F.sum("pb").alias("_mass_b"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "shared_vocab",
+            round6(
+                (
+                    F.col("_shared_nats")
+                    + 0.5 * ln2 * ((1.0 - F.col("_mass_a")) + (1.0 - F.col("_mass_b")))
+                )
+                / F.lit(ln2)
+            ).alias("jsd_bits"),
+        )
+    )

@@ -2225,3 +2225,73 @@ def diverse_sample(
             (F.col("_rk") <= F.ceil(F.col("_n") * frac)).alias("keep"),
         )
     )
+
+
+def label_centroids(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(label, centroid array<double>) — per-label mean vector, each
+    component rounded to 6 decimals so the downstream nearest-centroid
+    argmax sees a bit-portable centroid (a mean over floats differs in
+    final ulps across engines/orders; the rounding pins it).
+
+    Plan shape: posexplode + (label, pos) partial agg — map-side
+    combine reduces every task to labels x dim rows — then one
+    dim-bounded rebuild; the result is broadcast-sized (labels x dim
+    doubles)."""
+    per_dim = (
+        embeddings.select("label", F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+    )
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+        ).alias("centroid")
+    )
+
+
+def embed_label_purity(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Label purity of the embedding space: assign every vector to its
+    nearest LABEL CENTROID by cosine and report, per label, how many of
+    its members come home — the fast audit that a labeled embedding
+    column actually separates its classes (low purity = the labels are
+    noise or the embedder ignores them) before the labels are trusted
+    for stratified sampling or eval-set construction.
+
+    Ties in the argmax break to the smaller centroid label on both
+    engines. Plan shape: centroids are labels x dim (broadcast); the
+    corpus scans ONCE against the broadcast via a codegen cosine fold
+    and the per-vector argmax is a map-side struct-max, so the only
+    exchange carries one small row per vector; the purity rollup is
+    label-sized."""
+    cents = label_centroids(embeddings, vec_col=vec_col).select(
+        F.col("label").alias("c_label"), "centroid"
+    )
+    scored = embeddings.select("vec_id", "label", vec_col).crossJoin(
+        F.broadcast(cents)
+    )
+    cos = cosine_col(F.col(vec_col), F.col("centroid"))
+    best = (
+        scored.select(
+            "vec_id",
+            "label",
+            F.struct(cos.alias("cos"), (-F.col("c_label")).alias("neg_label")).alias("_s"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.max("_s").alias("_best"))
+        .select("vec_id", "label", (-F.col("_best.neg_label")).alias("best_label"))
+    )
+    return (
+        best.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum((F.col("best_label") == F.col("label")).cast("long")).alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_correct",
+            round6(F.col("n_correct").cast("double") / F.col("n_vecs").cast("double")).alias(
+                "purity"
+            ),
+        )
+    )

@@ -1071,3 +1071,52 @@ def char_entropy_panel(docs: DataFrame, low_bits: float = 3.5) -> DataFrame:
         )
         .withColumn("low_entropy", F.col("entropy_bits") < F.lit(low_bits))
     )
+
+
+def zipf_slope_by_source(docs: DataFrame, top_n: int = 100) -> DataFrame:
+    """Zipf rank-frequency fit per source: OLS slope and r^2 of
+    ln(freq) ~ ln(rank) over the top_n most frequent tokens — the
+    vocabulary-health check (natural language sits near slope -1;
+    generated/templated text and OCR noise bend the curve; Piantadosi
+    2014 reviews the regularity). One row per source.
+
+    Ranks are fully tiebroken (count desc, token asc) so the top_n cut
+    is bit-deterministic. Plan shape: token explode + (source, token)
+    partial-agg count, one per-source rank window over the VOCAB-sized
+    count frame (never corpus tokens), then the OLS moments fold in a
+    single map-side-combined agg — 2 narrow shuffles, all codegen."""
+    from .curation import _gram_rows
+    from pyspark.sql import Window
+
+    counts = (
+        _gram_rows(docs, 1, id_col="source")
+        .groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("gram"))
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            "source",
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("cnt").cast("double")).alias("y"),
+        )
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    sxy = F.sum(F.col("x") * F.col("y"))
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    # degenerate sources (one ranked term -> var_x = 0; all counts
+    # equal -> var_y = 0) emit NULL instead of inf/NaN, on both engines
+    slope = F.when(var_x != 0, cov_n / var_x)
+    r2 = F.when((var_x != 0) & (var_y != 0), (cov_n * cov_n) / (var_x * var_y))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        round6(slope).alias("zipf_slope"),
+        round6(r2).alias("r2"),
+    )

@@ -5381,6 +5381,122 @@ def quality_rank_fusion(spark, sf_dir):
     )
 
 
+@q(
+    "text_zipf_slope",
+    oracle=f"""
+WITH cnt AS (
+  SELECT source, gram, count(*) AS cnt FROM (
+    SELECT source, unnest({_NORM_TOKS_SQL}) AS gram
+    FROM documents WHERE length(trim(text)) > 0
+  ) GROUP BY 1, 2
+), ranked AS (
+  SELECT source, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+  FROM (
+    SELECT source, cnt,
+           row_number() OVER (PARTITION BY source ORDER BY cnt DESC, gram) AS rank
+    FROM cnt
+  ) WHERE rank <= 100
+), m AS (
+  SELECT source, count(*) AS n_terms,
+         count(*) * sum(x * y) - sum(x) * sum(y) AS cov_n,
+         count(*) * sum(x * x) - sum(x) * sum(x) AS var_x,
+         count(*) * sum(y * y) - sum(y) * sum(y) AS var_y
+  FROM ranked GROUP BY source
+)
+SELECT source, n_terms,
+       round(CASE WHEN var_x != 0 THEN cov_n / var_x END, 6) AS zipf_slope,
+       round(CASE WHEN var_x != 0 AND var_y != 0
+                  THEN (cov_n * cov_n) / (var_x * var_y) END, 6) AS r2
+FROM m
+""",
+)
+def text_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency OLS fit per source over the top-100 tokens
+    (slope ~ -1 for natural language; templated/degenerate text bends
+    the curve) — the vocabulary-health screen. Ranks fully tiebroken
+    (count desc, token asc) so the cut is bit-deterministic; degenerate
+    sources emit NULL instead of inf/NaN on both engines."""
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    return text.zipf_slope_by_source(docs, top_n=100)
+
+
+@q(
+    "source_js_divergence",
+    oracle=f"""
+WITH cnt AS (
+  SELECT source, gram, count(*) AS c FROM (
+    SELECT source, unnest({_NORM_TOKS_SQL}) AS gram FROM documents
+  ) GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+), p AS (
+  SELECT cnt.source, gram, CAST(c AS DOUBLE) / n AS p
+  FROM cnt JOIN tot ON cnt.source = tot.source
+), j AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.p AS pa, b.p AS pb
+  FROM p a JOIN p b USING (gram)
+  WHERE a.source < b.source
+)
+SELECT src_a, src_b, count(*) AS shared_vocab,
+       round((sum(0.5 * (pa * ln(pa / ((pa + pb) / 2.0))
+                         + pb * ln(pb / ((pa + pb) / 2.0))))
+              + 0.5 * 0.6931471805599453 * ((1.0 - sum(pa)) + (1.0 - sum(pb))))
+             / 0.6931471805599453, 6) AS jsd_bits
+FROM j GROUP BY 1, 2
+""",
+)
+def source_js_divergence(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence (bits) between per-source
+    unigram distributions — the distributional-distance matrix next to
+    dedup_source_overlap's shared-text matrix: low JSD = redundant in
+    a mixture, high JSD = adds coverage. Off-support mass folds from
+    the inner join analytically (no full-outer join), so disjoint
+    pairs are consistently absent on both engines."""
+    return curation.source_js_divergence(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "embed_label_purity",
+    oracle="""
+WITH dim AS (
+  SELECT label AS c_label, t.i AS pos,
+         round(avg(CAST(embedding[t.i] AS DOUBLE)), 6) AS cv
+  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+  GROUP BY 1, 2
+), cent AS (
+  SELECT c_label, list(cv ORDER BY pos) AS centroid FROM dim GROUP BY 1
+), scored AS (
+  SELECT e.vec_id, e.label, c.c_label,
+         list_sum(list_transform(list_zip(e.embedding, c.centroid),
+                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding,
+                                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(c.centroid,
+                                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cos
+  FROM embeddings e, cent c
+), best AS (
+  SELECT vec_id, label, c_label AS best_label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label) AS rn
+  FROM scored
+)
+SELECT label, count(*) AS n_vecs,
+       CAST(sum(CASE WHEN best_label = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(sum(CASE WHEN best_label = label THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS purity
+FROM best WHERE rn = 1
+GROUP BY label
+""",
+)
+def embed_label_purity(spark, sf_dir):
+    """Nearest-centroid label purity of the embedding corpus: per
+    label, the fraction of its vectors whose nearest label centroid
+    (cosine, centroid components rounded to 6 decimals on both engines
+    so the argmax input is bit-portable) is their own — the audit that
+    the labels actually separate in embedding space before they are
+    trusted for stratified sampling or eval-set construction."""
+    return similarity.embed_label_purity(load(spark, sf_dir, "embeddings"))
+
+
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (historically the first
 # 50 of the registry). Round-9 rotation (freshness invariant): the
@@ -5421,6 +5537,9 @@ QUERY_ORDER = [
     "text_char_entropy",
     "dedup_source_overlap",
     "quality_rank_fusion",
+    "text_zipf_slope",
+    "source_js_divergence",
+    "embed_label_purity",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -5447,13 +5566,13 @@ QUERY_ORDER = [
     "embed_dedup_keep_list",
     "corpus_select_pipeline",
     "ingest_fanout_pipeline",
+    # --- driver window ends here (first 50) ---
+    # r10 queue head (displaced from the window by the eight text/
+    # curation/embedding queries new this round — never-checked beats
+    # stale-refresh):
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "dedup_jaccard_prefix",
-    # --- driver window ends here (first 50) ---
-    # r10 queue head (displaced from the window by the five text/
-    # curation queries new this round — never-checked beats
-    # stale-refresh):
     "dedup_clusters",
     "cap_per_source",
     "iv_error_windows",

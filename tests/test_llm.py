@@ -1994,3 +1994,78 @@ def test_quality_rank_fusion_order_and_scores(spark):
     assert r0["rrf_score"] == pytest.approx(expect, abs=1e-6)
     # ranks are a permutation with doc_id tiebreaks -> all distinct per signal
     assert len({r["rank_len"] for r in out}) == 3
+
+
+def test_zipf_slope_exact_fit(spark):
+    # freq = 12/rank exactly at ranks 1..4 -> slope -1, r2 = 1
+    toks = ["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3
+    rows = [(0, " ".join(toks), "en", "zipfy", 1)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    r = text.zipf_slope_by_source(docs).collect()[0]
+    assert r["n_terms"] == 4
+    assert r["zipf_slope"] == pytest.approx(-1.0, abs=1e-6)
+    assert r["r2"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_zipf_slope_degenerate_sources_null(spark):
+    rows = [
+        (0, "solo solo solo", "en", "one_term", 14),     # a single term
+        (1, "x y", "en", "flat", 3),                     # all counts equal
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["source"]: r for r in text.zipf_slope_by_source(docs).collect()}
+    assert out["one_term"]["zipf_slope"] is None          # var_x = 0
+    assert out["flat"]["zipf_slope"] == 0.0               # var_y = 0 -> flat line
+    assert out["flat"]["r2"] is None
+
+
+def test_source_js_divergence_identity_and_disjoint(spark):
+    rows = [
+        (0, "alpha beta gamma", "en", "sA", 16),
+        (1, "alpha beta gamma", "en", "sB", 16),   # identical distribution
+        (2, "delta epsilon", "en", "sC", 13),      # disjoint vocabulary
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {(r["src_a"], r["src_b"]): r for r in curation.source_js_divergence(docs).collect()}
+    assert out[("sA", "sB")]["jsd_bits"] == 0.0
+    assert out[("sA", "sB")]["shared_vocab"] == 3
+    # disjoint pairs never reach the inner join -> absent (JSD = 1 bit)
+    assert ("sA", "sC") not in out and ("sB", "sC") not in out
+
+
+def test_source_js_divergence_partial_overlap_value(spark):
+    import math
+
+    # A = {x: 1.0}; B = {x: 0.5, y: 0.5}
+    rows = [(0, "x x", "en", "A", 3), (1, "x y", "en", "B", 3)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    r = curation.source_js_divergence(docs).collect()[0]
+    nats = 0.5 * (1.0 * math.log(1.0 / 0.75) + 0.5 * math.log(0.5 / 0.75)) + 0.5 * math.log(
+        2
+    ) * (0.0 + 0.5)
+    assert r["jsd_bits"] == pytest.approx(nats / math.log(2), abs=1e-6)
+    assert r["shared_vocab"] == 1
+
+
+def test_embed_label_purity_planted(spark):
+    rows = [
+        (0, [1.0, 0.05], 0),
+        (1, [1.0, -0.05], 0),
+        (2, [0.9, 0.0], 0),
+        (3, [0.05, 1.0], 1),
+        (4, [-0.05, 1.0], 1),
+        (5, [0.0, 1.1], 0),   # labeled 0 but lives with label 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in similarity.embed_label_purity(emb).collect()}
+    assert out[1]["purity"] == 1.0
+    assert out[0]["n_vecs"] == 4 and out[0]["n_correct"] == 3
+    assert out[0]["purity"] == pytest.approx(0.75, abs=1e-6)

@@ -61,6 +61,11 @@ DOC_QUERIES = [
     "text_char_entropy",
     "dedup_source_overlap",
     "quality_rank_fusion",
+    # round-9 batch 3 (embed_label_purity reads embeddings — outside
+    # this documents-only fixture): zipf's NULL-guard paths and the
+    # JSD identity/disjoint branches both fire on the pathological rows
+    "text_zipf_slope",
+    "source_js_divergence",
 ]
 
 EDGE_ROWS = [
