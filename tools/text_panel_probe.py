@@ -111,3 +111,47 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def batch3(copies: int = 10) -> None:
+    """1x/10x probe for zipf / JSD / label purity (run: python -c
+    "import tools.text_panel_probe as t; t.batch3(10)")."""
+    from metrocloud_data_pipeline_spark.llm import similarity, text as T
+
+    spark = get_spark("text_panel_probe_b3")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs1 = load(spark, SF, "documents")
+    docs = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            docs1.select(
+                (F.col("doc_id") + OFFSET * i).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            )
+            for i in range(copies)
+        ],
+    ).localCheckpoint()
+    print(f"copies={copies} docs={docs.count():,}")
+
+    t0 = time.time()
+    z = T.zipf_slope_by_source(docs.where(F.length(F.trim("text")) > 0)).collect()
+    print(f"zipf_slope {copies}x sources={len(z)} "
+          f"slope[0]={z[0]['zipf_slope']} {time.time() - t0:6.1f} s")
+
+    t0 = time.time()
+    j = curation.source_js_divergence(docs).collect()
+    print(f"js_divergence {copies}x pairs={len(j)} {time.time() - t0:6.1f} s")
+
+    emb1 = load(spark, SF, "embeddings")
+    emb = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            emb1.select((F.col("vec_id") + OFFSET * i).alias("vec_id"), "embedding", "label")
+            for i in range(copies)
+        ],
+    ).localCheckpoint()
+    t0 = time.time()
+    p = similarity.embed_label_purity(emb).collect()
+    print(f"label_purity {copies}x vecs={emb.count():,} labels={len(p)} "
+          f"min_purity={min(r['purity'] for r in p)} {time.time() - t0:6.1f} s")
+    spark.stop()
