@@ -151,6 +151,9 @@ HEADLINE = [
     "text_zipf_slope",
     "source_js_divergence",
     "embed_label_purity",
+    "kn_bigram_surprisal",
+    "mixture_epoch_plan",
+    "lsh_band_planner",
     # ivfpq_refine_sweep deliberately NOT here: like ivfpq_recall_report
     # it runs multiple brute-force audit passes — a tuning table, not a
     # drift sentinel (same call as r9's HEADLINE swap).

@@ -1780,3 +1780,69 @@ def source_js_divergence(docs: DataFrame) -> DataFrame:
             ).alias("jsd_bits"),
         )
     )
+
+
+def mixture_epoch_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    max_epochs: float = 10.0,
+) -> DataFrame:
+    """Training-mixture epoch plan: given target source weights and a
+    total token budget, how many EPOCHS (repeat factor) of each source
+    the sampler must draw — the table every pretraining data card
+    publishes (LLaMA Table 1's "Epochs" column; Muennighoff et al.
+    2023 bound useful repetition, hence the cap). Sources absent from
+    `weights` get weight 0 (excluded but still reported); epochs above
+    max_epochs are capped with the shortfall visible (`capped`,
+    realized < target), never silently.
+
+    Plan shape: one token-count scan partial-aggregated to source
+    grain, the weight list broadcast from the driver (it is
+    configuration, not data), pure arithmetic after that — the plan
+    frame is n_sources rows."""
+    if token_budget <= 0:
+        raise ValueError(f"mixture_epoch_plan: token_budget must be > 0, got {token_budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"mixture_epoch_plan: max_epochs must be > 0, got {max_epochs}")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("mixture_epoch_plan: weights must sum > 0")
+    from .text import tokens_col as _tokens_col
+
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, float(w)) for s, w in sorted(weights.items())], "source string, weight double"
+    )
+    # size(NULL array) is -1 in Spark: null text must count 0 tokens,
+    # matching the oracle's coalesce(len(...), 0)
+    nt = F.when(F.col("text").isNull(), F.lit(0)).otherwise(F.size(_tokens_col()))
+    avail = (
+        docs.select("source", nt.cast("long").alias("_nt"))
+        .groupBy("source")
+        .agg(F.sum("_nt").alias("avail_tokens"))
+    )
+    j = avail.join(F.broadcast(wdf), "source", "left").select(
+        "source",
+        "avail_tokens",
+        (F.coalesce("weight", F.lit(0.0)) / F.lit(wsum)).alias("_wn"),
+    )
+    target = F.col("_wn") * F.lit(float(token_budget))
+    # a source with zero available tokens has undefined demand: NULL
+    # epochs (not a division error / inf), capped false, 0 realized
+    has = F.col("avail_tokens") > 0
+    epochs = F.when(has, target / F.col("avail_tokens").cast("double"))
+    # guard least() too: Spark's least() skips NULLs (least(NULL, 5) = 5)
+    eff = F.when(has, F.least(epochs, F.lit(float(max_epochs))))
+    return j.select(
+        "source",
+        "avail_tokens",
+        round6(F.col("_wn")).alias("weight_norm"),
+        round6(target).alias("target_tokens"),
+        round6(epochs).alias("epochs"),
+        round6(eff).alias("effective_epochs"),
+        round6(
+            F.when(has, eff * F.col("avail_tokens").cast("double")).otherwise(F.lit(0.0))
+        ).alias("realized_tokens"),
+        F.coalesce(epochs > F.lit(float(max_epochs)), F.lit(False)).alias("capped"),
+    )

@@ -978,3 +978,70 @@ def source_overlap_matrix(
         "shared_grams",
     )
     return matrix.unionByName(audit)
+
+
+def lsh_band_planner(
+    spark,
+    num_perm: int = 64,
+    threshold: float = 0.8,
+    grid: int = 100,
+) -> DataFrame:
+    """MinHash-LSH banding planner: for every (bands, rows_per_band)
+    factorization of num_perm, the S-curve's false-positive and
+    false-negative mass around the target Jaccard threshold —
+    fp = mean of P(candidate | J) over J < t, fn = mean of
+    1 - P(candidate | J) over J >= t, P = 1 - (1 - J^r)^b (Leskovec
+    et al., MMDS ch.3) — plus the curve midpoint (1/b)^(1/r). The
+    table an operator reads to pick banding BEFORE paying a corpus
+    pass; minhash_recall_report then audits the chosen banding against
+    measured recall.
+
+    Pure closed-form arithmetic on a generated (factorization x J-grid)
+    frame — no input tables, executes in milliseconds anywhere; grid
+    midpoint sampling ((i+0.5)/grid) keeps both integrand endpoints
+    finite and the Riemann sums engine-portable at 6 decimals."""
+    if num_perm <= 0:
+        raise ValueError(f"lsh_band_planner: num_perm must be > 0, got {num_perm}")
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"lsh_band_planner: threshold must be in (0,1), got {threshold}")
+    facts = spark.range(1, num_perm + 1).where(
+        F.lit(num_perm) % F.col("id") == 0
+    ).select(
+        F.col("id").cast("int").alias("bands"),
+        (F.lit(num_perm) / F.col("id")).cast("int").alias("rows_per_band"),
+    )
+    pts = spark.range(grid).select(
+        ((F.col("id").cast("double") + 0.5) / F.lit(float(grid))).alias("j")
+    )
+    t = float(threshold)
+    p_cand = 1.0 - F.pow(
+        1.0 - F.pow(F.col("j"), F.col("rows_per_band").cast("double")),
+        F.col("bands").cast("double"),
+    )
+    g = float(grid)
+    return (
+        facts.crossJoin(pts)
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            round6(
+                F.sum(F.when(F.col("j") < t, p_cand).otherwise(F.lit(0.0))) / F.lit(g)
+            ).alias("fp_mass"),
+            round6(
+                F.sum(F.when(F.col("j") >= t, 1.0 - p_cand).otherwise(F.lit(0.0)))
+                / F.lit(g)
+            ).alias("fn_mass"),
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            "fp_mass",
+            "fn_mass",
+            round6(F.col("fp_mass") + F.col("fn_mass")).alias("total_err"),
+            round6(
+                F.pow(
+                    1.0 / F.col("bands").cast("double"),
+                    1.0 / F.col("rows_per_band").cast("double"),
+                )
+            ).alias("midpoint_j"),
+        )
+    )

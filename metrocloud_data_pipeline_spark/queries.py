@@ -5497,6 +5497,148 @@ def embed_label_purity(spark, sf_dir):
     return similarity.embed_label_purity(load(spark, sf_dir, "embeddings"))
 
 
+@q(
+    "kn_bigram_surprisal",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_NORM_TOKS_SQL} AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), bi AS (
+  SELECT doc_id, toks[u.p] || ' ' || toks[u.p+1] AS bigram
+  FROM t, unnest(generate_series(1, len(toks) - 1)) u(p)
+  WHERE len(toks) >= 2
+), types AS (
+  SELECT bigram, count(*) AS cb,
+         string_split(bigram, ' ')[1] AS prev,
+         string_split(bigram, ' ')[2] AS cur
+  FROM bi GROUP BY 1
+), prev_stats AS (
+  SELECT prev, CAST(sum(cb) AS BIGINT) AS cp, count(*) AS nfwd
+  FROM types GROUP BY 1
+), cur_stats AS (
+  SELECT cur, count(*) AS nback FROM types GROUP BY 1
+), btot AS (SELECT count(*) AS btypes FROM types),
+scored AS (
+  SELECT bigram,
+         greatest(CAST(cb AS DOUBLE) - 0.75, 0.0) / CAST(cp AS DOUBLE)
+           + 0.75 * CAST(nfwd AS DOUBLE) / CAST(cp AS DOUBLE)
+             * CAST(nback AS DOUBLE) / CAST(btypes AS DOUBLE) AS p_kn
+  FROM types JOIN prev_stats USING (prev) JOIN cur_stats USING (cur)
+  CROSS JOIN btot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS bigram_count,
+       round(-sum(ln(p_kn)) / count(*) / 0.6931471805599453, 6)
+         AS kn_bits_per_bigram
+FROM bi JOIN scored USING (bigram)
+GROUP BY doc_id
+""",
+)
+def kn_bigram_surprisal(spark, sf_dir):
+    """Per-doc mean bigram surprisal under interpolated Kneser-Ney
+    (D=0.75) — the smoothing KenLM (hence CCNet's filter) actually
+    uses, next to bigram_surprisal's raw MLE: the discount
+    redistributes mass toward versatile continuations, penalising
+    pairs frequent only inside one template."""
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    return text.kn_bigram_surprisal(docs, discount=0.75)
+
+
+_MIX_WEIGHTS = {f"src{i}": 1.0 + (i % 3) for i in range(32)}
+_MIX_WSUM = sum(_MIX_WEIGHTS.values())
+_MIX_BUDGET = 1_000_000
+_MIX_MAX_EPOCHS = 5.0
+_MIX_VALUES = ", ".join(f"('src{i}', {1.0 + (i % 3)})" for i in range(32))
+
+
+@q(
+    "mixture_epoch_plan",
+    oracle=f"""
+WITH w(source, weight) AS (VALUES {_MIX_VALUES}),
+avail AS (
+  -- empty text must count 0 tokens (string_split('', ' ') is [''],
+  -- len 1, unlike Spark's empty-array convention); NULL text -> 0
+  SELECT source,
+         CAST(sum(coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len({_NORM_TOKS_SQL}) END, 0))
+              AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY 1
+), j AS (
+  SELECT a.source, a.avail_tokens,
+         coalesce(w.weight, 0.0) / {_MIX_WSUM} AS wn
+  FROM avail a LEFT JOIN w ON a.source = w.source
+)
+SELECT source, avail_tokens,
+       round(wn, 6) AS weight_norm,
+       round(wn * {_MIX_BUDGET}.0, 6) AS target_tokens,
+       round(CASE WHEN avail_tokens > 0
+                  THEN wn * {_MIX_BUDGET}.0 / avail_tokens END, 6) AS epochs,
+       round(CASE WHEN avail_tokens > 0
+                  THEN least(wn * {_MIX_BUDGET}.0 / avail_tokens,
+                             {_MIX_MAX_EPOCHS}) END, 6) AS effective_epochs,
+       round(CASE WHEN avail_tokens > 0
+                  THEN least(wn * {_MIX_BUDGET}.0 / avail_tokens,
+                             {_MIX_MAX_EPOCHS}) * avail_tokens
+                  ELSE 0.0 END, 6) AS realized_tokens,
+       coalesce(CASE WHEN avail_tokens > 0
+                     THEN wn * {_MIX_BUDGET}.0 / avail_tokens
+                          > {_MIX_MAX_EPOCHS} END, false) AS capped
+FROM j
+""",
+)
+def mixture_epoch_plan(spark, sf_dir):
+    """Training-mixture epoch plan (LLaMA Table 1's Epochs column):
+    per source, how many repeats the sampler draws to hit the target
+    weight inside a 1M-token budget, capped at 5 epochs with the
+    shortfall visible (Muennighoff et al. 2023 bound useful
+    repetition). Weights here are the deterministic 1/2/3 cycle over
+    source index; sources outside the weight list get 0 and stay
+    reported."""
+    return curation.mixture_epoch_plan(
+        load(spark, sf_dir, "documents"),
+        weights=_MIX_WEIGHTS,
+        token_budget=_MIX_BUDGET,
+        max_epochs=_MIX_MAX_EPOCHS,
+    )
+
+
+@q(
+    "lsh_band_planner",
+    oracle="""
+WITH facts AS (
+  SELECT CAST(b AS INTEGER) AS bands, CAST(64 // b AS INTEGER) AS rows_per_band
+  FROM unnest(generate_series(1, 64)) t(b) WHERE 64 % b = 0
+), pts AS (
+  SELECT (CAST(i AS DOUBLE) + 0.5) / 100.0 AS j
+  FROM unnest(generate_series(0, 99)) g(i)
+), s AS (
+  SELECT bands, rows_per_band, j,
+         1.0 - power(1.0 - power(j, CAST(rows_per_band AS DOUBLE)),
+                     CAST(bands AS DOUBLE)) AS p
+  FROM facts, pts
+), agg AS (
+  SELECT bands, rows_per_band,
+         round(sum(CASE WHEN j < 0.8 THEN p ELSE 0.0 END) / 100.0, 6) AS fp_mass,
+         round(sum(CASE WHEN j >= 0.8 THEN 1.0 - p ELSE 0.0 END) / 100.0, 6)
+           AS fn_mass
+  FROM s GROUP BY 1, 2
+)
+SELECT bands, rows_per_band, fp_mass, fn_mass,
+       round(fp_mass + fn_mass, 6) AS total_err,
+       round(power(1.0 / bands, 1.0 / rows_per_band), 6) AS midpoint_j
+FROM agg
+""",
+)
+def lsh_band_planner(spark, sf_dir):
+    """MinHash-LSH banding planner for num_perm=64 at threshold 0.8:
+    per (bands, rows_per_band) factorization, the S-curve's false-
+    positive/false-negative mass and midpoint — the closed-form table
+    read to pick banding BEFORE paying a corpus pass
+    (minhash_recall_report then audits the pick against measured
+    recall). No input tables; midpoint grid sampling keeps the Riemann
+    sums engine-portable."""
+    return dedup.lsh_band_planner(spark, num_perm=64, threshold=0.8, grid=100)
+
+
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (historically the first
 # 50 of the registry). Round-9 rotation (freshness invariant): the
@@ -5540,6 +5682,9 @@ QUERY_ORDER = [
     "text_zipf_slope",
     "source_js_divergence",
     "embed_label_purity",
+    "kn_bigram_surprisal",
+    "mixture_epoch_plan",
+    "lsh_band_planner",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -5563,13 +5708,13 @@ QUERY_ORDER = [
     "h11_important_parts",
     "h12_ship_delay_priority",
     "h20_excess_supply",
+    # --- driver window ends here (first 50) ---
+    # r10 queue head (displaced from the window by the eleven text/
+    # curation/embedding queries new this round — never-checked beats
+    # stale-refresh):
     "embed_dedup_keep_list",
     "corpus_select_pipeline",
     "ingest_fanout_pipeline",
-    # --- driver window ends here (first 50) ---
-    # r10 queue head (displaced from the window by the eight text/
-    # curation/embedding queries new this round — never-checked beats
-    # stale-refresh):
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "dedup_jaccard_prefix",

@@ -2069,3 +2069,78 @@ def test_embed_label_purity_planted(spark):
     assert out[1]["purity"] == 1.0
     assert out[0]["n_vecs"] == 4 and out[0]["n_correct"] == 3
     assert out[0]["purity"] == pytest.approx(0.75, abs=1e-6)
+
+
+def test_kn_bigram_surprisal_hand_computed(spark):
+    import math
+
+    rows = [
+        (0, "a b", "en", "s0", 3),
+        (1, "a b", "en", "s0", 3),
+        (2, "a c", "en", "s0", 3),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in text.kn_bigram_surprisal(docs).collect()}
+    # c(a b)=2, c(a c)=1; cp(a)=3, nfwd(a)=2; nback(b)=nback(c)=1; B=2
+    p_ab = (2 - 0.75) / 3 + 0.75 * 2 / 3 * 1 / 2
+    p_ac = (1 - 0.75) / 3 + 0.75 * 2 / 3 * 1 / 2
+    assert p_ab + p_ac == pytest.approx(1.0)  # KN normalizes over seen mass here
+    assert out[0]["kn_bits_per_bigram"] == pytest.approx(-math.log2(p_ab), abs=1e-6)
+    assert out[2]["kn_bits_per_bigram"] == pytest.approx(-math.log2(p_ac), abs=1e-6)
+    assert out[0]["bigram_count"] == 1
+
+
+def test_kn_discount_penalises_single_template_pairs(spark):
+    # "x y" occurs 5x but only ever as one template; "p q"/"p r" spread
+    # p's mass. KN gives "x y" LESS probability than its MLE 1.0.
+    rows = [(i, "x y", "en", "s0", 3) for i in range(5)] + [
+        (10, "p q", "en", "s0", 3),
+        (11, "p r", "en", "s0", 3),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in text.kn_bigram_surprisal(docs).collect()}
+    assert out[0]["kn_bits_per_bigram"] > 0.0  # MLE would give exactly 0 bits
+
+
+def test_mixture_epoch_plan_caps_and_zero_weight(spark):
+    rows = [(i, " ".join(["w"] * 10), "en", src, 20) for i, src in enumerate(["A", "B", "C"])]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {
+        r["source"]: r
+        for r in curation.mixture_epoch_plan(
+            docs, weights={"A": 1.0, "B": 3.0}, token_budget=40, max_epochs=2.0
+        ).collect()
+    }
+    a, b, c = out["A"], out["B"], out["C"]
+    assert a["avail_tokens"] == 10 and a["epochs"] == 1.0 and not a["capped"]
+    assert b["target_tokens"] == 30.0 and b["epochs"] == 3.0 and b["capped"]
+    assert b["effective_epochs"] == 2.0 and b["realized_tokens"] == 20.0
+    assert c["weight_norm"] == 0.0 and c["epochs"] == 0.0 and not c["capped"]
+    with pytest.raises(ValueError, match="token_budget"):
+        curation.mixture_epoch_plan(docs, weights={"A": 1.0}, token_budget=0)
+    with pytest.raises(ValueError, match="sum"):
+        curation.mixture_epoch_plan(docs, weights={}, token_budget=10)
+
+
+def test_lsh_band_planner_shape_and_extremes(spark):
+    out = {(r["bands"], r["rows_per_band"]): r for r in dedup.lsh_band_planner(spark).collect()}
+    assert len(out) == 7  # divisors of 64
+    assert out[(16, 4)]["midpoint_j"] == pytest.approx(0.5, abs=1e-6)
+    # b=64,r=1 catches everything -> false positives; b=1,r=64 misses -> FN
+    assert out[(64, 1)]["fp_mass"] > out[(8, 8)]["fp_mass"]
+    assert out[(1, 64)]["fn_mass"] > out[(8, 8)]["fn_mass"]
+    best = min(out.values(), key=lambda r: r["total_err"])
+    # the argmin's midpoint brackets the 0.8 threshold (measured table:
+    # (4,16) midpoint 0.917 edges out (8,8) 0.771 because fp integrates
+    # over the much longer [0, 0.8) range)
+    assert 0.5 <= best["midpoint_j"] <= 0.95
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.lsh_band_planner(spark, threshold=1.5)
+    with pytest.raises(ValueError, match="num_perm"):
+        dedup.lsh_band_planner(spark, num_perm=0)

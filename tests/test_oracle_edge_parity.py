@@ -66,6 +66,12 @@ DOC_QUERIES = [
     # JSD identity/disjoint branches both fire on the pathological rows
     "text_zipf_slope",
     "source_js_divergence",
+    # round-9 batch 4: KN smoothing over the whitespace-only/self-
+    # repeat rows; the epoch plan's zero-weight/null-source branches;
+    # the band planner is table-free (a constant-table parity pin)
+    "kn_bigram_surprisal",
+    "mixture_epoch_plan",
+    "lsh_band_planner",
 ]
 
 EDGE_ROWS = [
