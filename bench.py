@@ -140,7 +140,6 @@ HEADLINE = [
     "ccnet_perplexity_buckets_approx",
     "corpus_filter_funnel",
     "embed_diverse_sample",
-    "dedup_cluster_histogram",
     # r9 batch 2: fertility/diversity/entropy panels, cross-source
     # overlap matrix, rank fusion
     "text_fertility_by_lang",
@@ -182,6 +181,12 @@ SENTINEL = "h1_pricing_summary"
 # next-worst query, pure fit overhead, not a scale-path signal); its
 # operating points are measured by tools/ann_refresh_probe.py
 # --ivfpq-only at 1x and 10x (PROBE_r09) instead.
+# Also absent (same degeneracy): dedup_cluster_histogram — its pair
+# source is the oracle-parity LSH config over the planted near-dup
+# cliques (190,925 true >= 0.95-Jaccard pairs at sf0.1: measured
+# 22.2 s, 24.4 s of which is the pair/verify stage standalone — the
+# histogram on top is 0.3 s); same reasoning as dedup_clusters below,
+# which shares the identical pipeline.
 # Also absent (same degeneracy): the keep-list family
 # (dedup_keep_list / dedup_keep_best), whose detect stage runs the
 # oracle-parity LSH config below — measured 17.8 s for dedup_keep_best
