@@ -1846,3 +1846,51 @@ def mixture_epoch_plan(
         ).alias("realized_tokens"),
         F.coalesce(epochs > F.lit(float(max_epochs)), F.lit(False)).alias("capped"),
     )
+
+
+def doc_outlier_panel(docs: DataFrame) -> DataFrame:
+    """Robust document-outlier screen: per doc, a 3-MAD flag on each of
+    the three cheap shape signals (token count, type-token ratio,
+    chars-per-token) against CORPUS medians — the distribution-free
+    twin of the fixed-threshold Gopher bounds (a corpus's own shape
+    sets the envelope, so a code-heavy or CJK corpus doesn't mass-flag
+    under English constants). Flags are comparisons against 3*MAD (the
+    a16_mad_outliers rule — never a division, so zero-MAD signals are
+    naturally quiet).
+
+    Plan shape: one token-array scan reduces to a 3-column signal
+    frame; corpus median and MAD are each ONE exact-percentile
+    aggregate row broadcast back (two passes over the doc-count-sized
+    signal frame, the a16 two-pass shape); the flag stage is map-only.
+    Nothing here ever reshuffles text."""
+    from .text import tokens_col
+
+    toks = tokens_col()
+    sig = docs.where(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.size(toks).cast("double").alias("nt"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
+        (F.col("n_chars").cast("double") / F.size(toks)).alias("cpt"),
+    )
+    med = sig.agg(
+        F.percentile("nt", 0.5).alias("med_nt"),
+        F.percentile("ttr", 0.5).alias("med_ttr"),
+        F.percentile("cpt", 0.5).alias("med_cpt"),
+    )
+    with_med = sig.crossJoin(F.broadcast(med)).localCheckpoint()
+    mad = with_med.agg(
+        F.percentile(F.abs(F.col("nt") - F.col("med_nt")), 0.5).alias("mad_nt"),
+        F.percentile(F.abs(F.col("ttr") - F.col("med_ttr")), 0.5).alias("mad_ttr"),
+        F.percentile(F.abs(F.col("cpt") - F.col("med_cpt")), 0.5).alias("mad_cpt"),
+    )
+    out_len = F.abs(F.col("nt") - F.col("med_nt")) > 3 * F.col("mad_nt")
+    out_ttr = F.abs(F.col("ttr") - F.col("med_ttr")) > 3 * F.col("mad_ttr")
+    out_cpt = F.abs(F.col("cpt") - F.col("med_cpt")) > 3 * F.col("mad_cpt")
+    return with_med.crossJoin(F.broadcast(mad)).select(
+        "doc_id",
+        F.col("nt").cast("long").alias("token_count"),
+        out_len.alias("out_len"),
+        out_ttr.alias("out_ttr"),
+        out_cpt.alias("out_cpt"),
+        (out_len.cast("int") + out_ttr.cast("int") + out_cpt.cast("int")).alias("n_flags"),
+    )

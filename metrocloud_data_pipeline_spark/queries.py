@@ -5639,6 +5639,45 @@ def lsh_band_planner(spark, sf_dir):
     return dedup.lsh_band_planner(spark, num_perm=64, threshold=0.8, grid=100)
 
 
+@q(
+    "doc_outlier_panel",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS DOUBLE) AS nt,
+         CAST(len(list_distinct(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))) AS DOUBLE)
+           / len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS ttr,
+         CAST(n_chars AS DOUBLE)
+           / len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS cpt
+  FROM documents WHERE length(trim(text)) > 0
+), med AS (
+  SELECT median(nt) AS med_nt, median(ttr) AS med_ttr, median(cpt) AS med_cpt FROM s
+), mad AS (
+  SELECT median(abs(nt - med_nt)) AS mad_nt,
+         median(abs(ttr - med_ttr)) AS mad_ttr,
+         median(abs(cpt - med_cpt)) AS mad_cpt
+  FROM s CROSS JOIN med
+)
+SELECT doc_id, CAST(nt AS BIGINT) AS token_count,
+       abs(nt - med_nt) > 3 * mad_nt AS out_len,
+       abs(ttr - med_ttr) > 3 * mad_ttr AS out_ttr,
+       abs(cpt - med_cpt) > 3 * mad_cpt AS out_cpt,
+       CAST(abs(nt - med_nt) > 3 * mad_nt AS INTEGER)
+         + CAST(abs(ttr - med_ttr) > 3 * mad_ttr AS INTEGER)
+         + CAST(abs(cpt - med_cpt) > 3 * mad_cpt AS INTEGER) AS n_flags
+FROM s CROSS JOIN med CROSS JOIN mad
+""",
+)
+def doc_outlier_panel(spark, sf_dir):
+    """Robust 3-MAD document-outlier flags on token count, type-token
+    ratio and chars-per-token against CORPUS medians — the
+    distribution-free twin of the fixed-threshold Gopher bounds
+    (a16_mad_outliers' rule lifted to the documents table: comparison
+    against 3*MAD, never a division, so zero-MAD signals stay
+    quiet)."""
+    return curation.doc_outlier_panel(load(spark, sf_dir, "documents"))
+
+
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (historically the first
 # 50 of the registry). Round-9 rotation (freshness invariant): the
@@ -5685,6 +5724,7 @@ QUERY_ORDER = [
     "kn_bigram_surprisal",
     "mixture_epoch_plan",
     "lsh_band_planner",
+    "doc_outlier_panel",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -5707,11 +5747,11 @@ QUERY_ORDER = [
     "h2_min_cost_supplier",
     "h11_important_parts",
     "h12_ship_delay_priority",
-    "h20_excess_supply",
     # --- driver window ends here (first 50) ---
-    # r10 queue head (displaced from the window by the eleven text/
+    # r10 queue head (displaced from the window by the twelve text/
     # curation/embedding queries new this round — never-checked beats
     # stale-refresh):
+    "h20_excess_supply",
     "embed_dedup_keep_list",
     "corpus_select_pipeline",
     "ingest_fanout_pipeline",

@@ -2144,3 +2144,27 @@ def test_lsh_band_planner_shape_and_extremes(spark):
         dedup.lsh_band_planner(spark, threshold=1.5)
     with pytest.raises(ValueError, match="num_perm"):
         dedup.lsh_band_planner(spark, num_perm=0)
+
+
+def test_doc_outlier_panel_flags_planted_outlier(spark):
+    normal = [" ".join(f"w{j}" for j in range(20 + i)) for i in range(9)]
+    rows = [(i, t, "en", "s0", len(t)) for i, t in enumerate(normal)]
+    rows.append((99, " ".join(["dup"] * 2000), "en", "s0", 8000))  # len+ttr outlier
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in curation.doc_outlier_panel(docs).collect()}
+    assert out[99]["out_len"] and out[99]["out_ttr"]
+    assert out[99]["n_flags"] >= 2
+    # the well-behaved docs carry no length flags
+    assert all(not out[i]["out_len"] for i in range(9))
+
+
+def test_doc_outlier_panel_zero_mad_is_quiet(spark):
+    # every doc identical -> MAD 0 on all signals -> nothing flagged
+    rows = [(i, "same five words right here", "en", "s0", 26) for i in range(6)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = curation.doc_outlier_panel(docs).collect()
+    assert all(r["n_flags"] == 0 for r in out)

@@ -72,6 +72,7 @@ DOC_QUERIES = [
     "kn_bigram_surprisal",
     "mixture_epoch_plan",
     "lsh_band_planner",
+    "doc_outlier_panel",
 ]
 
 EDGE_ROWS = [
