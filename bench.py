@@ -154,6 +154,7 @@ HEADLINE = [
     "mixture_epoch_plan",
     "lsh_band_planner",
     "doc_outlier_panel",
+    "corpus_datacard",
     # ivfpq_refine_sweep deliberately NOT here: like ivfpq_recall_report
     # it runs multiple brute-force audit passes — a tuning table, not a
     # drift sentinel (same call as r9's HEADLINE swap).

@@ -1894,3 +1894,65 @@ def doc_outlier_panel(docs: DataFrame) -> DataFrame:
         out_cpt.alias("out_cpt"),
         (out_len.cast("int") + out_ttr.cast("int") + out_cpt.cast("int")).alias("n_flags"),
     )
+
+
+def corpus_datacard(docs: DataFrame) -> DataFrame:
+    """The data-card summary a corpus release publishes (Gebru et al.
+    2021 "Datasheets"; every pretraining data card carries this tall
+    table): corpus size, token volume, duplication rate, source/
+    language counts and concentration (top share + Herfindahl index),
+    and mean document shape — one (metric, value) row each, so the
+    dashboard is a single query and diffs across corpus versions are
+    row-wise.
+
+    Plan shape: ONE scan reduces to a per-doc signal projection
+    (digest, source, lang, token count); every metric folds from that
+    frame via map-side-combined aggregates (a distinct-digest count,
+    two small group-bys for concentration, one global row); unions are
+    of 1-row frames. Text never shuffles — the digest does."""
+    from .text import tokens_col
+
+    nt = F.when(F.col("text").isNull(), F.lit(0)).otherwise(F.size(tokens_col()))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    sig = docs.select(
+        F.md5(norm).alias("digest"),
+        "source",
+        "lang",
+        nt.cast("long").alias("nt"),
+    ).localCheckpoint()
+
+    base = sig.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("nt").cast("double").alias("n_tokens"),
+        F.count_distinct("digest").cast("double").alias("n_distinct"),
+        F.count_distinct("source").cast("double").alias("n_sources"),
+        F.count_distinct("lang").cast("double").alias("n_langs"),
+    )
+
+    def conc(col):
+        per = sig.groupBy(col).agg(F.count(F.lit(1)).cast("double").alias("c"))
+        return per.agg(
+            (F.max("c") / F.sum("c")).alias("top_share"),
+            (F.sum(F.col("c") * F.col("c")) / (F.sum("c") * F.sum("c"))).alias("hhi"),
+        )
+
+    s_conc, l_conc = conc("source"), conc("lang")
+
+    def row(name, expr_frame, expr):
+        return expr_frame.select(
+            F.lit(name).alias("metric"), round6(expr).alias("value")
+        )
+
+    out = (
+        row("n_docs", base, F.col("n_docs"))
+        .unionByName(row("n_tokens", base, F.col("n_tokens")))
+        .unionByName(row("mean_tokens_per_doc", base, F.col("n_tokens") / F.col("n_docs")))
+        .unionByName(row("dup_rate", base, 1.0 - F.col("n_distinct") / F.col("n_docs")))
+        .unionByName(row("n_sources", base, F.col("n_sources")))
+        .unionByName(row("n_langs", base, F.col("n_langs")))
+        .unionByName(row("top_source_share", s_conc, F.col("top_share")))
+        .unionByName(row("source_hhi", s_conc, F.col("hhi")))
+        .unionByName(row("top_lang_share", l_conc, F.col("top_share")))
+        .unionByName(row("lang_hhi", l_conc, F.col("hhi")))
+    )
+    return out

@@ -5678,6 +5678,50 @@ def doc_outlier_panel(spark, sf_dir):
     return curation.doc_outlier_panel(load(spark, sf_dir, "documents"))
 
 
+@q(
+    "corpus_datacard",
+    oracle=f"""
+WITH sig AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest,
+         source, lang,
+         coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len({_NORM_TOKS_SQL}) END, 0) AS nt
+  FROM documents
+), base AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(nt) AS DOUBLE) AS n_tokens,
+         CAST(count(DISTINCT digest) AS DOUBLE) AS n_distinct,
+         CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+         CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs
+  FROM sig
+), sconc AS (
+  SELECT max(c) / sum(c) AS top_share, sum(c * c) / (sum(c) * sum(c)) AS hhi
+  FROM (SELECT CAST(count(*) AS DOUBLE) AS c FROM sig GROUP BY source)
+), lconc AS (
+  SELECT max(c) / sum(c) AS top_share, sum(c * c) / (sum(c) * sum(c)) AS hhi
+  FROM (SELECT CAST(count(*) AS DOUBLE) AS c FROM sig GROUP BY lang)
+)
+SELECT 'n_docs' AS metric, round(n_docs, 6) AS value FROM base
+UNION ALL SELECT 'n_tokens', round(n_tokens, 6) FROM base
+UNION ALL SELECT 'mean_tokens_per_doc', round(n_tokens / n_docs, 6) FROM base
+UNION ALL SELECT 'dup_rate', round(1.0 - n_distinct / n_docs, 6) FROM base
+UNION ALL SELECT 'n_sources', round(n_sources, 6) FROM base
+UNION ALL SELECT 'n_langs', round(n_langs, 6) FROM base
+UNION ALL SELECT 'top_source_share', round(top_share, 6) FROM sconc
+UNION ALL SELECT 'source_hhi', round(hhi, 6) FROM sconc
+UNION ALL SELECT 'top_lang_share', round(top_share, 6) FROM lconc
+UNION ALL SELECT 'lang_hhi', round(hhi, 6) FROM lconc
+""",
+)
+def corpus_datacard(spark, sf_dir):
+    """The release data card in one query (Datasheets for Datasets
+    shape): corpus size, token volume, exact duplication rate,
+    source/language counts, top-share and Herfindahl concentration —
+    a tall (metric, value) table so corpus-version diffs are
+    row-wise."""
+    return curation.corpus_datacard(load(spark, sf_dir, "documents"))
+
+
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (historically the first
 # 50 of the registry). Round-9 rotation (freshness invariant): the
@@ -5725,6 +5769,7 @@ QUERY_ORDER = [
     "mixture_epoch_plan",
     "lsh_band_planner",
     "doc_outlier_panel",
+    "corpus_datacard",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -5746,11 +5791,11 @@ QUERY_ORDER = [
     "pca_variance_report",
     "h2_min_cost_supplier",
     "h11_important_parts",
-    "h12_ship_delay_priority",
     # --- driver window ends here (first 50) ---
-    # r10 queue head (displaced from the window by the twelve text/
+    # r10 queue head (displaced from the window by the thirteen text/
     # curation/embedding queries new this round — never-checked beats
     # stale-refresh):
+    "h12_ship_delay_priority",
     "h20_excess_supply",
     "embed_dedup_keep_list",
     "corpus_select_pipeline",

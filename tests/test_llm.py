@@ -2168,3 +2168,25 @@ def test_doc_outlier_panel_zero_mad_is_quiet(spark):
     )
     out = curation.doc_outlier_panel(docs).collect()
     assert all(r["n_flags"] == 0 for r in out)
+
+
+def test_corpus_datacard_exact_values(spark):
+    rows = [
+        (0, "a b c", "en", "s0", 5),
+        (1, "a b c", "en", "s0", 5),     # exact dup of 0
+        (2, "d e", "de", "s1", 3),
+        (3, "f g h i", "en", "s1", 7),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    card = {r["metric"]: r["value"] for r in curation.corpus_datacard(docs).collect()}
+    assert card["n_docs"] == 4.0
+    assert card["n_tokens"] == 12.0
+    assert card["dup_rate"] == pytest.approx(0.25, abs=1e-6)   # 3 distinct / 4 docs
+    assert card["n_sources"] == 2.0 and card["n_langs"] == 2.0
+    assert card["top_source_share"] == 0.5
+    assert card["source_hhi"] == pytest.approx(0.5, abs=1e-6)  # 2 sources at 2/2
+    assert card["top_lang_share"] == pytest.approx(0.75, abs=1e-6)
+    assert card["lang_hhi"] == pytest.approx((9 + 1) / 16, abs=1e-6)
+    assert card["mean_tokens_per_doc"] == 3.0

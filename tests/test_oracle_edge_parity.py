@@ -73,6 +73,7 @@ DOC_QUERIES = [
     "mixture_epoch_plan",
     "lsh_band_planner",
     "doc_outlier_panel",
+    "corpus_datacard",
 ]
 
 EDGE_ROWS = [
