@@ -155,6 +155,7 @@ HEADLINE = [
     "lsh_band_planner",
     "doc_outlier_panel",
     "corpus_datacard",
+    "minhash_precision_report",
     # ivfpq_refine_sweep deliberately NOT here: like ivfpq_recall_report
     # it runs multiple brute-force audit passes — a tuning table, not a
     # drift sentinel (same call as r9's HEADLINE swap).

@@ -1045,3 +1045,94 @@ def lsh_band_planner(
             ).alias("midpoint_j"),
         )
     )
+
+
+def minhash_precision_report(
+    docs: DataFrame,
+    k: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    max_docs: int = 200,
+    threshold: float = 0.5,
+    n_buckets: int = 5,
+    max_bucket_size: int | None = 500,
+) -> DataFrame:
+    """The PRECISION half of the MinHash-LSH audit —
+    minhash_recall_report's complement: of the candidate pairs the
+    banding surfaces, how many are TRUE near-dups at the target
+    Jaccard threshold, bucketed by the signature's own Jaccard
+    ESTIMATE. Recall says what the banding misses; precision prices
+    the exact-verify stage (a low-precision banding wastes its
+    verify budget on false candidates — the knob is bands/rows, and
+    this table shows where the estimate decile turns junk).
+
+    Same sampling frame as the recall twin: LSH bands the FULL corpus
+    (production bucket occupancy), candidates are then restricted to
+    the deterministic doc_id < max_docs sample where exact shingle-set
+    Jaccard is affordable. One row per estimate bucket:
+
+      bucket_lo    inclusive lower edge of the estimate bucket
+      n_candidates candidate pairs whose estimate lands here
+      n_true       of those, exact Jaccard >= threshold
+      precision    n_true / n_candidates
+      mean_true_j  mean exact Jaccard of the bucket's candidates
+
+    Rows-only by design (seeded xxhash64 permutations have no SQL
+    twin); the planted-corpus pytest pins the monotone shape."""
+    rows_per_band = num_perm // bands
+    if rows_per_band * bands != num_perm:
+        raise ValueError(
+            f"minhash_precision_report: bands={bands} must divide num_perm={num_perm}"
+        )
+    sigs = minhash_signatures(docs, num_perm=num_perm, k=k)
+    cand = (
+        lsh_candidate_pairs(
+            sigs,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            max_bucket_size=max_bucket_size,
+        )
+        .where((F.col("doc_a") < max_docs) & (F.col("doc_b") < max_docs))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    est = minhash_jaccard_estimate(sigs, cand)
+    sample = docs.where(F.col("doc_id") < max_docs)
+    sets_ = (
+        shingles(sample, k=k)
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+    withsets = (
+        est.join(
+            sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
+    bucket_lo = (
+        F.least(F.floor(F.col("est_jaccard") * n_buckets), F.lit(n_buckets - 1))
+        / F.lit(float(n_buckets))
+    )
+    return (
+        withsets.select(
+            bucket_lo.alias("bucket_lo"),
+            jac.alias("true_j"),
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((F.col("true_j") >= threshold).cast("long")).alias("n_true"),
+            round6(F.avg((F.col("true_j") >= threshold).cast("double"))).alias(
+                "precision"
+            ),
+            round6(F.avg("true_j")).alias("mean_true_j"),
+        )
+        .orderBy("bucket_lo")
+    )

@@ -5722,6 +5722,20 @@ def corpus_datacard(spark, sf_dir):
     return curation.corpus_datacard(load(spark, sf_dir, "documents"))
 
 
+@q("minhash_precision_report")
+def minhash_precision_report(spark, sf_dir):
+    """The precision half of the MinHash-LSH audit (recall twin:
+    minhash_recall_report): per signature-estimate bucket, how many
+    surfaced candidates are TRUE >= 0.5-Jaccard pairs — pricing the
+    exact-verify stage the banding feeds. Rows-only by design (seeded
+    xxhash64 permutations have no SQL twin); monotone-shape pytest on
+    the planted corpus."""
+    return dedup.minhash_precision_report(
+        load(spark, sf_dir, "documents"), k=3, num_perm=128, bands=32,
+        max_docs=200, threshold=0.5,
+    )
+
+
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (historically the first
 # 50 of the registry). Round-9 rotation (freshness invariant): the
@@ -5770,6 +5784,7 @@ QUERY_ORDER = [
     "lsh_band_planner",
     "doc_outlier_panel",
     "corpus_datacard",
+    "minhash_precision_report",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -5790,11 +5805,12 @@ QUERY_ORDER = [
     "kmeans_embed_clusters",
     "pca_variance_report",
     "h2_min_cost_supplier",
-    "h11_important_parts",
     # --- driver window ends here (first 50) ---
-    # r10 queue head (displaced from the window by the thirteen text/
-    # curation/embedding queries new this round — never-checked beats
-    # stale-refresh):
+    # r10 queue head (displaced from the window by the fourteen text/
+    # curation/embedding/dedup queries new this round — never-checked
+    # beats stale-refresh; ALL 189 registered queries passed the full
+    # local parity gate at sf0.01 this round, PARITY_LOCAL.json):
+    "h11_important_parts",
     "h12_ship_delay_priority",
     "h20_excess_supply",
     "embed_dedup_keep_list",

@@ -2190,3 +2190,29 @@ def test_corpus_datacard_exact_values(spark):
     assert card["top_lang_share"] == pytest.approx(0.75, abs=1e-6)
     assert card["lang_hhi"] == pytest.approx((9 + 1) / 16, abs=1e-6)
     assert card["mean_tokens_per_doc"] == 3.0
+
+
+def test_minhash_precision_report_planted_shape(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today extra words here"
+    rows = []
+    # 10 near-dup pairs (true J high) + 20 unrelated docs
+    for i in range(10):
+        rows.append((2 * i, base + f" tail{i}", "en", "s0", 100))
+        rows.append((2 * i + 1, base + f" tail{i} x", "en", "s0", 102))
+    for i in range(20):
+        rows.append((100 + i, " ".join(f"u{i}w{j}" for j in range(18)), "en", "s1", 90))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    rep = dedup.minhash_precision_report(
+        docs, k=3, num_perm=128, bands=32, max_docs=1000, threshold=0.5
+    ).collect()
+    assert rep, "no candidate pairs surfaced"
+    total_true = sum(r["n_true"] for r in rep)
+    assert total_true >= 10  # every planted pair estimated + verified
+    top = max(rep, key=lambda r: r["bucket_lo"])
+    assert top["precision"] == 1.0  # high-estimate bucket is all true
+    for r in rep:
+        assert 0.0 <= r["precision"] <= 1.0 and r["n_true"] <= r["n_candidates"]
+    with pytest.raises(ValueError, match="divide"):
+        dedup.minhash_precision_report(docs, num_perm=128, bands=33)

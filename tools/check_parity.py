@@ -103,6 +103,25 @@ def main() -> int:
             print(f"ok    {name}: {len(spd)} rows match oracle")
 
     print(f"\n{len(only) - len(failures)}/{len(only)} passed")
+
+    # full-registry runs self-archive to PARITY_LOCAL.json: the driver
+    # verdicts only the first 50 of QUERY_ORDER per round, so this
+    # artifact is the committed evidence that EVERY registered query —
+    # including the rotation queue below the cutoff — passed the same
+    # canonicalization locally, and at which registry size.
+    if not args:
+        import json
+
+        record = {
+            "sf_dir": sf_dir,
+            "n_queries": len(only),
+            "n_oracle_backed": sum(1 for n in only if n in oracles),
+            "n_passed": len(only) - len(failures),
+            "failures": sorted(failures),
+        }
+        with open("/root/repo/PARITY_LOCAL.json", "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+            f.write("\n")
     return 1 if failures else 0
 
 
