@@ -156,6 +156,7 @@ HEADLINE = [
     "doc_outlier_panel",
     "corpus_datacard",
     "minhash_precision_report",
+    "context_length_plan",
     # ivfpq_refine_sweep deliberately NOT here: like ivfpq_recall_report
     # it runs multiple brute-force audit passes — a tuning table, not a
     # drift sentinel (same call as r9's HEADLINE swap).

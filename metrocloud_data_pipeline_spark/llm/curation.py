@@ -1956,3 +1956,57 @@ def corpus_datacard(docs: DataFrame) -> DataFrame:
         .unionByName(row("lang_hhi", l_conc, F.col("hhi")))
     )
     return out
+
+
+def context_length_plan(
+    docs: DataFrame, context_sizes: tuple = (512, 2048, 8192)
+) -> DataFrame:
+    """Context-length planning table: for each candidate training
+    context size, how much of the corpus fits whole and how many
+    tokens a truncate-at-context policy keeps — the table read when
+    choosing sequence length (and whether chunk_documents /
+    pack_sequences is worth its shuffle) for a corpus whose length
+    distribution is fat-tailed. One row per context size:
+    n_docs, n_docs_fit, frac_docs_fit, tokens_total, tokens_kept
+    (sum of min(len, c)), frac_tokens_kept.
+
+    Plan shape: ONE token-count scan crossJoined against the
+    broadcast-size context list (len(context_sizes) rows), folded by a
+    map-side-combined agg keyed on the context size — corpus cost is
+    one scan regardless of how many sizes are evaluated."""
+    if not context_sizes or any(c <= 0 for c in context_sizes):
+        raise ValueError(
+            f"context_length_plan: context sizes must be positive, got {context_sizes}"
+        )
+    from .text import tokens_col
+
+    spark = docs.sparkSession
+    sizes = spark.createDataFrame(
+        [(int(c),) for c in sorted(context_sizes)], "context_size int"
+    )
+    nt = F.when(F.col("text").isNull(), F.lit(0)).otherwise(F.size(tokens_col()))
+    sig = docs.select(nt.cast("long").alias("nt"))
+    return (
+        sig.crossJoin(F.broadcast(sizes))
+        .groupBy("context_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("nt") <= F.col("context_size")).cast("long")).alias("n_docs_fit"),
+            round6(F.avg((F.col("nt") <= F.col("context_size")).cast("double"))).alias(
+                "frac_docs_fit"
+            ),
+            F.sum("nt").alias("tokens_total"),
+            F.sum(F.least(F.col("nt"), F.col("context_size").cast("long"))).alias(
+                "tokens_kept"
+            ),
+            round6(
+                F.when(
+                    F.sum("nt") > 0,
+                    F.sum(
+                        F.least(F.col("nt"), F.col("context_size").cast("long"))
+                    ).cast("double")
+                    / F.sum("nt").cast("double"),
+                )
+            ).alias("frac_tokens_kept"),
+        )
+    )

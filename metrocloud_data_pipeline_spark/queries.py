@@ -5736,6 +5736,39 @@ def minhash_precision_report(spark, sf_dir):
     )
 
 
+@q(
+    "context_length_plan",
+    oracle=f"""
+WITH sig AS (
+  SELECT coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len({_NORM_TOKS_SQL}) END, 0) AS nt
+  FROM documents
+), sizes(context_size) AS (VALUES (CAST(64 AS INTEGER)), (CAST(128 AS INTEGER)), (CAST(512 AS INTEGER)))
+SELECT context_size,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN nt <= context_size THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_fit,
+       round(avg(CASE WHEN nt <= context_size THEN 1.0 ELSE 0.0 END), 6) AS frac_docs_fit,
+       CAST(sum(nt) AS BIGINT) AS tokens_total,
+       CAST(sum(least(nt, context_size)) AS BIGINT) AS tokens_kept,
+       round(CASE WHEN sum(nt) > 0
+                  THEN sum(least(nt, context_size)) * 1.0 / sum(nt) END, 6)
+         AS frac_tokens_kept
+FROM sig CROSS JOIN sizes
+GROUP BY context_size
+""",
+)
+def context_length_plan(spark, sf_dir):
+    """Context-length planning table: per candidate training context
+    size (64/128/512 — sized to the synthetic corpus's token
+    distribution), the fraction of docs that fit whole and the tokens
+    a truncate-at-context policy keeps — the table read before
+    choosing sequence length and deciding whether chunking/packing is
+    worth its shuffle."""
+    return curation.context_length_plan(
+        load(spark, sf_dir, "documents"), context_sizes=(64, 128, 512)
+    )
+
+
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (historically the first
 # 50 of the registry). Round-9 rotation (freshness invariant): the
@@ -5785,6 +5818,7 @@ QUERY_ORDER = [
     "doc_outlier_panel",
     "corpus_datacard",
     "minhash_precision_report",
+    "context_length_plan",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -5804,12 +5838,12 @@ QUERY_ORDER = [
     "unigram_surprisal",
     "kmeans_embed_clusters",
     "pca_variance_report",
-    "h2_min_cost_supplier",
     # --- driver window ends here (first 50) ---
-    # r10 queue head (displaced from the window by the fourteen text/
+    # r10 queue head (displaced from the window by the fifteen text/
     # curation/embedding/dedup queries new this round — never-checked
-    # beats stale-refresh; ALL 189 registered queries passed the full
+    # beats stale-refresh; ALL registered queries passed the full
     # local parity gate at sf0.01 this round, PARITY_LOCAL.json):
+    "h2_min_cost_supplier",
     "h11_important_parts",
     "h12_ship_delay_priority",
     "h20_excess_supply",

@@ -2216,3 +2216,25 @@ def test_minhash_precision_report_planted_shape(spark):
         assert 0.0 <= r["precision"] <= 1.0 and r["n_true"] <= r["n_candidates"]
     with pytest.raises(ValueError, match="divide"):
         dedup.minhash_precision_report(docs, num_perm=128, bands=33)
+
+
+def test_context_length_plan_exact(spark):
+    rows = [
+        (0, " ".join(["w"] * 4), "en", "s0", 7),
+        (1, " ".join(["w"] * 10), "en", "s0", 19),
+        (2, " ".join(["w"] * 20), "en", "s0", 39),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {
+        r["context_size"]: r
+        for r in curation.context_length_plan(docs, context_sizes=(8, 16)).collect()
+    }
+    c8, c16 = out[8], out[16]
+    assert c8["n_docs_fit"] == 1 and c8["tokens_kept"] == 4 + 8 + 8
+    assert c8["frac_tokens_kept"] == pytest.approx(20 / 34, abs=1e-6)
+    assert c16["n_docs_fit"] == 2 and c16["tokens_kept"] == 4 + 10 + 16
+    assert c16["frac_docs_fit"] == pytest.approx(2 / 3, abs=1e-6)
+    with pytest.raises(ValueError, match="positive"):
+        curation.context_length_plan(docs, context_sizes=(0,))

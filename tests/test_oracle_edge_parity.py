@@ -74,6 +74,7 @@ DOC_QUERIES = [
     "lsh_band_planner",
     "doc_outlier_panel",
     "corpus_datacard",
+    "context_length_plan",
 ]
 
 EDGE_ROWS = [
