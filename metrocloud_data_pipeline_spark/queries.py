@@ -2248,14 +2248,20 @@ def minhash_recall_report(spark, sf_dir):
     """MinHash-LSH quality audit — knn_recall_report's twin for the
     dedup tier: measured candidate recall per TRUE-Jaccard bucket next
     to the banding S-curve 1-(1-J^r)^b at the default 128-perm/32-band
-    setting. Ground truth is exact shingle-set Jaccard over a 200-doc
-    deterministic sample; the LSH side bands the FULL corpus (bucket
-    occupancy and the cap at the production operating point) then
-    restricts to sample pairs. Rows-only by design (the seeded xxhash64
-    permutations have no SQL twin); the S-curve tracking and the
-    high-J recall==1 bound are pytest-gated on a planted-overlap
-    corpus."""
-    return dedup.minhash_recall_report(load(spark, sf_dir, "documents"))
+    setting. Ground truth is exact shingle-set Jaccard over a 1000-doc
+    deterministic sample (raised from 200 in late r9: at sf0.1's 50k
+    docs the first 200 ids held zero >= 0.2-J pairs, making the audit
+    trivially empty exactly where it runs in the bench — 1000 covers
+    all of sf0.01 and yields non-empty buckets at sf0.1 for a
+    truth-stage cost of max_docs^2/2 broadcast struct compares, ~6 s);
+    the LSH side bands the FULL corpus (bucket occupancy and the cap
+    at the production operating point) then restricts to sample pairs.
+    Rows-only by design (the seeded xxhash64 permutations have no SQL
+    twin); the S-curve tracking and the high-J recall==1 bound are
+    pytest-gated on a planted-overlap corpus."""
+    return dedup.minhash_recall_report(
+        load(spark, sf_dir, "documents"), max_docs=1000
+    )
 
 
 @q(
@@ -5732,7 +5738,7 @@ def minhash_precision_report(spark, sf_dir):
     the planted corpus."""
     return dedup.minhash_precision_report(
         load(spark, sf_dir, "documents"), k=3, num_perm=128, bands=32,
-        max_docs=200, threshold=0.5,
+        max_docs=1000, threshold=0.5,
     )
 
 
