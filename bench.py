@@ -157,6 +157,7 @@ HEADLINE = [
     "corpus_datacard",
     "minhash_precision_report",
     "context_length_plan",
+    "sample_mix_audit",
     # ivfpq_refine_sweep deliberately NOT here: like ivfpq_recall_report
     # it runs multiple brute-force audit passes — a tuning table, not a
     # drift sentinel (same call as r9's HEADLINE swap).

@@ -2010,3 +2010,55 @@ def context_length_plan(
             ).alias("frac_tokens_kept"),
         )
     )
+
+
+def sample_mix_audit(
+    docs: DataFrame,
+    rates: dict[str, float],
+    salt: str = "mix-v1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Mixture-realization audit for weighted_sample: per source, the
+    REALIZED keep rate of the deterministic hash sampler next to its
+    target, with the absolute gap — the check run after any sampling
+    config change, because a finite source realizes its rate only in
+    expectation (a 50-doc source at rate 0.25 can land anywhere near
+    12/50) and a fat gap on a small source is a re-salt signal, not a
+    bug. Realized counts are exact, not estimates: the md5 draw is a
+    pure function of (salt, doc_id), so this audit is reproducible
+    bit-for-bit — and oracle-checkable — unlike anything built on
+    rand(seed).
+
+    Plan shape: one scan computes the draw (codegen md5), one
+    partial-agg groupBy on source folds kept/total together — the
+    sample is never materialized separately from the audit."""
+    spark = docs.sparkSession
+    rate_df = spark.createDataFrame(
+        sorted(rates.items()), "source string, rate double"
+    )
+    u = round6(sample_uniform_col(salt))
+    j = (
+        docs.join(F.broadcast(rate_df), "source", "left")
+        .select(
+            "source",
+            F.coalesce("rate", F.lit(float(default_rate))).alias("rate"),
+            u.alias("su"),
+        )
+    )
+    kept = (F.col("su") < F.col("rate")).cast("long")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).alias("n_sampled"),
+            round6(F.first("rate")).alias("target_rate"),
+            round6(F.sum(kept).cast("double") / F.count(F.lit(1))).alias(
+                "realized_rate"
+            ),
+            round6(
+                F.abs(
+                    F.sum(kept).cast("double") / F.count(F.lit(1)) - F.first("rate")
+                )
+            ).alias("abs_gap"),
+        )
+    )

@@ -5562,7 +5562,7 @@ _MIX_VALUES = ", ".join(f"('src{i}', {1.0 + (i % 3)})" for i in range(32))
 WITH w(source, weight) AS (VALUES {_MIX_VALUES}),
 avail AS (
   -- empty text must count 0 tokens (string_split('', ' ') is [''],
-  -- len 1, unlike Spark's empty-array convention); NULL text -> 0
+  -- len 1, unlike Spark's empty-array convention) and NULL text -> 0
   SELECT source,
          CAST(sum(coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
                                 ELSE len({_NORM_TOKS_SQL}) END, 0))
@@ -5775,6 +5775,44 @@ def context_length_plan(spark, sf_dir):
     )
 
 
+_MIXA_RATES = {f"src{i}": (0.25, 0.5, 0.75)[i % 3] for i in range(32)}
+_MIXA_VALUES = ", ".join(f"('src{i}', {(0.25, 0.5, 0.75)[i % 3]})" for i in range(32))
+
+
+@q(
+    "sample_mix_audit",
+    oracle=f"""
+WITH r(source, rate) AS (VALUES {_MIXA_VALUES}),
+u AS (
+  SELECT source,
+         round(CAST(('0x' || substr(md5('mix-v1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) / 4294967296.0, 6) AS su
+  FROM documents
+), j AS (
+  SELECT u.source, su, coalesce(r.rate, 0.0) AS rate
+  FROM u LEFT JOIN r ON u.source = r.source
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN su < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       round(any_value(rate), 6) AS target_rate,
+       round(sum(CASE WHEN su < rate THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS realized_rate,
+       round(abs(sum(CASE WHEN su < rate THEN 1 ELSE 0 END) * 1.0 / count(*)
+                 - any_value(rate)), 6) AS abs_gap
+FROM j GROUP BY source
+""",
+)
+def sample_mix_audit(spark, sf_dir):
+    """Mixture-realization audit for the deterministic hash sampler:
+    per source, realized keep rate vs target (0.25/0.5/0.75 cycle)
+    with the absolute gap — exact and bit-reproducible because the
+    draw is a pure md5 function of (salt, doc_id), which rand(seed)
+    is not. A fat gap on a small source is a re-salt signal."""
+    return curation.sample_mix_audit(
+        load(spark, sf_dir, "documents"), rates=_MIXA_RATES, salt="mix-v1"
+    )
+
+
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (historically the first
 # 50 of the registry). Round-9 rotation (freshness invariant): the
@@ -5825,6 +5863,7 @@ QUERY_ORDER = [
     "corpus_datacard",
     "minhash_precision_report",
     "context_length_plan",
+    "sample_mix_audit",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -5843,16 +5882,16 @@ QUERY_ORDER = [
     "dedup_incremental_jaccard",
     "unigram_surprisal",
     "kmeans_embed_clusters",
-    "pca_variance_report",
     # --- driver window ends here (first 50) ---
-    # r10 queue head (displaced from the window by the fifteen text/
+    "pca_variance_report",
+    # r10 queue head (displaced from the window by the sixteen text/
     # curation/embedding/dedup queries new this round — never-checked
     # beats stale-refresh; ALL registered queries passed the full
     # local parity gate at sf0.01 this round, PARITY_LOCAL.json):
+    "h20_excess_supply",
     "h2_min_cost_supplier",
     "h11_important_parts",
     "h12_ship_delay_priority",
-    "h20_excess_supply",
     "embed_dedup_keep_list",
     "corpus_select_pipeline",
     "ingest_fanout_pipeline",

@@ -2238,3 +2238,20 @@ def test_context_length_plan_exact(spark):
     assert c16["frac_docs_fit"] == pytest.approx(2 / 3, abs=1e-6)
     with pytest.raises(ValueError, match="positive"):
         curation.context_length_plan(docs, context_sizes=(0,))
+
+
+def test_sample_mix_audit_exact_and_zero_default(spark):
+    rows = [(i, f"text number {i}", "en", "A" if i < 40 else "B", 14) for i in range(60)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["source"]: r for r in curation.sample_mix_audit(docs, rates={"A": 0.5}).collect()}
+    a, b = out["A"], out["B"]
+    assert a["n_docs"] == 40 and a["target_rate"] == 0.5
+    assert a["realized_rate"] == pytest.approx(a["n_sampled"] / 40, abs=1e-6)
+    assert a["abs_gap"] == pytest.approx(abs(a["realized_rate"] - 0.5), abs=1e-6)
+    # unlisted source: target 0, nothing sampled, gap 0
+    assert b["target_rate"] == 0.0 and b["n_sampled"] == 0 and b["abs_gap"] == 0.0
+    # audit counts agree with the sampler itself (same salt, same draw)
+    kept = curation.weighted_sample(docs, rates={"A": 0.5}).count()
+    assert kept == a["n_sampled"]

@@ -75,6 +75,7 @@ DOC_QUERIES = [
     "doc_outlier_panel",
     "corpus_datacard",
     "context_length_plan",
+    "sample_mix_audit",
 ]
 
 EDGE_ROWS = [
