@@ -134,7 +134,6 @@ HEADLINE = [
     "text_repetition_panel",
     "gopher_quality_panel",
     "c4_line_filter",
-    "minhash_recall_report",
     "dedup_c4_sentence_spans",
     "boilerplate_line_filter",
     "ccnet_perplexity_buckets_approx",
@@ -155,9 +154,9 @@ HEADLINE = [
     "lsh_band_planner",
     "doc_outlier_panel",
     "corpus_datacard",
-    "minhash_precision_report",
     "context_length_plan",
     "sample_mix_audit",
+    "winnow_similar_topk",
     # ivfpq_refine_sweep deliberately NOT here: like ivfpq_recall_report
     # it runs multiple brute-force audit passes — a tuning table, not a
     # drift sentinel (same call as r9's HEADLINE swap).
@@ -186,6 +185,11 @@ SENTINEL = "h1_pricing_summary"
 # next-worst query, pure fit overhead, not a scale-path signal); its
 # operating points are measured by tools/ann_refresh_probe.py
 # --ivfpq-only at 1x and 10x (PROBE_r09) instead.
+# Also absent: the minhash recall/precision audit pair — their 1000-doc
+# truth stage (max_docs^2/2 broadcast shingle compares, adopted so the
+# audits are non-empty at sf0.1) measured 11.7 s + 6.8 s, pure audit
+# cost like ivfpq_recall_report above; the production banding they
+# audit is benched via dedup_minhash and probed in PROBE_r09.
 # Also absent (same degeneracy): dedup_cluster_histogram — its pair
 # source is the oracle-parity LSH config over the planted near-dup
 # cliques (190,925 true >= 0.95-Jaccard pairs at sf0.1: measured

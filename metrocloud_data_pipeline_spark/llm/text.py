@@ -1208,3 +1208,51 @@ def kn_bigram_surprisal(
             ).alias("kn_bits_per_bigram"),
         )
     )
+
+
+def winnow_similar_topk(
+    docs: DataFrame,
+    top_k: int = 3,
+    min_shared: int = 2,
+    k: int = 4,
+    w: int = 5,
+    max_fp_docs: int | None = 500,
+) -> DataFrame:
+    """Per-document most-similar neighbors by shared winnowing
+    fingerprints — the "show me this document's copies/sources" lookup
+    (MOSS's result view, where winnow_overlap_pairs is the corpus-wide
+    edge list): for each doc, the top_k docs sharing >= min_shared
+    fingerprints, ranked by shared count with doc-id tiebreak.
+
+    Plan shape: the distinct (doc_id, fp) frame (checkpointed, one
+    corpus pass) self-joins on fp with the same max_fp_docs
+    boilerplate guard as winnow_overlap_pairs, aggregates to DIRECTED
+    pair counts (map-side combined), then one per-doc rank window over
+    the pair frame (pair-bounded, never corpus-bounded) keeps the
+    top_k. Output: doc_id, sim_doc, shared_fps, rank."""
+    from pyspark.sql import Window
+
+    fps = winnow_fingerprints(docs, k=k, w=w).localCheckpoint()
+    if max_fp_docs is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_fp_docs)
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = fps.select(F.col("doc_id").alias("doc_id"), "fp")
+    b = fps.select(F.col("doc_id").alias("sim_doc"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("doc_id") != F.col("sim_doc"))
+        .groupBy("doc_id", "sim_doc")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+    wnd = Window.partitionBy("doc_id").orderBy(
+        F.col("shared_fps").desc(), F.col("sim_doc")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(wnd).cast("int"))
+        .where(F.col("rank") <= top_k)
+    )

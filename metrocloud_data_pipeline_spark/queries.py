@@ -5813,6 +5813,41 @@ def sample_mix_audit(spark, sf_dir):
     )
 
 
+def _winnow_topk_oracle() -> str:
+    return """
+WITH fps AS ({winnow}
+), dedup_hot AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) > 500
+), kept AS (
+  SELECT f.doc_id, f.fp FROM fps f
+  LEFT JOIN dedup_hot h ON f.fp = h.fp WHERE h.fp IS NULL
+), p AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS sim_doc, count(*) AS shared_fps
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+), r AS (
+  SELECT doc_id, sim_doc, shared_fps,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY shared_fps DESC, sim_doc) AS INTEGER) AS rank
+  FROM p
+)
+SELECT doc_id, sim_doc, shared_fps, rank FROM r WHERE rank <= 3
+""".format(winnow=ORACLE_SQL["doc_fingerprint_winnow"])
+
+
+@q("winnow_similar_topk", oracle=_winnow_topk_oracle())
+def winnow_similar_topk(spark, sf_dir):
+    """Per-document top-3 most-similar docs by shared winnowing
+    fingerprints (>= 2 shared, boilerplate fps crossing > 500 docs
+    excluded on both engines) — the "show me this document's copies"
+    lookup over the same fingerprint frame doc_fingerprint_winnow
+    verifies; ranks fully tiebroken so the cut is bit-deterministic."""
+    return text.winnow_similar_topk(
+        load(spark, sf_dir, "documents"), top_k=3, min_shared=2, max_fp_docs=500
+    )
+
+
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (historically the first
 # 50 of the registry). Round-9 rotation (freshness invariant): the
@@ -5864,6 +5899,7 @@ QUERY_ORDER = [
     "minhash_precision_report",
     "context_length_plan",
     "sample_mix_audit",
+    "winnow_similar_topk",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -5881,8 +5917,8 @@ QUERY_ORDER = [
     "dedup_cross_corpus",
     "dedup_incremental_jaccard",
     "unigram_surprisal",
-    "kmeans_embed_clusters",
     # --- driver window ends here (first 50) ---
+    "kmeans_embed_clusters",
     "pca_variance_report",
     # r10 queue head (displaced from the window by the sixteen text/
     # curation/embedding/dedup queries new this round — never-checked

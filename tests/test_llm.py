@@ -2255,3 +2255,24 @@ def test_sample_mix_audit_exact_and_zero_default(spark):
     # audit counts agree with the sampler itself (same salt, same draw)
     kept = curation.weighted_sample(docs, rates={"A": 0.5}).count()
     assert kept == a["n_sampled"]
+
+
+def test_winnow_similar_topk_planted(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu"
+    rows = [
+        (0, base + " tail zero", "en", "s0", 80),
+        (1, base + " tail one", "en", "s0", 79),     # near-copy of 0
+        (2, base + " tail two", "en", "s0", 79),     # near-copy of 0
+        (3, "wholly different words that never meet the others at all here", "en", "s1", 62),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = text.winnow_similar_topk(docs, top_k=2, min_shared=2)
+    got = {(r["doc_id"], r["rank"]): r["sim_doc"] for r in out.collect()}
+    assert got[(0, 1)] in (1, 2)        # 0's best neighbor is a copy
+    assert (3, 1) not in got            # the unrelated doc has no neighbors
+    # symmetric: 1 sees 0 (or 2) too
+    assert (1, 1) in got
+    ranks = [r for (d, r) in got if d == 0]
+    assert ranks == sorted(ranks)  # dense ranks from 1

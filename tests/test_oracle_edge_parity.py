@@ -76,6 +76,7 @@ DOC_QUERIES = [
     "corpus_datacard",
     "context_length_plan",
     "sample_mix_audit",
+    "winnow_similar_topk",
 ]
 
 EDGE_ROWS = [
