@@ -1936,26 +1936,37 @@ def corpus_datacard(docs: DataFrame) -> DataFrame:
             (F.sum(F.col("c") * F.col("c")) / (F.sum("c") * F.sum("c"))).alias("hhi"),
         )
 
-    s_conc, l_conc = conc("source"), conc("lang")
-
-    def row(name, expr_frame, expr):
-        return expr_frame.select(
-            F.lit(name).alias("metric"), round6(expr).alias("value")
-        )
-
-    out = (
-        row("n_docs", base, F.col("n_docs"))
-        .unionByName(row("n_tokens", base, F.col("n_tokens")))
-        .unionByName(row("mean_tokens_per_doc", base, F.col("n_tokens") / F.col("n_docs")))
-        .unionByName(row("dup_rate", base, 1.0 - F.col("n_distinct") / F.col("n_docs")))
-        .unionByName(row("n_sources", base, F.col("n_sources")))
-        .unionByName(row("n_langs", base, F.col("n_langs")))
-        .unionByName(row("top_source_share", s_conc, F.col("top_share")))
-        .unionByName(row("source_hhi", s_conc, F.col("hhi")))
-        .unionByName(row("top_lang_share", l_conc, F.col("top_share")))
-        .unionByName(row("lang_hhi", l_conc, F.col("hhi")))
+    s_conc = conc("source").select(
+        F.col("top_share").alias("s_top"), F.col("hhi").alias("s_hhi")
     )
-    return out
+    l_conc = conc("lang").select(
+        F.col("top_share").alias("l_top"), F.col("hhi").alias("l_hhi")
+    )
+    # one wide row (3 one-row frames cross-joined), unpivoted via stack —
+    # the funnel's shape: 3 passes over the checkpointed signal frame
+    # instead of one per metric
+    wide = base.crossJoin(s_conc).crossJoin(l_conc)
+    pairs = [
+        ("n_docs", F.col("n_docs")),
+        ("n_tokens", F.col("n_tokens")),
+        ("mean_tokens_per_doc", F.col("n_tokens") / F.col("n_docs")),
+        ("dup_rate", 1.0 - F.col("n_distinct") / F.col("n_docs")),
+        ("n_sources", F.col("n_sources")),
+        ("n_langs", F.col("n_langs")),
+        ("top_source_share", F.col("s_top")),
+        ("source_hhi", F.col("s_hhi")),
+        ("top_lang_share", F.col("l_top")),
+        ("lang_hhi", F.col("l_hhi")),
+    ]
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(n).alias("metric"), round6(v).alias("value"))
+                for n, v in pairs
+            ]
+        )
+    )
+    return wide.select(stacked.alias("m")).select("m.metric", "m.value")
 
 
 def context_length_plan(
