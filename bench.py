@@ -157,6 +157,9 @@ HEADLINE = [
     "context_length_plan",
     "sample_mix_audit",
     "winnow_similar_topk",
+    "text_hot_tokens",
+    "text_hot_tokens_approx",
+    "quality_signal_correlation",
     # ivfpq_refine_sweep deliberately NOT here: like ivfpq_recall_report
     # it runs multiple brute-force audit passes — a tuning table, not a
     # drift sentinel (same call as r9's HEADLINE swap).

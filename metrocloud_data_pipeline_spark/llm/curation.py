@@ -2073,3 +2073,79 @@ def sample_mix_audit(
             ).alias("abs_gap"),
         )
     )
+
+
+def quality_signal_correlation(docs: DataFrame) -> DataFrame:
+    """Spearman rank correlation between the corpus's quality signals
+    (token count, type-token ratio, chars-per-token, unigram
+    bits-per-token) — the filter-design meta-analysis: two signals
+    with |rho| near 1 are redundant gates (keep the cheaper one), and
+    a proposed filter that correlates with nothing is measuring
+    something new. Ranks are fully tiebroken by doc_id (a documented
+    departure from tie-corrected Spearman — deterministic and
+    engine-portable, which mid-rank averaging over float ties is not),
+    and the surprisal signal is ranked on its ROUNDED value, so the
+    rank permutation is bit-identical on both engines.
+
+    Plan shape: the shape signals are one scan; surprisal reuses
+    unigram_surprisal's two-aggregate pipeline; four global rank
+    windows run over the doc-count-sized 5-column projection; the six
+    signal pairs explode per row (6x fan-out of 3 ints) and fold in
+    ONE map-side-combined aggregate whose sums are exact integers.
+    At corpus scales where n * sum(rank^2) nears 2^53, swap the exact
+    global ranks for percent_rank over range-partitioned quantiles."""
+    from pyspark.sql import Window
+
+    from .text import tokens_col, unigram_surprisal
+
+    live = docs.where(F.length(F.trim("text")) > 0)
+    toks = tokens_col()
+    sig = live.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("nt"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
+        (F.col("n_chars").cast("double") / F.size(toks)).alias("cpt"),
+    )
+    bits = unigram_surprisal(live).select(
+        "doc_id", F.col("bits_per_token").alias("bits")
+    )
+    j = sig.join(bits, "doc_id")
+
+    def rk(col):
+        return F.row_number().over(Window.orderBy(F.col(col), F.col("doc_id"))).cast(
+            "long"
+        )
+
+    ranked = j.select(
+        "doc_id",
+        rk("bits").alias("r_bits"),
+        rk("cpt").alias("r_cpt"),
+        rk("nt").alias("r_nt"),
+        rk("ttr").alias("r_ttr"),
+    )
+    names = ["bits", "cpt", "nt", "ttr"]
+    pairs = [
+        F.struct(
+            F.lit(a).alias("signal_a"),
+            F.lit(b).alias("signal_b"),
+            F.col(f"r_{a}").alias("ra"),
+            F.col(f"r_{b}").alias("rb"),
+        )
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+    ]
+    exploded = ranked.select(F.explode(F.array(*pairs)).alias("p")).select(
+        "p.signal_a", "p.signal_b", "p.ra", "p.rb"
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sa, sb = F.sum("ra").cast("double"), F.sum("rb").cast("double")
+    sab = F.sum(F.col("ra") * F.col("rb")).cast("double")
+    saa = F.sum(F.col("ra") * F.col("ra")).cast("double")
+    sbb = F.sum(F.col("rb") * F.col("rb")).cast("double")
+    var_prod = (n * saa - sa * sa) * (n * sbb - sb * sb)
+    # a single-doc corpus has zero rank variance: NULL, not a divide error
+    rho = F.when(var_prod > 0, (n * sab - sa * sb) / F.sqrt(var_prod))
+    return exploded.groupBy("signal_a", "signal_b").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        round6(rho).alias("spearman_rho"),
+    )

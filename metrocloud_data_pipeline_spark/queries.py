@@ -5848,6 +5848,104 @@ def winnow_similar_topk(spark, sf_dir):
     )
 
 
+@q(
+    "text_hot_tokens",
+    oracle=f"""
+WITH c AS (
+  SELECT term AS key, count(*) AS n_rows FROM (
+    SELECT unnest({_NORM_TOKS_SQL}) AS term
+    FROM documents WHERE length(trim(text)) > 0
+  ) GROUP BY 1
+), s AS (SELECT sum(n_rows) AS total, avg(n_rows) AS mean FROM c),
+top AS (SELECT key, n_rows FROM c ORDER BY n_rows DESC, key LIMIT 20)
+SELECT row_number() OVER (ORDER BY n_rows DESC, key) AS rank,
+       key, n_rows,
+       round(n_rows * 100.0 / s.total, 6) AS share_pct,
+       round(n_rows / s.mean, 6) AS x_mean,
+       n_rows > 10.0 * s.mean AS is_skewed
+FROM top CROSS JOIN s
+""",
+)
+def text_hot_tokens(spark, sf_dir):
+    """Heavy-hitter tokens of the corpus (obs_hot_keys lifted to the
+    token space): top-20 tokens by occurrence with share-of-corpus and
+    multiple-of-mean — the measured stopword list a filter or salting
+    decision reads, and the skew diagnostic for any shuffle keyed on
+    tokens (tfidf/surprisal joins)."""
+    from .operators.observability import hot_keys
+
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    rows = docs.select(F.explode(text.tokens_col(F.lower(F.col("text")))).alias("term"))
+    return hot_keys(rows, "term", top_k=20)
+
+
+@q("text_hot_tokens_approx")
+def text_hot_tokens_approx(spark, sf_dir):
+    """Scale twin of text_hot_tokens: single-pass Misra-Gries-family
+    heavy hitters over the exploded token stream (freqItems at 2%
+    support) — O(1/support) state per partition, a SUPERSET of the
+    true heavy tokens (false positives possible, never negatives).
+    Rows-only (sketch contents depend on merge order); the
+    containment-of-exact-top pytest is the gate."""
+    from .operators.observability import hot_keys_approx
+
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    rows = docs.select(F.explode(text.tokens_col(F.lower(F.col("text")))).alias("term"))
+    return hot_keys_approx(rows, "term", support=0.02)
+
+
+def _signal_corr_oracle() -> str:
+    return """
+WITH surp AS ({surp}
+), shape AS (
+  SELECT doc_id,
+         CAST(len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS DOUBLE) AS nt,
+         CAST(len(list_distinct(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))) AS DOUBLE)
+           / len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS ttr,
+         CAST(n_chars AS DOUBLE)
+           / len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS cpt
+  FROM documents WHERE length(trim(text)) > 0
+), j AS (
+  SELECT shape.doc_id, nt, ttr, cpt, surp.bits_per_token AS bits
+  FROM shape JOIN surp ON shape.doc_id = surp.doc_id
+), r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bits, doc_id) AS BIGINT) AS r_bits,
+         CAST(row_number() OVER (ORDER BY cpt, doc_id) AS BIGINT) AS r_cpt,
+         CAST(row_number() OVER (ORDER BY nt, doc_id) AS BIGINT) AS r_nt,
+         CAST(row_number() OVER (ORDER BY ttr, doc_id) AS BIGINT) AS r_ttr
+  FROM j
+), p AS (
+  SELECT 'bits' AS signal_a, 'cpt' AS signal_b, r_bits AS ra, r_cpt AS rb FROM r
+  UNION ALL SELECT 'bits', 'nt', r_bits, r_nt FROM r
+  UNION ALL SELECT 'bits', 'ttr', r_bits, r_ttr FROM r
+  UNION ALL SELECT 'cpt', 'nt', r_cpt, r_nt FROM r
+  UNION ALL SELECT 'cpt', 'ttr', r_cpt, r_ttr FROM r
+  UNION ALL SELECT 'nt', 'ttr', r_nt, r_ttr FROM r
+)
+SELECT signal_a, signal_b, count(*) AS n_docs,
+       round(CASE WHEN (count(*) * CAST(sum(ra*ra) AS DOUBLE) - CAST(sum(ra) AS DOUBLE) * sum(ra))
+                       * (count(*) * CAST(sum(rb*rb) AS DOUBLE) - CAST(sum(rb) AS DOUBLE) * sum(rb)) > 0
+                  THEN (count(*) * CAST(sum(ra*rb) AS DOUBLE) - CAST(sum(ra) AS DOUBLE) * sum(rb))
+                       / sqrt((count(*) * CAST(sum(ra*ra) AS DOUBLE) - CAST(sum(ra) AS DOUBLE) * sum(ra))
+                              * (count(*) * CAST(sum(rb*rb) AS DOUBLE) - CAST(sum(rb) AS DOUBLE) * sum(rb)))
+             END, 6) AS spearman_rho
+FROM p GROUP BY 1, 2
+""".format(surp=ORACLE_SQL["unigram_surprisal"])
+
+
+@q("quality_signal_correlation", oracle=_signal_corr_oracle())
+def quality_signal_correlation(spark, sf_dir):
+    """Spearman rank correlation between the quality signals (unigram
+    bits, chars/token, token count, type-token ratio) — the
+    filter-design meta-analysis: |rho| near 1 means two gates are
+    redundant (keep the cheaper), near 0 means a new signal measures
+    something new. Ranks fully tiebroken by doc_id and the surprisal
+    ranked on its ROUNDED value, so the permutation — hence rho — is
+    bit-identical on both engines."""
+    return curation.quality_signal_correlation(load(spark, sf_dir, "documents"))
+
+
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (historically the first
 # 50 of the registry). Round-9 rotation (freshness invariant): the
@@ -5900,6 +5998,9 @@ QUERY_ORDER = [
     "context_length_plan",
     "sample_mix_audit",
     "winnow_similar_topk",
+    "text_hot_tokens",
+    "text_hot_tokens_approx",
+    "quality_signal_correlation",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -5914,10 +6015,10 @@ QUERY_ORDER = [
     "vocab_coverage",
     "source_mix_temperature",
     "quality_quantile_filter",
+    # --- driver window ends here (first 50) ---
     "dedup_cross_corpus",
     "dedup_incremental_jaccard",
     "unigram_surprisal",
-    # --- driver window ends here (first 50) ---
     "kmeans_embed_clusters",
     "pca_variance_report",
     # r10 queue head (displaced from the window by the sixteen text/

@@ -2276,3 +2276,42 @@ def test_winnow_similar_topk_planted(spark):
     assert (1, 1) in got
     ranks = [r for (d, r) in got if d == 0]
     assert ranks == sorted(ranks)  # dense ranks from 1
+
+
+def test_text_hot_tokens_and_approx_containment(spark):
+    rows = [(i, ("hot " * 30) + f"cold{i} rare{i}", "en", "s0", 200) for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    from metrocloud_data_pipeline_spark.operators.observability import hot_keys, hot_keys_approx
+
+    term_rows = docs.select(F.explode(text.tokens_col(F.lower(F.col("text")))).alias("term"))
+    exact = hot_keys(term_rows, "term", top_k=5).collect()
+    assert exact[0]["key"] == "hot" and exact[0]["rank"] == 1
+    assert exact[0]["is_skewed"]  # 300 of 320 tokens
+    approx = {r["key"] for r in hot_keys_approx(term_rows, "term", support=0.5).collect()}
+    assert "hot" in approx  # the sketch never loses a true heavy hitter
+
+
+def test_quality_signal_correlation_known_signs(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        n = 5 + i  # token count strictly increasing with i
+        words = [f"w{j}" for j in range(n)]
+        rng.shuffle(words)
+        t = " ".join(words)
+        rows.append((i, t, "en", "s0", len(t)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {(r["signal_a"], r["signal_b"]): r["spearman_rho"]
+           for r in curation.quality_signal_correlation(docs).collect()}
+    assert len(out) == 6
+    # all-distinct tokens: ttr == 1 everywhere -> rank = doc order tiebreak;
+    # nt vs cpt: cpt = n_chars/nt grows with word width -> strongly positive
+    assert out[("cpt", "nt")] > 0.9
+    for v in out.values():
+        assert -1.0 <= v <= 1.0

@@ -77,6 +77,8 @@ DOC_QUERIES = [
     "context_length_plan",
     "sample_mix_audit",
     "winnow_similar_topk",
+    "text_hot_tokens",
+    "quality_signal_correlation",
 ]
 
 EDGE_ROWS = [
