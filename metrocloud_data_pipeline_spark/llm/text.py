@@ -1256,3 +1256,32 @@ def winnow_similar_topk(
         pairs.withColumn("rank", F.row_number().over(wnd).cast("int"))
         .where(F.col("rank") <= top_k)
     )
+
+
+def langid_confusion(docs: DataFrame) -> DataFrame:
+    """Confusion matrix of the declared `lang` column against the
+    stopword-overlap language ID — the audit run before TRUSTING
+    either side (crawl-declared language metadata is famously wrong;
+    a heuristic ID has known blind spots): per (lang, predicted_lang),
+    document count and the share of the declared language it
+    represents. A strong diagonal certifies the metadata; a smeared
+    row is the language to re-identify with a real classifier.
+
+    Plan shape: language_id's one scan + broadcast profile join, then
+    a (lang, predicted) partial agg and one lang-partitioned window
+    over the languages x languages result frame (tiny)."""
+    from pyspark.sql import Window
+
+    pred = language_id(docs)
+    counts = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        round6(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double")
+        ).alias("frac_of_lang"),
+    )

@@ -5946,6 +5946,29 @@ def quality_signal_correlation(spark, sf_dir):
     return curation.quality_signal_correlation(load(spark, sf_dir, "documents"))
 
 
+def _langid_confusion_oracle() -> str:
+    return """
+WITH base AS ({langid}
+)
+SELECT lang, predicted_lang, count(*) AS n_docs,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY lang), 6)
+         AS frac_of_lang
+FROM base GROUP BY 1, 2
+""".format(langid=ORACLE_SQL["langid_heuristic"])
+
+
+@q("langid_confusion", oracle=_langid_confusion_oracle())
+def langid_confusion(spark, sf_dir):
+    """Confusion matrix of the declared lang column vs the
+    stopword-overlap language ID (composed from langid_heuristic's
+    shared oracle fragment — the matrix and the per-doc prediction
+    cannot disagree): per (lang, predicted) pair, count and share of
+    the declared language. A smeared row is the language whose
+    metadata needs a real classifier before it is trusted for
+    per-language curation."""
+    return text.langid_confusion(load(spark, sf_dir, "documents"))
+
+
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (historically the first
 # 50 of the registry). Round-9 rotation (freshness invariant): the
@@ -6001,6 +6024,7 @@ QUERY_ORDER = [
     "text_hot_tokens",
     "text_hot_tokens_approx",
     "quality_signal_correlation",
+    "langid_confusion",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -6014,8 +6038,8 @@ QUERY_ORDER = [
     "tfidf_top_terms",
     "vocab_coverage",
     "source_mix_temperature",
-    "quality_quantile_filter",
     # --- driver window ends here (first 50) ---
+    "quality_quantile_filter",
     "dedup_cross_corpus",
     "dedup_incremental_jaccard",
     "unigram_surprisal",

@@ -2315,3 +2315,22 @@ def test_quality_signal_correlation_known_signs(spark):
     assert out[("cpt", "nt")] > 0.9
     for v in out.values():
         assert -1.0 <= v <= 1.0
+
+
+def test_langid_confusion_diagonal_and_shares(spark):
+    en = "the cat and the dog sat in it you that"          # all en stopwords
+    es = "el que de la y en un por con los"                # all es stopwords
+    rows = [
+        (0, en, "en", "s0", len(en)),
+        (1, en, "en", "s0", len(en)),
+        (2, es, "en", "s0", len(es)),    # mislabeled: declared en, reads es
+        (3, es, "es", "s0", len(es)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {(r["lang"], r["predicted_lang"]): r for r in text.langid_confusion(docs).collect()}
+    assert out[("en", "en")]["n_docs"] == 2
+    assert out[("en", "es")]["n_docs"] == 1  # the mislabel shows up off-diagonal
+    assert out[("en", "en")]["frac_of_lang"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[("es", "es")]["frac_of_lang"] == 1.0

@@ -79,6 +79,7 @@ DOC_QUERIES = [
     "winnow_similar_topk",
     "text_hot_tokens",
     "quality_signal_correlation",
+    "langid_confusion",
 ]
 
 EDGE_ROWS = [
