@@ -2149,3 +2149,51 @@ def quality_signal_correlation(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         round6(rho).alias("spearman_rho"),
     )
+
+
+def shard_skew_report(
+    docs: DataFrame, n_shards: int = 16, salt: str = "shard-v1"
+) -> DataFrame:
+    """Token-mass balance across the deterministic training shards
+    (shard_manifest's layout): per shard, doc and token counts, token
+    share, and multiple-of-mean — the check that hash sharding
+    balanced the WORK, not just the doc count (a shard that drew the
+    long-document tail makes its data-loader rank the epoch
+    straggler). Doc counts deviate multinomially ~sqrt(n/k); token
+    mass adds length variance on top, which is exactly what this
+    report measures and doc-count monitoring misses.
+
+    Plan shape: one scan computes (shard draw, token count) per doc
+    (codegen md5 + split, no manifest join — the draw is the SAME pure
+    function shard_manifest uses, so the two cannot disagree), one
+    shard-keyed partial agg, and the 1-row mean broadcasts back."""
+    from .text import tokens_col
+
+    u = round6(sample_uniform_col(salt))
+    nt = F.when(F.col("text").isNull(), F.lit(0)).otherwise(F.size(tokens_col()))
+    per_doc = docs.select(
+        F.least(F.floor(u * n_shards), F.lit(n_shards - 1))
+        .cast("int")
+        .alias("shard_id"),
+        nt.cast("long").alias("nt"),
+    )
+    per_shard = per_doc.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens")
+    )
+    stats = per_shard.agg(
+        F.sum("n_tokens").alias("_total"), F.avg("n_tokens").alias("_mean")
+    )
+    # an all-empty corpus has zero token mass: NULL shares, not a
+    # divide error
+    has = F.col("_total") > 0
+    return per_shard.crossJoin(F.broadcast(stats)).select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        round6(
+            F.when(has, F.col("n_tokens").cast("double") / F.col("_total").cast("double"))
+        ).alias("token_share"),
+        round6(F.when(has, F.col("n_tokens").cast("double") / F.col("_mean"))).alias(
+            "x_mean"
+        ),
+    )

@@ -5969,6 +5969,39 @@ def langid_confusion(spark, sf_dir):
     return text.langid_confusion(load(spark, sf_dir, "documents"))
 
 
+@q(
+    "shard_skew_report",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(least(floor(round(CAST(('0x' || substr(md5('shard-v1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                                AS UBIGINT) / 4294967296.0, 6) * 16), 15) AS INTEGER) AS shard_id,
+         coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len({_NORM_TOKS_SQL}) END, 0) AS nt
+  FROM documents
+), per AS (
+  SELECT shard_id, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+  FROM d GROUP BY 1
+), s AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total, avg(n_tokens) AS mean FROM per
+)
+SELECT shard_id, n_docs, n_tokens,
+       round(CASE WHEN total > 0 THEN n_tokens * 1.0 / total END, 6) AS token_share,
+       round(CASE WHEN total > 0 THEN n_tokens / mean END, 6) AS x_mean
+FROM per CROSS JOIN s
+""",
+)
+def shard_skew_report(spark, sf_dir):
+    """Token-mass balance across the 16 deterministic training shards:
+    per shard, docs, tokens, token share, multiple-of-mean — the check
+    that hash sharding balanced the WORK (a shard drawing the
+    long-document tail is the epoch straggler), which doc-count
+    monitoring misses. The shard draw is the same pure md5 function
+    shard_manifest uses, so report and manifest cannot disagree."""
+    return curation.shard_skew_report(
+        load(spark, sf_dir, "documents"), n_shards=16, salt="shard-v1"
+    )
+
+
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (historically the first
 # 50 of the registry). Round-9 rotation (freshness invariant): the
@@ -6025,6 +6058,7 @@ QUERY_ORDER = [
     "text_hot_tokens_approx",
     "quality_signal_correlation",
     "langid_confusion",
+    "shard_skew_report",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -6037,8 +6071,8 @@ QUERY_ORDER = [
     # last driver row r5 (oldest-first; window cutoff after 50):
     "tfidf_top_terms",
     "vocab_coverage",
-    "source_mix_temperature",
     # --- driver window ends here (first 50) ---
+    "source_mix_temperature",
     "quality_quantile_filter",
     "dedup_cross_corpus",
     "dedup_incremental_jaccard",

@@ -2334,3 +2334,18 @@ def test_langid_confusion_diagonal_and_shares(spark):
     assert out[("en", "es")]["n_docs"] == 1  # the mislabel shows up off-diagonal
     assert out[("en", "en")]["frac_of_lang"] == pytest.approx(2 / 3, abs=1e-6)
     assert out[("es", "es")]["frac_of_lang"] == 1.0
+
+
+def test_shard_skew_report_consistency(spark):
+    rows = [(i, " ".join(["w"] * (5 + i % 7)), "en", "s0", 20) for i in range(120)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    rep = curation.shard_skew_report(docs, n_shards=4).collect()
+    assert sum(r["n_docs"] for r in rep) == 120
+    assert abs(sum(r["token_share"] for r in rep) - 1.0) < 1e-5
+    # report and manifest use the same draw: per-shard doc counts agree
+    man = curation.shard_manifest(docs, n_shards=4).groupBy("shard_id").count().collect()
+    man_counts = {r["shard_id"]: r["count"] for r in man}
+    for r in rep:
+        assert man_counts[r["shard_id"]] == r["n_docs"]

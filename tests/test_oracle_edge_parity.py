@@ -80,6 +80,7 @@ DOC_QUERIES = [
     "text_hot_tokens",
     "quality_signal_correlation",
     "langid_confusion",
+    "shard_skew_report",
 ]
 
 EDGE_ROWS = [
