@@ -1136,3 +1136,42 @@ def minhash_precision_report(
         )
         .orderBy("bucket_lo")
     )
+
+
+def dedup_impact_by_source(docs: DataFrame) -> DataFrame:
+    """Per-source exact-dedup impact: how many documents (and how much
+    token mass) each source LOSES under keep-min-doc_id exact dedup —
+    the table that names the redundant sources in a mixture (a source
+    whose mass is mostly removed duplicates contributes storage cost,
+    not signal; CommonCrawl snapshot N+1 against snapshot N is the
+    canonical case). Keeper attribution is exact_dedup's rule (global
+    min doc_id per normalized digest), so impact here always sums to
+    exactly what exact_dedup would drop.
+
+    Plan shape: one scan computes (digest, source, token count); the
+    keeper resolves in ONE digest-keyed partial agg (wide text pruned
+    before the exchange, as in exact_dedup); a broadcast-back join
+    marks losers and the source rollup is map-side combined."""
+    from .text import tokens_col
+
+    nt = F.when(F.col("text").isNull(), F.lit(0)).otherwise(F.size(tokens_col()))
+    sig = docs.select(
+        F.md5(_norm_text(F.col("text"))).alias("digest"),
+        "doc_id",
+        "source",
+        nt.cast("long").alias("nt"),
+    )
+    keep = sig.groupBy("digest").agg(F.min("doc_id").alias("_keep"))
+    marked = sig.join(keep, "digest").select(
+        "source",
+        "nt",
+        (F.col("doc_id") != F.col("_keep")).cast("long").alias("removed"),
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("removed").alias("n_removed"),
+        F.sum(F.col("removed") * F.col("nt")).alias("tokens_removed"),
+        round6(
+            F.sum("removed").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("frac_docs_removed"),
+    )

@@ -6002,6 +6002,36 @@ def shard_skew_report(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_impact_by_source",
+    oracle=f"""
+WITH sig AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest,
+         doc_id, source,
+         coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len({_NORM_TOKS_SQL}) END, 0) AS nt
+  FROM documents
+), keep AS (
+  SELECT digest, min(doc_id) AS keep_id FROM sig GROUP BY 1
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN doc_id != keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN doc_id != keep_id THEN nt ELSE 0 END) AS BIGINT) AS tokens_removed,
+       round(sum(CASE WHEN doc_id != keep_id THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS frac_docs_removed
+FROM sig JOIN keep USING (digest)
+GROUP BY source
+""",
+)
+def dedup_impact_by_source(spark, sf_dir):
+    """Per-source exact-dedup impact: docs and token mass each source
+    loses under keep-min-doc_id dedup — names the redundant sources in
+    a mixture (snapshot-over-snapshot crawls being the canonical
+    case). Keeper attribution is exact_dedup's own rule, so the
+    impact sums to exactly what exact_dedup drops."""
+    return dedup.dedup_impact_by_source(load(spark, sf_dir, "documents"))
+
+
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (historically the first
 # 50 of the registry). Round-9 rotation (freshness invariant): the
@@ -6059,6 +6089,7 @@ QUERY_ORDER = [
     "quality_signal_correlation",
     "langid_confusion",
     "shard_skew_report",
+    "dedup_impact_by_source",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -6070,8 +6101,8 @@ QUERY_ORDER = [
     "dedup_keep_list",
     # last driver row r5 (oldest-first; window cutoff after 50):
     "tfidf_top_terms",
-    "vocab_coverage",
     # --- driver window ends here (first 50) ---
+    "vocab_coverage",
     "source_mix_temperature",
     "quality_quantile_filter",
     "dedup_cross_corpus",

@@ -2349,3 +2349,25 @@ def test_shard_skew_report_consistency(spark):
     man_counts = {r["shard_id"]: r["count"] for r in man}
     for r in rep:
         assert man_counts[r["shard_id"]] == r["n_docs"]
+
+
+def test_dedup_impact_by_source_attribution(spark):
+    shared = "identical text shared across sources exactly here"
+    rows = [
+        (0, shared, "en", "orig", len(shared)),        # global keeper (min id)
+        (1, shared, "en", "mirror", len(shared)),      # loses to 0
+        (2, shared, "en", "mirror", len(shared)),      # loses to 0
+        (3, "unique text only mirror has", "en", "mirror", 27),
+        (4, "another unique original", "en", "orig", 23),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["source"]: r for r in dedup.dedup_impact_by_source(docs).collect()}
+    assert out["orig"]["n_removed"] == 0
+    assert out["mirror"]["n_removed"] == 2
+    assert out["mirror"]["tokens_removed"] == 14  # 2 copies x 7 tokens
+    assert out["mirror"]["frac_docs_removed"] == pytest.approx(2 / 3, abs=1e-6)
+    # impact sums to exactly what exact_dedup drops
+    dropped = 5 - dedup.exact_dedup(docs).count()
+    assert sum(r["n_removed"] for r in out.values()) == dropped

@@ -81,6 +81,7 @@ DOC_QUERIES = [
     "quality_signal_correlation",
     "langid_confusion",
     "shard_skew_report",
+    "dedup_impact_by_source",
 ]
 
 EDGE_ROWS = [
