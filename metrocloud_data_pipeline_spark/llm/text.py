@@ -1285,3 +1285,38 @@ def langid_confusion(docs: DataFrame) -> DataFrame:
             F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double")
         ).alias("frac_of_lang"),
     )
+
+
+def ngram_diversity_approx(
+    docs: DataFrame, ns: tuple = (1, 2, 3), rsd: float = 0.02
+) -> DataFrame:
+    """The 100 TB form ngram_diversity's docstring promises: distinct
+    gram counts via HyperLogLog++ (approx_count_distinct at `rsd`
+    relative error) so the per-source agg state is sketch-sized
+    instead of distinct-gram-sized — the same exact/approx twinning as
+    dq_profile_events_approx. Same output shape; diversity inherits
+    the sketch's error bound."""
+    from .curation import _gram_rows
+
+    parts = []
+    for n in ns:
+        g = _gram_rows(docs, n, id_col="source")
+        parts.append(
+            g.groupBy("source").agg(
+                F.lit(n).cast("int").alias("n"),
+                F.count(F.lit(1)).alias("total_grams"),
+                F.approx_count_distinct("gram", rsd).alias("distinct_grams"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "source",
+        "n",
+        "total_grams",
+        "distinct_grams",
+        round6(
+            F.col("distinct_grams").cast("double") / F.col("total_grams").cast("double")
+        ).alias("diversity"),
+    )

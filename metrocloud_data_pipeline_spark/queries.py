@@ -6032,6 +6032,17 @@ def dedup_impact_by_source(spark, sf_dir):
     return dedup.dedup_impact_by_source(load(spark, sf_dir, "documents"))
 
 
+@q("text_ngram_diversity_approx")
+def text_ngram_diversity_approx(spark, sf_dir):
+    """Sketch twin of text_ngram_diversity: distinct grams via
+    HyperLogLog++ (2% rsd) so per-source agg state is sketch-sized at
+    100 TB — the swap the exact form's docstring documents. Rows-only
+    (sketch estimates vary); the >= 95%-agreement-with-exact pytest is
+    the gate, the exact twin holds the hash-green row."""
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    return text.ngram_diversity_approx(docs, ns=(1, 2, 3), rsd=0.02)
+
+
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (historically the first
 # 50 of the registry). Round-9 rotation (freshness invariant): the
@@ -6090,6 +6101,7 @@ QUERY_ORDER = [
     "langid_confusion",
     "shard_skew_report",
     "dedup_impact_by_source",
+    "text_ngram_diversity_approx",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -6099,9 +6111,9 @@ QUERY_ORDER = [
     "seq_pack_summary",
     # last driver row r4:
     "dedup_keep_list",
-    # last driver row r5 (oldest-first; window cutoff after 50):
-    "tfidf_top_terms",
     # --- driver window ends here (first 50) ---
+    # last driver row r5 (oldest-first):
+    "tfidf_top_terms",
     "vocab_coverage",
     "source_mix_temperature",
     "quality_quantile_filter",

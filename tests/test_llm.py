@@ -2371,3 +2371,21 @@ def test_dedup_impact_by_source_attribution(spark):
     # impact sums to exactly what exact_dedup drops
     dropped = 5 - dedup.exact_dedup(docs).count()
     assert sum(r["n_removed"] for r in out.values()) == dropped
+
+
+def test_ngram_diversity_approx_agreement(spark):
+    rows = [
+        (i, " ".join(f"w{(i * 37 + j) % 200}" for j in range(30)), "en", f"s{i % 3}", 120)
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    exact = {(r["source"], r["n"]): r for r in text.ngram_diversity(docs).collect()}
+    approx = {(r["source"], r["n"]): r for r in text.ngram_diversity_approx(docs).collect()}
+    assert set(exact) == set(approx)
+    for k, e in exact.items():
+        a = approx[k]
+        assert a["total_grams"] == e["total_grams"]  # exact count, same scan
+        assert a["distinct_grams"] == pytest.approx(e["distinct_grams"], rel=0.05)
+        assert a["diversity"] == pytest.approx(e["diversity"], rel=0.05)
