@@ -164,6 +164,7 @@ HEADLINE = [
     "shard_skew_report",
     "dedup_impact_by_source",
     "text_ngram_diversity_approx",
+    "source_filter_funnel",
     # ivfpq_refine_sweep deliberately NOT here: like ivfpq_recall_report
     # it runs multiple brute-force audit passes — a tuning table, not a
     # drift sentinel (same call as r9's HEADLINE swap).

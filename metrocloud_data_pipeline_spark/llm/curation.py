@@ -2197,3 +2197,52 @@ def shard_skew_report(
             "x_mean"
         ),
     )
+
+
+def source_filter_funnel(docs: DataFrame) -> DataFrame:
+    """corpus_filter_funnel broken out PER SOURCE — the mixture
+    designer's view: which sources die at which gate (a source whose
+    mass is mostly Gopher-rejected is low-quality; one that clears the
+    panels but evaporates at dedup is redundant — different remedies,
+    indistinguishable in the corpus-level funnel). Per source:
+    n_all, n_gopher (panel pass), n_c4 (+page keep), n_kept (exact-
+    dedup keeper among survivors, GLOBAL keeper rule — a doc that
+    loses its text to another source's keeper counts as removed here,
+    exactly as deployed), frac_kept.
+
+    Plan shape: identical gates to corpus_filter_funnel (shared flag
+    expressions; the oracles share one SQL fragment), one digest
+    shuffle over the filtered survivors, and a source-keyed partial
+    agg instead of the 1-row fold."""
+    g = gopher_quality_panel(docs).select("doc_id", "gopher_pass")
+    c = c4_line_filter(docs).select("doc_id", "c4_keep")
+    from .dedup import _norm_text
+
+    flags = (
+        docs.select(
+            "doc_id", "source", F.md5(_norm_text(F.col("text"))).alias("_digest")
+        )
+        .join(g, "doc_id")
+        .join(c, "doc_id")
+    )
+    surv = flags.where(F.col("gopher_pass") & F.col("c4_keep"))
+    keep = surv.groupBy("_digest").agg(F.min("doc_id").alias("_kid"))
+    marked = flags.join(keep, "_digest", "left").select(
+        "source",
+        F.col("gopher_pass").cast("long").alias("g1"),
+        (F.col("gopher_pass") & F.col("c4_keep")).cast("long").alias("g2"),
+        (
+            F.col("gopher_pass")
+            & F.col("c4_keep")
+            & (F.col("doc_id") == F.col("_kid"))
+        ).cast("long").alias("g3"),
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("g1").alias("n_gopher"),
+        F.sum("g2").alias("n_c4"),
+        F.sum("g3").alias("n_kept"),
+        round6(F.sum("g3").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "frac_kept"
+        ),
+    )

@@ -3020,10 +3020,12 @@ def ccnet_perplexity_buckets_approx(spark, sf_dir):
     return curation.ccnet_perplexity_buckets(load(spark, sf_dir, "documents"), mode="approx")
 
 
-@q(
-    "corpus_filter_funnel",
-    oracle=r"""
-WITH d AS (
+# Shared oracle fragment: the funnel gate flags — CTEs from the raw
+# documents through `f(doc_id, digest, gpass, ckeep)` (Gopher panel
+# pass + C4 page keep + normalized digest). Consumed by
+# corpus_filter_funnel and source_filter_funnel so the corpus-level
+# and per-source funnels can never disagree on a gate.
+_FUNNEL_FLAGS_SQL = r"""WITH d AS (
   SELECT doc_id, coalesce(text, '') AS ctext, lower(coalesce(text, '')) AS lt,
          regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g') AS norm
   FROM documents
@@ -3069,7 +3071,14 @@ WITH d AS (
      AND NOT contains(lt, 'lorem ipsum')
      AND NOT contains(ctext, '{')) AS ckeep
   FROM m
-), s AS (SELECT doc_id, digest FROM f WHERE gpass AND ckeep),
+)"""
+
+
+@q(
+    "corpus_filter_funnel",
+    oracle=_FUNNEL_FLAGS_SQL
+    + r"""
+, s AS (SELECT doc_id, digest FROM f WHERE gpass AND ckeep),
 k AS (SELECT digest, min(doc_id) AS kid FROM s GROUP BY 1),
 c3 AS (SELECT count(*) AS n FROM s JOIN k ON s.digest = k.digest AND s.doc_id = k.kid),
 tot AS (
@@ -6043,6 +6052,37 @@ def text_ngram_diversity_approx(spark, sf_dir):
     return text.ngram_diversity_approx(docs, ns=(1, 2, 3), rsd=0.02)
 
 
+@q(
+    "source_filter_funnel",
+    oracle=_FUNNEL_FLAGS_SQL
+    + r"""
+, fs AS (
+  SELECT f.doc_id, d2.source, f.digest, f.gpass, f.ckeep
+  FROM f JOIN documents d2 ON f.doc_id = d2.doc_id
+), k AS (
+  SELECT digest, min(doc_id) AS kid FROM fs WHERE gpass AND ckeep GROUP BY 1
+)
+SELECT source, count(*) AS n_all,
+       CAST(sum(CASE WHEN gpass THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+       CAST(sum(CASE WHEN gpass AND ckeep THEN 1 ELSE 0 END) AS BIGINT) AS n_c4,
+       CAST(sum(CASE WHEN gpass AND ckeep AND fs.doc_id = k.kid
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(sum(CASE WHEN gpass AND ckeep AND fs.doc_id = k.kid
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS frac_kept
+FROM fs LEFT JOIN k ON fs.digest = k.digest
+GROUP BY source
+""",
+)
+def source_filter_funnel(spark, sf_dir):
+    """corpus_filter_funnel broken out per source — which sources die
+    at which gate (mostly-Gopher-rejected = low quality; clears the
+    panels but evaporates at dedup = redundant; different remedies the
+    corpus-level funnel can't distinguish). Gates share one oracle
+    fragment with the corpus funnel, so the two can never disagree;
+    the dedup keeper is the GLOBAL rule, exactly as deployed."""
+    return curation.source_filter_funnel(load(spark, sf_dir, "documents"))
+
+
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (historically the first
 # 50 of the registry). Round-9 rotation (freshness invariant): the
@@ -6102,6 +6142,7 @@ QUERY_ORDER = [
     "shard_skew_report",
     "dedup_impact_by_source",
     "text_ngram_diversity_approx",
+    "source_filter_funnel",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
@@ -6109,9 +6150,9 @@ QUERY_ORDER = [
     "dedup_embed_cosine_lsh",
     "dedup_simhash",
     "seq_pack_summary",
+    # --- driver window ends here (first 50) ---
     # last driver row r4:
     "dedup_keep_list",
-    # --- driver window ends here (first 50) ---
     # last driver row r5 (oldest-first):
     "tfidf_top_terms",
     "vocab_coverage",

@@ -2389,3 +2389,26 @@ def test_ngram_diversity_approx_agreement(spark):
         assert a["total_grams"] == e["total_grams"]  # exact count, same scan
         assert a["distinct_grams"] == pytest.approx(e["distinct_grams"], rel=0.05)
         assert a["diversity"] == pytest.approx(e["diversity"], rel=0.05)
+
+
+def test_source_filter_funnel_agrees_with_corpus_funnel(spark):
+    good = ". ".join(" ".join(f"the w{i}k{j} be to of and that have with it" for j in range(8)) for i in range(3)) + "."
+    rows = [
+        (0, good, "en", "clean", len(good)),
+        (1, good, "en", "mirror", len(good)),          # dup: loses to 0 globally
+        (2, "short junk", "en", "junky", 10),          # fails gopher word floor
+        (3, good + " extra tail words here now", "en", "clean", len(good) + 26),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    per = {r["source"]: r for r in curation.source_filter_funnel(docs).collect()}
+    tot = {r["stage_name"]: r["n_docs"] for r in curation.corpus_filter_funnel(docs).collect()}
+    # per-source funnel sums to the corpus funnel at every stage
+    assert sum(r["n_all"] for r in per.values()) == tot["all"]
+    assert sum(r["n_gopher"] for r in per.values()) == tot["gopher"]
+    assert sum(r["n_c4"] for r in per.values()) == tot["c4"]
+    assert sum(r["n_kept"] for r in per.values()) == tot["dedup"]
+    # the mirror's copy loses to clean's keeper under the GLOBAL rule
+    assert per["mirror"]["n_c4"] >= 1 and per["mirror"]["n_kept"] == 0
+    assert per["junky"]["n_gopher"] == 0

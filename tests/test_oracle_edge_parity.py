@@ -82,6 +82,7 @@ DOC_QUERIES = [
     "langid_confusion",
     "shard_skew_report",
     "dedup_impact_by_source",
+    "source_filter_funnel",
 ]
 
 EDGE_ROWS = [
