@@ -165,6 +165,7 @@ HEADLINE = [
     "dedup_impact_by_source",
     "text_ngram_diversity_approx",
     "source_filter_funnel",
+    "embed_centroid_drift",
     # ivfpq_refine_sweep deliberately NOT here: like ivfpq_recall_report
     # it runs multiple brute-force audit passes — a tuning table, not a
     # drift sentinel (same call as r9's HEADLINE swap).

@@ -2295,3 +2295,57 @@ def embed_label_purity(embeddings: DataFrame, vec_col: str = "embedding") -> Dat
             ),
         )
     )
+
+
+def embed_centroid_drift(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Embedding-distribution drift between the corpus's two
+    deterministic halves (even/odd vec_id — the order-free stand-in
+    for successive ingest batches): per label, the cosine between the
+    halves' centroids and both half sizes. A centroid cosine sagging
+    below ~0.99 on refreshed data is the re-embed / retrain-the-IVF-
+    codebook signal (quantizer_fingerprint guards against serving the
+    WRONG index; this guards against serving a stale-but-matching
+    one). Centroid components round to 6 decimals on both engines so
+    the report is bit-portable (the embed_label_purity convention).
+
+    Plan shape: ONE posexplode scan partial-aggregated to
+    (label, half, dim) — state is 2 x labels x dim — then a
+    label-keyed pairing of the two half-centroids and a codegen
+    cosine fold; nothing corpus-sized survives the first agg."""
+    half = (F.col("vec_id") % 2).cast("int")
+    per_dim = (
+        embeddings.select("label", half.alias("half"), F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("label", "half", "pos")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"),
+        )
+    )
+    cents = per_dim.groupBy("label", "half").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+        ).alias("centroid")
+    )
+    sizes = (
+        embeddings.select("label", half.alias("half"))
+        .groupBy("label", "half")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = cents.where(F.col("half") == 0).select(
+        "label", F.col("centroid").alias("cent_a")
+    )
+    b = cents.where(F.col("half") == 1).select(
+        "label", F.col("centroid").alias("cent_b")
+    )
+    na = sizes.where(F.col("half") == 0).select("label", F.col("n").alias("n_even"))
+    nb = sizes.where(F.col("half") == 1).select("label", F.col("n").alias("n_odd"))
+    return (
+        a.join(b, "label")
+        .join(na, "label")
+        .join(nb, "label")
+        .select(
+            "label",
+            "n_even",
+            "n_odd",
+            round6(cosine_col(F.col("cent_a"), F.col("cent_b"))).alias("centroid_cos"),
+        )
+    )

@@ -6083,6 +6083,46 @@ def source_filter_funnel(spark, sf_dir):
     return curation.source_filter_funnel(load(spark, sf_dir, "documents"))
 
 
+@q(
+    "embed_centroid_drift",
+    oracle="""
+WITH dim AS (
+  SELECT label, CAST(vec_id % 2 AS INTEGER) AS half, t.i AS pos,
+         round(avg(CAST(embedding[t.i] AS DOUBLE)), 6) AS cv
+  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+  GROUP BY 1, 2, 3
+), cent AS (
+  SELECT label, half, list(cv ORDER BY pos) AS centroid
+  FROM dim GROUP BY 1, 2
+), sizes AS (
+  SELECT label, CAST(vec_id % 2 AS INTEGER) AS half, count(*) AS n
+  FROM embeddings GROUP BY 1, 2
+)
+SELECT a.label,
+       CAST(na.n AS BIGINT) AS n_even,
+       CAST(nb.n AS BIGINT) AS n_odd,
+       round(
+         list_sum(list_transform(list_zip(a.centroid, b.centroid),
+                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.centroid, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.centroid, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) AS centroid_cos
+FROM cent a
+JOIN cent b ON a.label = b.label AND a.half = 0 AND b.half = 1
+JOIN sizes na ON na.label = a.label AND na.half = 0
+JOIN sizes nb ON nb.label = a.label AND nb.half = 1
+""",
+)
+def embed_centroid_drift(spark, sf_dir):
+    """Embedding-distribution drift between the corpus's even/odd
+    vec_id halves (the order-free stand-in for successive ingest
+    batches): per label, the cosine between the two half-centroids —
+    a sag below ~0.99 on refreshed data is the re-embed /
+    retrain-the-IVF-codebook signal. Centroid components rounded to 6
+    decimals on both engines (the embed_label_purity convention)."""
+    return similarity.embed_centroid_drift(load(spark, sf_dir, "embeddings"))
+
+
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (historically the first
 # 50 of the registry). Round-9 rotation (freshness invariant): the
@@ -6143,14 +6183,15 @@ QUERY_ORDER = [
     "dedup_impact_by_source",
     "text_ngram_diversity_approx",
     "source_filter_funnel",
+    "embed_centroid_drift",
     # last driver row r3:
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
     "knn_lsh",
     "dedup_embed_cosine_lsh",
     "dedup_simhash",
-    "seq_pack_summary",
     # --- driver window ends here (first 50) ---
+    "seq_pack_summary",
     # last driver row r4:
     "dedup_keep_list",
     # last driver row r5 (oldest-first):

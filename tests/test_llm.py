@@ -2412,3 +2412,20 @@ def test_source_filter_funnel_agrees_with_corpus_funnel(spark):
     # the mirror's copy loses to clean's keeper under the GLOBAL rule
     assert per["mirror"]["n_c4"] >= 1 and per["mirror"]["n_kept"] == 0
     assert per["junky"]["n_gopher"] == 0
+
+
+def test_embed_centroid_drift_identical_and_shifted(spark):
+    # label 0: both halves identical distribution -> cos 1.0
+    # label 1: odd half orthogonal to even half -> cos ~0
+    rows = []
+    for i in range(8):
+        rows.append((2 * i, [1.0, 0.0], 0))        # even, label 0
+        rows.append((2 * i + 1, [1.0, 0.0], 0))    # odd,  label 0
+    for i in range(8):
+        rows.append((100 + 2 * i, [1.0, 0.0], 1))      # even, label 1
+        rows.append((101 + 2 * i, [0.0, 1.0], 1))      # odd,  label 1 (shifted)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in similarity.embed_centroid_drift(emb).collect()}
+    assert out[0]["centroid_cos"] == pytest.approx(1.0, abs=1e-6)
+    assert out[0]["n_even"] == 8 and out[0]["n_odd"] == 8
+    assert out[1]["centroid_cos"] == pytest.approx(0.0, abs=1e-6)
