@@ -6125,76 +6125,22 @@ def embed_centroid_drift(spark, sf_dir):
 
 # Registration order is a verification budget: the harness verdicts
 # queries in order and may stop after a prefix (historically the first
-# 50 of the registry). Round-9 rotation (freshness invariant): the
-# window is NEVER-CHECKED queries first (dedup_substring_spans, whose
-# missing list entry broke the r8 registry), then STALEST-FIRST by the
-# last driver CORRECTNESS round each query earned a row in — the six
-# r3 rows, the one r4 row, then the oldest r5 rows up to the 50-query
-# cutoff. New queries registered this round are inserted at the head
-# (never-checked beats stale-refresh, the r6 precedent). The queue
-# below the cutoff continues stalest-first: the remaining r5 rows (the
-# r10 window head), then the r6-green block, then the r7-green block
-# (freshest last).
+# 50 of the registry). The window below is strictly STALEST-FIRST by
+# the last round each query earned a green driver CORRECTNESS row
+# (tools/freshness.py recomputes this; tests/test_registry.py gates it).
 QUERY_ORDER = [
-    # --- r9 window (first 50 = driver-checked this round) ---
-    # never-checked (the r8 breaker, oracle repaired this round; plus
-    # the queries new in r9):
-    "dedup_substring_spans",
-    "ivfpq_recall_report",
-    "dsir_hashed_weights",
-    "dedup_rag_chunks",
-    "dedup_substring_excise",
-    "decontaminate_embed",
-    "dedup_keep_best",
-    "text_repetition_panel",
-    "gopher_quality_panel",
-    "c4_line_filter",
-    "minhash_recall_report",
-    "dedup_c4_sentence_spans",
-    "boilerplate_line_filter",
-    "ccnet_perplexity_buckets",
-    "ccnet_perplexity_buckets_approx",
-    "corpus_filter_funnel",
-    "ivfpq_refine_sweep",
-    "embed_diverse_sample",
-    "dedup_cluster_histogram",
-    "text_fertility_by_lang",
-    "text_ngram_diversity",
-    "text_char_entropy",
-    "dedup_source_overlap",
-    "quality_rank_fusion",
-    "text_zipf_slope",
-    "source_js_divergence",
-    "embed_label_purity",
-    "kn_bigram_surprisal",
-    "mixture_epoch_plan",
-    "lsh_band_planner",
-    "doc_outlier_panel",
-    "corpus_datacard",
-    "minhash_precision_report",
-    "context_length_plan",
-    "sample_mix_audit",
-    "winnow_similar_topk",
-    "text_hot_tokens",
-    "text_hot_tokens_approx",
-    "quality_signal_correlation",
-    "langid_confusion",
-    "shard_skew_report",
-    "dedup_impact_by_source",
-    "text_ngram_diversity_approx",
-    "source_filter_funnel",
-    "embed_centroid_drift",
-    # last driver row r3:
-    "a6_table_stats_approx",
-    "a9_daily_quality_approx",
-    "knn_lsh",
-    "dedup_embed_cosine_lsh",
-    "dedup_simhash",
-    # --- driver window ends here (first 50) ---
+    # --- r10 window (first 50 = driver-checked this round) ---
+    # Round-10 rotation clears the freshness backlog in one shot
+    # (VERDICT r9 #1): the window is exactly the 50 STALEST rows by
+    # last green driver CORRECTNESS round — seq_pack_summary (r3),
+    # dedup_keep_list (r4), then 48 of the 49 r5 rows. New r10 keys
+    # are registered AFTER the window (capped, per the verdict) so
+    # this round is pure re-verification of the stale surface.
+    # last green driver row r3:
     "seq_pack_summary",
-    # last driver row r4:
+    # last green driver row r4:
     "dedup_keep_list",
-    # last driver row r5 (oldest-first):
+    # last green driver row r5:
     "tfidf_top_terms",
     "vocab_coverage",
     "source_mix_temperature",
@@ -6204,10 +6150,6 @@ QUERY_ORDER = [
     "unigram_surprisal",
     "kmeans_embed_clusters",
     "pca_variance_report",
-    # r10 queue head (displaced from the window by the sixteen text/
-    # curation/embedding/dedup queries new this round — never-checked
-    # beats stale-refresh; ALL registered queries passed the full
-    # local parity gate at sf0.01 this round, PARITY_LOCAL.json):
     "h20_excess_supply",
     "h2_min_cost_supplier",
     "h11_important_parts",
@@ -6234,8 +6176,6 @@ QUERY_ORDER = [
     "text_clean_stats",
     "quality_filter_report",
     "pii_scrub_stats",
-    # r10 queue head: the r5 rows past the cutoff (the new-query
-    # insertions above displaced strat/asof/a11/t2/f5/a1/a4):
     "stratified_split",
     "asof_last_error",
     "a11_type_daily_rollup",
@@ -6249,8 +6189,12 @@ QUERY_ORDER = [
     "t1_unpivot_measures",
     "dedup_exact",
     "text_bpe_token_stats",
+    # --- driver window ends here (first 50) ---
+    # r11 queue head: the one r5 row past the cutoff, then any
+    # never-checked r10 registrations, then r6/r7/r9 blocks
+    # (freshest last).
     "text_quality_score",
-    # r6-green block:
+    # last green driver row r6:
     "knn_join_ivf_bucketed",
     "knn_recall_report",
     "obs_hot_keys",
@@ -6301,7 +6245,7 @@ QUERY_ORDER = [
     "h8_market_share",
     "w4_user_sessions",
     "langid_heuristic",
-    # r7-green block (freshest):
+    # last green driver row r7:
     "w8b_gapfill_interpolate",
     "f6c_tags_lookup_indexed",
     "a13b_cascade_incremental",
@@ -6352,6 +6296,57 @@ QUERY_ORDER = [
     "knn_join_ivf",
     "dsir_importance_weights",
     "quality_lr_score",
+    # last green driver row r9:
+    "dedup_substring_spans",
+    "ivfpq_recall_report",
+    "dsir_hashed_weights",
+    "dedup_rag_chunks",
+    "dedup_substring_excise",
+    "decontaminate_embed",
+    "dedup_keep_best",
+    "text_repetition_panel",
+    "gopher_quality_panel",
+    "c4_line_filter",
+    "minhash_recall_report",
+    "dedup_c4_sentence_spans",
+    "boilerplate_line_filter",
+    "ccnet_perplexity_buckets",
+    "ccnet_perplexity_buckets_approx",
+    "corpus_filter_funnel",
+    "ivfpq_refine_sweep",
+    "embed_diverse_sample",
+    "dedup_cluster_histogram",
+    "text_fertility_by_lang",
+    "text_ngram_diversity",
+    "text_char_entropy",
+    "dedup_source_overlap",
+    "quality_rank_fusion",
+    "text_zipf_slope",
+    "source_js_divergence",
+    "embed_label_purity",
+    "kn_bigram_surprisal",
+    "mixture_epoch_plan",
+    "lsh_band_planner",
+    "doc_outlier_panel",
+    "corpus_datacard",
+    "minhash_precision_report",
+    "context_length_plan",
+    "sample_mix_audit",
+    "winnow_similar_topk",
+    "text_hot_tokens",
+    "text_hot_tokens_approx",
+    "quality_signal_correlation",
+    "langid_confusion",
+    "shard_skew_report",
+    "dedup_impact_by_source",
+    "text_ngram_diversity_approx",
+    "source_filter_funnel",
+    "embed_centroid_drift",
+    "a6_table_stats_approx",
+    "a9_daily_quality_approx",
+    "knn_lsh",
+    "dedup_embed_cosine_lsh",
+    "dedup_simhash",
 ]
 
 

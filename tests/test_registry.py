@@ -35,6 +35,45 @@ def test_get_queries_returns_full_ordered_registry():
     assert len(got) == len(q.SPARK_QUERIES)
 
 
+def test_driver_freshness_debt_is_in_the_window():
+    """Every query whose newest green driver CORRECTNESS row is >= 5
+    rounds old must sit inside the 50-slot driver window, i.e. the next
+    driver run will refresh it.  The round-9 tree violated this
+    (seq_pack_summary age 6 / dedup_keep_list age 5 sat below the
+    cutoff while new keys took the window), which let a quarter of the
+    surface go 4+ rounds without a hard-signal row.  Fix on failure:
+    move the named keys to the head of QUERY_ORDER.
+    """
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1] / "tools"))
+    from freshness import staleness_report
+
+    rep = staleness_report(q.QUERY_ORDER, window=50, max_age=5)
+    assert not rep["stale_outside_window"], (
+        "stale queries outside the driver window (name, age, position): "
+        f"{rep['stale_outside_window']}"
+    )
+
+
+def test_new_keys_have_registration_round():
+    """A key with no driver row in any CORRECTNESS artifact must be in
+    FIRST_REGISTERED_ROUND (tools/freshness.py) so the freshness gate
+    can age it from its birth round instead of skipping it forever."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1] / "tools"))
+    from freshness import FIRST_REGISTERED_ROUND, latest_green_rounds
+
+    latest, _ = latest_green_rounds()
+    never_checked = [
+        name for name in q.QUERY_ORDER
+        if name not in latest and name not in FIRST_REGISTERED_ROUND
+    ]
+    assert not never_checked, (
+        "queries with no driver row and no registration round recorded: "
+        f"{never_checked} — add them to FIRST_REGISTERED_ROUND"
+    )
+
+
 def test_oracles_are_nonempty_single_statements():
     for name, sql in q.ORACLE_SQL.items():
         assert sql.strip(), f"{name}: empty oracle"

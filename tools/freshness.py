@@ -1,0 +1,121 @@
+"""Driver-row freshness ledger.
+
+The harness verdicts a 50-query prefix of ``QUERY_ORDER`` per round and
+records the outcome in ``CORRECTNESS_r{N}.json``.  A query whose newest
+green driver row is many rounds old is code the hard-signal chain no
+longer covers (the round-9 verdict's one real debt: 51 rows with no row
+newer than r5).  This module recomputes, from the committed artifacts,
+the latest green round per registered query — both the r10 window
+rotation and the ``tests/test_registry.py`` freshness gate are built on
+it, so the ledger and the gate can never drift apart.
+
+A row counts as green when the driver recorded it without error and the
+hash/rows checks that ran all passed; ``no_oracle`` rows-only rows count
+(that is the documented contract for non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Queries first registered in a given round have no driver row yet; the
+# freshness gate ages them from their registration round instead of
+# treating them as infinitely stale (new keys are deliberately placed
+# AFTER the window per the r9 verdict's new-key cap).  Keys absent from
+# this map fall back to their newest green driver row.
+FIRST_REGISTERED_ROUND: dict[str, int] = {
+    "kn_trigram_surprisal": 10,
+    "langid_trained_report": 10,
+}
+
+
+def _row_is_green(row: dict) -> bool:
+    err = row.get("err")
+    if err is None:
+        return (
+            row.get("hash_match") in (True, None)
+            and row.get("rows_match") in (True, None)
+            and row.get("schema_match") in (True, None)
+        )
+    # rows-only queries (no oracle_sql entry by design) are green when
+    # the driver successfully materialized a row count for them
+    return err == "no_oracle" and row.get("spark_rows") is not None
+
+
+def correctness_files(root: str = REPO_ROOT) -> list[tuple[int, str]]:
+    out = []
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            out.append((int(m.group(1)), path))
+    return sorted(out)
+
+
+def latest_green_rounds(root: str = REPO_ROOT) -> tuple[dict[str, int], int]:
+    """(query -> newest round with a green driver row, newest round seen)."""
+    latest: dict[str, int] = {}
+    max_round = 0
+    for rnd, path in correctness_files(root):
+        max_round = max(max_round, rnd)
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            if isinstance(row, dict) and _row_is_green(row):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest, max_round
+
+
+def staleness_report(query_order: list[str], window: int = 50,
+                     max_age: int = 5, root: str = REPO_ROOT) -> dict:
+    """Which registered queries are stale, and are they in the window?
+
+    ``max_age`` = 5: with a 50-slot window over a ~200-key registry a
+    query is re-verified every ~4 rounds when rotation is honest; age 5+
+    outside the window means rotation broke (this fires on the r9 tree,
+    where seq_pack_summary sat at age 6 / dedup_keep_list at age 5 below
+    the cutoff).
+    """
+    latest, max_round = latest_green_rounds(root)
+    stale_outside_window = []
+    ages = {}
+    for idx, name in enumerate(query_order):
+        born = FIRST_REGISTERED_ROUND.get(name, 0)
+        newest = max(latest.get(name, 0), born)
+        age = max_round - newest if newest else None
+        ages[name] = age
+        if age is not None and age >= max_age and idx >= window:
+            stale_outside_window.append((name, age, idx))
+    return {
+        "max_round": max_round,
+        "ages": ages,
+        "stale_outside_window": stale_outside_window,
+    }
+
+
+if __name__ == "__main__":
+    import ast
+
+    src_path = os.path.join(
+        REPO_ROOT, "metrocloud_data_pipeline_spark", "queries.py")
+    with open(src_path) as f:
+        tree = ast.parse(f.read())
+    order: list[str] = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and any(
+                getattr(t, "id", "") == "QUERY_ORDER" for t in node.targets):
+            order = [ast.literal_eval(e) for e in node.value.elts]
+    rep = staleness_report(order)
+    from collections import Counter
+    print("max_round:", rep["max_round"])
+    print("age histogram:", dict(Counter(rep["ages"].values())))
+    if rep["stale_outside_window"]:
+        print("STALE OUTSIDE WINDOW:")
+        for name, age, idx in rep["stale_outside_window"]:
+            print(f"  {name} (age {age}, position {idx})")
+    else:
+        print("freshness OK: every age>=5 key is inside the driver window")
