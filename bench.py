@@ -166,6 +166,11 @@ HEADLINE = [
     "text_ngram_diversity_approx",
     "source_filter_funnel",
     "embed_centroid_drift",
+    # r10: KN one order up (scale-path: gram-type-bounded joins)
+    "kn_trigram_surprisal",
+    # langid_trained_report deliberately NOT here: an n_iter x n_langs
+    # TRAINING loop like quality_lr_score (fit once per corpus
+    # snapshot); it is timed once per round by `bench.py --all`.
     # ivfpq_refine_sweep deliberately NOT here: like ivfpq_recall_report
     # it runs multiple brute-force audit passes — a tuning table, not a
     # drift sentinel (same call as r9's HEADLINE swap).
@@ -222,6 +227,86 @@ SENTINEL = "h1_pricing_summary"
 
 def run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def main_all() -> None:
+    """`bench.py --all`: one timed pass over EVERY registered query
+    (runs=1, no medians) archived to BENCH_FULL_LOCAL.json — the
+    once-per-round blind-spot closer the r9 verdict asked for: the ~68
+    keys excluded from HEADLINE (documented degeneracies: audit
+    stages, training loops, oracle-parity configs) get a timing record
+    so a plan regression there surfaces in the vs_prev table instead
+    of only via a probe re-run. Not the drift gate — single-shot
+    numbers on this host swing ±30% with load (SURVEY §6), so read
+    the SENTINEL-NORMALIZED vs_prev ratios, never raw seconds."""
+    spark = get_spark("bench-full")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = get_queries()
+    run_noop(qs["a6_table_stats"](spark, SF_DIR))
+    run_noop(qs["h1_pricing_summary"](spark, SF_DIR))
+    run_noop(qs["media_feature_extract"](spark, SF_DIR))
+    run_noop(qs["knn_brute_force"](spark, SF_DIR))
+    run_noop(qs["knn_join_ivf"](spark, SF_DIR))
+    import gc
+
+    timings: dict[str, float] = {}
+    for name in qs:
+        t0 = time.perf_counter()
+        run_noop(qs[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        gc.collect()
+    sentinel_sec = timings[SENTINEL]
+    normalized = {n: round(s / sentinel_sec, 3) for n, s in timings.items()}
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_path = os.path.join(here, "BENCH_FULL_LOCAL.json")
+    vs: dict = {}
+    if os.path.exists(prev_path):
+        try:
+            with open(prev_path) as f:
+                prev = json.load(f)
+            prev_norm = prev.get("queries_norm") or {}
+            if prev.get("sf") == sf_val and prev_norm:
+                ratios = {
+                    n: round(normalized[n] / prev_norm[n], 3)
+                    for n in normalized
+                    if prev_norm.get(n, 0) > 0
+                }
+                med = statistics.median(ratios.values()) if ratios else 1.0
+                vs = {
+                    "baseline": "BENCH_FULL_LOCAL.json(prev)",
+                    "common_queries": len(ratios),
+                    "median_norm_ratio": round(med, 3),
+                    "vs_median_regressions_gt_1_3": {
+                        n: round(r / med, 3)
+                        for n, r in sorted(ratios.items())
+                        if r / med > 1.3
+                    },
+                }
+        except Exception:
+            vs = {}
+    out = {
+        "queries": timings,
+        "queries_norm": normalized,
+        "metric": "full_suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf_val,
+        "runs": 1,
+        "n_queries": len(timings),
+        "sentinel": {"name": SENTINEL, "sec": sentinel_sec},
+        "worst5_norm": dict(
+            sorted(normalized.items(), key=lambda kv: kv[1], reverse=True)[:5]
+        ),
+        "vs_prev": vs,
+    }
+    with open(prev_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items() if k != "queries_norm"}))
 
 
 def main() -> None:
@@ -448,4 +533,7 @@ def _vs_prev(normalized: dict[str, float], sf_val) -> dict:
 
 
 if __name__ == "__main__":
-    main()
+    if "--all" in sys.argv[1:]:
+        main_all()
+    else:
+        main()

@@ -1210,6 +1210,125 @@ def kn_bigram_surprisal(
     )
 
 
+def kn_trigram_surprisal(
+    docs: DataFrame, discount: float = 0.75, materialize: bool = True
+) -> DataFrame:
+    """Per-document mean trigram surprisal under interpolated
+    Kneser-Ney at order 3 (Chen & Goodman 1999 §3; the closest
+    deterministic stand-in for the 5-gram KenLM CCNet's perplexity
+    filter uses — kn_bigram_surprisal one order up):
+
+      P(w3|w1 w2) = max(c(w1w2w3)-D, 0)/c(w1w2,.)
+                    + D * N1+(w1w2,.)/c(w1w2,.) * Pmid(w3|w2)
+      Pmid(w3|w2) = max(N1+(.,w2w3)-D, 0)/N1+(.,w2,.)
+                    + D * N1+KN(w2,.)/N1+(.,w2,.) * N1+(.,w3)/B
+
+    where the middle and bottom orders use CONTINUATION counts derived
+    from the trigram type frame (N1+(.,w2w3) = distinct left contexts
+    of the bigram, N1+(.,w2,.) = distinct (w1,w3) frames around w2,
+    N1+KN(w2,.) = distinct continuations of w2 in that modified-count
+    space, N1+(.,w3) = distinct predecessors of w3 among the trigram
+    suffix pairs, B = distinct suffix pairs). Self-scoring the corpus
+    leaves no unseen trigram, so the redistribution — versatile
+    continuations cheap, template-locked ones expensive — is the
+    entire signal, exactly as at order 2.
+
+    Plan shape: one trigram explode (codegen zip-slice over three
+    shifted slices), checkpointed; trigram TYPE counts feed four
+    map-side-combined aggregates (history totals, suffix-pair
+    continuation counts, mid-word normalizers, predecessor counts)
+    plus the 1-row type total broadcast back. Scoring is keyed joins
+    on the TYPE frame (gram-type-bounded, never corpus-bounded); one
+    per-doc fold ends it. Docs with < 3 tokens emit no row."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS, " ")
+    toks = F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    n = F.size(toks)
+    m = F.greatest(n - F.lit(2), F.lit(0))
+    tris = F.zip_with(
+        F.zip_with(
+            F.slice(toks, 1, m),
+            F.slice(toks, 2, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        F.slice(toks, 3, m),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    rows = docs.select("doc_id", F.explode(tris).alias("trigram"))
+    if materialize:
+        rows = rows.localCheckpoint()
+    types = (
+        rows.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .select(
+            "trigram",
+            "ct",
+            F.substring_index("trigram", " ", 2).alias("hist"),
+            F.substring_index("trigram", " ", -2).alias("pair"),
+            F.substring_index(
+                F.substring_index("trigram", " ", 2), " ", -1
+            ).alias("mid"),
+            F.substring_index("trigram", " ", -1).alias("cur"),
+        )
+    )
+    if materialize:
+        types = types.localCheckpoint()
+    hist_stats = types.groupBy("hist").agg(
+        F.sum("ct").alias("ch"), F.count(F.lit(1)).alias("nfwd")
+    )
+    # one row per distinct (mid, cur) suffix pair; cc = N1+(., mid cur)
+    pairs = types.groupBy("pair", "mid", "cur").agg(
+        F.count(F.lit(1)).alias("cc")
+    )
+    if materialize:
+        pairs = pairs.localCheckpoint()
+    mid_stats = pairs.groupBy("mid").agg(
+        F.sum("cc").alias("ccsum"), F.count(F.lit(1)).alias("nfwd_mid")
+    )
+    cur_stats = pairs.groupBy("cur").agg(F.count(F.lit(1)).alias("nback"))
+    btot = pairs.agg(F.count(F.lit(1)).alias("btypes"))
+    d = float(discount)
+    pmid = (
+        F.greatest(F.col("cc").cast("double") - F.lit(d), F.lit(0.0))
+        / F.col("ccsum").cast("double")
+        + F.lit(d)
+        * F.col("nfwd_mid").cast("double")
+        / F.col("ccsum").cast("double")
+        * F.col("nback").cast("double")
+        / F.col("btypes").cast("double")
+    )
+    scored = (
+        types.join(hist_stats, "hist")
+        .join(pairs.select("pair", "cc"), "pair")
+        .join(mid_stats, "mid")
+        .join(cur_stats, "cur")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "trigram",
+            (
+                F.greatest(F.col("ct").cast("double") - F.lit(d), F.lit(0.0))
+                / F.col("ch").cast("double")
+                + F.lit(d)
+                * F.col("nfwd").cast("double")
+                / F.col("ch").cast("double")
+                * pmid
+            ).alias("p_kn"),
+        )
+    )
+    ln2 = 0.6931471805599453
+    return (
+        rows.join(scored, "trigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("trigram_count"),
+            round6(
+                -F.sum(F.log("p_kn")) / F.count(F.lit(1)).cast("double") / F.lit(ln2)
+            ).alias("kn3_bits_per_trigram"),
+        )
+    )
+
+
 def winnow_similar_topk(
     docs: DataFrame,
     top_k: int = 3,
@@ -1284,6 +1403,115 @@ def langid_confusion(docs: DataFrame) -> DataFrame:
         round6(
             F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double")
         ).alias("frac_of_lang"),
+    )
+
+
+def langid_trained_report(
+    docs: DataFrame,
+    n_buckets: int = 32,
+    max_langs: int = 8,
+    n_iter: int = 25,
+    lr: float = 1.0,
+) -> DataFrame:
+    """Trained language ID — the production-shaped upgrade of the
+    stopword heuristic (fastText's role in the CommonCrawl pipelines,
+    Joulin et al. 2017's hashed-n-gram recipe made deterministic):
+    hashed character-trigram frequency features, one-vs-rest logistic
+    regression per declared language via the deterministic lr_fit
+    machinery, argmax scoring as one codegen expression. The output is
+    the audit langid_confusion exists to demand: per declared
+    language, document count and agreement of BOTH predictors with the
+    declared label, side by side.
+
+    Rows-only by design (iterative fit); determinism and
+    beats-the-heuristic-on-planted-multilingual-text invariants are
+    pytest-gated. Trains on the corpus's own declared labels — the
+    self-distillation bootstrap used when no external classifier is
+    allowed in the pipeline; langid_confusion is the smeared-metadata
+    caveat to that choice.
+
+    Plan shape: one char-trigram explode folded to (doc, bucket)
+    counts, rebuilt into an n_buckets-wide frequency frame
+    (checkpointed once); each per-language fit is n_iter narrow
+    mapInPandas passes over that SMALL frame (corpus text never
+    rescanned); scoring + the heuristic comparison is one broadcast
+    profile join and a languages-sized aggregate. At 100 TB the
+    feature frame is docs x n_buckets doubles — the only thing the
+    optimizer ever shuffles."""
+    from .curation import lr_fit
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS, " ")
+    base = docs.select("doc_id", "lang", norm.alias("t"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("t") - F.lit(2), F.lit(0))),
+        lambda i: F.pmod(F.xxhash64(F.col("t").substr(i, F.lit(3))), F.lit(n_buckets)),
+    )
+    rows = base.where(F.length("t") >= 3).select(
+        "doc_id", F.explode(grams).alias("bucket")
+    )
+    cnt = rows.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = cnt.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("bucket", "c")))
+        ).alias("m"),
+        F.sum("c").alias("tot"),
+    )
+    cols = [f"f{b}" for b in range(n_buckets)]
+    feats = (
+        base.select("doc_id", "lang")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            *[
+                (
+                    F.coalesce(F.col("m")[F.lit(b)], F.lit(0)).cast("double")
+                    / F.greatest(F.col("tot"), F.lit(1)).cast("double")
+                ).alias(f"f{b}")
+                for b in range(n_buckets)
+            ],
+        )
+        .localCheckpoint()
+    )
+    langs = [
+        r["lang"]
+        for r in feats.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("lang"))
+        .limit(max_langs)
+        .collect()
+    ]
+    scores = []
+    for lang in langs:
+        labeled = feats.withColumn("y", (F.col("lang") == lang).cast("int"))
+        w, b, _ = lr_fit(labeled, cols, "y", n_iter=n_iter, lr=lr)
+        z = F.lit(float(b))
+        for c, wi in zip(cols, w):
+            z = z + F.col(c) * F.lit(float(wi))
+        scores.append(F.struct(z.alias("z"), F.lit(lang).alias("l")))
+    # argmax over per-class linear scores (sigmoid is monotone); ties
+    # break toward the lexically-larger language name, deterministically
+    trained = feats.select(
+        "doc_id",
+        "lang",
+        F.array_max(F.array(*scores)).getField("l").alias("trained_lang"),
+    )
+    heur = language_id(docs).select("doc_id", "predicted_lang")
+    both = trained.join(heur, "doc_id")
+    return both.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("predicted_lang") == F.col("lang")).cast("long")).alias(
+            "heur_match"
+        ),
+        F.sum((F.col("trained_lang") == F.col("lang")).cast("long")).alias(
+            "trained_match"
+        ),
+        round6(
+            F.avg((F.col("predicted_lang") == F.col("lang")).cast("double"))
+        ).alias("heur_agreement"),
+        round6(
+            F.avg((F.col("trained_lang") == F.col("lang")).cast("double"))
+        ).alias("trained_agreement"),
     )
 
 

@@ -5558,6 +5558,62 @@ def kn_bigram_surprisal(spark, sf_dir):
     return text.kn_bigram_surprisal(docs, discount=0.75)
 
 
+@q(
+    "kn_trigram_surprisal",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_NORM_TOKS_SQL} AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), tri AS MATERIALIZED (
+  SELECT doc_id, toks[u.p] || ' ' || toks[u.p+1] || ' ' || toks[u.p+2] AS trigram
+  FROM t, unnest(generate_series(1, len(toks) - 2)) u(p)
+  WHERE len(toks) >= 3
+), types AS MATERIALIZED (
+  SELECT trigram, count(*) AS ct,
+         string_split(trigram, ' ')[1] || ' ' || string_split(trigram, ' ')[2] AS hist,
+         string_split(trigram, ' ')[2] AS mid,
+         string_split(trigram, ' ')[3] AS cur
+  FROM tri GROUP BY 1
+), hist_stats AS (
+  SELECT hist, CAST(sum(ct) AS BIGINT) AS ch, count(*) AS nfwd
+  FROM types GROUP BY 1
+), pairs AS MATERIALIZED (
+  SELECT mid, cur, count(*) AS cc FROM types GROUP BY 1, 2
+), mid_stats AS (
+  SELECT mid, CAST(sum(cc) AS BIGINT) AS ccsum, count(*) AS nfwd_mid
+  FROM pairs GROUP BY 1
+), cur_stats AS (
+  SELECT cur, count(*) AS nback FROM pairs GROUP BY 1
+), btot AS (SELECT count(*) AS btypes FROM pairs),
+scored AS (
+  SELECT trigram,
+         greatest(CAST(ct AS DOUBLE) - 0.75, 0.0) / CAST(ch AS DOUBLE)
+           + 0.75 * CAST(nfwd AS DOUBLE) / CAST(ch AS DOUBLE)
+             * (greatest(CAST(cc AS DOUBLE) - 0.75, 0.0) / CAST(ccsum AS DOUBLE)
+                + 0.75 * CAST(nfwd_mid AS DOUBLE) / CAST(ccsum AS DOUBLE)
+                  * CAST(nback AS DOUBLE) / CAST(btypes AS DOUBLE)) AS p_kn
+  FROM types JOIN hist_stats USING (hist) JOIN pairs USING (mid, cur)
+       JOIN mid_stats USING (mid) JOIN cur_stats USING (cur)
+  CROSS JOIN btot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS trigram_count,
+       round(-sum(ln(p_kn)) / count(*) / 0.6931471805599453, 6)
+         AS kn3_bits_per_trigram
+FROM tri JOIN scored USING (trigram)
+GROUP BY doc_id
+""",
+)
+def kn_trigram_surprisal(spark, sf_dir):
+    """Per-doc mean trigram surprisal under interpolated Kneser-Ney at
+    order 3 (D=0.75) — the engine's closest deterministic stand-in for
+    the 5-gram KenLM behind CCNet's perplexity filter
+    (ccnet_perplexity_buckets' documented gap), extending the bigram
+    KN count algebra one order: the middle and bottom orders score on
+    continuation counts derived from the trigram type frame."""
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    return text.kn_trigram_surprisal(docs, discount=0.75)
+
+
 _MIX_WEIGHTS = {f"src{i}": 1.0 + (i % 3) for i in range(32)}
 _MIX_WSUM = sum(_MIX_WEIGHTS.values())
 _MIX_BUDGET = 1_000_000
@@ -5978,6 +6034,18 @@ def langid_confusion(spark, sf_dir):
     return text.langid_confusion(load(spark, sf_dir, "documents"))
 
 
+@q("langid_trained_report")
+def langid_trained_report(spark, sf_dir):
+    """Trained language ID (hashed char-trigram features -> one-vs-rest
+    deterministic LR, Joulin 2017's fastText recipe) audited against
+    both the declared labels and the stopword heuristic: per declared
+    language, n_docs and each predictor's agreement rate side by side.
+    Rows-only by design (iterative fit — no single SQL oracle);
+    determinism and planted-multilingual beats-the-heuristic
+    invariants are pytest-gated in tests/test_llm.py."""
+    return text.langid_trained_report(load(spark, sf_dir, "documents"))
+
+
 @q(
     "shard_skew_report",
     oracle=f"""
@@ -6194,6 +6262,10 @@ QUERY_ORDER = [
     # never-checked r10 registrations, then r6/r7/r9 blocks
     # (freshest last).
     "text_quality_score",
+    # new in r10 (never driver-checked; placed after the window per the
+    # r9 verdict's new-key cap — the window is pure stale-refresh):
+    "kn_trigram_surprisal",
+    "langid_trained_report",
     # last green driver row r6:
     "knn_join_ivf_bucketed",
     "knn_recall_report",

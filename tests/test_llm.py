@@ -2106,6 +2106,103 @@ def test_kn_discount_penalises_single_template_pairs(spark):
     assert out[0]["kn_bits_per_bigram"] > 0.0  # MLE would give exactly 0 bits
 
 
+def test_kn_trigram_surprisal_hand_computed(spark):
+    import math
+
+    rows = [
+        (0, "a b c", "en", "s0", 5),
+        (1, "a b c", "en", "s0", 5),
+        (2, "a b d", "en", "s0", 5),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in text.kn_trigram_surprisal(docs).collect()}
+    D = 0.75
+    # trigram types: (a b c) ct=2, (a b d) ct=1; hist "a b": ch=3, nfwd=2
+    # suffix pairs (mid,cur): (b,c) cc=1, (b,d) cc=1  [distinct w1 = {a}]
+    # mid b: ccsum=2, nfwd_mid=2; cur c: nback=1; cur d: nback=1; B=2
+    pmid_c = max(1 - D, 0) / 2 + D * 2 / 2 * 1 / 2
+    pmid_d = pmid_c
+    p_abc = max(2 - D, 0) / 3 + D * 2 / 3 * pmid_c
+    p_abd = max(1 - D, 0) / 3 + D * 2 / 3 * pmid_d
+    assert p_abc + p_abd == pytest.approx(1.0)  # normalizes over seen mass
+    assert out[0]["kn3_bits_per_trigram"] == pytest.approx(
+        -math.log2(p_abc), abs=1e-6
+    )
+    assert out[2]["kn3_bits_per_trigram"] == pytest.approx(
+        -math.log2(p_abd), abs=1e-6
+    )
+    assert out[0]["trigram_count"] == 1
+    # docs with < 3 tokens emit no row
+    short = spark.createDataFrame(
+        [(9, "a b", "en", "s0", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert text.kn_trigram_surprisal(short).count() == 0
+
+
+def test_kn_trigram_discount_penalises_single_template(spark):
+    # "x y z" occurs 5x but only as one template; "p q r"/"p q s" spread
+    # their history's mass. MLE would give the template 0 bits; KN's
+    # discount must not, and the versatile history must stay cheaper
+    # per trigram than a template that frequent deserves under MLE.
+    rows = [(i, "x y z", "en", "s0", 5) for i in range(5)] + [
+        (10, "p q r", "en", "s0", 5),
+        (11, "p q s", "en", "s0", 5),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in text.kn_trigram_surprisal(docs).collect()}
+    assert out[0]["kn3_bits_per_trigram"] > 0.0  # MLE gives exactly 0
+
+
+def test_langid_trained_beats_heuristic_on_planted_corpus(spark):
+    # Two planted "languages" whose words appear in NO stopword profile
+    # (the heuristic predicts unknown for every doc) but whose character
+    # distributions are trivially separable. The trained classifier must
+    # recover the declared labels; the heuristic cannot.
+    rows = []
+    for i in range(12):
+        rows.append((i, "zanzi zunzo zinza zonzu zanzu", "aa", "s0", 29))
+    for i in range(12, 24):
+        rows.append((i, "karto kirti kurta korto kirtu", "bb", "s0", 29))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["lang"]: r for r in text.langid_trained_report(docs).collect()}
+    assert set(out) == {"aa", "bb"}
+    for lang in ("aa", "bb"):
+        assert out[lang]["n_docs"] == 12
+        assert out[lang]["heur_match"] == 0  # no profile words present
+        assert out[lang]["trained_match"] == 12
+        assert out[lang]["trained_agreement"] == pytest.approx(1.0)
+        assert out[lang]["trained_agreement"] > out[lang]["heur_agreement"]
+
+
+def test_langid_trained_is_deterministic(spark):
+    rows = [
+        (i, t, l, "s0", len(t))
+        for i, (t, l) in enumerate(
+            [
+                ("the cat and the dog sat in the sun", "en"),
+                ("el gato y el perro en la casa de los", "es"),
+                ("le chat et le chien dans la maison du", "fr"),
+                ("the quick brown fox jumps over it", "en"),
+                ("la vida es un sueno y los suenos son", "es"),
+                ("les enfants du quartier et des champs", "fr"),
+            ]
+        )
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    a = sorted(map(tuple, text.langid_trained_report(docs).collect()))
+    b = sorted(map(tuple, text.langid_trained_report(docs).collect()))
+    assert a == b  # bit-identical refits (lr_fit's determinism contract)
+
+
 def test_mixture_epoch_plan_caps_and_zero_weight(spark):
     rows = [(i, " ".join(["w"] * 10), "en", src, 20) for i, src in enumerate(["A", "B", "C"])]
     docs = spark.createDataFrame(

@@ -70,6 +70,9 @@ DOC_QUERIES = [
     # repeat rows; the epoch plan's zero-weight/null-source branches;
     # the band planner is table-free (a constant-table parity pin)
     "kn_bigram_surprisal",
+    # round-10: KN one order up — the whitespace-only/self-repeat rows
+    # exercise the continuation-count CTEs' empty/degenerate branches
+    "kn_trigram_surprisal",
     "mixture_epoch_plan",
     "lsh_band_planner",
     "doc_outlier_panel",
