@@ -131,13 +131,18 @@ def repetition_panel(docs: DataFrame) -> DataFrame:
     fraction uses NON-SEPARATOR characters (sum of token lengths) in
     both numerator and denominator; docs with no content report zeros.
 
-    Plan shape: one normalized-token scan feeds every signal; each
-    n-gram size is a per-doc count (map-side combined, keyed by
-    doc_id — never a global gram shuffle) and the n>=5 coverage union
-    explodes dup-gram starts into at most n positions each (dup-
-    bounded). All 10 signals join back on doc_id; a 100 TB corpus
-    pays ~9 bounded per-doc aggregations and zero corpus-wide
-    exchanges beyond the doc_id key."""
+    Plan shape: one normalized-token scan feeds every signal; every
+    gram aggregation is keyed by doc_id — never a global gram
+    shuffle. The six n>=5 coverage sizes share ONE
+    (doc_id, n, gram) shuffle (union of map-side slice branches over
+    the checkpointed token frame; r10, ~12% off the panel at sf0.1 —
+    PROBE_r10 §c) and explode dup-gram starts into at most n
+    positions each (dup-bounded); the three top-gram sizes stay as
+    lean per-n counts (folding them into the shared frame measured
+    SLOWER — they don't need the position lists). All signals join
+    back on doc_id; a 100 TB corpus pays ~6 bounded per-doc
+    aggregations and zero corpus-wide exchanges beyond the doc_id
+    key."""
     from functools import reduce
 
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
@@ -201,32 +206,47 @@ def repetition_panel(docs: DataFrame) -> DataFrame:
         tops.append(top)
 
     # --- dup n-gram coverage (n = 5..10) ----------------------------------
-    covs = []
-    for n in range(5, 11):
-        gc = grams(n)
-        dup = (
-            gc.groupBy("doc_id", "gram")
-            .agg(F.count(F.lit(1)).alias("cnt"), F.collect_list("pos").alias("starts"))
-            .where(F.col("cnt") >= 2)
+    # The six coverage sizes SHARE one shuffle: union the per-n gram
+    # branches (each a map-side slice of the same checkpointed token
+    # frame — no rescan cost) and aggregate once on (doc_id, n, gram).
+    # Measured at sf0.1 (PROBE_r10 §c): 6 collect_list shuffles -> 1
+    # cuts the panel ~12%; folding the n=2..4 top-gram passes into the
+    # same frame LOSES (they don't need `starts`, and dragging the
+    # position lists through their shuffle outweighs the consolidation)
+    # so tops stay as three lean per-n passes above.
+    def gram_branch(n: int):
+        return grams(n).select("doc_id", F.lit(n).alias("n"), "pos", "gram")
+
+    allgrams = reduce(
+        lambda a, b: a.unionByName(b), [gram_branch(n) for n in range(5, 11)]
+    )
+    dup = (
+        allgrams.groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.collect_list("pos").alias("starts"))
+        .where(F.col("cnt") >= 2)
+    )
+    covered = (
+        dup.select("doc_id", "n", F.explode("starts").alias("s"))
+        .select(
+            "doc_id",
+            "n",
+            F.explode(F.sequence(F.col("s"), F.col("s") + F.col("n") - 1)).alias("pos"),
         )
-        covered = (
-            dup.select("doc_id", F.explode("starts").alias("s"))
-            .select(
-                "doc_id",
-                F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(n - 1))).alias("pos"),
-            )
-            .distinct()
-        )
-        cov = (
-            covered.join(tok_rows, ["doc_id", "pos"])
-            .groupBy("doc_id")
-            .agg(F.sum(F.length("tok")).alias(f"_cov{n}_chars"))
-        )
-        covs.append(cov)
+        .distinct()
+    )
+    cov = (
+        covered.join(tok_rows, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .pivot("n", list(range(5, 11)))
+        .agg(F.sum(F.length("tok")))
+    )
+    cov = cov.select(
+        "doc_id", *[F.col(str(n)).alias(f"_cov{n}_chars") for n in range(5, 11)]
+    )
 
     joined = reduce(
         lambda a, b: a.join(b, "doc_id", "left"),
-        [base, lagg] + tops + covs,
+        [base, lagg] + tops + [cov],
         docs.select("doc_id"),
     )
     chars = F.coalesce("_chars", F.lit(0))
@@ -279,6 +299,7 @@ def gopher_quality_panel(
     min_alpha_word_frac: float = 0.8,
     min_stopword_hits: int = 2,
     with_reasons: bool = False,
+    passthrough: bool = False,
 ) -> DataFrame:
     """The NON-repetition half of the Gopher quality filter (Rae et al.
     2021, Table A1) — repetition_panel carries the other ten signals.
@@ -305,7 +326,12 @@ def gopher_quality_panel(
     expression over the token/line arrays — ZERO shuffles, one scan,
     fully codegen. At 100 TB this is a map-only pass; the repetition
     panel's per-doc aggregations are the expensive half, this one is
-    free. Reference has no corpus layer (SURVEY §2.11 extension)."""
+    free. Reference has no corpus layer (SURVEY §2.11 extension).
+
+    passthrough=True carries every input column through next to the
+    signal columns (same contract as quality_filter — the streaming
+    gate's no-join form; input columns must not collide with the
+    signal names)."""
     lt = F.lower(F.col("text"))
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     toks = F.filter(F.split(norm, " "), lambda t: F.length(t) > 0)
@@ -323,8 +349,9 @@ def gopher_quality_panel(
     def is_ellipsis(l):
         return l.endswith("...") | l.endswith("…")
 
+    carry = docs.columns if passthrough else ["doc_id"]
     base = docs.select(
-        "doc_id",
+        *carry,
         F.size(toks).cast("long").alias("n_words"),
         F.length(F.concat_ws("", toks)).cast("long").alias("_word_chars"),
         F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long").alias("_alpha_words"),
@@ -348,7 +375,7 @@ def gopher_quality_panel(
 
     n_words = F.col("n_words")
     scored = base.select(
-        "doc_id",
+        *carry,
         "n_words",
         frac(F.col("_word_chars"), n_words).alias("mean_word_len"),
         frac(F.col("_symbols"), n_words).alias("symbol_word_ratio"),
@@ -390,7 +417,12 @@ def gopher_quality_panel(
 _C4_TERMINALS = (".", "!", "?", '"', "”")
 
 
-def c4_line_filter(docs: DataFrame, min_words: int = 5, min_sentences: int = 3) -> DataFrame:
+def c4_line_filter(
+    docs: DataFrame,
+    min_words: int = 5,
+    min_sentences: int = 3,
+    passthrough: bool = False,
+) -> DataFrame:
     """The C4 cleaning pass (Raffel et al. 2020, §2.2): per document,
     keep only lines that end in a terminal punctuation mark, contain at
     least `min_words` words, and do not mention "javascript"; then apply
@@ -436,8 +468,10 @@ def c4_line_filter(docs: DataFrame, min_words: int = 5, min_sentences: int = 3) 
     n_sentences = F.regexp_count(clean, F.lit(r"[.!?]+"))
     has_lorem = F.lower(txt).contains("lorem ipsum")
     has_brace = txt.contains("{")
+    # passthrough: the streaming gate's no-join form (see quality_filter)
+    carry = docs.columns if passthrough else ["doc_id"]
     return docs.select(
-        "doc_id",
+        *carry,
         F.size(lines).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("kept_lines"),
         F.size(F.filter(lines, lambda l: ~terminal(l))).cast("long").alias("dropped_no_punct"),
@@ -1026,11 +1060,19 @@ def quality_filter(
     min_mean_tok_len: float = 1.5,
     max_mean_tok_len: float = 12.0,
     min_ttr: float = 0.2,
+    passthrough: bool = False,
 ) -> DataFrame:
     """Hard quality rules in the Gopher/C4 style: token-count bounds,
     mean-token-length band, type-token-ratio floor. Emits every doc with
     keep boolean + comma-joined reasons (scalar output — no array
-    columns cross a result canonicalizer). One scan, no shuffle."""
+    columns cross a result canonicalizer). One scan, no shuffle.
+
+    passthrough=True carries EVERY input column through alongside the
+    verdict columns — the streaming ingest gate consumes this form so
+    the keep/drop split is a pure filter on one projection instead of
+    a doc_id join back to the batch (which re-executes the batch's
+    dedup lineage and pays a shuffle; measured 50% per-batch overhead
+    for the strict gates before the r10 rewire, PROBE_r10 §b)."""
     toks = tokens_col()
     n_tok = F.size(toks).cast("double")
     # mean token length as total-token-chars / n: concat_ws('') counts
@@ -1045,9 +1087,9 @@ def quality_filter(
         (ttr < min_ttr, "low_type_token_ratio"),
     ]
     reasons = F.array_compact(F.array(*[F.when(cond, F.lit(name)) for cond, name in rules]))
+    carry = docs.columns if passthrough else ["doc_id", "lang"]
     return docs.select(
-        "doc_id",
-        "lang",
+        *carry,
         F.size(toks).cast("int").alias("token_count"),
         round6(mean_len).alias("mean_token_len"),
         round6(ttr).alias("type_token_ratio"),

@@ -226,12 +226,16 @@ def curate_batch(
     else:
         near_dropped = fresh.limit(0)
 
-    # 3. hard quality rules; carry the reason string for rejects
-    verdict = quality_filter(fresh, min_tokens=min_tokens).select(
-        "doc_id", "keep", "reject_reasons"
-    )
-    flagged = fresh.join(verdict, "doc_id")
-    kept = flagged.where(F.col("keep")).drop("keep", "reject_reasons", "_keep_id")
+    # 3. hard quality rules; carry the reason string for rejects.
+    # EVERY gate below is the passthrough (no-join) form: the gate
+    # functions are pure per-row projections, so keep/drop is a filter
+    # over ONE projection of the batch. The previous join-back-on-
+    # doc_id form re-executed the batch's dedup lineage per gate and
+    # paid a shuffle join — measured +50% per batch for the strict
+    # panel gates at the 10x fixture (PROBE_r10 §b) before this rewire.
+    batch_cols = [c for c in fresh.columns if c != "_keep_id"]
+    flagged = quality_filter(fresh, min_tokens=min_tokens, passthrough=True)
+    kept = flagged.where(F.col("keep")).select(*batch_cols)
     quality_dropped = flagged.where(~F.col("keep"))
 
     # 3b. optional panel gates (map-only, stateless)
@@ -239,19 +243,15 @@ def curate_batch(
     if quality_mode in ("gopher", "strict"):
         from ..llm.curation import gopher_quality_panel
 
-        gp = gopher_quality_panel(kept, with_reasons=True).select(
-            "doc_id", F.col("gopher_pass").alias("_gp"), "reject_reasons"
-        )
-        g_flagged = kept.join(gp, "doc_id")
-        gopher_dropped = g_flagged.where(~F.col("_gp")).drop("_gp")
-        kept = g_flagged.where(F.col("_gp")).drop("_gp", "reject_reasons")
+        gp = gopher_quality_panel(kept, with_reasons=True, passthrough=True)
+        gopher_dropped = gp.where(~F.col("gopher_pass"))
+        kept = gp.where(F.col("gopher_pass")).select(*batch_cols)
     c4_dropped = kept.limit(0).withColumn("reject_reasons", F.lit(""))
     if quality_mode in ("c4", "strict"):
         from ..llm.curation import c4_line_filter
 
-        c4 = c4_line_filter(kept).select(
-            "doc_id",
-            F.col("c4_keep").alias("_c4"),
+        c4 = c4_line_filter(kept, passthrough=True).withColumn(
+            "reject_reasons",
             F.array_join(
                 F.array_compact(
                     F.array(
@@ -261,11 +261,10 @@ def curate_batch(
                     )
                 ),
                 ",",
-            ).alias("reject_reasons"),
+            ),
         )
-        c_flagged = kept.join(c4, "doc_id")
-        c4_dropped = c_flagged.where(~F.col("_c4")).drop("_c4")
-        kept = c_flagged.where(F.col("_c4")).drop("_c4", "reject_reasons")
+        c4_dropped = c4.where(~F.col("c4_keep"))
+        kept = c4.where(F.col("c4_keep")).select(*batch_cols)
 
     rejected = (
         in_batch_dropped.select("doc_id", "digest", F.lit("duplicate_in_batch").alias("reason"))
@@ -388,14 +387,29 @@ def run_corpus_ingest_stream(
             corpus_bands=corpus_bands,
             quality_mode=quality_mode,
         )
-        if (near_dup_screen and band_index_path is not None) or lm_counts_path is not None:
+        panel_gates = quality_mode != "basic"
+        if (
+            (near_dup_screen and band_index_path is not None)
+            or lm_counts_path is not None
+            or panel_gates
+        ):
             # the band/LM appends below re-evaluate kept AFTER the
             # corpus append; materialize it now so every consumer
             # (metrics, corpus append, band rows, LM deltas) reads one
             # pre-append snapshot — otherwise the store anti-join would
             # see the batch's own just-appended rows and emit nothing
-            # (read-your-own-writes)
+            # (read-your-own-writes). Also materialized whenever the
+            # PANEL gates are on: the Gopher/C4 projections are heavy
+            # string HOFs, and without a checkpoint each consumer
+            # (metrics agg, rejects write, corpus append) re-executes
+            # them over the whole batch — measured as most of the
+            # strict-mode per-batch overhead at the 10x fixture
+            # (PROBE_r10 §b round 3)
             kept = kept.localCheckpoint()
+        if panel_gates and rejects_path is not None and metrics_path is not None:
+            # same double-evaluation shape on the reject side (agg +
+            # write both re-run the dropped gates' projections)
+            rejected = rejected.localCheckpoint()
         stats = None
         if metrics_path is not None:
             # aggregate BEFORE appending: kept's plan anti-joins the

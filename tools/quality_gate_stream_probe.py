@@ -1,0 +1,116 @@
+"""Streaming quality-gate overhead probe: run_corpus_ingest_stream at
+a 10x documents fixture with quality_mode='basic' vs 'strict', same
+batching, same store layout — the measured per-batch delta IS the cost
+of the Gopher Table A1 panel + the C4 page decision at ingest.
+
+Both gates are stateless map-only expressions over the micro-batch
+(curate_batch docstring), so the expected delta is near-zero next to
+the batch's dedup anti-join and store append; this probe turns that
+claim into a number (VERDICT r9 #8).
+
+    python tools/quality_gate_stream_probe.py [copies] [n_files]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+from functools import reduce
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from metrocloud_data_pipeline_spark.session import get_spark  # noqa: E402
+from metrocloud_data_pipeline_spark.sources import load  # noqa: E402
+from metrocloud_data_pipeline_spark.streaming import corpus  # noqa: E402
+
+SF = "/root/testdata/sf0.1"
+OFFSET = 10_000_000
+
+
+def main() -> None:
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    spark = get_spark("quality_gate_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs1 = load(spark, SF, "documents")
+    # Wrap the synthetic text so MOST docs PASS the gates (stopword
+    # tail for Gopher's required-words rule, 3 terminal-punctuation
+    # sentences on one >=5-word line for the C4 page decision): the
+    # number under test is the gate cost on the KEEP path. With the
+    # raw synthetic text every doc fails the stopword rule and the
+    # measured "overhead" is really the 5k-rows-per-batch reject
+    # write, not the gate expressions.
+    wrapped = F.concat(
+        F.lit("the cat and that have with be to of it sat here. "),
+        F.col("text"),
+        F.lit(". one more closing sentence with enough words here."),
+    )
+    docs = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            docs1.select(
+                (F.col("doc_id") + i * OFFSET).alias("doc_id"),
+                F.concat(F.lit(f"v{i} "), wrapped).alias("text"),
+                "lang",
+                "source",
+                (F.col("n_chars") + 103).alias("n_chars"),
+            )
+            for i in range(copies)
+        ],
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        src = f"{td}/raw"
+        # n_files source files + maxFilesPerTrigger=2 -> n_files/2
+        # micro-batches, enough samples for a per-batch read
+        docs.repartition(n_files).write.parquet(src)
+        n_docs = spark.read.parquet(src).count()
+        results = {}
+        # interleaved double pass: the first run of ANY mode pays
+        # session warmup (~2x, measured both orders), so the reported
+        # comparison uses the LAST run of each mode
+        order = os.environ.get("QG_ORDER", "basic,strict,basic,strict").split(",")
+        for idx, mode in enumerate(order):
+            table = f"{td}/table_{mode}_{idx}"
+            ck = f"{td}/ck_{mode}_{idx}"
+            stream = corpus.stream_document_files(
+                spark, src, max_files_per_trigger=2
+            )
+            t0 = time.perf_counter()
+            q = corpus.run_corpus_ingest_stream(
+                stream,
+                table,
+                ck,
+                rejects_path=f"{td}/rej_{mode}_{idx}",
+                metrics_path=f"{td}/met_{mode}_{idx}",
+                quality_mode=mode,
+                available_now=True,
+            )
+            q.awaitTermination(600)
+            dt = time.perf_counter() - t0
+            met = spark.read.parquet(f"{td}/met_{mode}_{idx}")
+            n_batches = met.count()
+            kept = spark.read.parquet(table).count()
+            results[mode] = (dt, n_batches, kept)
+            print(
+                f"{mode:7s} {n_docs:,} docs in {dt:.1f} s over "
+                f"{n_batches} batches ({dt / n_batches:.2f} s/batch), "
+                f"kept {kept:,}"
+            )
+        b, s = results["basic"], results["strict"]
+        per_batch_delta = s[0] / s[1] - b[0] / b[1]
+        print(
+            f"strict-vs-basic: {s[0] / b[0]:.2f}x wall, "
+            f"+{per_batch_delta:.2f} s/batch gate overhead "
+            f"({(s[0] - b[0]) / max(b[0], 1e-9) * 100:.0f}% of basic wall)"
+        )
+
+
+if __name__ == "__main__":
+    main()
