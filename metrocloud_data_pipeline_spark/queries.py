@@ -5558,9 +5558,13 @@ def kn_bigram_surprisal(spark, sf_dir):
     return text.kn_bigram_surprisal(docs, discount=0.75)
 
 
-@q(
-    "kn_trigram_surprisal",
-    oracle=f"""
+# Shared CTE chain for the order-3 interpolated-KN oracles (the
+# per-doc surprisal query and the CCNet bucketing composed on top —
+# one fragment, so the LM and its consumer can never drift). The
+# tri/types/pairs CTEs are MATERIALIZED: DuckDB 1.0 inlines the
+# nested chain and re-evaluates it exponentially otherwise (the bare
+# form hung on a 3-document input).
+_KN3_SURPRISAL_CTES = f"""
 WITH t AS (
   SELECT doc_id, {_NORM_TOKS_SQL} AS toks
   FROM documents WHERE length(trim(text)) > 0
@@ -5595,12 +5599,21 @@ scored AS (
   FROM types JOIN hist_stats USING (hist) JOIN pairs USING (mid, cur)
        JOIN mid_stats USING (mid) JOIN cur_stats USING (cur)
   CROSS JOIN btot
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS trigram_count,
+         round(-sum(ln(p_kn)) / count(*) / 0.6931471805599453, 6)
+           AS kn3_bits_per_trigram
+  FROM tri JOIN scored USING (trigram)
+  GROUP BY doc_id
 )
-SELECT doc_id, CAST(count(*) AS BIGINT) AS trigram_count,
-       round(-sum(ln(p_kn)) / count(*) / 0.6931471805599453, 6)
-         AS kn3_bits_per_trigram
-FROM tri JOIN scored USING (trigram)
-GROUP BY doc_id
+"""
+
+
+@q(
+    "kn_trigram_surprisal",
+    oracle=_KN3_SURPRISAL_CTES
+    + """
+SELECT doc_id, trigram_count, kn3_bits_per_trigram FROM per_doc
 """,
 )
 def kn_trigram_surprisal(spark, sf_dir):
@@ -5612,6 +5625,41 @@ def kn_trigram_surprisal(spark, sf_dir):
     continuation counts derived from the trigram type frame."""
     docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
     return text.kn_trigram_surprisal(docs, discount=0.75)
+
+
+@q(
+    "ccnet_perplexity_buckets_kn3",
+    oracle=_KN3_SURPRISAL_CTES
+    + """
+SELECT p.doc_id,
+       coalesce(d.lang, '') AS lang,
+       p.trigram_count AS token_count,
+       p.kn3_bits_per_trigram AS bits_per_token,
+       CASE ntile(3) OVER (PARTITION BY coalesce(d.lang, '')
+                           ORDER BY p.kn3_bits_per_trigram, p.doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS ppl_bucket
+FROM per_doc p JOIN documents d USING (doc_id)
+""",
+)
+def ccnet_perplexity_buckets_kn3(spark, sf_dir):
+    """CCNet perplexity bucketing scored by the order-3 interpolated-KN
+    LM — the end-to-end closure of the family's documented gap: the
+    r9 exact/approx buckets score on the corpus-unigram stand-in;
+    this twin swaps in kn_trigram_surprisal (the closest deterministic
+    form to the 5-gram KenLM CCNet deploys) and reuses the identical
+    ntile(3)-per-language exact bucketing (rank key = rounded bits +
+    doc_id, bit-portable). Docs with < 3 tokens carry no trigram LM
+    score and are excluded, exactly as the oracle's tri CTE excludes
+    them. Exact form documented audit-only (one task per language);
+    the approx cutoff machinery applies unchanged at 100 TB."""
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    sur = text.kn_trigram_surprisal(docs, discount=0.75).select(
+        "doc_id",
+        F.col("trigram_count").alias("token_count"),
+        F.col("kn3_bits_per_trigram").alias("bits_per_token"),
+    )
+    return curation.ccnet_perplexity_buckets(docs, mode="exact", surprisal=sur)
 
 
 _MIX_WEIGHTS = {f"src{i}": 1.0 + (i % 3) for i in range(32)}
@@ -6266,6 +6314,7 @@ QUERY_ORDER = [
     # r9 verdict's new-key cap — the window is pure stale-refresh):
     "kn_trigram_surprisal",
     "langid_trained_report",
+    "ccnet_perplexity_buckets_kn3",
     # last green driver row r6:
     "knn_join_ivf_bucketed",
     "knn_recall_report",

@@ -73,6 +73,7 @@ DOC_QUERIES = [
     # round-10: KN one order up — the whitespace-only/self-repeat rows
     # exercise the continuation-count CTEs' empty/degenerate branches
     "kn_trigram_surprisal",
+    "ccnet_perplexity_buckets_kn3",
     "mixture_epoch_plan",
     "lsh_band_planner",
     "doc_outlier_panel",

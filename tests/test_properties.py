@@ -727,3 +727,75 @@ def test_repetition_panel_matches_naive(spark, texts):
             want[f"dup_ngram_char_frac_{n}"] = round(
                 sum(len(toks[p]) for p in covered) / chars, 6) if chars else 0.0
         assert got[i] == want, (i, t, got[i], want)
+
+
+# --- Kneser-Ney trigram surprisal vs a naive reference ----------------------
+
+_kn_corpus = st.lists(
+    st.lists(st.sampled_from("a b c d aa bb".split()), min_size=0, max_size=8),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _naive_kn3(rows, D=0.75):
+    """Direct transcription of the interpolated-KN order-3 formula from
+    kn_trigram_surprisal's docstring — dict arithmetic, no frames."""
+    import math
+    from collections import Counter
+
+    tris_per_doc, all_tris = {}, []
+    for doc_id, toks in rows:
+        ts = [tuple(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        if ts:
+            tris_per_doc[doc_id] = ts
+            all_tris += ts
+    ct = Counter(all_tris)
+    ch, nfwd, cc = Counter(), Counter(), Counter()
+    for (a, b, c), n in ct.items():
+        ch[(a, b)] += n
+        nfwd[(a, b)] += 1
+    for (a, b, c) in ct:
+        cc[(b, c)] += 1
+    ccsum, nfwd_mid, nback = Counter(), Counter(), Counter()
+    for (b, c), n in cc.items():
+        ccsum[b] += n
+        nfwd_mid[b] += 1
+        nback[c] += 1
+    B = len(cc)
+    out = {}
+    for doc_id, ts in tris_per_doc.items():
+        bits = 0.0
+        for (a, b, c) in ts:
+            pmid = (
+                max(cc[(b, c)] - D, 0) / ccsum[b]
+                + D * nfwd_mid[b] / ccsum[b] * nback[c] / B
+            )
+            p = (
+                max(ct[(a, b, c)] - D, 0) / ch[(a, b)]
+                + D * nfwd[(a, b)] / ch[(a, b)] * pmid
+            )
+            bits += -math.log2(p)
+        out[doc_id] = (len(ts), bits / len(ts))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(corpus=_kn_corpus)
+def test_kn_trigram_matches_naive_reference(spark, corpus):
+    from metrocloud_data_pipeline_spark.llm import text as llm_text
+
+    rows = [(i, toks) for i, toks in enumerate(corpus)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks), "en", "s0", len(" ".join(toks))) for i, toks in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).where(F.length(F.trim("text")) > 0)
+    got = {
+        r["doc_id"]: (r["trigram_count"], r["kn3_bits_per_trigram"])
+        for r in llm_text.kn_trigram_surprisal(docs).collect()
+    }
+    want = _naive_kn3(rows)
+    assert set(got) == set(want)
+    for doc_id, (n, bits) in want.items():
+        assert got[doc_id][0] == n
+        assert abs(got[doc_id][1] - round(bits, 6)) < 2e-6, (doc_id, got[doc_id], bits)

@@ -31,6 +31,7 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIRST_REGISTERED_ROUND: dict[str, int] = {
     "kn_trigram_surprisal": 10,
     "langid_trained_report": 10,
+    "ccnet_perplexity_buckets_kn3": 10,
 }
 
 
