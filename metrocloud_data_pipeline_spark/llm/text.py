@@ -1482,9 +1482,11 @@ def langid_trained_report(
         .collect()
     ]
     # all K sigmoid heads fit in ONE distributed pass per iteration
-    # (lr_fit_ovr) — K separate lr_fit loops measured 30.6 s at sf0.1,
-    # this shape ~5x less; per-class trajectories are identical (OvR
-    # gradients are class-independent under full-batch GD + zero init)
+    # (lr_fit_ovr) — K separate lr_fit loops measured 30.6 s at sf0.1
+    # vs 14.5 s joint; per-class trajectories match the independent
+    # fits to float-noise (OvR gradients are class-independent under
+    # full-batch GD + zero init; pytest pins 1e-9 agreement and
+    # bit-exact refit determinism)
     fitted = lr_fit_ovr(feats, cols, "lang", langs, n_iter=n_iter, lr=lr)
     scores = []
     for lang in langs:

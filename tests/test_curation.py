@@ -507,6 +507,36 @@ def test_lr_fit_separable_deterministic_and_converges(spark):
     assert list(w) == list(w2) and b == b2 and trace == trace2
 
 
+def test_lr_fit_ovr_matches_independent_binary_fits(spark):
+    """The joint one-pass-per-iteration OvR fit must reproduce K
+    independent lr_fit runs to float-noise tolerance: OvR gradients
+    are class-independent under full-batch GD + zero init, so any
+    drift beyond the last-ULP BLAS summation-order difference
+    (matrix-gradient dgemm vs per-class vector path) is an
+    implementation bug. The joint form itself must be bit-identical
+    across refits — that is the determinism contract the registered
+    query relies on."""
+    rows = [
+        (float(i), float((i * 7) % 5), ["a", "b", "c"][i % 3]) for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "x double, z double, lab string").repartition(4)
+    from pyspark.sql import functions as F
+
+    fitted = curation.lr_fit_ovr(df, ["x", "z"], "lab", ["a", "b", "c"], n_iter=30, lr=0.5)
+    for cls in ("a", "b", "c"):
+        solo = df.withColumn("y", (F.col("lab") == cls).cast("int"))
+        w, b, _ = curation.lr_fit(solo, ["x", "z"], "y", n_iter=30, lr=0.5)
+        jw, jb = fitted[cls]
+        assert jb == pytest.approx(b, rel=1e-9, abs=1e-12), cls
+        for a_, b_ in zip(jw, w):
+            assert a_ == pytest.approx(b_, rel=1e-9, abs=1e-12), cls
+    again = curation.lr_fit_ovr(df, ["x", "z"], "lab", ["a", "b", "c"], n_iter=30, lr=0.5)
+    assert all(
+        list(again[c][0]) == list(fitted[c][0]) and again[c][1] == fitted[c][1]
+        for c in ("a", "b", "c")
+    )
+
+
 def test_quality_lr_score_agrees_with_heuristic_extremes(spark):
     """The weak-seed trained classifier must reproduce the heuristic's
     verdict on the extremes it was seeded from: long diverse docs score
