@@ -102,6 +102,10 @@ def main() -> None:
 
     t(lambda: llm_text.tfidf_top_terms(docs, k=5), "tfidf_topk")
     t(lambda: llm_text.unigram_surprisal(docs), "surprisal")
+    # r10: order-3 interpolated KN — type-frame joins must grow with
+    # DISTINCT grams (sub-linear in occurrences), measured 3.4x wall
+    # at 10x grams in PROBE_r10 §d
+    t(lambda: llm_text.kn_trigram_surprisal(docs), "kn3_surprisal")
     t(lambda: similarity.kmeans_cluster_stats(emb, k=16, n_iter=4), "kmeans_16x4")
 
     # late-r5 additions: the incremental ingest gate (batch vs standing
