@@ -507,6 +507,44 @@ def test_lr_fit_separable_deterministic_and_converges(spark):
     assert list(w) == list(w2) and b == b2 and trace == trace2
 
 
+def test_gate_passthrough_form_matches_default(spark):
+    """passthrough=True (the streaming no-join gate form) must carry
+    every input column AND produce verdict columns identical to the
+    default projection — the registered queries use the default form,
+    the ingest gates the passthrough form, and this pins that they can
+    never diverge."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "the cat and that have with be to of it sat here. " * 3, "en", "s0", 147),
+        (1, "x", "en", "s1", 1),
+        (2, "lorem ipsum { " + "word " * 60, "es", None, 314),
+        (3, None, None, "s2", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    for fn, verdict_cols in (
+        (lambda d, **kw: curation.quality_filter(d, **kw), ["keep", "reject_reasons"]),
+        (
+            lambda d, **kw: curation.gopher_quality_panel(d, with_reasons=True, **kw),
+            ["gopher_pass", "reject_reasons"],
+        ),
+        (lambda d, **kw: curation.c4_line_filter(d, **kw), ["c4_keep", "n_sentences"]),
+    ):
+        base = {r["doc_id"]: r for r in fn(docs).select("doc_id", *verdict_cols).collect()}
+        thru = fn(docs, passthrough=True)
+        assert set(docs.columns) <= set(thru.columns)  # every input column carried
+        got = {r["doc_id"]: r for r in thru.select("doc_id", *verdict_cols, "source").collect()}
+        assert set(got) == set(base)
+        for i, r in base.items():
+            for c in verdict_cols:
+                assert got[i][c] == r[c], (c, i)
+        # carried columns are the input values, untouched
+        src = {r["doc_id"]: r["source"] for r in docs.collect()}
+        assert {i: got[i]["source"] for i in got} == src
+
+
 def test_lr_fit_ovr_matches_independent_binary_fits(spark):
     """The joint one-pass-per-iteration OvR fit must reproduce K
     independent lr_fit runs to float-noise tolerance: OvR gradients
