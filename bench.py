@@ -229,6 +229,59 @@ def run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _warmup(spark, qs) -> None:
+    """Touch every table family, JIT the common codepaths, and spawn
+    the Python worker pool (first Arrow-UDF action pays worker
+    startup; spark.python.worker.reuse keeps them for the timed runs).
+    knn_join_ivf is warmed explicitly: the scalar-pandas-UDF scoring
+    path (cosine_batch/nearest_lists) pays ~3x on its first execution
+    (codebook collect + worker JIT) even after the mapInPandas warmup."""
+    for name in (
+        "a6_table_stats",
+        "h1_pricing_summary",
+        "media_feature_extract",
+        "knn_brute_force",
+        "knn_join_ivf",
+    ):
+        run_noop(qs[name](spark, SF_DIR))
+
+
+def _sf_value():
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(sf)
+    except ValueError:
+        return sf
+
+
+def _ratio_table(normalized: dict[str, float], prev_norm: dict[str, float],
+                 baseline_name: str) -> dict:
+    """Sentinel-normalized round-over-round comparison shared by the
+    HEADLINE and --all benches: per-query norm ratios, the pack median
+    (one noisy sentinel shifts every ratio uniformly — a query is a
+    real plan regression only if it moved against the PACK), and both
+    1.3x regression tables."""
+    ratios = {
+        name: round(normalized[name] / prev_norm[name], 3)
+        for name in normalized
+        if prev_norm.get(name, 0) > 0
+    }
+    med = statistics.median(ratios.values()) if ratios else 1.0
+    rel = {n: round(r / med, 3) for n, r in ratios.items()}
+    return {
+        "baseline": baseline_name,
+        "common_queries": len(ratios),
+        "median_norm_ratio": round(med, 3),
+        "norm_ratio": ratios,
+        "norm_regressions_gt_1_3": {
+            n: r for n, r in sorted(ratios.items()) if r > 1.3
+        },
+        "vs_median_regressions_gt_1_3": {
+            n: r for n, r in sorted(rel.items()) if r > 1.3
+        },
+    }
+
+
 def main_all() -> None:
     """`bench.py --all`: one timed pass over EVERY registered query
     (runs=1, no medians) archived to BENCH_FULL_LOCAL.json — the
@@ -242,11 +295,7 @@ def main_all() -> None:
     spark = get_spark("bench-full")
     spark.sparkContext.setLogLevel("ERROR")
     qs = get_queries()
-    run_noop(qs["a6_table_stats"](spark, SF_DIR))
-    run_noop(qs["h1_pricing_summary"](spark, SF_DIR))
-    run_noop(qs["media_feature_extract"](spark, SF_DIR))
-    run_noop(qs["knn_brute_force"](spark, SF_DIR))
-    run_noop(qs["knn_join_ivf"](spark, SF_DIR))
+    _warmup(spark, qs)
     import gc
 
     timings: dict[str, float] = {}
@@ -257,11 +306,7 @@ def main_all() -> None:
         gc.collect()
     sentinel_sec = timings[SENTINEL]
     normalized = {n: round(s / sentinel_sec, 3) for n, s in timings.items()}
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val = float(sf)
-    except ValueError:
-        sf_val = sf
+    sf_val = _sf_value()
     here = os.path.dirname(os.path.abspath(__file__))
     prev_path = os.path.join(here, "BENCH_FULL_LOCAL.json")
     vs: dict = {}
@@ -270,23 +315,13 @@ def main_all() -> None:
             with open(prev_path) as f:
                 prev = json.load(f)
             prev_norm = prev.get("queries_norm") or {}
+            # same SF gate as the HEADLINE bench: a baseline at a
+            # different scale factor is not a baseline
             if prev.get("sf") == sf_val and prev_norm:
-                ratios = {
-                    n: round(normalized[n] / prev_norm[n], 3)
-                    for n in normalized
-                    if prev_norm.get(n, 0) > 0
-                }
-                med = statistics.median(ratios.values()) if ratios else 1.0
-                vs = {
-                    "baseline": "BENCH_FULL_LOCAL.json(prev)",
-                    "common_queries": len(ratios),
-                    "median_norm_ratio": round(med, 3),
-                    "vs_median_regressions_gt_1_3": {
-                        n: round(r / med, 3)
-                        for n, r in sorted(ratios.items())
-                        if r / med > 1.3
-                    },
-                }
+                vs = _ratio_table(
+                    normalized, prev_norm, "BENCH_FULL_LOCAL.json(prev)"
+                )
+                del vs["norm_ratio"]  # bulky; the archive keeps queries_norm
         except Exception:
             vs = {}
     out = {
@@ -313,19 +348,7 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = get_queries()
-
-    # warmup: touch every table family, JIT the common codepaths, and
-    # spawn the Python worker pool (first Arrow-UDF action pays worker
-    # startup; spark.python.worker.reuse keeps them for the timed runs)
-    run_noop(qs["a6_table_stats"](spark, SF_DIR))
-    run_noop(qs["h1_pricing_summary"](spark, SF_DIR))
-    run_noop(qs["media_feature_extract"](spark, SF_DIR))
-    run_noop(qs["knn_brute_force"](spark, SF_DIR))
-    # the scalar-pandas-UDF scoring path (cosine_batch/nearest_lists)
-    # pays ~3x on its first execution (codebook collect + worker JIT)
-    # even after the mapInPandas warmup above — warm it explicitly so
-    # the timed medians are steady-state like every other query
-    run_noop(qs["knn_join_ivf"](spark, SF_DIR))
+    _warmup(spark, qs)
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
@@ -364,11 +387,7 @@ def main() -> None:
         name: round(sec / sentinel_sec, 3) for name, sec in timings.items()
     }
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val = float(sf)
-    except ValueError:
-        sf_val = sf
+    sf_val = _sf_value()
     # KEY ORDER IS THE ARTIFACT CONTRACT (r7 verdict: the driver keeps
     # only the LAST 2,000 chars of this line, and r7's tail contained
     # only the vs_prev ratio tables — the absolute totals were lost and
@@ -501,33 +520,7 @@ def _vs_prev(normalized: dict[str, float], sf_val) -> dict:
                 path = prior[-1]
         if not prev_norm:
             return {}
-        ratios = {
-            name: round(normalized[name] / prev_norm[name], 3)
-            for name in normalized
-            if name in prev_norm and prev_norm[name] > 0
-        }
-        # the sentinel is itself one noisy measurement: when IT drifts
-        # relative to the pack, every ratio shifts uniformly (measured:
-        # a fast-sentinel pass put the whole 67-query distribution at
-        # median 1.21 with zero structure). The robust read divides out
-        # the MEDIAN ratio — a query is a real plan regression only if
-        # it moved against the PACK, not against one query
-        med = statistics.median(ratios.values()) if ratios else 1.0
-        rel = {n: round(r / med, 3) for n, r in ratios.items()}
-        return {
-            "vs_prev": {
-                "baseline": os.path.basename(path),
-                "common_queries": len(ratios),
-                "median_norm_ratio": round(med, 3),
-                "norm_ratio": ratios,
-                "norm_regressions_gt_1_3": {
-                    n: r for n, r in sorted(ratios.items()) if r > 1.3
-                },
-                "vs_median_regressions_gt_1_3": {
-                    n: r for n, r in sorted(rel.items()) if r > 1.3
-                },
-            }
-        }
+        return {"vs_prev": _ratio_table(normalized, prev_norm, os.path.basename(path))}
     except Exception:  # pragma: no cover - a malformed prior file never blocks the bench
         return {}
 

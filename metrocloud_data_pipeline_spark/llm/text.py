@@ -1441,7 +1441,13 @@ def langid_trained_report(
     from .curation import lr_fit_ovr
 
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS, " ")
-    base = docs.select("doc_id", "lang", norm.alias("t"))
+    # null declared lang coalesced to '' (the ccnet_perplexity_buckets
+    # convention): left raw, predicted == lang evaluates to NULL for
+    # the whole group and the report's match counts/agreements go NULL
+    # instead of 0 — and a NULL class label would poison the argmax
+    base = docs.select(
+        "doc_id", F.coalesce(F.col("lang"), F.lit("")).alias("lang"), norm.alias("t")
+    )
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length("t") - F.lit(2), F.lit(0))),
         lambda i: F.pmod(F.xxhash64(F.col("t").substr(i, F.lit(3))), F.lit(n_buckets)),

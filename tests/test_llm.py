@@ -2181,6 +2181,24 @@ def test_langid_trained_beats_heuristic_on_planted_corpus(spark):
         assert out[lang]["trained_agreement"] > out[lang]["heur_agreement"]
 
 
+def test_langid_trained_null_lang_reports_zero_not_null(spark):
+    # a NULL declared lang must group under '' with REAL zero/zero-able
+    # match counts — uncoalesced, predicted == lang is NULL for the
+    # whole group and the sums/avgs go NULL instead of 0
+    rows = [(i, "zanzi zunzo zinza zonzu", None, "s0", 23) for i in range(6)] + [
+        (10 + i, "the cat and the dog sat in it", "en", "s0", 29) for i in range(6)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["lang"]: r for r in text.langid_trained_report(docs).collect()}
+    assert set(out) == {"", "en"}
+    nul = out[""]
+    assert nul["n_docs"] == 6
+    assert nul["heur_match"] == 0 and nul["heur_agreement"] == 0.0
+    assert nul["trained_match"] is not None and nul["trained_agreement"] is not None
+
+
 def test_langid_trained_is_deterministic(spark):
     rows = [
         (i, t, l, "s0", len(t))
