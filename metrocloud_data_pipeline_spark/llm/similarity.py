@@ -41,7 +41,13 @@ def _sq_norm(a) -> Column:
 
 
 def cosine_col(a, b) -> Column:
-    return _dot(a, b) / (F.sqrt(_sq_norm(a)) * F.sqrt(_sq_norm(b)))
+    # try_divide, not /: a zero-norm vector (a failed encoder output —
+    # present in any real 100 TB corpus) makes the denominator 0, which
+    # under ANSI mode ABORTS the whole job. NULL is also exactly what
+    # the DuckDB oracles produce for x/0.0, so the twins stay
+    # hash-identical; desc rankings put NULLs last on both engines and
+    # threshold filters drop them on both.
+    return F.try_divide(_dot(a, b), F.sqrt(_sq_norm(a)) * F.sqrt(_sq_norm(b)))
 
 
 def cosine_batch() -> Column:
@@ -63,7 +69,16 @@ def cosine_batch() -> Column:
         B = np.vstack(b.values).astype(np.float64)
         num = (A * B).sum(1)
         den = np.sqrt((A * A).sum(1)) * np.sqrt((B * B).sum(1))
-        return pd.Series(num / den)
+        # zero-norm guard mirroring cosine_col's try_divide: a true
+        # NULL (nullable Float64 + pd.NA), NOT NaN — Spark ranks NaN
+        # GREATEST, so a zero-norm junk vector would win every desc
+        # top-k; NULL sorts last like the codegen path
+        ok = den > 0.0
+        out = pd.Series(
+            np.where(ok, num / np.where(ok, den, 1.0), 0.0), dtype="Float64"
+        )
+        out[~ok] = pd.NA
+        return out
 
     return cos
 
