@@ -136,16 +136,37 @@ def latest_readings(df: DataFrame, n: int = 100) -> DataFrame:
 # Aggregations (OP-A1..A11)
 # ---------------------------------------------------------------------------
 
+def _last_by(value, ts):
+    """TimescaleDB last(x, ts) / DuckDB arg_max(x, ts): value at the
+    max ts AMONG ROWS WHERE x IS NOT NULL — every SQL engine's arg_max
+    skips NULL inputs like any other aggregate. Plain max_by(x, ts)
+    RESPECTS a NULL at the max ts and hash-diverges from the oracles
+    the moment a null-valued reading exists (found by the events edge
+    fixture; the driver generator emits no null values, so sf parity
+    never saw it). Nulling the ORDER key for null values makes max_by
+    skip those rows (max ignores null keys); all-null groups stay NULL
+    on both engines."""
+    v, t = F.col(value), F.col(ts)
+    return F.max_by(value, F.when(v.isNotNull(), t))
+
+
+def _first_by(value, ts):
+    """arg_min twin of _last_by (same null-skipping contract)."""
+    v, t = F.col(value), F.col(ts)
+    return F.min_by(value, F.when(v.isNotNull(), t))
+
+
 def device_summary(df: DataFrame) -> DataFrame:
     """OP-A1: per-device lifetime aggregate (device_summary view, init.sql:163-176).
 
-    TimescaleDB last(x, ts) -> max_by(x, ts): one-pass hash aggregate."""
+    TimescaleDB last(x, ts) -> null-skipping max_by (_last_by): one-pass
+    hash aggregate."""
     return df.groupBy("device_id", "device_type").agg(
         F.count(F.lit(1)).alias("reading_count"),
         F.min("ts").alias("first_reading"),
         F.max("ts").alias("last_reading"),
         round6(F.avg("value")).alias("avg_value"),
-        F.max_by("value", "ts").alias("last_value"),
+        _last_by("value", "ts").alias("last_value"),
         F.count(F.when(F.col("is_anomaly"), 1)).alias("anomaly_count"),
     )
 
@@ -172,10 +193,10 @@ def bucket_aggregates(
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
         F.count(F.when(F.col("is_anomaly"), 1)).alias("anomaly_count"),
-        F.max_by("value", "ts").alias("last_value"),
+        _last_by("value", "ts").alias("last_value"),
     ]
     if with_first:
-        aggs.append(F.min_by("value", "ts").alias("first_value"))
+        aggs.append(_first_by("value", "ts").alias("first_value"))
     return df.groupBy(*keys).agg(*aggs)
 
 
@@ -445,7 +466,7 @@ def realtime_monitor(df: DataFrame, bucket: str = "15 minutes", hours: int = 24)
         .groupBy(time_bucket("ts", bucket).alias("bucket"), F.col("device_id"))
         .agg(
             round6(F.avg("value")).alias("avg_value"),
-            F.max_by("value", "ts").alias("last_value"),
+            _last_by("value", "ts").alias("last_value"),
             F.max("ts").alias("last_reading"),
         )
     )
@@ -570,10 +591,13 @@ def rollup_partials(df: DataFrame, fine_bucket: str = "1 hour") -> DataFrame:
         F.min("value").alias("_min"),
         F.max("value").alias("_max"),
         F.count(F.when(F.col("is_anomaly"), 1)).alias("_anom"),
-        F.min_by("value", "ts").alias("_first_v"),
-        F.min("ts").alias("_first_ts"),
-        F.max_by("value", "ts").alias("_last_v"),
-        F.max("ts").alias("_last_ts"),
+        # ts of the first/last NON-NULL value (not plain min/max ts):
+        # the finalize max_by then skips all-null fine buckets, keeping
+        # the cascade's last_value == arg_max end to end
+        _first_by("value", "ts").alias("_first_v"),
+        F.min(F.when(F.col("value").isNotNull(), F.col("ts"))).alias("_first_ts"),
+        _last_by("value", "ts").alias("_last_v"),
+        F.max(F.when(F.col("value").isNotNull(), F.col("ts"))).alias("_last_ts"),
     )
 
 

@@ -152,8 +152,13 @@ def hot_keys(
     stats = counts.agg(
         F.sum("n_rows").alias("_total"), F.avg("n_rows").alias("_mean")
     )
-    top = counts.orderBy(F.col("n_rows").desc(), F.col("key")).limit(top_k)
-    w = Window.orderBy(F.col("n_rows").desc(), F.col("key"))
+    # asc_nulls_last on the key tiebreak: Spark's bare asc sorts NULLS
+    # FIRST, DuckDB/Postgres sort NULLS LAST — a null key tied on count
+    # would take a different rank on each engine (events edge fixture)
+    top = counts.orderBy(
+        F.col("n_rows").desc(), F.col("key").asc_nulls_last()
+    ).limit(top_k)
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc_nulls_last())
     return (
         top.crossJoin(F.broadcast(stats))
         .withColumn("rank", F.row_number().over(w))

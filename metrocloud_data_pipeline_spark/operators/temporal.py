@@ -293,8 +293,13 @@ def cohort_retention(
     cohort-size aggregates both read the exploded per-key frame, and
     cohort sizes rejoin as a cohort-days-sized broadcast. Raw events
     are touched exactly once, keys shuffle exactly once."""
+    # a NULL key is not a cohortable identity: SQL's join/distinct-count
+    # semantics exclude it (the oracle's act JOIN coh ON k drops NULL
+    # rows), and an engine that silently cohorts the null bucket as one
+    # "user" inflates day-0 retention (events edge fixture)
     per_key = (
-        events.select(F.col(key_col).alias("k"), F.to_date(ts_col).alias("day"))
+        events.where(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("k"), F.to_date(ts_col).alias("day"))
         .groupBy("k")
         .agg(F.array_sort(F.collect_set("day")).alias("days"))
         .select("k", F.element_at("days", 1).alias("cohort_day"), "days")

@@ -3686,7 +3686,8 @@ def w5_event_funnel(spark, sf_dir):
 @q(
     "w6_cohort_retention",
     oracle="""
-WITH act AS (SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS day FROM events),
+WITH act AS (SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS day
+             FROM events WHERE user_id IS NOT NULL),
 coh AS (SELECT k, min(day) AS cohort_day FROM act GROUP BY 1),
 cells AS (
   SELECT cohort_day, datediff('day', cohort_day, day) AS day_offset, count(*) AS n_active

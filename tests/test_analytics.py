@@ -44,11 +44,14 @@ def test_device_summary_ordered_picks(readings):
     assert d1["last_value"] == 200.0  # max_by(value, ts)
     assert d1["first_reading"] == ts("2024-01-01T00:10:00")
     assert d1["anomaly_count"] == 1
-    # max_by ignores null values? No — null VALUE at latest ts must win nothing:
-    # dev2's latest ts has null value; Spark max_by returns the value at max key
+    # last(x, ts) skips NULL values like every SQL arg_max (r10 _last_by:
+    # bare max_by RESPECTED the null at the latest ts and hash-diverged
+    # from the DuckDB oracle on null-valued readings — events edge
+    # fixture): dev2's latest ts has null value, so the last NON-null
+    # value wins; an all-null group would stay NULL
     d2 = out["dev2"]
     assert d2["reading_count"] == 2
-    assert d2["last_value"] is None  # value at the latest timestamp is null
+    assert d2["last_value"] == 5.0  # latest non-null value (arg_max)
     assert d2["avg_value"] == 5.0  # avg ignores nulls
 
 
