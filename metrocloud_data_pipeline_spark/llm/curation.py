@@ -1155,10 +1155,25 @@ def quality_filter(
     toks = tokens_col()
     n_tok = F.size(toks).cast("double")
     # mean token length as total-token-chars / n: concat_ws('') counts
-    # the token characters JVM-side without a per-token lambda
-    mean_len = F.length(F.concat_ws("", toks)).cast("double") / n_tok
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    # the token characters JVM-side without a per-token lambda.
+    # try_divide, not /: a ZERO-TOKEN doc (empty/whitespace-only text —
+    # present in any real crawl batch) makes n_tok 0, and under ANSI
+    # mode a plain divide ABORTS the whole pass — on the streaming
+    # ingest path that kills the micro-batch, not just the row (found
+    # by the streaming edge-parity fixture, r11). The doc still fails
+    # too_few_tokens, so keep/reasons are unchanged; the registered
+    # oracle pre-filters empty text on both engines, so hashes are
+    # unchanged too.
+    mean_len = F.try_divide(F.length(F.concat_ws("", toks)).cast("double"), n_tok)
+    ttr = F.try_divide(F.size(F.array_distinct(toks)).cast("double"), n_tok)
     rules = [
+        # NULL text -> NULL n_tok -> every comparison rule is NULL ->
+        # no reason fires -> keep would be TRUE: a null-text doc
+        # sailing through a quality gate is the silent-keep twin of the
+        # divide abort. Explicit rule; n_tok is non-null for any
+        # non-null text (tokens_col maps empty to []), so the
+        # registered query (which filters null/empty text) never fires it.
+        (n_tok.isNull(), "null_text"),
         (n_tok < min_tokens, "too_few_tokens"),
         (n_tok > max_tokens, "too_many_tokens"),
         (mean_len < min_mean_tok_len, "mean_token_too_short"),

@@ -56,7 +56,16 @@ def cosine_batch() -> Column:
     built-in higher-order-function fold at ~1M pairs x dim 64, and the
     gap widens with dims. Use on rows-only paths (IVF assignment, LSH
     verification); oracle-checked queries keep cosine_col, whose
-    sequential fold is bit-identical to the DuckDB twin."""
+    sequential fold is bit-identical to the DuckDB twin.
+
+    Zero-norm rows return a true NULL via a pandas nullable Float64
+    series + pd.NA. That round-trips through the Arrow pandas-UDF
+    serializer as SQL NULL on this repo's pins (pandas 2.x /
+    pyarrow >= 12); older stacks may raise or coerce NA to NaN — which
+    Spark ranks GREATEST in desc top-k, the exact bug this guards
+    against. tests/test_embeddings_edge_parity.py pins that a NULL
+    (not NaN) actually reaches Spark, so a pin downgrade fails loudly
+    instead of silently re-promoting junk vectors."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -425,7 +434,15 @@ def ivf_assignments(
     def nearest_list(emb):
         list_ids, codebook = bc.value
         a = np.vstack(emb.values).astype(np.float64)
-        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        # zero-norm guard (failed-encoder rows): dividing by a 0 norm
+        # makes the row all-NaN and the argmax/argsort below pick a
+        # list by NaN accident (plus a numpy warning per batch); a
+        # zero row instead dots to 0 with every centroid and lands in
+        # the first list deterministically — its cosine is NULL
+        # downstream either way, so it can never rank as a neighbor
+        n = np.linalg.norm(a, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        a /= n
         return pd.Series(list_ids[np.argmax(a @ codebook.T, axis=1)])
 
     # attach_cols rides extra columns (e.g. the vector itself) through
@@ -753,7 +770,15 @@ def knn_join_ivf(
     def nearest_lists(emb):
         list_ids, codebook, npr = bc.value
         a = np.vstack(emb.values).astype(np.float64)
-        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        # zero-norm guard (failed-encoder rows): dividing by a 0 norm
+        # makes the row all-NaN and the argmax/argsort below pick a
+        # list by NaN accident (plus a numpy warning per batch); a
+        # zero row instead dots to 0 with every centroid and lands in
+        # the first list deterministically — its cosine is NULL
+        # downstream either way, so it can never rank as a neighbor
+        n = np.linalg.norm(a, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        a /= n
         sims = a @ codebook.T
         # top-npr lists per row; ties break to the smaller list_id via
         # stable argsort on (-sim, list index)
@@ -1693,7 +1718,7 @@ def ivfpq_topk(
 
     # coarse probe: nprobe nearest centroid lists against the SAME
     # quantizer the codes were listed by (driver-side, k rows)
-    qn = q / np.linalg.norm(q)
+    qn = q / (np.linalg.norm(q) or 1.0)  # zero-norm query: probe by 0-dots, deterministic
     norms = np.linalg.norm(cent_code, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
     sims_v = (cent_code / norms) @ qn
@@ -1897,7 +1922,15 @@ def ivfpq_topk_batch(
     def nearest_lists(emb):
         ids, code, npr = bc_coarse.value
         a = np.vstack(emb.values).astype(np.float64)
-        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        # zero-norm guard (failed-encoder rows): dividing by a 0 norm
+        # makes the row all-NaN and the argmax/argsort below pick a
+        # list by NaN accident (plus a numpy warning per batch); a
+        # zero row instead dots to 0 with every centroid and lands in
+        # the first list deterministically — its cosine is NULL
+        # downstream either way, so it can never rank as a neighbor
+        n = np.linalg.norm(a, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        a /= n
         sims = a @ code.T
         order = np.argsort(-sims, axis=1, kind="stable")[:, :npr]
         return pd.Series(list(ids[order]))

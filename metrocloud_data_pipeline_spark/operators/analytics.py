@@ -137,9 +137,12 @@ def latest_readings(df: DataFrame, n: int = 100) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _last_by(value, ts):
-    """TimescaleDB last(x, ts) / DuckDB arg_max(x, ts): value at the
-    max ts AMONG ROWS WHERE x IS NOT NULL — every SQL engine's arg_max
-    skips NULL inputs like any other aggregate. Plain max_by(x, ts)
+    """DuckDB arg_max(x, ts) semantics (the oracle contract this repo
+    actually verifies against, pinned by the events edge-parity test):
+    value at the max ts AMONG ROWS WHERE x IS NOT NULL. The reference's
+    TimescaleDB last(x, ts) is the *source* of the operator but does
+    NOT reliably skip NULL values, so the null-skipping claim is scoped
+    to the arg_max oracle, not to SQL engines at large. Plain max_by(x, ts)
     RESPECTS a NULL at the max ts and hash-diverges from the oracles
     the moment a null-valued reading exists (found by the events edge
     fixture; the driver generator emits no null values, so sf parity

@@ -6246,77 +6246,20 @@ def embed_centroid_drift(spark, sf_dir):
 # the last round each query earned a green driver CORRECTNESS row
 # (tools/freshness.py recomputes this; tests/test_registry.py gates it).
 QUERY_ORDER = [
-    # --- r10 window (first 50 = driver-checked this round) ---
-    # Round-10 rotation clears the freshness backlog in one shot
-    # (VERDICT r9 #1): the window is exactly the 50 STALEST rows by
-    # last green driver CORRECTNESS round — seq_pack_summary (r3),
-    # dedup_keep_list (r4), then 48 of the 49 r5 rows. New r10 keys
-    # are registered AFTER the window (capped, per the verdict) so
-    # this round is pure re-verification of the stale surface.
-    # last green driver row r3:
-    "seq_pack_summary",
-    # last green driver row r4:
-    "dedup_keep_list",
+    # --- r11 window (first 50 = driver-checked this round) ---
+    # Stalest-first rotation per VERDICT r10 #1: text_quality_score is
+    # the lone age-5 row (hits the gate threshold next round), the
+    # three r10-born keys get their first-ever driver row, and the 46
+    # oldest of the 50-key age-4 (r6) cohort fill the rest. The 4
+    # remaining age-4 keys head the queue below — at age 5 they are
+    # first into the r12 window, inside the gate's max_age=6.
     # last green driver row r5:
-    "tfidf_top_terms",
-    "vocab_coverage",
-    "source_mix_temperature",
-    "quality_quantile_filter",
-    "dedup_cross_corpus",
-    "dedup_incremental_jaccard",
-    "unigram_surprisal",
-    "kmeans_embed_clusters",
-    "pca_variance_report",
-    "h20_excess_supply",
-    "h2_min_cost_supplier",
-    "h11_important_parts",
-    "h12_ship_delay_priority",
-    "embed_dedup_keep_list",
-    "corpus_select_pipeline",
-    "ingest_fanout_pipeline",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_prefix",
-    "dedup_clusters",
-    "cap_per_source",
-    "iv_error_windows",
-    "obs_alert_firing",
-    "asof_next_error",
-    "f2_type_filter",
-    "dedup_embed_cosine",
-    "media_feature_extract",
-    "media_frame_sample",
-    "media_type_summary",
-    "h21_late_suppliers",
-    "h4_order_priority",
-    "sample_weighted_sources",
-    "text_clean_stats",
-    "quality_filter_report",
-    "pii_scrub_stats",
-    "stratified_split",
-    "asof_last_error",
-    "a11_type_daily_rollup",
-    "t2_pivot_event_values",
-    "f5_integrity_report",
-    "a1_device_summary",
-    "a4_device_stats",
-    "a6_table_stats",
-    "a8_duplicate_report",
-    "a9_daily_quality",
-    "t1_unpivot_measures",
-    "dedup_exact",
-    "text_bpe_token_stats",
-    # --- driver window ends here (first 50) ---
-    # r11 queue head: the one r5 row past the cutoff, then any
-    # never-checked r10 registrations, then r6/r7/r9 blocks
-    # (freshest last).
     "text_quality_score",
-    # new in r10 (never driver-checked; placed after the window per the
-    # r9 verdict's new-key cap — the window is pure stale-refresh):
+    # first registered r10, never driver-checked:
     "kn_trigram_surprisal",
     "langid_trained_report",
     "ccnet_perplexity_buckets_kn3",
-    # last green driver row r6:
+    # last green driver row r6 (46 of 50):
     "knn_join_ivf_bucketed",
     "knn_recall_report",
     "obs_hot_keys",
@@ -6363,6 +6306,11 @@ QUERY_ORDER = [
     "h5_local_supplier_volume",
     "a2_hourly_aggregates",
     "h6_forecast_revenue",
+    # --- driver window ends here (first 50) ---
+    # r12 queue head: the 4 age-4 keys the 50-slot window could not
+    # hold this round (54 candidates for 50 slots), then the r7 / r9 /
+    # r10 cohorts, freshest last.
+    # last green driver row r6 (the 4 deferred):
     "h7_volume_shipping",
     "h8_market_share",
     "w4_user_sessions",
@@ -6469,6 +6417,57 @@ QUERY_ORDER = [
     "knn_lsh",
     "dedup_embed_cosine_lsh",
     "dedup_simhash",
+    # last green driver row r10:
+    "seq_pack_summary",
+    "dedup_keep_list",
+    "tfidf_top_terms",
+    "vocab_coverage",
+    "source_mix_temperature",
+    "quality_quantile_filter",
+    "dedup_cross_corpus",
+    "dedup_incremental_jaccard",
+    "unigram_surprisal",
+    "kmeans_embed_clusters",
+    "pca_variance_report",
+    "h20_excess_supply",
+    "h2_min_cost_supplier",
+    "h11_important_parts",
+    "h12_ship_delay_priority",
+    "embed_dedup_keep_list",
+    "corpus_select_pipeline",
+    "ingest_fanout_pipeline",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
+    "dedup_clusters",
+    "cap_per_source",
+    "iv_error_windows",
+    "obs_alert_firing",
+    "asof_next_error",
+    "f2_type_filter",
+    "dedup_embed_cosine",
+    "media_feature_extract",
+    "media_frame_sample",
+    "media_type_summary",
+    "h21_late_suppliers",
+    "h4_order_priority",
+    "sample_weighted_sources",
+    "text_clean_stats",
+    "quality_filter_report",
+    "pii_scrub_stats",
+    "stratified_split",
+    "asof_last_error",
+    "a11_type_daily_rollup",
+    "t2_pivot_event_values",
+    "f5_integrity_report",
+    "a1_device_summary",
+    "a4_device_stats",
+    "a6_table_stats",
+    "a8_duplicate_report",
+    "a9_daily_quality",
+    "t1_unpivot_measures",
+    "dedup_exact",
+    "text_bpe_token_stats",
 ]
 
 

@@ -152,7 +152,15 @@ def run_ann_serving_stream(
             codebook_fingerprint=codebook_fingerprint,
             quantizer=quantizer,
         )
-        _write_effectively_once(result, batch_id, output_path)
+        # a NULL cosine is an undefined similarity (zero-norm query or
+        # zero-norm corpus row — failed encoder outputs): serving must
+        # not emit it as a "neighbor". NULLs sort last in the desc rank
+        # window, so non-null ranks are unchanged by this filter; a
+        # zero-norm query yields NO rows rather than k arbitrary ones
+        # ranked by NULL-tie accident (streaming edge-parity, r11).
+        _write_effectively_once(
+            result.where(F.col("cosine_sim").isNotNull()), batch_id, output_path
+        )
 
     writer = query_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
@@ -224,6 +232,12 @@ def run_ann_serving_stream_pq(
                 nprobe=nprobe,
                 refine_factor=refine_factor,
             )
+            # same undefined-similarity contract as the float path: the
+            # exact re-rank scores by cosine, so zero-norm rows surface
+            # as NULLs here too and must not serve as neighbors. (The
+            # pure-ADC branch below is L2 over quantized codes — always
+            # defined, even for a zero query — and stays unfiltered.)
+            result = result.where(F.col("cosine_sim").isNotNull())
         else:
             result = ivfpq_topk_batch(
                 batch.select("vec_id", "embedding"),

@@ -163,6 +163,26 @@ def curate_batch(
         raise ValueError(f"curate_batch: unknown quality_mode {quality_mode!r}")
     digested = batch.withColumn("digest", F.md5(_norm_text(F.col("text"))))
 
+    # 0. fail-loud validity split. A NULL text row has a NULL digest
+    # and a NULL doc_id row has no identity for the keep-min rule; both
+    # would VANISH from kept AND rejected at the digest equi-join below
+    # (NULL keys never match an inner join) — a silent drop, the exact
+    # accounting failure the rejects stream exists to prevent (found by
+    # the streaming edge-parity fixture, r11). Route them to rejected
+    # with an explicit reason instead; every input row now lands in
+    # exactly one of (kept, rejected).
+    invalid = digested.where(F.col("doc_id").isNull() | F.col("digest").isNull())
+    invalid_rejects = invalid.select(
+        "doc_id",
+        "digest",
+        F.when(F.col("doc_id").isNull(), F.lit("null_doc_id"))
+        .otherwise(F.lit("null_text"))
+        .alias("reason"),
+    )
+    digested = digested.where(
+        F.col("doc_id").isNotNull() & F.col("digest").isNotNull()
+    )
+
     # 1. in-batch exact dedup: keep the smallest doc_id per digest
     w_keep = digested.groupBy("digest").agg(F.min("doc_id").alias("_keep_id"))
     deduped = digested.join(F.broadcast(w_keep), "digest").where(
@@ -293,6 +313,7 @@ def curate_batch(
                 "doc_id", "digest", F.col("reject_reasons").alias("reason")
             )
         )
+        .unionByName(invalid_rejects)
     )
     return kept, rejected
 

@@ -120,10 +120,19 @@ def alert_columns(readings: DataFrame) -> DataFrame:
         .otherwise(None)
     )
     # OP-T14 (consumer.py:391-395): the human-readable alert line with the
-    # value formatted to 2 decimals — format_number, JVM-side
+    # value formatted to 2 decimals — format_number, JVM-side. Every
+    # nullable piece is coalesced: value is NOT a required ingest field,
+    # so a status=ERROR reading with a null value raises a CRITICAL
+    # alert, and concat's null-propagation would null the ENTIRE message
+    # on exactly the alerts that matter most (found by the streaming
+    # edge-parity fixture, r11 — the reference's Python f-string renders
+    # None as 'None' rather than dropping the line).
     message = F.concat(
-        level, F.lit(": "), F.col("device_id"), F.lit(" "), reason,
-        F.lit(" (value="), F.format_number(F.col("value"), 2), F.lit(" "), F.col("unit"), F.lit(")"),
+        level, F.lit(": "),
+        F.coalesce(F.col("device_id"), F.lit("?")), F.lit(" "), reason,
+        F.lit(" (value="),
+        F.coalesce(F.format_number(F.col("value"), 2), F.lit("null")),
+        F.lit(" "), F.coalesce(F.col("unit"), F.lit("?")), F.lit(")"),
     )
     return (
         j.withColumn("alert_level", level)

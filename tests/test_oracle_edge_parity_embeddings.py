@@ -74,3 +74,37 @@ def test_embedding_edge_parity(spark, emb_dir, name):
         got.sort_values(by=sorted(got.columns)).head(20),
         want.sort_values(by=sorted(want.columns)).head(20),
     )
+
+
+def test_cosine_batch_zero_norm_reaches_spark_as_null(spark):
+    """cosine_batch's zero-norm guard returns pd.NA in a pandas
+    nullable Float64 series; this pins that the Arrow pandas-UDF
+    serializer on the CURRENT pandas/pyarrow pins delivers it to Spark
+    as SQL NULL, not NaN. The distinction is load-bearing: Spark ranks
+    NaN GREATEST in a descending top-k, so a silent NA->NaN coercion
+    (the behavior of older pins) would re-promote zero-norm junk
+    vectors to the top of every similarity ranking."""
+    import pyspark.sql.functions as F
+
+    from metrocloud_data_pipeline_spark.llm.similarity import cosine_batch
+
+    df = spark.createDataFrame(
+        [
+            ([0.0, 0.0], [1.0, 0.0]),   # zero-norm left side -> NULL
+            ([1.0, 0.0], [1.0, 0.0]),   # well-formed -> 1.0
+        ],
+        "a array<float>, b array<float>",
+    )
+    cos = cosine_batch()
+    rows = (
+        df.select(cos(F.col("a"), F.col("b")).alias("c"))
+        .select(
+            F.col("c"),
+            F.isnull("c").alias("is_null"),
+            F.isnan(F.coalesce(F.col("c"), F.lit(0.0))).alias("is_nan"),
+        )
+        .collect()
+    )
+    by_val = {r["is_null"]: r for r in rows}
+    assert True in by_val and by_val[True]["is_nan"] is False, rows
+    assert False in by_val and abs(by_val[False]["c"] - 1.0) < 1e-9, rows

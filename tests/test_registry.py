@@ -83,3 +83,31 @@ def test_oracles_are_nonempty_single_statements():
         # a trailing semicolon or second statement breaks the driver's
         # duckdb .execute(...).df() single-result contract
         assert ";" not in sql.strip().rstrip(";"), f"{name}: multi-statement oracle"
+
+
+def test_new_key_velocity_is_capped():
+    """At most NEW_KEY_CAP registered keys may lack a driver row while
+    any freshness debt exists (a never-checked key, or any key at
+    age >= 4). The 50-slot window re-verifies ~a quarter of the surface
+    per round; a round that registers 11+ new keys while old ones wait
+    regrows the r9 backlog (51 rows stuck at age 5+) mechanically, not
+    through any one bad decision. r10 held to 3 new keys by discipline;
+    this makes the cap structural (VERDICT r10 advice #3)."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1] / "tools"))
+    from freshness import latest_green_rounds, staleness_report
+
+    NEW_KEY_CAP = 10
+
+    latest, _ = latest_green_rounds()
+    never_checked = [n for n in q.QUERY_ORDER if n not in latest]
+    rep = staleness_report(q.QUERY_ORDER, window=50, max_age=4)
+    any_debt = never_checked or any(
+        a is not None and a >= 4 for a in rep["ages"].values()
+    )
+    if any_debt:
+        assert len(never_checked) <= NEW_KEY_CAP, (
+            f"{len(never_checked)} keys have never earned a driver row "
+            f"({never_checked}) while freshness debt exists — cap is "
+            f"{NEW_KEY_CAP}; let the window catch up before registering more"
+        )

@@ -1,0 +1,353 @@
+"""Pathological fixtures through the STREAMING path — the fourth
+edge-parity module (documents: test_oracle_edge_parity.py, embeddings:
+…_embeddings.py, events: …_events.py cover the BATCH queries; this one
+covers the streaming wrappers, which share most code but add their own
+null paths: reject accounting, state keys, serving ranks).
+
+The batch twins of these fixtures found four real cross-engine bugs in
+r10; running them here found (and now pins the fixes for) four more,
+all streaming-only:
+
+1. curate_batch silently DROPPED null-text and null-doc_id rows from
+   both kept AND rejected (NULL keys never survive the digest
+   equi-join) — violating the module's own fail-loud drop-accounting
+   contract (streaming/corpus.py step 0 now routes them to rejected).
+2. quality_filter ABORTED the whole micro-batch with an ANSI
+   DIVIDE_BY_ZERO on any zero-token doc (empty / whitespace-only
+   text), and would silently KEEP a null-text doc (all rules NULL →
+   no reason fires) — llm/curation.py now try_divides and rejects
+   null text explicitly.
+3. alert_columns nulled the ENTIRE alert_message for a CRITICAL alert
+   on a null-value reading (concat null-propagation; value is not a
+   required ingest field) — streaming/pipeline.py now coalesces every
+   nullable piece.
+4. the ANN serving streams emitted k ARBITRARY rows with NULL
+   cosine_sim for a zero-norm query (NULL-tie ranking accident), and
+   the coarse-assignment UDFs tripped numpy zero-divide NaNs on
+   zero-norm rows — streaming/ann.py filters undefined similarities;
+   llm/similarity.py guards the norms.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrocloud_data_pipeline_spark.streaming import ann, corpus
+
+DOC_EDGE_ROWS = [
+    # (doc_id, text, lang, source, n_chars)
+    (1, "a sufficiently long and varied document about spark pipelines", "en", "s0", 62),
+    (2, None, "en", "s0", None),                      # null text
+    (3, "", "en", "s0", 0),                           # empty text (0 tokens)
+    (4, "   \t  ", "en", "s1", 6),                    # whitespace-only (0 tokens)
+    (None, "another perfectly reasonable piece of training text entirely", "en", "s1", 61),
+    (6, "A SUFFICIENTLY LONG AND VARIED DOCUMENT ABOUT SPARK PIPELINES", "en", "s2", 62),
+    (7, None, "en", "s2", None),                      # second null text
+    (8, "repeat " * 50, "en", "s3", 350),             # degenerate TTR
+]
+
+
+def test_curate_batch_accounts_for_every_pathological_row(spark):
+    """Every input row lands in exactly ONE of (kept, rejected) — the
+    fail-loud accounting contract — even for rows whose doc_id or
+    digest is NULL and can therefore never survive an equi-join."""
+    batch = spark.createDataFrame(DOC_EDGE_ROWS, corpus.DOCUMENT_SCHEMA)
+    kept, rejected = corpus.curate_batch(batch, min_tokens=3)
+
+    kept_ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    rej = {r.doc_id: r.reason for r in rejected.collect()}
+    assert kept_ids == [1]
+    # 6 is the case-normalized dup of 1; None is the null-doc_id row
+    assert rej == {
+        2: "null_text",
+        3: "too_few_tokens",
+        4: "too_few_tokens,mean_token_too_short",
+        None: "null_doc_id",
+        6: "duplicate_in_batch",
+        7: "null_text",
+        8: "low_type_token_ratio",
+    }
+    assert batch.count() == kept.count() + rejected.count()
+
+
+def test_curate_batch_strict_mode_survives_pathological_rows(spark):
+    """The Gopher/C4 panel gates are heavy string HOFs over the batch;
+    zero-token and null-text rows must not abort them (they are
+    rejected upstream), and accounting stays exact."""
+    batch = spark.createDataFrame(DOC_EDGE_ROWS, corpus.DOCUMENT_SCHEMA)
+    kept, rejected = corpus.curate_batch(batch, min_tokens=3, quality_mode="strict")
+    assert batch.count() == kept.count() + rejected.count()
+    # null rows keep their explicit reasons in strict mode too
+    rej = {r.doc_id: r.reason for r in rejected.collect()}
+    assert rej[2] == "null_text" and rej[None] == "null_doc_id"
+
+
+def test_corpus_ingest_stream_pathological_batches(spark, tmp_path):
+    """End-to-end: two pathological crawl batches through the ingest
+    stream. The store holds only the valid survivors, the rejects table
+    carries one explicitly-reasoned row per dropped doc (including the
+    null-text/null-doc_id rows that used to vanish), and the per-batch
+    metrics rows add up."""
+    rows2 = [
+        (10, None, "en", "s0", None),                 # null text again, batch 2
+        (11, "a sufficiently long and varied document about spark pipelines", "en", "s4", 62),  # corpus dup of 1
+        (12, "genuinely novel second-batch content about parquet readers", "en", "s4", 59),
+    ]
+    src = tmp_path / "crawl"
+    src.mkdir()
+    spark.createDataFrame(DOC_EDGE_ROWS, corpus.DOCUMENT_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(rows2, corpus.DOCUMENT_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+
+    table = str(tmp_path / "corpus")
+    rejects = str(tmp_path / "rejects")
+    metrics = str(tmp_path / "metrics")
+    q = corpus.run_corpus_ingest_stream(
+        corpus.stream_document_files(spark, str(src) + "/*", max_files_per_trigger=1),
+        table,
+        str(tmp_path / "ck"),
+        rejects_path=rejects,
+        metrics_path=metrics,
+        min_tokens=3,
+    )
+    q.awaitTermination(120)
+
+    kept = spark.read.parquet(table)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 12]
+    assert kept.where(F.col("text").isNull() | F.col("doc_id").isNull()).count() == 0
+
+    rej = spark.read.parquet(rejects)
+    reasons = {(r.doc_id, r.batch_id): r.reason for r in rej.collect()}
+    assert reasons[(2, 0)] == "null_text"
+    assert reasons[(None, 0)] == "null_doc_id"
+    assert reasons[(10, 1)] == "null_text"
+    assert reasons[(11, 1)] == "duplicate_in_corpus"
+    # accounting: input rows == store + rejects
+    assert kept.count() + rej.count() == len(DOC_EDGE_ROWS) + len(rows2)
+
+    m = {r.batch_id: r for r in spark.read.parquet(metrics).collect()}
+    for b, n_in in ((0, len(DOC_EDGE_ROWS)), (1, len(rows2))):
+        assert m[b].n_ingested == n_in
+        assert m[b].n_kept + m[b].n_rejected == n_in
+
+
+def test_corpus_ingest_near_dup_screen_survives_pathological_batches(spark, tmp_path):
+    """The MinHash-LSH arrival screen bands batch text against the
+    standing corpus; null-text rows must be rejected before banding
+    (a NULL signature has no bands) and the screen must still catch a
+    real near-dup arriving alongside them."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    rows1 = [(1, base, "en", "web", len(base))]
+    rows2 = [
+        (10, near, "en", "web", len(near)),            # near-dup of 1
+        (11, None, "en", "web", None),                  # null text
+        (None, "some new arrival with an unusable identity key", "en", "web", 47),
+        (13, "genuinely novel second-batch content about parquet readers", "en", "web", 59),
+    ]
+    src = tmp_path / "crawl"
+    src.mkdir()
+    spark.createDataFrame(rows1, corpus.DOCUMENT_SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows2, corpus.DOCUMENT_SCHEMA).coalesce(1).write.parquet(str(src / "b2"))
+
+    table = str(tmp_path / "corpus")
+    rejects = str(tmp_path / "rejects")
+    q = corpus.run_corpus_ingest_stream(
+        corpus.stream_document_files(spark, str(src) + "/*", max_files_per_trigger=1),
+        table,
+        str(tmp_path / "ck"),
+        rejects_path=rejects,
+        near_dup_screen=True,
+        near_dup_threshold=0.8,
+        min_tokens=3,
+    )
+    q.awaitTermination(120)
+
+    assert sorted(r.doc_id for r in spark.read.parquet(table).collect()) == [1, 13]
+    reasons = {r.doc_id: r.reason for r in spark.read.parquet(rejects).collect()}
+    assert reasons == {
+        10: "near_duplicate_in_corpus",
+        11: "null_text",
+        None: "null_doc_id",
+    }
+
+
+EMB_EDGE_CORPUS = [
+    (0, [1.0, 0.0, 0.0, 0.0], 0),
+    (1, [1.0, 0.0, 0.0, 0.0], 0),      # exact duplicate of 0
+    (2, [0.0, 0.0, 0.0, 0.0], 0),      # ZERO vector (failed encoder)
+    (3, [-1.0, 0.0, 0.0, 0.0], 1),
+    (4, [0.5, 0.5, 0.5, 0.5], 1),
+    (5, [1e-8, 0.0, 0.0, 0.0], 0),     # near-zero norm
+    (6, [3.0, -4.0, 0.0, 0.0], 2),
+    (7, [0.0, 1.0, 0.0, 0.0], 1),
+    (8, [0.70710678, 0.70710678, 0.0, 0.0], 0),
+    (9, [-0.5, -0.5, -0.5, -0.5], 1),
+]
+
+
+def test_ann_serving_stream_zero_norm_query_and_corpus(spark, tmp_path):
+    """A zero-norm QUERY must yield NO result rows (its similarity to
+    everything is undefined), not k arbitrary NULL-ranked ones; a
+    well-formed query served against a corpus CONTAINING zero-norm
+    rows must rank only defined similarities, duplicates included."""
+    emb = spark.createDataFrame(
+        EMB_EDGE_CORPUS, "vec_id long, embedding array<float>, label int"
+    )
+    src = tmp_path / "queries"
+    src.mkdir()
+    spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 0.0, 0.0, 0.0])],
+        ann.QUERY_SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    out = str(tmp_path / "results")
+    q = ann.run_ann_serving_stream(
+        ann.stream_query_vectors(spark, str(src) + "/*"),
+        emb,
+        out,
+        str(tmp_path / "ck"),
+        k=8,
+        nprobe=4,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.where(F.col("cosine_sim").isNull()).count() == 0
+    assert got.where(F.col("q_id") == 101).count() == 0
+    top = got.where(F.col("q_id") == 100).orderBy("rank").collect()
+    assert [r.vec_id for r in top[:3]] == [0, 1, 5]   # dup pair + near-zero unit dir
+    assert all(r.cosine_sim is not None for r in top)
+    # the zero corpus vector never serves as a neighbor
+    assert all(r.vec_id != 2 for r in top)
+
+
+def test_ann_serving_pq_refined_zero_norm_query(spark, tmp_path):
+    """The refined (exact cosine re-rank) serving tier under the same
+    contract: zero-norm queries emit nothing, defined queries emit only
+    non-null sims — with a zero vector present in the indexed corpus."""
+    import math
+
+    from metrocloud_data_pipeline_spark.llm import similarity
+
+    rows = []
+    for vid in range(60):
+        c = vid % 3
+        v = [1.0 if i == c else 0.0 for i in range(8)]
+        v[(c + 3) % 8] = 0.05 * ((vid * 7) % 11)
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((vid, [x / n for x in v], c))
+    rows.append((60, [0.0] * 8, 0))                   # zero vector in the corpus
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+    tbl = "ivfpq_edge_parity_pytest"
+    try:
+        similarity.ivfpq_corpus_table(emb, tbl, m=4, pq_k=8, n_iter=4, num_buckets=4)
+        src = tmp_path / "queries"
+        src.mkdir()
+        spark.createDataFrame(
+            [(1000, rows[3][1]), (1001, [0.0] * 8)], ann.QUERY_SCHEMA
+        ).coalesce(1).write.parquet(str(src / "b1"))
+
+        out = str(tmp_path / "results")
+        ann.run_ann_serving_stream_pq(
+            spark,
+            ann.stream_query_vectors(spark, str(src) + "/*"),
+            tbl,
+            out,
+            str(tmp_path / "ck"),
+            k=4,
+            nprobe=3,
+            refine_factor=3,
+            corpus=emb.select("vec_id", "embedding"),
+        ).awaitTermination(120)
+
+        got = spark.read.parquet(out)
+        assert got.where(F.col("cosine_sim").isNull()).count() == 0
+        assert got.where(F.col("q_id") == 1001).count() == 0
+        assert got.where(F.col("q_id") == 1000).count() > 0
+        assert got.where(F.col("vec_id") == 60).count() == 0
+    finally:
+        for t in (tbl, f"{tbl}_codebook", f"{tbl}_coarse"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+RAW_EDGE_ROWS = [
+    # (device_id, device_type, timestamp, temperature, humidity, pressure,
+    #  ax, ay, az, battery_voltage, tx_power, movement, seq)
+    ("aa:bb", "ruuvitag", "1758870000", 21.4, 38.5, 101325.0, 0.0, 0.0, 1.0, 2.9, 4.0, 1.0, 1.0),
+    (None, "ruuvitag", "1758870001", 22.0, 40.0, 101300.0, 0.0, 0.0, 1.0, 2.8, 4.0, 1.0, 2.0),  # null device
+    ("cc:dd", None, "1758870002", 23.0, 41.0, 101200.0, 0.0, 0.0, 1.0, 2.7, 4.0, 1.0, 3.0),     # null type
+    ("ee:ff", "ruuvitag", "1758870003", None, None, None, None, None, None, None, None, None, None),  # all-null measures
+]
+
+
+def test_ingest_stream_pathological_raw_accounting(spark, tmp_path):
+    """Null device_id / device_type raw messages through the storage
+    sink: rejected with explicit reasons, never silently dropped, and
+    nothing null lands in the required columns of the store."""
+    from metrocloud_data_pipeline_spark.streaming import pipeline
+
+    raw = tmp_path / "raw"
+    spark.createDataFrame(
+        RAW_EDGE_ROWS,
+        "device_id string, device_type string, timestamp string, "
+        "temperature double, humidity double, pressure double, "
+        "acceleration_x double, acceleration_y double, acceleration_z double, "
+        "battery_voltage double, tx_power double, movement_counter double, "
+        "measurement_sequence double",
+    ).coalesce(1).write.parquet(str(raw))
+
+    table = str(tmp_path / "readings")
+    rejects = str(tmp_path / "rejects")
+    q = pipeline.run_ingest_stream(
+        pipeline.stream_raw_files(spark, str(raw)),
+        table,
+        str(tmp_path / "ck"),
+        rejects_path=rejects,
+        anchor="2025-09-26 12:00:00",
+    )
+    q.awaitTermination(120)
+
+    stored = spark.read.parquet(table)
+    assert stored.where(
+        F.col("device_id").isNull()
+        | F.col("device_type").isNull()
+        | F.col("unit").isNull()
+    ).count() == 0
+    rej = spark.read.parquet(rejects)
+    rej_reasons = set(
+        rej.select(F.explode("reject_reasons").alias("r")).distinct().toPandas()["r"]
+    )
+    assert "missing_device_id" in rej_reasons
+    assert rej.where(F.col("device_id").isNull()).count() > 0
+
+
+def test_alert_message_survives_null_value_and_device(spark):
+    """A CRITICAL alert on a null-value ERROR reading keeps a readable
+    message (value is NOT a required ingest field, so this reaches the
+    wired alert stream); a null device_id via direct batch use renders
+    '?' instead of nulling the line."""
+    from metrocloud_data_pipeline_spark.streaming import pipeline
+
+    readings = spark.createDataFrame(
+        [
+            ("d1", "temperature_sensor", None, "C", "ERROR"),   # null value
+            (None, "temperature_sensor", 999.0, "C", "ACTIVE"),  # null device, threshold breach
+            ("d3", "temperature_sensor", 21.0, "C", "ACTIVE"),   # no alert
+        ],
+        "device_id string, device_type string, value double, unit string, status string",
+    )
+    alerts = pipeline.alert_columns(readings).collect()
+    by_dev = {r.device_id: r for r in alerts}
+    assert set(by_dev) == {"d1", None}
+    assert by_dev["d1"].alert_level == "CRITICAL"
+    assert by_dev["d1"].alert_message == "CRITICAL: d1 device_error (value=null C)"
+    assert by_dev[None].alert_level == "WARNING"
+    assert by_dev[None].alert_message is not None
+    assert by_dev[None].alert_message.startswith("WARNING: ?")

@@ -113,7 +113,8 @@ if __name__ == "__main__":
         if isinstance(node, ast.Assign) and any(
                 getattr(t, "id", "") == "QUERY_ORDER" for t in node.targets):
             order = [ast.literal_eval(e) for e in node.value.elts]
-    rep = staleness_report(order)
+    max_age = 6
+    rep = staleness_report(order, max_age=max_age)
     from collections import Counter
     print("max_round:", rep["max_round"])
     print("age histogram:", dict(Counter(rep["ages"].values())))
@@ -122,4 +123,4 @@ if __name__ == "__main__":
         for name, age, idx in rep["stale_outside_window"]:
             print(f"  {name} (age {age}, position {idx})")
     else:
-        print("freshness OK: every age>=5 key is inside the driver window")
+        print(f"freshness OK: every age>={max_age} key is inside the driver window")
