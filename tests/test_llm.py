@@ -2544,3 +2544,38 @@ def test_embed_centroid_drift_identical_and_shifted(spark):
     assert out[0]["centroid_cos"] == pytest.approx(1.0, abs=1e-6)
     assert out[0]["n_even"] == 8 and out[0]["n_odd"] == 8
     assert out[1]["centroid_cos"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_jaccard_prefix_baskets_pairs_are_exactly_the_derived_near_copies(spark):
+    """dedup_jaccard_prefix_baskets' true answer is known in closed
+    form: every customer basket of n >= 2 distinct parts gets a derived
+    near-copy missing its largest part (Jaccard (n-1)/n), so at the
+    0.95 threshold the pair set is exactly {(custkey, custkey + 1e6) :
+    n >= 20} — random baskets never reach the threshold (measured
+    max < 0.2 at sf0.01). Pinned at sf0.001 against the basket sizes
+    computed independently here."""
+    from pyspark.sql import functions as F
+
+    from metrocloud_data_pipeline_spark.queries import SPARK_QUERIES
+    from metrocloud_data_pipeline_spark.sources.star_schema import load
+
+    sf = "/root/testdata/sf0.001"
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    sizes = {
+        r.o_custkey: r.n
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    expected = {
+        (int(ck), int(ck) + 1_000_000): round((n - 1) / n, 6)
+        for ck, n in sizes.items()
+        if (n - 1) / n >= 0.95 - 1e-12
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in SPARK_QUERIES["dedup_jaccard_prefix_baskets"](spark, sf).collect()
+    }
+    assert got == expected and len(expected) > 0

@@ -32,6 +32,7 @@ FIRST_REGISTERED_ROUND: dict[str, int] = {
     "kn_trigram_surprisal": 10,
     "langid_trained_report": 10,
     "ccnet_perplexity_buckets_kn3": 10,
+    "dedup_jaccard_prefix_baskets": 11,
 }
 
 
