@@ -2,10 +2,13 @@
 
 The Spark-side design is real and tested — schema, partition-aware
 mapInPandas over Arrow batches, typed metadata extraction — while the
-actual media decode is stubbed (codec libraries are not in this
-container): `decode_stub=True` produces a deterministic fake feature
-vector from the bytes; `decode_stub=False` raises NotImplementedError
-where a real decoder (PIL/librosa/ffmpeg) would plug in.
+actual media decode is env-gated: `decode_stub=True` (the registered
+queries' mode) produces a deterministic fake feature vector from the
+bytes; `decode_stub=False` decodes IMAGE payloads for real when PIL is
+importable (grayscale pixel features / genuine resize+re-encode, same
+mapInPandas shape and schemas) and raises NotImplementedError when the
+library is absent or the row is audio/video (librosa/ffmpeg are not
+gated in — nothing pretends to decode what it can't).
 
 At 100 TB the pattern is: binary payloads in their own parquet column
 (parquet keeps them out of unrelated scans via column pruning), small
@@ -68,21 +71,57 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     return out
 
 
+def _pil_image_feature(payload: bytes, dim: int) -> list[float]:
+    """Real image feature via PIL: grayscale, NEAREST-resample to a
+    (dim, 1) strip, pixels scaled to [0, 1]. NEAREST (not BILINEAR) so
+    the values are bit-reproducible across PIL versions — this feeds
+    dedup/ANN paths where determinism is part of the contract."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    img = Image.open(BytesIO(payload)).convert("L")
+    strip = img.resize((dim, 1), resample=Image.Resampling.NEAREST)
+    return [p / 255.0 for p in strip.getdata()]
+
+
 def extract_features(media: DataFrame, decode_stub: bool = True, dim: int = 8) -> DataFrame:
     """Decode/feature-extract over binary payloads via mapInPandas.
 
     Arrow-batched: each partition streams pandas batches; output rows are
     1:1 with input (a frame-sampling variant would return >1 row per
-    video — same plumbing, different yield)."""
+    video — same plumbing, different yield).
+
+    decode_stub=False is the REAL path: image payloads are decoded with
+    PIL (grayscale pixel-strip feature, _pil_image_feature) executor-
+    side, inside the same Arrow batches — bytes still cross the
+    JVM<->Python boundary exactly once. Rows whose media_type is not
+    'image', and environments without PIL, raise NotImplementedError:
+    audio/video need librosa/ffmpeg, which are deliberately not gated
+    in, and a silent fake-fallback would poison downstream dedup."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not decode_stub:
+        if not decode_stub:
+            try:
+                import PIL  # noqa: F401
+            except ImportError as e:
                 raise NotImplementedError(
-                    "real media decode requires codec libraries (PIL/librosa/ffmpeg); "
-                    "re-run with decode_stub=True for the deterministic fake"
-                )
+                    "real media decode requires codec libraries (PIL for "
+                    "images; librosa/ffmpeg for audio/video); re-run with "
+                    "decode_stub=True for the deterministic fake"
+                ) from e
+        for pdf in batches:
             payloads = pdf["payload"]
+            if decode_stub:
+                feats = payloads.map(lambda b: _fake_feature(b, dim))
+            else:
+                if (pdf["media_type"] != "image").any():
+                    raise NotImplementedError(
+                        "real decode is implemented for media_type='image' "
+                        "(PIL); audio/video need librosa/ffmpeg — filter to "
+                        "images or use decode_stub=True"
+                    )
+                feats = payloads.map(lambda b: _pil_image_feature(b, dim))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -91,7 +130,7 @@ def extract_features(media: DataFrame, decode_stub: bool = True, dim: int = 8) -
                     "content_hash": payloads.map(
                         lambda b: hashlib.sha256(b or b"").hexdigest()
                     ),
-                    "feature": payloads.map(lambda b: _fake_feature(b, dim)),
+                    "feature": feats,
                 }
             )
 
@@ -170,24 +209,47 @@ def resize_images(
     (typed-metadata pruning — audio/video partitions never reach
     Python), then rewrites payload per Arrow batch. The stub emits
     sha256(payload || 'WxH') bytes as the deterministic stand-in for
-    re-encoded pixels; decode_stub=False marks where PIL would plug in."""
+    re-encoded pixels; decode_stub=False decodes, NEAREST-resizes, and
+    re-encodes as PNG via PIL when it is importable (raising
+    NotImplementedError when it is not)."""
+
+    def _pil_resize(payload: bytes, w: int, h: int) -> bytes:
+        from io import BytesIO
+
+        from PIL import Image
+
+        img = Image.open(BytesIO(payload)).resize(
+            (w, h), resample=Image.Resampling.NEAREST
+        )
+        buf = BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tag = f"{target_w}x{target_h}".encode()
-        for pdf in batches:
-            if not decode_stub:
+        if not decode_stub:
+            try:
+                import PIL  # noqa: F401
+            except ImportError as e:
                 raise NotImplementedError(
-                    "real image resize requires PIL/opencv; "
-                    "re-run with decode_stub=True for the deterministic fake"
+                    "real image resize requires PIL/opencv; re-run with "
+                    "decode_stub=True for the deterministic fake"
+                ) from e
+        for pdf in batches:
+            if decode_stub:
+                out_payload = pdf["payload"].map(
+                    lambda b: hashlib.sha256((b or b"") + tag).digest()
+                )
+            else:
+                out_payload = pdf["payload"].map(
+                    lambda b: _pil_resize(b, target_w, target_h)
                 )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "width": pd.Series([target_w] * len(pdf), dtype="int32"),
                     "height": pd.Series([target_h] * len(pdf), dtype="int32"),
-                    "payload": pdf["payload"].map(
-                        lambda b: hashlib.sha256((b or b"") + tag).digest()
-                    ),
+                    "payload": out_payload,
                 }
             )
 

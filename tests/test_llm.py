@@ -213,10 +213,85 @@ def test_multimodal_feature_extraction(spark):
     assert {r["media_id"]: r["feature"] for r in again}[0] == feats[0]["feature"]
 
 
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_pil(), reason="PIL installed: decode_stub=False is the real path")
 def test_multimodal_stub_gate(spark):
     rows = [(0, "image", "image/png", bytearray(b"X"), 1, 1, None)]
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.extract_features(media, decode_stub=False).collect()
+
+
+def _tiny_png(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal stdlib PNG encoder (8-bit RGB, filter 0 per scanline) so
+    the real-decode tests carry their own valid fixture without needing
+    PIL to CREATE it — only to decode it."""
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(
+        b"\x00" + b"".join(bytes(px) for px in row) for row in pixels
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.skipif(not _has_pil(), reason="PIL not installed in this container")
+def test_multimodal_real_decode_end_to_end(spark):
+    """decode_stub=False with PIL present: a real PNG (2x2, black left
+    column, white right column) decodes to a grayscale pixel-strip
+    feature — dark values in the left half, bright in the right — and
+    resize_images re-encodes genuine pixels PIL can re-open at the
+    target size."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    png = _tiny_png([[(0, 0, 0), (255, 255, 255)], [(0, 0, 0), (255, 255, 255)]])
+    rows = [(0, "image", "image/png", bytearray(png), 2, 2, None)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    feats = multimodal.extract_features(media, decode_stub=False, dim=4).collect()
+    f = feats[0]["feature"]
+    assert len(f) == 4
+    assert f[0] < 0.1 and f[1] < 0.1          # left (black) half
+    assert f[2] > 0.9 and f[3] > 0.9          # right (white) half
+
+    resized = multimodal.resize_images(media, 4, 4, decode_stub=False).collect()
+    img = Image.open(BytesIO(bytes(resized[0]["payload"])))
+    assert img.size == (4, 4)
+    assert img.convert("RGB").getpixel((0, 0)) == (0, 0, 0)
+    assert img.convert("RGB").getpixel((3, 3)) == (255, 255, 255)
+
+
+@pytest.mark.skipif(not _has_pil(), reason="PIL not installed in this container")
+def test_multimodal_real_decode_rejects_non_image(spark):
+    rows = [(1, "audio", "audio/wav", bytearray(b"WAV"), None, None, 3000)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="NotImplementedError|librosa"):
         multimodal.extract_features(media, decode_stub=False).collect()
 
 
