@@ -1329,6 +1329,132 @@ def kn_trigram_surprisal(
     )
 
 
+def kn5_surprisal_hashed(
+    docs: DataFrame,
+    discount: float = 0.75,
+    n_buckets: int = 1 << 22,
+    materialize: bool = True,
+) -> DataFrame:
+    """Per-document mean 5-gram surprisal under interpolated Kneser-Ney
+    — the published KenLM order for CCNet's perplexity filter (Wenzek
+    et al. 2020 §3.3) — with every gram/context key HASHED into
+    n_buckets (the dsir_hashed_weights move) so the type-frame state is
+    fixed-width and collision-bounded instead of growing with the
+    arbitrary-length 5-gram strings.
+
+    Same three-level interpolation as the engine's KN-2/KN-3 family,
+    lifted to order 5: top = order-5 counts against the order-4
+    history, middle = order-4-suffix continuation counts, base =
+    unigram continuation mass. The full Chen & Goodman 1999 recursion
+    would add two more continuation levels (orders 3 and 2); the
+    three-level form keeps the per-doc RANKING signal (pytest pins
+    Spearman >= 0.95 between the hashed form and its effectively-exact
+    twin, and records the kn3 cross-order correlation in PROBE_r11)
+    at two fewer shuffle-aggregate frames.
+
+    Hashing design: each structural component — the 5-gram, its
+    order-4 history (w1..w4), its order-4 suffix (w2..w5), the middle
+    trigram (w2w3w4), and the current word — hashes independently via
+    pmod(xxhash64, n_buckets). Types are the distinct hashed TUPLES, so
+    two true grams merge only when every component collides; each
+    context frame (history totals, mid normalizers, predecessor
+    counts) is keyed by a single hashed column and therefore holds at
+    most n_buckets rows — the bounded state a 100 TB corpus needs,
+    where the exact string frames are the thing that does not fit.
+    Default 2^22: measured at sf0.01 (24k gram types), context-frame
+    collisions put per-doc Spearman vs the effectively-exact 2^62 twin
+    at 0.9492 for 2^20, 0.9862 for 2^22, 0.9974 for 2^24 — 2^22 is the
+    smallest power clearing the 0.95 fidelity floor with margin, at
+    ~32 MB of fixed-width keys per context frame.
+    Seeded-hash output = no DuckDB oracle (the dedup_minhash contract):
+    rows-only driver row + the Spearman pytest.
+
+    Docs with < 5 tokens emit no row."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS, " ")
+    toks = F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    m = F.greatest(F.size(toks) - F.lit(4), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+    )
+    b = F.lit(int(n_buckets))
+    h = lambda c: F.pmod(F.xxhash64(c), b)  # noqa: E731
+    g = F.col("gram")
+    suffix4 = F.substring_index(g, " ", -4)
+    rows = (
+        docs.where(F.size(toks) >= 5)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .select(
+            "doc_id",
+            h(g).alias("h5"),
+            h(F.substring_index(g, " ", 4)).alias("h4h"),
+            h(suffix4).alias("h4s"),
+            h(F.substring_index(suffix4, " ", 3)).alias("h3m"),
+            h(F.substring_index(g, " ", -1)).alias("h1c"),
+        )
+    )
+    if materialize:
+        rows = rows.localCheckpoint()
+    key = ["h5", "h4h", "h4s", "h3m", "h1c"]
+    types = rows.groupBy(*key).agg(F.count(F.lit(1)).alias("ct"))
+    if materialize:
+        types = types.localCheckpoint()
+    hist_stats = types.groupBy("h4h").agg(
+        F.sum("ct").alias("ch"), F.count(F.lit(1)).alias("nfwd")
+    )
+    # one row per distinct hashed (suffix4, mid3, cur):
+    # cc = N1+(., suffix4) = distinct first words ahead of the suffix
+    pairs = types.groupBy("h4s", "h3m", "h1c").agg(F.count(F.lit(1)).alias("cc"))
+    if materialize:
+        pairs = pairs.localCheckpoint()
+    mid_stats = pairs.groupBy("h3m").agg(
+        F.sum("cc").alias("ccsum"), F.count(F.lit(1)).alias("nfwd_mid")
+    )
+    cur_stats = pairs.groupBy("h1c").agg(F.count(F.lit(1)).alias("nback"))
+    btot = pairs.agg(F.count(F.lit(1)).alias("btypes"))
+    d = float(discount)
+    pmid = (
+        F.greatest(F.col("cc").cast("double") - F.lit(d), F.lit(0.0))
+        / F.col("ccsum").cast("double")
+        + F.lit(d)
+        * F.col("nfwd_mid").cast("double")
+        / F.col("ccsum").cast("double")
+        * F.col("nback").cast("double")
+        / F.col("btypes").cast("double")
+    )
+    scored = (
+        types.join(hist_stats, "h4h")
+        .join(pairs.select("h4s", "h3m", "h1c", "cc"), ["h4s", "h3m", "h1c"])
+        .join(mid_stats, "h3m")
+        .join(cur_stats, "h1c")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            *key,
+            (
+                F.greatest(F.col("ct").cast("double") - F.lit(d), F.lit(0.0))
+                / F.col("ch").cast("double")
+                + F.lit(d)
+                * F.col("nfwd").cast("double")
+                / F.col("ch").cast("double")
+                * pmid
+            ).alias("p_kn"),
+        )
+    )
+    ln2 = 0.6931471805599453
+    return (
+        rows.join(scored, key)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("gram5_count"),
+            round6(
+                -F.sum(F.log("p_kn")) / F.count(F.lit(1)).cast("double") / F.lit(ln2)
+            ).alias("kn5h_bits_per_gram"),
+        )
+    )
+
+
 def winnow_similar_topk(
     docs: DataFrame,
     top_k: int = 3,

@@ -5688,6 +5688,22 @@ def kn_trigram_surprisal(spark, sf_dir):
     return text.kn_trigram_surprisal(docs, discount=0.75)
 
 
+@q("kn5_surprisal_hashed")
+def kn5_surprisal_hashed(spark, sf_dir):
+    """Per-doc mean 5-gram surprisal under hashed interpolated
+    Kneser-Ney — the PUBLISHED KenLM order for CCNet's perplexity
+    filter (Wenzek et al. 2020 §3.3), closing the order gap the KN-2/
+    KN-3 family documented, with every gram/context key hashed into
+    2^22 buckets so the type-frame state is fixed-width and bounded
+    (the dsir_hashed_weights move) instead of growing with 5-gram
+    strings. Seeded xxhash64 output = no DuckDB oracle (the
+    dedup_minhash contract): rows-only driver row; fidelity is pinned
+    by pytest (Spearman >= 0.95 vs the effectively-exact 2^62 twin at
+    sf0.01 — measured 0.986)."""
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    return text.kn5_surprisal_hashed(docs, discount=0.75)
+
+
 @q(
     "ccnet_perplexity_buckets_kn3",
     oracle=_KN3_SURPRISAL_CTES
@@ -6531,6 +6547,7 @@ QUERY_ORDER = [
     # first registered r11 (never driver-checked; after the window per
     # the new-key cap — see tools/freshness.py FIRST_REGISTERED_ROUND):
     "dedup_jaccard_prefix_baskets",
+    "kn5_surprisal_hashed",
 ]
 
 

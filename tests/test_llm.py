@@ -2654,3 +2654,58 @@ def test_jaccard_prefix_baskets_pairs_are_exactly_the_derived_near_copies(spark)
         for r in SPARK_QUERIES["dedup_jaccard_prefix_baskets"](spark, sf).collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_kn5_hashed_hand_computed_exact_regime(spark):
+    """With n_buckets effectively collision-free (2^62), the hashed
+    KN-5 must equal the hand-computed three-level interpolation — the
+    order-5 lift of the trigram worked example: two docs share the
+    5-gram (a b c d e), one diverges at the last word."""
+    import math
+
+    rows = [
+        (0, "a b c d e", "en", "s0", 9),
+        (1, "a b c d e", "en", "s0", 9),
+        (2, "a b c d f", "en", "s0", 9),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.kn5_surprisal_hashed(docs, n_buckets=1 << 62).collect()
+    }
+    D = 0.75
+    # gram types: (a b c d e) ct=2, (a b c d f) ct=1; hist "a b c d":
+    # ch=3, nfwd=2. suffix4 "b c d e": cc=1 (left words {a}); "b c d f":
+    # cc=1. mid3 "b c d": ccsum=2, nfwd_mid=2. cur e: nback=1; f: 1; B=2
+    pmid = max(1 - D, 0) / 2 + D * 2 / 2 * 1 / 2
+    p_e = max(2 - D, 0) / 3 + D * 2 / 3 * pmid
+    p_f = max(1 - D, 0) / 3 + D * 2 / 3 * pmid
+    assert p_e + p_f == pytest.approx(1.0)
+    assert out[0]["kn5h_bits_per_gram"] == pytest.approx(-math.log2(p_e), abs=1e-6)
+    assert out[2]["kn5h_bits_per_gram"] == pytest.approx(-math.log2(p_f), abs=1e-6)
+    assert out[0]["gram5_count"] == 1
+    # docs with < 5 tokens emit no row
+    short = spark.createDataFrame(
+        [(9, "a b c d", "en", "s0", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert text.kn5_surprisal_hashed(short).count() == 0
+
+
+def test_kn5_hashed_spearman_vs_exact_at_sf001(spark):
+    """The hashing approximation's fidelity contract (VERDICT r10 #8):
+    per-doc Spearman between the DEFAULT bucket count (2^22) and the
+    effectively-exact 2^62 twin must hold >= 0.95 on the sf0.01 corpus
+    (measured 0.986; 2^20 measured 0.9492, which is why the default is
+    one power higher)."""
+    from metrocloud_data_pipeline_spark.sources.star_schema import load
+
+    docs = load(spark, "/root/testdata/sf0.01", "documents")
+    hashed = text.kn5_surprisal_hashed(docs).toPandas()
+    exact = text.kn5_surprisal_hashed(docs, n_buckets=1 << 62).toPandas()
+    m = hashed.merge(exact, on="doc_id", suffixes=("_h", "_e"))
+    assert len(m) == len(exact) == 500
+    rho = m["kn5h_bits_per_gram_h"].rank().corr(m["kn5h_bits_per_gram_e"].rank())
+    assert rho >= 0.95, rho

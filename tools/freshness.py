@@ -33,6 +33,7 @@ FIRST_REGISTERED_ROUND: dict[str, int] = {
     "langid_trained_report": 10,
     "ccnet_perplexity_buckets_kn3": 10,
     "dedup_jaccard_prefix_baskets": 11,
+    "kn5_surprisal_hashed": 11,
 }
 
 
