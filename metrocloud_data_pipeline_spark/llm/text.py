@@ -1383,6 +1383,13 @@ def kn5_surprisal_hashed(
     h = lambda c: F.pmod(F.xxhash64(c), b)  # noqa: E731
     g = F.col("gram")
     suffix4 = F.substring_index(g, " ", -4)
+    # tid = 64-bit hash of the full component tuple: the per-OCCURRENCE
+    # frame carries ONE long instead of five, so the type aggregation
+    # and the final scoring join shuffle a fifth of the key bytes — at
+    # 100 TB the occurrence frame is the corpus-sized one, the type
+    # frame is bounded. Components ride only in the type frame (min()
+    # per tid: identical within a tid up to a ~2^-64 tuple collision,
+    # min for determinism under one).
     rows = (
         docs.where(F.size(toks) >= 5)
         .select("doc_id", F.explode(grams).alias("gram"))
@@ -1394,11 +1401,29 @@ def kn5_surprisal_hashed(
             h(F.substring_index(suffix4, " ", 3)).alias("h3m"),
             h(F.substring_index(g, " ", -1)).alias("h1c"),
         )
+        .select(
+            "doc_id",
+            F.xxhash64("h5", "h4h", "h4s", "h3m", "h1c").alias("tid"),
+            "h4h",
+            "h4s",
+            "h3m",
+            "h1c",
+        )
     )
     if materialize:
+        # one materialization feeds BOTH consumers (the per-doc
+        # occurrence frame and the type aggregation) — checkpointing
+        # only the occ projection would re-run the explode+hash
+        # lineage for types (measured 16 s vs 9 s at sf0.1)
         rows = rows.localCheckpoint()
-    key = ["h5", "h4h", "h4s", "h3m", "h1c"]
-    types = rows.groupBy(*key).agg(F.count(F.lit(1)).alias("ct"))
+    occ = rows.select("doc_id", "tid")
+    types = rows.groupBy("tid").agg(
+        F.count(F.lit(1)).alias("ct"),
+        F.min("h4h").alias("h4h"),
+        F.min("h4s").alias("h4s"),
+        F.min("h3m").alias("h3m"),
+        F.min("h1c").alias("h1c"),
+    )
     if materialize:
         types = types.localCheckpoint()
     hist_stats = types.groupBy("h4h").agg(
@@ -1431,7 +1456,7 @@ def kn5_surprisal_hashed(
         .join(cur_stats, "h1c")
         .crossJoin(F.broadcast(btot))
         .select(
-            *key,
+            "tid",
             (
                 F.greatest(F.col("ct").cast("double") - F.lit(d), F.lit(0.0))
                 / F.col("ch").cast("double")
@@ -1444,7 +1469,7 @@ def kn5_surprisal_hashed(
     )
     ln2 = 0.6931471805599453
     return (
-        rows.join(scored, key)
+        occ.join(scored, "tid")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("gram5_count"),
