@@ -106,6 +106,10 @@ def main() -> None:
     # DISTINCT grams (sub-linear in occurrences), measured 3.4x wall
     # at 10x grams in PROBE_r10 §d
     t(lambda: llm_text.kn_trigram_surprisal(docs), "kn3_surprisal")
+    # r11: order-5 hashed KN — the context frames are n_buckets-BOUNDED
+    # (2^22 fixed-width keys), so 10x occurrences must grow the type
+    # frame sub-linearly and the context frames not at all once full
+    t(lambda: llm_text.kn5_surprisal_hashed(docs), "kn5_hashed")
     t(lambda: similarity.kmeans_cluster_stats(emb, k=16, n_iter=4), "kmeans_16x4")
 
     # late-r5 additions: the incremental ingest gate (batch vs standing
@@ -119,6 +123,46 @@ def main() -> None:
         "incr_jaccard",
     )
     t(lambda: similarity.semdedup_pairs(emb, k=32, n_iter=2, threshold=0.99), "semdedup")
+    # r11: the prefix-filter join's PRODUCTION config at `copies`x —
+    # baskets cloned with per-copy token namespaces so vocab grows with
+    # docs (ratio preserved, guard stays satisfied, prefixes keep
+    # pruning); candidate pairs must stay ~linear in docs, not quadratic
+    li1 = load(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    o1 = load(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    basket1 = (
+        li1.join(o1, li1.l_orderkey == o1.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    bask_docs = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            basket1.select(
+                (F.col("o_custkey") + i * OFFSET).cast("long").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        "parts", lambda x, _i=i: F.concat(F.lit(f"c{_i}p"), x.cast("string"))
+                    ),
+                ).alias("text"),
+            )
+            for i in range(copies)
+        ],
+    )
+    near = bask_docs.select(
+        (F.col("doc_id") + 100 * OFFSET).alias("doc_id"),
+        F.substring_index("text", " ", -1).alias("_drop"),
+        "text",
+    ).select(
+        "doc_id",
+        F.expr("rtrim(substring(text, 1, length(text) - length(_drop)))").alias("text"),
+    )
+    t(
+        lambda: dedup.token_jaccard_pairs_prefix(
+            bask_docs.unionByName(near).where(F.length("text") > 0), threshold=0.95
+        ),
+        "jaccard_prefix_natural",
+    )
     ev = load(spark, SF, "events")
     from metrocloud_data_pipeline_spark.operators import temporal as T
 
