@@ -448,6 +448,14 @@ def run_corpus_ingest_stream(
                 F.count_if(F.col("reason") == "near_duplicate_in_corpus").alias(
                     "n_near_dup_in_corpus"
                 ),
+                # invalid rows (null text / null doc_id, curate_batch
+                # step 0) counted apart: they are malformed ARRIVALS,
+                # not quality failures — lumping them into the quality
+                # counter would misread a broken upstream feed as a
+                # corpus-quality drift
+                F.count_if(F.col("reason").isin("null_text", "null_doc_id")).alias(
+                    "n_invalid"
+                ),
             ).first()
             stats = (
                 batch_id,
@@ -458,10 +466,12 @@ def run_corpus_ingest_stream(
                 int(r.n_dup_in_batch),
                 int(r.n_dup_in_corpus),
                 int(r.n_near_dup_in_corpus),
+                int(r.n_invalid),
                 int(r.n_rejected)
                 - int(r.n_dup_in_batch)
                 - int(r.n_dup_in_corpus)
-                - int(r.n_near_dup_in_corpus),
+                - int(r.n_near_dup_in_corpus)
+                - int(r.n_invalid),
             )
         # rejects BEFORE the kept append: rejected's corpus semi-join
         # also reads the store's file listing, and an after-append
@@ -526,7 +536,7 @@ def run_corpus_ingest_stream(
                 [stats],
                 "batch_id long, n_ingested long, n_kept long, kept_chars long, "
                 "n_rejected long, n_dup_in_batch long, n_dup_in_corpus long, "
-                "n_near_dup_in_corpus long, n_quality_rejected long",
+                "n_near_dup_in_corpus long, n_invalid long, n_quality_rejected long",
             ).write.mode("append").parquet(metrics_path)
 
     writer = doc_stream.writeStream.foreachBatch(_process).option(

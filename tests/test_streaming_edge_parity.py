@@ -133,6 +133,12 @@ def test_corpus_ingest_stream_pathological_batches(spark, tmp_path):
     for b, n_in in ((0, len(DOC_EDGE_ROWS)), (1, len(rows2))):
         assert m[b].n_ingested == n_in
         assert m[b].n_kept + m[b].n_rejected == n_in
+    # malformed arrivals counted apart from quality failures: batch 0
+    # has 2 null-text + 1 null-doc_id rows, batch 1 has 1 null-text —
+    # none of them may inflate the quality counter
+    assert m[0].n_invalid == 3 and m[1].n_invalid == 1
+    assert m[0].n_quality_rejected == 3  # docs 3, 4, 8
+    assert m[1].n_quality_rejected == 0
 
 
 def test_corpus_ingest_near_dup_screen_survives_pathological_batches(spark, tmp_path):
