@@ -168,9 +168,9 @@ HEADLINE = [
     "embed_centroid_drift",
     # r10: KN one order up (scale-path: gram-type-bounded joins)
     "kn_trigram_surprisal",
-    # r11: the published CCNet order, hashed-bounded state (~8.7 s at
-    # sf0.1 — the suite's heaviest non-audit entry; kept in HEADLINE as
-    # the drift sentinel for the hashed-LM family's join shape)
+    # r11: the published CCNet order, hashed-bounded state (~4.7 s at
+    # sf0.1 after the zip-slice gram rewrite; kept in HEADLINE as the
+    # drift sentinel for the hashed-LM family's join shape)
     "kn5_surprisal_hashed",
     # dedup_jaccard_prefix_baskets deliberately NOT here: 19 s at sf0.1
     # (the natural-entropy production config of the prefix join) — timed
