@@ -1927,7 +1927,11 @@ def dedup_jaccard_prefix_baskets(spark, sf_dir):
             as_text(F.slice("parts", 1, F.size("parts") - 1)).alias("text"),
         )
     )
-    return dedup.token_jaccard_pairs_prefix(docs, threshold=0.95)
+    # the derived corpus is a join+agg, and token_jaccard_pairs_prefix
+    # tokenizes its input THREE times (explode, verify-a, verify-b) —
+    # materialize once instead of re-running the lineitem join per
+    # consumer (measured 11.1 -> 7.0 s at sf0.1, checkpoint included)
+    return dedup.token_jaccard_pairs_prefix(docs.localCheckpoint(), threshold=0.95)
 
 
 @q(
