@@ -500,7 +500,10 @@ def ivf_index(
 
 
 def knn_join_brute(
-    embeddings: DataFrame, k: int = 10, max_queries: int | None = None
+    embeddings: DataFrame,
+    k: int = 10,
+    max_queries: int | None = None,
+    corpus_filter=None,
 ) -> DataFrame:
     """Exact batch kNN: top-k cosine neighbors for EVERY vector in the
     query slice (vec_id < max_queries; None = all) — the per-document
@@ -511,14 +514,22 @@ def knn_join_brute(
     rows), then a per-query window takes the top k. This is the exact
     AUDIT form — the |q| x n blowup is the quadratic guard max_queries
     exists for; the corpus-scale path is knn_join_ivf, which scores
-    only nprobe lists per query."""
+    only nprobe lists per query.
+
+    `corpus_filter` (a boolean Column over the corpus columns, e.g.
+    F.col("label") == 1) restricts the CANDIDATE side only — filtered
+    search, "top-k among rows satisfying a predicate". Queries are
+    never filtered: any vector may search a filtered corpus. On the
+    exact path the filter simply shrinks the scan (predicate pushdown
+    applies); recall semantics are exact by construction."""
     from pyspark.sql.window import Window
 
     q = embeddings.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
     if max_queries is not None:
         q = q.where(F.col("q_id") < max_queries)
+    corpus = embeddings if corpus_filter is None else embeddings.where(corpus_filter)
     scored = (
-        embeddings.crossJoin(F.broadcast(q))
+        corpus.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -672,10 +683,23 @@ def knn_join_ivf(
     train_k: int | None = None,
     train_iter: int = 4,
     codebook_fingerprint: str | None = None,
+    corpus_filter=None,
 ) -> DataFrame:
     """Batch ANN over the whole corpus: every vector gets its top-k
     neighbors, scoring only the members of its nprobe nearest IVF lists
     — corpus x (nprobe/stride) candidate pairs instead of corpus².
+
+    `corpus_filter` (boolean Column over corpus columns) = FILTERED
+    ANN: candidates are restricted to rows satisfying the predicate,
+    applied to the listed corpus BEFORE the probe join (pre-filtering —
+    with a bucketed corpus table the predicate pushes into the scan,
+    so non-matching buckets' rows never reach the join). The caveat
+    every filtered-ANN system carries: the probe still selects lists
+    by the UNfiltered geometry, so a highly selective filter can leave
+    fewer than k candidates in the probed lists — raise nprobe with
+    selectivity, and audit with knn_filtered_recall_report (which
+    compares against the exact filtered answer). Queries are never
+    filtered.
 
     Plan shape at 100 TB: centroid selection per query is one Arrow
     batch pass against the broadcast codebook (same as assignment); the
@@ -798,6 +822,11 @@ def knn_join_ivf(
             "label",
             F.element_at(nearest_lists(F.col("embedding")), 1).alias("list_id"),
         )
+
+    if corpus_filter is not None:
+        # filtered ANN: prune the corpus side before the probe join —
+        # on a bucketed table this reaches the parquet scan
+        listed = listed.where(corpus_filter)
 
     # max_queries bounds the QUERY side only (audit/recall sampling) —
     # the corpus side still scores in full, so sampled results match
@@ -1355,6 +1384,54 @@ def knn_recall_report(
         )
     )
 
+
+
+def knn_filtered_recall_report(
+    embeddings: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    max_queries: int = 200,
+    corpus_filter=None,
+    codebook=None,
+    train_k: int | None = None,
+) -> DataFrame:
+    """Recall audit for FILTERED ANN: per-query recall@k of
+    knn_join_ivf(corpus_filter=...) against the exact filtered brute
+    answer over the same query sample — the number that tells you
+    whether the current nprobe survives the predicate's selectivity
+    (pre-filtering thins every probed list; the probe geometry is
+    unfiltered, so recall degrades as the filter sharpens — raise
+    nprobe until this report says the operating point holds).
+
+    Same bounded shape as knn_recall_report: both sides k rows per
+    query, audit cost max_queries x k rows."""
+    ivf = knn_join_ivf(
+        embeddings,
+        k=k,
+        nprobe=nprobe,
+        max_queries=max_queries,
+        codebook=codebook,
+        train_k=train_k,
+        corpus_filter=corpus_filter,
+    ).select("q_id", "vec_id")
+    brute = knn_join_brute(
+        embeddings, k=k, max_queries=max_queries, corpus_filter=corpus_filter
+    ).select("q_id", "vec_id")
+    hits = ivf.join(brute, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    per_q = brute.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        per_q.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            round6(
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
 
 def quantize_embeddings_int8(
     embeddings: DataFrame, vec_col: str = "embedding"

@@ -1334,6 +1334,65 @@ def knn_join_brute(spark, sf_dir):
     )
 
 
+@q(
+    "knn_filtered_brute",
+    oracle="""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+scored AS (
+  SELECT q.q_id, e.vec_id, e.label,
+         round(
+           list_sum(list_transform(list_zip(e.embedding, q.q_emb),
+                                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cosine_sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.q_id AND e.label = 1
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, label, cosine_sim, rank FROM ranked WHERE rank <= 10
+""",
+)
+def knn_filtered_brute(spark, sf_dir):
+    """FILTERED vector search, exact form: top-10 cosine neighbors
+    AMONG label=1 rows for the first 20 query vectors — "nearest
+    neighbors satisfying a metadata predicate", the retrieval shape
+    every production vector store serves (FAISS IDSelector / Milvus
+    expr / pgvector WHERE). The corpus side shrinks to the predicate
+    before scoring (pushdown-friendly); queries are never filtered.
+    knn_join_ivf(corpus_filter=...) is the scale path; its recall under
+    this predicate is audited by knn_filtered_ivf_recall."""
+    return similarity.knn_join_brute(
+        load(spark, sf_dir, "embeddings"),
+        k=10,
+        max_queries=20,
+        corpus_filter=F.col("label") == 1,
+    )
+
+
+@q("knn_filtered_ivf_recall")
+def knn_filtered_ivf_recall(spark, sf_dir):
+    """Recall audit of FILTERED IVF ANN against the exact filtered
+    answer (per query: |ivf∩brute|/k over the label=1 corpus slice,
+    first 100 queries). Pre-filtering thins every probed list while the
+    probe geometry stays unfiltered, so recall degrades with predicate
+    selectivity — measured at sf0.01: nprobe=4 mean 0.50, nprobe=8 mean
+    0.81 on the ~9% label slice (PROBE_r11 §h); the registered
+    operating point is nprobe=8. Rows-only by design (recall depends on
+    the trained quantizer's seeded k-means); the geometry-invariant
+    contract — a cluster-aligned filter probed with enough lists holds
+    recall 1.0 — is pytest-pinned on a constructed corpus."""
+    return similarity.knn_filtered_recall_report(
+        load(spark, sf_dir, "embeddings"),
+        k=10,
+        nprobe=8,
+        max_queries=100,
+        corpus_filter=F.col("label") == 1,
+    )
+
+
 # --- non-SQL-expressible ops: rows-only harness check ----------------------
 
 @q("dedup_minhash")
@@ -6552,6 +6611,8 @@ QUERY_ORDER = [
     # the new-key cap — see tools/freshness.py FIRST_REGISTERED_ROUND):
     "dedup_jaccard_prefix_baskets",
     "kn5_surprisal_hashed",
+    "knn_filtered_brute",
+    "knn_filtered_ivf_recall",
 ]
 
 

@@ -2709,3 +2709,46 @@ def test_kn5_hashed_spearman_vs_exact_at_sf001(spark):
     assert len(m) == len(exact) == 500
     rho = m["kn5h_bits_per_gram_h"].rank().corr(m["kn5h_bits_per_gram_e"].rank())
     assert rho >= 0.95, rho
+
+
+def test_knn_filtered_recall_geometry_contract(spark):
+    """Filtered ANN's two regimes, pinned on a constructed 3-cluster
+    corpus (labels = clusters): (a) with enough probes to reach the
+    filtered cluster, filtered IVF equals the exact filtered answer —
+    recall 1.0; (b) the TRAP this feature documents: a query in another
+    cluster probing only its own list finds ZERO label-2 candidates
+    (pre-filtering thins the probed lists; the probe geometry is
+    unfiltered), which is exactly why nprobe must scale with predicate
+    selectivity."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    for vid in range(90):
+        c = vid % 3
+        v = [1.0 if i == c else 0.0 for i in range(8)]
+        v[(c + 3) % 8] = 0.05 * ((vid * 7) % 11)
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((vid, [x / n for x in v], c))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+    flt = F.col("label") == 2
+
+    # (a) probing every list: filtered IVF == filtered brute, recall 1.0
+    rep = similarity.knn_filtered_recall_report(
+        emb, k=5, nprobe=3, max_queries=30, corpus_filter=flt, train_k=3
+    ).toPandas()
+    assert len(rep) == 30
+    assert (rep["recall"] == 1.0).all(), rep[rep["recall"] < 1.0]
+
+    # (b) nprobe=1: queries whose own cluster is 2 still find their
+    # neighbors (their one probed list IS the filtered cluster);
+    # queries in clusters 0/1 probe a list the filter empties -> 0
+    rep1 = similarity.knn_filtered_recall_report(
+        emb, k=5, nprobe=1, max_queries=30, corpus_filter=flt, train_k=3
+    ).toPandas().set_index("q_id")
+    for qid in range(30):
+        expected = 1.0 if qid % 3 == 2 else 0.0
+        assert rep1.loc[qid, "recall"] == expected, (qid, rep1.loc[qid])

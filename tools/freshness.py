@@ -34,6 +34,8 @@ FIRST_REGISTERED_ROUND: dict[str, int] = {
     "ccnet_perplexity_buckets_kn3": 10,
     "dedup_jaccard_prefix_baskets": 11,
     "kn5_surprisal_hashed": 11,
+    "knn_filtered_brute": 11,
+    "knn_filtered_ivf_recall": 11,
 }
 
 
