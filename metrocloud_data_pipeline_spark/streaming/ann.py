@@ -92,9 +92,18 @@ def run_ann_serving_stream(
     codebook_fingerprint: str | None = None,
     quantizer: str | None = None,
     train_k: int | None = None,
+    corpus_filter=None,
 ) -> StreamingQuery:
     """Score each micro-batch of query vectors against the corpus and
     append (batch_id, q_id, vec_id, label, cosine_sim, rank) rows.
+
+    `corpus_filter` (boolean Column over corpus columns) serves
+    FILTERED search: every batch's candidates are restricted to rows
+    satisfying the predicate before the probe join (knn_join_ivf's
+    corpus_filter — on a bucketed corpus_table the predicate reaches
+    the scan). Size nprobe to the predicate's selectivity and audit
+    with knn_filtered_recall_report before deploying: pre-filtering
+    thins probed lists, recall is not free (PROBE_r11 §h).
 
     With no `codebook`, a k-means coarse quantizer is TRAINED from the
     corpus once, here, before the stream starts (train once at deploy,
@@ -151,6 +160,7 @@ def run_ann_serving_stream(
             codebook=codebook,
             codebook_fingerprint=codebook_fingerprint,
             quantizer=quantizer,
+            corpus_filter=corpus_filter,
         )
         # a NULL cosine is an undefined similarity (zero-norm query or
         # zero-norm corpus row — failed encoder outputs): serving must

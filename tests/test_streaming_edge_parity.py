@@ -357,3 +357,48 @@ def test_alert_message_survives_null_value_and_device(spark):
     assert by_dev[None].alert_level == "WARNING"
     assert by_dev[None].alert_message is not None
     assert by_dev[None].alert_message.startswith("WARNING: ?")
+
+
+def test_ann_serving_stream_filtered_corpus(spark, tmp_path):
+    """Filtered serving: with corpus_filter set, every served neighbor
+    satisfies the predicate, and results equal the batch filtered path
+    for the same queries."""
+    from metrocloud_data_pipeline_spark.llm import similarity
+
+    emb = spark.createDataFrame(
+        EMB_EDGE_CORPUS, "vec_id long, embedding array<float>, label int"
+    )
+    src = tmp_path / "queries"
+    src.mkdir()
+    qrows = [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])]
+    spark.createDataFrame(qrows, ann.QUERY_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    out = str(tmp_path / "results")
+    ann.run_ann_serving_stream(
+        ann.stream_query_vectors(spark, str(src) + "/*"),
+        emb,
+        out,
+        str(tmp_path / "ck"),
+        k=4,
+        nprobe=4,
+        corpus_filter=F.col("label") == 1,
+    ).awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert got.where(F.col("label") != 1).count() == 0
+    # row-for-row equality with the batch filtered path (same trained
+    # quantizer seed => same codebook => same probes)
+    want = similarity.knn_join_ivf(
+        emb,
+        k=4,
+        nprobe=4,
+        queries=spark.createDataFrame(qrows, ann.QUERY_SCHEMA),
+        corpus_filter=F.col("label") == 1,
+    ).where(F.col("cosine_sim").isNotNull())
+    key = lambda t: (t[0], t[1])
+    assert sorted(map(tuple, got.drop("batch_id").collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )
