@@ -1839,6 +1839,7 @@ def ivfpq_corpus_table(
     coarse_codebook=None,
     train_k: int | None = None,
     train_iter: int = 4,
+    attach_cols: list[str] | None = None,
 ):
     """Materialize the COMPRESSED ANN corpus — (vec_id, list_id, codes)
     bucketed on list_id — plus BOTH halves of the index's quantizer
@@ -1895,13 +1896,18 @@ def ivfpq_corpus_table(
                     F.col("embedding").alias("c_emb"),
                 )
             )
+    # attach_cols (e.g. ["label"]) ride the codes rows so
+    # ivfpq_topk_batch(codes_filter=...) can serve FILTERED search
+    # straight off the compressed layout — metadata is part of the
+    # index, same argument as the quantizers
+    extra = list(attach_cols or [])
     _, listed = ivf_assignments(
-        embeddings, codebook=coarse_codebook, attach_cols=["embedding"]
+        embeddings, codebook=coarse_codebook, attach_cols=["embedding", *extra]
     )
     _persist_quantizer(spark, f"{table_name}_coarse", *coarse_codebook)
     enc = pq_encode(listed.select("vec_id", "embedding", "list_id"), cb)
-    codes = enc.join(listed.select("vec_id", "list_id"), "vec_id").select(
-        "vec_id", "list_id", "codes"
+    codes = enc.join(listed.select("vec_id", "list_id", *extra), "vec_id").select(
+        "vec_id", "list_id", "codes", *extra
     )
     write_bucketed(codes, table_name, "list_id", num_buckets=num_buckets)
     rows = [
@@ -1957,6 +1963,7 @@ def ivfpq_topk_batch(
     coarse,
     k: int = 10,
     nprobe: int = 4,
+    codes_filter=None,
 ) -> DataFrame:
     """Batched IVF-PQ search for a FRAME of external query vectors
     against a pre-encoded codes corpus — the distributed serving form
@@ -1980,7 +1987,15 @@ def ivfpq_topk_batch(
     computes (sum_j ||q_j - c_{j,code_j}||^2), vectorized across the
     batch; the final top-k window moves only (q_id, vec_id, dist)
     rows. Returns (q_id, vec_id, adc_dist2, rank), ascending distance,
-    ties to the smaller vec_id."""
+    ties to the smaller vec_id.
+
+    `codes_filter` (boolean Column over codes-table columns) = FILTERED
+    search at the compressed tier: build the table with
+    ivfpq_corpus_table(attach_cols=["label", ...]) so the predicate
+    columns ride the codes rows, and the filter prunes candidates
+    BEFORE the probe join (pushdown into the bucketed scan). Same
+    recall caveat as knn_join_ivf(corpus_filter=...): probe geometry is
+    unfiltered — scale nprobe with selectivity."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -2017,6 +2032,8 @@ def ivfpq_topk_batch(
         F.col("embedding").alias("q_emb"),
         F.explode(nearest_lists(F.col("embedding"))).alias("list_id"),
     )
+    if codes_filter is not None:
+        codes = codes.where(codes_filter)
     cand = probes.join(codes.select("list_id", "vec_id", "codes"), "list_id").select(
         "q_id", "q_emb", "vec_id", "codes"
     )
@@ -2056,6 +2073,7 @@ def ivfpq_topk_batch_refined(
     nprobe: int = 4,
     refine_factor: int = 4,
     exclude_self: bool = False,
+    codes_filter=None,
 ) -> DataFrame:
     """IVF-PQ retrieve + exact re-rank — FAISS's IndexRefineFlat
     pattern, the production shape for serving out of a compressed
@@ -2082,8 +2100,13 @@ def ivfpq_topk_batch_refined(
     from pyspark.sql.window import Window
 
     n_cand = refine_factor * k + (1 if exclude_self else 0)
+    # codes_filter applies at the ADC stage (candidates restricted
+    # before retrieval), so the float fetch below is already
+    # predicate-scoped — filtered search never touches non-matching
+    # float rows either
     cand = ivfpq_topk_batch(
-        queries, codes, codebooks, coarse, k=n_cand, nprobe=nprobe
+        queries, codes, codebooks, coarse, k=n_cand, nprobe=nprobe,
+        codes_filter=codes_filter,
     ).select("q_id", "vec_id")
     if exclude_self:
         cand = cand.where(F.col("vec_id") != F.col("q_id"))

@@ -191,6 +191,7 @@ def run_ann_serving_stream_pq(
     available_now: bool = True,
     refine_factor: int | None = None,
     corpus: DataFrame | None = None,
+    codes_filter=None,
 ) -> StreamingQuery:
     """Serve ANN micro-batches from the COMPRESSED persisted index —
     the ivfpq_corpus_table codes (4 B/vector, bucketed by list_id) plus
@@ -205,6 +206,12 @@ def run_ann_serving_stream_pq(
     >= 0.96 at 10x). `corpus` is the float (vec_id, embedding) table
     and is REQUIRED with refine_factor: the candidate fetch is a
     selective vec_id join, never a corpus scan.
+
+    `codes_filter` (boolean Column over codes-table columns — build the
+    table with ivfpq_corpus_table(attach_cols=[...]) so the predicate
+    columns ride the codes rows) serves FILTERED search at the
+    compressed tier; same nprobe-vs-selectivity recall caveat as the
+    float path (PROBE_r11 §h).
 
     This is the 100 TB serving tier: per batch the only reads are the
     probed lists' code buckets (plus rf*k float rows per query when
@@ -241,6 +248,7 @@ def run_ann_serving_stream_pq(
                 k=k,
                 nprobe=nprobe,
                 refine_factor=refine_factor,
+                codes_filter=codes_filter,
             )
             # same undefined-similarity contract as the float path: the
             # exact re-rank scores by cosine, so zero-norm rows surface
@@ -256,6 +264,7 @@ def run_ann_serving_stream_pq(
                 (cent_ids, cent_code),
                 k=k,
                 nprobe=nprobe,
+                codes_filter=codes_filter,
             )
         _write_effectively_once(result, batch_id, output_path)
 

@@ -402,3 +402,74 @@ def test_ann_serving_stream_filtered_corpus(spark, tmp_path):
     assert sorted(map(tuple, got.drop("batch_id").collect()), key=key) == sorted(
         map(tuple, want.collect()), key=key
     )
+
+
+def test_ann_serving_pq_filtered_codes(spark, tmp_path):
+    """Filtered search at the COMPRESSED tier: the codes table built
+    with attach_cols=["label"] serves codes_filter queries — every
+    refined result's true label satisfies the predicate, and rows
+    equal the batch filtered refined path."""
+    import math
+
+    from metrocloud_data_pipeline_spark.llm import similarity
+
+    rows = []
+    for vid in range(90):
+        c = vid % 3
+        v = [1.0 if i == c else 0.0 for i in range(8)]
+        v[(c + 3) % 8] = 0.05 * ((vid * 7) % 11)
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((vid, [x / n for x in v], c))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+    tbl = "ivfpq_filtered_pytest"
+    try:
+        similarity.ivfpq_corpus_table(
+            emb, tbl, m=4, pq_k=8, n_iter=4, num_buckets=4, attach_cols=["label"]
+        )
+        assert "label" in spark.table(tbl).columns
+        src = tmp_path / "queries"
+        src.mkdir()
+        qrows = [(1000, rows[3][1]), (1001, rows[50][1])]
+        spark.createDataFrame(qrows, ann.QUERY_SCHEMA).coalesce(1).write.parquet(
+            str(src / "b1")
+        )
+
+        out = str(tmp_path / "results")
+        ann.run_ann_serving_stream_pq(
+            spark,
+            ann.stream_query_vectors(spark, str(src) + "/*"),
+            tbl,
+            out,
+            str(tmp_path / "ck"),
+            k=4,
+            nprobe=3,
+            refine_factor=3,
+            corpus=emb.select("vec_id", "embedding"),
+            codes_filter=F.col("label") == 2,
+        ).awaitTermination(120)
+
+        got = spark.read.parquet(out)
+        assert got.count() > 0
+        labels = {r.label for r in got.join(emb, "vec_id").select(emb.label).collect()}
+        assert labels == {2}
+
+        want = similarity.ivfpq_topk_batch_refined(
+            spark.createDataFrame(qrows, ann.QUERY_SCHEMA),
+            spark.table(tbl),
+            similarity.load_pq_codebook(spark, tbl),
+            similarity.load_ivf_quantizer(spark, f"{tbl}_coarse")[:2],
+            emb.select("vec_id", "embedding"),
+            k=4,
+            nprobe=3,
+            refine_factor=3,
+            codes_filter=F.col("label") == 2,
+        ).where(F.col("cosine_sim").isNotNull())
+        key = lambda t: (t[0], t[1])
+        assert sorted(map(tuple, got.drop("batch_id").collect()), key=key) == sorted(
+            map(tuple, want.collect()), key=key
+        )
+    finally:
+        for t in (tbl, f"{tbl}_codebook", f"{tbl}_coarse"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
