@@ -78,6 +78,50 @@ def _write_effectively_once(result: DataFrame, batch_id: int, output_path: str) 
         )
 
 
+
+def _write_serving_metrics(
+    spark: SparkSession,
+    metrics_path: str,
+    batch: DataFrame,
+    batch_id: int,
+    output_path: str,
+    k: int,
+    t_start: float,
+) -> None:
+    """One observability row per served micro-batch — the ANN twin of
+    corpus ingest's per-batch metrics table: query/result counts, the
+    UNDERFILLED count (queries that got fewer than k neighbors — the
+    first symptom of a too-selective codes/corpus filter or too-small
+    nprobe, PROBE_r11 §h), and wall-clock. Counts read back the batch's
+    own just-written partition instead of re-executing the scoring plan;
+    all frames are batch-bounded. Append semantics like the ingest
+    metrics log: a re-delivered batch appends a second row for the same
+    batch_id (the RESULT sink stays effectively-once; the metrics table
+    is an observability log, dedup by batch_id at read time)."""
+    import time
+
+    q_ids = batch.select(F.col("vec_id").alias("q_id")).distinct()
+    n_queries = q_ids.count()
+    written = spark.read.parquet(output_path).where(F.col("batch_id") == batch_id)
+    per_q = written.groupBy("q_id").agg(F.count(F.lit(1)).alias("_n"))
+    n_results = written.count()
+    n_underfilled = (
+        q_ids.join(per_q, "q_id", "left")
+        .where(F.coalesce(F.col("_n"), F.lit(0)) < k)
+        .count()
+    )
+    spark.createDataFrame(
+        [(
+            batch_id,
+            n_queries,
+            n_results,
+            n_underfilled,
+            int((time.monotonic() - t_start) * 1000),
+        )],
+        "batch_id long, n_queries long, n_results long, n_underfilled long, wall_ms long",
+    ).write.mode("append").parquet(metrics_path)
+
+
 def run_ann_serving_stream(
     query_stream: DataFrame,
     corpus: DataFrame,
@@ -93,6 +137,7 @@ def run_ann_serving_stream(
     quantizer: str | None = None,
     train_k: int | None = None,
     corpus_filter=None,
+    metrics_path: str | None = None,
 ) -> StreamingQuery:
     """Score each micro-batch of query vectors against the corpus and
     append (batch_id, q_id, vec_id, label, cosine_sim, rank) rows.
@@ -148,6 +193,9 @@ def run_ann_serving_stream(
             stride = None
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        import time
+
+        t_start = time.monotonic()
         if not batch.head(1):
             return
         result = knn_join_ivf(
@@ -171,6 +219,11 @@ def run_ann_serving_stream(
         _write_effectively_once(
             result.where(F.col("cosine_sim").isNotNull()), batch_id, output_path
         )
+        if metrics_path is not None:
+            _write_serving_metrics(
+                result.sparkSession, metrics_path, batch, batch_id,
+                output_path, k, t_start,
+            )
 
     writer = query_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path
@@ -192,6 +245,7 @@ def run_ann_serving_stream_pq(
     refine_factor: int | None = None,
     corpus: DataFrame | None = None,
     codes_filter=None,
+    metrics_path: str | None = None,
 ) -> StreamingQuery:
     """Serve ANN micro-batches from the COMPRESSED persisted index —
     the ivfpq_corpus_table codes (4 B/vector, bucketed by list_id) plus
@@ -236,6 +290,9 @@ def run_ann_serving_stream_pq(
     codes = spark.table(table_name)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        import time
+
+        t_start = time.monotonic()
         if not batch.head(1):
             return
         if refine_factor is not None:
@@ -267,6 +324,11 @@ def run_ann_serving_stream_pq(
                 codes_filter=codes_filter,
             )
         _write_effectively_once(result, batch_id, output_path)
+        if metrics_path is not None:
+            _write_serving_metrics(
+                result.sparkSession, metrics_path, batch, batch_id,
+                output_path, k, t_start,
+            )
 
     writer = query_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path

@@ -473,3 +473,45 @@ def test_ann_serving_pq_filtered_codes(spark, tmp_path):
     finally:
         for t in (tbl, f"{tbl}_codebook", f"{tbl}_coarse"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ann_serving_metrics_underfilled_counter(spark, tmp_path):
+    """Serving observability: the per-batch metrics row counts queries
+    that received fewer than k neighbors — on this batch the zero-norm
+    query (0 rows) and, under the label filter, every query (only 4
+    label-1 rows exist but k=8), so n_underfilled tracks exactly the
+    starvation the recall audit predicts."""
+    emb = spark.createDataFrame(
+        EMB_EDGE_CORPUS, "vec_id long, embedding array<float>, label int"
+    )
+    src = tmp_path / "queries"
+    src.mkdir()
+    spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 0.0, 0.0, 0.0])],
+        ann.QUERY_SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    out = str(tmp_path / "results")
+    metrics = str(tmp_path / "metrics")
+    ann.run_ann_serving_stream(
+        ann.stream_query_vectors(spark, str(src) + "/*"),
+        emb,
+        out,
+        str(tmp_path / "ck"),
+        k=8,
+        nprobe=4,
+        metrics_path=metrics,
+    ).awaitTermination(120)
+
+    m = spark.read.parquet(metrics).collect()
+    assert len(m) == 1
+    row = m[0]
+    assert row.n_queries == 2
+    got = spark.read.parquet(out)
+    assert row.n_results == got.count()
+    # query 101 (zero-norm) got 0 rows; query 100 got < 8 defined sims
+    # only if fewer than 8 non-null candidates exist — count directly
+    full = {r.q_id: r.n for r in got.groupBy("q_id").count().withColumnRenamed("count", "n").collect()}
+    expected_underfilled = sum(1 for q in (100, 101) if full.get(q, 0) < 8)
+    assert row.n_underfilled == expected_underfilled
+    assert row.wall_ms > 0
