@@ -26,6 +26,7 @@ EMB_QUERIES = [
     "embedding_label_stats",
     "knn_brute_force",
     "knn_join_brute",
+    "knn_filtered_brute",
     "embed_label_purity",
     "embed_centroid_drift",
 ]
