@@ -94,7 +94,10 @@ def staleness_report(query_order: list[str], window: int = 50,
     for idx, name in enumerate(query_order):
         born = FIRST_REGISTERED_ROUND.get(name, 0)
         newest = max(latest.get(name, 0), born)
-        age = max_round - newest if newest else None
+        # a key registered THIS round (born > max_round seen in the
+        # artifacts) would otherwise report a negative age — clamp to
+        # 0; gate semantics (age >= threshold) are unchanged
+        age = max(0, max_round - newest) if newest else None
         ages[name] = age
         if age is not None and age >= max_age and idx >= window:
             stale_outside_window.append((name, age, idx))
