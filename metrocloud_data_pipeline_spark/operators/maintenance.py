@@ -638,6 +638,17 @@ def scd2_merge(
             f"scd2_merge: multiple updates for key {dup[0][key_col]!r} in one "
             "batch — reduce to latest-per-key first"
         )
+    if updates.where(F.col(key_col).isNull()).limit(1).collect():
+        # fail-loud twin of the dup guard: a NULL business key has no
+        # identity to version, and the change-detection equi-join below
+        # would silently VANISH the row (neither applied nor reported —
+        # found by the r11 streaming edge fixtures, the same class as
+        # curate_batch's null-digest drop). Callers with dirty feeds
+        # filter/reject upstream (run_scd2_stream's rejects_path).
+        raise ValueError(
+            f"scd2_merge: update batch contains a NULL {key_col!r} business "
+            "key — filter or reject null-key updates before merging"
+        )
     current = dim.where(F.col(valid_to_col).isNull())
     history = dim.where(F.col(valid_to_col).isNotNull())
 

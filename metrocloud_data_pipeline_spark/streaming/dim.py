@@ -46,6 +46,29 @@ def latest_per_key(updates: DataFrame, key_col: str, effective_col: str) -> Data
     )
 
 
+
+def _split_null_keys(
+    batch: DataFrame, key_col: str, batch_id: int, rejects_path: str | None
+):
+    """Route NULL-business-key updates out of the merge path (they have
+    no identity to version; scd2_merge refuses them fail-loud — the
+    r11 streaming edge fixtures showed they previously VANISHED at the
+    change-detection equi-join). With rejects_path the dropped rows are
+    appended with a reason, the same dual-stream accounting as corpus
+    ingest; without it they are still excluded so the stream survives a
+    dirty feed, just unrecorded."""
+    invalid = batch.where(F.col(key_col).isNull())
+    valid = batch.where(F.col(key_col).isNotNull())
+    if rejects_path is not None and invalid.head(1):
+        (
+            invalid.withColumn("batch_id", F.lit(batch_id))
+            .withColumn("reason", F.lit("null_business_key"))
+            .write.mode("append")
+            .parquet(rejects_path)
+        )
+    return valid
+
+
 def run_scd2_stream(
     update_stream: DataFrame,
     dim_path: str,
@@ -54,12 +77,15 @@ def run_scd2_stream(
     attr_cols: list[str],
     effective_col: str = "effective_ts",
     available_now: bool = True,
+    rejects_path: str | None = None,
 ) -> StreamingQuery:
     """Apply each micro-batch of updates to the versioned dimension at
     dim_path. The store must exist (seed it with the initial dimension,
-    valid_to NULL) before the stream starts."""
+    valid_to NULL) before the stream starts. NULL-business-key updates
+    are split out pre-merge (appended to rejects_path when given)."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        batch = _split_null_keys(batch, key_col, batch_id, rejects_path)
         if not batch.head(1):
             return
         spark = batch.sparkSession
@@ -117,6 +143,7 @@ def run_scd2_stream_bucketed(
     effective_col: str = "effective_ts",
     n_buckets: int = 32,
     available_now: bool = True,
+    rejects_path: str | None = None,
 ) -> StreamingQuery:
     """Partition-scoped SCD2 MERGE — the large-dimension upgrade over
     run_scd2_stream's full rewrite (r5 verdict: fine at 1.5 M rows,
@@ -141,6 +168,7 @@ def run_scd2_stream_bucketed(
     """
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        batch = _split_null_keys(batch, key_col, batch_id, rejects_path)
         if not batch.head(1):
             return
         spark = batch.sparkSession

@@ -515,3 +515,58 @@ def test_ann_serving_metrics_underfilled_counter(spark, tmp_path):
     expected_underfilled = sum(1 for q in (100, 101) if full.get(q, 0) < 8)
     assert row.n_underfilled == expected_underfilled
     assert row.wall_ms > 0
+
+
+def test_scd2_null_business_key_rejected_not_vanished(spark, tmp_path):
+    """A NULL business key has no identity to version: scd2_merge
+    previously let it VANISH at the change-detection equi-join (same
+    class as curate_batch's null-digest drop). Now the merge refuses it
+    fail-loud, and the stream wrapper splits it to a rejects table
+    while the valid updates apply."""
+    from metrocloud_data_pipeline_spark.operators.maintenance import scd2_merge
+    from metrocloud_data_pipeline_spark.streaming import dim as dimmod
+
+    dim = spark.createDataFrame(
+        [(1, "gold", "2025-01-01 00:00:00", None)],
+        "c_custkey long, tier string, valid_from string, valid_to string",
+    ).select(
+        "c_custkey",
+        "tier",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    updates = spark.createDataFrame(
+        [(1, "silver", "2025-02-01 00:00:00"), (None, "ghost", "2025-02-01 00:00:00")],
+        "c_custkey long, tier string, effective_ts string",
+    ).select(
+        "c_custkey", "tier", F.col("effective_ts").cast("timestamp").alias("effective_ts")
+    )
+    with pytest.raises(ValueError, match="NULL 'c_custkey' business key"):
+        scd2_merge(dim, updates, "c_custkey", ["tier"])
+
+    # stream wrapper: null-key update lands in rejects, the rest apply
+    dim_path = str(tmp_path / "dim")
+    dim.write.parquet(dim_path)
+    src = tmp_path / "updates"
+    src.mkdir()
+    updates.coalesce(1).write.parquet(str(src / "b1"))
+    rejects = str(tmp_path / "rejects")
+    q = dimmod.run_scd2_stream(
+        spark.readStream.schema(
+            "c_custkey long, tier string, effective_ts timestamp"
+        ).parquet(str(src) + "/*"),
+        dim_path,
+        str(tmp_path / "ck"),
+        "c_custkey",
+        ["tier"],
+        rejects_path=rejects,
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(dim_path)
+    # key 1 versioned: gold closed, silver open; no ghost row anywhere
+    assert out.count() == 2
+    assert out.where(F.col("c_custkey").isNull()).count() == 0
+    rej = spark.read.parquet(rejects).collect()
+    assert len(rej) == 1 and rej[0].reason == "null_business_key"
+    assert rej[0].tier == "ghost"
