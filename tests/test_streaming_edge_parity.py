@@ -5,7 +5,7 @@ covers the streaming wrappers, which share most code but add their own
 null paths: reject accounting, state keys, serving ranks).
 
 The batch twins of these fixtures found four real cross-engine bugs in
-r10; running them here found (and now pins the fixes for) four more,
+r10; running them here found (and now pins the fixes for) five more,
 all streaming-only:
 
 1. curate_batch silently DROPPED null-text and null-doc_id rows from
@@ -26,6 +26,10 @@ all streaming-only:
    the coarse-assignment UDFs tripped numpy zero-divide NaNs on
    zero-norm rows — streaming/ann.py filters undefined similarities;
    llm/similarity.py guards the norms.
+5. a NULL-business-key dimension update VANISHED inside scd2_merge's
+   change-detection equi-join (neither applied nor reported) —
+   operators/maintenance.py now refuses it fail-loud and the SCD2
+   stream wrappers split null-key updates to a rejects table.
 """
 
 from __future__ import annotations
