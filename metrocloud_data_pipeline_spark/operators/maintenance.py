@@ -259,14 +259,38 @@ def idempotent_append(
     the bounded day list, calendar-sized by construction, is the
     correct trade.)"""
     deduped = batch.dropDuplicates(list(NATURAL_KEY))
+
+    def _reject_null_keys(frame: DataFrame) -> None:
+        # fail-loud: a NULL natural-key component never matches the
+        # anti-join below, so a re-delivered batch would re-append the
+        # row EVERY retry — effectively-once silently broken for
+        # exactly the rows with no identity (the r11 null-key sweep:
+        # scd2_merge / curate_batch's class). Matches the reference's
+        # NOT NULL primary key, which would reject the row outright.
+        # The wired ingest path validates these columns upstream; on
+        # the hot path this check reads the already-checkpointed rows.
+        cond = F.lit(False)
+        for k in NATURAL_KEY:
+            cond = cond | F.col(k).isNull()
+        if frame.where(cond).limit(1).collect():
+            raise ValueError(
+                "idempotent_append: batch contains NULL natural-key "
+                f"components {NATURAL_KEY} — validate or reject upstream "
+                "(null keys cannot be deduplicated and would re-append "
+                "on every redelivery)"
+            )
+
     if days is None:
-        # one computation of the dedup shuffle, shared by day discovery,
-        # the insert count, and the write
+        # one computation of the dedup shuffle, shared by the null-key
+        # guard, day discovery, the insert count, and the write
         deduped = deduped.localCheckpoint(eager=True)
+        _reject_null_keys(deduped)
         days = [
             r[0]
             for r in deduped.select(F.to_date(F.col(ts_col)).alias("d")).distinct().collect()
         ]
+    else:
+        _reject_null_keys(deduped)
     existing_days = set(list_partitions(path))
     overlap = [d for d in days if d in existing_days]
     if overlap:

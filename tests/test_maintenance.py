@@ -634,3 +634,30 @@ def test_refresh_rollup_cascade_clears_everything_when_raw_is_empty(spark, tmp_p
     assert refresh_rollup_cascade(spark, raw, hourly, daily, days=[date(2024, 1, 1)]) == 1
     assert not os.path.exists(os.path.join(hourly, "reading_date=2024-01-01"))
     assert not os.path.exists(os.path.join(daily, "reading_date=2024-01-01"))
+
+
+def test_idempotent_append_refuses_null_natural_keys(spark, tmp_path):
+    """A NULL natural-key component never matches the dedup anti-join,
+    so a re-delivered batch would re-append the row on EVERY retry —
+    effectively-once silently broken for exactly the rows with no
+    identity. Fail-loud instead (the r11 null-key sweep; the wired
+    ingest path validates these columns upstream)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from metrocloud_data_pipeline_spark.operators.maintenance import idempotent_append
+
+    good = spark.createDataFrame(
+        [("d1", "2025-01-01 10:00:00", "temperature_sensor", 1.0)],
+        "device_id string, timestamp string, device_type string, value double",
+    ).select("device_id", F.col("timestamp").cast("timestamp").alias("timestamp"),
+             "device_type", "value")
+    assert idempotent_append(spark, good, str(tmp_path / "t")) == 1
+
+    bad = spark.createDataFrame(
+        [(None, "2025-01-01 10:00:00", "temperature_sensor", 2.0)],
+        "device_id string, timestamp string, device_type string, value double",
+    ).select("device_id", F.col("timestamp").cast("timestamp").alias("timestamp"),
+             "device_type", "value")
+    with _pytest.raises(ValueError, match="NULL natural-key"):
+        idempotent_append(spark, bad, str(tmp_path / "t"))
