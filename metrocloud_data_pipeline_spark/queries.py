@@ -6385,76 +6385,24 @@ def embed_centroid_drift(spark, sf_dir):
 # the last round each query earned a green driver CORRECTNESS row
 # (tools/freshness.py recomputes this; tests/test_registry.py gates it).
 QUERY_ORDER = [
-    # --- r11 window (first 50 = driver-checked this round) ---
-    # Stalest-first rotation per VERDICT r10 #1: text_quality_score is
-    # the lone age-5 row (hits the gate threshold next round), the
-    # three r10-born keys get their first-ever driver row, and the 46
-    # oldest of the 50-key age-4 (r6) cohort fill the rest. The 4
+    # --- r12 window (first 50 = driver-checked this round) ---
+    # Stalest-first rotation per VERDICT r11 #1: the 4 age-5 keys
+    # (deferred from the r11 window; at the gate threshold) MUST lead,
+    # the 4 r11-born keys get their first-ever driver row, and the 42
+    # oldest of the 50-key age-4 (r7) cohort fill the rest. The 8
     # remaining age-4 keys head the queue below — at age 5 they are
-    # first into the r12 window, inside the gate's max_age=6.
-    # last green driver row r5:
-    "text_quality_score",
-    # first registered r10, never driver-checked:
-    "kn_trigram_surprisal",
-    "langid_trained_report",
-    "ccnet_perplexity_buckets_kn3",
-    # last green driver row r6 (46 of 50):
-    "knn_join_ivf_bucketed",
-    "knn_recall_report",
-    "obs_hot_keys",
-    "text_length_histogram",
-    "w5_event_funnel",
-    "w6_cohort_retention",
-    "dq_profile_events",
-    "scd2_customer_dim",
-    "a13_daily_from_hourly",
-    "embed_quantize_stats",
-    "split_leakage_report",
-    "q3_top3_per_device",
-    "a14_sliding_monitor",
-    "w4b_sessions_native",
-    "f7_devices_gone_quiet",
-    "f8_devices_in_both_windows",
-    "a15_grouping_sets",
-    "w7_locf_fill",
-    "w8_gapfill_resample",
-    "a16_mad_outliers",
-    "a17_diurnal_profile",
-    "a18_seasonal_deviation",
-    "iv_merged_outages",
-    "shard_manifest",
-    "media_dedup_exact",
-    "quality_deciles",
-    "source_scorecard",
-    "winnow_overlap_pairs",
-    "dq_expectations_report",
-    "f6b_metadata_lookup_indexed",
-    "a19_time_weighted_avg",
-    "a20_counter_delta",
-    "seq_pack_ranges",
-    "corpus_budget_select",
-    "bigram_surprisal",
-    "w9_event_transitions",
-    "w10_m4_downsample",
-    "dedup_embed_semdedup",
-    "dq_profile_events_approx",
-    "obs_hot_keys_approx",
-    "quality_quantile_filter_approx",
-    "embed_pq_stats",
-    "h1_pricing_summary",
-    "h5_local_supplier_volume",
-    "a2_hourly_aggregates",
-    "h6_forecast_revenue",
-    # --- driver window ends here (first 50) ---
-    # r12 queue head: the 4 age-4 keys the 50-slot window could not
-    # hold this round (54 candidates for 50 slots), then the r7 / r9 /
-    # r10 cohorts, freshest last.
-    # last green driver row r6 (the 4 deferred):
+    # first into the r13 window, inside the gate's max_age=6.
+    # last green driver row r6 (age 5 — gate threshold):
     "h7_volume_shipping",
     "h8_market_share",
     "w4_user_sessions",
     "langid_heuristic",
-    # last green driver row r7:
+    # first registered r11, never driver-checked:
+    "dedup_jaccard_prefix_baskets",
+    "kn5_surprisal_hashed",
+    "knn_filtered_brute",
+    "knn_filtered_ivf_recall",
+    # last green driver row r7 (42 of 50):
     "w8b_gapfill_interpolate",
     "f6c_tags_lookup_indexed",
     "a13b_cascade_incremental",
@@ -6497,6 +6445,11 @@ QUERY_ORDER = [
     "h18_large_customers",
     "h_brand_revenue",
     "doc_fingerprint_winnow",
+    # --- driver window ends here (first 50) ---
+    # r13 queue head: the 8 age-4 keys the 50-slot window could not
+    # hold this round (58 candidates for 50 slots), then the r9 / r10 /
+    # r11 cohorts, freshest last.
+    # last green driver row r7 (the 8 deferred):
     "decontaminate_ngram",
     "text_repetition_stats",
     "knn_brute_force",
@@ -6607,12 +6560,59 @@ QUERY_ORDER = [
     "t1_unpivot_measures",
     "dedup_exact",
     "text_bpe_token_stats",
-    # first registered r11 (never driver-checked; after the window per
-    # the new-key cap — see tools/freshness.py FIRST_REGISTERED_ROUND):
-    "dedup_jaccard_prefix_baskets",
-    "kn5_surprisal_hashed",
-    "knn_filtered_brute",
-    "knn_filtered_ivf_recall",
+    # last green driver row r11 (the r11 window cohort — freshest):
+    "text_quality_score",
+    "kn_trigram_surprisal",
+    "langid_trained_report",
+    "ccnet_perplexity_buckets_kn3",
+    "knn_join_ivf_bucketed",
+    "knn_recall_report",
+    "obs_hot_keys",
+    "text_length_histogram",
+    "w5_event_funnel",
+    "w6_cohort_retention",
+    "dq_profile_events",
+    "scd2_customer_dim",
+    "a13_daily_from_hourly",
+    "embed_quantize_stats",
+    "split_leakage_report",
+    "q3_top3_per_device",
+    "a14_sliding_monitor",
+    "w4b_sessions_native",
+    "f7_devices_gone_quiet",
+    "f8_devices_in_both_windows",
+    "a15_grouping_sets",
+    "w7_locf_fill",
+    "w8_gapfill_resample",
+    "a16_mad_outliers",
+    "a17_diurnal_profile",
+    "a18_seasonal_deviation",
+    "iv_merged_outages",
+    "shard_manifest",
+    "media_dedup_exact",
+    "quality_deciles",
+    "source_scorecard",
+    "winnow_overlap_pairs",
+    "dq_expectations_report",
+    "f6b_metadata_lookup_indexed",
+    "a19_time_weighted_avg",
+    "a20_counter_delta",
+    "seq_pack_ranges",
+    "corpus_budget_select",
+    "bigram_surprisal",
+    "w9_event_transitions",
+    "w10_m4_downsample",
+    "dedup_embed_semdedup",
+    "dq_profile_events_approx",
+    "obs_hot_keys_approx",
+    "quality_quantile_filter_approx",
+    "embed_pq_stats",
+    "h1_pricing_summary",
+    "h5_local_supplier_volume",
+    "a2_hourly_aggregates",
+    "h6_forecast_revenue",
+    # new r12-born keys, if any, are appended below per the new-key
+    # cap — see tools/freshness.py FIRST_REGISTERED_ROUND.
 ]
 
 
