@@ -63,7 +63,7 @@ def cosine_batch() -> Column:
     serializer as SQL NULL on this repo's pins (pandas 2.x /
     pyarrow >= 12); older stacks may raise or coerce NA to NaN — which
     Spark ranks GREATEST in desc top-k, the exact bug this guards
-    against. tests/test_embeddings_edge_parity.py pins that a NULL
+    against. tests/test_oracle_edge_parity_embeddings.py pins that a NULL
     (not NaN) actually reaches Spark, so a pin downgrade fails loudly
     instead of silently re-promoting junk vectors."""
     import numpy as np
@@ -504,6 +504,7 @@ def knn_join_brute(
     k: int = 10,
     max_queries: int | None = None,
     corpus_filter=None,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Exact batch kNN: top-k cosine neighbors for EVERY vector in the
     query slice (vec_id < max_queries; None = all) — the per-document
@@ -521,10 +522,20 @@ def knn_join_brute(
     search, "top-k among rows satisfying a predicate". Queries are
     never filtered: any vector may search a filtered corpus. On the
     exact path the filter simply shrinks the scan (predicate pushdown
-    applies); recall semantics are exact by construction."""
+    applies); recall semantics are exact by construction.
+
+    `queries` (a (vec_id, embedding) frame) scores an EXPLICIT query
+    set instead of the vec_id<max_queries self-slice — the exact
+    fallback escalate_underfilled uses for starved filtered queries.
+    The self-match exclusion stays active in both modes: for a
+    self-slice it is required, for external queries (ids never collide
+    with corpus vec_ids by the knn_join_ivf contract) it is a no-op —
+    which also makes the function safe for the in-between case where
+    `queries` is a subset of the corpus itself."""
     from pyspark.sql.window import Window
 
-    q = embeddings.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    q_src = queries if queries is not None else embeddings
+    q = q_src.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
     if max_queries is not None:
         q = q.where(F.col("q_id") < max_queries)
     corpus = embeddings if corpus_filter is None else embeddings.where(corpus_filter)
@@ -684,6 +695,7 @@ def knn_join_ivf(
     train_iter: int = 4,
     codebook_fingerprint: str | None = None,
     corpus_filter=None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Batch ANN over the whole corpus: every vector gets its top-k
     neighbors, scoring only the members of its nprobe nearest IVF lists
@@ -720,7 +732,10 @@ def knn_join_ivf(
     scored against the corpus, self-match exclusion is skipped (an
     external query id never collides with a corpus vec_id by contract),
     and the corpus-side plan is untouched — this is the micro-batch
-    body of streaming/ann.py.
+    body of streaming/ann.py. `exclude_self=True` keeps the self-match
+    exclusion active even with external queries — required when the
+    query frame is a SUBSET of the corpus (escalate_underfilled's
+    re-probe of starved self-ANN queries), harmless otherwise.
 
     The coarse quantizer DEFAULTS to a k-means trained codebook
     (auto-fit here when neither `codebook` nor `listed` is given) —
@@ -815,12 +830,13 @@ def knn_join_ivf(
         # smallest list_id — identical to ivf_assignments) instead of
         # computing an (vec_id, list_id) frame and self-joining it back
         # onto the corpus. The join form cost a full corpus self-join
-        # exchange at scale for nothing.
+        # exchange at scale for nothing. ALL corpus columns ride the
+        # projection (not just vec_id/embedding/label) so corpus_filter
+        # may reference any metadata column — the float-path twin of
+        # ivfpq_corpus_table's attach_cols (ADVICE r11); Catalyst prunes
+        # the unreferenced ones right back out of the scan.
         listed = embeddings.select(
-            "vec_id",
-            "embedding",
-            "label",
-            F.element_at(nearest_lists(F.col("embedding")), 1).alias("list_id"),
+            "*", F.element_at(nearest_lists(F.col("embedding")), 1).alias("list_id")
         )
 
     if corpus_filter is not None:
@@ -841,7 +857,7 @@ def knn_join_ivf(
     )
     cos = cosine_batch()
     joined = probes.join(listed, "list_id")
-    if queries is None:
+    if queries is None or exclude_self:
         # self-ANN: a vector is not its own neighbor
         joined = joined.where(F.col("vec_id") != F.col("q_id"))
     scored = (
@@ -1386,6 +1402,100 @@ def knn_recall_report(
 
 
 
+def escalate_underfilled(
+    first_pass: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    queries: DataFrame | None = None,
+    max_queries: int | None = None,
+    corpus_filter=None,
+    mode: str = "brute",
+    nprobe: int | None = None,
+    listed: DataFrame | None = None,
+    codebook=None,
+    codebook_fingerprint: str | None = None,
+    quantizer: str | None = None,
+    stride: int | None = None,
+) -> DataFrame:
+    """Self-correct UNDERFILLED ANN results — the closing half of the
+    filtered-search loop (VERDICT r11 #2): a query whose filtered true
+    neighbors all live outside its probed lists gets fewer than k rows
+    back, silently (measured min recall 0.00 at 10x on the ~9% label
+    slice, PROBE_r11 §l). This splices a second, stronger pass over
+    EXACTLY the starved queries into the first-pass result:
+
+    - find queries with fewer than k `first_pass` rows (including
+      zero). Zero-norm queries are excluded — every similarity they
+      produce is NULL by the undefined-cosine contract, so no amount of
+      re-probing can fill them;
+    - re-answer those queries with `mode="brute"` (exact filtered scan,
+      knn_join_brute — recall 1.0 by construction, cost |starved| x
+      |filtered corpus|) or `mode="reprobe"` (knn_join_ivf at a widened
+      `nprobe` — bounded cost, recall improves but is not guaranteed);
+    - REPLACE the starved queries' first-pass rows with the escalated
+      answer (ranks are per-query, so the splice is seam-free), leaving
+      every well-filled query's rows byte-identical.
+
+    The starved set is the pathological tail by construction — at a
+    sane operating point it is empty and both extra passes reduce to
+    cheap empty joins — so the escalation is safe to leave always-on in
+    a serving tier (run_ann_serving_stream wires it per micro-batch).
+    A filtered corpus with fewer than k rows TOTAL stays "starved"
+    forever (even the exact answer is short); the brute answer is then
+    complete-by-definition and re-escalating it is a no-op worth its
+    audit row, not a failure.
+
+    `queries=None` means first_pass was self-ANN (every corpus vector
+    its own query): the re-probe then keeps self-match exclusion active
+    (exclude_self) so an escalated query cannot return itself. Pass the
+    same `max_queries` / `corpus_filter` / layout kwargs (`listed`,
+    `codebook`, `codebook_fingerprint`, `quantizer`) as the first pass
+    — a reprobe against a DIFFERENT layout than the one that starved
+    would answer a different question."""
+    if mode not in ("brute", "reprobe"):
+        raise ValueError(
+            f"escalate_underfilled: mode must be 'brute' or 'reprobe', got {mode!r}"
+        )
+    if mode == "reprobe" and nprobe is None:
+        raise ValueError(
+            "escalate_underfilled: mode='reprobe' needs the widened nprobe — "
+            "pass the first-pass value scaled by the escalation factor"
+        )
+    q_side = queries if queries is not None else embeddings
+    q_side = q_side.select("vec_id", "embedding")
+    if max_queries is not None:
+        q_side = q_side.where(F.col("vec_id") < max_queries)
+    counts = first_pass.groupBy("q_id").agg(F.count(F.lit(1)).alias("_n"))
+    starved = (
+        q_side.where(_sq_norm(F.col("embedding")) > 0)
+        .join(counts, F.col("vec_id") == F.col("q_id"), "left")
+        .where(F.coalesce(F.col("_n"), F.lit(0)) < k)
+        .select("vec_id", "embedding")
+    )
+    if mode == "brute":
+        fixed = knn_join_brute(
+            embeddings, k=k, corpus_filter=corpus_filter, queries=starved
+        )
+    else:
+        fixed = knn_join_ivf(
+            embeddings,
+            k=k,
+            nprobe=nprobe,
+            queries=starved,
+            corpus_filter=corpus_filter,
+            listed=listed,
+            codebook=codebook,
+            codebook_fingerprint=codebook_fingerprint,
+            quantizer=quantizer,
+            stride=stride,
+            exclude_self=queries is None,
+        )
+    keep = first_pass.join(
+        starved.select(F.col("vec_id").alias("q_id")), "q_id", "left_anti"
+    )
+    return keep.unionByName(fixed)
+
+
 def knn_filtered_recall_report(
     embeddings: DataFrame,
     k: int = 10,
@@ -1394,6 +1504,7 @@ def knn_filtered_recall_report(
     corpus_filter=None,
     codebook=None,
     train_k: int | None = None,
+    escalation: str | None = None,
 ) -> DataFrame:
     """Recall audit for FILTERED ANN: per-query recall@k of
     knn_join_ivf(corpus_filter=...) against the exact filtered brute
@@ -1404,8 +1515,16 @@ def knn_filtered_recall_report(
     nprobe until this report says the operating point holds).
 
     Same bounded shape as knn_recall_report: both sides k rows per
-    query, audit cost max_queries x k rows."""
-    ivf = knn_join_ivf(
+    query, audit cost max_queries x k rows.
+
+    `escalation` ("brute" | "reprobe" at 4x nprobe) additionally runs
+    escalate_underfilled over the IVF side and reports the corrected
+    recall alongside the raw one — (q_id, n_hits, recall,
+    n_hits_escalated, recall_escalated) — so the audit shows exactly
+    what the serving tier's underfill self-correction buys at this
+    operating point. With escalation unset the 3-column raw report is
+    unchanged."""
+    first = knn_join_ivf(
         embeddings,
         k=k,
         nprobe=nprobe,
@@ -1413,7 +1532,8 @@ def knn_filtered_recall_report(
         codebook=codebook,
         train_k=train_k,
         corpus_filter=corpus_filter,
-    ).select("q_id", "vec_id")
+    )
+    ivf = first.select("q_id", "vec_id")
     brute = knn_join_brute(
         embeddings, k=k, max_queries=max_queries, corpus_filter=corpus_filter
     ).select("q_id", "vec_id")
@@ -1421,15 +1541,41 @@ def knn_filtered_recall_report(
         F.count(F.lit(1)).alias("n_hits")
     )
     per_q = brute.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    report = per_q.join(hits, "q_id", "left").select(
+        "q_id",
+        F.col("n_exact"),
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        round6(
+            F.coalesce("n_hits", F.lit(0)).cast("double")
+            / F.col("n_exact").cast("double")
+        ).alias("recall"),
+    )
+    if escalation is None:
+        return report.select("q_id", "n_hits", "recall")
+    esc = escalate_underfilled(
+        first,
+        embeddings,
+        k=k,
+        max_queries=max_queries,
+        corpus_filter=corpus_filter,
+        mode=escalation,
+        nprobe=4 * nprobe,
+        codebook=codebook,
+    ).select("q_id", "vec_id")
+    esc_hits = esc.join(brute, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits_escalated")
+    )
     return (
-        per_q.join(hits, "q_id", "left")
+        report.join(esc_hits, "q_id", "left")
         .select(
             "q_id",
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            "n_hits",
+            "recall",
+            F.coalesce("n_hits_escalated", F.lit(0)).alias("n_hits_escalated"),
             round6(
-                F.coalesce("n_hits", F.lit(0)).cast("double")
+                F.coalesce("n_hits_escalated", F.lit(0)).cast("double")
                 / F.col("n_exact").cast("double")
-            ).alias("recall"),
+            ).alias("recall_escalated"),
         )
     )
 

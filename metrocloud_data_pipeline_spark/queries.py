@@ -1380,16 +1380,23 @@ def knn_filtered_ivf_recall(spark, sf_dir):
     probe geometry stays unfiltered, so recall degrades with predicate
     selectivity — measured at sf0.01: nprobe=4 mean 0.50, nprobe=8 mean
     0.81 on the ~9% label slice (PROBE_r11 §h); the registered
-    operating point is nprobe=8. Rows-only by design (recall depends on
-    the trained quantizer's seeded k-means); the geometry-invariant
-    contract — a cluster-aligned filter probed with enough lists holds
-    recall 1.0 — is pytest-pinned on a constructed corpus."""
+    operating point is nprobe=8 WITH brute underfill escalation (r12):
+    the report carries raw AND escalated recall per query, and the
+    escalated min is floored by construction — a starved query (the
+    min-recall-0.00 case of PROBE_r11 §l) is re-answered exactly, which
+    is what run_ann_serving_stream(underfill_escalation=...) deploys.
+    Rows-only by design (recall depends on the trained quantizer's
+    seeded k-means); the geometry-invariant contract — a cluster-aligned
+    filter probed with enough lists holds recall 1.0, and escalation
+    restores exactly the k true filtered neighbors — is pytest-pinned
+    on a constructed corpus."""
     return similarity.knn_filtered_recall_report(
         load(spark, sf_dir, "embeddings"),
         k=10,
         nprobe=8,
         max_queries=100,
         corpus_filter=F.col("label") == 1,
+        escalation="brute",
     )
 
 

@@ -34,6 +34,7 @@ scored against the pre-built corpus layout:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -42,6 +43,7 @@ from ..llm.similarity import (
     _auto_train_k,
     _reject_stride_with_codebook,
     _resolve_quantizer,
+    escalate_underfilled,
     ivfpq_topk_batch,
     knn_join_ivf,
     load_ivf_quantizer,
@@ -94,7 +96,9 @@ def _write_serving_metrics(
     first symptom of a too-selective codes/corpus filter or too-small
     nprobe, PROBE_r11 §h), and wall-clock. Counts read back the batch's
     own just-written partition instead of re-executing the scoring plan;
-    all frames are batch-bounded. Append semantics like the ingest
+    all frames are batch-bounded. A batch that wrote NOTHING (possible
+    on the very first trigger) is handled without a read-back — see the
+    guard below. Append semantics like the ingest
     metrics log: a re-delivered batch appends a second row for the same
     batch_id (the RESULT sink stays effectively-once; the metrics table
     is an observability log, dedup by batch_id at read time)."""
@@ -102,14 +106,30 @@ def _write_serving_metrics(
 
     q_ids = batch.select(F.col("vec_id").alias("q_id")).distinct()
     n_queries = q_ids.count()
-    written = spark.read.parquet(output_path).where(F.col("batch_id") == batch_id)
-    per_q = written.groupBy("q_id").agg(F.count(F.lit(1)).alias("_n"))
-    n_results = written.count()
-    n_underfilled = (
-        q_ids.join(per_q, "q_id", "left")
-        .where(F.coalesce(F.col("_n"), F.lit(0)) < k)
-        .count()
-    )
+    try:
+        written = spark.read.parquet(output_path).where(
+            F.col("batch_id") == batch_id
+        )
+        n_results = written.count()
+    except AnalysisException:
+        # a batch whose every result row was dropped (all zero-norm
+        # queries, or a fully starved corpus/codes filter) writes NO
+        # parquet files — when it is also the FIRST batch there is
+        # nothing at output_path to infer a schema from, and an
+        # unguarded read would kill the stream exactly on the
+        # degenerate batch the metrics exist to surface (ADVICE r11)
+        written = None
+        n_results = 0
+    if written is None or n_results == 0:
+        # every query got 0 < k neighbors
+        n_underfilled = n_queries
+    else:
+        per_q = written.groupBy("q_id").agg(F.count(F.lit(1)).alias("_n"))
+        n_underfilled = (
+            q_ids.join(per_q, "q_id", "left")
+            .where(F.coalesce(F.col("_n"), F.lit(0)) < k)
+            .count()
+        )
     spark.createDataFrame(
         [(
             batch_id,
@@ -138,6 +158,8 @@ def run_ann_serving_stream(
     train_k: int | None = None,
     corpus_filter=None,
     metrics_path: str | None = None,
+    underfill_escalation: str | None = None,
+    underfill_nprobe: int | None = None,
 ) -> StreamingQuery:
     """Score each micro-batch of query vectors against the corpus and
     append (batch_id, q_id, vec_id, label, cosine_sim, rank) rows.
@@ -149,6 +171,19 @@ def run_ann_serving_stream(
     the scan). Size nprobe to the predicate's selectivity and audit
     with knn_filtered_recall_report before deploying: pre-filtering
     thins probed lists, recall is not free (PROBE_r11 §h).
+
+    `underfill_escalation` ("reprobe" | "brute") closes the starvation
+    loop metrics_path only OBSERVES (n_underfilled): per micro-batch,
+    queries that got fewer than k valid neighbors — a filter-starved
+    probe set, the measured min-recall-0.00 case of PROBE_r11 §l — are
+    re-answered via escalate_underfilled before the write, so the sink
+    never silently carries short result sets. "reprobe" re-runs exactly
+    the starved queries at `underfill_nprobe` (default 4x nprobe;
+    bounded cost, recall not guaranteed); "brute" falls back to the
+    exact filtered scan (recall 1.0 for the starved queries, cost
+    |starved| x |filtered corpus| — fine when starvation is the
+    pathological tail it should be). A re-delivered batch escalates
+    identically, so the dynamic-partition sink stays effectively-once.
 
     With no `codebook`, a k-means coarse quantizer is TRAINED from the
     corpus once, here, before the stream starts (train once at deploy,
@@ -162,6 +197,12 @@ def run_ann_serving_stream(
     join exchange-free — its persisted quantizer is REQUIRED alongside:
     codebook, codebook_fingerprint = the (ids, code) and fp from
     load_ivf_quantizer(spark, f"{table}_quantizer")."""
+    if underfill_escalation not in (None, "reprobe", "brute"):
+        # refuse at stream START, not inside the first starved batch
+        raise ValueError(
+            "run_ann_serving_stream: underfill_escalation must be None, "
+            f"'reprobe' or 'brute', got {underfill_escalation!r}"
+        )
     if codebook is not None:
         # refuse at stream START: the same stride-vs-codebook conflict
         # knn_join_ivf raises on would otherwise kill the stream inside
@@ -216,9 +257,35 @@ def run_ann_serving_stream(
         # window, so non-null ranks are unchanged by this filter; a
         # zero-norm query yields NO rows rather than k arbitrary ones
         # ranked by NULL-tie accident (streaming edge-parity, r11).
-        _write_effectively_once(
-            result.where(F.col("cosine_sim").isNotNull()), batch_id, output_path
-        )
+        result = result.where(F.col("cosine_sim").isNotNull())
+        if underfill_escalation is not None:
+            # the splice reads the first pass three times (underfill
+            # counts, anti-join, union) — pin and materialize it so the
+            # probe join runs once per trigger, not three times
+            first = result.persist()
+            first.count()
+            result = escalate_underfilled(
+                first,
+                corpus,
+                k=k,
+                queries=batch.select("vec_id", "embedding"),
+                corpus_filter=corpus_filter,
+                mode=underfill_escalation,
+                nprobe=(
+                    underfill_nprobe if underfill_nprobe is not None else 4 * nprobe
+                ),
+                listed=corpus_table,
+                codebook=codebook,
+                codebook_fingerprint=codebook_fingerprint,
+                quantizer=quantizer,
+                stride=stride,
+                # escalated rows obey the same undefined-similarity
+                # contract as the first pass
+            ).where(F.col("cosine_sim").isNotNull())
+            _write_effectively_once(result, batch_id, output_path)
+            first.unpersist()
+        else:
+            _write_effectively_once(result, batch_id, output_path)
         if metrics_path is not None:
             _write_serving_metrics(
                 result.sparkSession, metrics_path, batch, batch_id,

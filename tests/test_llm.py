@@ -2752,3 +2752,169 @@ def test_knn_filtered_recall_geometry_contract(spark):
     for qid in range(30):
         expected = 1.0 if qid % 3 == 2 else 0.0
         assert rep1.loc[qid, "recall"] == expected, (qid, rep1.loc[qid])
+
+
+def _three_cluster_corpus(spark):
+    """The filtered-ANN geometry fixture: 3 orthogonal clusters, label =
+    cluster, so a label predicate empties 2 of every 3 probed lists."""
+    import math
+
+    rows = []
+    for vid in range(90):
+        c = vid % 3
+        v = [1.0 if i == c else 0.0 for i in range(8)]
+        v[(c + 3) % 8] = 0.05 * ((vid * 7) % 11)
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((vid, [x / n for x in v], c))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+
+
+def test_escalate_underfilled_brute_restores_filtered_neighbors(spark):
+    """The VERDICT r11 #2 contract: a query whose entire filtered
+    neighborhood lives outside its probed lists (nprobe=1, filter =
+    another cluster) silently gets ZERO rows from filtered IVF; the
+    brute escalation must hand it exactly its k true filtered
+    neighbors, while every well-filled query's rows pass through the
+    splice byte-identical."""
+    from pyspark.sql import functions as F
+
+    emb = _three_cluster_corpus(spark)
+    flt = F.col("label") == 2
+    first = similarity.knn_join_ivf(
+        emb, k=5, nprobe=1, max_queries=30, corpus_filter=flt, train_k=3
+    ).cache()
+    per_q = {r["q_id"]: r["n"] for r in first.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # starvation is real: clusters 0/1 queries got nothing
+    assert all(per_q.get(q, 0) == 0 for q in range(30) if q % 3 != 2), per_q
+
+    fixed = similarity.escalate_underfilled(
+        first, emb, k=5, max_queries=30, corpus_filter=flt, mode="brute"
+    ).cache()
+    brute = similarity.knn_join_brute(
+        emb, k=5, max_queries=30, corpus_filter=flt
+    )
+    # every query now holds exactly k true filtered neighbors
+    counts = {r["q_id"]: r["n"] for r in fixed.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {q: 5 for q in range(30)}, counts
+    assert {tuple(r) for r in fixed.select("q_id", "vec_id").collect()} == {
+        tuple(r) for r in brute.select("q_id", "vec_id").collect()
+    }
+    assert fixed.where(F.col("label") != 2).count() == 0
+    # a query never returns itself (queries here ARE corpus vectors)
+    assert fixed.where(F.col("q_id") == F.col("vec_id")).count() == 0
+    # well-filled queries (cluster 2): rows unchanged from the first pass
+    well = [q for q in range(30) if q % 3 == 2]
+    assert sorted(
+        map(tuple, first.where(F.col("q_id").isin(well)).collect())
+    ) == sorted(map(tuple, fixed.where(F.col("q_id").isin(well)).collect()))
+
+
+def test_escalate_underfilled_reprobe_widens_probes(spark):
+    """The bounded-cost escalation: re-probing ONLY the starved queries
+    at a widened nprobe (here 3 = every list) restores the exact
+    filtered answer without any brute scan — and keeps self-match
+    exclusion active even though the re-probe goes through
+    knn_join_ivf's external-queries mode."""
+    from pyspark.sql import functions as F
+
+    emb = _three_cluster_corpus(spark)
+    flt = F.col("label") == 2
+    cb = similarity.trained_codebook(emb, k=3)
+    first = similarity.knn_join_ivf(
+        emb, k=5, nprobe=1, max_queries=30, corpus_filter=flt, codebook=cb
+    )
+    fixed = similarity.escalate_underfilled(
+        first, emb, k=5, max_queries=30, corpus_filter=flt,
+        mode="reprobe", nprobe=3, codebook=cb,
+    ).cache()
+    brute = similarity.knn_join_brute(emb, k=5, max_queries=30, corpus_filter=flt)
+    assert fixed.count() == 150
+    assert {tuple(r) for r in fixed.select("q_id", "vec_id").collect()} == {
+        tuple(r) for r in brute.select("q_id", "vec_id").collect()
+    }
+    assert fixed.where(F.col("q_id") == F.col("vec_id")).count() == 0
+
+
+def test_escalate_underfilled_reprobe_requires_nprobe_and_known_mode(spark):
+    from pyspark.sql import functions as F
+
+    emb = _three_cluster_corpus(spark)
+    first = similarity.knn_join_ivf(emb, k=5, nprobe=1, max_queries=6, train_k=3)
+    with pytest.raises(ValueError, match="reprobe.*nprobe"):
+        similarity.escalate_underfilled(first, emb, k=5, mode="reprobe")
+    with pytest.raises(ValueError, match="mode"):
+        similarity.escalate_underfilled(first, emb, k=5, mode="exhaustive")
+
+
+def test_escalate_underfilled_skips_zero_norm_queries(spark):
+    """A zero-norm query is underfilled by CONTRACT (all its sims are
+    NULL), not by probe starvation — escalation must not burn a brute
+    pass on it, and it must stay rowless afterwards."""
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 1),
+            (1, [0.9, 0.1, 0.0, 0.0], 1),
+            (2, [0.0, 0.0, 0.0, 0.0], 1),   # failed encoder
+            (3, [0.0, 1.0, 0.0, 0.0], 1),
+            (4, [0.1, 0.9, 0.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    first = similarity.knn_join_ivf(emb, k=3, nprobe=1, train_k=2).where(
+        F.col("cosine_sim").isNotNull()
+    )
+    fixed = similarity.escalate_underfilled(first, emb, k=3, mode="brute").where(
+        F.col("cosine_sim").isNotNull()
+    )
+    assert fixed.where(F.col("q_id") == 2).count() == 0
+    # the defined queries all reach k=3 defined neighbors via brute
+    # (corpus has 4 valid candidates per query)
+    counts = {r["q_id"]: r["n"] for r in fixed.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {0: 3, 1: 3, 3: 3, 4: 3}, counts
+
+
+def test_knn_filtered_recall_report_escalated_columns(spark):
+    """The audit of what escalation buys: raw recall stays the honest
+    0.0 for starved queries, recall_escalated is 1.0 for every query —
+    the registered operating point's min-recall-0 case closed."""
+    from pyspark.sql import functions as F
+
+    emb = _three_cluster_corpus(spark)
+    rep = similarity.knn_filtered_recall_report(
+        emb, k=5, nprobe=1, max_queries=30,
+        corpus_filter=F.col("label") == 2, train_k=3, escalation="brute",
+    ).toPandas().set_index("q_id")
+    assert list(rep.columns) == [
+        "n_hits", "recall", "n_hits_escalated", "recall_escalated"
+    ]
+    for qid in range(30):
+        assert rep.loc[qid, "recall"] == (1.0 if qid % 3 == 2 else 0.0)
+        assert rep.loc[qid, "recall_escalated"] == 1.0, (qid, rep.loc[qid])
+
+
+def test_knn_join_ivf_corpus_filter_any_metadata_column(spark):
+    """ADVICE r11: the self-built listed projection used to hardcode
+    (vec_id, embedding, label), so a corpus_filter over any OTHER
+    metadata column raised an unresolved-column AnalysisException —
+    all corpus columns now ride the projection, like the PQ tier's
+    attach_cols."""
+    from pyspark.sql import functions as F
+
+    emb = _three_cluster_corpus(spark).withColumn(
+        "source", F.when(F.col("vec_id") % 2 == 0, "web").otherwise("books")
+    )
+    got = similarity.knn_join_ivf(
+        emb, k=5, nprobe=3, max_queries=12, train_k=3,
+        corpus_filter=F.col("source") == "web",
+    )
+    assert got.count() > 0
+    assert got.join(
+        emb.select("vec_id", "source"), "vec_id"
+    ).where(F.col("source") != "web").count() == 0
