@@ -466,12 +466,12 @@ def run_corpus_ingest_stream(
                 int(r.n_dup_in_batch),
                 int(r.n_dup_in_corpus),
                 int(r.n_near_dup_in_corpus),
-                int(r.n_invalid),
                 int(r.n_rejected)
                 - int(r.n_dup_in_batch)
                 - int(r.n_dup_in_corpus)
                 - int(r.n_near_dup_in_corpus)
                 - int(r.n_invalid),
+                int(r.n_invalid),
             )
         # rejects BEFORE the kept append: rejected's corpus semi-join
         # also reads the store's file listing, and an after-append
@@ -532,11 +532,16 @@ def run_corpus_ingest_stream(
             if band_index_path is not None:
                 compact_append_store(spark, band_index_path, sort_cols=["bucket"])
         if stats is not None:
+            # n_invalid (added r11) sits LAST so a metrics table started
+            # before it existed is a strict column-prefix of this schema:
+            # appends merge cleanly and mergeSchema readers see NULL
+            # n_invalid on old rows instead of silently misreading a
+            # shifted column (ADVICE r11)
             spark.createDataFrame(
                 [stats],
                 "batch_id long, n_ingested long, n_kept long, kept_chars long, "
                 "n_rejected long, n_dup_in_batch long, n_dup_in_corpus long, "
-                "n_near_dup_in_corpus long, n_invalid long, n_quality_rejected long",
+                "n_near_dup_in_corpus long, n_quality_rejected long, n_invalid long",
             ).write.mode("append").parquet(metrics_path)
 
     writer = doc_stream.writeStream.foreachBatch(_process).option(

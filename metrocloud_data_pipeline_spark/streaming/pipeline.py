@@ -125,14 +125,16 @@ def alert_columns(readings: DataFrame) -> DataFrame:
     # so a status=ERROR reading with a null value raises a CRITICAL
     # alert, and concat's null-propagation would null the ENTIRE message
     # on exactly the alerts that matter most (found by the streaming
-    # edge-parity fixture, r11 — the reference's Python f-string renders
-    # None as 'None' rather than dropping the line).
+    # edge-parity fixture, r11). The fallbacks render as the literal
+    # 'None' — byte-for-byte what the reference's Python f-strings
+    # (str(None)) print for a missing value/unit/device — so grep-style
+    # downstream alert tooling matches either producer (ADVICE r11).
     message = F.concat(
         level, F.lit(": "),
-        F.coalesce(F.col("device_id"), F.lit("?")), F.lit(" "), reason,
+        F.coalesce(F.col("device_id"), F.lit("None")), F.lit(" "), reason,
         F.lit(" (value="),
-        F.coalesce(F.format_number(F.col("value"), 2), F.lit("null")),
-        F.lit(" "), F.coalesce(F.col("unit"), F.lit("?")), F.lit(")"),
+        F.coalesce(F.format_number(F.col("value"), 2), F.lit("None")),
+        F.lit(" "), F.coalesce(F.col("unit"), F.lit("None")), F.lit(")"),
     )
     return (
         j.withColumn("alert_level", level)

@@ -342,7 +342,8 @@ def test_alert_message_survives_null_value_and_device(spark):
     """A CRITICAL alert on a null-value ERROR reading keeps a readable
     message (value is NOT a required ingest field, so this reaches the
     wired alert stream); a null device_id via direct batch use renders
-    '?' instead of nulling the line."""
+    the literal 'None' — what the reference's f-strings print for a
+    missing field — instead of nulling the line."""
     from metrocloud_data_pipeline_spark.streaming import pipeline
 
     readings = spark.createDataFrame(
@@ -357,10 +358,10 @@ def test_alert_message_survives_null_value_and_device(spark):
     by_dev = {r.device_id: r for r in alerts}
     assert set(by_dev) == {"d1", None}
     assert by_dev["d1"].alert_level == "CRITICAL"
-    assert by_dev["d1"].alert_message == "CRITICAL: d1 device_error (value=null C)"
+    assert by_dev["d1"].alert_message == "CRITICAL: d1 device_error (value=None C)"
     assert by_dev[None].alert_level == "WARNING"
     assert by_dev[None].alert_message is not None
-    assert by_dev[None].alert_message.startswith("WARNING: ?")
+    assert by_dev[None].alert_message.startswith("WARNING: None")
 
 
 def test_ann_serving_stream_filtered_corpus(spark, tmp_path):
