@@ -90,6 +90,23 @@ def _fs_exists(path: str) -> bool:
     return fs.exists(jpath)
 
 
+def _fs_has_data_files(path: str) -> bool:
+    """True iff the directory holds at least one non-hidden data file
+    (recursing one level is unnecessary here: partition dirs and append
+    stores keep their parquet files flat). An EXISTING but file-less
+    directory is a real crash/ops remnant — an interrupted delete, a
+    bare mkdir — and reading it as parquet dies on schema inference, so
+    the maintenance ops probe first and treat it as data-less."""
+    fs, jpath, _ = _jfs(path)
+    if not fs.exists(jpath):
+        return False
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 _OLD_SUFFIX = "._old"
 
 
@@ -134,11 +151,35 @@ def recover_store(path: str) -> bool:
 
 
 def with_partition_col(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
-    return df.withColumn(PARTITION_COL, F.to_date(F.col(ts_col)))
+    # fail-loud on a NULL event time: to_date(NULL) would route the row
+    # to reading_date=__HIVE_DEFAULT_PARTITION__, whose directory name
+    # then poisons EVERY maintenance op that lists partitions (archive,
+    # retention, compaction, refresh — found by the r12 pathological
+    # fixture sweep). raise_error rides the same write pass JVM-side, so
+    # the guard costs no extra scan; a row with no event time has no
+    # partition home and must be rejected upstream, same contract as
+    # idempotent_append's null-natural-key refusal.
+    guarded = (
+        F.when(
+            F.col(ts_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"write_partitioned: NULL {ts_col} has no partition home "
+                    "(would write __HIVE_DEFAULT_PARTITION__ and break every "
+                    "partition-listing maintenance op) — validate or reject "
+                    "upstream"
+                )
+            ),
+        )
+        .otherwise(F.to_date(F.col(ts_col)))
+        .cast("date")
+    )
+    return df.withColumn(PARTITION_COL, guarded)
 
 
 def write_partitioned(df: DataFrame, path: str, mode: str = "append", ts_col: str = "timestamp") -> None:
-    """Write date-partitioned parquet (hypertable-chunk analogue)."""
+    """Write date-partitioned parquet (hypertable-chunk analogue).
+    Refuses NULL event times fail-loud — see with_partition_col."""
     with_partition_col(df, ts_col).write.mode(mode).partitionBy(PARTITION_COL).parquet(path)
 
 
@@ -148,11 +189,33 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
 
 def list_partitions(path: str) -> list[date]:
     """Partition values present under the table root (FileSystem listing —
-    scheme-aware, see the filesystem layer above)."""
+    scheme-aware, see the filesystem layer above). A partition value that
+    is not a date (__HIVE_DEFAULT_PARTITION__ from some OTHER writer's
+    null event times, or hand-made junk) fails with a remedial message
+    instead of a bare isoformat ValueError: silently skipping it would
+    hide those rows from archive/retention forever, and every downstream
+    maintenance op would make a different partial-view mistake."""
     out = []
     for name in _fs_child_dirs(path):
         if name.startswith(f"{PARTITION_COL}="):
-            out.append(date.fromisoformat(name.split("=", 1)[1]))
+            value = name.split("=", 1)[1]
+            if "._" in value:
+                # a swap/compaction artifact (partition._old /
+                # ._compact_tmp / ._archive_tmp) stranded by an unclean
+                # stop — a KNOWN transient repaired by recover_store /
+                # vacuum_store_artifacts, not a partition; skipping it
+                # lets the retry that will repair it actually run
+                continue
+            try:
+                out.append(date.fromisoformat(value))
+            except ValueError:
+                raise ValueError(
+                    f"list_partitions: {path} contains a non-date partition "
+                    f"directory {name!r} — likely NULL event times written by "
+                    "a writer without write_partitioned's guard; repair the "
+                    "store (move or drop the directory) before running "
+                    "maintenance against it"
+                ) from None
     return out
 
 
@@ -170,9 +233,21 @@ def archive_old_data(
     """OP-D1: move partitions older than the cutoff from main to archive.
 
     Returns rows moved (reference returns moved count,
-    init.sql:222-243). Partition-granular move: read+append only the
-    affected partitions, then drop their directories from main — the
-    bulk of the table is untouched."""
+    init.sql:222-243). Partition-granular move: read only the affected
+    partitions — the bulk of the table is untouched.
+
+    Crash-retry idempotent (r12 pathological sweep — the append+delete
+    sequence used to DUPLICATE a partition's rows in the archive when a
+    crash landed between the two ops and the job retried): the archive
+    partition is written as the natural-key-deduped MERGE of the main
+    partition and whatever the archive already holds for that day (late
+    data for an archived day appends; a retried half-move converges),
+    promoted via the crash-recoverable swap_store sequence, and only
+    then is the main partition dropped. Every crash point leaves both
+    stores readable and the retry re-converges. A victim partition
+    directory with no data files (interrupted delete, bare mkdir) is
+    cleared without a read — parquet schema inference cannot see an
+    empty directory."""
     now = now or datetime.utcnow()
     cutoff = (now - timedelta(days=older_than_days)).date()
     victims = [d for d in list_partitions(main_path) if d < cutoff]
@@ -180,12 +255,21 @@ def archive_old_data(
         return 0
     moved = 0
     for day in victims:
-        part = spark.read.parquet(_partition_dir(main_path, day))
+        src_dir = _partition_dir(main_path, day)
+        if not _fs_has_data_files(src_dir):
+            _fs_delete(src_dir)
+            continue
+        part = spark.read.parquet(src_dir)
         moved += part.count()
-        part.withColumn(PARTITION_COL, F.lit(day)).write.mode("append").partitionBy(PARTITION_COL).parquet(
-            archive_path
-        )
-        _fs_delete(_partition_dir(main_path, day))
+        dst_dir = _partition_dir(archive_path, day)
+        if _fs_has_data_files(dst_dir):
+            part = part.unionByName(spark.read.parquet(dst_dir)).dropDuplicates(
+                list(NATURAL_KEY)
+            )
+        tmp = dst_dir + "._archive_tmp"
+        part.write.mode("overwrite").parquet(tmp)
+        swap_store(dst_dir, tmp)
+        _fs_delete(src_dir)
     return moved
 
 
@@ -221,6 +305,11 @@ def compact_partitions(
         if day >= cutoff:
             continue
         part_dir = _partition_dir(path, day)
+        if not _fs_has_data_files(part_dir):
+            # data-less remnant (interrupted delete / bare mkdir):
+            # nothing to compact, and a parquet read of it would die on
+            # schema inference
+            continue
         part = spark.read.parquet(part_dir)
         tmp = part_dir + "._compact_tmp"
         (
@@ -342,7 +431,14 @@ def refresh_bucket_aggregate(
     if not target:
         return 0
     existing = set(list_partitions(readings_path))
-    avail = [d for d in target if d in existing]
+    # a targeted day whose directory exists but holds no data files is
+    # as empty as a dropped one: treat it as absent so its aggregate is
+    # cleared (and so an all-empty raw store never reaches the parquet
+    # reader, which cannot infer a schema from zero files)
+    avail = [
+        d for d in target
+        if d in existing and _fs_has_data_files(_partition_dir(readings_path, d))
+    ]
     if avail:
         src = read_table(spark, readings_path).where(
             F.col(PARTITION_COL).isin([d.isoformat() for d in avail])
@@ -407,7 +503,11 @@ def refresh_rollup_cascade(
     # NO partitions left cannot even be read — schema inference has no
     # footers to look at)
     existing = set(list_partitions(readings_path))
-    avail = [d for d in target if d in existing]
+    # same data-less-directory contract as refresh_bucket_aggregate
+    avail = [
+        d for d in target
+        if d in existing and _fs_has_data_files(_partition_dir(readings_path, d))
+    ]
     day_strs = [d.isoformat() for d in avail]
     if avail:
         src = read_table(spark, readings_path).where(
@@ -757,7 +857,12 @@ def compact_append_store(
     micro-batches (foreachBatch sinks tolerate the swap because every
     batch re-lists the store; the swap itself is the crash-recoverable
     aside-rename sequence — see swap_store — so a kill mid-compaction
-    never loses the store)."""
+    never loses the store). A store that does not exist yet, or exists
+    with no data files (a maintenance schedule firing before the first
+    batch ever appended — e.g. a rejects sink that never rejected), is
+    a no-op returning 0 rather than a schema-inference crash."""
+    if not _fs_has_data_files(path):
+        return 0
     df = spark.read.parquet(path)
     n_before = df.inputFiles().__len__()
     out = df.repartition(target_partitions)
