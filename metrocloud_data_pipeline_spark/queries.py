@@ -6391,6 +6391,54 @@ def embed_centroid_drift(spark, sf_dir):
 # 50 of the registry). The window below is strictly STALEST-FIRST by
 # the last round each query earned a green driver CORRECTNESS row
 # (tools/freshness.py recomputes this; tests/test_registry.py gates it).
+# Every registered query WITHOUT an oracle_sql twin must carry an
+# explicit reason here (VERDICT r11 #5): the driver's rows-only check is
+# deliberately weaker than the hash gate, so an unexplained addition to
+# this class is silent correctness-coverage loss. tests/test_registry.py
+# enforces (a) exact set equality with the actual no-oracle key set —
+# a new rows-only key without a reason FAILS, as does a stale entry —
+# and (b) that each reason names one of the sanctioned categories from
+# SURVEY §2.11: a non-portable HASH function, a SEEDED/TRAINED model or
+# quantizer, an approximate SKETCH, or an ITERATIVE algorithm. Each
+# reason also says where the pinned pytest invariant lives.
+NO_ORACLE_REASONS: dict[str, str] = {
+    "dedup_minhash": "non-portable hash (xxhash64 minhash perms); exact-Jaccard twin oracle-checked, recall/precision audits registered",
+    "dedup_simhash": "non-portable hash (64-bit simhash); planted-clique detection pinned in tests/test_llm.py",
+    "dedup_embed_cosine_lsh": "seeded hyperplane hash (LSH bands); recall vs exact twin pinned in tests/test_llm.py",
+    "knn_lsh": "seeded hyperplane hash; subset-of-exact pinned in tests/test_llm.py",
+    "knn_ivf": "seeded trained coarse quantizer; recall vs brute pinned in tests/test_llm.py",
+    "knn_join_ivf": "seeded trained coarse quantizer; per-query recall vs exact pinned in tests/test_llm.py",
+    "knn_join_ivf_bucketed": "seeded trained quantizer + persisted bucketed layout; byte-equality to in-memory path pinned in tests/test_llm.py",
+    "knn_join_ivfpq": "seeded k-means PQ + coarse codebooks (iterative fits); ADC invariants pinned in tests/test_llm.py",
+    "knn_recall_report": "recall audit of a seeded trained quantizer; geometry contract pinned in tests/test_llm.py",
+    "knn_filtered_ivf_recall": "recall audit of a seeded trained quantizer under a filter; geometry + escalation contracts pinned in tests/test_llm.py",
+    "ivfpq_recall_report": "recall audit of seeded PQ/coarse quantizers; refined-recall floor pinned in tests/test_llm.py",
+    "ivfpq_refine_sweep": "operating-point sweep over seeded quantizers; monotone-recall invariant pinned in tests/test_llm.py",
+    "minhash_recall_report": "non-portable minhash; banding-theory recall bound pinned in tests/test_llm.py",
+    "minhash_precision_report": "non-portable minhash; estimator-vs-exact error bound pinned in tests/test_llm.py",
+    "dsir_hashed_weights": "non-portable hash (hashed n-gram features); fidelity vs exact DSIR twin pinned in tests/test_curation.py",
+    "kn5_surprisal_hashed": "non-portable hash (xxhash64 context buckets); Spearman fidelity ladder vs effectively-exact twin pinned in tests/test_llm.py",
+    "bpe_train_merges": "iterative training loop (BPE merges); Sennrich worked example pinned in tests/test_llm.py",
+    "bpe_segment_stats": "depends on the iterative trained BPE merges; segmentation round-trip pinned in tests/test_llm.py",
+    "quality_lr_score": "seeded iterative LR training; separability + determinism pinned in tests/test_curation.py",
+    "langid_trained_report": "seeded trained hashed-char-trigram classifier; holdout-accuracy floor pinned in tests/test_llm.py",
+    "kmeans_embed_clusters": "seeded iterative k-means; determinism + monotone inertia pinned in tests/test_llm.py",
+    "pca_variance_report": "iterative numeric eigendecomposition; variance-ordering + reconstruction invariants pinned in tests/test_llm.py",
+    "embed_pq_stats": "seeded iterative PQ training; code-range/inertia/ADC invariants pinned in tests/test_llm.py and tests/test_curation.py",
+    "dedup_embed_semdedup": "seeded k-means clustering stage; planted-duplicate capture pinned in tests/test_llm.py",
+    "embed_diverse_sample": "iterative greedy facility-location selection; coverage invariant pinned in tests/test_llm.py",
+    "seq_pack_summary": "iterative first-fit-decreasing packing; capacity/determinism invariants pinned in tests/test_curation.py",
+    "w11_lttb_downsample": "iterative point selection (LTTB); anchor/extent invariants pinned in tests/test_temporal.py",
+    "a6_table_stats_approx": "approximate sketch (HyperLogLog); error envelope vs exact twin pinned in tests/test_analytics.py",
+    "a9_daily_quality_approx": "approximate sketch (HyperLogLog); error envelope vs exact twin pinned in tests/test_analytics.py",
+    "dq_profile_events_approx": "approximate sketches (HLL + quantile); envelope vs exact twin pinned in tests/test_curation.py",
+    "obs_hot_keys_approx": "approximate sketch (count-min style hot keys); overlap-with-exact pinned in tests/test_observability.py",
+    "text_hot_tokens_approx": "approximate sketch; overlap-with-exact pinned in tests/test_llm.py",
+    "text_ngram_diversity_approx": "approximate sketch (HLL); error envelope pinned in tests/test_llm.py",
+    "quality_quantile_filter_approx": "approximate quantile sketch; agreement-with-exact pinned in tests/test_curation.py",
+    "ccnet_perplexity_buckets_approx": "approximate quantile sketch; bucket-assignment agreement pinned in tests/test_curation.py",
+}
+
 QUERY_ORDER = [
     # --- r12 window (first 50 = driver-checked this round) ---
     # Stalest-first rotation per VERDICT r11 #1: the 4 age-5 keys

@@ -82,3 +82,19 @@ def test_vs_prev_tail_fallback_respects_sf(tmp_path, monkeypatch):
            {"tail": '"queries_norm": {"q1": 2.0}, "sf": 0.1, "runs": 1}'})
     out = bench._vs_prev({"q1": 2.0}, 0.1)["vs_prev"]
     assert out["norm_ratio"] == {"q1": 1.0}
+
+
+def test_degenerate_sf001_keys_are_registered_and_not_headline():
+    """The three exact-all-pairs oracle configs demoted to sf0.01 timing
+    (VERDICT r11 #4) must stay REGISTERED queries (the oracle gate still
+    runs them) and must never sit in HEADLINE — their production twins
+    carry the sf0.1 drift signal."""
+    from metrocloud_data_pipeline_spark.queries import QUERY_ORDER
+
+    for name in bench.DEGENERATE_SF001:
+        assert name in QUERY_ORDER, name
+        assert name not in bench.HEADLINE, name
+
+
+def test_sf001_dir_derivation():
+    assert bench._sf001_dir().endswith("/sf0.01")

@@ -111,3 +111,48 @@ def test_new_key_velocity_is_capped():
             f"({never_checked}) while freshness debt exists — cap is "
             f"{NEW_KEY_CAP}; let the window catch up before registering more"
         )
+
+
+def test_no_oracle_keys_each_carry_a_sanctioned_reason():
+    """The driver's rows-only check is deliberately weaker than the
+    hash gate, so the no-oracle class may only grow EXPLAINED (VERDICT
+    r11 #5): exact set equality between the actual no-oracle key set
+    and the reason registry — an unexplained new rows-only key fails,
+    as does a stale reason for a key that gained an oracle — and every
+    reason must name a sanctioned category (non-portable hash / seeded
+    or trained model / approximate sketch / iterative algorithm) plus
+    the test module holding its pinned invariant."""
+    no_oracle = set(q.SPARK_QUERIES) - set(q.ORACLE_SQL)
+    unexplained = no_oracle - set(q.NO_ORACLE_REASONS)
+    stale = set(q.NO_ORACLE_REASONS) - no_oracle
+    assert not unexplained, (
+        f"rows-only keys without a reason in NO_ORACLE_REASONS: "
+        f"{sorted(unexplained)} — either add the oracle_sql twin or "
+        "document why none can exist and where the pinned invariant lives"
+    )
+    assert not stale, (
+        f"NO_ORACLE_REASONS entries for keys that now have oracles (or "
+        f"were removed): {sorted(stale)}"
+    )
+    SANCTIONED = ("hash", "seeded", "trained", "sketch", "iterative")
+    for name, reason in q.NO_ORACLE_REASONS.items():
+        assert any(m in reason for m in SANCTIONED), (
+            f"{name}: reason names no sanctioned category {SANCTIONED}: "
+            f"{reason!r}"
+        )
+        assert "tests/test_" in reason or "oracle-checked" in reason, (
+            f"{name}: reason does not say where the pinned invariant "
+            f"lives: {reason!r}"
+        )
+
+
+def test_no_oracle_reasons_point_at_real_test_modules():
+    """A reason citing tests/test_x.py must cite a module that exists —
+    a stale pointer is as useless as no pointer."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    for name, reason in q.NO_ORACLE_REASONS.items():
+        for mod in re.findall(r"tests/test_[a-z_]+\.py", reason):
+            assert (root / mod).exists(), f"{name}: {mod} does not exist"
