@@ -1342,28 +1342,40 @@ def kn5_surprisal_hashed(
     fixed-width and collision-bounded instead of growing with the
     arbitrary-length 5-gram strings.
 
-    Same three-level interpolation as the engine's KN-2/KN-3 family,
-    lifted to order 5: top = order-5 counts against the order-4
-    history, middle = order-4-suffix continuation counts, base =
-    unigram continuation mass. The full Chen & Goodman 1999 recursion
-    would add two more continuation levels (orders 3 and 2); the
-    three-level form keeps the per-doc RANKING signal (pytest pins
-    Spearman >= 0.95 between the hashed form and its effectively-exact
-    twin, and records the kn3 cross-order correlation in PROBE_r11)
-    at two fewer shuffle-aggregate frames.
+    FULL Chen & Goodman 1999 (§3) interpolated recursion, all five
+    levels (r12; r11 shipped a three-level form):
 
-    Hashing design: each structural component — the 5-gram, its
-    order-4 history (w1..w4), its order-4 suffix (w2..w5), the middle
-    trigram (w2w3w4), and the current word — hashes independently via
-    pmod(xxhash64, n_buckets). Types are the distinct hashed TUPLES, so
-    two true grams merge only when every component collides; each
-    context frame (history totals, mid normalizers, predecessor
-    counts) is keyed by a single hashed column and therefore holds at
-    most n_buckets rows — the bounded state a 100 TB corpus needs,
-    where the exact string frames are the thing that does not fit.
-    Default 2^22: measured at sf0.01 (24k gram types), context-frame
-    collisions put per-doc Spearman vs the effectively-exact 2^62 twin
-    at 0.9492 for 2^20, 0.9862 for 2^22, 0.9974 for 2^24 — 2^22 is the
+      P5(w5|w1..w4) = max(c(g5)-D,0)/c(h4,.) + D N1+(h4,.)/c(h4,.) P4
+      P4(w5|w2w3w4) = max(cc4-D,0)/ccsum4 + D nfwd4/ccsum4 * P3
+      P3(w5|w3w4)   = max(cc3-D,0)/ccsum3 + D nfwd3/ccsum3 * P2
+      P2(w5|w4)     = max(cc2-D,0)/ccsum2 + D nfwd2/ccsum2 * P1
+      P1(w5)        = N1+(.,w5) / N1+(..)
+
+    where each order's modified counts are CONTINUATION counts in the
+    next-higher order's type space: cc4 = N1+(., w2..w5) over 5-gram
+    types, cc3 = N1+(., w3w4w5) over the distinct-suffix4 frame, cc2 =
+    N1+(., w4w5) over the distinct-suffix3 frame, and the unigram mass
+    is predecessor counts over the distinct (w4,w5) frame — so each
+    level's frame is an aggregate of the previous one, shrinking as it
+    descends. Self-scoring the corpus leaves no unseen 5-gram; the
+    redistribution is the whole signal, exactly as at orders 2/3.
+
+    Hashing design: each structural component — the 5-gram, the order-4
+    history (w1..w4) and suffix (w2..w5), the mid trigram (w2w3w4) and
+    its suffix (w3w4w5), the bigram (w3w4) and suffix (w4w5), the
+    pivot word (w4), and the current word (w5) — hashes independently
+    via pmod(xxhash64, n_buckets). Types are the distinct hashed
+    TUPLES, so two true grams merge only when every component
+    collides; each context frame (history totals, per-order
+    normalizers, predecessor counts) is keyed by one hashed column and
+    therefore holds at most n_buckets rows — the bounded state a
+    100 TB corpus needs, where the exact string frames are the thing
+    that does not fit. Default 2^22: measured at sf0.01 (24k gram
+    types) on the five-level form, per-doc Spearman vs the
+    effectively-exact 2^62 twin is 0.9138 at 2^20, 0.9788 at 2^22,
+    0.9957 at 2^24 (PROBE_r12 §a; the deeper recursion leans harder
+    on the low-order frames, so collisions cost more than the
+    three-level form's 0.9862 at the same width) — 2^22 remains the
     smallest power clearing the 0.95 fidelity floor with margin, at
     ~32 MB of fixed-width keys per context frame.
     Seeded-hash output = no DuckDB oracle (the dedup_minhash contract):
@@ -1388,32 +1400,31 @@ def kn5_surprisal_hashed(
     h = lambda c: F.pmod(F.xxhash64(c), b)  # noqa: E731
     g = F.col("gram")
     suffix4 = F.substring_index(g, " ", -4)
+    suffix3 = F.substring_index(g, " ", -3)
+    suffix2 = F.substring_index(g, " ", -2)
     # tid = 64-bit hash of the full component tuple: the per-OCCURRENCE
-    # frame carries ONE long instead of five, so the type aggregation
-    # and the final scoring join shuffle a fifth of the key bytes — at
+    # frame carries ONE long instead of nine, so the type aggregation
+    # and the final scoring join shuffle a ninth of the key bytes — at
     # 100 TB the occurrence frame is the corpus-sized one, the type
     # frame is bounded. Components ride only in the type frame (min()
     # per tid: identical within a tid up to a ~2^-64 tuple collision,
     # min for determinism under one).
+    comp = [
+        ("h4h", F.substring_index(g, " ", 4)),  # w1..w4 (top history)
+        ("h4s", suffix4),                        # w2..w5 (order-4 key)
+        ("h3m", F.substring_index(suffix4, " ", 3)),  # w2w3w4
+        ("h3s", suffix3),                        # w3w4w5 (order-3 key)
+        ("h2m", F.substring_index(suffix3, " ", 2)),  # w3w4
+        ("h2s", suffix2),                        # w4w5  (order-2 key)
+        ("h1m", F.substring_index(suffix2, " ", 1)),  # w4
+        ("h1c", F.substring_index(g, " ", -1)),  # w5
+    ]
+    names = [n for n, _ in comp]
     rows = (
         docs.where(F.size(toks) >= 5)
         .select("doc_id", F.explode(grams).alias("gram"))
-        .select(
-            "doc_id",
-            h(g).alias("h5"),
-            h(F.substring_index(g, " ", 4)).alias("h4h"),
-            h(suffix4).alias("h4s"),
-            h(F.substring_index(suffix4, " ", 3)).alias("h3m"),
-            h(F.substring_index(g, " ", -1)).alias("h1c"),
-        )
-        .select(
-            "doc_id",
-            F.xxhash64("h5", "h4h", "h4s", "h3m", "h1c").alias("tid"),
-            "h4h",
-            "h4s",
-            "h3m",
-            "h1c",
-        )
+        .select("doc_id", h(g).alias("h5"), *[h(e).alias(n) for n, e in comp])
+        .select("doc_id", F.xxhash64("h5", *names).alias("tid"), *names)
     )
     if materialize:
         # one materialization feeds BOTH consumers (the per-doc
@@ -1424,53 +1435,70 @@ def kn5_surprisal_hashed(
     occ = rows.select("doc_id", "tid")
     types = rows.groupBy("tid").agg(
         F.count(F.lit(1)).alias("ct"),
-        F.min("h4h").alias("h4h"),
-        F.min("h4s").alias("h4s"),
-        F.min("h3m").alias("h3m"),
-        F.min("h1c").alias("h1c"),
+        *[F.min(n).alias(n) for n in names],
     )
     if materialize:
         types = types.localCheckpoint()
     hist_stats = types.groupBy("h4h").agg(
         F.sum("ct").alias("ch"), F.count(F.lit(1)).alias("nfwd")
     )
-    # one row per distinct hashed (suffix4, mid3, cur):
-    # cc = N1+(., suffix4) = distinct first words ahead of the suffix
-    pairs = types.groupBy("h4s", "h3m", "h1c").agg(F.count(F.lit(1)).alias("cc"))
+    # each descent aggregates the previous level's type frame; every
+    # grouping key below is a function of that level's suffix, so row
+    # cardinality = distinct hashed suffix tuples of that order.
+    # cc4 = N1+(., w2..w5): distinct first words ahead of the suffix4
+    k4 = ["h4s", "h3m", "h3s", "h2m", "h2s", "h1m", "h1c"]
+    pairs4 = types.groupBy(*k4).agg(F.count(F.lit(1)).alias("cc4"))
     if materialize:
-        pairs = pairs.localCheckpoint()
-    mid_stats = pairs.groupBy("h3m").agg(
-        F.sum("cc").alias("ccsum"), F.count(F.lit(1)).alias("nfwd_mid")
+        pairs4 = pairs4.localCheckpoint()
+    mid4 = pairs4.groupBy("h3m").agg(
+        F.sum("cc4").alias("ccsum4"), F.count(F.lit(1)).alias("nfwd4")
     )
-    cur_stats = pairs.groupBy("h1c").agg(F.count(F.lit(1)).alias("nback"))
-    btot = pairs.agg(F.count(F.lit(1)).alias("btypes"))
+    # cc3 = N1+(., w3w4w5): distinct w2 ahead, counted over suffix4 types
+    k3 = ["h3s", "h2m", "h2s", "h1m", "h1c"]
+    pairs3 = pairs4.groupBy(*k3).agg(F.count(F.lit(1)).alias("cc3"))
+    if materialize:
+        pairs3 = pairs3.localCheckpoint()
+    mid3 = pairs3.groupBy("h2m").agg(
+        F.sum("cc3").alias("ccsum3"), F.count(F.lit(1)).alias("nfwd3")
+    )
+    # cc2 = N1+(., w4w5): distinct w3 ahead, counted over suffix3 types
+    k2 = ["h2s", "h1m", "h1c"]
+    pairs2 = pairs3.groupBy(*k2).agg(F.count(F.lit(1)).alias("cc2"))
+    if materialize:
+        pairs2 = pairs2.localCheckpoint()
+    mid2 = pairs2.groupBy("h1m").agg(
+        F.sum("cc2").alias("ccsum2"), F.count(F.lit(1)).alias("nfwd2")
+    )
+    # unigram continuation mass over the distinct (w4, w5) frame
+    cur_stats = pairs2.groupBy("h1c").agg(F.count(F.lit(1)).alias("nback"))
+    btot = pairs2.agg(F.count(F.lit(1)).alias("btypes"))
     d = float(discount)
-    pmid = (
-        F.greatest(F.col("cc").cast("double") - F.lit(d), F.lit(0.0))
-        / F.col("ccsum").cast("double")
-        + F.lit(d)
-        * F.col("nfwd_mid").cast("double")
-        / F.col("ccsum").cast("double")
-        * F.col("nback").cast("double")
-        / F.col("btypes").cast("double")
-    )
+
+    def _level(cc, ccsum, nfwd, lower):
+        return (
+            F.greatest(F.col(cc).cast("double") - F.lit(d), F.lit(0.0))
+            / F.col(ccsum).cast("double")
+            + F.lit(d)
+            * F.col(nfwd).cast("double")
+            / F.col(ccsum).cast("double")
+            * lower
+        )
+
+    p1 = F.col("nback").cast("double") / F.col("btypes").cast("double")
+    p2 = _level("cc2", "ccsum2", "nfwd2", p1)
+    p3 = _level("cc3", "ccsum3", "nfwd3", p2)
+    p4 = _level("cc4", "ccsum4", "nfwd4", p3)
     scored = (
         types.join(hist_stats, "h4h")
-        .join(pairs.select("h4s", "h3m", "h1c", "cc"), ["h4s", "h3m", "h1c"])
-        .join(mid_stats, "h3m")
+        .join(pairs4.select(*k4, "cc4"), k4)
+        .join(mid4, "h3m")
+        .join(pairs3.select(*k3, "cc3"), k3)
+        .join(mid3, "h2m")
+        .join(pairs2.select(*k2, "cc2"), k2)
+        .join(mid2, "h1m")
         .join(cur_stats, "h1c")
         .crossJoin(F.broadcast(btot))
-        .select(
-            "tid",
-            (
-                F.greatest(F.col("ct").cast("double") - F.lit(d), F.lit(0.0))
-                / F.col("ch").cast("double")
-                + F.lit(d)
-                * F.col("nfwd").cast("double")
-                / F.col("ch").cast("double")
-                * pmid
-            ).alias("p_kn"),
-        )
+        .select("tid", _level("ct", "ch", "nfwd", p4).alias("p_kn"))
     )
     ln2 = 0.6931471805599453
     return (

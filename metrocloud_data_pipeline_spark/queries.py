@@ -5766,10 +5766,12 @@ def kn5_surprisal_hashed(spark, sf_dir):
     KN-3 family documented, with every gram/context key hashed into
     2^22 buckets so the type-frame state is fixed-width and bounded
     (the dsir_hashed_weights move) instead of growing with 5-gram
-    strings. Seeded xxhash64 output = no DuckDB oracle (the
-    dedup_minhash contract): rows-only driver row; fidelity is pinned
-    by pytest (Spearman >= 0.95 vs the effectively-exact 2^62 twin at
-    sf0.01 — measured 0.986)."""
+    strings. r12: the FULL five-level Chen & Goodman recursion —
+    continuation orders 4, 3, 2, and the unigram mass, each derived
+    from the level above's type frame. Seeded xxhash64 output = no
+    DuckDB oracle (the dedup_minhash contract): rows-only driver row;
+    fidelity is pinned by pytest (Spearman >= 0.95 vs the
+    effectively-exact 2^62 twin at sf0.01 — measured 0.9788)."""
     docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
     return text.kn5_surprisal_hashed(docs, discount=0.75)
 

@@ -2658,9 +2658,10 @@ def test_jaccard_prefix_baskets_pairs_are_exactly_the_derived_near_copies(spark)
 
 def test_kn5_hashed_hand_computed_exact_regime(spark):
     """With n_buckets effectively collision-free (2^62), the hashed
-    KN-5 must equal the hand-computed three-level interpolation — the
-    order-5 lift of the trigram worked example: two docs share the
-    5-gram (a b c d e), one diverges at the last word."""
+    KN-5 must equal the hand-computed FULL five-level Chen & Goodman
+    interpolation (r12) — the order-5 lift of the trigram worked
+    example: two docs share the 5-gram (a b c d e), one diverges at
+    the last word."""
     import math
 
     rows = [
@@ -2677,11 +2678,21 @@ def test_kn5_hashed_hand_computed_exact_regime(spark):
     }
     D = 0.75
     # gram types: (a b c d e) ct=2, (a b c d f) ct=1; hist "a b c d":
-    # ch=3, nfwd=2. suffix4 "b c d e": cc=1 (left words {a}); "b c d f":
-    # cc=1. mid3 "b c d": ccsum=2, nfwd_mid=2. cur e: nback=1; f: 1; B=2
-    pmid = max(1 - D, 0) / 2 + D * 2 / 2 * 1 / 2
-    p_e = max(2 - D, 0) / 3 + D * 2 / 3 * pmid
-    p_f = max(1 - D, 0) / 3 + D * 2 / 3 * pmid
+    # ch=3, nfwd=2. Continuation ladder — every level has two types,
+    # each with modified count 1, history normalizer 2, fanout 2:
+    #   order 4: suffix4 {b c d e, b c d f}, cc4=1 each (left={a});
+    #            mid3 "b c d": ccsum4=2, nfwd4=2
+    #   order 3: suffix3 {c d e, c d f},     cc3=1 each (left={b});
+    #            mid2 "c d": ccsum3=2, nfwd3=2
+    #   order 2: suffix2 {d e, d f},         cc2=1 each (left={c});
+    #            mid1 "d": ccsum2=2, nfwd2=2
+    #   unigram: e nback=1, f nback=1 over B=2 (w4,w5) types
+    p1 = 1 / 2
+    p2 = max(1 - D, 0) / 2 + D * 2 / 2 * p1
+    p3 = max(1 - D, 0) / 2 + D * 2 / 2 * p2
+    p4 = max(1 - D, 0) / 2 + D * 2 / 2 * p3
+    p_e = max(2 - D, 0) / 3 + D * 2 / 3 * p4
+    p_f = max(1 - D, 0) / 3 + D * 2 / 3 * p4
     assert p_e + p_f == pytest.approx(1.0)
     assert out[0]["kn5h_bits_per_gram"] == pytest.approx(-math.log2(p_e), abs=1e-6)
     assert out[2]["kn5h_bits_per_gram"] == pytest.approx(-math.log2(p_f), abs=1e-6)
@@ -2694,12 +2705,87 @@ def test_kn5_hashed_hand_computed_exact_regime(spark):
     assert text.kn5_surprisal_hashed(short).count() == 0
 
 
+def test_kn5_hashed_five_level_recursion_asymmetric(spark):
+    """Pins the FULL five-level recursion on a corpus whose lower-order
+    continuation structure is ASYMMETRIC (the symmetric worked example
+    above has p2=p3=p4, so it cannot tell a three-level interpolation
+    from the five-level one). Expected values come from an independent
+    pure-Python Chen & Goodman implementation over the same grams."""
+    import math
+    from collections import Counter
+
+    texts = {
+        0: "a b c d e",
+        1: "a b c d e f",
+        2: "x b c d e",
+        3: "p q c d e",
+        4: "a b c d f",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    grams = {
+        i: [tuple(t.split()[j : j + 5]) for j in range(len(t.split()) - 4)]
+        for i, t in texts.items()
+    }
+    D = 0.75
+    c5 = Counter(g for gl in grams.values() for g in gl)
+    ch, nfwd = Counter(), Counter()
+    for g in c5:
+        ch[g[:4]] += c5[g]
+        nfwd[g[:4]] += 1
+    cc4 = Counter(g[1:] for g in c5)
+    ccsum4, nfwd4 = Counter(), Counter()
+    for s, c in cc4.items():
+        ccsum4[s[:3]] += c
+        nfwd4[s[:3]] += 1
+    cc3 = Counter(s[1:] for s in cc4)
+    ccsum3, nfwd3 = Counter(), Counter()
+    for s, c in cc3.items():
+        ccsum3[s[:2]] += c
+        nfwd3[s[:2]] += 1
+    cc2 = Counter(s[1:] for s in cc3)
+    ccsum2, nfwd2 = Counter(), Counter()
+    for s, c in cc2.items():
+        ccsum2[s[:1]] += c
+        nfwd2[s[:1]] += 1
+    nback = Counter(s[1:] for s in cc2)
+    B = len(cc2)
+
+    def prob(g):
+        p = nback[g[4:]] / B
+        for cc, ccsum, nf, hk, sk in (
+            (cc2, ccsum2, nfwd2, g[3:4], g[3:]),
+            (cc3, ccsum3, nfwd3, g[2:4], g[2:]),
+            (cc4, ccsum4, nfwd4, g[1:4], g[1:]),
+            (c5, ch, nfwd, g[:4], g),
+        ):
+            p = max(cc[sk] - D, 0) / ccsum[hk] + D * nf[hk] / ccsum[hk] * p
+        return p
+
+    expected = {
+        i: -sum(math.log2(prob(g)) for g in gl) / len(gl)
+        for i, gl in grams.items()
+    }
+    out = {
+        r["doc_id"]: r["kn5h_bits_per_gram"]
+        for r in text.kn5_surprisal_hashed(docs, n_buckets=1 << 62).collect()
+    }
+    assert set(out) == set(expected)
+    for i in expected:
+        assert out[i] == pytest.approx(expected[i], abs=1e-6), i
+    # asymmetry check: the corpus must actually exercise distinct
+    # lower-order structure, or this test proves nothing
+    assert len(set(cc3.values())) > 1 and len(set(nback.values())) > 1
+
+
 def test_kn5_hashed_spearman_vs_exact_at_sf001(spark):
     """The hashing approximation's fidelity contract (VERDICT r10 #8):
     per-doc Spearman between the DEFAULT bucket count (2^22) and the
     effectively-exact 2^62 twin must hold >= 0.95 on the sf0.01 corpus
-    (measured 0.986; 2^20 measured 0.9492, which is why the default is
-    one power higher)."""
+    (five-level form, r12: measured 0.9788; 2^20 measured 0.9138,
+    which is why the default is one power higher)."""
     from metrocloud_data_pipeline_spark.sources.star_schema import load
 
     docs = load(spark, "/root/testdata/sf0.01", "documents")
