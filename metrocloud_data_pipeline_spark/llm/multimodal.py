@@ -6,9 +6,11 @@ actual media decode is env-gated: `decode_stub=True` (the registered
 queries' mode) produces a deterministic fake feature vector from the
 bytes; `decode_stub=False` decodes IMAGE payloads for real when PIL is
 importable (grayscale pixel features / genuine resize+re-encode, same
-mapInPandas shape and schemas) and raises NotImplementedError when the
-library is absent or the row is audio/video (librosa/ffmpeg are not
-gated in — nothing pretends to decode what it can't).
+mapInPandas shape and schemas) and AUDIO payloads for real with zero
+extra dependencies (PCM WAV via stdlib wave + numpy log-mel energy
+strip, r12). Video rows, non-WAV audio, and PIL-less image decodes
+raise NotImplementedError (ffmpeg is not gated in — nothing pretends
+to decode what it can't).
 
 At 100 TB the pattern is: binary payloads in their own parquet column
 (parquet keeps them out of unrelated scans via column pruning), small
@@ -71,6 +73,78 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     return out
 
 
+def _wav_audio_feature(payload: bytes, dim: int) -> list[float]:
+    """Real audio feature from a PCM WAV payload — stdlib `wave` +
+    numpy, no codec library needed: a log-mel energy strip of length
+    `dim`. Decode to mono float in [-1, 1] (8/16/24/32-bit PCM, channel
+    mean), Hann-windowed 512-sample power spectra averaged over
+    256-hop frames, an HTK-mel triangular filterbank (dim bands,
+    0..sr/2), then log1p energies — the shape librosa's
+    melspectrogram would give, computed from primitives so the real
+    path works in codec-free containers. Compressed formats (mp3/ogg/
+    flac payloads fail the RIFF parse) raise NotImplementedError
+    fail-loud: transcoding needs ffmpeg, and a silent fake would
+    poison downstream dedup. Empty/silent audio yields all-zero
+    features (log1p(0)); a null payload is a data error, not a
+    missing-codec condition, and raises ValueError."""
+    import wave
+    from io import BytesIO
+
+    import numpy as np
+
+    if payload is None:
+        raise ValueError("null media payload reached the real audio decode path")
+    try:
+        with wave.open(BytesIO(bytes(payload))) as w:
+            n_ch = w.getnchannels()
+            sampwidth = w.getsampwidth()
+            sr = w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise NotImplementedError(
+            "real audio decode is implemented for PCM WAV payloads "
+            "(stdlib wave); compressed formats (mp3/ogg/flac) need "
+            "ffmpeg/librosa — transcode upstream or use decode_stub=True"
+        ) from e
+    if sampwidth == 1:  # WAV 8-bit is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sampwidth == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sampwidth == 3:
+        b3 = np.frombuffer(raw, dtype=np.uint8)
+        b3 = b3[: len(b3) - len(b3) % 3].reshape(-1, 3).astype(np.int32)
+        v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        x = np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.float64) / float(1 << 23)
+    elif sampwidth == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width: {sampwidth}")
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    n_fft, hop = 512, 256
+    if len(x) == 0:
+        return [0.0] * dim
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    frames = np.lib.stride_tricks.sliding_window_view(x, n_fft)[::hop]
+    power = (np.abs(np.fft.rfft(frames * np.hanning(n_fft), axis=1)) ** 2).mean(axis=0)
+    mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)  # noqa: E731
+    imel = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)  # noqa: E731
+    pts = imel(np.linspace(mel(0.0), mel(sr / 2.0), dim + 2))
+    bins = np.floor((n_fft + 1) * pts / sr).astype(int).clip(0, n_fft // 2)
+    fb = np.zeros((dim, n_fft // 2 + 1))
+    for j in range(dim):
+        lo, c, hi = bins[j], bins[j + 1], bins[j + 2]
+        if lo == hi:  # degenerate triangle (tiny sr / large dim)
+            fb[j, c] = 1.0
+            continue
+        for k in range(lo, c):
+            fb[j, k] = (k - lo) / (c - lo)
+        for k in range(c, hi):
+            fb[j, k] = (hi - k) / (hi - c)
+    return [float(v) for v in np.log1p(fb @ power)]
+
+
 def _pil_image_feature(payload: bytes, dim: int) -> list[float]:
     """Real image feature via PIL: grayscale, NEAREST-resample to a
     (dim, 1) strip, pixels scaled to [0, 1]. NEAREST (not BILINEAR) so
@@ -92,36 +166,49 @@ def extract_features(media: DataFrame, decode_stub: bool = True, dim: int = 8) -
     1:1 with input (a frame-sampling variant would return >1 row per
     video — same plumbing, different yield).
 
-    decode_stub=False is the REAL path: image payloads are decoded with
-    PIL (grayscale pixel-strip feature, _pil_image_feature) executor-
-    side, inside the same Arrow batches — bytes still cross the
-    JVM<->Python boundary exactly once. Rows whose media_type is not
-    'image', and environments without PIL, raise NotImplementedError:
-    audio/video need librosa/ffmpeg, which are deliberately not gated
-    in, and a silent fake-fallback would poison downstream dedup."""
+    decode_stub=False is the REAL path, dispatched per row by
+    media_type inside the same Arrow batches (bytes still cross the
+    JVM<->Python boundary exactly once): 'image' decodes with PIL
+    (grayscale pixel-strip feature, _pil_image_feature; raises
+    NotImplementedError when PIL is absent), 'audio' decodes PCM WAV
+    with stdlib wave + numpy (log-mel energy strip,
+    _wav_audio_feature — no codec library needed; compressed formats
+    fail-loud). 'video' rows raise NotImplementedError: frame decode
+    needs ffmpeg, which is deliberately not gated in, and a silent
+    fake-fallback would poison downstream dedup."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not decode_stub:
+    def _real_feature(media_type: str, payload: bytes) -> list[float]:
+        if media_type == "image":
             try:
                 import PIL  # noqa: F401
             except ImportError as e:
                 raise NotImplementedError(
-                    "real media decode requires codec libraries (PIL for "
-                    "images; librosa/ffmpeg for audio/video); re-run with "
+                    "real image decode requires PIL; re-run with "
                     "decode_stub=True for the deterministic fake"
                 ) from e
+            return _pil_image_feature(payload, dim)
+        if media_type == "audio":
+            return _wav_audio_feature(payload, dim)
+        raise NotImplementedError(
+            "real decode is implemented for media_type='image' (PIL) and "
+            "'audio' (PCM WAV via stdlib wave); video needs ffmpeg — "
+            "filter it out or use decode_stub=True"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
             if decode_stub:
                 feats = payloads.map(lambda b: _fake_feature(b, dim))
             else:
-                if (pdf["media_type"] != "image").any():
-                    raise NotImplementedError(
-                        "real decode is implemented for media_type='image' "
-                        "(PIL); audio/video need librosa/ffmpeg — filter to "
-                        "images or use decode_stub=True"
-                    )
-                feats = payloads.map(lambda b: _pil_image_feature(b, dim))
+                feats = pd.Series(
+                    [
+                        _real_feature(mt, b)
+                        for mt, b in zip(pdf["media_type"], payloads)
+                    ],
+                    index=pdf.index,
+                    dtype="object",
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

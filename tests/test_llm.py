@@ -226,7 +226,7 @@ def _has_pil() -> bool:
 def test_multimodal_stub_gate(spark):
     rows = [(0, "image", "image/png", bytearray(b"X"), 1, 1, None)]
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
         multimodal.extract_features(media, decode_stub=False).collect()
 
 
@@ -287,12 +287,96 @@ def test_multimodal_real_decode_end_to_end(spark):
     assert img.convert("RGB").getpixel((3, 3)) == (255, 255, 255)
 
 
-@pytest.mark.skipif(not _has_pil(), reason="PIL not installed in this container")
-def test_multimodal_real_decode_rejects_non_image(spark):
-    rows = [(1, "audio", "audio/wav", bytearray(b"WAV"), None, None, 3000)]
+def test_multimodal_real_decode_rejects_video_and_nonwav(spark):
+    """Fail-loud contracts of the per-type real-decode dispatch (r12):
+    video rows raise (ffmpeg not gated in); audio rows whose payload
+    is not a parseable RIFF/WAV raise (compressed formats need a
+    transcode, and a silent fake would poison dedup). Neither path
+    touches PIL, so this runs in PIL-less containers too."""
+    video = spark.createDataFrame(
+        [(1, "video", "video/mp4", bytearray(b"MP4"), None, None, 3000)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        multimodal.extract_features(video, decode_stub=False).collect()
+    junk_audio = spark.createDataFrame(
+        [(2, "audio", "audio/mpeg", bytearray(b"ID3\x04not-a-wav"), None, None, 3000)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg/librosa"):
+        multimodal.extract_features(junk_audio, decode_stub=False).collect()
+
+
+def _tiny_wav(
+    freq_hz: float = 1000.0,
+    sr: int = 8000,
+    seconds: float = 0.5,
+    channels: int = 1,
+    sampwidth: int = 2,
+    amplitude: float = 0.5,
+) -> bytes:
+    """Stdlib WAV writer so the real-audio-decode tests carry their own
+    PCM fixture — sine at freq_hz (or silence when amplitude=0)."""
+    import math
+    import struct
+    import wave
+    from io import BytesIO
+
+    n = int(sr * seconds)
+    buf = BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sr)
+        frames = bytearray()
+        for i in range(n):
+            s = amplitude * math.sin(2 * math.pi * freq_hz * i / sr)
+            if sampwidth == 2:
+                packed = struct.pack("<h", int(s * 32767))
+            elif sampwidth == 1:
+                packed = struct.pack("B", int(s * 127) + 128)
+            elif sampwidth == 3:
+                v = int(s * ((1 << 23) - 1)) & 0xFFFFFF
+                packed = bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF))
+            else:
+                raise AssertionError(sampwidth)
+            frames += packed * channels
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_multimodal_real_audio_decode_end_to_end(spark):
+    """decode_stub=False on audio rows decodes PCM WAV for REAL with
+    zero extra dependencies (stdlib wave + numpy, r12): the log-mel
+    strip's peak band tracks the tone frequency, silence yields all
+    zeros, a stereo clip of the same tone lands the same peak band,
+    and the 8/24-bit sample widths decode like 16-bit."""
+    tone1k = _tiny_wav(1000.0)
+    tone35 = _tiny_wav(3500.0)
+    rows = [
+        (0, "audio", "audio/wav", bytearray(tone1k), None, None, 500),
+        (1, "audio", "audio/wav", bytearray(tone35), None, None, 500),
+        (2, "audio", "audio/wav", bytearray(_tiny_wav(amplitude=0.0)), None, None, 500),
+        (3, "audio", "audio/wav", bytearray(_tiny_wav(1000.0, channels=2)), None, None, 500),
+        (4, "audio", "audio/wav", bytearray(_tiny_wav(1000.0, sampwidth=1)), None, None, 500),
+        (5, "audio", "audio/wav", bytearray(_tiny_wav(1000.0, sampwidth=3)), None, None, 500),
+    ]
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
-    with pytest.raises(Exception, match="NotImplementedError|librosa"):
-        multimodal.extract_features(media, decode_stub=False).collect()
+    out = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_features(media, decode_stub=False, dim=8).collect()
+    }
+    assert all(len(f) == 8 for f in out.values())
+    peak = {i: max(range(8), key=lambda j: out[i][j]) for i in out}
+    # sr=8000 -> Nyquist 4000 Hz; 1 kHz sits in mel band 3/4 of 8,
+    # 3.5 kHz near the top — exact band may shift one with bin
+    # quantization, the ORDERING may not
+    assert peak[0] in (3, 4) and peak[1] in (6, 7) and peak[0] < peak[1]
+    assert out[2] == [0.0] * 8  # silence: log1p(0) everywhere
+    assert peak[3] == peak[0]  # stereo mean of the same tone
+    assert peak[4] == peak[0] and peak[5] == peak[0]  # 8/24-bit widths
+    # mono 16-bit vs stereo-mean: same signal, near-identical energies
+    assert out[3][peak[0]] == pytest.approx(out[0][peak[0]], rel=1e-6)
 
 
 def test_frame_sampling_row_geometry(spark):
