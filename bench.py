@@ -79,6 +79,7 @@ HEADLINE = [
     "knn_ivf",
     "knn_join_ivf",
     "media_type_summary",
+    "media_audio_features",
     "obs_alert_firing",
     "tfidf_top_terms",
     "vocab_coverage",

@@ -347,6 +347,80 @@ def resize_images(
     )
 
 
+def mel_band_centers(sr: int, dim: int) -> list[float]:
+    """Center frequencies (Hz) of the `dim` HTK-mel bands
+    _wav_audio_feature lays over 0..sr/2 — the interior points of the
+    same mel-spaced grid, exposed so callers (and oracles) can reason
+    about which band a known tone lands in."""
+    import numpy as np
+
+    mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)  # noqa: E731
+    imel = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)  # noqa: E731
+    return [float(v) for v in imel(np.linspace(mel(0.0), mel(sr / 2.0), dim + 2))[1:-1]]
+
+
+def synth_tone_corpus(
+    docs: DataFrame, sr: int = 4000, seconds: float = 0.25, dim: int = 8
+) -> DataFrame:
+    """Deterministic REAL-audio corpus derived from `documents`: each
+    row becomes a genuine PCM WAV payload (stdlib wave encoder,
+    executor-side in Arrow batches) holding a pure sine at the center
+    frequency of mel band (doc_id % dim) — so the band a downstream
+    _wav_audio_feature peak lands in is a CLOSED-FORM function of
+    doc_id, and the whole synth -> encode -> decode -> FFT -> mel
+    chain is checkable against a SQL oracle that never touches audio.
+    The input scan prunes to doc_id only (payload derives from the id,
+    not the text)."""
+    import math
+    import struct
+    import wave
+    from io import BytesIO
+
+    centers = mel_band_centers(sr, dim)
+    n = int(sr * seconds)
+    duration_ms = int(seconds * 1000)
+
+    def _tone_wav(doc_id: int) -> bytes:
+        freq = centers[doc_id % dim]
+        buf = BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(
+                b"".join(
+                    struct.pack(
+                        "<h", int(0.5 * 32767 * math.sin(2 * math.pi * freq * i / sr))
+                    )
+                    for i in range(n)
+                )
+            )
+        return buf.getvalue()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": pd.Series(["audio"] * len(pdf), dtype="object"),
+                    "mime": pd.Series(["audio/wav"] * len(pdf), dtype="object"),
+                    "payload": pdf["doc_id"].map(_tone_wav),
+                    "duration_ms": pd.Series([duration_ms] * len(pdf), dtype="int32"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("mime", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("duration_ms", IntegerType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(run, schema=schema)
+
+
 def media_summary(media: DataFrame) -> DataFrame:
     """Typed-metadata rollup — never touches the payload column, so the
     parquet scan prunes the heavy bytes entirely (check ReadSchema)."""

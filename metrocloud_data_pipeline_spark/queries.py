@@ -2262,6 +2262,41 @@ def media_frame_sample(spark, sf_dir):
 
 
 @q(
+    "media_audio_features",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(doc_id % 8 AS INTEGER) AS band_idx,
+       CAST(2044 AS INTEGER) AS payload_bytes
+FROM documents
+WHERE doc_id % 3 = 1
+""",
+)
+def media_audio_features(spark, sf_dir):
+    """REAL audio decode in the registered surface (r12): each audio-
+    cycle document becomes a genuine PCM WAV payload holding a sine at
+    the center of mel band (doc_id % 8), then extract_features'
+    decode_stub=False path decodes it — stdlib wave + numpy FFT +
+    HTK-mel filterbank, executor-side in Arrow batches — and the peak
+    band must land back on (doc_id % 8). The oracle computes that
+    closed form plus the exact WAV byte size (44-byte header + 2
+    bytes x 1000 samples) WITHOUT touching audio, so the whole
+    synth -> encode -> decode -> FFT -> mel -> argmax chain is
+    hash-checked end to end against an independent expectation
+    (tone-at-center robustness verified for all 8 bands in
+    tests/test_llm.py)."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    media = multimodal.synth_tone_corpus(docs, sr=4000, seconds=0.25, dim=8)
+    feats = multimodal.extract_features(media, decode_stub=False, dim=8)
+    return feats.select(
+        "media_id",
+        (F.array_position("feature", F.array_max("feature")) - 1)
+        .cast("int")
+        .alias("band_idx"),
+        "payload_bytes",
+    )
+
+
+@q(
     "media_type_summary",
     oracle="""
 WITH media AS (
@@ -6598,6 +6633,8 @@ QUERY_ORDER = [
     "media_feature_extract",
     "media_frame_sample",
     "media_type_summary",
+    # first registered r12 (real-audio DSP chain, oracle-backed):
+    "media_audio_features",
     "h21_late_suppliers",
     "h4_order_priority",
     "sample_weighted_sources",

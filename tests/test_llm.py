@@ -379,6 +379,43 @@ def test_multimodal_real_audio_decode_end_to_end(spark):
     assert out[3][peak[0]] == pytest.approx(out[0][peak[0]], rel=1e-6)
 
 
+def test_mel_band_center_tones_argmax_their_own_band():
+    """The closed form behind the media_audio_features oracle: a sine
+    at mel_band_centers(sr, dim)[j] must peak in band j for EVERY j —
+    the tone-at-center choice keeps the argmax away from triangle
+    edges, so FFT bin quantization cannot flip it. Pure-Python (no
+    Spark): pins the DSP primitives the registered query composes."""
+    import math
+    import struct
+    import wave
+    from io import BytesIO
+
+    sr, dim, seconds = 4000, 8, 0.25
+    centers = multimodal.mel_band_centers(sr, dim)
+    assert len(centers) == dim and all(
+        centers[i] < centers[i + 1] for i in range(dim - 1)
+    )
+    n = int(sr * seconds)
+    for j, freq in enumerate(centers):
+        buf = BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(
+                b"".join(
+                    struct.pack(
+                        "<h", int(0.5 * 32767 * math.sin(2 * math.pi * freq * i / sr))
+                    )
+                    for i in range(n)
+                )
+            )
+        payload = buf.getvalue()
+        assert len(payload) == 44 + 2 * n  # the oracle's byte-size literal
+        feat = multimodal._wav_audio_feature(payload, dim)
+        assert max(range(dim), key=lambda k: feat[k]) == j
+
+
 def test_frame_sampling_row_geometry(spark):
     rows = [
         (0, "image", "image/png", bytearray(b"X"), 10, 10, None),  # 1 frame

@@ -36,6 +36,7 @@ FIRST_REGISTERED_ROUND: dict[str, int] = {
     "kn5_surprisal_hashed": 11,
     "knn_filtered_brute": 11,
     "knn_filtered_ivf_recall": 11,
+    "media_audio_features": 12,
 }
 
 
