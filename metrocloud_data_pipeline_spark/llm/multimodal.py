@@ -60,6 +60,12 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
+# errors="reject" mode: FEATURE_SCHEMA plus the per-row failure reason
+# (new column appended at the END — the metrics-schema discipline)
+FEATURE_SCHEMA_LENIENT = StructType(
+    FEATURE_SCHEMA.fields + [StructField("decode_error", StringType())]
+)
+
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a real decode+embed: bytes -> sha256 ->
@@ -159,12 +165,29 @@ def _pil_image_feature(payload: bytes, dim: int) -> list[float]:
     return [p / 255.0 for p in strip.getdata()]
 
 
-def extract_features(media: DataFrame, decode_stub: bool = True, dim: int = 8) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    decode_stub: bool = True,
+    dim: int = 8,
+    errors: str = "raise",
+) -> DataFrame:
     """Decode/feature-extract over binary payloads via mapInPandas.
 
     Arrow-batched: each partition streams pandas batches; output rows are
     1:1 with input (a frame-sampling variant would return >1 row per
     video — same plumbing, different yield).
+
+    errors: "raise" (default) aborts the job on the first undecodable
+    row — right for curated batch corpora, where a bad payload means a
+    broken upstream that should be fixed, not skipped. "reject"
+    isolates failures PER ROW (schema gains a trailing decode_error
+    column, FEATURE_SCHEMA_LENIENT): a failed row keeps its identity
+    columns, carries feature=NULL and the exception text, and the
+    batch survives — the mode a continuous media stream needs, where
+    one truncated file in a million must not kill the pipeline.
+    Environment gates (PIL absent) still raise in both modes: a
+    missing codec fails EVERY image row, which is a deployment error,
+    not a data error.
 
     decode_stub=False is the REAL path, dispatched per row by
     media_type inside the same Arrow batches (bytes still cross the
@@ -195,33 +218,53 @@ def extract_features(media: DataFrame, decode_stub: bool = True, dim: int = 8) -
             "filter it out or use decode_stub=True"
         )
 
+    if errors not in ("raise", "reject"):
+        raise ValueError(f"errors must be 'raise' or 'reject', got {errors!r}")
+    lenient = errors == "reject"
+
+    def _feature_or_error(mt: str, b: bytes) -> tuple[list[float] | None, str | None]:
+        if decode_stub:
+            return _fake_feature(b, dim), None
+        if not lenient:
+            return _real_feature(mt, b), None
+        try:
+            return _real_feature(mt, b), None
+        except Exception as e:
+            # the PIL env gate (NotImplementedError chained from
+            # ImportError) is a deployment error that fails every
+            # image row — raise in both modes; everything else is a
+            # per-row data error
+            if isinstance(e, ImportError) or isinstance(e.__cause__, ImportError):
+                raise
+            return None, f"{type(e).__name__}: {e}"
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            if decode_stub:
-                feats = payloads.map(lambda b: _fake_feature(b, dim))
-            else:
-                feats = pd.Series(
-                    [
-                        _real_feature(mt, b)
-                        for mt, b in zip(pdf["media_type"], payloads)
-                    ],
-                    index=pdf.index,
-                    dtype="object",
+            pairs = [
+                _feature_or_error(mt, b)
+                for mt, b in zip(pdf["media_type"], payloads)
+            ]
+            out = {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "payload_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                "content_hash": payloads.map(
+                    lambda b: hashlib.sha256(b or b"").hexdigest()
+                ),
+                "feature": pd.Series(
+                    [p[0] for p in pairs], index=pdf.index, dtype="object"
+                ),
+            }
+            if lenient:
+                out["decode_error"] = pd.Series(
+                    [p[1] for p in pairs], index=pdf.index, dtype="object"
                 )
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "payload_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
-                    "content_hash": payloads.map(
-                        lambda b: hashlib.sha256(b or b"").hexdigest()
-                    ),
-                    "feature": feats,
-                }
-            )
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return media.mapInPandas(
+        run, schema=FEATURE_SCHEMA_LENIENT if lenient else FEATURE_SCHEMA
+    )
 
 
 FRAME_SCHEMA = StructType(

@@ -683,3 +683,83 @@ def test_scd2_null_business_key_rejected_not_vanished(spark, tmp_path):
     rej = spark.read.parquet(rejects).collect()
     assert len(rej) == 1 and rej[0].reason == "null_business_key"
     assert rej[0].tier == "ghost"
+
+
+def test_media_feature_stream_isolates_decode_errors(spark, tmp_path):
+    """The multimodal tier's accounting law (r12): a pathological media
+    micro-batch — truncated WAV, junk-bytes audio, video, null payload,
+    null media_id — must land every row in exactly ONE of (features,
+    rejected-with-reason), and a per-row decode failure must NOT kill
+    the stream (the batch errors='raise' contract inverted for
+    continuous arrival)."""
+    import math
+    import struct
+    import wave
+    from io import BytesIO
+
+    from metrocloud_data_pipeline_spark.streaming.media import (
+        MEDIA_STREAM_SCHEMA,
+        featurize_media_batch,
+        run_media_feature_stream,
+    )
+
+    buf = BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", int(0.5 * 32767 * math.sin(2 * math.pi * 1000 * i / 8000)))
+                for i in range(2000)
+            )
+        )
+    good_wav = buf.getvalue()
+    rows = [
+        (0, "audio", "audio/wav", bytearray(good_wav), None, None, 250),
+        (1, "audio", "audio/wav", bytearray(good_wav[:20]), None, None, 250),  # cut header
+        (2, "audio", "audio/mpeg", bytearray(b"ID3\x04junk"), None, None, 250),
+        (3, "video", "video/mp4", bytearray(b"MP4"), None, None, 3000),
+        (4, "audio", "audio/wav", None, None, None, 250),                       # null payload
+        (None, "audio", "audio/wav", bytearray(good_wav), None, None, 250),     # null id
+    ]
+    batch = spark.createDataFrame(rows, MEDIA_STREAM_SCHEMA)
+
+    # pure batch form first (the unit-testable half)
+    kept, rejected = featurize_media_batch(batch, decode_stub=False, dim=8)
+    assert [r["media_id"] for r in kept.collect()] == [0]
+    reasons = {r["media_id"]: r["reason"] for r in rejected.collect()}
+    assert reasons[3] == "video_needs_ffmpeg"
+    assert reasons[4] == "null_payload"
+    assert reasons[None] == "null_media_id"
+    assert "NotImplementedError" in reasons[1]  # truncated RIFF
+    assert "NotImplementedError" in reasons[2]  # junk bytes
+    assert len(reasons) == 5
+
+    # stream wrapper: same batch through foreachBatch + all three sinks
+    src = tmp_path / "uploads"
+    src.mkdir()
+    batch.coalesce(1).write.parquet(str(src / "b1"))
+    out = str(tmp_path / "features")
+    rejects = str(tmp_path / "rejects")
+    metrics = str(tmp_path / "metrics")
+    q = run_media_feature_stream(
+        spark,
+        str(src) + "/*",
+        out,
+        str(tmp_path / "ck"),
+        rejects_path=rejects,
+        metrics_path=metrics,
+        decode_stub=False,
+        dim=8,
+    )
+    q.awaitTermination(120)
+
+    feats = spark.read.parquet(out).collect()
+    assert len(feats) == 1 and feats[0].media_id == 0 and len(feats[0].feature) == 8
+    rej = spark.read.parquet(rejects)
+    assert rej.count() == 5
+    m = spark.read.parquet(metrics).collect()[0]
+    assert (m.n_items, m.n_features, m.n_rejected, m.n_invalid, m.n_decode_errors) == (
+        6, 1, 5, 2, 2,
+    )
