@@ -111,6 +111,18 @@ def main() -> None:
     # frame sub-linearly and the context frames not at all once full
     t(lambda: llm_text.kn5_surprisal_hashed(docs), "kn5_hashed")
     t(lambda: similarity.kmeans_cluster_stats(emb, k=16, n_iter=4), "kmeans_16x4")
+    # r12: the real-audio DSP chain (synth -> WAV encode -> decode ->
+    # FFT -> mel) — map-only over a doc_id-pruned scan, so wall must
+    # grow ~linearly in rows with zero shuffle
+    from metrocloud_data_pipeline_spark.llm import multimodal as llm_mm
+
+    t(
+        lambda: llm_mm.extract_features(
+            llm_mm.synth_tone_corpus(docs.where(F.col("doc_id") % 3 == 1)),
+            decode_stub=False,
+        ),
+        "audio_dsp_chain",
+    )
 
     # late-r5 additions: the incremental ingest gate (batch vs standing
     # corpus at `copies`x), cluster-bounded semantic dedup, and the
