@@ -2,15 +2,17 @@
 
 The Spark-side design is real and tested — schema, partition-aware
 mapInPandas over Arrow batches, typed metadata extraction — while the
-actual media decode is env-gated: `decode_stub=True` (the registered
+actual media decode is selectable: `decode_stub=True` (the registered
 queries' mode) produces a deterministic fake feature vector from the
-bytes; `decode_stub=False` decodes IMAGE payloads for real when PIL is
-importable (grayscale pixel features / genuine resize+re-encode, same
-mapInPandas shape and schemas) and AUDIO payloads for real with zero
+bytes; `decode_stub=False` decodes IMAGE payloads for real (PIL when
+importable for full format coverage, else a pure-Python PNG decoder —
+stdlib zlib + numpy, all five scanline filters — so image decode is
+real even codec-free, r12) and AUDIO payloads for real with zero
 extra dependencies (PCM WAV via stdlib wave + numpy log-mel energy
-strip, r12). Video rows, non-WAV audio, and PIL-less image decodes
+strip, r12). Video rows, non-WAV audio, and PIL-less non-PNG images
 raise NotImplementedError (ffmpeg is not gated in — nothing pretends
-to decode what it can't).
+to decode what it can't); errors='reject' isolates such failures to
+the row for streaming arrival.
 
 At 100 TB the pattern is: binary payloads in their own parquet column
 (parquet keeps them out of unrelated scans via column pruning), small
@@ -165,6 +167,164 @@ def _pil_image_feature(payload: bytes, dim: int) -> list[float]:
     return [p / 255.0 for p in strip.getdata()]
 
 
+def _png_decode(payload: bytes):
+    """Pure-Python PNG decode (stdlib zlib + numpy) — the codec-free
+    fallback that makes image decode REAL in containers without PIL
+    (r12): non-interlaced 8-bit gray / gray+alpha / RGB / RGBA /
+    palette, all five scanline filters reconstructed per the PNG spec.
+    Returns uint8 pixels (h, w, channels). Anything else (JPEG/WebP,
+    16-bit or interlaced PNG, corrupt streams) raises
+    NotImplementedError fail-loud — install PIL for the long tail."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None:
+        raise ValueError("null media payload reached the real image decode path")
+    b = bytes(payload)
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError(
+            "codec-free real image decode supports PNG only; other formats "
+            "(JPEG/WebP/...) need PIL — install it or use decode_stub=True"
+        )
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = data
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise NotImplementedError("truncated PNG (missing IHDR/IDAT)")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0 or nch is None:
+        raise NotImplementedError(
+            f"unsupported PNG variant (depth={depth}, color_type={ctype}, "
+            f"interlace={interlace}); install PIL for the long tail"
+        )
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise NotImplementedError(f"corrupt PNG stream: {e}") from e
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise NotImplementedError("corrupt PNG: scanline size mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    rows = arr[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), np.int32)
+    bpp = nch
+    for y in range(h):
+        f = int(ftypes[y])
+        row = rows[y]
+        prev = out[y - 1] if y else np.zeros(stride, np.int32)
+        if f == 0:
+            out[y] = row
+        elif f == 2:  # Up — fully vectorized
+            out[y] = (row + prev) & 255
+        elif f == 1:  # Sub — per-channel cumulative sum mod 256
+            c = row.reshape(w, bpp).cumsum(axis=0) & 255
+            out[y] = c.reshape(stride)
+        else:  # Average (3) / Paeth (4): left-dependent, sequential in x
+            cur = out[y]
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 3:
+                    v = row[x] + (a + up) // 2
+                elif f == 4:
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                    v = row[x] + pred
+                else:
+                    raise NotImplementedError(f"PNG filter type {f}")
+                cur[x] = v & 255
+    px = out.astype(np.uint8).reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None:
+            raise NotImplementedError("palette PNG without PLTE chunk")
+        pal = np.frombuffer(plte, np.uint8)
+        pal = pal[: len(pal) - len(pal) % 3].reshape(-1, 3)
+        px = pal[px[:, :, 0]]
+    return px
+
+
+def _png_encode(px) -> bytes:
+    """Pure-Python PNG encode (filter 0 per scanline) for the resize
+    fallback — same chunk layout as any baseline encoder."""
+    import struct
+    import zlib
+
+    h, w, nch = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_gray(px):
+    """Pillow's convert('L') arithmetic (ITU-R 601-2 with the L24
+    rounding shift) so the fallback's grayscale values agree with the
+    PIL path on the same pixels."""
+    if px.shape[2] in (1, 2):  # gray / gray+alpha: L is the gray channel
+        return px[:, :, 0]
+    r = px[:, :, 0].astype("int64")
+    g = px[:, :, 1].astype("int64")
+    b = px[:, :, 2].astype("int64")
+    return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype("uint8")
+
+
+def _nearest_indices(src: int, dst: int) -> list[int]:
+    """Center-sampled NEAREST index map (Pillow's resampling grid):
+    output pixel j reads source pixel floor((j + 0.5) * src / dst)."""
+    return [min(int((j + 0.5) * src / dst), src - 1) for j in range(dst)]
+
+
+def _pure_png_feature(payload: bytes, dim: int) -> list[float]:
+    """The _pil_image_feature contract computed codec-free: grayscale
+    via Pillow's L arithmetic, center-sampled NEAREST (dim, 1) strip,
+    scaled to [0, 1]."""
+    px = _png_decode(payload)
+    gray = _png_gray(px)
+    h, w = gray.shape
+    ys = _nearest_indices(h, 1)[0]
+    return [float(gray[ys, x]) / 255.0 for x in _nearest_indices(w, dim)]
+
+
+def _image_feature(payload: bytes, dim: int) -> list[float]:
+    """Real image feature: PIL when importable (full format coverage),
+    else the pure-PNG fallback — real decode either way."""
+    try:
+        return _pil_image_feature(payload, dim)
+    except ImportError:
+        return _pure_png_feature(payload, dim)
+
+
 def extract_features(
     media: DataFrame,
     decode_stub: bool = True,
@@ -185,9 +345,6 @@ def extract_features(
     columns, carries feature=NULL and the exception text, and the
     batch survives — the mode a continuous media stream needs, where
     one truncated file in a million must not kill the pipeline.
-    Environment gates (PIL absent) still raise in both modes: a
-    missing codec fails EVERY image row, which is a deployment error,
-    not a data error.
 
     decode_stub=False is the REAL path, dispatched per row by
     media_type inside the same Arrow batches (bytes still cross the
@@ -202,20 +359,14 @@ def extract_features(
 
     def _real_feature(media_type: str, payload: bytes) -> list[float]:
         if media_type == "image":
-            try:
-                import PIL  # noqa: F401
-            except ImportError as e:
-                raise NotImplementedError(
-                    "real image decode requires PIL; re-run with "
-                    "decode_stub=True for the deterministic fake"
-                ) from e
-            return _pil_image_feature(payload, dim)
+            return _image_feature(payload, dim)
         if media_type == "audio":
             return _wav_audio_feature(payload, dim)
         raise NotImplementedError(
-            "real decode is implemented for media_type='image' (PIL) and "
-            "'audio' (PCM WAV via stdlib wave); video needs ffmpeg — "
-            "filter it out or use decode_stub=True"
+            "real decode is implemented for media_type='image' (PIL, or "
+            "the pure-PNG fallback) and 'audio' (PCM WAV via stdlib "
+            "wave); video needs ffmpeg — filter it out or use "
+            "decode_stub=True"
         )
 
     if errors not in ("raise", "reject"):
@@ -229,13 +380,7 @@ def extract_features(
             return _real_feature(mt, b), None
         try:
             return _real_feature(mt, b), None
-        except Exception as e:
-            # the PIL env gate (NotImplementedError chained from
-            # ImportError) is a deployment error that fails every
-            # image row — raise in both modes; everything else is a
-            # per-row data error
-            if isinstance(e, ImportError) or isinstance(e.__cause__, ImportError):
-                raise
+        except Exception as e:  # per-row data error: isolate and report
             return None, f"{type(e).__name__}: {e}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -340,8 +485,10 @@ def resize_images(
     Python), then rewrites payload per Arrow batch. The stub emits
     sha256(payload || 'WxH') bytes as the deterministic stand-in for
     re-encoded pixels; decode_stub=False decodes, NEAREST-resizes, and
-    re-encodes as PNG via PIL when it is importable (raising
-    NotImplementedError when it is not)."""
+    re-encodes as PNG — via PIL when it is importable, else the
+    pure-PNG fallback (_png_decode / _png_encode; real pixels either
+    way, though the two encoders' PNG BYTES differ — compare decoded
+    pixels, not payloads, across environments)."""
 
     def _pil_resize(payload: bytes, w: int, h: int) -> bytes:
         from io import BytesIO
@@ -355,16 +502,17 @@ def resize_images(
         img.save(buf, format="PNG")
         return buf.getvalue()
 
+    def _real_resize(payload: bytes, w: int, h: int) -> bytes:
+        try:
+            return _pil_resize(payload, w, h)
+        except ImportError:
+            px = _png_decode(payload)
+            xs = _nearest_indices(px.shape[1], w)
+            ys = _nearest_indices(px.shape[0], h)
+            return _png_encode(px[ys][:, xs])
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tag = f"{target_w}x{target_h}".encode()
-        if not decode_stub:
-            try:
-                import PIL  # noqa: F401
-            except ImportError as e:
-                raise NotImplementedError(
-                    "real image resize requires PIL/opencv; re-run with "
-                    "decode_stub=True for the deterministic fake"
-                ) from e
         for pdf in batches:
             if decode_stub:
                 out_payload = pdf["payload"].map(
@@ -372,7 +520,7 @@ def resize_images(
                 )
             else:
                 out_payload = pdf["payload"].map(
-                    lambda b: _pil_resize(b, target_w, target_h)
+                    lambda b: _real_resize(b, target_w, target_h)
                 )
             yield pd.DataFrame(
                 {
