@@ -53,7 +53,17 @@ def decode_ruuvitag_rawv2(
     (RAW_RUUVITAG_SCHEMA shape; timestamp kept as the epoch-seconds
     string the normalize chain parses). Frames without the marker (or
     shorter than the C gateway's 25-byte minimum) are dropped, exactly
-    like process_ruuvi_data's early returns."""
+    like process_ruuvi_data's early returns.
+
+    Documented divergence: the C loop scans markers up to
+    adv_len - 7 (main.c:311) but reads payload bytes through i+20
+    without a further bound, so a marker found in the last 14 bytes of
+    a frame makes the reference read PAST the buffer — undefined
+    behavior returning garbage readings. This decoder requires the
+    full 21-byte payload to fit (_marker_offset's len-21 bound) and
+    DROPS such frames instead: strictly safer, and the only frames
+    treated differently are ones whose reference output is memory
+    noise."""
     adv = F.col(adv_col)
     hexs = F.hex(adv)  # uppercase hex, 2 chars per byte
     i = _marker_offset(hexs, adv)
