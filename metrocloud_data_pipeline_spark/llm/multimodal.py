@@ -7,12 +7,14 @@ queries' mode) produces a deterministic fake feature vector from the
 bytes; `decode_stub=False` decodes IMAGE payloads for real (PIL when
 importable for full format coverage, else a pure-Python PNG decoder —
 stdlib zlib + numpy, all five scanline filters — so image decode is
-real even codec-free, r12) and AUDIO payloads for real with zero
-extra dependencies (PCM WAV via stdlib wave + numpy log-mel energy
-strip, r12). Video rows, non-WAV audio, and PIL-less non-PNG images
-raise NotImplementedError (ffmpeg is not gated in — nothing pretends
-to decode what it can't); errors='reject' isolates such failures to
-the row for streaming arrival.
+real even codec-free, r12), AUDIO payloads for real with zero extra
+dependencies (PCM WAV via stdlib wave + numpy log-mel energy strip,
+r12), and VIDEO payloads for real when the container is
+uncompressed-DIB AVI (pure RIFF parse, mean-pooled per-frame strips,
+r12). Compressed audio/video and PIL-less non-PNG images raise
+NotImplementedError (ffmpeg is not gated in — nothing pretends to
+decode what it can't); errors='reject' isolates such failures to the
+row for streaming arrival.
 
 At 100 TB the pattern is: binary payloads in their own parquet column
 (parquet keeps them out of unrelated scans via column pruning), small
@@ -325,6 +327,133 @@ def _image_feature(payload: bytes, dim: int) -> list[float]:
         return _pure_png_feature(payload, dim)
 
 
+def _avi_decode(payload: bytes):
+    """Pure-Python decode of UNCOMPRESSED AVI (RIFF 'AVI ' with raw
+    BI_RGB DIB frames — the baseline container every capture tool can
+    emit) — the codec-free fallback that makes video decode REAL (r12):
+    returns (frames uint8 (n, h, w, 3) RGB top-down, frame_period_ms).
+    DIB scanlines are bottom-up BGR with 4-byte row padding; 24-bit
+    only. Compressed video (MJPG/H.264/...) raises NotImplementedError
+    fail-loud — transcoding needs ffmpeg, and a silent fake would
+    poison downstream dedup."""
+    import struct
+
+    import numpy as np
+
+    if payload is None:
+        raise ValueError("null media payload reached the real video decode path")
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "codec-free real video decode supports uncompressed-DIB AVI "
+            "only; other containers/codecs need ffmpeg — transcode "
+            "upstream or use decode_stub=True"
+        )
+    width = height = None
+    usec_per_frame = None
+    frames_raw: list[bytes] = []
+
+    def walk(chunk: bytes) -> None:
+        nonlocal width, height, usec_per_frame
+        pos = 0
+        while pos + 8 <= len(chunk):
+            tag = chunk[pos : pos + 4]
+            (ln,) = struct.unpack("<I", chunk[pos + 4 : pos + 8])
+            data = chunk[pos + 8 : pos + 8 + ln]
+            pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+            if tag == b"LIST":
+                walk(data[4:])  # skip the list type fourcc
+            elif tag == b"avih" and len(data) >= 40:
+                usec_per_frame = struct.unpack("<I", data[0:4])[0]
+                width = struct.unpack("<I", data[32:36])[0]
+                height = struct.unpack("<I", data[36:40])[0]
+            elif tag == b"strf" and len(data) >= 20:
+                compression = struct.unpack("<I", data[16:20])[0]
+                bitcount = struct.unpack("<H", data[14:16])[0]
+                if compression != 0 or bitcount != 24:
+                    raise NotImplementedError(
+                        f"AVI stream is not uncompressed 24-bit DIB "
+                        f"(biCompression={compression}, biBitCount={bitcount}); "
+                        "install/transcode via ffmpeg"
+                    )
+            elif tag[2:] == b"db":  # '00db' etc: uncompressed DIB frame
+                frames_raw.append(data)
+
+    walk(b[12:])
+    if width is None or not frames_raw:
+        raise NotImplementedError("truncated AVI (missing avih header or frames)")
+    stride = (width * 3 + 3) & ~3
+    out = []
+    for raw in frames_raw:
+        if len(raw) < stride * height:
+            raise NotImplementedError("corrupt AVI: frame shorter than its DIB size")
+        rows = np.frombuffer(raw[: stride * height], np.uint8).reshape(height, stride)
+        bgr = rows[:, : width * 3].reshape(height, width, 3)
+        out.append(bgr[::-1, :, ::-1])  # bottom-up BGR -> top-down RGB
+    period_ms = (usec_per_frame or 40000) / 1000.0
+    return np.stack(out), period_ms
+
+
+def _avi_encode(frames, fps: float = 25.0) -> bytes:
+    """Pure-Python uncompressed-DIB AVI encode (fixtures and the synth
+    corpus; the write-side twin of _avi_decode)."""
+    import struct
+
+    n, h, w, _c = frames.shape
+    stride = (w * 3 + 3) & ~3
+    usec = int(round(1_000_000 / fps))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack(
+        "<14I", usec, stride * h * int(fps), 0, 0x10, n, 0, 1, stride * h, w, h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1,
+                                        int(fps), 0, n, stride * h, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    dib_frames = []
+    for f in range(n):
+        bgr = frames[f, ::-1, :, ::-1]  # top-down RGB -> bottom-up BGR
+        rows = b"".join(
+            bgr[y].tobytes() + b"\x00" * (stride - w * 3) for y in range(h)
+        )
+        dib_frames.append(chunk(b"00db", rows))
+    body = (
+        b"AVI "
+        + lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+        + lst(b"movi", b"".join(dib_frames))
+    )
+    return chunk(b"RIFF", body)
+
+
+def _avi_video_feature(payload: bytes, dim: int) -> list[float]:
+    """Real video feature: decode the uncompressed-DIB AVI and average
+    the per-frame grayscale NEAREST strips (the image feature applied
+    to every frame, mean-pooled over time — a production tier would
+    sample frames first for long clips; fixture/ingest clips here are
+    short by construction)."""
+    import numpy as np
+
+    frames, _ = _avi_decode(payload)
+    n, h, w, _c = frames.shape
+    xs = _nearest_indices(w, dim)
+    y = _nearest_indices(h, 1)[0]
+    r = frames[:, y, xs, 0].astype("int64")
+    g = frames[:, y, xs, 1].astype("int64")
+    b = frames[:, y, xs, 2].astype("int64")
+    gray = (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+    return [float(v) for v in np.asarray(gray, dtype="float64").mean(axis=0) / 255.0]
+
+
 def extract_features(
     media: DataFrame,
     decode_stub: bool = True,
@@ -348,25 +477,27 @@ def extract_features(
 
     decode_stub=False is the REAL path, dispatched per row by
     media_type inside the same Arrow batches (bytes still cross the
-    JVM<->Python boundary exactly once): 'image' decodes with PIL
-    (grayscale pixel-strip feature, _pil_image_feature; raises
-    NotImplementedError when PIL is absent), 'audio' decodes PCM WAV
-    with stdlib wave + numpy (log-mel energy strip,
-    _wav_audio_feature — no codec library needed; compressed formats
-    fail-loud). 'video' rows raise NotImplementedError: frame decode
-    needs ffmpeg, which is deliberately not gated in, and a silent
-    fake-fallback would poison downstream dedup."""
+    JVM<->Python boundary exactly once): 'image' decodes with PIL when
+    importable, else the pure-PNG fallback (grayscale pixel-strip
+    feature); 'audio' decodes PCM WAV with stdlib wave + numpy
+    (log-mel energy strip); 'video' decodes uncompressed-DIB AVI
+    (mean-pooled per-frame grayscale strips, _avi_video_feature) — all
+    three media types decode REAL content with zero codec libraries.
+    Compressed formats (mp3/ogg, JPEG-without-PIL, MJPG/H.264) raise
+    NotImplementedError fail-loud: transcoding needs real codecs,
+    which are deliberately not gated in, and a silent fake-fallback
+    would poison downstream dedup."""
 
     def _real_feature(media_type: str, payload: bytes) -> list[float]:
         if media_type == "image":
             return _image_feature(payload, dim)
         if media_type == "audio":
             return _wav_audio_feature(payload, dim)
+        if media_type == "video":
+            return _avi_video_feature(payload, dim)
         raise NotImplementedError(
-            "real decode is implemented for media_type='image' (PIL, or "
-            "the pure-PNG fallback) and 'audio' (PCM WAV via stdlib "
-            "wave); video needs ffmpeg — filter it out or use "
-            "decode_stub=True"
+            f"real decode: unknown media_type {media_type!r} (expected "
+            "image/audio/video) — use decode_stub=True"
         )
 
     if errors not in ("raise", "reject"):

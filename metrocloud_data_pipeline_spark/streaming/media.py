@@ -14,9 +14,10 @@ serving do:
 - step-0 validity split BEFORE any Python: null media_id (no identity
   for downstream dedup/joins) and null payload (a data error, not a
   missing codec) route to the rejects sink with explicit reasons;
-- a static type gate keeps rows whose decode cannot succeed (video:
-  ffmpeg is deliberately not gated in) out of the Python workers
-  entirely — rejected by a column expression, zero Arrow transfer;
+- a static type gate keeps rows whose decode cannot succeed (video
+  without the RIFF magic: compressed containers need ffmpeg, which is
+  deliberately not gated in) out of the Python workers entirely —
+  rejected by a column expression, zero Arrow transfer;
 - surviving rows run extract_features(errors='reject'): a row whose
   payload fails its decoder (truncated RIFF, junk bytes, a corrupt
   PNG) keeps its identity, carries the exception text, and joins the
@@ -88,15 +89,23 @@ def featurize_media_batch(
     )
     valid = batch.where(F.col("media_id").isNotNull() & F.col("payload").isNotNull())
 
-    # 1. static type gate: rows that CANNOT decode never reach Python
+    # 1. static type gate: rows that CANNOT decode never reach Python.
+    # Video decodes for real only from an uncompressed-DIB AVI (a RIFF
+    # container, r12) — anything without the RIFF magic is compressed
+    # or foreign and is rejected by a column expression, zero Arrow
+    # transfer (a RIFF payload can still fail per-row in step 2, e.g.
+    # an MJPG-coded AVI).
     if decode_stub:
         decodable = valid
         type_rejects = valid.limit(0).select(
             "media_id", "media_type", F.lit("").alias("reason")
         )
     else:
-        decodable = valid.where(F.col("media_type") != "video")
-        type_rejects = valid.where(F.col("media_type") == "video").select(
+        is_undecodable_video = (F.col("media_type") == "video") & (
+            F.substring(F.col("payload"), 1, 4) != F.lit(b"RIFF")
+        )
+        decodable = valid.where(~is_undecodable_video)
+        type_rejects = valid.where(is_undecodable_video).select(
             "media_id",
             "media_type",
             F.lit("video_needs_ffmpeg").alias("reason"),

@@ -284,6 +284,46 @@ def test_multimodal_image_decode_end_to_end_any_environment(spark):
     assert tuple(px[3, 3][:3]) == (255, 255, 255)
 
 
+def test_multimodal_real_video_decode_end_to_end(spark):
+    """Video decodes for REAL from uncompressed-DIB AVI with zero
+    codec libraries (r12): a 2-frame clip (black frame + white frame)
+    round-trips pixel-exact through the pure encoder/decoder, its
+    extract_features value is the time-mean of the per-frame grayscale
+    strips (= 0.5 everywhere), and compressed streams stay fail-loud."""
+    import struct
+
+    import numpy as np
+
+    frames = np.zeros((2, 3, 4, 3), dtype=np.uint8)
+    frames[1, :, :, :] = 255
+    avi = multimodal._avi_encode(frames, fps=25.0)
+    decoded, period_ms = multimodal._avi_decode(avi)
+    assert decoded.shape == (2, 3, 4, 3) and period_ms == 40.0
+    assert decoded.tolist() == frames.tolist()
+
+    # an asymmetric pattern pins the bottom-up/BGR handling exactly
+    pat = np.arange(2 * 3 * 4 * 3, dtype=np.uint8).reshape(2, 3, 4, 3)
+    assert multimodal._avi_decode(multimodal._avi_encode(pat))[0].tolist() == pat.tolist()
+
+    rows = [(0, "video", "video/avi", bytearray(avi), None, None, 80)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(media, decode_stub=False, dim=4).collect()
+    f = feats[0]["feature"]
+    assert len(f) == 4 and all(v == pytest.approx(0.5, abs=1e-6) for v in f)
+
+    # MJPG-coded AVI: RIFF magic, compressed stream -> fail loud
+    mjpg = bytearray(avi)
+    strf_at = avi.find(b"strf")
+    (comp_off,) = (strf_at + 8 + 16,)
+    mjpg[comp_off : comp_off + 4] = struct.pack("<I", 0x47504A4D)  # 'MJPG'
+    bad = spark.createDataFrame(
+        [(1, "video", "video/avi", bytearray(bytes(mjpg)), None, None, 80)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        multimodal.extract_features(bad, decode_stub=False).collect()
+
+
 def test_png_filter_reconstruction_all_five_types():
     """Pins the pure decoder's scanline-filter reconstruction: a
     grayscale PNG hand-encoded with one row per filter type (None/Sub/

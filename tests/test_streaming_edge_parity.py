@@ -715,6 +715,11 @@ def test_media_feature_stream_isolates_decode_errors(spark, tmp_path):
             )
         )
     good_wav = buf.getvalue()
+    import numpy as np
+
+    from metrocloud_data_pipeline_spark.llm import multimodal as mm
+
+    good_avi = mm._avi_encode(np.full((2, 3, 4, 3), 128, dtype=np.uint8))
     rows = [
         (0, "audio", "audio/wav", bytearray(good_wav), None, None, 250),
         (1, "audio", "audio/wav", bytearray(good_wav[:20]), None, None, 250),  # cut header
@@ -722,14 +727,15 @@ def test_media_feature_stream_isolates_decode_errors(spark, tmp_path):
         (3, "video", "video/mp4", bytearray(b"MP4"), None, None, 3000),
         (4, "audio", "audio/wav", None, None, None, 250),                       # null payload
         (None, "audio", "audio/wav", bytearray(good_wav), None, None, 250),     # null id
+        (6, "video", "video/avi", bytearray(good_avi), None, None, 80),         # decodable
     ]
     batch = spark.createDataFrame(rows, MEDIA_STREAM_SCHEMA)
 
     # pure batch form first (the unit-testable half)
     kept, rejected = featurize_media_batch(batch, decode_stub=False, dim=8)
-    assert [r["media_id"] for r in kept.collect()] == [0]
+    assert sorted(r["media_id"] for r in kept.collect()) == [0, 6]
     reasons = {r["media_id"]: r["reason"] for r in rejected.collect()}
-    assert reasons[3] == "video_needs_ffmpeg"
+    assert reasons[3] == "video_needs_ffmpeg"  # static gate: no RIFF magic
     assert reasons[4] == "null_payload"
     assert reasons[None] == "null_media_id"
     assert "NotImplementedError" in reasons[1]  # truncated RIFF
@@ -756,10 +762,11 @@ def test_media_feature_stream_isolates_decode_errors(spark, tmp_path):
     q.awaitTermination(120)
 
     feats = spark.read.parquet(out).collect()
-    assert len(feats) == 1 and feats[0].media_id == 0 and len(feats[0].feature) == 8
+    assert sorted(r.media_id for r in feats) == [0, 6]
+    assert all(len(r.feature) == 8 for r in feats)
     rej = spark.read.parquet(rejects)
     assert rej.count() == 5
     m = spark.read.parquet(metrics).collect()[0]
     assert (m.n_items, m.n_features, m.n_rejected, m.n_invalid, m.n_decode_errors) == (
-        6, 1, 5, 2, 2,
+        7, 2, 5, 2, 2,
     )
