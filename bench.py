@@ -80,6 +80,7 @@ HEADLINE = [
     "knn_join_ivf",
     "media_type_summary",
     "media_audio_features",
+    "media_video_features",
     "obs_alert_firing",
     "tfidf_top_terms",
     "vocab_coverage",

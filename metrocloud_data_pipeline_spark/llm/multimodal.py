@@ -743,6 +743,51 @@ def synth_tone_corpus(
     return docs.select("doc_id").mapInPandas(run, schema=schema)
 
 
+def synth_video_corpus(
+    docs: DataFrame, width: int = 4, height: int = 3, n_frames: int = 2
+) -> DataFrame:
+    """Deterministic REAL-video corpus derived from `documents`: each
+    row becomes a genuine uncompressed-DIB AVI whose frames are the
+    constant gray level (doc_id * 37) % 256 — so the mean-pooled
+    grayscale feature _avi_video_feature computes is a CLOSED-FORM
+    function of doc_id (the synth_tone_corpus move for video), and the
+    whole synth -> AVI encode -> decode -> gray -> mean chain is
+    checkable against a SQL oracle that never touches video. The input
+    scan prunes to doc_id only."""
+    import numpy as np
+
+    def _clip(doc_id: int) -> bytes:
+        v = (doc_id * 37) % 256
+        return _avi_encode(
+            np.full((n_frames, height, width, 3), v, dtype=np.uint8)
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": pd.Series(["video"] * len(pdf), dtype="object"),
+                    "mime": pd.Series(["video/avi"] * len(pdf), dtype="object"),
+                    "payload": pdf["doc_id"].map(_clip),
+                    "duration_ms": pd.Series(
+                        [n_frames * 40] * len(pdf), dtype="int32"
+                    ),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("mime", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("duration_ms", IntegerType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(run, schema=schema)
+
+
 def media_summary(media: DataFrame) -> DataFrame:
     """Typed-metadata rollup — never touches the payload column, so the
     parquet scan prunes the heavy bytes entirely (check ReadSchema)."""

@@ -2297,6 +2297,41 @@ def media_audio_features(spark, sf_dir):
 
 
 @q(
+    "media_video_features",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST((doc_id * 37) % 256 AS INTEGER) AS gray_level,
+       CAST(316 AS INTEGER) AS payload_bytes
+FROM documents
+WHERE doc_id % 3 = 2
+""",
+)
+def media_video_features(spark, sf_dir):
+    """REAL video decode in the registered surface (r12, the
+    media_audio_features move for video): each video-cycle document
+    becomes a genuine uncompressed-DIB AVI whose frames are the
+    constant gray level (doc_id * 37) % 256; the query decodes it
+    through the real path — pure RIFF parse, bottom-up BGR
+    reconstruction, mean-pooled grayscale strips — and the recovered
+    level must land back on the closed form. The oracle computes that
+    expectation plus the exact container byte size (316 = RIFF
+    headers + two 3x4 padded DIB frames) WITHOUT touching video, so
+    the whole synth -> AVI encode -> decode -> gray -> mean chain is
+    hash-checked end to end (round-trip pixel-exactness pinned in
+    tests/test_llm.py)."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
+    media = multimodal.synth_video_corpus(docs)
+    feats = multimodal.extract_features(media, decode_stub=False, dim=8)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("feature", 1) * 255)
+        .cast("int")
+        .alias("gray_level"),
+        "payload_bytes",
+    )
+
+
+@q(
     "media_type_summary",
     oracle="""
 WITH media AS (
@@ -6633,8 +6668,9 @@ QUERY_ORDER = [
     "media_feature_extract",
     "media_frame_sample",
     "media_type_summary",
-    # first registered r12 (real-audio DSP chain, oracle-backed):
+    # first registered r12 (real audio/video decode chains, oracle-backed):
     "media_audio_features",
+    "media_video_features",
     "h21_late_suppliers",
     "h4_order_priority",
     "sample_weighted_sources",

@@ -37,6 +37,7 @@ FIRST_REGISTERED_ROUND: dict[str, int] = {
     "knn_filtered_brute": 11,
     "knn_filtered_ivf_recall": 11,
     "media_audio_features": 12,
+    "media_video_features": 12,
 }
 
 
