@@ -1738,6 +1738,94 @@ def ccnet_perplexity_buckets(
     )
 
 
+def ccnet_perplexity_buckets_distributed(
+    docs: DataFrame,
+    surprisal: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The SCALE-EXACT form of ccnet_perplexity_buckets (r12), closing
+    mode='exact''s documented limitation: SQL-ntile(3) semantics —
+    rank-exact thirds, larger buckets first, (bits_per_token, doc_id)
+    ordering — with NO per-language single-task sort. mode='exact''s
+    window puts each language in one task, which is wrong at 100 TB
+    where one language dominates; mode='approx' trades boundary
+    exactness for scale. This form is exact AND distributed:
+
+    1. range-partition the scored frame on (lang, bits_per_token,
+       doc_id) and sort within partitions — a language may span many
+       partitions, but its rows are globally ordered across them;
+    2. one bounded aggregate counts rows per (partition, lang)
+       (#partitions x #languages rows — driver-safe at any corpus
+       size) and a driver fold turns it into per-(partition, lang)
+       global rank OFFSETS plus per-language totals;
+    3. one mapInPandas pass assigns each row its global rank (offset +
+       running per-language position inside the partition; batches of
+       a partition arrive in order, so a closure counter suffices) and
+       the closed-form ntile tile: base = N // 3, rem = N % 3, the
+       first rem buckets hold base + 1 rows.
+
+    Output IDENTICAL to mode='exact' — same columns, same DuckDB
+    oracle, row-for-row equality pinned by pytest — at two extra
+    bounded exchanges and zero skew sensitivity. The localCheckpoint
+    freezes the range partitioning so the count pass and the rank pass
+    see the same layout."""
+    from .text import unigram_surprisal
+
+    nonempty = docs.where(F.length(F.trim(F.col("text"))) > 0)
+    if surprisal is None:
+        surprisal = unigram_surprisal(nonempty)
+    langs = nonempty.select(
+        "doc_id", F.coalesce(F.col("lang"), F.lit("")).alias("lang")
+    )
+    scored = surprisal.join(langs, "doc_id").select(
+        "doc_id", "lang", "token_count", "bits_per_token"
+    )
+    spark = scored.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    part = (
+        scored.repartitionByRange(n_parts, "lang", "bits_per_token", "doc_id")
+        .sortWithinPartitions("lang", "bits_per_token", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = (
+        part.groupBy("_pid", "lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    )  # bounded: #partitions x #languages rows
+    totals: dict[str, int] = {}
+    offsets: dict[tuple[int, str], int] = {}
+    for r in sorted(counts, key=lambda r: (r["lang"], r["_pid"])):
+        offsets[(r["_pid"], r["lang"])] = totals.get(r["lang"], 0)
+        totals[r["lang"]] = totals.get(r["lang"], 0) + r["n"]
+
+    names = ("head", "middle", "tail")
+
+    def assign(batches):
+        seen: dict[str, int] = {}  # fresh per partition; persists across its batches
+        for pdf in batches:
+            buckets = []
+            for pid, lang in zip(pdf["_pid"], pdf["lang"]):
+                r = offsets[(int(pid), lang)] + seen.get(lang, 0)
+                seen[lang] = seen.get(lang, 0) + 1
+                n = totals[lang]
+                base, rem = divmod(n, 3)
+                if base == 0:
+                    tile = r
+                elif r < rem * (base + 1):
+                    tile = r // (base + 1)
+                else:
+                    tile = rem + (r - rem * (base + 1)) // base
+                buckets.append(names[tile])
+            yield pdf.assign(ppl_bucket=buckets)[
+                ["doc_id", "lang", "token_count", "bits_per_token", "ppl_bucket"]
+            ]
+
+    return part.mapInPandas(
+        assign,
+        schema="doc_id long, lang string, token_count long, "
+        "bits_per_token double, ppl_bucket string",
+    )
+
+
 def corpus_filter_funnel(docs: DataFrame) -> DataFrame:
     """The curation-pipeline survival funnel — the dashboard a corpus
     build publishes: how many documents survive each successive gate,

@@ -3172,7 +3172,8 @@ def boilerplate_line_filter(spark, sf_dir):
 
 @q(
     "ccnet_perplexity_buckets",
-    oracle=f"""
+    oracle=(
+        _CCNET_EXACT_ORACLE := f"""
 WITH toks AS (
   SELECT doc_id, unnest({_NORM_TOKS_SQL}) AS term
   FROM documents WHERE length(trim(text)) > 0
@@ -3195,7 +3196,8 @@ SELECT s.doc_id, l.lang, s.token_count, s.bits_per_token,
   CASE ntile(3) OVER (PARTITION BY l.lang ORDER BY s.bits_per_token, s.doc_id)
     WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
 FROM s JOIN l ON s.doc_id = l.doc_id
-""",
+"""
+    ),
 )
 def ccnet_perplexity_buckets(spark, sf_dir):
     """CCNet perplexity bucketing (Wenzek et al. 2020 §3.3): per
@@ -3218,6 +3220,21 @@ def ccnet_perplexity_buckets_approx(spark, sf_dir):
     edges move by the sketch tolerance at the boundaries -> rows-only;
     the >= 95% agreement vs the exact form is pytest-gated."""
     return curation.ccnet_perplexity_buckets(load(spark, sf_dir, "documents"), mode="approx")
+
+
+@q("ccnet_perplexity_buckets_exact_dist", oracle=_CCNET_EXACT_ORACLE)
+def ccnet_perplexity_buckets_exact_dist(spark, sf_dir):
+    """The SCALE-EXACT CCNet bucketing (r12): identical output to the
+    ntile window form — same ordering key, same SQL-ntile semantics,
+    same DuckDB oracle — with NO per-language single-task sort. Range
+    partition over (lang, bits, doc_id) + a bounded per-(partition,
+    lang) count aggregate + one offset-aware mapInPandas rank pass: the
+    dominant language of a 100 TB corpus spreads across every
+    partition instead of serializing into one task. Closes the
+    documented limitation that made the window form audit-only."""
+    return curation.ccnet_perplexity_buckets_distributed(
+        load(spark, sf_dir, "documents")
+    )
 
 
 # Shared oracle fragment: the funnel gate flags — CTEs from the raw
@@ -6601,6 +6618,8 @@ QUERY_ORDER = [
     "boilerplate_line_filter",
     "ccnet_perplexity_buckets",
     "ccnet_perplexity_buckets_approx",
+    # first registered r12 (scale-exact distributed ntile):
+    "ccnet_perplexity_buckets_exact_dist",
     "corpus_filter_funnel",
     "ivfpq_refine_sweep",
     "embed_diverse_sample",

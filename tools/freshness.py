@@ -38,6 +38,7 @@ FIRST_REGISTERED_ROUND: dict[str, int] = {
     "knn_filtered_ivf_recall": 11,
     "media_audio_features": 12,
     "media_video_features": 12,
+    "ccnet_perplexity_buckets_exact_dist": 12,
 }
 
 
