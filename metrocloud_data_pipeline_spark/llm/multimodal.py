@@ -563,17 +563,26 @@ RESIZED_SCHEMA = StructType(
 )
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, decode_stub: bool = True
+) -> DataFrame:
     """Frame sampling: the 1:N mapInPandas expansion — each item yields
     ceil(duration_ms / every_ms) frame rows (one row for images / null
     durations: the item itself is its only frame).
 
-    The frame payload derivation is a deterministic md5 of
-    (media_id, frame_idx) so the full expansion is hash-checkable
-    against a SQL oracle without codecs; a real decoder would replace
-    `frame_hash` with sampled frame bytes — the row geometry, schema,
-    and batching are exactly what production needs. The input scan
-    prunes `payload` (only duration_ms drives the expansion)."""
+    decode_stub=True (the registered query's mode) derives frame_hash
+    as a deterministic md5 of (media_id, frame_idx) so the full
+    expansion is hash-checkable against a SQL oracle without codecs;
+    the input scan prunes `payload` (only duration_ms drives the
+    expansion). decode_stub=False decodes video payloads FOR REAL
+    (uncompressed-DIB AVI, r12): the sampled timestamps map to actual
+    frames via the container's own frame period (index = ts //
+    period, clamped to the last frame), frame_hash is the sha256 of
+    the decoded RGB frame bytes, and each clip's row count is
+    ceil(n_frames * period / every_ms) — the container's true
+    duration, not the metadata column. Non-video rows keep one
+    payload-hash row; compressed video raises NotImplementedError
+    (the extract_features contract)."""
     import math
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -603,8 +612,48 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "media_type", "duration_ms").mapInPandas(
-        run, schema=FRAME_SCHEMA
+    def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, idxs, tss, hashes = [], [], [], [], []
+            for media_id, media_type, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if media_type == "video":
+                    frames, period_ms = _avi_decode(payload)
+                    clip_ms = len(frames) * period_ms
+                    n = max(1, math.ceil(clip_ms / every_ms))
+                    for i in range(n):
+                        ts = i * every_ms
+                        fi = min(int(ts // period_ms), len(frames) - 1)
+                        ids.append(media_id)
+                        types.append(media_type)
+                        idxs.append(fi)
+                        tss.append(ts)
+                        hashes.append(
+                            hashlib.sha256(frames[fi].tobytes()).hexdigest()
+                        )
+                else:  # image/audio: the item is its only frame
+                    ids.append(media_id)
+                    types.append(media_type)
+                    idxs.append(0)
+                    tss.append(0)
+                    hashes.append(hashlib.sha256(payload or b"").hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_type": pd.Series(types, dtype="object"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int32"),
+                    "frame_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    if decode_stub:
+        return media.select("media_id", "media_type", "duration_ms").mapInPandas(
+            run, schema=FRAME_SCHEMA
+        )
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        run_real, schema=FRAME_SCHEMA
     )
 
 

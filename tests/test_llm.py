@@ -324,6 +324,36 @@ def test_multimodal_real_video_decode_end_to_end(spark):
         multimodal.extract_features(bad, decode_stub=False).collect()
 
 
+def test_multimodal_real_frame_sampling(spark):
+    """sample_frames(decode_stub=False) samples REAL AVI frames (r12):
+    timestamps map through the container's own frame period, hashes
+    are sha256 of the decoded RGB bytes, and the row count follows the
+    container's true duration — a 5-frame 25 fps clip (200 ms) sampled
+    every 60 ms yields 4 rows hitting frames 0/1/3/4."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    frames = np.stack(
+        [np.full((2, 2, 3), v, dtype=np.uint8) for v in (10, 60, 110, 160, 210)]
+    )
+    avi = multimodal._avi_encode(frames, fps=25.0)  # period 40 ms
+    rows = [
+        (0, "video", "video/avi", bytearray(avi), None, None, 200),
+        (1, "image", "image/png", bytearray(b"PNGISH"), 2, 2, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.sample_frames(media, every_ms=60, decode_stub=False).collect()
+    vid = sorted((r for r in out if r.media_id == 0), key=lambda r: r.frame_ts_ms)
+    assert [(r.frame_ts_ms, r.frame_idx) for r in vid] == [
+        (0, 0), (60, 1), (120, 3), (180, 4),
+    ]
+    expected = [_hl.sha256(frames[i].tobytes()).hexdigest() for i in (0, 1, 3, 4)]
+    assert [r.frame_hash for r in vid] == expected
+    img = [r for r in out if r.media_id == 1]
+    assert len(img) == 1 and img[0].frame_hash == _hl.sha256(b"PNGISH").hexdigest()
+
+
 def test_png_filter_reconstruction_all_five_types():
     """Pins the pure decoder's scanline-filter reconstruction: a
     grayscale PNG hand-encoded with one row per filter type (None/Sub/
