@@ -58,6 +58,12 @@ def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
     shift = 0
     z = 0
     while True:
+        if pos >= len(buf):
+            raise ValueError(f"truncated Avro buffer: varint runs past offset {pos}")
+        if shift > 63:
+            # a spec zig-zag long fits in 10 bytes; more means the
+            # stream is corrupt, not a bigger number
+            raise ValueError(f"corrupt Avro varint at offset {pos}: > 10 bytes")
         b = buf[pos]
         pos += 1
         z |= (b & 0x7F) << shift
@@ -74,6 +80,15 @@ def _write_bytes(out: bytearray, b: bytes) -> None:
 
 def _read_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
     n, pos = _read_long(buf, pos)
+    if n < 0:
+        raise ValueError(f"corrupt Avro bytes length {n} at offset {pos}")
+    if pos + n > len(buf):
+        # an unguarded slice would silently return FEWER bytes than the
+        # length prefix claims — truncated data masquerading as valid
+        raise ValueError(
+            f"truncated Avro buffer: {n}-byte value at offset {pos} "
+            f"overruns the {len(buf)}-byte payload"
+        )
     return buf[pos : pos + n], pos + n
 
 
@@ -146,10 +161,19 @@ def _decode(schema, buf: bytes, pos: int):
     t = _type_name(schema)
     if t == "union":
         i, pos = _read_long(buf, pos)
+        if not 0 <= i < len(schema):
+            # without this check a corrupt NEGATIVE index (e.g. byte
+            # 0x01 = zig-zag -1) would silently decode the LAST branch
+            # via Python negative indexing — wrong data, no error
+            raise ValueError(
+                f"corrupt Avro union index {i} (schema has {len(schema)} branches)"
+            )
         return _decode(schema[i], buf, pos)
     if t == "null":
         return None, pos
     if t == "boolean":
+        if pos >= len(buf):
+            raise ValueError(f"truncated Avro buffer at offset {pos}")
         return buf[pos] != 0, pos + 1
     if t in ("int", "long"):
         return _read_long(buf, pos)
@@ -223,7 +247,13 @@ def decode_record(schema, payload: bytes, confluent_framed: bool = False) -> dic
         if payload[:1] != _MAGIC:
             raise ValueError("missing Confluent magic byte 0x00")
         pos = 5
-    rec, end = _decode(schema, payload, pos)
+    try:
+        rec, end = _decode(schema, payload, pos)
+    except (IndexError, struct.error) as e:
+        # float/double unpack past the buffer, or any residual index
+        # miss: surface as the same fail-loud contract as the explicit
+        # guards, never a raw low-level error
+        raise ValueError(f"truncated Avro record: {e}") from e
     if end != len(payload):
         raise ValueError(f"trailing bytes after record: {len(payload) - end}")
     return rec

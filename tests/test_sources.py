@@ -316,3 +316,54 @@ def test_ruuvitag_decode_feeds_normalize_chain(spark):
     by_type = {r["device_type"]: r["value"] for r in rows}
     assert by_type["temperature_sensor"] == pytest.approx(24.3)
     assert by_type["humidity_sensor"] == pytest.approx(53.49)
+
+
+def test_avro_codec_rejects_corrupt_and_truncated_payloads():
+    """Pathological wire bytes through the spec codec (r12, the
+    edge-parity discipline pointed at the sources layer): every
+    corruption class must FAIL LOUD as ValueError — the silent failure
+    this pins against is a corrupt NEGATIVE union index (byte 0x01 =
+    zig-zag -1) decoding the LAST branch via Python negative indexing,
+    i.e. wrong data with no error."""
+    from metrocloud_data_pipeline_spark.sources import avro_codec as ac
+
+    schema = ac.parse_schema(json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "v", "type": ["null", "double"]},
+            {"name": "s", "type": "string"},
+        ],
+    }))
+    good = ac.encode_record(schema, {"v": 1.5, "s": "ok"})
+    assert ac.decode_record(schema, good) == {"v": 1.5, "s": "ok"}
+
+    # corrupt union index -1 (would hit schema[-1] = "double" silently)
+    neg_union = bytes([0x01]) + good[1:]
+    with pytest.raises(ValueError, match="corrupt Avro union index -1"):
+        ac.decode_record(schema, neg_union)
+    # union index beyond the branch list (zig-zag 5 = 0x0A)
+    with pytest.raises(ValueError, match="corrupt Avro union index 5"):
+        ac.decode_record(schema, bytes([0x0A]) + good[1:])
+
+    # truncations: mid-double, mid-string-length, string shorter than
+    # its length prefix, varint with a dangling continuation bit
+    with pytest.raises(ValueError, match="truncated Avro record"):
+        ac.decode_record(schema, good[:5])       # inside the double
+    with pytest.raises(ValueError, match="truncated Avro buffer"):
+        ac.decode_record(schema, good[:9])       # at the string length
+    with pytest.raises(ValueError, match="overruns"):
+        ac.decode_record(schema, good[:-1])      # string body cut short
+    with pytest.raises(ValueError, match="truncated Avro buffer: varint"):
+        ac.decode_record(schema, b"\x80")        # dangling continuation bit
+
+    # oversized varint (12 continuation bytes where the string length
+    # belongs — more than any spec zig-zag long) and negative length
+    with pytest.raises(ValueError, match="corrupt Avro varint"):
+        ac.decode_record(schema, bytes([0x02]) + b"\x00" * 8 + b"\xff" * 12)
+    neg_len = bytearray(good)
+    neg_len[9] = 0x01  # string length zig-zag -1
+    with pytest.raises(ValueError, match="corrupt Avro bytes length"):
+        ac.decode_record(schema, bytes(neg_len))
+
+    # trailing garbage after a well-formed record still rejects
+    with pytest.raises(ValueError, match="trailing bytes"):
+        ac.decode_record(schema, good + b"\x00")
