@@ -1768,7 +1768,14 @@ def ccnet_perplexity_buckets_distributed(
     oracle, row-for-row equality pinned by pytest — at two extra
     bounded exchanges and zero skew sensitivity. The localCheckpoint
     freezes the range partitioning so the count pass and the rank pass
-    see the same layout."""
+    see the same layout.
+
+    Measured (PROBE_r12 §e, 94% of rows in one language, local[32],
+    forced evaluation): 10 M rows — window 18.7 s vs THIS 5.3 s
+    (3.5x; the window serializes 9.4 M rows into one sort task);
+    50 k rows — window 0.48 s vs this 1.26 s (overhead-bound). The
+    window form stays the cheaper audit-scale oracle twin; this is
+    the form that survives a dominant language at corpus scale."""
     from .text import unigram_surprisal
 
     nonempty = docs.where(F.length(F.trim(F.col("text"))) > 0)

@@ -123,6 +123,10 @@ def main() -> None:
         ),
         "audio_dsp_chain",
     )
+    # r12: the scale-exact distributed ntile — rank-exact CCNet thirds
+    # with no per-language single-task sort; at copies x the dominant
+    # language spans partitions instead of serializing into one task
+    t(lambda: curation.ccnet_perplexity_buckets_distributed(docs), "ccnet_ntile_dist")
 
     # late-r5 additions: the incremental ingest gate (batch vs standing
     # corpus at `copies`x), cluster-bounded semantic dedup, and the
