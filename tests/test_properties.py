@@ -799,3 +799,156 @@ def test_kn_trigram_matches_naive_reference(spark, corpus):
     for doc_id, (n, bits) in want.items():
         assert got[doc_id][0] == n
         assert abs(got[doc_id][1] - round(bits, 6)) < 2e-6, (doc_id, got[doc_id], bits)
+
+
+# --- r12: pure-codec round-trips (no Spark; plain hypothesis) ---------------
+
+_png_pixels = st.integers(min_value=1, max_value=9).flatmap(
+    lambda w: st.integers(min_value=1, max_value=9).flatmap(
+        lambda h: st.tuples(
+            st.just(w),
+            st.lists(
+                st.lists(st.integers(0, 255), min_size=w, max_size=w),
+                min_size=h,
+                max_size=h,
+            ),
+            st.lists(st.integers(0, 4), min_size=h, max_size=h),  # per-row filter
+        )
+    )
+)
+
+
+@given(_png_pixels)
+@settings(max_examples=60, deadline=None)
+def test_png_decode_roundtrips_any_filter_sequence(case):
+    """Random grayscale pixels hand-encoded with a RANDOM per-row
+    filter sequence (independent residual computation per the PNG
+    spec) must decode back pixel-exact — the randomized pin on the
+    Sub/Up/Average/Paeth reconstruction, where an off-by-one in the
+    left/up/corner predecessors corrupts silently."""
+    import struct
+    import zlib
+
+    from metrocloud_data_pipeline_spark.llm import multimodal as mm
+
+    w, pixels, filters = case
+    h = len(pixels)
+    prev = [0] * w
+    scanlines = []
+    for y in range(h):
+        cur, f, res = pixels[y], filters[y], []
+        for x in range(w):
+            a = cur[x - 1] if x >= 1 else 0
+            b = prev[x]
+            c = prev[x - 1] if x >= 1 else 0
+            if f == 0:
+                r = cur[x]
+            elif f == 1:
+                r = (cur[x] - a) & 255
+            elif f == 2:
+                r = (cur[x] - b) & 255
+            elif f == 3:
+                r = (cur[x] - (a + b) // 2) & 255
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                r = (cur[x] - pred) & 255
+            res.append(r)
+        scanlines.append(bytes([f]) + bytes(res))
+        prev = cur
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(scanlines)))
+        + chunk(b"IEND", b"")
+    )
+    decoded = mm._png_decode(png)
+    assert [[int(v) for v in row[:, 0]] for row in decoded] == pixels
+    # and the fallback encoder's output re-decodes to the same pixels
+    assert mm._png_decode(mm._png_encode(decoded)).tolist() == decoded.tolist()
+
+
+@given(
+    st.integers(min_value=1, max_value=4),   # frames
+    st.integers(min_value=1, max_value=6),   # width (exercises stride padding)
+    st.integers(min_value=1, max_value=5),   # height
+    st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+)
+@settings(max_examples=60, deadline=None)
+def test_avi_roundtrip_any_geometry(n, w, h, seed):
+    """Random RGB frames of random geometry round-trip pixel-exact
+    through the AVI encoder/decoder — widths not divisible by 4
+    exercise the DIB stride padding, the seed varies content so the
+    bottom-up/BGR transforms can't cancel out unnoticed."""
+    import numpy as np
+
+    from metrocloud_data_pipeline_spark.llm import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    decoded, period_ms = mm._avi_decode(mm._avi_encode(frames, fps=25.0))
+    assert period_ms == 40.0
+    assert decoded.tolist() == frames.tolist()
+
+
+@given(
+    st.integers(min_value=1, max_value=3),          # channels
+    st.sampled_from([1, 2, 3, 4]),                  # sample width (bytes)
+    st.integers(min_value=0, max_value=2**32 - 1),  # sample seed
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_feature_total_energy_tracks_amplitude(channels, sampwidth, seed):
+    """For ANY PCM width/channel count, _wav_audio_feature must (a)
+    return dim finite non-negative values, and (b) rank a louder copy
+    of the same signal at least as high in total log-energy — the
+    monotonicity that makes the feature usable for silence/clipping
+    gates."""
+    import math
+    import struct
+    import wave
+    from io import BytesIO
+
+    import numpy as np
+
+    from metrocloud_data_pipeline_spark.llm import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    sr, n = 4000, 600
+    base = rng.uniform(-0.4, 0.4, size=n)
+
+    def encode(scale):
+        buf = BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(channels)
+            wv.setsampwidth(sampwidth)
+            wv.setframerate(sr)
+            frames = bytearray()
+            for s in base * scale:
+                if sampwidth == 1:
+                    packed = struct.pack("B", int(s * 127) + 128)
+                elif sampwidth == 2:
+                    packed = struct.pack("<h", int(s * 32767))
+                elif sampwidth == 3:
+                    v = int(s * ((1 << 23) - 1)) & 0xFFFFFF
+                    packed = bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF))
+                else:
+                    packed = struct.pack("<i", int(s * 2147483647))
+                frames += packed * channels
+            wv.writeframes(bytes(frames))
+        return buf.getvalue()
+
+    quiet = mm._wav_audio_feature(encode(0.5), 8)
+    loud = mm._wav_audio_feature(encode(1.0), 8)
+    for f in (quiet, loud):
+        assert len(f) == 8 and all(math.isfinite(v) and v >= 0.0 for v in f)
+    assert sum(loud) >= sum(quiet) - 1e-9
