@@ -56,6 +56,14 @@ EVENT_QUERIES = [
     "dq_profile_events",
     "iv_error_windows",
     "asof_last_error",
+    # r12 completeness sweep: the five oracle-backed events-only keys a
+    # registry scan found absent from this list (a cube, a rollup, the
+    # as-of twin, interval merge, native sessionization)
+    "a11_type_daily_rollup",
+    "a12_type_dow_cube",
+    "asof_next_error",
+    "iv_merged_outages",
+    "w4b_sessions_native",
 ]
 
 T0 = "2025-09-26 12:00:00"
