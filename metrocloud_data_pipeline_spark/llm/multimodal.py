@@ -506,7 +506,11 @@ def extract_features(
 
     def _feature_or_error(mt: str, b: bytes) -> tuple[list[float] | None, str | None]:
         if decode_stub:
-            return _fake_feature(b, dim), None
+            # a NULL payload propagates as NULL metadata (bytes/hash/
+            # feature all None below) — hashing it as b"" would make a
+            # missing payload indistinguishable from a present empty
+            # one (found by the documents edge-parity fixture, r12)
+            return (None if b is None else _fake_feature(b, dim)), None
         if not lenient:
             return _real_feature(mt, b), None
         try:
@@ -524,9 +528,11 @@ def extract_features(
             out = {
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
-                "payload_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                "payload_bytes": payloads.map(
+                    lambda b: len(b) if b is not None else None
+                ),
                 "content_hash": payloads.map(
-                    lambda b: hashlib.sha256(b or b"").hexdigest()
+                    lambda b: None if b is None else hashlib.sha256(bytes(b)).hexdigest()
                 ),
                 "feature": pd.Series(
                     [p[0] for p in pairs], index=pdf.index, dtype="object"

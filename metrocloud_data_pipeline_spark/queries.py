@@ -2185,8 +2185,10 @@ def embed_dedup_keep_list(spark, sf_dir):
     "doc_fingerprint_winnow",
     oracle="""
 WITH norm AS (
+  -- text IS NOT NULL mirrors the engine contract: a null-text doc has
+  -- no grams and emits NO row (an unguarded CTE emits (doc_id, NULL))
   SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), grams AS (
   SELECT doc_id,
          list_transform(range(1, greatest(len(toks) - 4 + 1, 1) + 1),
@@ -5346,7 +5348,10 @@ WITH toks AS (
 ), c2 AS (SELECT bigram, count(*) AS cb FROM bgp GROUP BY 1),
 c1 AS (SELECT prev, count(*) AS cp FROM bgp GROUP BY 1)
 SELECT doc_id, count(*) AS bigram_count,
-       round(-sum(ln(CAST(cb AS DOUBLE) / cp)) / count(*) / ln(2), 6) AS bits_per_bigram
+       -- + 0.0 normalizes IEEE -0.0 (a doc whose every bigram is
+       -- fully predicted sums to -0.0 in DuckDB, +0.0 in Spark; the
+       -- value-hash compares strings, so the sign matters)
+       round(-sum(ln(CAST(cb AS DOUBLE) / cp)) / count(*) / ln(2), 6) + 0.0 AS bits_per_bigram
 FROM bgp JOIN c2 USING (bigram) JOIN c1 USING (prev)
 GROUP BY 1
 """,

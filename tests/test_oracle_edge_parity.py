@@ -87,6 +87,35 @@ DOC_QUERIES = [
     "shard_skew_report",
     "dedup_impact_by_source",
     "source_filter_funnel",
+    # r12 completeness sweep: every remaining oracle-backed documents-only
+    # key a registry scan found absent from this list
+    "bigram_surprisal",
+    "ccnet_perplexity_buckets_exact_dist",
+    "corpus_budget_select",
+    "decontaminate_ngram",
+    "dedup_cluster_histogram",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_keep_list",
+    "dedup_ngram_jaccard",
+    "doc_fingerprint_winnow",
+    "dsir_importance_weights",
+    "lang_source_stats",
+    "langid_heuristic",
+    "media_audio_features",
+    "media_feature_extract",
+    "media_frame_sample",
+    "media_type_summary",
+    "media_video_features",
+    "pii_scrub_stats",
+    "quality_filter_report",
+    "rag_chunk_documents",
+    "sample_weighted_sources",
+    "seq_pack_ranges",
+    "stratified_split",
+    "text_bpe_token_stats",
+    "text_clean_stats",
+    "text_repetition_stats",
 ]
 
 EDGE_ROWS = [
