@@ -29,6 +29,8 @@ EMB_QUERIES = [
     "knn_filtered_brute",
     "embed_label_purity",
     "embed_centroid_drift",
+    # r12 completeness sweep: found absent by the registry scan
+    "decontaminate_embed",
 ]
 
 EDGE_ROWS = [
