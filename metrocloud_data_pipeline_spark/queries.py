@@ -5349,8 +5349,8 @@ WITH toks AS (
 c1 AS (SELECT prev, count(*) AS cp FROM bgp GROUP BY 1)
 SELECT doc_id, count(*) AS bigram_count,
        -- + 0.0 normalizes IEEE -0.0 (a doc whose every bigram is
-       -- fully predicted sums to -0.0 in DuckDB, +0.0 in Spark; the
-       -- value-hash compares strings, so the sign matters)
+       -- fully predicted sums to -0.0 in DuckDB but +0.0 in Spark,
+       -- and the value-hash compares strings, so the sign matters)
        round(-sum(ln(CAST(cb AS DOUBLE) / cp)) / count(*) / ln(2), 6) + 0.0 AS bits_per_bigram
 FROM bgp JOIN c2 USING (bigram) JOIN c1 USING (prev)
 GROUP BY 1

@@ -156,3 +156,50 @@ def test_no_oracle_reasons_point_at_real_test_modules():
     for name, reason in q.NO_ORACLE_REASONS.items():
         for mod in re.findall(r"tests/test_[a-z_]+\.py", reason):
             assert (root / mod).exists(), f"{name}: {mod} does not exist"
+
+
+def test_single_table_oracle_keys_have_edge_parity_coverage():
+    """Every oracle-backed key reading exactly ONE of the three
+    edge-fixtured tables (documents / events / embeddings) must appear
+    in that table's edge-parity module — the r12 completeness sweep
+    that found three real divergences (bigram -0.0, winnow null-text
+    row, media null-payload conflation) made a standing gate, so a new
+    key cannot silently skip pathological-input coverage. Multi-table
+    keys (the TPC-H star family) are out of scope: the generator
+    contract keeps star join keys non-null."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    src = (root / "metrocloud_data_pipeline_spark" / "queries.py").read_text()
+    parts = re.split(r'@q\(\s*\n?\s*"([a-z0-9_]+)"', src)
+
+    def module_list(fname: str, var: str) -> set[str]:
+        t = (root / "tests" / fname).read_text()
+        body = re.search(rf"{var} = \[(.*?)\]", t, re.S).group(1)
+        return set(re.findall(r'"([a-z0-9_]+)"', body))
+
+    covered = {
+        "documents": module_list("test_oracle_edge_parity.py", "DOC_QUERIES"),
+        "events": module_list("test_oracle_edge_parity_events.py", "EVENT_QUERIES"),
+        "embeddings": module_list(
+            "test_oracle_edge_parity_embeddings.py", "EMB_QUERIES"
+        ),
+    }
+    oracle_keys = set(q.ORACLE_SQL)
+    missing: list[tuple[str, str]] = []
+    for i in range(1, len(parts), 2):
+        name, body = parts[i], parts[i + 1].split("\n@q(")[0]
+        tables = set(
+            re.findall(r'load\(\s*spark,\s*sf_dir,\s*"(\w+)"', body, re.S)
+        )
+        if name not in oracle_keys or len(tables) != 1:
+            continue
+        (table,) = tables
+        if table in covered and name not in covered[table]:
+            missing.append((table, name))
+    assert not missing, (
+        f"oracle-backed single-table keys absent from their edge-parity "
+        f"module: {sorted(missing)} — add each to the module's query "
+        "list (and fix whatever the pathological fixture then finds)"
+    )
