@@ -68,17 +68,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
 #   recursively-compatible struct/array/map — and a field that was nullable
 #   in OLD may not become non-nullable in NEW (old nulls would be unreadable).
 
+# Sanctioned widenings = the evolutions Spark's parquet reader can
+# ACTUALLY perform when reading old files under the new schema — each
+# entry is pinned by a real write-old/read-new round-trip in
+# tests/test_catalog.py. Avro-style registries also sanction
+# bigint -> double and date -> timestamp, but this engine's storage is
+# parquet and Spark's vectorized reader REFUSES both
+# (PARQUET_COLUMN_DATA_TYPE_MISMATCH, measured on 4.1 — r12): listing
+# them here would let the gate accept an evolution whose history
+# becomes unreadable, the exact failure the gate exists to prevent.
 _WIDENINGS = {
     ("int", "bigint"),
     ("int", "double"),
-    ("bigint", "double"),
     ("float", "double"),
     ("tinyint", "smallint"),
     ("tinyint", "int"),
     ("tinyint", "bigint"),
     ("smallint", "int"),
     ("smallint", "bigint"),
-    ("date", "timestamp"),
 }
 
 

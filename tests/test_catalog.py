@@ -184,3 +184,63 @@ def test_transitive_modes_gate_against_whole_history():
     with _pt.raises(ValueError, match="unknown compatibility mode"):
         check_compatibility("SIDEWAYS", [BASE], v2)
     assert check_compatibility("FULL_TRANSITIVE", [], v2) == []
+
+
+def test_every_sanctioned_widening_is_actually_parquet_readable(spark, tmp_path):
+    """The gate's ground truth (r12): for EVERY (old, new) pair in
+    _WIDENINGS, parquet written under old must be READABLE by Spark
+    under new — otherwise the gate would accept an evolution whose
+    history becomes unreadable, the exact failure it exists to
+    prevent. This found two overclaims inherited from Avro-registry
+    semantics: bigint -> double and date -> timestamp both throw
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH in Spark's reader and were
+    removed from the table; both are asserted REJECTED below so they
+    cannot quietly return."""
+    import datetime
+
+    from pyspark.sql.types import (
+        ByteType,
+        DateType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from metrocloud_data_pipeline_spark.catalog import (
+        _WIDENINGS,
+        backward_incompatibilities,
+    )
+
+    types = {
+        "tinyint": (ByteType(), 7),
+        "smallint": (ShortType(), 7),
+        "int": (IntegerType(), 7),
+        "bigint": (LongType(), 7),
+        "float": (FloatType(), 1.5),
+        "double": (DoubleType(), 1.5),
+        "date": (DateType(), datetime.date(2026, 1, 2)),
+        "timestamp": (TimestampType(), datetime.datetime(2026, 1, 2, 3, 4)),
+    }
+    for i, (o_name, n_name) in enumerate(sorted(_WIDENINGS)):
+        o_type, val = types[o_name]
+        n_type, _ = types[n_name]
+        old = StructType([StructField("x", o_type, True)])
+        new = StructType([StructField("x", n_type, True)])
+        assert backward_incompatibilities(old, new) == []
+        d = str(tmp_path / f"w{i}")
+        spark.createDataFrame([(val,), (None,)], old).write.parquet(d)
+        rows = spark.read.schema(new).parquet(d).collect()
+        got = sorted((r.x for r in rows), key=lambda v: (v is None, v))
+        assert got[1] is None and got[0] is not None, (o_name, n_name, got)
+
+    # the two measured overclaims stay rejected
+    for o_name, n_name in (("bigint", "double"), ("date", "timestamp")):
+        old = StructType([StructField("x", types[o_name][0], True)])
+        new = StructType([StructField("x", types[n_name][0], True)])
+        errs = backward_incompatibilities(old, new)
+        assert errs and "not a sanctioned widening" in errs[0], (o_name, n_name)
