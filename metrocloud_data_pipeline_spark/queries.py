@@ -6598,6 +6598,12 @@ QUERY_ORDER = [
     # r13 queue head: the 8 age-4 keys the 50-slot window could not
     # hold this round (58 candidates for 50 slots), then the r9 / r10 /
     # r11 cohorts, freshest last.
+    # r13 window arithmetic (precomputed at r12 close): after the r12
+    # driver run these 8 sit at age 5 (gate threshold) and MUST lead;
+    # plus first driver rows for the 3 r12-born keys
+    # (media_audio_features, media_video_features,
+    # ccnet_perplexity_buckets_exact_dist); plus the 39 oldest of the
+    # then-age-3 r9 cohort = exactly 50 slots, nothing deferred.
     # last green driver row r7 (the 8 deferred):
     "decontaminate_ngram",
     "text_repetition_stats",
