@@ -16,9 +16,42 @@ same gating pattern as avro_io).
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 POSTGRES_DRIVER = "org.postgresql.Driver"
+
+
+def _dedup_on_natural_key(df: DataFrame, dedup_keys: tuple[str, ...]) -> DataFrame:
+    """dropDuplicates treats NULLs as EQUAL: rows with a NULL natural
+    key would silently collapse to one arbitrary survivor BEFORE the
+    write — the jdbc twin of the idempotent_append null-key bug (r11),
+    found by the same sweep. A NULL natural key has no ON CONFLICT
+    identity, so it is refused fail-loud; the raise_error rides the
+    first key column inside the same write pass (the write_partitioned
+    pattern — no extra scan), and valid rows pass through unchanged."""
+    null_any = functools.reduce(
+        operator.or_, (F.col(k).isNull() for k in dedup_keys)
+    )
+    k0 = dedup_keys[0]
+    guarded = (
+        F.when(
+            null_any,
+            F.raise_error(
+                F.lit(
+                    f"write_jdbc: NULL natural key among {tuple(dedup_keys)} — "
+                    "such rows have no ON CONFLICT identity and dropDuplicates "
+                    "would silently collapse them; validate or reject upstream"
+                )
+            ),
+        )
+        .otherwise(F.col(k0))
+        .cast(df.schema[k0].dataType)
+    )
+    return df.withColumn(k0, guarded).dropDuplicates(list(dedup_keys))
 
 
 def _require_jdbc_driver(spark: SparkSession, driver: str) -> None:
@@ -55,7 +88,7 @@ def write_jdbc(
     database, so size it to the pool the DBA gave you."""
     _require_jdbc_driver(df.sparkSession, driver)
     if dedup_keys:
-        df = df.dropDuplicates(list(dedup_keys))
+        df = _dedup_on_natural_key(df, tuple(dedup_keys))
     if num_partitions is not None and df.rdd.getNumPartitions() > num_partitions:
         df = df.coalesce(num_partitions)
     (

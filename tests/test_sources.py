@@ -367,3 +367,24 @@ def test_avro_codec_rejects_corrupt_and_truncated_payloads():
     # trailing garbage after a well-formed record still rejects
     with pytest.raises(ValueError, match="trailing bytes"):
         ac.decode_record(schema, good + b"\x00")
+
+
+def test_jdbc_dedup_refuses_null_natural_keys(spark):
+    """The jdbc sink's pre-write dedup (the ON CONFLICT stand-in) must
+    not silently collapse NULL-keyed rows — dropDuplicates treats
+    NULLs as equal, so two unrelated rows with a missing key would
+    merge into one arbitrary survivor. Same fail-loud contract as
+    idempotent_append (r11) and write_partitioned (r12)."""
+    from metrocloud_data_pipeline_spark.sources.jdbc_io import _dedup_on_natural_key
+
+    clean = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "k long, v string"
+    )
+    out = _dedup_on_natural_key(clean, ("k",)).collect()
+    assert sorted(r.k for r in out) == [1, 2]
+
+    dirty = spark.createDataFrame(
+        [(1, "a"), (None, "x"), (None, "y")], "k long, v string"
+    )
+    with pytest.raises(Exception, match="NULL natural key"):
+        _dedup_on_natural_key(dirty, ("k",)).collect()
