@@ -952,3 +952,51 @@ def test_wav_feature_total_energy_tracks_amplitude(channels, sampwidth, seed):
     for f in (quiet, loud):
         assert len(f) == 8 and all(math.isfinite(v) and v >= 0.0 for v in f)
     assert sum(loud) >= sum(quiet) - 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32)),
+            st.one_of(st.none(), st.text(max_size=12)),
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.one_of(st.none(), st.booleans()),
+            st.one_of(st.none(), st.dictionaries(st.text(min_size=1, max_size=5), st.text(max_size=5), max_size=3)),
+            st.one_of(st.none(), st.lists(st.text(max_size=5), max_size=3)),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_avro_codec_roundtrips_random_records(rows):
+    """Random records through the spec codec (encode -> decode must be
+    the identity, Confluent framing included) — the randomized twin of
+    the wire-byte pytests, exercising union branches, negative zig-zag
+    longs, empty/unicode strings, and map/array nulls together."""
+    import json as _json
+    import math
+
+    from metrocloud_data_pipeline_spark.sources import avro_codec as ac
+
+    schema = ac.parse_schema(_json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "value", "type": ["null", "double"]},
+            {"name": "unit", "type": ["null", "string"]},
+            {"name": "seq", "type": "long"},
+            {"name": "ok", "type": ["null", "boolean"]},
+            {"name": "meta", "type": ["null", {"type": "map", "values": "string"}]},
+            {"name": "tags", "type": ["null", {"type": "array", "items": "string"}]},
+        ],
+    }))
+    for value, unit, seq, ok, meta, tags in rows:
+        rec = {"value": value, "unit": unit, "seq": seq, "ok": ok,
+               "meta": meta, "tags": tags}
+        for framed, sid in ((False, None), (True, 7)):
+            wire = ac.encode_record(schema, rec, schema_id=sid)
+            back = ac.decode_record(schema, wire, confluent_framed=framed)
+            for k in rec:
+                if k == "value" and rec[k] is not None:
+                    assert back[k] == rec[k] or math.isclose(back[k], rec[k], rel_tol=0, abs_tol=0)
+                else:
+                    assert back[k] == rec[k], (k, rec[k], back[k])
