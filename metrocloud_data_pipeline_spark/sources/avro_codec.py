@@ -21,8 +21,11 @@ from the public Apache Avro 1.11 binary-encoding specification:
 Scope is the subset reading_avro_schema() uses (flat record of
 nullable primitives + map<string, nullable string> + array<string>) —
 enough to frame every sensor reading, deliberately not a full Avro
-implementation (no named-type references, recursion, enums, fixed,
-or schema resolution).
+implementation (no named-type references, recursion, enums, fixed).
+Reader-SCHEMA RESOLUTION (the Confluent deserializer's evolution
+contract: decode bytes written under an OLD schema into a NEW reader
+shape — skipped fields, defaults/nullable fills, sanctioned
+promotions) is supported via decode_record(reader_schema=...), r12.
 
 Optionally frames messages in the Confluent Schema-Registry wire
 format the reference actually ships (magic byte 0x00 + 4-byte
@@ -157,6 +160,98 @@ def _matches(branch, value) -> bool:
     return value is not None
 
 
+# --- reader-schema resolution (Avro spec "Schema Resolution") ---------------
+
+# sanctioned datum promotions, writer type -> reader type
+_PROMOTIONS = {
+    ("int", "long"),
+    ("int", "float"),
+    ("int", "double"),
+    ("long", "float"),
+    ("long", "double"),
+    ("float", "double"),
+    ("string", "bytes"),
+    ("bytes", "string"),
+}
+
+
+def _resolve_value(writer, reader, value, path: str = "$"):
+    """Project a value decoded under `writer` into the `reader` shape
+    per the Avro spec's Schema Resolution rules: fields match by name,
+    reader-only fields take their default (or null when their union
+    allows it), writer-only fields are dropped, and only the spec's
+    promotions cross primitive types. Anything else fails loud —
+    a silent best-effort read is how evolution bugs ship."""
+    wt, rt = _type_name(writer), _type_name(reader)
+    if wt == "union":
+        for branch in writer:
+            if _matches(branch, value):
+                return _resolve_value(branch, reader, value, path)
+        raise ValueError(f"{path}: value matches no writer union branch")
+    if rt == "union":
+        for branch in reader:
+            try:
+                return _resolve_value(writer, branch, value, path)
+            except ValueError:
+                continue
+        raise ValueError(
+            f"{path}: writer {wt} value {value!r} fits no reader union branch"
+        )
+    if rt == "record":
+        if wt != "record":
+            raise ValueError(f"{path}: writer {wt} is not a record")
+        wfields = {f["name"]: f for f in writer["fields"]}
+        out = {}
+        for f in reader["fields"]:
+            name = f["name"]
+            if name in wfields:
+                out[name] = _resolve_value(
+                    wfields[name]["type"], f["type"], value[name], f"{path}.{name}"
+                )
+            elif "default" in f:
+                out[name] = f["default"]
+            elif isinstance(f["type"], list) and "null" in f["type"]:
+                out[name] = None
+            else:
+                raise ValueError(
+                    f"{path}.{name}: reader field absent from writer schema "
+                    "and has no default"
+                )
+        return out
+    if rt == "array":
+        if wt != "array":
+            raise ValueError(f"{path}: writer {wt} is not an array")
+        return [
+            _resolve_value(writer["items"], reader["items"], v, path + "[]")
+            for v in value
+        ]
+    if rt == "map":
+        if wt != "map":
+            raise ValueError(f"{path}: writer {wt} is not a map")
+        return {
+            k: _resolve_value(writer["values"], reader["values"], v, path + "<value>")
+            for k, v in value.items()
+        }
+    if wt == rt:
+        return value
+    if (wt, rt) in _PROMOTIONS:
+        if rt in ("float", "double"):
+            return float(value)
+        if rt == "long":
+            return int(value)
+        if rt == "bytes":
+            return value.encode("utf-8") if isinstance(value, str) else value
+        return (
+            value.decode("utf-8")
+            if isinstance(value, (bytes, bytearray))
+            else value
+        )
+    raise ValueError(
+        f"{path}: writer type {wt} is not readable as reader type {rt} "
+        "(not a sanctioned Avro promotion)"
+    )
+
+
 def _decode(schema, buf: bytes, pos: int):
     t = _type_name(schema)
     if t == "union":
@@ -239,9 +334,17 @@ def encode_record(schema, record: dict, schema_id: int | None = None) -> bytes:
     return bytes(out)
 
 
-def decode_record(schema, payload: bytes, confluent_framed: bool = False) -> dict:
+def decode_record(
+    schema, payload: bytes, confluent_framed: bool = False, reader_schema=None
+) -> dict:
     """Avro binary body -> record dict; confluent_framed strips the
-    5-byte registry header first (consumer.py's deserialize step)."""
+    5-byte registry header first (consumer.py's deserialize step).
+    `schema` is the WRITER schema (what the bytes were encoded under —
+    the registry's role is delivering exactly this); pass
+    reader_schema to additionally resolve the record into an evolved
+    reader shape per the spec's Schema Resolution rules — the
+    Confluent AvroDeserializer contract a BACKWARD-compatible registry
+    subject relies on."""
     pos = 0
     if confluent_framed:
         if payload[:1] != _MAGIC:
@@ -256,4 +359,6 @@ def decode_record(schema, payload: bytes, confluent_framed: bool = False) -> dic
         raise ValueError(f"truncated Avro record: {e}") from e
     if end != len(payload):
         raise ValueError(f"trailing bytes after record: {len(payload) - end}")
+    if reader_schema is not None:
+        return _resolve_value(schema, reader_schema, rec)
     return rec

@@ -388,3 +388,77 @@ def test_jdbc_dedup_refuses_null_natural_keys(spark):
     )
     with pytest.raises(Exception, match="NULL natural key"):
         _dedup_on_natural_key(dirty, ("k",)).collect()
+
+
+def test_avro_reader_schema_resolution():
+    """The Confluent deserializer's evolution contract (r12): bytes
+    written under an OLD schema decode into a NEW reader shape —
+    reader-only fields fill from defaults or null, writer-only fields
+    drop, sanctioned promotions (int -> long -> double,
+    string <-> bytes) cross types, and everything else fails loud."""
+    from metrocloud_data_pipeline_spark.sources import avro_codec as ac
+
+    old = ac.parse_schema(json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "seq", "type": "int"},
+            {"name": "value", "type": ["null", "double"]},
+            {"name": "unit", "type": "string"},
+            {"name": "legacy", "type": "string"},
+            {"name": "tags", "type": {"type": "array", "items": "int"}},
+        ],
+    }))
+    wire = ac.encode_record(
+        old, {"seq": 7, "value": 1.5, "unit": "c", "legacy": "x", "tags": [1, 2]}
+    )
+
+    new = ac.parse_schema(json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "seq", "type": "long"},                       # widened
+            {"name": "value", "type": ["null", "double"]},
+            {"name": "unit", "type": "bytes"},                     # promoted
+            {"name": "floor", "type": ["null", "int"]},            # added nullable
+            {"name": "site", "type": "string", "default": "hq"},   # added w/ default
+            {"name": "tags", "type": {"type": "array", "items": "double"}},
+        ],
+    }))
+    rec = ac.decode_record(old, wire, reader_schema=new)
+    assert rec == {
+        "seq": 7, "value": 1.5, "unit": b"c", "floor": None,
+        "site": "hq", "tags": [1.0, 2.0],
+    }
+    assert "legacy" not in rec
+
+    # narrowing double -> int: NOT a sanctioned promotion, fail loud
+    narrow = ac.parse_schema(json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "value", "type": ["null", "int"]},
+        ],
+    }))
+    with pytest.raises(ValueError, match="fits no reader union branch"):
+        ac.decode_record(old, wire, reader_schema=narrow)
+
+    # nullability tightened: reads non-null data, refuses a null datum —
+    # Avro resolution is per-datum, which is exactly why the registry
+    # GATE (catalog.check_compatibility) must reject the evolution
+    # up front rather than letting half the stream decode
+    tight = ac.parse_schema(json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "value", "type": "double"},
+        ],
+    }))
+    assert ac.decode_record(old, wire, reader_schema=tight) == {"value": 1.5}
+    null_wire = ac.encode_record(
+        old, {"seq": 1, "value": None, "unit": "c", "legacy": "x", "tags": []}
+    )
+    with pytest.raises(ValueError, match="fits no reader union branch|not a record|not readable"):
+        ac.decode_record(old, null_wire, reader_schema=tight)
+
+    # added REQUIRED field without a default: the BACKWARD violation
+    # the compat gate flags, mirrored at decode time
+    required = ac.parse_schema(json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "must_have", "type": "string"},
+        ],
+    }))
+    with pytest.raises(ValueError, match="absent from writer schema and has no default"):
+        ac.decode_record(old, wire, reader_schema=required)
