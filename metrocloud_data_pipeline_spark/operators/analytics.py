@@ -114,8 +114,16 @@ def metadata_lookup(df: DataFrame, key: str = "k", min_value: int = 50) -> DataF
     """OP-F6: metadata/JSON field lookup (consumer.py:385-389).
 
     The canonical table carries metadata as a JSON string column `props`
-    (events stand-in for the JSONB device_metadata column)."""
-    k = F.get_json_object(F.col("props"), f"$.{key}").cast("int").alias("meta_value")
+    (events stand-in for the JSONB device_metadata column). try_cast:
+    real metadata holds non-numeric values, and an ANSI cast would
+    abort the whole scan on the first one (r12 events edge sweep) —
+    non-numeric lookups are NULL and fail the threshold, same as the
+    indexed twin's try_cast."""
+    k = (
+        F.get_json_object(F.col("props"), f"$.{key}")
+        .try_cast("int")
+        .alias("meta_value")
+    )
     return (
         df.select("reading_id", "device_id", k)
         .where(F.col("meta_value") >= F.lit(min_value))
@@ -480,7 +488,12 @@ def realtime_monitor(df: DataFrame, bucket: str = "15 minutes", hours: int = 24)
 # ---------------------------------------------------------------------------
 
 def _device_ts_window():
-    return Window.partitionBy("device_id").orderBy("ts")
+    # reading_id tiebreak: two readings CAN share a timestamp (burst
+    # ingestion, duplicate delivery) and a ts-only ordering leaves
+    # lag/avg frames UNDERDETERMINED — cross-engine parity then holds
+    # only by luck of partition order (found by the r12 events edge
+    # sweep; the w7/w8 family already ordered this way)
+    return Window.partitionBy("device_id").orderBy("ts", "reading_id")
 
 
 def gap_detection(df: DataFrame, min_gap_minutes: float = 30.0) -> DataFrame:
@@ -517,13 +530,20 @@ def rate_of_change(df: DataFrame) -> DataFrame:
     w = _device_ts_window()
     prev_v = F.lag("value").over(w)
     dt_s = (micros("ts") - F.lag(micros("ts")).over(w)).cast("double") / F.lit(1000000.0)
+    # try_divide: two readings at the SAME timestamp have dt = 0 and no
+    # defined rate — an ANSI plain division ABORTS the whole job on one
+    # burst-duplicated row (r12 events edge sweep; DuckDB's NaN answer
+    # is no better, it poisons downstream aggregates). NULL -> the row
+    # drops with the leading-edge rows below.
     return (
         df.select(
             "reading_id",
             "device_id",
             "ts",
             "value",
-            ((F.col("value") - prev_v) / dt_s * F.lit(3600.0)).alias("rate_per_hour"),
+            (F.try_divide(F.col("value") - prev_v, dt_s) * F.lit(3600.0)).alias(
+                "rate_per_hour"
+            ),
         )
         .where(F.col("rate_per_hour").isNotNull())
     )

@@ -702,7 +702,15 @@ def m4_downsample(
     One map-side-combined aggregate (4 min_by/max_by picks over struct
     orderings — deterministic ties by (ts, id)) + a 4-struct explode of
     the bucket-sized result: single exchange, no windows, no sort of
-    the raw data."""
+    the raw data.
+
+    NULL-value readings are excluded up front: they cannot be plotted,
+    and letting them compete for roles makes the extremes
+    engine-dependent (Spark struct ordering puts NULL first, SQL
+    ORDER BY defaults put it last — found by the r12 events edge
+    sweep). A bucket whose readings are all NULL draws nothing and
+    emits nothing."""
+    readings = readings.where(F.col(value_col).isNotNull())
     us = bucket_seconds(bucket) * 1_000_000
     ts_us = F.unix_micros(F.col(ts_col))
     pick = lambda c: F.struct(  # noqa: E731

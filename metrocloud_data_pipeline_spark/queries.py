@@ -188,10 +188,12 @@ def f5_integrity_report(spark, sf_dir):
     "f6_metadata_lookup",
     oracle=_READINGS_CTE
     + """
+-- NULLIF guards DuckDB's json_extract erroring on an EMPTY string.
+-- TRY_CAST: non-numeric metadata values are NULL lookups, not scan aborts
 SELECT reading_id, device_id,
-       CAST(json_extract_string(props, '$.k') AS INTEGER) AS meta_value
+       TRY_CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INTEGER) AS meta_value
 FROM readings
-WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+WHERE TRY_CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INTEGER) >= 50
 """,
 )
 def f6_metadata_lookup(spark, sf_dir):
@@ -203,10 +205,12 @@ def f6_metadata_lookup(spark, sf_dir):
     "f6b_metadata_lookup_indexed",
     oracle=_READINGS_CTE
     + """
+-- NULLIF guards DuckDB's json_extract erroring on an EMPTY string.
+-- TRY_CAST: non-numeric metadata values are NULL lookups, not scan aborts
 SELECT reading_id, device_id,
-       CAST(json_extract_string(props, '$.k') AS INTEGER) AS meta_value
+       TRY_CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INTEGER) AS meta_value
 FROM readings
-WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+WHERE TRY_CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INTEGER) >= 50
 """,
 )
 def f6b_metadata_lookup_indexed(spark, sf_dir):
@@ -797,11 +801,13 @@ def a10_realtime_monitor(spark, sf_dir):
     "w1_gap_detection",
     oracle=_READINGS_CTE
     + """
+-- ts, reading_id ordering: same-timestamp readings leave a ts-only
+-- lag underdetermined (r12 edge sweep) -- tiebreak mirrors the engine
 SELECT device_id, prev_ts, ts, gap_minutes FROM (
   SELECT device_id,
-         lag(ts) OVER (PARTITION BY device_id ORDER BY ts) AS prev_ts,
+         lag(ts) OVER (PARTITION BY device_id ORDER BY ts, reading_id) AS prev_ts,
          ts,
-         (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY device_id ORDER BY ts)))
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY device_id ORDER BY ts, reading_id)))
                / 60000000.0 AS gap_minutes
   FROM readings)
 WHERE gap_minutes > 30.0
@@ -817,9 +823,9 @@ def w1_gap_detection(spark, sf_dir):
     oracle=_READINGS_CTE
     + """
 SELECT reading_id, device_id, ts, value,
-       round(avg(value) OVER (PARTITION BY device_id ORDER BY ts
+       round(avg(value) OVER (PARTITION BY device_id ORDER BY ts, reading_id
              ROWS BETWEEN 11 PRECEDING AND CURRENT ROW), 6) AS moving_avg,
-       round(value - lag(value) OVER (PARTITION BY device_id ORDER BY ts), 6) AS delta
+       round(value - lag(value) OVER (PARTITION BY device_id ORDER BY ts, reading_id), 6) AS delta
 FROM readings
 """,
 )
@@ -832,10 +838,12 @@ def w2_moving_average(spark, sf_dir):
     "w3_rate_of_change",
     oracle=_READINGS_CTE
     + """
+-- NULLIF: dt = 0 between same-timestamp readings has no defined rate
+-- (DuckDB would emit NaN, Spark ANSI would abort -- both wrong ways)
 SELECT reading_id, device_id, ts, value, rate_per_hour FROM (
   SELECT reading_id, device_id, ts, value,
-         (value - lag(value) OVER (PARTITION BY device_id ORDER BY ts))
-               / ((epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY device_id ORDER BY ts))) / 1000000.0)
+         (value - lag(value) OVER (PARTITION BY device_id ORDER BY ts, reading_id))
+               / NULLIF((epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY device_id ORDER BY ts, reading_id))) / 1000000.0, 0.0)
                * 3600.0 AS rate_per_hour
   FROM readings)
 WHERE rate_per_hour IS NOT NULL
@@ -5292,6 +5300,7 @@ def quality_lr_score(spark, sf_dir):
          row_number() OVER (PARTITION BY device_id, {_bucket_sql('ts', 21600)}
            ORDER BY value DESC, ts DESC, reading_id DESC) AS rn_max
   FROM readings
+  WHERE value IS NOT NULL
 )
 SELECT device_id, bucket_ts, 'first' AS role, ts, value, reading_id FROM b WHERE rn_first = 1
 UNION ALL SELECT device_id, bucket_ts, 'last', ts, value, reading_id FROM b WHERE rn_last = 1

@@ -64,6 +64,30 @@ EVENT_QUERIES = [
     "asof_next_error",
     "iv_merged_outages",
     "w4b_sessions_native",
+    # r12 sweep, second pass: the READINGS-family keys (events loaded
+    # via the readings() helper, which the first load-pattern scan
+    # missed) — the registry gate now counts helper loads too
+    "a5_timeseries_15min",
+    "a7_type_distribution",
+    "a10_realtime_monitor",
+    "a13_daily_from_hourly",
+    "a13b_cascade_incremental",
+    "a14_sliding_monitor",
+    "a18_seasonal_deviation",
+    "dq_expectations_report",
+    "f3_anomalous_readings",
+    "f6_metadata_lookup",
+    "f6b_metadata_lookup_indexed",
+    "f6c_tags_lookup_indexed",
+    "f7_devices_gone_quiet",
+    "f8_devices_in_both_windows",
+    "obs_alert_firing",
+    "q2_export_device_range",
+    "w3_rate_of_change",
+    "w7_locf_fill",
+    "w8_gapfill_resample",
+    "w8b_gapfill_interpolate",
+    "w10_m4_downsample",
 ]
 
 T0 = "2025-09-26 12:00:00"
