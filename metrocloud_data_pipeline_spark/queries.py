@@ -188,12 +188,16 @@ def f5_integrity_report(spark, sf_dir):
     "f6_metadata_lookup",
     oracle=_READINGS_CTE
     + """
--- NULLIF guards DuckDB's json_extract erroring on an EMPTY string.
+-- json_valid guards DuckDB's json_extract erroring on empty or
+-- MALFORMED props (crawl metadata is dirty) -- the engine's
+-- get_json_object returns NULL there, so the guard mirrors it.
 -- TRY_CAST: non-numeric metadata values are NULL lookups, not scan aborts
 SELECT reading_id, device_id,
-       TRY_CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INTEGER) AS meta_value
+       TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                     THEN json_extract_string(props, '$.k') END AS INTEGER) AS meta_value
 FROM readings
-WHERE TRY_CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INTEGER) >= 50
+WHERE TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                    THEN json_extract_string(props, '$.k') END AS INTEGER) >= 50
 """,
 )
 def f6_metadata_lookup(spark, sf_dir):
@@ -205,12 +209,16 @@ def f6_metadata_lookup(spark, sf_dir):
     "f6b_metadata_lookup_indexed",
     oracle=_READINGS_CTE
     + """
--- NULLIF guards DuckDB's json_extract erroring on an EMPTY string.
+-- json_valid guards DuckDB's json_extract erroring on empty or
+-- MALFORMED props (crawl metadata is dirty) -- the engine's
+-- get_json_object returns NULL there, so the guard mirrors it.
 -- TRY_CAST: non-numeric metadata values are NULL lookups, not scan aborts
 SELECT reading_id, device_id,
-       TRY_CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INTEGER) AS meta_value
+       TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                     THEN json_extract_string(props, '$.k') END AS INTEGER) AS meta_value
 FROM readings
-WHERE TRY_CAST(json_extract_string(NULLIF(props, ''), '$.k') AS INTEGER) >= 50
+WHERE TRY_CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                    THEN json_extract_string(props, '$.k') END AS INTEGER) >= 50
 """,
 )
 def f6b_metadata_lookup_indexed(spark, sf_dir):

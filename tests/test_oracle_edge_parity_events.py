@@ -105,6 +105,12 @@ EDGE_ROWS = [
     (10, "2025-09-26 12:00:00", 4, "error", 100.0, '{"k":"f"}'),  # single-event user
     (11, "2025-09-26 12:00:02", 1, "view", 2.5, '{"k":"g"}'),
     (12, "2025-09-26 14:00:00", 2, "purchase", 8.0, '{"k":"h"}'),
+    # r12 second wave: shapes the f6/w10 findings suggested —
+    # NUMERIC metadata (exercises the lookup's true branch, not just
+    # the NULL path), malformed JSON props, and an extreme magnitude
+    (13, "2025-09-26 12:40:00", 4, "view", 1.0, '{"k":54}'),
+    (14, "2025-09-26 12:41:00", 4, "view", 2.0, "not json at all"),
+    (15, "2025-09-26 12:42:00", 4, "view", 1.0e6, '{"k":"z"}'),  # large but double-exact
 ]
 
 
