@@ -131,6 +131,13 @@ EDGE_ROWS = [
     (9, "MIXED case with irregular spacing", "en", "s4", 33),   # near-dup of 8
     (10, "shared shard text", "en", "s5", 17),
     (20, "shared shard text", "en", "s5", 17),     # exact dup, 20 % 10 == 0
+    # r12 second wave: regex metacharacters as TOKENS (an engine that
+    # ever interpolated data into a pattern would corrupt here) and
+    # exotic unicode (ZWJ emoji families, flags, NBSP inside a token —
+    # \\s does not match NBSP in either engine, so it must stay ONE
+    # token in both)
+    (21, "a+b (c|d) [e] {f} \\ $ ^ . * ? a+b", "en", "s6", 31),
+    (22, "👩‍👩‍👧‍👧 🇫🇮 café nbsp 𝔘𝔫𝔦𝔠𝔬𝔡𝔢", None, "s6", 30),
 ]
 
 
