@@ -770,3 +770,46 @@ def test_media_feature_stream_isolates_decode_errors(spark, tmp_path):
     assert (m.n_items, m.n_features, m.n_rejected, m.n_invalid, m.n_decode_errors) == (
         7, 2, 5, 2, 2,
     )
+
+
+def test_media_feature_stream_redelivery_is_effectively_once(spark, tmp_path):
+    """The features sink's effectively-once claim, exercised: replaying
+    the same input through a FRESH checkpoint (the classic redelivery
+    shape) rewrites exactly the same batch_id partition with identical
+    rows — no duplicates, no drift."""
+    import math
+    import struct
+    import wave
+    from io import BytesIO
+
+    from metrocloud_data_pipeline_spark.streaming.media import run_media_feature_stream
+
+    buf = BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", int(0.4 * 32767 * math.sin(2 * math.pi * 500 * i / 8000)))
+                for i in range(1600)
+            )
+        )
+    src = tmp_path / "uploads"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "audio", "audio/wav", bytearray(buf.getvalue()), None, None, 200)],
+        "media_id long, media_type string, mime string, payload binary, "
+        "width int, height int, duration_ms int",
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    out = str(tmp_path / "features")
+
+    for attempt in ("ck1", "ck2"):  # second run = redelivery
+        q = run_media_feature_stream(
+            spark, str(src) + "/*", out, str(tmp_path / attempt),
+            decode_stub=False, dim=8,
+        )
+        q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0].media_id == 1  # overwritten, not doubled
+    assert len(rows[0].feature) == 8
