@@ -6551,77 +6551,15 @@ NO_ORACLE_REASONS: dict[str, str] = {
 }
 
 QUERY_ORDER = [
-    # --- r12 window (first 50 = driver-checked this round) ---
-    # Stalest-first rotation per VERDICT r11 #1: the 4 age-5 keys
-    # (deferred from the r11 window; at the gate threshold) MUST lead,
-    # the 4 r11-born keys get their first-ever driver row, and the 42
-    # oldest of the 50-key age-4 (r7) cohort fill the rest. The 8
-    # remaining age-4 keys head the queue below — at age 5 they are
-    # first into the r13 window, inside the gate's max_age=6.
-    # last green driver row r6 (age 5 — gate threshold):
-    "h7_volume_shipping",
-    "h8_market_share",
-    "w4_user_sessions",
-    "langid_heuristic",
-    # first registered r11, never driver-checked:
-    "dedup_jaccard_prefix_baskets",
-    "kn5_surprisal_hashed",
-    "knn_filtered_brute",
-    "knn_filtered_ivf_recall",
-    # last green driver row r7 (42 of 50):
-    "w8b_gapfill_interpolate",
-    "f6c_tags_lookup_indexed",
-    "a13b_cascade_incremental",
-    "knn_join_ivfpq",
-    "rag_chunk_documents",
-    "bpe_train_merges",
-    "a21_value_histogram",
-    "a22_trend_slope",
-    "bpe_segment_stats",
-    "w11_lttb_downsample",
-    "f1_recent_readings",
-    "h10_returned_items",
-    "h13_customer_distribution",
-    "h14_promo_revenue",
-    "h15_top_supplier",
-    "h16_supplier_part_counts",
-    "q1_latest_readings",
-    "a3_daily_aggregates",
-    "w1_gap_detection",
-    "text_token_stats",
-    "lang_source_stats",
-    "embedding_label_stats",
-    "f3_anomalous_readings",
-    "f4_between_range",
-    "f6_metadata_lookup",
-    "q2_export_device_range",
-    "a5_timeseries_15min",
-    "a7_type_distribution",
-    "a10_realtime_monitor",
-    "w2_moving_average",
-    "obs_throughput_5min",
-    "obs_anomaly_rate_hourly",
-    "a12_type_dow_cube",
-    "w3_rate_of_change",
-    "h3_shipping_priority",
-    "h17_small_qty_revenue",
-    "h19_disc_revenue",
-    "h22_dormant_customers",
-    "h9_nation_profit",
-    "h18_large_customers",
-    "h_brand_revenue",
-    "doc_fingerprint_winnow",
-    # --- driver window ends here (first 50) ---
-    # r13 queue head: the 8 age-4 keys the 50-slot window could not
-    # hold this round (58 candidates for 50 slots), then the r9 / r10 /
-    # r11 cohorts, freshest last.
-    # r13 window arithmetic (precomputed at r12 close): after the r12
-    # driver run these 8 sit at age 5 (gate threshold) and MUST lead;
-    # plus first driver rows for the 3 r12-born keys
-    # (media_audio_features, media_video_features,
-    # ccnet_perplexity_buckets_exact_dist); plus the 39 oldest of the
-    # then-age-3 r9 cohort = exactly 50 slots, nothing deferred.
-    # last green driver row r7 (the 8 deferred):
+    # --- r13 window (first 50 = driver-checked this round) ---
+    # Stalest-first rotation per VERDICT r12 #1: the 8 age-5 keys
+    # (latest green r7 — at the gate threshold) MUST lead, the 3
+    # r12-born keys get their first-ever driver row, and the 39 oldest
+    # of the 50-key age-3 (r9) cohort fill the rest — exactly 50 slots.
+    # The 11 remaining r9 keys head the queue below; at age 4 after
+    # this round they are first into the r14 window, inside the gate's
+    # max_age=6 with two rounds of slack.
+    # last green driver row r7 (age 5 — gate threshold):
     "decontaminate_ngram",
     "text_repetition_stats",
     "knn_brute_force",
@@ -6630,7 +6568,11 @@ QUERY_ORDER = [
     "knn_join_ivf",
     "dsir_importance_weights",
     "quality_lr_score",
-    # last green driver row r9:
+    # first registered r12, never driver-checked (first rows this round):
+    "media_audio_features",
+    "media_video_features",
+    "ccnet_perplexity_buckets_exact_dist",
+    # last green driver row r9 (39 of 50):
     "dedup_substring_spans",
     "ivfpq_recall_report",
     "dsir_hashed_weights",
@@ -6646,8 +6588,6 @@ QUERY_ORDER = [
     "boilerplate_line_filter",
     "ccnet_perplexity_buckets",
     "ccnet_perplexity_buckets_approx",
-    # first registered r12 (scale-exact distributed ntile):
-    "ccnet_perplexity_buckets_exact_dist",
     "corpus_filter_funnel",
     "ivfpq_refine_sweep",
     "embed_diverse_sample",
@@ -6672,6 +6612,15 @@ QUERY_ORDER = [
     "text_hot_tokens",
     "text_hot_tokens_approx",
     "quality_signal_correlation",
+    # --- driver window ends here (first 50) ---
+    # r14 queue head: the 11 age-3 keys the 50-slot window could not
+    # hold this round (61 candidates for 50 slots), then the r10 / r11 /
+    # r12-window cohorts, freshest last.
+    # r14 window arithmetic (precomputed at r13 close): after the r13
+    # driver run these 11 sit at age 4 and MUST lead; plus any r13-born
+    # keys (see FIRST_REGISTERED_ROUND); the balance comes from the
+    # then-age-3 r10 cohort, oldest first.
+    # last green driver row r9 (the 11 deferred):
     "langid_confusion",
     "shard_skew_report",
     "dedup_impact_by_source",
@@ -6715,9 +6664,6 @@ QUERY_ORDER = [
     "media_feature_extract",
     "media_frame_sample",
     "media_type_summary",
-    # first registered r12 (real audio/video decode chains, oracle-backed):
-    "media_audio_features",
-    "media_video_features",
     "h21_late_suppliers",
     "h4_order_priority",
     "sample_weighted_sources",
@@ -6737,7 +6683,7 @@ QUERY_ORDER = [
     "t1_unpivot_measures",
     "dedup_exact",
     "text_bpe_token_stats",
-    # last green driver row r11 (the r11 window cohort — freshest):
+    # last green driver row r11:
     "text_quality_score",
     "kn_trigram_surprisal",
     "langid_trained_report",
@@ -6788,7 +6734,58 @@ QUERY_ORDER = [
     "h5_local_supplier_volume",
     "a2_hourly_aggregates",
     "h6_forecast_revenue",
-    # new r12-born keys, if any, are appended below per the new-key
+    # last green driver row r12 (the r12 window cohort — freshest):
+    "h7_volume_shipping",
+    "h8_market_share",
+    "w4_user_sessions",
+    "langid_heuristic",
+    "dedup_jaccard_prefix_baskets",
+    "kn5_surprisal_hashed",
+    "knn_filtered_brute",
+    "knn_filtered_ivf_recall",
+    "w8b_gapfill_interpolate",
+    "f6c_tags_lookup_indexed",
+    "a13b_cascade_incremental",
+    "knn_join_ivfpq",
+    "rag_chunk_documents",
+    "bpe_train_merges",
+    "a21_value_histogram",
+    "a22_trend_slope",
+    "bpe_segment_stats",
+    "w11_lttb_downsample",
+    "f1_recent_readings",
+    "h10_returned_items",
+    "h13_customer_distribution",
+    "h14_promo_revenue",
+    "h15_top_supplier",
+    "h16_supplier_part_counts",
+    "q1_latest_readings",
+    "a3_daily_aggregates",
+    "w1_gap_detection",
+    "text_token_stats",
+    "lang_source_stats",
+    "embedding_label_stats",
+    "f3_anomalous_readings",
+    "f4_between_range",
+    "f6_metadata_lookup",
+    "q2_export_device_range",
+    "a5_timeseries_15min",
+    "a7_type_distribution",
+    "a10_realtime_monitor",
+    "w2_moving_average",
+    "obs_throughput_5min",
+    "obs_anomaly_rate_hourly",
+    "a12_type_dow_cube",
+    "w3_rate_of_change",
+    "h3_shipping_priority",
+    "h17_small_qty_revenue",
+    "h19_disc_revenue",
+    "h22_dormant_customers",
+    "h9_nation_profit",
+    "h18_large_customers",
+    "h_brand_revenue",
+    "doc_fingerprint_winnow",
+    # new r13-born keys, if any, are appended below per the new-key
     # cap — see tools/freshness.py FIRST_REGISTERED_ROUND.
 ]
 
