@@ -5923,6 +5923,30 @@ def ccnet_perplexity_buckets_kn3(spark, sf_dir):
     return curation.ccnet_perplexity_buckets(docs, mode="exact", surprisal=sur)
 
 
+@q("ccnet_perplexity_buckets_kn5")
+def ccnet_perplexity_buckets_kn5(spark, sf_dir):
+    """CCNet perplexity bucketing at the PUBLISHED operating point
+    (Wenzek et al. 2020 §3.3: an order-5 KenLM scores each document,
+    per-language head/middle/tail thirds drive the pretraining mix) —
+    end-to-end: kn5_surprisal_hashed (full five-level Chen & Goodman
+    interpolated KN over 2^22 hashed context buckets) feeds the
+    distributed rank-exact bucketing (r13: mode='exact' plans the
+    scale form — no one-task-per-language sort; rank key = rounded
+    bits + doc_id). Docs with < 5 tokens carry no 5-gram score and are
+    excluded, the kn3 twin's contract one order up. Seeded xxhash64
+    scoring = no DuckDB oracle (the kn5_surprisal_hashed contract):
+    rows-only driver row; tests/test_curation.py pins bucket agreement
+    vs the oracle-backed kn3 twin, per-language ntile balance, and
+    schema/exclusion semantics."""
+    docs = load(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    sur = text.kn5_surprisal_hashed(docs, discount=0.75).select(
+        "doc_id",
+        F.col("gram5_count").alias("token_count"),
+        F.col("kn5h_bits_per_gram").alias("bits_per_token"),
+    )
+    return curation.ccnet_perplexity_buckets(docs, mode="exact", surprisal=sur)
+
+
 _MIX_WEIGHTS = {f"src{i}": 1.0 + (i % 3) for i in range(32)}
 _MIX_WSUM = sum(_MIX_WEIGHTS.values())
 _MIX_BUDGET = 1_000_000
@@ -6532,6 +6556,7 @@ NO_ORACLE_REASONS: dict[str, str] = {
     "minhash_precision_report": "non-portable minhash; estimator-vs-exact error bound pinned in tests/test_llm.py",
     "dsir_hashed_weights": "non-portable hash (hashed n-gram features); fidelity vs exact DSIR twin pinned in tests/test_curation.py",
     "kn5_surprisal_hashed": "non-portable hash (xxhash64 context buckets); Spearman fidelity ladder vs effectively-exact twin pinned in tests/test_llm.py",
+    "ccnet_perplexity_buckets_kn5": "non-portable hash (xxhash64 KN-5 scoring); bucket agreement vs the oracle-backed kn3 twin + ntile balance pinned in tests/test_curation.py",
     "bpe_train_merges": "iterative training loop (BPE merges); Sennrich worked example pinned in tests/test_llm.py",
     "bpe_segment_stats": "depends on the iterative trained BPE merges; segmentation round-trip pinned in tests/test_llm.py",
     "quality_lr_score": "seeded iterative LR training; separability + determinism pinned in tests/test_curation.py",
@@ -6788,8 +6813,9 @@ QUERY_ORDER = [
     "h18_large_customers",
     "h_brand_revenue",
     "doc_fingerprint_winnow",
-    # new r13-born keys, if any, are appended below per the new-key
-    # cap — see tools/freshness.py FIRST_REGISTERED_ROUND.
+    # new r13-born keys, appended per the new-key cap — see
+    # tools/freshness.py FIRST_REGISTERED_ROUND:
+    "ccnet_perplexity_buckets_kn5",
 ]
 
 

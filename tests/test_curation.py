@@ -894,6 +894,90 @@ def test_ccnet_perplexity_buckets_exact_and_approx(spark):
     assert {exact2[1000], exact2[1001]} == {"head", "middle"}  # N=2: no tail
 
 
+def test_ccnet_perplexity_buckets_kn5_invariants(spark):
+    """Pinned invariants for the rows-only ccnet_perplexity_buckets_kn5
+    key (NO_ORACLE_REASONS: seeded xxhash64 KN-5 scoring), on a GRADED
+    fixture where the predictability ordering is unambiguous — docs 0-9
+    repeat one phrase (low bits at every LM order), 10-19 are unique
+    rare tokens (high bits), 20-39 interpolate. On such a corpus the
+    order-5 and order-3 KN scores must order documents the same way;
+    on an unstructured corpus (e.g. the synthetic testdata, where no
+    doc is more 5-gram-predictable than another) the two orders can
+    legitimately disagree, so agreement is pinned HERE, not there."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from metrocloud_data_pipeline_spark.llm import text as t
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(10):  # maximally predictable
+        rows.append((i, "the cat sat on the mat and then " * 15, "en", "s", 0))
+    for i in range(10, 20):  # maximally unpredictable
+        rows.append((i, " ".join(f"z{i}_{j}" for j in range(120)), "en", "s", 0))
+    base = "the cat sat on the mat and then".split()
+    for i in range(20, 40):  # graded mixture
+        frac = (i - 20) / 20.0
+        toks = [
+            base[j % 8] if rng.random() > frac else f"q{i}_{j}"
+            for j in range(120)
+        ]
+        rows.append((i, " ".join(toks), "en", "s", 0))
+    rows.append((1000, "w0 w1 w2 w3", "en", "s", 0))  # 4 tokens: no 5-gram
+    rows.append((1001, "w0 w1 w2 w3 w4", "en", "s", 0))  # exactly 5: one gram
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    def buckets(sur):
+        return {
+            r["doc_id"]: r["ppl_bucket"]
+            for r in curation.ccnet_perplexity_buckets(
+                docs, mode="exact", surprisal=sur
+            ).collect()
+        }
+
+    s5 = t.kn5_surprisal_hashed(docs, discount=0.75).select(
+        "doc_id",
+        F.col("gram5_count").alias("token_count"),
+        F.col("kn5h_bits_per_gram").alias("bits_per_token"),
+    )
+    s3 = t.kn_trigram_surprisal(docs, discount=0.75).select(
+        "doc_id",
+        F.col("trigram_count").alias("token_count"),
+        F.col("kn3_bits_per_trigram").alias("bits_per_token"),
+    )
+    kn5, kn3 = buckets(s5), buckets(s3)
+
+    # exclusion contract: < 5 tokens carries no 5-gram score
+    assert 1000 not in kn5 and 1001 in kn5
+    # ntile balance over the 41 scored docs (40 graded + the 5-token
+    # edge doc): larger buckets first, 14/14/13
+    sizes = {}
+    for b in kn5.values():
+        sizes[b] = sizes.get(b, 0) + 1
+    assert sizes == {"head": 14, "middle": 14, "tail": 13}, sizes
+    # the unambiguous extreme lands where CCNet puts it, under BOTH
+    # LM orders. (The all-singleton docs 10-19 are NOT pinned to tail:
+    # self-scoring KN leaves no unseen gram, so a doc of never-repeated
+    # tokens scores mid-range at order 5 — the redistribution mass is
+    # the whole signal — while mixed common/rare docs spread wider.)
+    assert all(kn5[i] == "head" for i in range(10))
+    assert all(kn3[i] == "head" for i in range(10))
+    # agreement with the oracle-backed kn3 twin where a true
+    # predictability gradient exists: measured 0.756 bucket agreement
+    # (Spearman 0.888), ZERO head<->tail flips; floors leave noise
+    # margin on the graded middle band
+    common = set(kn5) & set(kn3)
+    agree = sum(1 for d in common if kn5[d] == kn3[d])
+    assert agree / len(common) >= 0.65, f"kn5/kn3 agreement {agree}/{len(common)}"
+    flips = sum(1 for d in common if {kn5[d], kn3[d]} == {"head", "tail"})
+    assert flips <= 2, f"head<->tail flips: {flips}"
+    # seeded hash => deterministic across runs
+    assert buckets(s5) == kn5
+
+
 def test_corpus_filter_funnel_stages(spark):
     """Funnel counts on fixtures that exercise every stage: two docs
     pass everything but are exact dups (keeper survives), one fails
