@@ -258,7 +258,17 @@ def _png_decode(payload: bytes):
             raise NotImplementedError("palette PNG without PLTE chunk")
         pal = np.frombuffer(plte, np.uint8)
         pal = pal[: len(pal) - len(pal) % 3].reshape(-1, 3)
-        px = pal[px[:, :, 0]]
+        idx = px[:, :, 0]
+        # a truncated PLTE must fail the documented contract
+        # (NotImplementedError/ValueError), not a raw numpy IndexError
+        if idx.size and len(pal) and int(idx.max()) >= len(pal):
+            raise NotImplementedError(
+                "corrupt PNG: palette index out of range "
+                f"(max index {int(idx.max())}, {len(pal)} PLTE entries)"
+            )
+        if not len(pal):
+            raise NotImplementedError("corrupt PNG: empty PLTE chunk")
+        px = pal[idx]
     return px
 
 
@@ -624,7 +634,16 @@ def sample_frames(
             for media_id, media_type, payload in zip(
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
             ):
-                if media_type == "video":
+                if payload is None:
+                    # NULL payload propagates as a NULL frame_hash (the
+                    # r12 extract_features contract) — never conflated
+                    # with a present-but-empty payload's real digest
+                    ids.append(media_id)
+                    types.append(media_type)
+                    idxs.append(0)
+                    tss.append(0)
+                    hashes.append(None)
+                elif media_type == "video":
                     frames, period_ms = _avi_decode(payload)
                     clip_ms = len(frames) * period_ms
                     n = max(1, math.ceil(clip_ms / every_ms))
@@ -643,7 +662,7 @@ def sample_frames(
                     types.append(media_type)
                     idxs.append(0)
                     tss.append(0)
-                    hashes.append(hashlib.sha256(payload or b"").hexdigest())
+                    hashes.append(hashlib.sha256(bytes(payload)).hexdigest())
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),

@@ -21,9 +21,12 @@ serving do:
 - surviving rows run extract_features(errors='reject'): a row whose
   payload fails its decoder (truncated RIFF, junk bytes, a corrupt
   PNG) keeps its identity, carries the exception text, and joins the
-  rejects; the batch survives. The PIL env gate still aborts — a
-  missing codec library fails every image row, which is a deployment
-  error the stream must surface, not absorb;
+  rejects; the batch survives. That isolation covers MISSING-CODEC
+  failures too: in a PIL-less deployment every non-PNG image row lands
+  in the rejects with the "needs PIL" NotImplementedError text rather
+  than killing the stream — a deployment error therefore surfaces as a
+  sudden spike of one reject reason, and the per-batch metrics break
+  out n_codec_missing so that spike is a dashboard line, not a grep;
 - the features sink is effectively-once via dynamic partition
   overwrite keyed by batch_id (the ANN-serving shape: the partition
   key fully identifies the write, so a re-delivered micro-batch
@@ -72,12 +75,20 @@ def stream_media_items(
 
 
 def featurize_media_batch(
-    batch: DataFrame, decode_stub: bool = False, dim: int = 8
+    batch: DataFrame, decode_stub: bool = False, dim: int = 8,
+    checkpoint: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch of media featurization -> (features,
     rejected-with-reason). Pure batch-DataFrame logic (the curate_batch
     pattern) so it is unit-testable outside streaming and reusable for
-    backfills. Every input row lands in exactly one output."""
+    backfills. Every input row lands in exactly one output.
+
+    checkpoint=True localCheckpoints the ONE frame that carries the
+    Python decode lineage (the lenient extract_features output) before
+    kept/rejected split from it, so a caller with multiple consumers
+    (sink + metrics) pays the decode exactly once per micro-batch; the
+    validity/type rejects are column expressions on the raw batch and
+    stay lazy either way."""
     # 0. fail-loud validity split, before any Python worker sees a row
     invalid = batch.where(F.col("media_id").isNull() | F.col("payload").isNull())
     invalid_rejects = invalid.select(
@@ -113,6 +124,8 @@ def featurize_media_batch(
 
     # 2. per-row lenient decode: failures keep identity + exception text
     feats = extract_features(decodable, decode_stub=decode_stub, dim=dim, errors="reject")
+    if checkpoint:
+        feats = feats.localCheckpoint()
     kept = feats.where(F.col("decode_error").isNull()).drop("decode_error")
     decode_rejects = feats.where(F.col("decode_error").isNotNull()).select(
         "media_id", "media_type", F.col("decode_error").alias("reason")
@@ -143,13 +156,14 @@ def run_media_feature_stream(
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
+        # checkpoint=True freezes the decode lineage ONCE inside
+        # featurize_media_batch; kept/rejected and the metrics
+        # aggregates below all derive from that one materialization
+        # (cheap column ops), so the Python decode runs exactly once
+        # per micro-batch
         kept, rejected = featurize_media_batch(
-            batch, decode_stub=decode_stub, dim=dim
+            batch, decode_stub=decode_stub, dim=dim, checkpoint=True
         )
-        # the split consumers below each re-run the decode lineage;
-        # a micro-batch is small — checkpoint once, feed all three
-        kept = kept.localCheckpoint()
-        rejected = rejected.localCheckpoint()
         with dynamic_partition_overwrite(spark):
             (
                 kept.withColumn("batch_id", F.lit(batch_id))
@@ -178,6 +192,15 @@ def run_media_feature_stream(
             n_decode_errors = n_rejected - n_invalid - by_reason.get(
                 "video_needs_ffmpeg", 0
             )
+            # missing-codec rejects ("... need PIL") broken out so a
+            # PIL-less deployment reads as ONE spiking metric line, not
+            # a grep through reject reasons (the per-row isolation
+            # contract absorbs them as data rejects by design — this
+            # column is how the deployment error still surfaces).
+            # Appended at the END of the schema per the r12 discipline.
+            n_codec_missing = sum(
+                n for reason, n in by_reason.items() if "PIL" in reason
+            )
             spark.createDataFrame(
                 [(
                     batch_id,
@@ -187,9 +210,11 @@ def run_media_feature_stream(
                     n_invalid,
                     n_decode_errors,
                     int((time.monotonic() - t0) * 1000),
+                    n_codec_missing,
                 )],
                 "batch_id long, n_items long, n_features long, n_rejected long, "
-                "n_invalid long, n_decode_errors long, wall_ms long",
+                "n_invalid long, n_decode_errors long, wall_ms long, "
+                "n_codec_missing long",
             ).write.mode("append").parquet(metrics_path)
 
     writer = items.writeStream.foreachBatch(_process).option(

@@ -354,6 +354,60 @@ def test_multimodal_real_frame_sampling(spark):
     assert len(img) == 1 and img[0].frame_hash == _hl.sha256(b"PNGISH").hexdigest()
 
 
+def test_real_frame_sampling_null_payload_propagates_null_hash(spark):
+    """ADVICE r12: the real path used to hash a NULL payload as
+    sha256(b'') — the exact missing-vs-present-empty conflation the
+    r12 extract_features fix removed. A NULL payload must surface as a
+    NULL frame_hash (one identity row, never a fabricated digest), and
+    a present-but-EMPTY payload must keep its real digest, distinct
+    from the NULL row."""
+    import hashlib as _hl
+
+    rows = [
+        (0, "image", "image/png", None, 2, 2, None),          # null payload
+        (1, "image", "image/png", bytearray(b""), 2, 2, None),  # present empty
+        (2, "audio", "audio/wav", None, None, None, 100),       # null, audio
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in
+           multimodal.sample_frames(media, every_ms=60, decode_stub=False).collect()}
+    assert len(out) == 3
+    assert out[0].frame_hash is None and out[2].frame_hash is None
+    assert out[1].frame_hash == _hl.sha256(b"").hexdigest()
+    assert (out[0].frame_idx, out[0].frame_ts_ms) == (0, 0)
+
+
+def test_png_palette_decode_and_truncated_plte_fail_loud():
+    """Palette (color type 3) PNGs: a valid index decodes through the
+    PLTE lookup; an index past the palette end (truncated PLTE) must
+    raise the documented NotImplementedError, not a raw numpy
+    IndexError (ADVICE r12)."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    def palette_png(indices, plte_entries):
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+        h, w = len(indices), len(indices[0])
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)  # 8-bit palette
+        plte = b"".join(bytes(rgb) for rgb in plte_entries)
+        raw = b"".join(b"\x00" + bytes(row) for row in indices)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"PLTE", plte) + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    good = palette_png([[0, 1], [1, 0]], [(255, 0, 0), (0, 0, 255)])
+    px = multimodal._png_decode(good)
+    assert tuple(px[0, 0]) == (255, 0, 0) and tuple(px[0, 1]) == (0, 0, 255)
+
+    bad = palette_png([[0, 5], [1, 0]], [(255, 0, 0), (0, 0, 255)])
+    with _pytest.raises(NotImplementedError, match="palette index out of range"):
+        multimodal._png_decode(bad)
+
+
 def test_png_filter_reconstruction_all_five_types():
     """Pins the pure decoder's scanline-filter reconstruction: a
     grayscale PNG hand-encoded with one row per filter type (None/Sub/

@@ -728,8 +728,22 @@ def test_media_feature_stream_isolates_decode_errors(spark, tmp_path):
         (4, "audio", "audio/wav", None, None, None, 250),                       # null payload
         (None, "audio", "audio/wav", bytearray(good_wav), None, None, 250),     # null id
         (6, "video", "video/avi", bytearray(good_avi), None, None, 80),         # decodable
+        (7, "image", "image/jpeg", bytearray(b"\xff\xd8\xff\xe0JFIF"), 2, 2, None),  # non-PNG
     ]
     batch = spark.createDataFrame(rows, MEDIA_STREAM_SCHEMA)
+
+    def _has_pil():
+        try:
+            import PIL  # noqa: F401
+            return True
+        except ImportError:
+            return False
+
+    # a PIL-present host decodes the JPEG junk far enough for PIL to
+    # reject it (a data error); a PIL-less host rejects it as a
+    # missing codec — EITHER way it must land in rejects, and only the
+    # codec-missing case counts in n_codec_missing
+    pil = _has_pil()
 
     # pure batch form first (the unit-testable half)
     kept, rejected = featurize_media_batch(batch, decode_stub=False, dim=8)
@@ -740,7 +754,10 @@ def test_media_feature_stream_isolates_decode_errors(spark, tmp_path):
     assert reasons[None] == "null_media_id"
     assert "NotImplementedError" in reasons[1]  # truncated RIFF
     assert "NotImplementedError" in reasons[2]  # junk bytes
-    assert len(reasons) == 5
+    assert 7 in reasons  # non-PNG image: codec-missing or PIL data error
+    if not pil:
+        assert "PIL" in reasons[7]
+    assert len(reasons) == 6
 
     # stream wrapper: same batch through foreachBatch + all three sinks
     src = tmp_path / "uploads"
@@ -765,11 +782,14 @@ def test_media_feature_stream_isolates_decode_errors(spark, tmp_path):
     assert sorted(r.media_id for r in feats) == [0, 6]
     assert all(len(r.feature) == 8 for r in feats)
     rej = spark.read.parquet(rejects)
-    assert rej.count() == 5
+    assert rej.count() == 6
     m = spark.read.parquet(metrics).collect()[0]
     assert (m.n_items, m.n_features, m.n_rejected, m.n_invalid, m.n_decode_errors) == (
-        7, 2, 5, 2, 2,
+        8, 2, 6, 2, 3,
     )
+    # the missing-codec breakout (ADVICE r12): the deployment-error
+    # signal is a metrics column, not a grep through reject reasons
+    assert m.n_codec_missing == (0 if pil else 1)
 
 
 def test_media_feature_stream_redelivery_is_effectively_once(spark, tmp_path):
