@@ -164,9 +164,14 @@ def test_single_table_oracle_keys_have_edge_parity_coverage():
     in that table's edge-parity module — the r12 completeness sweep
     that found three real divergences (bigram -0.0, winnow null-text
     row, media null-payload conflation) made a standing gate, so a new
-    key cannot silently skip pathological-input coverage. Multi-table
-    keys (the TPC-H star family) are out of scope: the generator
-    contract keeps star join keys non-null."""
+    key cannot silently skip pathological-input coverage.
+
+    r13 extends the gate to the JOIN layer (VERDICT r12 #3): every
+    oracle-backed key whose load set is any subset of the TPC-H star
+    tables — multi-table joins AND the star single-table keys no other
+    module fixtures — must appear in test_oracle_edge_parity_joins.py's
+    JOIN_QUERIES, which runs them over null join keys, dangling FKs,
+    empty join sides, null measures, and duplicate-key fact bursts."""
     import pathlib
     import re
 
@@ -186,6 +191,10 @@ def test_single_table_oracle_keys_have_edge_parity_coverage():
             "test_oracle_edge_parity_embeddings.py", "EMB_QUERIES"
         ),
     }
+    join_covered = module_list("test_oracle_edge_parity_joins.py", "JOIN_QUERIES")
+    STAR_TABLES = {
+        "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    }
     oracle_keys = set(q.ORACLE_SQL)
     missing: list[tuple[str, str]] = []
     for i in range(1, len(parts), 2):
@@ -198,13 +207,19 @@ def test_single_table_oracle_keys_have_edge_parity_coverage():
         # hiding real divergences)
         if re.search(r"\breadings\(spark, sf_dir\)", body):
             tables.add("events")
-        if name not in oracle_keys or len(tables) != 1:
+        if name not in oracle_keys or not tables:
+            continue
+        if tables <= STAR_TABLES:
+            if name not in join_covered:
+                missing.append(("star-join", name))
+            continue
+        if len(tables) != 1:
             continue
         (table,) = tables
         if table in covered and name not in covered[table]:
             missing.append((table, name))
     assert not missing, (
-        f"oracle-backed single-table keys absent from their edge-parity "
-        f"module: {sorted(missing)} — add each to the module's query "
-        "list (and fix whatever the pathological fixture then finds)"
+        f"oracle-backed keys absent from their edge-parity module: "
+        f"{sorted(missing)} — add each to the module's query list "
+        "(and fix whatever the pathological fixture then finds)"
     )
