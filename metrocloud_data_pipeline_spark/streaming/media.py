@@ -27,10 +27,18 @@ serving do:
   than killing the stream — a deployment error therefore surfaces as a
   sudden spike of one reject reason, and the per-batch metrics break
   out n_codec_missing so that spike is a dashboard line, not a grep;
+- dedup=True adds the corpus stream's exact-dedup tier for media
+  (r13): a JVM-side sha256 digest anti-join — in-batch keep-min plus
+  a column-pruned read of the store's content_hash — rejects
+  duplicate payloads BEFORE they pay Arrow transfer + decode; the
+  store read excludes the current batch_id partition so redelivery
+  stays idempotent;
 - the features sink is effectively-once via dynamic partition
   overwrite keyed by batch_id (the ANN-serving shape: the partition
   key fully identifies the write, so a re-delivered micro-batch
-  rewrites exactly its own partition with identical rows);
+  rewrites exactly its own partition with identical rows — the mode
+  is set on the micro-batch's OWN cloned session, the r13 fix that
+  made this true for multi-batch streams);
 - rejects and per-batch metrics are append-only observability logs
   (dedup by batch_id at read time), metrics columns appended at the
   END of the schema per the r12 discipline.
@@ -77,6 +85,8 @@ def stream_media_items(
 def featurize_media_batch(
     batch: DataFrame, decode_stub: bool = False, dim: int = 8,
     checkpoint: bool = False,
+    dedup: bool = False,
+    existing_hashes: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch of media featurization -> (features,
     rejected-with-reason). Pure batch-DataFrame logic (the curate_batch
@@ -88,7 +98,21 @@ def featurize_media_batch(
     kept/rejected split from it, so a caller with multiple consumers
     (sink + metrics) pays the decode exactly once per micro-batch; the
     validity/type rejects are column expressions on the raw batch and
-    stay lazy either way."""
+    stay lazy either way.
+
+    dedup=True wires exact payload dedup into the arrival path (the
+    curate_batch digest anti-join, r13): the sha256 digest is computed
+    JVM-SIDE (F.sha2 over the binary payload — bit-identical to the
+    content_hash extract_features emits) BEFORE any Python worker sees
+    a row, so a duplicate payload is rejected by a column-expression
+    join and never pays the Arrow transfer + decode. In-batch
+    duplicates keep the smallest media_id ('duplicate_payload_in_batch'
+    for the rest); rows whose digest already exists in
+    `existing_hashes` (a content_hash column — at scale the
+    column-pruned read of the features store) reject as
+    'duplicate_payload_in_store'. The batch side of both joins is
+    micro-batch-sized, the store side is read digest-only; store rows
+    never shuffle."""
     # 0. fail-loud validity split, before any Python worker sees a row
     invalid = batch.where(F.col("media_id").isNull() | F.col("payload").isNull())
     invalid_rejects = invalid.select(
@@ -99,6 +123,44 @@ def featurize_media_batch(
         .alias("reason"),
     )
     valid = batch.where(F.col("media_id").isNotNull() & F.col("payload").isNotNull())
+
+    # 0.5 exact payload dedup, pre-decode (dedup=True): both stages are
+    # digest-keyed column-expression joins — duplicates never reach the
+    # Python decode stage
+    dedup_rejects = valid.limit(0).select(
+        "media_id", "media_type", F.lit("").alias("reason")
+    )
+    if dedup:
+        digested = valid.withColumn("_digest", F.sha2(F.col("payload"), 256))
+        keep_ids = digested.groupBy("_digest").agg(
+            F.min("media_id").alias("_keep_id")
+        )
+        with_keep = digested.join(F.broadcast(keep_ids), "_digest")
+        in_batch_dropped = with_keep.where(F.col("media_id") != F.col("_keep_id"))
+        deduped = with_keep.where(F.col("media_id") == F.col("_keep_id"))
+        if existing_hashes is not None:
+            known = existing_hashes.select(
+                F.col("content_hash").alias("_digest")
+            ).distinct()
+            store_dropped = deduped.join(known, "_digest", "left_semi")
+            deduped = deduped.join(known, "_digest", "left_anti")
+        else:
+            store_dropped = deduped.limit(0)
+        dedup_rejects = (
+            in_batch_dropped.select(
+                "media_id",
+                "media_type",
+                F.lit("duplicate_payload_in_batch").alias("reason"),
+            )
+            .unionByName(
+                store_dropped.select(
+                    "media_id",
+                    "media_type",
+                    F.lit("duplicate_payload_in_store").alias("reason"),
+                )
+            )
+        )
+        valid = deduped.drop("_digest", "_keep_id")
 
     # 1. static type gate: rows that CANNOT decode never reach Python.
     # Video decodes for real only from an uncompressed-DIB AVI (a RIFF
@@ -131,7 +193,11 @@ def featurize_media_batch(
         "media_id", "media_type", F.col("decode_error").alias("reason")
     )
 
-    rejected = invalid_rejects.unionByName(type_rejects).unionByName(decode_rejects)
+    rejected = (
+        invalid_rejects.unionByName(dedup_rejects)
+        .unionByName(type_rejects)
+        .unionByName(decode_rejects)
+    )
     return kept, rejected
 
 
@@ -146,25 +212,61 @@ def run_media_feature_stream(
     dim: int = 8,
     max_files_per_trigger: int | None = None,
     once: bool = True,
+    dedup: bool = False,
 ) -> StreamingQuery:
     """Continuous media featurization: parquet media items in,
     effectively-once feature rows out, rejects + metrics logs on the
-    side. See the module docstring for the semantics."""
+    side. See the module docstring for the semantics.
+
+    dedup=True rejects any payload whose sha256 digest is already in
+    the features STORE (plus in-batch duplicates) before decode — the
+    corpus stream's digest anti-join for media. The store read is
+    column-pruned to (content_hash, batch_id) and EXCLUDES the current
+    batch_id partition: under redelivery the re-delivered batch must
+    not anti-join against its own prior write, or effectively-once
+    would turn into deliver-once-then-reject-forever (the partition
+    overwrite would shrink its own partition to empty on replay)."""
     from ..operators.maintenance import dynamic_partition_overwrite
 
     items = stream_media_items(spark, input_path, max_files_per_trigger)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
+        existing = None
+        if dedup:
+            try:
+                existing = (
+                    spark.read.parquet(output_path)
+                    .where(F.col("batch_id") != batch_id)
+                    .select("content_hash")
+                )
+            except Exception:
+                existing = None  # first batch: store does not exist yet
         # checkpoint=True freezes the decode lineage ONCE inside
         # featurize_media_batch; kept/rejected and the metrics
         # aggregates below all derive from that one materialization
         # (cheap column ops), so the Python decode runs exactly once
         # per micro-batch
         kept, rejected = featurize_media_batch(
-            batch, decode_stub=decode_stub, dim=dim, checkpoint=True
+            batch, decode_stub=decode_stub, dim=dim, checkpoint=True,
+            dedup=dedup, existing_hashes=existing,
         )
-        with dynamic_partition_overwrite(spark):
+        # the dedup rejects carry a lineage that READS the features
+        # store (the anti-join's store side) — freeze this batch-bounded
+        # frame NOW, before the partition overwrite below replaces the
+        # very files that lineage listed (under redelivery the replayed
+        # batch overwrites its own partition; a lazy rejects plan would
+        # then FAILED_READ_FILE on the vanished old files). kept is
+        # already frozen: it filters the checkpointed decode frame.
+        rejected = rejected.localCheckpoint()
+        # conf must be set on the CLONED session the micro-batch frame
+        # is bound to (kept.sparkSession), not the outer `spark`:
+        # foreachBatch executes against an isolated session clone, so a
+        # mode set on the outer session silently leaves the write
+        # STATIC and every micro-batch wipes all prior partitions
+        # (found by the first multi-batch media test, r13 — the ann and
+        # corpus sinks already used the batch-bound session)
+        with dynamic_partition_overwrite(kept.sparkSession):
             (
                 kept.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
@@ -201,6 +303,10 @@ def run_media_feature_stream(
             n_codec_missing = sum(
                 n for reason, n in by_reason.items() if "PIL" in reason
             )
+            n_duplicates = by_reason.get(
+                "duplicate_payload_in_batch", 0
+            ) + by_reason.get("duplicate_payload_in_store", 0)
+            n_decode_errors -= n_duplicates  # dedup rejects are not data errors
             spark.createDataFrame(
                 [(
                     batch_id,
@@ -211,10 +317,11 @@ def run_media_feature_stream(
                     n_decode_errors,
                     int((time.monotonic() - t0) * 1000),
                     n_codec_missing,
+                    n_duplicates,
                 )],
                 "batch_id long, n_items long, n_features long, n_rejected long, "
                 "n_invalid long, n_decode_errors long, wall_ms long, "
-                "n_codec_missing long",
+                "n_codec_missing long, n_duplicates long",
             ).write.mode("append").parquet(metrics_path)
 
     writer = items.writeStream.foreachBatch(_process).option(
