@@ -337,15 +337,26 @@ def _image_feature(payload: bytes, dim: int) -> list[float]:
         return _pure_png_feature(payload, dim)
 
 
+_MJPG_FOURCC = 0x47504A4D  # struct.unpack('<I', b'MJPG')
+
+
 def _avi_decode(payload: bytes):
-    """Pure-Python decode of UNCOMPRESSED AVI (RIFF 'AVI ' with raw
-    BI_RGB DIB frames — the baseline container every capture tool can
-    emit) — the codec-free fallback that makes video decode REAL (r12):
-    returns (frames uint8 (n, h, w, 3) RGB top-down, frame_period_ms).
-    DIB scanlines are bottom-up BGR with 4-byte row padding; 24-bit
-    only. Compressed video (MJPG/H.264/...) raises NotImplementedError
-    fail-loud — transcoding needs ffmpeg, and a silent fake would
-    poison downstream dedup."""
+    """Pure-Python decode of AVI (RIFF 'AVI ') video — the codec-free
+    fallback that makes video decode REAL (r12): returns (frames uint8
+    (n, h, w, 3) RGB top-down, frame_period_ms). Two stream codecs:
+
+    - uncompressed BI_RGB DIB (the baseline every capture tool can
+      emit): bottom-up BGR scanlines with 4-byte row padding, 24-bit
+      only — decoded with zero codec libraries;
+    - MJPG (r13): each '00dc' chunk is a standalone JPEG frame, decoded
+      via PIL WHEN IMPORTABLE — a PIL-less environment raises
+      NotImplementedError naming PIL at parse time (per-row isolated
+      into the rejects stream by errors='reject', counted in the
+      n_codec_missing metric).
+
+    Any other codec (H.264/...) raises NotImplementedError fail-loud —
+    transcoding needs ffmpeg, and a silent fake would poison
+    downstream dedup."""
     import struct
 
     import numpy as np
@@ -361,10 +372,11 @@ def _avi_decode(payload: bytes):
         )
     width = height = None
     usec_per_frame = None
+    codec = "DIB"
     frames_raw: list[bytes] = []
 
     def walk(chunk: bytes) -> None:
-        nonlocal width, height, usec_per_frame
+        nonlocal width, height, usec_per_frame, codec
         pos = 0
         while pos + 8 <= len(chunk):
             tag = chunk[pos : pos + 4]
@@ -380,18 +392,50 @@ def _avi_decode(payload: bytes):
             elif tag == b"strf" and len(data) >= 20:
                 compression = struct.unpack("<I", data[16:20])[0]
                 bitcount = struct.unpack("<H", data[14:16])[0]
-                if compression != 0 or bitcount != 24:
+                if compression == _MJPG_FOURCC:
+                    codec = "MJPG"
+                    try:
+                        import PIL  # noqa: F401
+                    except ImportError:
+                        raise NotImplementedError(
+                            "MJPG-in-AVI frames are JPEG — decoding them "
+                            "needs PIL; install it, transcode via ffmpeg, "
+                            "or use decode_stub=True"
+                        ) from None
+                elif compression != 0 or bitcount != 24:
                     raise NotImplementedError(
-                        f"AVI stream is not uncompressed 24-bit DIB "
+                        f"AVI stream is not uncompressed 24-bit DIB or MJPG "
                         f"(biCompression={compression}, biBitCount={bitcount}); "
                         "install/transcode via ffmpeg"
                     )
-            elif tag[2:] == b"db":  # '00db' etc: uncompressed DIB frame
+            elif tag[2:] == b"db" or tag[2:] == b"dc":
+                # '00db' = uncompressed DIB frame, '00dc' = compressed
+                # (JPEG under MJPG); hdrl precedes movi per the RIFF
+                # layout, so codec is known before frames arrive
                 frames_raw.append(data)
 
     walk(b[12:])
     if width is None or not frames_raw:
         raise NotImplementedError("truncated AVI (missing avih header or frames)")
+    period_ms = (usec_per_frame or 40000) / 1000.0
+    if codec == "MJPG":
+        from io import BytesIO
+
+        from PIL import Image
+
+        out = []
+        for raw in frames_raw:
+            try:
+                out.append(
+                    np.asarray(Image.open(BytesIO(raw)).convert("RGB"), np.uint8)
+                )
+            except NotImplementedError:
+                raise
+            except Exception as e:
+                raise NotImplementedError(f"corrupt MJPG frame: {e}") from e
+        if any(f.shape != out[0].shape for f in out):
+            raise NotImplementedError("corrupt MJPG AVI: frame size mismatch")
+        return np.stack(out), period_ms
     stride = (width * 3 + 3) & ~3
     out = []
     for raw in frames_raw:
@@ -400,7 +444,6 @@ def _avi_decode(payload: bytes):
         rows = np.frombuffer(raw[: stride * height], np.uint8).reshape(height, stride)
         bgr = rows[:, : width * 3].reshape(height, width, 3)
         out.append(bgr[::-1, :, ::-1])  # bottom-up BGR -> top-down RGB
-    period_ms = (usec_per_frame or 40000) / 1000.0
     return np.stack(out), period_ms
 
 
@@ -441,6 +484,57 @@ def _avi_encode(frames, fps: float = 25.0) -> bytes:
         b"AVI "
         + lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
         + lst(b"movi", b"".join(dib_frames))
+    )
+    return chunk(b"RIFF", body)
+
+
+def _avi_encode_mjpg(frames, fps: float = 25.0, quality: int = 92) -> bytes:
+    """MJPG AVI encode (the write-side twin of _avi_decode's MJPG
+    path, r13): same RIFF layout as _avi_encode, but each frame is a
+    standalone JPEG in a '00dc' chunk and strf carries the 'MJPG'
+    fourcc. Needs PIL to PRODUCE the JPEG frames — fixture/synth use
+    only; raises NotImplementedError without it (mirroring the decode
+    gate)."""
+    import struct
+    from io import BytesIO
+
+    try:
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            "encoding MJPG-in-AVI needs PIL to produce the JPEG frames"
+        ) from None
+
+    n, h, w, _c = frames.shape
+    usec = int(round(1_000_000 / fps))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    jpeg_frames = []
+    for f in range(n):
+        buf = BytesIO()
+        Image.fromarray(frames[f]).save(buf, "JPEG", quality=quality)
+        jpeg_frames.append(chunk(b"00dc", buf.getvalue()))
+    avih = struct.pack(
+        "<14I", usec, 0, 0, 0x10, n, 0, 1, w * h * 3, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1,
+                                        int(fps), 0, n, w * h * 3, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, _MJPG_FOURCC, w * h * 3, 0, 0, 0, 0
+    )
+    body = (
+        b"AVI "
+        + lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+        + lst(b"movi", b"".join(jpeg_frames))
     )
     return chunk(b"RIFF", body)
 

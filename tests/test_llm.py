@@ -322,6 +322,70 @@ def test_multimodal_real_video_decode_end_to_end(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
         multimodal.extract_features(bad, decode_stub=False).collect()
+    # (r13: with PIL present this same payload still fails loud — its
+    # frames are DIB bytes in a stream CLAIMING MJPG, so the JPEG parse
+    # rejects them as corrupt; without PIL it fails naming PIL)
+
+
+@pytest.mark.skipif(not _has_pil(), reason="PIL not installed in this container")
+def test_mjpg_avi_decode_end_to_end(spark):
+    """MJPG-in-AVI (r13): JPEG frames inside the RIFF container decode
+    via PIL — the compressed-format envelope widening, same per-row
+    isolation as every other decoder. Flat-color frames survive JPEG
+    quantization nearly exactly, so the decoded pixels, the
+    extract_features time-mean, and sample_frames' decoded-RGB hashes
+    are all checkable within tight tolerance."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    frames = np.stack([
+        np.full((6, 8, 3), 128, dtype=np.uint8),
+        np.full((6, 8, 3), 200, dtype=np.uint8),
+    ])
+    avi = multimodal._avi_encode_mjpg(frames, fps=25.0)
+    decoded, period_ms = multimodal._avi_decode(avi)
+    assert decoded.shape == (2, 6, 8, 3) and period_ms == 40.0
+    assert int(np.abs(decoded.astype(int) - frames.astype(int)).max()) <= 6
+
+    media = spark.createDataFrame(
+        [(0, "video", "video/avi", bytearray(avi), None, None, 80)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    feats = multimodal.extract_features(media, decode_stub=False, dim=4).collect()
+    want = (decoded[:, :, :, 0].astype(float).mean()) / 255.0  # flat gray
+    for v in feats[0]["feature"]:
+        assert v == pytest.approx(want, abs=0.03)
+
+    out = multimodal.sample_frames(media, every_ms=40, decode_stub=False).collect()
+    assert [r.frame_idx for r in sorted(out, key=lambda r: r.frame_ts_ms)] == [0, 1]
+    assert sorted(r.frame_hash for r in out) == sorted(
+        _hl.sha256(decoded[i].tobytes()).hexdigest() for i in (0, 1)
+    )
+
+
+@pytest.mark.skipif(_has_pil(), reason="PIL installed: the MJPG path decodes")
+def test_mjpg_avi_without_pil_rejects_as_codec_missing(spark):
+    """A PIL-less deployment must reject an MJPG AVI per-row with a
+    reason NAMING PIL (the n_codec_missing metrics contract) — not
+    crash the batch, and not silently fake pixels."""
+    import struct
+
+    import numpy as np
+
+    from metrocloud_data_pipeline_spark.streaming.media import featurize_media_batch
+
+    avi = bytearray(multimodal._avi_encode(np.zeros((1, 2, 2, 3), dtype=np.uint8)))
+    strf_at = bytes(avi).find(b"strf")
+    avi[strf_at + 8 + 16 : strf_at + 8 + 20] = struct.pack("<I", 0x47504A4D)
+    batch = spark.createDataFrame(
+        [(1, "video", "video/avi", bytearray(bytes(avi)), None, None, 80)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    kept, rejected = featurize_media_batch(batch, decode_stub=False, dim=4)
+    assert kept.count() == 0
+    rej = rejected.collect()
+    assert len(rej) == 1 and "PIL" in rej[0].reason
 
 
 def test_multimodal_real_frame_sampling(spark):
