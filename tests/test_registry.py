@@ -223,3 +223,32 @@ def test_single_table_oracle_keys_have_edge_parity_coverage():
         f"{sorted(missing)} — add each to the module's query list "
         "(and fix whatever the pathological fixture then finds)"
     )
+
+
+def test_streaming_partition_overwrite_uses_batch_bound_session():
+    """foreachBatch hands each micro-batch a frame bound to an ISOLATED
+    session clone; a partitionOverwriteMode set on the outer session
+    never reaches the clone, the 'dynamic' overwrite silently runs
+    STATIC, and every micro-batch deletes all prior partitions — the
+    r13 media-sink bug, invisible to single-batch tests. Gate: inside
+    streaming modules, dynamic_partition_overwrite may only take a
+    session reached through a DataFrame (.sparkSession), never a bare
+    outer-session variable."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    bad: list[tuple[str, str]] = []
+    for path in sorted(
+        (root / "metrocloud_data_pipeline_spark" / "streaming").glob("*.py")
+    ):
+        for call in re.findall(
+            r"with dynamic_partition_overwrite\(([^)]*)\)", path.read_text()
+        ):
+            if ".sparkSession" not in call:
+                bad.append((path.name, call.strip()))
+    assert not bad, (
+        f"streaming dynamic_partition_overwrite calls not bound to the "
+        f"micro-batch session: {bad} — pass <frame>.sparkSession, not the "
+        "outer session"
+    )

@@ -522,6 +522,42 @@ def test_ann_serving_metrics_underfilled_counter(spark, tmp_path):
     assert row.wall_ms > 0
 
 
+def test_ann_serving_multi_batch_keeps_all_partitions(spark, tmp_path):
+    """Multi-batch effectively-once for the ANN results sink: two query
+    files through maxFilesPerTrigger=1 must leave BOTH batch_id
+    partitions in the store. The media sink's r13 bug (partition
+    overwrite mode set on the outer session instead of the foreachBatch
+    clone ran STATIC and wiped prior batches) was invisible to every
+    single-batch test — this pins the ANN sink, which already used the
+    batch-bound session, against the same regression class."""
+    emb = spark.createDataFrame(
+        EMB_EDGE_CORPUS, "vec_id long, embedding array<float>, label int"
+    )
+    src = tmp_path / "queries"
+    src.mkdir()
+    spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], ann.QUERY_SCHEMA
+    ).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(
+        [(101, [0.0, 1.0, 0.0, 0.0])], ann.QUERY_SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    out = str(tmp_path / "results")
+    q = ann.run_ann_serving_stream(
+        ann.stream_query_vectors(spark, str(src) + "/*", max_files_per_trigger=1),
+        emb,
+        out,
+        str(tmp_path / "ck"),
+        k=3,
+        nprobe=4,
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = spark.read.parquet(out)
+    assert sorted(r[0] for r in got.select("batch_id").distinct().collect()) == [0, 1]
+    assert sorted(r[0] for r in got.select("q_id").distinct().collect()) == [100, 101]
+
+
 def test_ann_serving_metrics_survive_empty_first_batch(spark, tmp_path):
     """ADVICE r11: when the FIRST micro-batch produces zero result rows
     (here: its only query is zero-norm, so every similarity is NULL and
