@@ -139,6 +139,13 @@ PART_ROWS = [
     (10, "filler gadget B", "Brand#5", "ECONOMY", 12, 12.0),
     (11, "filler gadget C", "Brand#6", "STANDARD", 13, 13.0),
     (12, "filler gadget D", "Brand#6", "ECONOMY", 14, 14.0),
+    # second wave: LIKE case-sensitivity trap — '%red%' and 'small%'
+    # must NOT match capitalized names on either engine (both LIKEs
+    # are case-sensitive), and a name CONTAINING the pattern's literal
+    # text mid-word ('hundred' contains 'red') MUST match
+    (13, "Red Sled", "Brand#7", "ECONOMY", 9, 9.0),
+    (14, "Small Stone", "Brand#7", "STANDARD", 16, 16.0),
+    (15, "one hundred bolts", "Brand#8", "ECONOMY", 17, 17.0),
 ]
 
 ORDER_ROWS = [
@@ -161,6 +168,13 @@ ORDER_ROWS = [
     (15, 1, "O", 350.0, "1997-11-01 00:00:00", "1-URGENT"),  # h3: BUILDING,
     #   pre-1998 order whose lines ship after the 1998-01-01 cutoff
     (16, 7, "O", 450.0, "1996-02-25 00:00:00", "3-MEDIUM"),  # h7 reverse leg
+    # second wave: EXACT-BOUNDARY dates — the h4 window is
+    # [1996-01-01, 1996-07-01): one order at each edge (17 in, 18 out),
+    # and 19 at h22's dormant cutoff 1999-01-01 (NOT dormant: >= is
+    # inclusive on both engines)
+    (17, 1, "O", 170.0, "1996-01-01 00:00:00", "2-HIGH"),
+    (18, 1, "O", 180.0, "1996-07-01 00:00:00", "2-HIGH"),
+    (19, 5, "O", 190.0, "1999-01-01 00:00:00", "1-URGENT"),
 ]
 
 LINEITEM_ROWS = [
@@ -212,6 +226,25 @@ LINEITEM_ROWS = [
     (2, 10, 2, 3, 1.0, 12.0, 0.0, 0.0, "N", "O", "1996-03-21 00:00:00"),
     (4, 11, 7, 5, 1.0, 13.0, 0.0, 0.0, "N", "O", "1996-05-28 00:00:00"),
     (5, 12, 8, 3, 1.0, 14.0, 0.0, 0.0, "N", "O", "1996-06-06 00:00:00"),
+    # second wave: boundary shipdates for h1 (<= 2000-12-01 inclusive —
+    # one AT the cutoff, kept by both engines) and h15's half-open
+    # [1996-01-01, 1996-04-01) window edges
+    (17, 1, 1, 1, 2.0, 210.0, 0.0, 0.0, "N", "O", "2000-12-01 00:00:00"),
+    (17, 2, 2, 2, 2.0, 220.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"),
+    (18, 3, 3, 1, 2.0, 230.0, 0.0, 0.0, "N", "F", "1996-04-01 00:00:00"),
+    # NEGATIVE measures and a discount > 1 (revenue factor goes
+    # negative) — sums must carry sign identically through the
+    # DECIMAL(18,4) casts on both engines
+    (19, 4, 4, 1, -5.0, -500.0, 0.02, 0.01, "R", "F", "1999-02-01 00:00:00"),
+    (19, 2, 3, 2, 6.0, 600.0, 1.5, 0.0, "A", "O", "1999-02-02 00:00:00"),
+    # LARGE magnitude (but DECIMAL(18,4)-safe in aggregate): 9.9e9
+    (19, 1, 2, 3, 1.0, 9.9e9, 0.0, 0.0, "N", "O", "1999-02-03 00:00:00"),
+    # the LIKE-trap parts flow through the part joins: 'Red Sled' and
+    # 'Small Stone' must NOT hit '%red%'/'small%'; 'one hundred bolts'
+    # MUST hit '%red%' mid-word
+    (16, 13, 7, 2, 3.0, 330.0, 0.01, 0.0, "N", "O", "1996-03-02 00:00:00"),
+    (16, 15, 7, 3, 3.0, 340.0, 0.01, 0.0, "N", "O", "1996-03-03 00:00:00"),
+    (11, 14, 7, 2, 3.0, 350.0, 0.01, 0.0, "N", "O", "1996-04-06 00:00:00"),
 ] + [
     # duplicate-key fact burst: 30 near-identical lines on one order,
     # same (part, supplier) — fans out through every orders->lineitem
