@@ -1701,6 +1701,14 @@ def ccnet_perplexity_buckets(
     sorts each language in ONE task — never register a production key
     on it; no registered key plans it since r13.
 
+    NOTE on laziness: the distributed form is EAGER by construction
+    (range partition + localCheckpoint + a bounded driver fold), so
+    mode='exact' executes Spark jobs at call time and downstream
+    filters do not push below the bucketing — global per-language rank
+    cannot be computed lazily over an unseen subset anyway. A caller
+    that wants a fully lazy frame for a small audit corpus should ask
+    for mode='exact_window' explicitly.
+
     mode='approx': the production form CCNet itself uses — per-lang
     tercile CUTOFFS from percentile_approx (a tiny aggregate),
     broadcast back, bucket by comparison. No per-lang sort, no

@@ -373,10 +373,12 @@ def _avi_decode(payload: bytes):
     width = height = None
     usec_per_frame = None
     codec = "DIB"
-    frames_raw: list[bytes] = []
+    stream_type = None  # fccType of the most recent strh ('vids'/'auds'/...)
+    dib_raw: list[bytes] = []
+    dc_raw: list[bytes] = []
 
     def walk(chunk: bytes) -> None:
-        nonlocal width, height, usec_per_frame, codec
+        nonlocal width, height, usec_per_frame, codec, stream_type
         pos = 0
         while pos + 8 <= len(chunk):
             tag = chunk[pos : pos + 4]
@@ -389,10 +391,17 @@ def _avi_decode(payload: bytes):
                 usec_per_frame = struct.unpack("<I", data[0:4])[0]
                 width = struct.unpack("<I", data[32:36])[0]
                 height = struct.unpack("<I", data[36:40])[0]
-            elif tag == b"strf" and len(data) >= 20:
+            elif tag == b"strh" and len(data) >= 4:
+                stream_type = data[:4]
+            elif tag == b"strf" and len(data) >= 20 and stream_type == b"vids":
+                # only a VIDEO stream's strf is a BITMAPINFOHEADER — an
+                # audio strl's WAVEFORMATEX would parse as garbage here
+                # (a standard MJPG+PCM capture has both; found by review
+                # r13)
                 compression = struct.unpack("<I", data[16:20])[0]
                 bitcount = struct.unpack("<H", data[14:16])[0]
-                if compression == _MJPG_FOURCC:
+                if compression in (_MJPG_FOURCC, _MJPG_FOURCC | 0x20202020):
+                    # fourcc match is case-insensitive ('MJPG'/'mjpg')
                     codec = "MJPG"
                     try:
                         import PIL  # noqa: F401
@@ -408,13 +417,17 @@ def _avi_decode(payload: bytes):
                         f"(biCompression={compression}, biBitCount={bitcount}); "
                         "install/transcode via ffmpeg"
                     )
-            elif tag[2:] == b"db" or tag[2:] == b"dc":
-                # '00db' = uncompressed DIB frame, '00dc' = compressed
-                # (JPEG under MJPG); hdrl precedes movi per the RIFF
-                # layout, so codec is known before frames arrive
-                frames_raw.append(data)
+            elif tag[2:] == b"db":
+                dib_raw.append(data)  # '00db': uncompressed DIB frame
+            elif tag[2:] == b"dc":
+                dc_raw.append(data)  # '00dc': compressed (JPEG under MJPG)
 
     walk(b[12:])
+    # hdrl precedes movi per the RIFF layout, so codec is settled before
+    # frames arrive; each codec consumes ONLY its own chunk type — a
+    # stray '00dc' in a DIB file must never be reinterpreted as raw
+    # pixels (review r13: pre-MJPG code ignored dc chunks entirely)
+    frames_raw = dc_raw if codec == "MJPG" else dib_raw
     if width is None or not frames_raw:
         raise NotImplementedError("truncated AVI (missing avih header or frames)")
     period_ms = (usec_per_frame or 40000) / 1000.0

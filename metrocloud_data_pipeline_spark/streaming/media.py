@@ -104,15 +104,20 @@ def featurize_media_batch(
     curate_batch digest anti-join, r13): the sha256 digest is computed
     JVM-SIDE (F.sha2 over the binary payload — bit-identical to the
     content_hash extract_features emits) BEFORE any Python worker sees
-    a row, so a duplicate payload is rejected by a column-expression
-    join and never pays the Arrow transfer + decode. In-batch
-    duplicates keep the smallest media_id ('duplicate_payload_in_batch'
-    for the rest); rows whose digest already exists in
-    `existing_hashes` (a content_hash column — at scale the
-    column-pruned read of the features store) reject as
-    'duplicate_payload_in_store'. The batch side of both joins is
-    micro-batch-sized, the store side is read digest-only; store rows
-    never shuffle."""
+    a row, so a duplicate payload is rejected by column expressions and
+    never pays the Arrow transfer + decode. In-batch duplicates keep
+    the smallest media_id — split by row_number so two copies sharing
+    the SAME media_id (a double-delivered upload) still collapse to one
+    keeper ('duplicate_payload_in_batch' for the rest); keepers whose
+    digest already exists in `existing_hashes` (a content_hash column —
+    the column-pruned read of the features store) reject as
+    'duplicate_payload_in_store'. The store comparison is ONE left join
+    onto the batch's distinct-digest frame, checkpointed immediately:
+    the store's digest column is scanned exactly once per call (only
+    digests move, never payloads), every consumer of kept/rejected
+    reuses the frozen batch-bounded flag frame, and nothing in the
+    outputs' lineage re-reads the store after the caller starts
+    rewriting it."""
     # 0. fail-loud validity split, before any Python worker sees a row
     invalid = batch.where(F.col("media_id").isNull() | F.col("payload").isNull())
     invalid_rejects = invalid.select(
@@ -124,28 +129,54 @@ def featurize_media_batch(
     )
     valid = batch.where(F.col("media_id").isNotNull() & F.col("payload").isNotNull())
 
-    # 0.5 exact payload dedup, pre-decode (dedup=True): both stages are
-    # digest-keyed column-expression joins — duplicates never reach the
-    # Python decode stage
+    # 0.5 exact payload dedup, pre-decode (dedup=True): duplicates
+    # never reach the Python decode stage
     dedup_rejects = valid.limit(0).select(
         "media_id", "media_type", F.lit("").alias("reason")
     )
     if dedup:
+        from pyspark.sql.window import Window
+
+        batch_cols = valid.columns
         digested = valid.withColumn("_digest", F.sha2(F.col("payload"), 256))
-        keep_ids = digested.groupBy("_digest").agg(
-            F.min("media_id").alias("_keep_id")
+        # row_number (not keep-min-id equality) so two copies sharing
+        # the SAME media_id still split into one keeper + rejects;
+        # among identical rows the pick is arbitrary but the rows are
+        # identical, so the outcome is not (review r13)
+        ranked = digested.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_digest").orderBy("media_id")
+            ),
         )
-        with_keep = digested.join(F.broadcast(keep_ids), "_digest")
-        in_batch_dropped = with_keep.where(F.col("media_id") != F.col("_keep_id"))
-        deduped = with_keep.where(F.col("media_id") == F.col("_keep_id"))
+        in_batch_dropped = ranked.where(F.col("_rn") > 1)
+        keepers = ranked.where(F.col("_rn") == 1)
         if existing_hashes is not None:
-            known = existing_hashes.select(
-                F.col("content_hash").alias("_digest")
-            ).distinct()
-            store_dropped = deduped.join(known, "_digest", "left_semi")
-            deduped = deduped.join(known, "_digest", "left_anti")
+            # ONE store scan per call: the flag frame is batch-bounded
+            # (distinct batch digests x known?) and checkpointed NOW,
+            # so neither output's lineage re-reads the store later —
+            # and a caller that overwrites the store (the streaming
+            # sink) cannot invalidate the decision mid-flight
+            flags = (
+                digested.select("_digest")
+                .distinct()
+                .join(
+                    existing_hashes.select(
+                        F.col("content_hash").alias("_digest")
+                    )
+                    .distinct()
+                    .withColumn("_dup", F.lit(True)),
+                    "_digest",
+                    "left",
+                )
+                .localCheckpoint()
+            )
+            keepers = keepers.join(F.broadcast(flags), "_digest")
+            store_dropped = keepers.where(F.col("_dup"))
+            deduped = keepers.where(F.col("_dup").isNull())
         else:
-            store_dropped = deduped.limit(0)
+            store_dropped = keepers.limit(0)
+            deduped = keepers
         dedup_rejects = (
             in_batch_dropped.select(
                 "media_id",
@@ -160,7 +191,7 @@ def featurize_media_batch(
                 )
             )
         )
-        valid = deduped.drop("_digest", "_keep_id")
+        valid = deduped.select(*batch_cols)
 
     # 1. static type gate: rows that CANNOT decode never reach Python.
     # Video decodes for real only from an uncompressed-DIB AVI (a RIFF
@@ -234,14 +265,22 @@ def run_media_feature_stream(
         t0 = time.monotonic()
         existing = None
         if dedup:
+            from pyspark.errors import AnalysisException
+
             try:
                 existing = (
                     spark.read.parquet(output_path)
                     .where(F.col("batch_id") != batch_id)
                     .select("content_hash")
                 )
-            except Exception:
-                existing = None  # first batch: store does not exist yet
+            except AnalysisException as e:
+                # ONLY the documented first-batch case (store not yet
+                # written) may be swallowed — any other read failure
+                # must kill the batch, or store-level dedup silently
+                # turns off and duplicates land permanently (review r13)
+                if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                    raise
+                existing = None
         # checkpoint=True freezes the decode lineage ONCE inside
         # featurize_media_batch; kept/rejected and the metrics
         # aggregates below all derive from that one materialization

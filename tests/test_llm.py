@@ -364,6 +364,74 @@ def test_mjpg_avi_decode_end_to_end(spark):
     )
 
 
+def test_avi_decode_ignores_audio_strl_and_stray_dc_chunks():
+    """Two review-r13 pins on the AVI parser: (1) an audio stream's
+    strf (WAVEFORMATEX) must not be parsed as a video BITMAPINFOHEADER
+    — a standard DIB+PCM capture has both strls and used to reject
+    with 'not uncompressed 24-bit DIB'; (2) a stray '00dc' chunk in a
+    DIB-codec file must be IGNORED (the pre-MJPG behavior), never
+    reinterpreted as raw pixels."""
+    import struct
+
+    import numpy as np
+
+    frames = np.arange(2 * 2 * 3 * 3, dtype=np.uint8).reshape(2, 2, 3, 3)
+    avi = bytearray(multimodal._avi_encode(frames, fps=25.0))
+
+    def chunk(tag, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind, data):
+        return chunk(b"LIST", kind + data)
+
+    # splice an AUDS strl (strh 'auds' + a 20-byte junk strf that would
+    # fail the video checks if parsed) into hdrl, after the vids strl
+    auds = lst(b"strl", chunk(b"strh", b"auds" + b"\x00" * 44)
+               + chunk(b"strf", b"\xff" * 20))
+    hdrl_at = bytes(avi).find(b"hdrl")
+    strl_at = bytes(avi).find(b"strl", hdrl_at)  # the LIST kind fourcc
+    strl_len = struct.unpack("<I", avi[strl_at - 4 : strl_at])[0]
+    insert_at = strl_at - 8 + 8 + strl_len + (strl_len & 1)
+    spliced = bytes(avi[:insert_at]) + auds + bytes(avi[insert_at:])
+    # fix the two enclosing sizes (RIFF and the hdrl LIST)
+    spliced = bytearray(spliced)
+    spliced[4:8] = struct.pack("<I", len(spliced) - 8)
+    hdrl_list_at = bytes(spliced).find(b"LIST", 12)
+    old = struct.unpack("<I", spliced[hdrl_list_at + 4 : hdrl_list_at + 8])[0]
+    spliced[hdrl_list_at + 4 : hdrl_list_at + 8] = struct.pack("<I", old + len(auds))
+    decoded, _ = multimodal._avi_decode(bytes(spliced))
+    assert decoded.tolist() == frames.tolist()
+
+    # a stray '00dc' chunk appended inside movi of a DIB file: ignored
+    movi_at = bytes(avi).find(b"movi")
+    stray = chunk(b"00dc", b"\x77" * 64)
+    with_dc = bytes(avi[: movi_at + 4]) + stray + bytes(avi[movi_at + 4 :])
+    with_dc = bytearray(with_dc)
+    with_dc[4:8] = struct.pack("<I", len(with_dc) - 8)
+    movi_list_at = bytes(avi).rfind(b"LIST", 0, movi_at)
+    old = struct.unpack("<I", with_dc[movi_list_at + 4 : movi_list_at + 8])[0]
+    with_dc[movi_list_at + 4 : movi_list_at + 8] = struct.pack("<I", old + len(stray))
+    decoded2, _ = multimodal._avi_decode(bytes(with_dc))
+    assert decoded2.tolist() == frames.tolist()
+
+
+@pytest.mark.skipif(_has_pil(), reason="PIL installed: the MJPG path decodes")
+def test_lowercase_mjpg_fourcc_reaches_the_pil_gate():
+    """The fourcc match is case-insensitive: a lowercase 'mjpg' stream
+    must hit the same PIL gate (and thus the n_codec_missing metric),
+    not the generic wrong-codec rejection (review r13)."""
+    import struct
+
+    import numpy as np
+
+    avi = bytearray(multimodal._avi_encode(np.zeros((1, 2, 2, 3), dtype=np.uint8)))
+    strf_at = bytes(avi).find(b"strf")
+    avi[strf_at + 8 + 16 : strf_at + 8 + 20] = b"mjpg"
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal._avi_decode(bytes(avi))
+
+
 @pytest.mark.skipif(_has_pil(), reason="PIL installed: the MJPG path decodes")
 def test_mjpg_avi_without_pil_rejects_as_codec_missing(spark):
     """A PIL-less deployment must reject an MJPG AVI per-row with a

@@ -920,7 +920,11 @@ def test_media_feature_stream_dedups_payloads_across_batches(spark, tmp_path):
     spark.createDataFrame(
         [(3, "audio", "audio/wav", bytearray(wav_a), None, None, 200),  # store dup
          (4, "audio", "audio/wav", bytearray(wav_c), None, None, 200),
-         (5, "audio", "audio/wav", bytearray(wav_c), None, None, 200)],  # batch dup
+         (5, "audio", "audio/wav", bytearray(wav_c), None, None, 200),  # batch dup
+         # double-delivered row: SAME media_id, same payload — keep-min
+         # by id alone cannot split these; the row_number split must
+         # (review r13)
+         (4, "audio", "audio/wav", bytearray(wav_c), None, None, 200)],
         schema,
     ).coalesce(1).write.parquet(str(src / "b"))
 
@@ -937,16 +941,19 @@ def test_media_feature_stream_dedups_payloads_across_batches(spark, tmp_path):
 
     feats = spark.read.parquet(out)
     assert sorted(r.media_id for r in feats.collect()) == [1, 2, 4]
-    reasons = {r.media_id: r.reason for r in spark.read.parquet(rejects).collect()}
-    assert reasons == {
-        3: "duplicate_payload_in_store",
-        5: "duplicate_payload_in_batch",
-    }
+    rej = sorted(
+        ((r.media_id, r.reason) for r in spark.read.parquet(rejects).collect())
+    )
+    assert rej == [
+        (3, "duplicate_payload_in_store"),
+        (4, "duplicate_payload_in_batch"),  # the double-delivered twin
+        (5, "duplicate_payload_in_batch"),
+    ]
     ms = {r.batch_id: r for r in spark.read.parquet(metrics).collect()}
     for r in ms.values():  # accounting law holds per batch
         assert r.n_items == r.n_features + r.n_rejected
         assert r.n_decode_errors == 0  # dupes are NOT data errors
-    assert sorted(r.n_duplicates for r in ms.values()) == [0, 2]
+    assert sorted(r.n_duplicates for r in ms.values()) == [0, 3]
 
     # redelivery: full replay through a fresh checkpoint must rewrite
     # identical partitions, not anti-join against its own prior write
