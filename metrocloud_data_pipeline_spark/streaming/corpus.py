@@ -40,6 +40,23 @@ DOCUMENT_SCHEMA = (
     "doc_id long, text string, lang string, source string, n_chars long"
 )
 
+def _read_parquet_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a standing store, or None ONLY when it does not exist yet
+    (the documented first-batch case). Any other read failure raises:
+    swallowing e.g. a transient listing error as "no store" silently
+    turns off the digest anti-join / band screen for the batch and
+    admits duplicates permanently (review r13 — the media sink's bug,
+    shared by this module's two store reads)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        return None
+
+
 # MinHash parameters shared by the in-batch screen and the persisted
 # band index — they MUST match, or stored band rows are meaningless.
 NUM_PERM = 128
@@ -79,10 +96,7 @@ def _ensure_band_index(
     all-or-nothing, so partial per-doc band sets do not occur."""
     from ..llm.dedup import _band_buckets, minhash_signatures
 
-    try:
-        idx = spark.read.parquet(band_index_path)
-    except Exception:
-        idx = None
+    idx = _read_parquet_or_none(spark, band_index_path)
     store_ids = store.select("doc_id")
     if idx is not None:
         idx_ids = idx.select("doc_id").distinct()
@@ -383,14 +397,14 @@ def run_corpus_ingest_stream(
         recover_store(table_path)
         if band_index_path is not None:
             recover_store(band_index_path)
-        try:
-            store = spark.read.parquet(table_path)
+        store = _read_parquet_or_none(spark, table_path)
+        if store is not None:
             existing = store.select("digest")
             # near-dup screen reads (doc_id, text) only — the store scan
             # stays column-pruned; with band_index_path the stored band
             # rows replace the re-banding pass entirely
             corpus_docs = store.select("doc_id", "text") if near_dup_screen else None
-        except Exception:
+        else:
             existing = None  # first batch: store does not exist yet
             corpus_docs = None
         corpus_bands = None
