@@ -97,6 +97,7 @@ def _wav_audio_feature(payload: bytes, dim: int) -> list[float]:
     poison downstream dedup. Empty/silent audio yields all-zero
     features (log1p(0)); a null payload is a data error, not a
     missing-codec condition, and raises ValueError."""
+    import struct
     import wave
     from io import BytesIO
 
@@ -110,10 +111,15 @@ def _wav_audio_feature(payload: bytes, dim: int) -> list[float]:
             sampwidth = w.getsampwidth()
             sr = w.getframerate()
             raw = w.readframes(w.getnframes())
-    except (wave.Error, EOFError) as e:
+    except (wave.Error, EOFError, RuntimeError, struct.error) as e:
+        # stdlib wave leaks a BARE RuntimeError from its internal chunk
+        # seek on a corrupted chunk size (wave.py Chunk.seek) — found by
+        # the r13 corruption fuzz; it is a corrupt-container condition
+        # exactly like wave.Error and must keep the fail-loud contract
         raise NotImplementedError(
             "real audio decode is implemented for PCM WAV payloads "
-            "(stdlib wave); compressed formats (mp3/ogg/flac) need "
+            "(stdlib wave); compressed or corrupt containers "
+            "(mp3/ogg/flac, truncated/bit-flipped RIFF) need "
             "ffmpeg/librosa — transcode upstream or use decode_stub=True"
         ) from e
     if sampwidth == 1:  # WAV 8-bit is unsigned
@@ -197,7 +203,9 @@ def _png_decode(payload: bytes):
         data = b[pos + 8 : pos + 8 + ln]
         pos += 12 + ln
         if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
+            if len(data) < 13:  # truncated IHDR must not struct.error
+                raise NotImplementedError("corrupt PNG: truncated IHDR chunk")
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
         elif tag == b"PLTE":
             plte = data
         elif tag == b"IDAT":
@@ -213,12 +221,23 @@ def _png_decode(payload: bytes):
             f"unsupported PNG variant (depth={depth}, color_type={ctype}, "
             f"interlace={interlace}); install PIL for the long tail"
         )
+    stride = w * nch
+    expected = h * (stride + 1)
+    # cap the inflate at the geometry the header claims: a decompression
+    # bomb (tiny IDAT inflating to gigabytes) must fail loud instead of
+    # exhausting executor memory — one adversarial payload in a media
+    # crawl cannot be allowed to take a worker down (review r13)
+    if expected > 1 << 30:
+        raise NotImplementedError(
+            f"PNG geometry {w}x{h}x{nch} exceeds the 1 GiB decode cap — "
+            "tile upstream or use PIL/decode_stub"
+        )
     try:
-        raw = zlib.decompress(b"".join(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
     except zlib.error as e:
         raise NotImplementedError(f"corrupt PNG stream: {e}") from e
-    stride = w * nch
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expected or (d.unconsumed_tail or not d.eof):
         raise NotImplementedError("corrupt PNG: scanline size mismatch")
     arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
     ftypes = arr[:, 0]

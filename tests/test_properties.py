@@ -1000,3 +1000,82 @@ def test_avro_codec_roundtrips_random_records(rows):
                     assert back[k] == rec[k] or math.isclose(back[k], rec[k], rel_tol=0, abs_tol=0)
                 else:
                     assert back[k] == rec[k], (k, rec[k], back[k])
+
+
+@given(
+    st.sampled_from(["wav", "png", "avi"]),
+    st.sampled_from(["truncate", "flip", "len_corrupt", "garbage"]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=120, deadline=None)
+def test_media_decoders_fail_loud_on_corrupted_containers(kind, mode, seed):
+    """Corruption fuzz over all three real decoders (r13): arbitrary
+    truncations, byte flips, length-field corruption, and pure garbage
+    must either decode successfully (a flip in pixel/sample data is
+    legal content) or raise the documented NotImplementedError /
+    ValueError — NEVER a raw struct.error / IndexError / numpy
+    exception, and never an unbounded allocation. One adversarial
+    payload in a crawl must not take an executor down."""
+    import math
+    import struct
+    import wave
+    from io import BytesIO
+
+    import numpy as np
+
+    from metrocloud_data_pipeline_spark.llm import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+
+    if kind == "wav":
+        buf = BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(8000)
+            wv.writeframes(
+                b"".join(
+                    struct.pack("<h", int(0.3 * 32767 * math.sin(i / 3.0)))
+                    for i in range(400)
+                )
+            )
+        payload = bytearray(buf.getvalue())
+        decode = lambda b: mm._wav_audio_feature(b, 4)  # noqa: E731
+    elif kind == "png":
+        px = np.array([[[10, 20, 30], [200, 100, 50]],
+                       [[0, 0, 0], [255, 255, 255]]], dtype=np.uint8)
+        payload = bytearray(mm._png_encode(px))
+        decode = mm._png_decode
+    else:
+        frames = np.arange(2 * 2 * 3 * 3, dtype=np.uint8).reshape(2, 2, 3, 3)
+        payload = bytearray(mm._avi_encode(frames, fps=25.0))
+        decode = mm._avi_decode
+
+    if mode == "truncate":
+        cut = int(rng.integers(0, len(payload)))
+        corrupted = bytes(payload[:cut])
+    elif mode == "flip":
+        i = int(rng.integers(0, len(payload)))
+        payload[i] ^= int(rng.integers(1, 256))
+        corrupted = bytes(payload)
+    elif mode == "len_corrupt":
+        # overwrite 4 bytes at a random offset with an extreme length
+        i = int(rng.integers(0, max(1, len(payload) - 4)))
+        payload[i : i + 4] = struct.pack("<I", 0xFFFFFF00)
+        corrupted = bytes(payload)
+    else:
+        corrupted = bytes(rng.integers(0, 256, size=int(rng.integers(0, 200)), dtype=np.uint8))
+
+    try:
+        out = decode(corrupted)
+    except (NotImplementedError, ValueError):
+        return  # the documented fail-loud contract
+    # success is legal (content-only corruption) — but the output must
+    # be well-formed, not a half-parsed artifact
+    if kind == "wav":
+        assert isinstance(out, list) and len(out) == 4
+    elif kind == "png":
+        assert out.ndim == 3
+    else:
+        frames_out, period = out
+        assert frames_out.ndim == 4 and period > 0
