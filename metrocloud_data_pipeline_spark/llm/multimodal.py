@@ -393,11 +393,14 @@ def _avi_decode(payload: bytes):
     usec_per_frame = None
     codec = "DIB"
     stream_type = None  # fccType of the most recent strh ('vids'/'auds'/...)
-    dib_raw: list[bytes] = []
-    dc_raw: list[bytes] = []
+    chunks_in_order: list[tuple[bytes, bytes]] = []  # (frame kind, data)
 
-    def walk(chunk: bytes) -> None:
-        nonlocal width, height, usec_per_frame, codec, stream_type
+    # iterative worklist, NOT recursion: a crafted payload of deeply
+    # nested LIST headers must fail/parse bounded, never RecursionError
+    # past the fail-loud contract (review r13)
+    work: list[bytes] = [b[12:]]
+    while work:
+        chunk = work.pop()
         pos = 0
         while pos + 8 <= len(chunk):
             tag = chunk[pos : pos + 4]
@@ -405,7 +408,7 @@ def _avi_decode(payload: bytes):
             data = chunk[pos + 8 : pos + 8 + ln]
             pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
             if tag == b"LIST":
-                walk(data[4:])  # skip the list type fourcc
+                work.append(data[4:])  # skip the list type fourcc
             elif tag == b"avih" and len(data) >= 40:
                 usec_per_frame = struct.unpack("<I", data[0:4])[0]
                 width = struct.unpack("<I", data[32:36])[0]
@@ -419,8 +422,9 @@ def _avi_decode(payload: bytes):
                 # r13)
                 compression = struct.unpack("<I", data[16:20])[0]
                 bitcount = struct.unpack("<H", data[14:16])[0]
-                if compression in (_MJPG_FOURCC, _MJPG_FOURCC | 0x20202020):
-                    # fourcc match is case-insensitive ('MJPG'/'mjpg')
+                if (compression | 0x20202020) == (_MJPG_FOURCC | 0x20202020):
+                    # fourcc match is case-insensitive per the RIFF
+                    # convention ('MJPG'/'mjpg'/'Mjpg' all mean MJPG)
                     codec = "MJPG"
                     try:
                         import PIL  # noqa: F401
@@ -436,17 +440,22 @@ def _avi_decode(payload: bytes):
                         f"(biCompression={compression}, biBitCount={bitcount}); "
                         "install/transcode via ffmpeg"
                     )
-            elif tag[2:] == b"db":
-                dib_raw.append(data)  # '00db': uncompressed DIB frame
-            elif tag[2:] == b"dc":
-                dc_raw.append(data)  # '00dc': compressed (JPEG under MJPG)
+            elif tag[2:] in (b"db", b"dc"):
+                # '00db' = uncompressed frame, '00dc' = compressed —
+                # EXCEPT under MJPG, where some muxers mark the
+                # all-keyframe JPEG stream '00db' too (review r13)
+                chunks_in_order.append((tag[2:], data))
 
-    walk(b[12:])
-    # hdrl precedes movi per the RIFF layout, so codec is settled before
-    # frames arrive; each codec consumes ONLY its own chunk type — a
-    # stray '00dc' in a DIB file must never be reinterpreted as raw
-    # pixels (review r13: pre-MJPG code ignored dc chunks entirely)
-    frames_raw = dc_raw if codec == "MJPG" else dib_raw
+    # frame selection happens AFTER the walk completes, so the LIFO
+    # list order cannot race the codec decision. MJPG consumes BOTH
+    # chunk kinds in encounter order (JPEG frames may be marked db or
+    # dc); DIB consumes only db — a stray '00dc' in a DIB file is
+    # ignored as before r13's MJPG support, never reinterpreted as raw
+    # pixels.
+    if codec == "MJPG":
+        frames_raw = [d for _, d in chunks_in_order]
+    else:
+        frames_raw = [d for k, d in chunks_in_order if k == b"db"]
     if width is None or not frames_raw:
         raise NotImplementedError("truncated AVI (missing avih header or frames)")
     period_ms = (usec_per_frame or 40000) / 1000.0

@@ -43,6 +43,42 @@ def dynamic_partition_overwrite(spark: SparkSession):
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
+def read_store_or_none(spark: SparkSession, path: str):
+    """Read a standing parquet store, or None ONLY when no committed
+    data exists yet — the first-batch case every incremental consumer
+    (corpus ingest, media featurization) must tolerate. Two sanctioned
+    shapes of "no store yet": the path does not exist (PATH_NOT_FOUND),
+    and the path exists but holds no committed parquet footers
+    (UNABLE_TO_INFER_SCHEMA — e.g. _temporary debris from a killed
+    first write; treating that as an error would wedge the stream
+    permanently on replay, review r13). Any OTHER read failure raises:
+    swallowing e.g. a transient listing error as "no store" silently
+    turns off digest anti-joins and admits duplicates permanently.
+    Matches the error CLASS where pyspark exposes it; falls back to the
+    message only for older exception shapes."""
+    from pyspark.errors import AnalysisException
+
+    _FIRST_BATCH_CLASSES = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        klass = None
+        get = getattr(e, "getErrorClass", None)
+        if callable(get):
+            try:  # pragma: no cover - shape varies across pyspark minors
+                klass = get()
+            except Exception:
+                klass = None
+        if klass is not None:
+            if klass in _FIRST_BATCH_CLASSES:
+                return None
+            raise
+        msg = str(e)
+        if any(c in msg for c in _FIRST_BATCH_CLASSES) or "Path does not exist" in msg:
+            return None
+        raise
+
+
 PARTITION_COL = "reading_date"
 NATURAL_KEY = ("device_id", "timestamp", "device_type")
 

@@ -41,20 +41,13 @@ DOCUMENT_SCHEMA = (
 )
 
 def _read_parquet_or_none(spark: SparkSession, path: str) -> DataFrame | None:
-    """Read a standing store, or None ONLY when it does not exist yet
-    (the documented first-batch case). Any other read failure raises:
-    swallowing e.g. a transient listing error as "no store" silently
-    turns off the digest anti-join / band screen for the batch and
-    admits duplicates permanently (review r13 — the media sink's bug,
-    shared by this module's two store reads)."""
-    from pyspark.errors import AnalysisException
+    """Read a standing store, or None ONLY when no committed data
+    exists yet (first batch / killed-first-write debris). One shared
+    implementation with the media sink — see
+    operators.maintenance.read_store_or_none for the error taxonomy."""
+    from ..operators.maintenance import read_store_or_none
 
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
-        return None
+    return read_store_or_none(spark, path)
 
 
 # MinHash parameters shared by the in-batch screen and the persisted

@@ -105,18 +105,19 @@ def featurize_media_batch(
     JVM-SIDE (F.sha2 over the binary payload — bit-identical to the
     content_hash extract_features emits) BEFORE any Python worker sees
     a row, so a duplicate payload is rejected by column expressions and
-    never pays the Arrow transfer + decode. In-batch duplicates keep
-    the smallest media_id — split by row_number so two copies sharing
-    the SAME media_id (a double-delivered upload) still collapse to one
-    keeper ('duplicate_payload_in_batch' for the rest); keepers whose
-    digest already exists in `existing_hashes` (a content_hash column —
-    the column-pruned read of the features store) reject as
-    'duplicate_payload_in_store'. The store comparison is ONE left join
-    onto the batch's distinct-digest frame, checkpointed immediately:
-    the store's digest column is scanned exactly once per call (only
-    digests move, never payloads), every consumer of kept/rejected
-    reuses the frozen batch-bounded flag frame, and nothing in the
-    outputs' lineage re-reads the store after the caller starts
+    never pays the Arrow transfer + decode. One keeper survives per
+    distinct digest — chosen by the MINIMUM full-metadata struct, a
+    content-based total order, so two copies sharing the same media_id
+    (a double-delivered upload) still collapse deterministically; every
+    other physical copy rejects as 'duplicate_payload_in_batch', and a
+    keeper whose digest already exists in `existing_hashes` (a
+    content_hash column — the column-pruned read of the features store)
+    rejects as 'duplicate_payload_in_store'. The whole decision is ONE
+    checkpointed digest-level frame: the store's digest column is
+    scanned exactly once per call, payload bytes never shuffle (the
+    counts aggregate prunes them; the keeper's payload comes from
+    one-row-per-digest, byte-identical by definition), and nothing in
+    the outputs' lineage re-reads the store after the caller starts
     rewriting it."""
     # 0. fail-loud validity split, before any Python worker sees a row
     invalid = batch.where(F.col("media_id").isNull() | F.col("payload").isNull())
@@ -135,48 +136,72 @@ def featurize_media_batch(
         "media_id", "media_type", F.lit("").alias("reason")
     )
     if dedup:
-        from pyspark.sql.window import Window
-
         batch_cols = valid.columns
+        meta_cols = [c for c in batch_cols if c != "payload"]
         digested = valid.withColumn("_digest", F.sha2(F.col("payload"), 256))
-        # row_number (not keep-min-id equality) so two copies sharing
-        # the SAME media_id still split into one keeper + rejects;
-        # among identical rows the pick is arbitrary but the rows are
-        # identical, so the outcome is not (review r13)
-        ranked = digested.withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("_digest").orderBy("media_id")
-            ),
+        # The whole dedup decision lives in ONE checkpointed frame with
+        # one row per distinct batch digest: the keeper's metadata (min
+        # over the full meta struct — a content-based total order, so
+        # the decision is deterministic across re-evaluations; Spark
+        # struct equality treats null fields as equal) and the
+        # store-duplicate flag. Payload bytes NEVER shuffle: the counts
+        # aggregate prunes the payload column, the keeper's payload
+        # comes from one-row-per-digest (byte-identical within a digest
+        # by definition), and everything joins back by broadcasting the
+        # batch-bounded decision frame (review r13 — the first form
+        # windowed over full rows, shuffling every payload).
+        counts = digested.groupBy("_digest", *meta_cols).agg(
+            F.count(F.lit(1)).alias("_copies")
         )
-        in_batch_dropped = ranked.where(F.col("_rn") > 1)
-        keepers = ranked.where(F.col("_rn") == 1)
+        decision = counts.groupBy("_digest").agg(
+            F.min(F.struct(*meta_cols)).alias("_keep")
+        )
         if existing_hashes is not None:
-            # ONE store scan per call: the flag frame is batch-bounded
-            # (distinct batch digests x known?) and checkpointed NOW,
-            # so neither output's lineage re-reads the store later —
-            # and a caller that overwrites the store (the streaming
-            # sink) cannot invalidate the decision mid-flight
-            flags = (
-                digested.select("_digest")
+            # ONE store scan per call, frozen by the checkpoint below —
+            # neither output's lineage re-reads the store later, so the
+            # streaming sink's partition overwrite cannot invalidate
+            # the decision mid-flight
+            decision = decision.join(
+                existing_hashes.select(F.col("content_hash").alias("_digest"))
                 .distinct()
-                .join(
-                    existing_hashes.select(
-                        F.col("content_hash").alias("_digest")
-                    )
-                    .distinct()
-                    .withColumn("_dup", F.lit(True)),
-                    "_digest",
-                    "left",
-                )
-                .localCheckpoint()
+                .withColumn("_dup", F.lit(True)),
+                "_digest",
+                "left",
             )
-            keepers = keepers.join(F.broadcast(flags), "_digest")
-            store_dropped = keepers.where(F.col("_dup"))
-            deduped = keepers.where(F.col("_dup").isNull())
         else:
-            store_dropped = keepers.limit(0)
-            deduped = keepers
+            decision = decision.withColumn(
+                "_dup", F.lit(None).cast("boolean")
+            )
+        decision = decision.localCheckpoint()
+
+        # keeper rows: the decision's meta + any one payload per digest
+        one_payload = digested.dropDuplicates(["_digest"]).select(
+            "_digest", "payload"
+        )
+        keepers = one_payload.join(F.broadcast(decision), "_digest").select(
+            *[F.col("_keep")[c].alias(c) for c in meta_cols],
+            "payload",
+            "_dup",
+        )
+        deduped = keepers.where(F.col("_dup").isNull())
+        store_dropped = keepers.where(F.col("_dup"))
+        # in-batch rejects: every physical copy minus the keeper slot,
+        # reconstructed from the meta-only counts (no payloads touched)
+        rej_counts = (
+            counts.join(F.broadcast(decision.select("_digest", "_keep")), "_digest")
+            .withColumn(
+                "_n_rej",
+                F.col("_copies")
+                - F.when(
+                    F.struct(*meta_cols) == F.col("_keep"), F.lit(1)
+                ).otherwise(F.lit(0)),
+            )
+            .where(F.col("_n_rej") > 0)
+        )
+        in_batch_dropped = rej_counts.select(
+            *meta_cols,
+            F.explode(F.sequence(F.lit(1), F.col("_n_rej"))).alias("_i"),
+        )
         dedup_rejects = (
             in_batch_dropped.select(
                 "media_id",
@@ -265,22 +290,17 @@ def run_media_feature_stream(
         t0 = time.monotonic()
         existing = None
         if dedup:
-            from pyspark.errors import AnalysisException
+            # only the documented no-committed-data-yet cases may read
+            # as None — any other failure must kill the batch, or
+            # store-level dedup silently turns off and duplicates land
+            # permanently (review r13; shared helper with corpus ingest)
+            from ..operators.maintenance import read_store_or_none
 
-            try:
-                existing = (
-                    spark.read.parquet(output_path)
-                    .where(F.col("batch_id") != batch_id)
-                    .select("content_hash")
+            store = read_store_or_none(spark, output_path)
+            if store is not None:
+                existing = store.where(F.col("batch_id") != batch_id).select(
+                    "content_hash"
                 )
-            except AnalysisException as e:
-                # ONLY the documented first-batch case (store not yet
-                # written) may be swallowed — any other read failure
-                # must kill the batch, or store-level dedup silently
-                # turns off and duplicates land permanently (review r13)
-                if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                    raise
-                existing = None
         # checkpoint=True freezes the decode lineage ONCE inside
         # featurize_media_batch; kept/rejected and the metrics
         # aggregates below all derive from that one materialization

@@ -363,6 +363,12 @@ def test_mjpg_avi_decode_end_to_end(spark):
         _hl.sha256(decoded[i].tobytes()).hexdigest() for i in (0, 1)
     )
 
+    # some muxers mark the all-keyframe JPEG stream '00db' instead of
+    # '00dc' — the MJPG path must consume both kinds (review r13)
+    as_db = avi.replace(b"00dc", b"00db")
+    decoded_db, _ = multimodal._avi_decode(as_db)
+    assert decoded_db.tolist() == decoded.tolist()
+
 
 def test_avi_decode_ignores_audio_strl_and_stray_dc_chunks():
     """Two review-r13 pins on the AVI parser: (1) an audio stream's
@@ -417,19 +423,38 @@ def test_avi_decode_ignores_audio_strl_and_stray_dc_chunks():
 
 
 @pytest.mark.skipif(_has_pil(), reason="PIL installed: the MJPG path decodes")
-def test_lowercase_mjpg_fourcc_reaches_the_pil_gate():
-    """The fourcc match is case-insensitive: a lowercase 'mjpg' stream
-    must hit the same PIL gate (and thus the n_codec_missing metric),
-    not the generic wrong-codec rejection (review r13)."""
+@pytest.mark.parametrize("fourcc", [b"mjpg", b"Mjpg", b"mJPG"])
+def test_any_case_mjpg_fourcc_reaches_the_pil_gate(fourcc):
+    """The fourcc match is case-insensitive per the RIFF convention:
+    every casing of 'MJPG' must hit the same PIL gate (and thus the
+    n_codec_missing metric), not the generic wrong-codec rejection
+    (review r13, both passes)."""
     import struct
 
     import numpy as np
 
     avi = bytearray(multimodal._avi_encode(np.zeros((1, 2, 2, 3), dtype=np.uint8)))
     strf_at = bytes(avi).find(b"strf")
-    avi[strf_at + 8 + 16 : strf_at + 8 + 20] = b"mjpg"
+    avi[strf_at + 8 + 16 : strf_at + 8 + 20] = fourcc
     with pytest.raises(NotImplementedError, match="PIL"):
         multimodal._avi_decode(bytes(avi))
+
+
+def test_avi_nested_list_bomb_cannot_recursion_error():
+    """A crafted payload of deeply nested LIST headers must parse
+    bounded (iterative worklist) and fail through the documented
+    contract — never RecursionError (review r13). 50k nesting levels
+    would blow Python's default 1000-frame recursion limit 50x over."""
+    import struct
+
+    depth = 50_000
+    inner = b"JUNK" + struct.pack("<I", 0)
+    body = inner
+    for _ in range(depth):
+        body = b"LIST" + struct.pack("<I", len(body) + 4) + b"nest" + body
+    payload = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+    with pytest.raises(NotImplementedError, match="truncated AVI"):
+        multimodal._avi_decode(payload)
 
 
 @pytest.mark.skipif(_has_pil(), reason="PIL installed: the MJPG path decodes")

@@ -661,3 +661,30 @@ def test_idempotent_append_refuses_null_natural_keys(spark, tmp_path):
              "device_type", "value")
     with _pytest.raises(ValueError, match="NULL natural-key"):
         idempotent_append(spark, bad, str(tmp_path / "t"))
+
+
+def test_read_store_or_none_error_taxonomy(spark, tmp_path):
+    """The shared first-batch read helper (review r13): a missing path
+    and an existing-but-dataless directory (killed first write leaving
+    debris) both read as None — anything else would wedge an
+    incremental stream permanently on replay — while a directory with
+    corrupt committed data raises instead of silently disabling the
+    digest anti-join."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from metrocloud_data_pipeline_spark.operators.maintenance import (
+        read_store_or_none,
+    )
+
+    # missing path -> None
+    assert read_store_or_none(spark, str(tmp_path / "never_written")) is None
+    # existing but dataless (first-write debris) -> None
+    debris = tmp_path / "debris"
+    (debris / "_temporary").mkdir(parents=True)
+    (debris / "_temporary" / "part-0000").write_bytes(b"half a write")
+    assert read_store_or_none(spark, str(debris)) is None
+    # committed data -> the frame
+    good = tmp_path / "good"
+    spark.range(3).write.parquet(str(good))
+    got = read_store_or_none(spark, str(good))
+    assert got is not None and got.count() == 3
