@@ -997,6 +997,121 @@ def synth_video_corpus(
     return docs.select("doc_id").mapInPandas(run, schema=schema)
 
 
+def synth_video_sequence_corpus(
+    docs: DataFrame, width: int = 4, height: int = 3, n_frames: int = 6
+) -> DataFrame:
+    """Deterministic real-video corpus with OVERLAPPING frame content
+    (the synth_video_corpus move, one level richer): frame f of doc d's
+    AVI is the constant gray ((d + f) * 37) % 256, so two videos share
+    exactly max(0, n - delta) + max(0, n - (256 - delta)) decoded
+    frames where delta = (d_b - d_a) mod 256 — the closed form a SQL
+    oracle computes without touching video. Built for the
+    frame-fingerprint near-dup operator: overlap, wraparound overlap,
+    and full duplication (delta = 0 at distance 256k) all occur
+    naturally in a large id range. Input scan prunes to doc_id only."""
+    import numpy as np
+
+    def _clip(doc_id: int) -> bytes:
+        frames = np.stack(
+            [
+                np.full((height, width, 3), ((doc_id + f) * 37) % 256, dtype=np.uint8)
+                for f in range(n_frames)
+            ]
+        )
+        return _avi_encode(frames)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": pd.Series(["video"] * len(pdf), dtype="object"),
+                    "mime": pd.Series(["video/avi"] * len(pdf), dtype="object"),
+                    "payload": pdf["doc_id"].map(_clip),
+                    "duration_ms": pd.Series(
+                        [n_frames * 40] * len(pdf), dtype="int32"
+                    ),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("mime", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("duration_ms", IntegerType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(run, schema=schema)
+
+
+def video_frame_near_dup(
+    media: DataFrame,
+    every_ms: int = 40,
+    min_shared: int = 1,
+    max_frame_df: int = 1000,
+) -> DataFrame:
+    """Near-duplicate VIDEO detection by decoded-frame fingerprints —
+    the media tier's analog of n-gram Jaccard for text: sample_frames'
+    real path hashes each decoded RGB frame (sha256 of pixel bytes, so
+    re-containered/re-muxed copies of the same footage collide), then
+    videos are paired by shared fingerprints and scored by Jaccard over
+    their distinct-frame sets. Output: (media_a, media_b,
+    shared_frames, jaccard) for media_a < media_b with >= min_shared
+    shared frames, jaccard rounded to 6 decimals.
+
+    Scale shape: the pair search joins on frame_hash, so cost follows
+    shared-fingerprint density, not corpus size squared; ubiquitous
+    frames (black/white slates, test cards) are the hot keys that WOULD
+    make it quadratic, so fingerprints appearing in more than
+    max_frame_df videos are excluded before the self-join (the LSH
+    hot-bucket cap / the jaccard-prefix df-cut, applied to frames) —
+    they carry no identity signal. The per-video distinct-frame counts
+    that feed the Jaccard denominator are computed BEFORE the cap, so
+    the score stays honest when a capped frame drops."""
+    frames = (
+        sample_frames(media, every_ms=every_ms, decode_stub=False)
+        .where(F.col("frame_hash").isNotNull())
+        .select("media_id", "frame_hash")
+        .distinct()
+    )
+    frames = frames.localCheckpoint()  # one decode pass feeds sizes + pairs
+    sizes = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("_n"))
+    df_cut = (
+        frames.groupBy("frame_hash")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_frame_df)
+        .select("frame_hash")
+    )
+    pruned = frames.join(df_cut, "frame_hash", "left_semi")
+    a = pruned.select(F.col("media_id").alias("media_a"), "frame_hash")
+    b = pruned.select(F.col("media_id").alias("media_b"), "frame_hash")
+    shared = (
+        a.join(b, "frame_hash")
+        .where(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
+        .where(F.col("shared_frames") >= min_shared)
+    )
+    na = sizes.select(F.col("media_id").alias("media_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col("media_id").alias("media_b"), F.col("_n").alias("_nb"))
+    return (
+        shared.join(na, "media_a")
+        .join(nb, "media_b")
+        .select(
+            "media_a",
+            "media_b",
+            "shared_frames",
+            F.round(
+                F.col("shared_frames")
+                / (F.col("_na") + F.col("_nb") - F.col("shared_frames")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def media_summary(media: DataFrame) -> DataFrame:
     """Typed-metadata rollup — never touches the payload column, so the
     parquet scan prunes the heavy bytes entirely (check ReadSchema)."""

@@ -2350,6 +2350,48 @@ def media_video_features(spark, sf_dir):
 
 
 @q(
+    "media_video_near_dup",
+    oracle="""
+WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+p AS (
+  SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+         CAST((b.doc_id - a.doc_id) % 256 AS INTEGER) AS delta
+  FROM v a JOIN v b ON a.doc_id < b.doc_id
+),
+s AS (
+  SELECT media_a, media_b,
+         CASE WHEN delta = 0 THEN 6
+              WHEN delta <= 5 THEN 6 - delta
+              WHEN delta >= 251 THEN delta - 250
+              ELSE 0 END AS shared_frames
+  FROM p
+)
+SELECT media_a, media_b, CAST(shared_frames AS BIGINT) AS shared_frames,
+       round(CAST(shared_frames AS DOUBLE) / (12 - shared_frames), 6) AS jaccard
+FROM s WHERE shared_frames >= 1
+""",
+)
+def media_video_near_dup(spark, sf_dir):
+    """Near-duplicate VIDEO detection by decoded-frame fingerprints —
+    frame-set Jaccard over sha256(decoded RGB), the media analog of
+    n-gram Jaccard (r13): each video-cycle document becomes a genuine
+    6-frame uncompressed-DIB AVI whose frame f is the constant gray
+    ((doc_id + f) * 37) % 256, so two videos share exactly
+    max(0, 6 - d) + max(0, 6 - (256 - d)) real decoded frames where
+    d = (id_b - id_a) mod 256 — overlap, wraparound overlap, and full
+    duplication (d = 0 at id distance 256k) all occur naturally. The
+    oracle computes that closed form WITHOUT touching video, so the
+    whole synth -> AVI encode -> real decode -> frame hash -> pair
+    join -> Jaccard chain is hash-checked end to end. The operator
+    joins on fingerprints (cost follows shared-frame density, not
+    corpus size squared) with a df-cut on ubiquitous frames — the
+    jaccard-prefix hot-key discipline applied to frames."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
+    media = multimodal.synth_video_sequence_corpus(docs)
+    return multimodal.video_frame_near_dup(media, every_ms=40)
+
+
+@q(
     "media_type_summary",
     oracle="""
 WITH media AS (
@@ -6816,6 +6858,7 @@ QUERY_ORDER = [
     # new r13-born keys, appended per the new-key cap — see
     # tools/freshness.py FIRST_REGISTERED_ROUND:
     "ccnet_perplexity_buckets_kn5",
+    "media_video_near_dup",
 ]
 
 

@@ -440,6 +440,36 @@ def test_any_case_mjpg_fourcc_reaches_the_pil_gate(fourcc):
         multimodal._avi_decode(bytes(avi))
 
 
+def test_video_frame_near_dup_planted_pairs(spark):
+    """The frame-fingerprint near-dup operator through the FULL real
+    chain (synth -> AVI -> decode -> hash -> pair join): ids 2 and
+    2+768 are exact dups (768 = 3*256, delta 0 -> all 6 frames shared,
+    jaccard 1.0), ids 2 and 5 overlap by 3 frames (jaccard 3/9), and a
+    df-cut at max_frame_df=1 removes every shared fingerprint so no
+    pair survives — the hot-frame cap's contract."""
+    docs = spark.createDataFrame(
+        [(2, "", "en", "s", 0), (5, "", "en", "s", 0), (770, "", "en", "s", 0),
+         (100, "", "en", "s", 0)],  # 100: no overlap with anyone
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.synth_video_sequence_corpus(docs)
+    got = {
+        (r.media_a, r.media_b): (r.shared_frames, r.jaccard)
+        for r in multimodal.video_frame_near_dup(media, every_ms=40).collect()
+    }
+    assert got[(2, 770)] == (6, 1.0)          # exact dup across 3*256
+    assert got[(2, 5)] == (3, 0.333333)       # 3-frame overlap
+    assert got[(5, 770)] == (3, 0.333333)     # 5 vs 770: delta 765 -> 253
+    assert (2, 100) not in got and (5, 100) not in got
+    assert len(got) == 3
+    # every fingerprint here appears in >= 2 videos of the planted
+    # clique — a df-cut at 1 removes them all, so no pair survives
+    none = multimodal.video_frame_near_dup(
+        media, every_ms=40, max_frame_df=1
+    ).collect()
+    assert none == []
+
+
 def test_avi_nested_list_bomb_cannot_recursion_error():
     """A crafted payload of deeply nested LIST headers must parse
     bounded (iterative worklist) and fail through the documented

@@ -116,6 +116,9 @@ DOC_QUERIES = [
     "text_bpe_token_stats",
     "text_clean_stats",
     "text_repetition_stats",
+    # r13: frame-fingerprint video near-dup (synth from doc_id only,
+    # so null/unicode text rows ride through untouched)
+    "media_video_near_dup",
 ]
 
 EDGE_ROWS = [

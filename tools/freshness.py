@@ -40,6 +40,7 @@ FIRST_REGISTERED_ROUND: dict[str, int] = {
     "media_video_features": 12,
     "ccnet_perplexity_buckets_exact_dist": 12,
     "ccnet_perplexity_buckets_kn5": 13,
+    "media_video_near_dup": 13,
 }
 
 
