@@ -6621,76 +6621,15 @@ NO_ORACLE_REASONS: dict[str, str] = {
 }
 
 QUERY_ORDER = [
-    # --- r13 window (first 50 = driver-checked this round) ---
-    # Stalest-first rotation per VERDICT r12 #1: the 8 age-5 keys
-    # (latest green r7 — at the gate threshold) MUST lead, the 3
-    # r12-born keys get their first-ever driver row, and the 39 oldest
-    # of the 50-key age-3 (r9) cohort fill the rest — exactly 50 slots.
-    # The 11 remaining r9 keys head the queue below; at age 4 after
-    # this round they are first into the r14 window, inside the gate's
-    # max_age=6 with two rounds of slack.
-    # last green driver row r7 (age 5 — gate threshold):
-    "decontaminate_ngram",
-    "text_repetition_stats",
-    "knn_brute_force",
-    "knn_join_brute",
-    "knn_ivf",
-    "knn_join_ivf",
-    "dsir_importance_weights",
-    "quality_lr_score",
-    # first registered r12, never driver-checked (first rows this round):
-    "media_audio_features",
-    "media_video_features",
-    "ccnet_perplexity_buckets_exact_dist",
-    # last green driver row r9 (39 of 50):
-    "dedup_substring_spans",
-    "ivfpq_recall_report",
-    "dsir_hashed_weights",
-    "dedup_rag_chunks",
-    "dedup_substring_excise",
-    "decontaminate_embed",
-    "dedup_keep_best",
-    "text_repetition_panel",
-    "gopher_quality_panel",
-    "c4_line_filter",
-    "minhash_recall_report",
-    "dedup_c4_sentence_spans",
-    "boilerplate_line_filter",
-    "ccnet_perplexity_buckets",
-    "ccnet_perplexity_buckets_approx",
-    "corpus_filter_funnel",
-    "ivfpq_refine_sweep",
-    "embed_diverse_sample",
-    "dedup_cluster_histogram",
-    "text_fertility_by_lang",
-    "text_ngram_diversity",
-    "text_char_entropy",
-    "dedup_source_overlap",
-    "quality_rank_fusion",
-    "text_zipf_slope",
-    "source_js_divergence",
-    "embed_label_purity",
-    "kn_bigram_surprisal",
-    "mixture_epoch_plan",
-    "lsh_band_planner",
-    "doc_outlier_panel",
-    "corpus_datacard",
-    "minhash_precision_report",
-    "context_length_plan",
-    "sample_mix_audit",
-    "winnow_similar_topk",
-    "text_hot_tokens",
-    "text_hot_tokens_approx",
-    "quality_signal_correlation",
-    # --- driver window ends here (first 50) ---
-    # r14 queue head: the 11 age-3 keys the 50-slot window could not
-    # hold this round (61 candidates for 50 slots), then the r10 / r11 /
-    # r12-window cohorts, freshest last.
-    # r14 window arithmetic (precomputed at r13 close): after the r13
-    # driver run these 11 sit at age 4 and MUST lead; plus any r13-born
-    # keys (see FIRST_REGISTERED_ROUND); the balance comes from the
-    # then-age-3 r10 cohort, oldest first.
-    # last green driver row r9 (the 11 deferred):
+    # --- r14 window (first 50 = driver-checked this round) ---
+    # Stalest-first rotation per VERDICT r13 #1: the 11 age-4 keys
+    # (latest green r9 — the deferred tail of the r9 cohort) MUST lead,
+    # the 2 r13-born keys get their first-ever driver row, and the 37
+    # oldest of the 50-key age-3 (r10) cohort fill the rest — exactly
+    # 50 slots.  The 13 remaining r10 keys head the queue below; at
+    # age 4 after this round they are first into the r15 window,
+    # inside the gate's max_age=6 with two rounds of slack.
+    # last green driver row r9 (age 4 — the 11 deferred from r13):
     "langid_confusion",
     "shard_skew_report",
     "dedup_impact_by_source",
@@ -6702,7 +6641,10 @@ QUERY_ORDER = [
     "knn_lsh",
     "dedup_embed_cosine_lsh",
     "dedup_simhash",
-    # last green driver row r10:
+    # first registered r13, never driver-checked (first rows this round):
+    "ccnet_perplexity_buckets_kn5",
+    "media_video_near_dup",
+    # last green driver row r10 (37 of 50):
     "seq_pack_summary",
     "dedup_keep_list",
     "tfidf_top_terms",
@@ -6740,6 +6682,15 @@ QUERY_ORDER = [
     "text_clean_stats",
     "quality_filter_report",
     "pii_scrub_stats",
+    # --- driver window ends here (first 50) ---
+    # r15 queue head: the 13 age-3 keys the 50-slot window could not
+    # hold this round (63 candidates for 50 slots), then the r11 / r12 /
+    # r13-window cohorts, freshest last.
+    # r15 window arithmetic (precomputed at r14 close): after the r14
+    # driver run these 13 sit at age 4 and MUST lead; plus any r14-born
+    # keys (see FIRST_REGISTERED_ROUND); the balance comes from the
+    # then-age-3 r11 cohort, oldest first.
+    # last green driver row r10 (the 13 deferred):
     "stratified_split",
     "asof_last_error",
     "a11_type_daily_rollup",
@@ -6804,7 +6755,7 @@ QUERY_ORDER = [
     "h5_local_supplier_volume",
     "a2_hourly_aggregates",
     "h6_forecast_revenue",
-    # last green driver row r12 (the r12 window cohort — freshest):
+    # last green driver row r12:
     "h7_volume_shipping",
     "h8_market_share",
     "w4_user_sessions",
@@ -6855,10 +6806,57 @@ QUERY_ORDER = [
     "h18_large_customers",
     "h_brand_revenue",
     "doc_fingerprint_winnow",
-    # new r13-born keys, appended per the new-key cap — see
-    # tools/freshness.py FIRST_REGISTERED_ROUND:
-    "ccnet_perplexity_buckets_kn5",
-    "media_video_near_dup",
+    # last green driver row r13 (the r13 window cohort — freshest):
+    "decontaminate_ngram",
+    "text_repetition_stats",
+    "knn_brute_force",
+    "knn_join_brute",
+    "knn_ivf",
+    "knn_join_ivf",
+    "dsir_importance_weights",
+    "quality_lr_score",
+    "media_audio_features",
+    "media_video_features",
+    "ccnet_perplexity_buckets_exact_dist",
+    "dedup_substring_spans",
+    "ivfpq_recall_report",
+    "dsir_hashed_weights",
+    "dedup_rag_chunks",
+    "dedup_substring_excise",
+    "decontaminate_embed",
+    "dedup_keep_best",
+    "text_repetition_panel",
+    "gopher_quality_panel",
+    "c4_line_filter",
+    "minhash_recall_report",
+    "dedup_c4_sentence_spans",
+    "boilerplate_line_filter",
+    "ccnet_perplexity_buckets",
+    "ccnet_perplexity_buckets_approx",
+    "corpus_filter_funnel",
+    "ivfpq_refine_sweep",
+    "embed_diverse_sample",
+    "dedup_cluster_histogram",
+    "text_fertility_by_lang",
+    "text_ngram_diversity",
+    "text_char_entropy",
+    "dedup_source_overlap",
+    "quality_rank_fusion",
+    "text_zipf_slope",
+    "source_js_divergence",
+    "embed_label_purity",
+    "kn_bigram_surprisal",
+    "mixture_epoch_plan",
+    "lsh_band_planner",
+    "doc_outlier_panel",
+    "corpus_datacard",
+    "minhash_precision_report",
+    "context_length_plan",
+    "sample_mix_audit",
+    "winnow_similar_topk",
+    "text_hot_tokens",
+    "text_hot_tokens_approx",
+    "quality_signal_correlation",
 ]
 
 
