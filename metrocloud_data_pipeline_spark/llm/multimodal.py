@@ -192,7 +192,11 @@ def _png_decode(payload: bytes):
         raise ValueError("null media payload reached the real image decode path")
     b = bytes(payload)
     if b[:8] != b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError(
+        # reached only when PIL import already failed upstream
+        # (_image_feature tries PIL first), so a non-PNG payload here
+        # IS the missing-codec deployment case — structured class, not
+        # a data-shape NotImplementedError (ADVICE r14)
+        raise CodecMissingError(
             "codec-free real image decode supports PNG only; other formats "
             "(JPEG/WebP/...) need PIL — install it or use decode_stub=True"
         )
@@ -356,6 +360,20 @@ def _image_feature(payload: bytes, dim: int) -> list[float]:
         return _pure_png_feature(payload, dim)
 
 
+class CodecMissingError(NotImplementedError):
+    """A required codec LIBRARY is absent in this deployment (PIL, for
+    JPEG-family pixels) — a deployment error, not a data-shape reject:
+    installing the named library would make the payload decodable.
+    Decoders raise this subclass (instead of bare NotImplementedError)
+    at exactly those sites, so the streaming metrics can count
+    n_codec_missing by the structured class name in the reject reason
+    ('CodecMissingError: ...') rather than substring-matching 'PIL' —
+    which also matched the pure PNG decoder's per-file 'unsupported
+    PNG variant ... install PIL for the long tail' data-shape reject
+    and let a handful of exotic PNGs spike the deployment-error metric
+    (ADVICE r14)."""
+
+
 _MJPG_FOURCC = 0x47504A4D  # struct.unpack('<I', b'MJPG')
 
 
@@ -395,59 +413,75 @@ def _avi_decode(payload: bytes):
     stream_type = None  # fccType of the most recent strh ('vids'/'auds'/...)
     chunks_in_order: list[tuple[bytes, bytes]] = []  # (frame kind, data)
 
-    # iterative worklist, NOT recursion: a crafted payload of deeply
-    # nested LIST headers must fail/parse bounded, never RecursionError
-    # past the fail-loud contract (review r13)
-    work: list[bytes] = [b[12:]]
-    while work:
-        chunk = work.pop()
-        pos = 0
-        while pos + 8 <= len(chunk):
-            tag = chunk[pos : pos + 4]
-            (ln,) = struct.unpack("<I", chunk[pos + 4 : pos + 8])
-            data = chunk[pos + 8 : pos + 8 + ln]
-            pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
-            if tag == b"LIST":
-                work.append(data[4:])  # skip the list type fourcc
-            elif tag == b"avih" and len(data) >= 40:
-                usec_per_frame = struct.unpack("<I", data[0:4])[0]
-                width = struct.unpack("<I", data[32:36])[0]
-                height = struct.unpack("<I", data[36:40])[0]
-            elif tag == b"strh" and len(data) >= 4:
-                stream_type = data[:4]
-            elif tag == b"strf" and len(data) >= 20 and stream_type == b"vids":
-                # only a VIDEO stream's strf is a BITMAPINFOHEADER — an
-                # audio strl's WAVEFORMATEX would parse as garbage here
-                # (a standard MJPG+PCM capture has both; found by review
-                # r13)
-                compression = struct.unpack("<I", data[16:20])[0]
-                bitcount = struct.unpack("<H", data[14:16])[0]
-                if (compression | 0x20202020) == (_MJPG_FOURCC | 0x20202020):
-                    # fourcc match is case-insensitive per the RIFF
-                    # convention ('MJPG'/'mjpg'/'Mjpg' all mean MJPG)
-                    codec = "MJPG"
-                    try:
-                        import PIL  # noqa: F401
-                    except ImportError:
-                        raise NotImplementedError(
-                            "MJPG-in-AVI frames are JPEG — decoding them "
-                            "needs PIL; install it, transcode via ffmpeg, "
-                            "or use decode_stub=True"
-                        ) from None
-                elif compression != 0 or bitcount != 24:
-                    raise NotImplementedError(
-                        f"AVI stream is not uncompressed 24-bit DIB or MJPG "
-                        f"(biCompression={compression}, biBitCount={bitcount}); "
-                        "install/transcode via ffmpeg"
-                    )
-            elif tag[2:] in (b"db", b"dc"):
-                # '00db' = uncompressed frame, '00dc' = compressed —
-                # EXCEPT under MJPG, where some muxers mark the
-                # all-keyframe JPEG stream '00db' too (review r13)
-                chunks_in_order.append((tag[2:], data))
+    # iterative DOCUMENT-ORDER walk, NOT recursion: a crafted payload
+    # of deeply nested LIST headers must parse bounded, never
+    # RecursionError past the fail-loud contract (review r13).  Order
+    # is load-bearing: real interleaved AVIs wrap each frame (plus its
+    # audio) in a 'rec ' LIST inside 'movi', so the walk must descend
+    # into a LIST immediately and RESUME the parent afterwards — the
+    # prior pop-whole-sibling-buffers LIFO reversed consecutive rec
+    # groups, silently scrambling temporal frame order and therefore
+    # frame_idx / frame_ts_ms / every_ms sampling (ADVICE r13).  The
+    # stack holds (parent end, resume pos) offset pairs into the one
+    # payload buffer — O(depth) ints, no per-level slice copies for a
+    # LIST bomb to amplify.
+    stack: list[tuple[int, int]] = []
+    pos, end = 12, len(b)
+    while True:
+        if pos + 8 > end:
+            if not stack:
+                break
+            end, pos = stack.pop()
+            continue
+        tag = b[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", b, pos + 4)
+        data_start = pos + 8
+        data_end = min(data_start + ln, end)  # truncated chunk clamps
+        pos = data_start + ln + (ln & 1)  # RIFF chunks are word-aligned
+        if tag == b"LIST":
+            stack.append((end, pos))  # resume the parent after the list
+            pos, end = data_start + 4, data_end  # skip the list type fourcc
+            continue
+        data = b[data_start:data_end]
+        if tag == b"avih" and len(data) >= 40:
+            usec_per_frame = struct.unpack("<I", data[0:4])[0]
+            width = struct.unpack("<I", data[32:36])[0]
+            height = struct.unpack("<I", data[36:40])[0]
+        elif tag == b"strh" and len(data) >= 4:
+            stream_type = data[:4]
+        elif tag == b"strf" and len(data) >= 20 and stream_type == b"vids":
+            # only a VIDEO stream's strf is a BITMAPINFOHEADER — an
+            # audio strl's WAVEFORMATEX would parse as garbage here
+            # (a standard MJPG+PCM capture has both; found by review
+            # r13)
+            compression = struct.unpack("<I", data[16:20])[0]
+            bitcount = struct.unpack("<H", data[14:16])[0]
+            if (compression | 0x20202020) == (_MJPG_FOURCC | 0x20202020):
+                # fourcc match is case-insensitive per the RIFF
+                # convention ('MJPG'/'mjpg'/'Mjpg' all mean MJPG)
+                codec = "MJPG"
+                try:
+                    import PIL  # noqa: F401
+                except ImportError:
+                    raise CodecMissingError(
+                        "MJPG-in-AVI frames are JPEG — decoding them "
+                        "needs PIL; install it, transcode via ffmpeg, "
+                        "or use decode_stub=True"
+                    ) from None
+            elif compression != 0 or bitcount != 24:
+                raise NotImplementedError(
+                    f"AVI stream is not uncompressed 24-bit DIB or MJPG "
+                    f"(biCompression={compression}, biBitCount={bitcount}); "
+                    "install/transcode via ffmpeg"
+                )
+        elif tag[2:] in (b"db", b"dc"):
+            # '00db' = uncompressed frame, '00dc' = compressed —
+            # EXCEPT under MJPG, where some muxers mark the
+            # all-keyframe JPEG stream '00db' too (review r13)
+            chunks_in_order.append((tag[2:], data))
 
-    # frame selection happens AFTER the walk completes, so the LIFO
-    # list order cannot race the codec decision. MJPG consumes BOTH
+    # frame selection happens AFTER the walk completes, so the walk
+    # order cannot race the codec decision. MJPG consumes BOTH
     # chunk kinds in encounter order (JPEG frames may be marked db or
     # dc); DIB consumes only db — a stray '00dc' in a DIB file is
     # ignored as before r13's MJPG support, never reinterpreted as raw
@@ -704,6 +738,13 @@ FRAME_SCHEMA = StructType(
     ]
 )
 
+# errors='reject': the extract_features lenient contract applied to
+# frame sampling — identity survives, frame_hash is NULL, the exception
+# text lands in a trailing decode_error column (ADVICE r14)
+FRAME_SCHEMA_LENIENT = StructType(
+    FRAME_SCHEMA.fields + [StructField("decode_error", StringType())]
+)
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -715,7 +756,10 @@ RESIZED_SCHEMA = StructType(
 
 
 def sample_frames(
-    media: DataFrame, every_ms: int = 1000, decode_stub: bool = True
+    media: DataFrame,
+    every_ms: int = 1000,
+    decode_stub: bool = True,
+    errors: str = "raise",
 ) -> DataFrame:
     """Frame sampling: the 1:N mapInPandas expansion — each item yields
     ceil(duration_ms / every_ms) frame rows (one row for images / null
@@ -733,8 +777,23 @@ def sample_frames(
     ceil(n_frames * period / every_ms) — the container's true
     duration, not the metadata column. Non-video rows keep one
     payload-hash row; compressed video raises NotImplementedError
-    (the extract_features contract)."""
+    (the extract_features contract).
+
+    errors: "raise" (default) aborts the job on the first undecodable
+    payload — the curated-corpus contract. "reject" isolates failures
+    PER ROW (schema gains a trailing decode_error column,
+    FRAME_SCHEMA_LENIENT): a failed row keeps its identity columns
+    with frame_idx=0 / frame_hash=NULL and the exception text, and the
+    batch survives — what a crawl-scale corpus needs, where one
+    truncated or codec-unsupported file must not kill the job
+    (ADVICE r14). Only meaningful with decode_stub=False; the stub
+    path never decodes, so 'reject' there just appends an all-NULL
+    decode_error column."""
     import math
+
+    if errors not in ("raise", "reject"):
+        raise ValueError(f"errors must be 'raise' or 'reject', got {errors!r}")
+    lenient = errors == "reject"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -753,19 +812,31 @@ def sample_frames(
                     idxs.append(i)
                     tss.append(i * every_ms)
                     hashes.append(hashlib.md5(f"{media_id}:{i}".encode()).hexdigest())
-            yield pd.DataFrame(
-                {
-                    "media_id": pd.Series(ids, dtype="int64"),
-                    "media_type": pd.Series(types, dtype="object"),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "frame_ts_ms": pd.Series(tss, dtype="int32"),
-                    "frame_hash": pd.Series(hashes, dtype="object"),
-                }
-            )
+            out = {
+                "media_id": pd.Series(ids, dtype="int64"),
+                "media_type": pd.Series(types, dtype="object"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_ts_ms": pd.Series(tss, dtype="int32"),
+                "frame_hash": pd.Series(hashes, dtype="object"),
+            }
+            if lenient:
+                out["decode_error"] = pd.Series(
+                    [None] * len(ids), dtype="object"
+                )
+            yield pd.DataFrame(out)
 
     def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, types, idxs, tss, hashes = [], [], [], [], []
+            ids, types, idxs, tss, hashes, errs = [], [], [], [], [], []
+
+            def _reject(media_id, media_type, exc):
+                ids.append(media_id)
+                types.append(media_type)
+                idxs.append(0)
+                tss.append(0)
+                hashes.append(None)
+                errs.append(f"{type(exc).__name__}: {exc}")
+
             for media_id, media_type, payload in zip(
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
             ):
@@ -778,8 +849,15 @@ def sample_frames(
                     idxs.append(0)
                     tss.append(0)
                     hashes.append(None)
+                    errs.append(None)
                 elif media_type == "video":
-                    frames, period_ms = _avi_decode(payload)
+                    try:
+                        frames, period_ms = _avi_decode(payload)
+                    except Exception as e:
+                        if not lenient:
+                            raise
+                        _reject(media_id, media_type, e)
+                        continue
                     clip_ms = len(frames) * period_ms
                     n = max(1, math.ceil(clip_ms / every_ms))
                     for i in range(n):
@@ -792,28 +870,32 @@ def sample_frames(
                         hashes.append(
                             hashlib.sha256(frames[fi].tobytes()).hexdigest()
                         )
+                        errs.append(None)
                 else:  # image/audio: the item is its only frame
                     ids.append(media_id)
                     types.append(media_type)
                     idxs.append(0)
                     tss.append(0)
                     hashes.append(hashlib.sha256(bytes(payload)).hexdigest())
-            yield pd.DataFrame(
-                {
-                    "media_id": pd.Series(ids, dtype="int64"),
-                    "media_type": pd.Series(types, dtype="object"),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "frame_ts_ms": pd.Series(tss, dtype="int32"),
-                    "frame_hash": pd.Series(hashes, dtype="object"),
-                }
-            )
+                    errs.append(None)
+            out = {
+                "media_id": pd.Series(ids, dtype="int64"),
+                "media_type": pd.Series(types, dtype="object"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_ts_ms": pd.Series(tss, dtype="int32"),
+                "frame_hash": pd.Series(hashes, dtype="object"),
+            }
+            if lenient:
+                out["decode_error"] = pd.Series(errs, dtype="object")
+            yield pd.DataFrame(out)
 
+    schema = FRAME_SCHEMA_LENIENT if lenient else FRAME_SCHEMA
     if decode_stub:
         return media.select("media_id", "media_type", "duration_ms").mapInPandas(
-            run, schema=FRAME_SCHEMA
+            run, schema=schema
         )
     return media.select("media_id", "media_type", "payload").mapInPandas(
-        run_real, schema=FRAME_SCHEMA
+        run_real, schema=schema
     )
 
 
@@ -1050,7 +1132,8 @@ def video_frame_near_dup(
     media: DataFrame,
     every_ms: int = 40,
     min_shared: int = 1,
-    max_frame_df: int = 1000,
+    max_frame_df: int | None = 1000,
+    errors: str = "reject",
 ) -> DataFrame:
     """Near-duplicate VIDEO detection by decoded-frame fingerprints —
     the media tier's analog of n-gram Jaccard for text: sample_frames'
@@ -1067,24 +1150,38 @@ def video_frame_near_dup(
     make it quadratic, so fingerprints appearing in more than
     max_frame_df videos are excluded before the self-join (the LSH
     hot-bucket cap / the jaccard-prefix df-cut, applied to frames) —
-    they carry no identity signal. The per-video distinct-frame counts
-    that feed the Jaccard denominator are computed BEFORE the cap, so
-    the score stays honest when a capped frame drops."""
+    they carry no identity signal. max_frame_df=None disables the cut
+    (and skips its aggregate + semi-join entirely) — for bounded
+    corpora where every fingerprint must count. The per-video
+    distinct-frame counts that feed the Jaccard denominator are
+    computed BEFORE the cap, so the score stays honest when a capped
+    frame drops.
+
+    errors: 'reject' (default — this is a crawl-scale operator): a
+    corrupt or codec-unsupported payload is isolated PER ROW by
+    sample_frames' lenient path and simply contributes no
+    fingerprints (its NULL frame_hash is filtered with the NULL-payload
+    rows), instead of one bad file killing the whole pair-search job
+    (ADVICE r14). 'raise' restores the curated-corpus fail-loud
+    contract."""
     frames = (
-        sample_frames(media, every_ms=every_ms, decode_stub=False)
+        sample_frames(media, every_ms=every_ms, decode_stub=False, errors=errors)
         .where(F.col("frame_hash").isNotNull())
         .select("media_id", "frame_hash")
         .distinct()
     )
     frames = frames.localCheckpoint()  # one decode pass feeds sizes + pairs
     sizes = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("_n"))
-    df_cut = (
-        frames.groupBy("frame_hash")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .where(F.col("_df") <= max_frame_df)
-        .select("frame_hash")
-    )
-    pruned = frames.join(df_cut, "frame_hash", "left_semi")
+    if max_frame_df is None:
+        pruned = frames
+    else:
+        df_cut = (
+            frames.groupBy("frame_hash")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_frame_df)
+            .select("frame_hash")
+        )
+        pruned = frames.join(df_cut, "frame_hash", "left_semi")
     a = pruned.select(F.col("media_id").alias("media_a"), "frame_hash")
     b = pruned.select(F.col("media_id").alias("media_b"), "frame_hash")
     shared = (

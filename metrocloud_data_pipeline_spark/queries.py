@@ -2353,22 +2353,28 @@ def media_video_features(spark, sf_dir):
     "media_video_near_dup",
     oracle="""
 WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
-p AS (
-  SELECT a.doc_id AS media_a, b.doc_id AS media_b,
-         CAST((b.doc_id - a.doc_id) % 256 AS INTEGER) AS delta
-  FROM v a JOIN v b ON a.doc_id < b.doc_id
+f AS (
+  SELECT doc_id, CAST(((doc_id + t.i) * 37) % 256 AS INTEGER) AS gray
+  FROM v CROSS JOIN (SELECT unnest(range(6)) AS i) t
 ),
-s AS (
-  SELECT media_a, media_b,
-         CASE WHEN delta = 0 THEN 6
-              WHEN delta <= 5 THEN 6 - delta
-              WHEN delta >= 251 THEN delta - 250
-              ELSE 0 END AS shared_frames
-  FROM p
+fd AS (SELECT DISTINCT doc_id, gray FROM f),
+sizes AS (SELECT doc_id, count(*) AS n FROM fd GROUP BY doc_id),
+kept AS (
+  SELECT doc_id, gray FROM fd
+  WHERE gray IN (SELECT gray FROM fd GROUP BY gray HAVING count(*) <= 1000)
+),
+shared AS (
+  SELECT a.doc_id AS media_a, b.doc_id AS media_b, count(*) AS shared_frames
+  FROM kept a JOIN kept b ON a.gray = b.gray AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
 SELECT media_a, media_b, CAST(shared_frames AS BIGINT) AS shared_frames,
-       round(CAST(shared_frames AS DOUBLE) / (12 - shared_frames), 6) AS jaccard
-FROM s WHERE shared_frames >= 1
+       round(CAST(shared_frames AS DOUBLE) / (sa.n + sb.n - shared_frames), 6)
+         AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = media_a
+JOIN sizes sb ON sb.doc_id = media_b
+WHERE shared_frames >= 1
 """,
 )
 def media_video_near_dup(spark, sf_dir):
@@ -2385,7 +2391,11 @@ def media_video_near_dup(spark, sf_dir):
     join -> Jaccard chain is hash-checked end to end. The operator
     joins on fingerprints (cost follows shared-frame density, not
     corpus size squared) with a df-cut on ubiquitous frames — the
-    jaccard-prefix hot-key discipline applied to frames."""
+    jaccard-prefix hot-key discipline applied to frames. The oracle
+    models the max_frame_df=1000 cut itself (per-gray df via a 6-row
+    unnest, HAVING count <= 1000), so parity holds at ANY scale
+    factor — the r13 closed form silently diverged once a fingerprint
+    exceeded 1000 videos (~128k docs), ADVICE r14."""
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
     media = multimodal.synth_video_sequence_corpus(docs)
     return multimodal.video_frame_near_dup(media, every_ms=40)

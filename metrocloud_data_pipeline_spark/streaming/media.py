@@ -353,14 +353,23 @@ def run_media_feature_stream(
             n_decode_errors = n_rejected - n_invalid - by_reason.get(
                 "video_needs_ffmpeg", 0
             )
-            # missing-codec rejects ("... need PIL") broken out so a
-            # PIL-less deployment reads as ONE spiking metric line, not
-            # a grep through reject reasons (the per-row isolation
-            # contract absorbs them as data rejects by design — this
-            # column is how the deployment error still surfaces).
+            # missing-codec rejects broken out so a PIL-less deployment
+            # reads as ONE spiking metric line, not a grep through
+            # reject reasons (the per-row isolation contract absorbs
+            # them as data rejects by design — this column is how the
+            # deployment error still surfaces). Counted by the
+            # STRUCTURED CodecMissingError class name in the reason
+            # (decoders raise that subclass at exactly the
+            # missing-library sites), not by a 'PIL' substring — which
+            # also matched the pure PNG decoder's per-file data-shape
+            # reject 'unsupported PNG variant ... install PIL for the
+            # long tail' and let exotic PNGs spike the deployment
+            # metric (ADVICE r14).
             # Appended at the END of the schema per the r12 discipline.
             n_codec_missing = sum(
-                n for reason, n in by_reason.items() if "PIL" in reason
+                n
+                for reason, n in by_reason.items()
+                if reason.startswith("CodecMissingError")
             )
             n_duplicates = by_reason.get(
                 "duplicate_payload_in_batch", 0

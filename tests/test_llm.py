@@ -468,6 +468,56 @@ def test_video_frame_near_dup_planted_pairs(spark):
         media, every_ms=40, max_frame_df=1
     ).collect()
     assert none == []
+    # max_frame_df=None disables the cut entirely: same pairs as the
+    # default (no fingerprint here is hot enough to hit 1000)
+    unbounded = {
+        (r.media_a, r.media_b): (r.shared_frames, r.jaccard)
+        for r in multimodal.video_frame_near_dup(
+            media, every_ms=40, max_frame_df=None
+        ).collect()
+    }
+    assert unbounded == got
+
+
+def test_video_frame_near_dup_isolates_corrupt_payloads(spark):
+    """One corrupt / codec-unsupported payload in the corpus must not
+    kill the pair-search job (errors='reject', the crawl-scale
+    default): the bad row contributes no fingerprints and every good
+    pair still emerges; errors='raise' restores the curated-corpus
+    fail-loud contract (ADVICE r14)."""
+    docs = spark.createDataFrame(
+        [(2, "", "en", "s", 0), (5, "", "en", "s", 0), (770, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    good = multimodal.synth_video_sequence_corpus(docs)
+    bad = spark.createDataFrame(
+        [(9999, "video", "video/mp4", bytearray(b"\x00\x00\x00 ftypisom not avi"),
+          None)],
+        good.schema,
+    )
+    media = good.unionByName(bad)
+    got = {
+        (r.media_a, r.media_b): (r.shared_frames, r.jaccard)
+        for r in multimodal.video_frame_near_dup(media, every_ms=40).collect()
+    }
+    assert got[(2, 770)] == (6, 1.0)
+    assert got[(2, 5)] == (3, 0.333333)
+    assert len(got) == 3
+    with pytest.raises(Exception, match="ffmpeg|NotImplementedError"):
+        multimodal.video_frame_near_dup(
+            media, every_ms=40, errors="raise"
+        ).collect()
+    # the lenient sample_frames surface itself reports the isolation:
+    # identity kept, frame_hash NULL, the exception text attached
+    rej = (
+        multimodal.sample_frames(media, every_ms=40, decode_stub=False,
+                                 errors="reject")
+        .where(F.col("decode_error").isNotNull())
+        .collect()
+    )
+    assert [r.media_id for r in rej] == [9999]
+    assert rej[0].frame_hash is None
+    assert "NotImplementedError" in rej[0].decode_error
 
 
 def test_avi_nested_list_bomb_cannot_recursion_error():
@@ -485,6 +535,90 @@ def test_avi_nested_list_bomb_cannot_recursion_error():
     payload = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
     with pytest.raises(NotImplementedError, match="truncated AVI"):
         multimodal._avi_decode(payload)
+
+
+def test_codec_missing_is_a_structured_class_not_a_substring():
+    """n_codec_missing counts by the CodecMissingError class name in
+    the reject reason, not by a 'PIL' substring: a data-shape reject
+    that merely MENTIONS PIL ('unsupported PNG variant ... install PIL
+    for the long tail') must not read as a missing-codec deployment
+    error, while a genuinely-missing-library reject must (ADVICE r14)."""
+    import struct
+
+    def chunk(tag, data):
+        import zlib
+
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    # a 16-bit grayscale PNG: valid container, unsupported VARIANT —
+    # a per-file data-shape reject even on a PIL-less host
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", b"\x00" * 4)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError) as ei:
+        multimodal._png_decode(png16)
+    assert "PIL" in str(ei.value)  # the message that fooled the substring
+    assert not isinstance(ei.value, multimodal.CodecMissingError)
+
+    # a JPEG reaching the pure decoder = PIL import already failed
+    # upstream: THE missing-codec deployment case
+    with pytest.raises(multimodal.CodecMissingError):
+        multimodal._png_decode(b"\xff\xd8\xff\xe0JFIFjunk")
+
+
+def test_avi_rec_list_interleaved_frames_keep_temporal_order():
+    """Real interleaved AVIs wrap each frame (plus its audio chunk) in
+    a 'rec ' LIST inside 'movi'. The document-order resume-stack walk
+    must emit frames in ENCOUNTER order — the r13 pop-whole-buffers
+    LIFO worklist reversed sibling rec groups, silently scrambling
+    frame_idx / frame_ts_ms and every_ms sampling (ADVICE r14)."""
+    import struct
+
+    import numpy as np
+
+    def chunk(tag, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind, data):
+        return chunk(b"LIST", kind + data)
+
+    n, h, w = 5, 4, 4
+    frames = np.stack(
+        [np.full((h, w, 3), 10 * (f + 1), dtype=np.uint8) for f in range(n)]
+    )
+    plain = multimodal._avi_encode(frames, fps=25.0)
+    decoded_plain, period = multimodal._avi_decode(plain)
+    np.testing.assert_array_equal(decoded_plain, frames)
+
+    # rebuild the same AVI with each frame chunk in its own 'rec '
+    # LIST, interleaved with an audio '01wb' chunk (the standard
+    # capture-tool layout)
+    movi_at = plain.rfind(b"LIST")
+    (movi_len,) = struct.unpack("<I", plain[movi_at + 4 : movi_at + 8])
+    movi_body = plain[movi_at + 8 : movi_at + 8 + movi_len]
+    assert movi_body[:4] == b"movi"
+    framechunks = []
+    p = 4
+    while p + 8 <= len(movi_body):
+        (ln,) = struct.unpack("<I", movi_body[p + 4 : p + 8])
+        framechunks.append(movi_body[p : p + 8 + ln + (ln & 1)])
+        p += 8 + ln + (ln & 1)
+    assert len(framechunks) == n
+    audio = chunk(b"01wb", b"\x00\x01" * 8)
+    wrapped = b"movi" + b"".join(lst(b"rec ", fc + audio) for fc in framechunks)
+    new = plain[:movi_at] + chunk(b"LIST", wrapped)
+    new = b"RIFF" + struct.pack("<I", len(new) - 8) + new[8:]
+
+    decoded_rec, period_rec = multimodal._avi_decode(new)
+    assert period_rec == period
+    np.testing.assert_array_equal(decoded_rec, frames)
 
 
 @pytest.mark.skipif(_has_pil(), reason="PIL installed: the MJPG path decodes")
