@@ -79,6 +79,37 @@ def read_store_or_none(spark: SparkSession, path: str):
         raise
 
 
+def overwrite_batch_partition(frame: DataFrame, path: str, batch_id: int) -> None:
+    """Effectively-once micro-batch sink — the ONE shared write shape
+    for every per-batch table a foreachBatch body lands (feature
+    stores, rejects, metrics, alerts, LM deltas): stamp batch_id,
+    write mode=overwrite partitioned by batch_id under dynamic
+    partition overwrite. The partition key fully identifies the write,
+    so a re-delivered micro-batch rewrites exactly its own partition —
+    a crash-replay can never append duplicate accounting rows (VERDICT
+    r13 #2: the rejects/metrics side-sinks were append-only, so every
+    primary store was effectively-once but redelivery duplicated the
+    books).
+
+    The conf is bound to the FRAME's own session by construction:
+    foreachBatch hands each micro-batch a frame bound to an isolated
+    session clone, and a mode set on any other session silently leaves
+    the write STATIC — every batch then wipes all prior partitions
+    (the r13 media-sink bug). Callers therefore cannot repeat that bug
+    through this helper.
+
+    batch_id round-trips as the PARTITION column: readers get it back
+    as a column (int-typed by partition inference — compare with
+    lit(int), group by it, but don't depend on LongType)."""
+    with dynamic_partition_overwrite(frame.sparkSession):
+        (
+            frame.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+
 PARTITION_COL = "reading_date"
 NATURAL_KEY = ("device_id", "timestamp", "device_type")
 

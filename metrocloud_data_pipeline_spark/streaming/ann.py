@@ -98,11 +98,12 @@ def _write_serving_metrics(
     own just-written partition instead of re-executing the scoring plan;
     all frames are batch-bounded. A batch that wrote NOTHING (possible
     on the very first trigger) is handled without a read-back — see the
-    guard below. Append semantics like the ingest
-    metrics log: a re-delivered batch appends a second row for the same
-    batch_id (the RESULT sink stays effectively-once; the metrics table
-    is an observability log, dedup by batch_id at read time)."""
+    guard below. Effectively-once like the result sink (r14): one row
+    per batch_id via dynamic partition overwrite — a re-delivered
+    batch rewrites its own row instead of appending a second one."""
     import time
+
+    from ..operators.maintenance import overwrite_batch_partition
 
     q_ids = batch.select(F.col("vec_id").alias("q_id")).distinct()
     n_queries = q_ids.count()
@@ -130,16 +131,16 @@ def _write_serving_metrics(
             .where(F.coalesce(F.col("_n"), F.lit(0)) < k)
             .count()
         )
-    spark.createDataFrame(
+    metrics_row = spark.createDataFrame(
         [(
-            batch_id,
             n_queries,
             n_results,
             n_underfilled,
             int((time.monotonic() - t_start) * 1000),
         )],
-        "batch_id long, n_queries long, n_results long, n_underfilled long, wall_ms long",
-    ).write.mode("append").parquet(metrics_path)
+        "n_queries long, n_results long, n_underfilled long, wall_ms long",
+    )
+    overwrite_batch_partition(metrics_row, metrics_path, batch_id)
 
 
 def run_ann_serving_stream(

@@ -104,6 +104,9 @@ def _ensure_band_index(
     else:
         missing_ids = store_ids.distinct()
     missing_docs = store.select("doc_id", "text").join(missing_ids, "doc_id", "left_semi")
+    # at-least-once append by design: the repair bands exactly the
+    # docs PROVEN missing by the anti-join above, so a re-run cannot
+    # write a doc's band rows twice (they stop being missing)
     _band_buckets(
         minhash_signatures(missing_docs, num_perm=NUM_PERM, k=1), BANDS, ROWS_PER_BAND
     ).write.mode("append").parquet(band_index_path)
@@ -385,7 +388,10 @@ def run_corpus_ingest_stream(
     def _process(batch: DataFrame, batch_id: int) -> None:
         # the inline compaction below swaps stores via swap_store — if a
         # prior run died mid-swap, restore the aside copy before reading
-        from ..operators.maintenance import recover_store
+        from ..operators.maintenance import (
+            overwrite_batch_partition,
+            recover_store,
+        )
 
         recover_store(table_path)
         if band_index_path is not None:
@@ -483,35 +489,37 @@ def run_corpus_ingest_stream(
         # rejects BEFORE the kept append: rejected's corpus semi-join
         # also reads the store's file listing, and an after-append
         # recompute would flag the batch's own just-appended docs as
-        # corpus duplicates
+        # corpus duplicates. Effectively-once (r14): redelivery
+        # rewrites this batch's partition — note the REPLAY of a batch
+        # that crashed after the corpus append legitimately rewrites it
+        # with a LARGER set (the formerly-kept docs now reject as
+        # duplicate_in_corpus, pointing at their store copy), which is
+        # the honest record of what the replay did; what can no longer
+        # happen is the same reject row appearing twice.
         if rejects_path is not None:
-            rejected.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(rejects_path)
+            overwrite_batch_partition(rejected, rejects_path, batch_id)
         if lm_counts_path is not None:
             # BEFORE the corpus append: a crash between the delta and
             # the append re-delivers the batch with the same kept set,
             # and the batch_id-keyed dynamic overwrite rewrites the
             # partition with identical rows (see docstring)
             from ..llm.curation import lm_token_counts, lm_token_rows
-            from ..operators.maintenance import dynamic_partition_overwrite
 
             tgt = lm_target if lm_target is not None else F.lit(False)
             # kept goes through UNPROJECTED: lm_target may reference any
             # DOCUMENT_SCHEMA column (lang, n_chars, ...), and
             # lm_token_rows projects down to (doc_id, is_target, token)
-            # itself
-            delta = lm_token_counts(
-                lm_token_rows(kept, tgt)
-            ).withColumn("batch_id", F.lit(batch_id))
-            # conf must go on the BATCH's session: foreachBatch hands an
-            # isolated session clone, and a mode set on the outer session
-            # leaves the clone on static overwrite (which wipes every
-            # other batch's partition — measured, not hypothetical)
-            with dynamic_partition_overwrite(kept.sparkSession):
-                delta.write.mode("overwrite").partitionBy("batch_id").parquet(
-                    lm_counts_path
-                )
+            # itself. overwrite_batch_partition binds the conf to the
+            # BATCH's session by construction (foreachBatch hands an
+            # isolated clone; a mode set on the outer session leaves
+            # the clone on static overwrite — measured, r12)
+            delta = lm_token_counts(lm_token_rows(kept, tgt))
+            overwrite_batch_partition(delta, lm_counts_path, batch_id)
+        # at-least-once append by design: the store carries no batch_id
+        # partitioning (compaction rewrites its layout), and redelivery
+        # is made effectively-once UPSTREAM by the digest anti-join —
+        # a replayed batch's formerly-kept docs reject as
+        # duplicate_in_corpus, so this append lands them at most once
         kept.write.mode("append").parquet(table_path)
         if near_dup_screen and band_index_path is not None:
             # keep the band index tracking the corpus: band the KEPT
@@ -519,6 +527,11 @@ def run_corpus_ingest_stream(
             # pre-append store listing, so this never double-bands
             from ..llm.dedup import _band_buckets, minhash_signatures
 
+            # at-least-once append by design: on redelivery kept is
+            # empty (digest anti-join), so no duplicate band rows; a
+            # crash BETWEEN the corpus append and this write leaves a
+            # gap that _ensure_band_index detects and repairs before
+            # the next screen
             _band_buckets(
                 minhash_signatures(kept.select("doc_id", "text"), num_perm=NUM_PERM, k=1),
                 BANDS,
@@ -543,13 +556,16 @@ def run_corpus_ingest_stream(
             # before it existed is a strict column-prefix of this schema:
             # appends merge cleanly and mergeSchema readers see NULL
             # n_invalid on old rows instead of silently misreading a
-            # shifted column (ADVICE r11)
-            spark.createDataFrame(
-                [stats],
-                "batch_id long, n_ingested long, n_kept long, kept_chars long, "
+            # shifted column (ADVICE r11). Effectively-once (r14): one
+            # row per batch_id, rewritten under redelivery — batch_id
+            # is the partition key now, not a data column
+            metrics_row = spark.createDataFrame(
+                [stats[1:]],
+                "n_ingested long, n_kept long, kept_chars long, "
                 "n_rejected long, n_dup_in_batch long, n_dup_in_corpus long, "
                 "n_near_dup_in_corpus long, n_quality_rejected long, n_invalid long",
-            ).write.mode("append").parquet(metrics_path)
+            )
+            overwrite_batch_partition(metrics_row, metrics_path, batch_id)
 
     writer = doc_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_path

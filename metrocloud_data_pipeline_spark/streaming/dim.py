@@ -60,11 +60,14 @@ def _split_null_keys(
     invalid = batch.where(F.col(key_col).isNull())
     valid = batch.where(F.col(key_col).isNotNull())
     if rejects_path is not None and invalid.head(1):
-        (
-            invalid.withColumn("batch_id", F.lit(batch_id))
-            .withColumn("reason", F.lit("null_business_key"))
-            .write.mode("append")
-            .parquet(rejects_path)
+        # effectively-once like the dim store itself (r14): redelivery
+        # rewrites this batch's rejects partition, never duplicates it
+        from ..operators.maintenance import overwrite_batch_partition
+
+        overwrite_batch_partition(
+            invalid.withColumn("reason", F.lit("null_business_key")),
+            rejects_path,
+            batch_id,
         )
     return valid
 

@@ -39,9 +39,13 @@ serving do:
   rewrites exactly its own partition with identical rows — the mode
   is set on the micro-batch's OWN cloned session, the r13 fix that
   made this true for multi-batch streams);
-- rejects and per-batch metrics are append-only observability logs
-  (dedup by batch_id at read time), metrics columns appended at the
-  END of the schema per the r12 discipline.
+- rejects and per-batch metrics land through the SAME effectively-once
+  shape as the features sink (overwrite_batch_partition: batch_id
+  dynamic partition overwrite, r14) — a crash-replay rewrites exactly
+  its own partition in every table, so the accounting law (each input
+  row in exactly one of features/rejects, one metrics row per batch)
+  holds across redelivery, not just per clean run; metrics columns
+  appended at the END of the schema per the r12 discipline.
 
 At 100 TB the decode work is map-only over Arrow batches (bytes cross
 the JVM<->Python boundary once per batch), there is no shuffle
@@ -282,7 +286,10 @@ def run_media_feature_stream(
     not anti-join against its own prior write, or effectively-once
     would turn into deliver-once-then-reject-forever (the partition
     overwrite would shrink its own partition to empty on replay)."""
-    from ..operators.maintenance import dynamic_partition_overwrite
+    from ..operators.maintenance import (
+        dynamic_partition_overwrite,
+        overwrite_batch_partition,
+    )
 
     items = stream_media_items(spark, input_path, max_files_per_trigger)
 
@@ -333,11 +340,10 @@ def run_media_feature_stream(
                 .parquet(output_path)
             )
         if rejects_path is not None:
-            (
-                rejected.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("append")
-                .parquet(rejects_path)
-            )
+            # effectively-once like the features sink: a crash after
+            # this write and a replay rewrite exactly this batch's
+            # partition instead of appending the rows twice (r14)
+            overwrite_batch_partition(rejected, rejects_path, batch_id)
         if metrics_path is not None:
             n_kept = kept.count()
             by_reason = {
@@ -375,9 +381,8 @@ def run_media_feature_stream(
                 "duplicate_payload_in_batch", 0
             ) + by_reason.get("duplicate_payload_in_store", 0)
             n_decode_errors -= n_duplicates  # dedup rejects are not data errors
-            spark.createDataFrame(
+            metrics_row = spark.createDataFrame(
                 [(
-                    batch_id,
                     n_kept + n_rejected,
                     n_kept,
                     n_rejected,
@@ -387,10 +392,14 @@ def run_media_feature_stream(
                     n_codec_missing,
                     n_duplicates,
                 )],
-                "batch_id long, n_items long, n_features long, n_rejected long, "
+                "n_items long, n_features long, n_rejected long, "
                 "n_invalid long, n_decode_errors long, wall_ms long, "
                 "n_codec_missing long, n_duplicates long",
-            ).write.mode("append").parquet(metrics_path)
+            )
+            # effectively-once: one metrics row per batch_id, rewritten
+            # (never appended twice) under redelivery — batch_id lands
+            # as the partition key (r14)
+            overwrite_batch_partition(metrics_row, metrics_path, batch_id)
 
     writer = items.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

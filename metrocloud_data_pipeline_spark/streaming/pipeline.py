@@ -76,14 +76,19 @@ def run_ingest_stream(
             valid = valid.localCheckpoint(eager=True)  # one computation for write + counters
             rejected = rejected.localCheckpoint(eager=True)
         maintenance.idempotent_append(spark, valid, table_path)
+        # rejects + metrics are effectively-once like the data store
+        # (r14): batch_id-keyed dynamic partition overwrite, so a
+        # re-delivered micro-batch rewrites its own partition instead
+        # of double-counting the books
         if rejects_path is not None:
-            rejected.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(rejects_path)
+            maintenance.overwrite_batch_partition(rejected, rejects_path, batch_id)
         if metrics_path is not None:
             m = quality.batch_metrics(valid, rejected)
-            spark.createDataFrame(
-                [(batch_id, m["rows_in"], m["rows_valid"], m["rows_rejected"], m["anomalies"], m["validation_failure_rate"])],
-                "batch_id long, rows_in long, rows_valid long, rows_rejected long, anomalies long, validation_failure_rate double",
-            ).write.mode("append").parquet(metrics_path)
+            metrics_row = spark.createDataFrame(
+                [(m["rows_in"], m["rows_valid"], m["rows_rejected"], m["anomalies"], m["validation_failure_rate"])],
+                "rows_in long, rows_valid long, rows_rejected long, anomalies long, validation_failure_rate double",
+            )
+            maintenance.overwrite_batch_partition(metrics_row, metrics_path, batch_id)
 
     writer = raw_stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_path)
     if available_now:
@@ -401,8 +406,11 @@ def run_alert_stream(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         valid, _ = ingest.normalize_raw(batch, anchor=anchor)
-        alerts = alert_columns(valid).withColumn("batch_id", F.lit(batch_id))
-        alerts.write.mode("append").parquet(alerts_path)
+        alerts = alert_columns(valid)
+        # effectively-once (r14): a re-delivered batch rewrites its own
+        # alerts partition — an alert fired twice for one reading is a
+        # paging bug, not an observability quirk
+        maintenance.overwrite_batch_partition(alerts, alerts_path, batch_id)
 
     writer = raw_stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_path)
     if available_now:
