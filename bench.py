@@ -91,6 +91,10 @@ HEADLINE = [
     "media_type_summary",
     "media_audio_features",
     "media_video_features",
+    # r13-born media keys promoted per VERDICT r13 #4 (the r12 media
+    # precedent): runs=3 drift tracking + plan-gate rows from r14 on
+    "media_video_near_dup",
+    "ccnet_perplexity_buckets_kn5",
     "obs_alert_firing",
     "tfidf_top_terms",
     "vocab_coverage",
