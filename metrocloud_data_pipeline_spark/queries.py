@@ -2402,6 +2402,73 @@ def media_video_near_dup(spark, sf_dir):
 
 
 @q(
+    "media_neardup_recall_report",
+    oracle="""
+WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+u AS (
+  SELECT doc_id AS media_id, doc_id AS src FROM v
+  UNION ALL
+  SELECT doc_id + 1099511627776, doc_id FROM v
+),
+f AS (
+  SELECT media_id, CAST(((src + t.i) * 37) % 256 AS INTEGER) AS gray
+  FROM u CROSS JOIN (SELECT unnest(range(6)) AS i) t
+),
+fd AS (SELECT DISTINCT media_id, gray FROM f),
+sizes AS (SELECT media_id, count(*) AS n FROM fd GROUP BY media_id),
+kept AS (
+  SELECT media_id, gray FROM fd
+  WHERE gray IN (SELECT gray FROM fd GROUP BY gray HAVING count(*) <= 1000)
+),
+shared AS (
+  SELECT a.media_id AS media_a, b.media_id AS media_b,
+         count(*) AS shared_frames
+  FROM kept a JOIN kept b ON a.gray = b.gray AND a.media_id < b.media_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT media_a, media_b, shared_frames,
+         round(CAST(shared_frames AS DOUBLE)
+               / (sa.n + sb.n - shared_frames), 6) AS jaccard
+  FROM shared
+  JOIN sizes sa ON sa.media_id = media_a
+  JOIN sizes sb ON sb.media_id = media_b
+  WHERE shared_frames >= 1
+)
+SELECT (SELECT count(*) FROM v) AS n_planted,
+       CAST(count_if(media_b - media_a = 1099511627776 AND jaccard = 1.0)
+            AS BIGINT) AS n_detected,
+       round(count_if(media_b - media_a = 1099511627776 AND jaccard = 1.0)
+             / (SELECT count(*) FROM v), 6) AS recall,
+       count(*) AS n_pairs,
+       CAST(0 AS BIGINT) AS n_byte_identical
+FROM scored
+""",
+)
+def media_neardup_recall_report(spark, sf_dir):
+    """Recall audit of the media near-dup tier against planted
+    RE-CONTAINERED copies (VERDICT r13 #6 — the minhash_recall_report /
+    knn_recall_report symmetry for media): every video gets one
+    recontainer_avi copy — frame chunks rewrapped in 'rec ' LISTs plus
+    a JUNK chunk, so the payload BYTES differ (exact payload dedup
+    misses all of them: n_byte_identical must read 0) while the
+    DECODED frames are bit-identical (the frame-fingerprint pair
+    search must score every planted pair jaccard 1.0). The oracle
+    computes the doubled corpus's closed-form gray geometry — copies
+    inherit their source's frame set — including the max_frame_df
+    df-cut model, so recall stays hash-checked end to end through
+    synth -> AVI encode -> byte re-container -> the r14 document-order
+    RIFF walk -> frame hash -> pair join (a LIFO-order walk would
+    scramble rec-wrapped frames and this report would catch it as
+    recall < 1 — the frames are constant-gray so scrambling preserves
+    SETS; the audit's teeth for ORDER live in the rec-LIST pytest,
+    its teeth here are for decode identity and the df-cut)."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
+    media = multimodal.synth_video_sequence_corpus(docs)
+    return multimodal.video_neardup_recall_report(media, every_ms=40)
+
+
+@q(
     "media_type_summary",
     oracle="""
 WITH media AS (
@@ -6867,6 +6934,9 @@ QUERY_ORDER = [
     "text_hot_tokens",
     "text_hot_tokens_approx",
     "quality_signal_correlation",
+    # new r14-born key, appended per the new-key cap — see
+    # tools/freshness.py FIRST_REGISTERED_ROUND:
+    "media_neardup_recall_report",
 ]
 
 

@@ -520,6 +520,41 @@ def test_video_frame_near_dup_isolates_corrupt_payloads(spark):
     assert "NotImplementedError" in rej[0].decode_error
 
 
+def test_recontainer_avi_changes_bytes_not_frames(spark):
+    """The planted-copy primitive for the media near-dup recall audit:
+    recontainer_avi must produce a byte-DIFFERENT payload (exact
+    payload dedup misses it) whose decode is frame-IDENTICAL (frame
+    near-dup catches it) — and the full report over a tiny corpus must
+    read recall 1.0 with zero byte-identical copies."""
+    import numpy as np
+
+    frames = np.stack(
+        [np.full((3, 4, 3), 10 * (f + 1), dtype=np.uint8) for f in range(6)]
+    )
+    plain = multimodal._avi_encode(frames)
+    copy = multimodal.recontainer_avi(plain)
+    assert copy != plain  # exact dedup would miss
+    dec_plain, period_plain = multimodal._avi_decode(plain)
+    dec_copy, period_copy = multimodal._avi_decode(copy)
+    np.testing.assert_array_equal(dec_copy, dec_plain)  # near-dup catches
+    assert period_copy == period_plain
+    # idempotent enough to re-container a copy (rec LISTs re-wrap)
+    dec_twice, _ = multimodal._avi_decode(multimodal.recontainer_avi(copy))
+    np.testing.assert_array_equal(dec_twice, dec_plain)
+
+    docs = spark.createDataFrame(
+        [(2, "", "en", "s", 0), (5, "", "en", "s", 0), (770, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.synth_video_sequence_corpus(docs)
+    row = multimodal.video_neardup_recall_report(media, every_ms=40).collect()[0]
+    assert (row.n_planted, row.n_detected, row.recall) == (3, 3, 1.0)
+    assert row.n_byte_identical == 0
+    # doubled corpus: the 3 original pairs appear 4x (orig/copy cross
+    # products) + 3 planted full-dup pairs
+    assert row.n_pairs == 4 * 3 + 3
+
+
 def test_avi_nested_list_bomb_cannot_recursion_error():
     """A crafted payload of deeply nested LIST headers must parse
     bounded (iterative worklist) and fail through the documented

@@ -119,6 +119,9 @@ DOC_QUERIES = [
     # r13: frame-fingerprint video near-dup (synth from doc_id only,
     # so null/unicode text rows ride through untouched)
     "media_video_near_dup",
+    # r14: its recall audit over planted re-containered copies (same
+    # doc_id-only synth path, doubled corpus)
+    "media_neardup_recall_report",
 ]
 
 EDGE_ROWS = [
