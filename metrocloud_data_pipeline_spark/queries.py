@@ -2469,6 +2469,49 @@ def media_neardup_recall_report(spark, sf_dir):
 
 
 @q(
+    "media_container_probe",
+    oracle="""
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 1 THEN 'wav' WHEN 2 THEN 'avi' ELSE 'mp3' END AS container,
+       CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 1 THEN 1000 WHEN 2 THEN 2
+            ELSE CAST(doc_id % 5 AS BIGINT) + 1 END AS n_frames,
+       CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 1 THEN 4000 WHEN 2 THEN NULL ELSE 44100 END
+         AS sample_rate,
+       CASE WHEN doc_id % 3 = 2 THEN 4 END AS width,
+       CASE WHEN doc_id % 3 = 2 THEN 3 END AS height,
+       CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 1 THEN 250 WHEN 2 THEN 80
+            ELSE CAST(round((CAST(doc_id % 5 AS BIGINT) + 1)
+                            * 1152.0 * 1000 / 44100) AS INTEGER) END
+         AS duration_ms
+FROM documents
+""",
+)
+def media_container_probe(spark, sf_dir):
+    """Container probe over a mixed REAL-bytes media corpus (r14): the
+    decode-free validation pre-pass — dispatch on magic bytes, parse
+    headers only, report per-item geometry. Audio-cycle docs become
+    genuine PCM WAVs (synth_tone_corpus: 1000 samples at 4 kHz =
+    250 ms), video-cycle docs genuine DIB AVIs (synth_video_corpus:
+    2 frames at 25 fps = 80 ms, 4x3), and the remaining cycle becomes
+    conforming MPEG-1 Layer III header streams (synth_mp3_corpus:
+    (doc_id % 5) + 1 frames of 1152 samples at 44100 Hz) — so every
+    probed column is a closed form of doc_id and the WAV params /
+    avih + frame census / mp3 sync-walk chains are all hash-checked
+    end to end without any codec. At 100 TB this is the map-only
+    pre-pass that sizes the decode job and quarantines malformed
+    uploads before a codec spends a cycle."""
+    docs = load(spark, sf_dir, "documents")
+    wav = multimodal.synth_tone_corpus(docs.where(F.col("doc_id") % 3 == 1))
+    avi = multimodal.synth_video_corpus(docs.where(F.col("doc_id") % 3 == 2))
+    mp3 = multimodal.synth_mp3_corpus(docs.where(F.col("doc_id") % 3 == 0))
+    return multimodal.probe_media(wav.unionByName(avi).unionByName(mp3))
+
+
+@q(
     "media_type_summary",
     oracle="""
 WITH media AS (
@@ -6934,9 +6977,10 @@ QUERY_ORDER = [
     "text_hot_tokens",
     "text_hot_tokens_approx",
     "quality_signal_correlation",
-    # new r14-born key, appended per the new-key cap — see
+    # new r14-born keys, appended per the new-key cap — see
     # tools/freshness.py FIRST_REGISTERED_ROUND:
     "media_neardup_recall_report",
+    "media_container_probe",
 ]
 
 

@@ -572,6 +572,111 @@ def test_avi_nested_list_bomb_cannot_recursion_error():
         multimodal._avi_decode(payload)
 
 
+def test_mp3_frame_parse_geometry_and_gate(spark):
+    """The r14 mp3 tier (VERDICT r13 #7): the pure frame-header walk
+    measures a conforming MPEG-1 Layer III stream exactly (frame
+    count, sample rate, duration from 1152-sample granules), skips an
+    ID3v2 preamble and an ID3v1 trailer, fails loud on truncation and
+    lost sync — and the decode gate uses it to raise CodecMissingError
+    for a VALID mp3 (deployment gap -> n_codec_missing) while corrupt
+    bytes stay a plain data reject."""
+    mp3 = multimodal._mp3_encode_headers(n_frames=5, sample_rate=44100,
+                                         bitrate_kbps=128)
+    got = multimodal._mp3_parse(mp3)
+    assert got["n_frames"] == 5 and got["sample_rate"] == 44100
+    assert got["duration_ms"] == round(5 * 1152 / 44100 * 1000)
+    assert got["bitrate_kbps"] == 128 and got["vbr"] is False
+
+    # ID3v2 preamble + ID3v1 trailer both consumed
+    with_tags = (
+        multimodal._mp3_encode_headers(n_frames=3, id3=True)
+        + b"TAG" + b"\x00" * 125
+    )
+    assert multimodal._mp3_parse(with_tags)["n_frames"] == 3
+
+    # truncation and lost sync fail loud
+    with pytest.raises(NotImplementedError, match="truncated mp3"):
+        multimodal._mp3_parse(mp3[:-10])
+    with pytest.raises(NotImplementedError, match="lost frame sync"):
+        multimodal._mp3_parse(mp3[:417] + b"junkjunk")
+
+    # gate taxonomy: valid mp3 -> CodecMissingError; corrupt -> data reject
+    with pytest.raises(multimodal.CodecMissingError, match="valid MPEG"):
+        multimodal._wav_audio_feature(mp3, 8)
+    bad = bytearray(mp3)
+    bad[1] ^= 0x08  # flip a version bit -> reserved version
+    with pytest.raises(NotImplementedError) as ei:
+        multimodal._wav_audio_feature(bytes(bad), 8)
+    assert not isinstance(ei.value, multimodal.CodecMissingError)
+
+    # end to end through the streaming batch path: the mp3 row lands in
+    # rejects with the CodecMissingError reason and counts as a
+    # missing-codec reject, not a data error
+    from metrocloud_data_pipeline_spark.streaming.media import (
+        MEDIA_STREAM_SCHEMA,
+        featurize_media_batch,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "audio", "audio/mpeg", bytearray(mp3), None, None, 130)],
+        MEDIA_STREAM_SCHEMA,
+    )
+    kept, rejected = featurize_media_batch(batch, decode_stub=False, dim=8)
+    assert kept.count() == 0
+    rej = rejected.collect()
+    assert len(rej) == 1 and rej[0].reason.startswith("CodecMissingError")
+
+
+def test_probe_media_dispatches_on_magic_bytes(spark):
+    """probe_media answers from the BYTES, not the metadata column:
+    geometry for all four containers, header-only (a truncated-body
+    WAV with intact params would still probe — the probe validates
+    containers, decode validates content), fail-loud on unknowns."""
+    import struct
+    import numpy as np
+
+    avi = multimodal._avi_encode(np.zeros((3, 2, 2, 3), dtype=np.uint8))
+    mp3 = multimodal._mp3_encode_headers(n_frames=4)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 7, 9, 8, 0, 0, 0, 0) + b"\x00" * 4
+    )
+    import wave
+    from io import BytesIO
+
+    buf = BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 1600)
+    wav = buf.getvalue()  # 1600 samples at 8000 Hz = 200 ms
+    rows = [
+        (1, "audio", "x", bytearray(wav), None),
+        (2, "video", "x", bytearray(avi), None),
+        (3, "audio", "x", bytearray(mp3), None),
+        (4, "image", "x", bytearray(png), None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, mime string, payload binary, "
+        "duration_ms int",
+    )
+    got = {r.media_id: r for r in multimodal.probe_media(media).collect()}
+    assert (got[1].container, got[1].n_frames, got[1].sample_rate,
+            got[1].duration_ms) == ("wav", 1600, 8000, 200)
+    assert (got[2].container, got[2].n_frames, got[2].width, got[2].height,
+            got[2].duration_ms) == ("avi", 3, 2, 2, 120)
+    assert (got[3].container, got[3].n_frames, got[3].sample_rate) == (
+        "mp3", 4, 44100)
+    assert (got[4].container, got[4].width, got[4].height) == ("png", 7, 9)
+    bad = media.limit(0).unionByName(spark.createDataFrame(
+        [(9, "audio", "x", bytearray(b"OggS junk"), None)], media.schema))
+    with pytest.raises(Exception, match="unrecognized container"):
+        multimodal.probe_media(bad).collect()
+
+
 def test_codec_missing_is_a_structured_class_not_a_substring():
     """n_codec_missing counts by the CodecMissingError class name in
     the reject reason, not by a 'PIL' substring: a data-shape reject

@@ -120,8 +120,10 @@ DOC_QUERIES = [
     # so null/unicode text rows ride through untouched)
     "media_video_near_dup",
     # r14: its recall audit over planted re-containered copies (same
-    # doc_id-only synth path, doubled corpus)
+    # doc_id-only synth path, doubled corpus), and the decode-free
+    # container probe over the mixed WAV/AVI/MP3 synth corpus
     "media_neardup_recall_report",
+    "media_container_probe",
 ]
 
 EDGE_ROWS = [

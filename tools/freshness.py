@@ -42,6 +42,7 @@ FIRST_REGISTERED_ROUND: dict[str, int] = {
     "ccnet_perplexity_buckets_kn5": 13,
     "media_video_near_dup": 13,
     "media_neardup_recall_report": 14,
+    "media_container_probe": 14,
 }
 
 
