@@ -1449,6 +1449,36 @@ PROBE_SCHEMA = StructType(
 )
 
 
+def _probe_payload(payload: bytes) -> dict:
+    """Per-payload magic-byte dispatch for probe_media (module level so
+    the corruption fuzz drives it directly)."""
+    if payload is None:
+        raise ValueError("null media payload reached probe_media")
+    b = bytes(payload)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return _wav_probe(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return _avi_probe(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_probe(b)
+    if b[:3] == b"ID3" or (
+        len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+    ):
+        p = _mp3_parse(b)
+        return {
+            "container": "mp3",
+            "n_frames": p["n_frames"],
+            "sample_rate": p["sample_rate"],
+            "width": None,
+            "height": None,
+            "duration_ms": p["duration_ms"],
+        }
+    raise NotImplementedError(
+        "probe_media: unrecognized container (supported: WAV, AVI, "
+        "PNG, MPEG Layer III)"
+    )
+
+
 def probe_media(media: DataFrame) -> DataFrame:
     """Container PROBE over binary payloads — validate and measure
     WITHOUT decoding (r14): dispatch on MAGIC BYTES (never the
@@ -1465,36 +1495,9 @@ def probe_media(media: DataFrame) -> DataFrame:
     Unknown/corrupt containers raise fail-loud (probe a dirty crawl
     through the streaming rejects path instead)."""
 
-    def _probe_one(payload: bytes) -> dict:
-        if payload is None:
-            raise ValueError("null media payload reached probe_media")
-        b = bytes(payload)
-        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-            return _wav_probe(b)
-        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
-            return _avi_probe(b)
-        if b[:8] == b"\x89PNG\r\n\x1a\n":
-            return _png_probe(b)
-        if b[:3] == b"ID3" or (
-            len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
-        ):
-            p = _mp3_parse(b)
-            return {
-                "container": "mp3",
-                "n_frames": p["n_frames"],
-                "sample_rate": p["sample_rate"],
-                "width": None,
-                "height": None,
-                "duration_ms": p["duration_ms"],
-            }
-        raise NotImplementedError(
-            "probe_media: unrecognized container (supported: WAV, AVI, "
-            "PNG, MPEG Layer III)"
-        )
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            probes = [_probe_one(p) for p in pdf["payload"]]
+            probes = [_probe_payload(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -1130,7 +1130,13 @@ def test_resize_images_only_touches_images(spark):
     import hashlib
 
     assert bytes(out[0]["payload"]) == hashlib.sha256(b"PIXELS" + b"32x16").digest()
-    with pytest.raises(Exception, match="NotImplementedError|real image resize"):
+    # junk bytes through the REAL path fail loud: with PIL a data error
+    # (UnidentifiedImage), without it the structured missing-codec
+    # class (can't rule out a decodable format without PIL — r14)
+    with pytest.raises(
+        Exception,
+        match="NotImplementedError|CodecMissingError|real image resize|identify image",
+    ):
         multimodal.resize_images(media, 32, 16, decode_stub=False).collect()
 
 

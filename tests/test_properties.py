@@ -1003,11 +1003,11 @@ def test_avro_codec_roundtrips_random_records(rows):
 
 
 @given(
-    st.sampled_from(["wav", "png", "avi"]),
+    st.sampled_from(["wav", "png", "avi", "mp3", "probe"]),
     st.sampled_from(["truncate", "flip", "len_corrupt", "garbage"]),
     st.integers(min_value=0, max_value=2**32 - 1),
 )
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=160, deadline=None)
 def test_media_decoders_fail_loud_on_corrupted_containers(kind, mode, seed):
     """Corruption fuzz over all three real decoders (r13): arbitrary
     truncations, byte flips, length-field corruption, and pure garbage
@@ -1046,6 +1046,21 @@ def test_media_decoders_fail_loud_on_corrupted_containers(kind, mode, seed):
                        [[0, 0, 0], [255, 255, 255]]], dtype=np.uint8)
         payload = bytearray(mm._png_encode(px))
         decode = mm._png_decode
+    elif kind == "mp3":
+        # r14: the pure MPEG frame-header walk joins the fuzz matrix
+        payload = bytearray(mm._mp3_encode_headers(n_frames=4, id3=True))
+        decode = mm._mp3_parse
+    elif kind == "probe":
+        # the magic-byte probe dispatcher over a WAV body — must route
+        # corrupted bytes to the documented contract, never raw errors
+        buf = BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(8000)
+            wv.writeframes(b"\x01\x02" * 200)
+        payload = bytearray(buf.getvalue())
+        decode = mm._probe_payload
     else:
         frames = np.arange(2 * 2 * 3 * 3, dtype=np.uint8).reshape(2, 2, 3, 3)
         payload = bytearray(mm._avi_encode(frames, fps=25.0))
@@ -1076,6 +1091,11 @@ def test_media_decoders_fail_loud_on_corrupted_containers(kind, mode, seed):
         assert isinstance(out, list) and len(out) == 4
     elif kind == "png":
         assert out.ndim == 3
+    elif kind == "mp3":
+        assert out["n_frames"] >= 1 and out["sample_rate"] > 0
+    elif kind == "probe":
+        assert out["container"] in ("wav", "avi", "png", "mp3")
+        assert out["n_frames"] >= 1
     else:
         frames_out, period = out
         assert frames_out.ndim == 4 and period > 0

@@ -240,6 +240,134 @@ def test_corpus_stream_crash_between_sinks_replays_stable(
         assert by_doc[1] == by_doc[3] == "duplicate_in_corpus"
 
 
+def test_media_dedup_stream_crash_before_metrics_replays_stable(
+    spark, tmp_path, monkeypatch
+):
+    """The media exact-dedup tier under same-checkpoint crash-replay:
+    batch 1 lands clean; batch 2 (one payload duplicating batch 1's
+    store, one fresh) crashes before its metrics write and replays.
+    The replay's store-side anti-join must exclude batch 2's OWN
+    partition (already written pre-crash) — otherwise the replay
+    rejects its own prior output and the features partition shrinks to
+    empty. Final state: each distinct payload once in features, the
+    dup rejected exactly once, one metrics row per batch."""
+    from metrocloud_data_pipeline_spark.streaming.media import (
+        run_media_feature_stream,
+    )
+
+    src = tmp_path / "uploads"
+    src.mkdir()
+    pay_a, pay_b = b"payload-alpha", b"payload-beta"
+    spark.createDataFrame(
+        [(1, "image", "image/png", bytearray(pay_a), 4, 4, None)],
+        MEDIA_SCHEMA_STR,
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    out = str(tmp_path / "features")
+    rejects = str(tmp_path / "rejects")
+    metrics = str(tmp_path / "metrics")
+    ck = str(tmp_path / "ck")
+
+    def start():
+        return run_media_feature_stream(
+            spark, str(src) + "/*", out, ck,
+            rejects_path=rejects, metrics_path=metrics,
+            decode_stub=True, dim=4, dedup=True, max_files_per_trigger=1,
+        )
+
+    q = start()  # batch 0: clean
+    q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [
+            (2, "image", "image/png", bytearray(pay_a), 4, 4, None),  # store dup
+            (3, "image", "image/png", bytearray(pay_b), 4, 4, None),  # fresh
+        ],
+        MEDIA_SCHEMA_STR,
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    injector = CrashOnWrite(monkeypatch, "metrics")
+    _await_failure(start())
+    assert injector.fired == 1
+
+    q = start()
+    q.awaitTermination(180)
+
+    feats = _one_partition_per_batch(spark, out, [0, 1])
+    assert sorted(r.media_id for r in feats.collect()) == [1, 3]
+    rej = _one_partition_per_batch(spark, rejects, [1])
+    rej_rows = rej.collect()
+    assert len(rej_rows) == 1
+    assert (rej_rows[0].media_id, rej_rows[0].reason) == (
+        2, "duplicate_payload_in_store")
+    m = {r.batch_id: r for r in
+         _one_partition_per_batch(spark, metrics, [0, 1]).collect()}
+    assert len(m) == 2
+    assert (m[1].n_items, m[1].n_features, m[1].n_duplicates) == (2, 1, 1)
+    assert m[1].n_items == m[1].n_features + m[1].n_rejected
+
+
+def test_scd2_stream_crash_on_staging_write_replays_stable(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the SCD2 dim stream ON its staging write (the merge result
+    never lands, swap_store never runs); the same-checkpoint replay
+    must merge against the INTACT original store and produce exactly
+    the versions a clean run would — plus one rejects partition for
+    the batch's null-key row."""
+    from datetime import datetime
+
+    from metrocloud_data_pipeline_spark.streaming import dim as dimmod
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(100, "alice", "helsinki",
+          datetime(2024, 1, 1), None)],
+        "cust_id long, name string, city string, valid_from timestamp, "
+        "valid_to timestamp",
+    ).coalesce(1).write.parquet(dim_path)
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    spark.createDataFrame(
+        [
+            (100, "alice", "tampere", datetime(2024, 2, 1)),
+            (None, "ghost", "nowhere", datetime(2024, 2, 1)),
+        ],
+        "cust_id long, name string, city string, effective_ts timestamp",
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    rejects = str(tmp_path / "rejects")
+    ck = str(tmp_path / "ck")
+
+    def start():
+        return dimmod.run_scd2_stream(
+            spark.readStream.schema(
+                "cust_id long, name string, city string, "
+                "effective_ts timestamp"
+            ).parquet(str(src) + "/*"),
+            dim_path, ck,
+            key_col="cust_id", attr_cols=["name", "city"],
+            rejects_path=rejects,
+        )
+
+    injector = CrashOnWrite(monkeypatch, "._staging_")
+    _await_failure(start())
+    assert injector.fired == 1
+
+    q = start()
+    q.awaitTermination(180)
+
+    rows = sorted(
+        spark.read.parquet(dim_path).collect(),
+        key=lambda r: (r.cust_id, r.valid_from),
+    )
+    assert len(rows) == 2  # old version closed + new version open, once
+    assert rows[0].city == "helsinki" and rows[0].valid_to is not None
+    assert rows[1].city == "tampere" and rows[1].valid_to is None
+    rej = _one_partition_per_batch(spark, rejects, [0])
+    rej_rows = rej.collect()
+    assert len(rej_rows) == 1 and rej_rows[0].reason == "null_business_key"
+
+
 # --------------------------------------------------------------------------
 # sensor ingest stream: store (idempotent_append) -> rejects -> metrics
 # --------------------------------------------------------------------------
