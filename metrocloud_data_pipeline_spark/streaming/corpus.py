@@ -559,7 +559,11 @@ def run_corpus_ingest_stream(
             # shifted column (ADVICE r11). Effectively-once (r14): one
             # row per batch_id, rewritten under redelivery — batch_id
             # is the partition key now, not a data column
-            metrics_row = spark.createDataFrame(
+            # on the BATCH-bound clone, not the shared outer session:
+            # two concurrent streams interleaving the overwrite conf's
+            # set/restore on one session could land a STATIC overwrite
+            # that wipes prior partitions (r14 review)
+            metrics_row = batch.sparkSession.createDataFrame(
                 [stats[1:]],
                 "n_ingested long, n_kept long, kept_chars long, "
                 "n_rejected long, n_dup_in_batch long, n_dup_in_corpus long, "

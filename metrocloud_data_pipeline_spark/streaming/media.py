@@ -381,7 +381,14 @@ def run_media_feature_stream(
                 "duplicate_payload_in_batch", 0
             ) + by_reason.get("duplicate_payload_in_store", 0)
             n_decode_errors -= n_duplicates  # dedup rejects are not data errors
-            metrics_row = spark.createDataFrame(
+            # created on the BATCH-bound session clone (not the shared
+            # outer session): the overwrite conf save/set/restore spans
+            # the write, and two concurrently-running streams on one
+            # outer session could interleave set/restore and land a
+            # STATIC overwrite that wipes every prior partition — the
+            # per-micro-batch clone is never shared, so the race cannot
+            # exist (r14 review; ann already passed the clone)
+            metrics_row = batch.sparkSession.createDataFrame(
                 [(
                     n_kept + n_rejected,
                     n_kept,
