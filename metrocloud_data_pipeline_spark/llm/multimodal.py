@@ -243,21 +243,31 @@ def _wav_audio_feature(payload: bytes, dim: int) -> list[float]:
         # anything else stays a corrupt/unsupported data reject.
         try:
             probe = _mp3_parse(payload)
-        except Exception:
-            probe = None
-        if probe is not None:
-            raise CodecMissingError(
-                f"valid MPEG Layer III stream ({probe['n_frames']} frames, "
+            kind = (
+                f"MPEG Layer III stream ({probe['n_frames']} frames, "
                 f"{probe['sample_rate']} Hz, {probe['duration_ms']} ms, "
                 f"~{probe['bitrate_kbps']} kbps"
-                f"{', VBR' if probe['vbr'] else ''}) — PCM decode needs a "
-                "codec lib (ffmpeg/librosa); transcode upstream or use "
+                f"{', VBR' if probe['vbr'] else ''})"
+            )
+        except Exception:
+            try:
+                probe = _flac_probe(payload)
+                kind = (
+                    f"FLAC stream ({probe['n_frames']} samples, "
+                    f"{probe['sample_rate']} Hz, {probe['duration_ms']} ms)"
+                )
+            except Exception:
+                probe = None
+        if probe is not None:
+            raise CodecMissingError(
+                f"valid {kind} — PCM decode needs a codec lib "
+                "(ffmpeg/librosa); transcode upstream or use "
                 "decode_stub=True"
             ) from e
         raise NotImplementedError(
             "real audio decode is implemented for PCM WAV payloads "
             "(stdlib wave); compressed or corrupt containers "
-            "(ogg/flac, corrupt mp3, truncated/bit-flipped RIFF) need "
+            "(ogg, corrupt mp3/flac, truncated/bit-flipped RIFF) need "
             "ffmpeg/librosa — transcode upstream or use decode_stub=True"
         ) from e
     if sampwidth == 1:  # WAV 8-bit is unsigned
@@ -1436,6 +1446,76 @@ def _png_probe(payload: bytes) -> dict:
     }
 
 
+def _flac_probe(payload: bytes) -> dict:
+    """Header-level FLAC probe: walk the metadata-block chain (the
+    public format spec — 'fLaC' magic, then 1-byte last-flag+type and
+    3-byte big-endian length per block), require STREAMINFO first
+    (type 0, 34 bytes), and unpack its bit-packed geometry: sample
+    rate (20 bits), channels-1 (3), bits-per-sample-1 (5), total
+    samples (36) -> exact duration. Frame data must exist past the
+    chain. Like the mp3 tier, a payload that passes is a PROVEN valid
+    container whose PCM decode needs a codec lib."""
+    import struct
+
+    b = bytes(payload)
+    if b[:4] != b"fLaC" or len(b) < 4 + 4 + 34:
+        raise NotImplementedError("flac probe: not a FLAC stream")
+    hdr = b[4]
+    if hdr & 0x7F:  # type bits: STREAMINFO is 0 and MUST come first
+        raise NotImplementedError("flac probe: STREAMINFO not first")
+    (ln,) = struct.unpack(">I", b"\x00" + b[5:8])
+    if ln != 34:
+        raise NotImplementedError(f"flac probe: STREAMINFO length {ln} != 34")
+    si = b[8 : 8 + 34]
+    # bytes 10..17: sr(20) | ch-1(3) | bps-1(5) | total_samples(36)
+    packed = int.from_bytes(si[10:18], "big")
+    sr = packed >> 44
+    total = packed & ((1 << 36) - 1)
+    if sr == 0:
+        raise NotImplementedError("flac probe: invalid sample rate 0")
+    # skip remaining metadata blocks to confirm frame data exists
+    pos, last = 8 + 34, bool(b[4] & 0x80)
+    while not last:
+        if pos + 4 > len(b):
+            raise NotImplementedError("flac probe: truncated metadata chain")
+        last = bool(b[pos] & 0x80)
+        (blen,) = struct.unpack(">I", b"\x00" + b[pos + 1 : pos + 4])
+        pos += 4 + blen
+    if pos > len(b) or (total > 0 and pos >= len(b)):
+        raise NotImplementedError("flac probe: no frame data past metadata")
+    return {
+        "container": "flac",
+        "n_frames": int(total),
+        "sample_rate": int(sr),
+        "width": None,
+        "height": None,
+        "duration_ms": int(round(total / sr * 1000)),
+    }
+
+
+def _flac_encode_header(
+    total_samples: int = 4000, sample_rate: int = 8000
+) -> bytes:
+    """Fixture generator: a conforming fLaC STREAMINFO (+ a VORBIS_COMMENT
+    block and a dummy frame byte) — the probe reads metadata only."""
+    import struct
+
+    packed = (sample_rate << 44) | (0 << 41) | (15 << 36) | total_samples
+    si = (
+        struct.pack(">HH", 4096, 4096)  # min/max blocksize
+        + b"\x00" * 6                   # min/max framesize (24-bit each)
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16                  # md5
+    )
+    vc = b"\x00\x00\x00\x00\x00\x00\x00\x00"  # empty vorbis comment body
+    return (
+        b"fLaC"
+        + b"\x00" + struct.pack(">I", len(si))[1:] + si          # STREAMINFO
+        + b"\x84" + struct.pack(">I", len(vc))[1:] + vc          # last: VC
+        + b"\xff\xf8"                                            # frame sync
+    )
+
+
 PROBE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -1461,6 +1541,8 @@ def _probe_payload(payload: bytes) -> dict:
         return _avi_probe(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return _png_probe(b)
+    if b[:4] == b"fLaC":
+        return _flac_probe(b)
     if b[:3] == b"ID3" or (
         len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
     ):
@@ -1475,7 +1557,7 @@ def _probe_payload(payload: bytes) -> dict:
         }
     raise NotImplementedError(
         "probe_media: unrecognized container (supported: WAV, AVI, "
-        "PNG, MPEG Layer III)"
+        "PNG, FLAC, MPEG Layer III)"
     )
 
 
@@ -1526,15 +1608,24 @@ def probe_media(media: DataFrame) -> DataFrame:
 
 
 def synth_mp3_corpus(docs: DataFrame) -> DataFrame:
-    """Deterministic MPEG Layer III header-stream corpus derived from
+    """Deterministic COMPRESSED-audio container corpus derived from
     `documents` (the synth_tone_corpus move for compressed audio):
-    doc d becomes a conforming (d % 5) + 1-frame MPEG-1 Layer III
-    stream at 44100 Hz / 128 kbps — so every probe column is a
-    CLOSED-FORM function of doc_id and the whole synth -> frame-header
-    walk chain is checkable against a SQL oracle that never touches
-    audio. Frame bodies are zero-filled: the probe tier reads headers
-    only, and PCM decode of these streams correctly raises
-    CodecMissingError (pinned in tests)."""
+    even doc d becomes a conforming (d % 5) + 1-frame MPEG-1 Layer III
+    stream at 44100 Hz / 128 kbps; odd d a conforming FLAC whose
+    STREAMINFO declares (d % 7 + 1) * 100 samples at 1000 Hz (so
+    duration_ms is exactly that sample count) — every probe column a
+    CLOSED-FORM function of doc_id, and both header-walk chains
+    checkable against a SQL oracle that never touches audio. Frame
+    bodies are filler: the probe tier reads headers only, and PCM
+    decode of these streams correctly raises CodecMissingError
+    (pinned in tests)."""
+
+    def _clip(d: int) -> bytes:
+        if d % 2 == 0:
+            return _mp3_encode_headers(n_frames=int(d % 5) + 1)
+        return _flac_encode_header(
+            total_samples=(int(d % 7) + 1) * 100, sample_rate=1000
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1542,10 +1633,10 @@ def synth_mp3_corpus(docs: DataFrame) -> DataFrame:
                 {
                     "media_id": pdf["doc_id"],
                     "media_type": pd.Series(["audio"] * len(pdf), dtype="object"),
-                    "mime": pd.Series(["audio/mpeg"] * len(pdf), dtype="object"),
-                    "payload": pdf["doc_id"].map(
-                        lambda d: _mp3_encode_headers(n_frames=int(d % 5) + 1)
+                    "mime": pdf["doc_id"].map(
+                        lambda d: "audio/mpeg" if d % 2 == 0 else "audio/flac"
                     ),
+                    "payload": pdf["doc_id"].map(_clip),
                     "duration_ms": pd.Series([None] * len(pdf), dtype="object"),
                 }
             )

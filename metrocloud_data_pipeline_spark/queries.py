@@ -2473,20 +2473,29 @@ def media_neardup_recall_report(spark, sf_dir):
     oracle="""
 SELECT doc_id AS media_id,
        CASE CAST(doc_id % 3 AS INTEGER)
-            WHEN 1 THEN 'wav' WHEN 2 THEN 'avi' ELSE 'mp3' END AS container,
+            WHEN 1 THEN 'wav' WHEN 2 THEN 'avi'
+            ELSE CASE WHEN doc_id % 2 = 0 THEN 'mp3' ELSE 'flac' END
+       END AS container,
        CASE CAST(doc_id % 3 AS INTEGER)
             WHEN 1 THEN 1000 WHEN 2 THEN 2
-            ELSE CAST(doc_id % 5 AS BIGINT) + 1 END AS n_frames,
+            ELSE CASE WHEN doc_id % 2 = 0
+                      THEN CAST(doc_id % 5 AS BIGINT) + 1
+                      ELSE (CAST(doc_id % 7 AS BIGINT) + 1) * 100 END
+       END AS n_frames,
        CASE CAST(doc_id % 3 AS INTEGER)
-            WHEN 1 THEN 4000 WHEN 2 THEN NULL ELSE 44100 END
-         AS sample_rate,
+            WHEN 1 THEN 4000 WHEN 2 THEN NULL
+            ELSE CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 1000 END
+       END AS sample_rate,
        CASE WHEN doc_id % 3 = 2 THEN 4 END AS width,
        CASE WHEN doc_id % 3 = 2 THEN 3 END AS height,
        CASE CAST(doc_id % 3 AS INTEGER)
             WHEN 1 THEN 250 WHEN 2 THEN 80
-            ELSE CAST(round((CAST(doc_id % 5 AS BIGINT) + 1)
-                            * 1152.0 * 1000 / 44100) AS INTEGER) END
-         AS duration_ms
+            ELSE CASE WHEN doc_id % 2 = 0
+                      THEN CAST(round((CAST(doc_id % 5 AS BIGINT) + 1)
+                                      * 1152.0 * 1000 / 44100) AS INTEGER)
+                      ELSE CAST((CAST(doc_id % 7 AS BIGINT) + 1) * 100
+                                AS INTEGER) END
+       END AS duration_ms
 FROM documents
 """,
 )
@@ -2497,11 +2506,13 @@ def media_container_probe(spark, sf_dir):
     genuine PCM WAVs (synth_tone_corpus: 1000 samples at 4 kHz =
     250 ms), video-cycle docs genuine DIB AVIs (synth_video_corpus:
     2 frames at 25 fps = 80 ms, 4x3), and the remaining cycle becomes
-    conforming MPEG-1 Layer III header streams (synth_mp3_corpus:
-    (doc_id % 5) + 1 frames of 1152 samples at 44100 Hz) — so every
-    probed column is a closed form of doc_id and the WAV params /
-    avih + frame census / mp3 sync-walk chains are all hash-checked
-    end to end without any codec. At 100 TB this is the map-only
+    compressed-audio containers (synth_mp3_corpus): even ids a
+    conforming MPEG-1 Layer III header stream ((doc_id % 5) + 1 frames
+    of 1152 samples at 44100 Hz), odd ids a conforming FLAC whose
+    STREAMINFO declares (doc_id % 7 + 1) * 100 samples at 1000 Hz —
+    so every probed column is a closed form of doc_id and the WAV
+    params / avih + frame census / mp3 sync-walk / FLAC metadata-chain
+    walks are all hash-checked end to end without any codec. At 100 TB this is the map-only
     pre-pass that sizes the decode job and quarantines malformed
     uploads before a codec spends a cycle."""
     docs = load(spark, sf_dir, "documents")

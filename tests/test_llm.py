@@ -677,6 +677,36 @@ def test_probe_media_dispatches_on_magic_bytes(spark):
         multimodal.probe_media(bad).collect()
 
 
+def test_flac_probe_geometry_and_gate():
+    """The FLAC half of the r14 audio container tier: STREAMINFO
+    geometry unpacked exactly (20-bit rate / 36-bit total samples),
+    the metadata chain walked to prove frame data exists, fail-loud
+    on truncation/garbage — and the decode gate classifies a VALID
+    flac as CodecMissingError (deployment gap), corrupt as data."""
+    p = multimodal._flac_encode_header(total_samples=44100, sample_rate=44100)
+    got = multimodal._flac_probe(p)
+    assert (got["container"], got["n_frames"], got["sample_rate"],
+            got["duration_ms"]) == ("flac", 44100, 44100, 1000)
+    assert multimodal._probe_payload(p)["container"] == "flac"
+
+    # cut mid-way into the second block's header: STREAMINFO intact,
+    # chain truncated (a shorter cut fails the magic/length gate)
+    with pytest.raises(NotImplementedError, match="truncated metadata"):
+        multimodal._flac_probe(p[:44])
+    with pytest.raises(NotImplementedError, match="not a FLAC stream"):
+        multimodal._flac_probe(p[:20])
+    with pytest.raises(NotImplementedError, match="STREAMINFO not first"):
+        multimodal._flac_probe(b"fLaC\x04" + p[5:])
+
+    with pytest.raises(multimodal.CodecMissingError, match="valid FLAC"):
+        multimodal._wav_audio_feature(p, 8)
+    bad = bytearray(p)
+    bad[4] = 0x02  # PADDING-typed first block: invalid layout
+    with pytest.raises(NotImplementedError) as ei:
+        multimodal._wav_audio_feature(bytes(bad), 8)
+    assert not isinstance(ei.value, multimodal.CodecMissingError)
+
+
 def test_codec_missing_is_a_structured_class_not_a_substring():
     """n_codec_missing counts by the CodecMissingError class name in
     the reject reason, not by a 'PIL' substring: a data-shape reject

@@ -1003,7 +1003,7 @@ def test_avro_codec_roundtrips_random_records(rows):
 
 
 @given(
-    st.sampled_from(["wav", "png", "avi", "mp3", "probe"]),
+    st.sampled_from(["wav", "png", "avi", "mp3", "flac", "probe"]),
     st.sampled_from(["truncate", "flip", "len_corrupt", "garbage"]),
     st.integers(min_value=0, max_value=2**32 - 1),
 )
@@ -1050,6 +1050,9 @@ def test_media_decoders_fail_loud_on_corrupted_containers(kind, mode, seed):
         # r14: the pure MPEG frame-header walk joins the fuzz matrix
         payload = bytearray(mm._mp3_encode_headers(n_frames=4, id3=True))
         decode = mm._mp3_parse
+    elif kind == "flac":
+        payload = bytearray(mm._flac_encode_header(2000, 8000))
+        decode = mm._flac_probe
     elif kind == "probe":
         # the magic-byte probe dispatcher over a WAV body — must route
         # corrupted bytes to the documented contract, never raw errors
@@ -1093,8 +1096,13 @@ def test_media_decoders_fail_loud_on_corrupted_containers(kind, mode, seed):
         assert out.ndim == 3
     elif kind == "mp3":
         assert out["n_frames"] >= 1 and out["sample_rate"] > 0
+    elif kind == "flac":
+        payload = bytearray(mm._flac_encode_header(2000, 8000))
+        decode = mm._flac_probe
+    elif kind == "flac":
+        assert out["sample_rate"] > 0
     elif kind == "probe":
-        assert out["container"] in ("wav", "avi", "png", "mp3")
+        assert out["container"] in ("wav", "avi", "png", "mp3", "flac")
         assert out["n_frames"] >= 1
     else:
         frames_out, period = out

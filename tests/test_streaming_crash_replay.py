@@ -167,7 +167,7 @@ DOCS = [
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 
-@pytest.mark.parametrize("crash_sink", ["corpus_store", "metrics"])
+@pytest.mark.parametrize("crash_sink", ["lm_counts", "corpus_store", "metrics"])
 def test_corpus_stream_crash_between_sinks_replays_stable(
     spark, tmp_path, monkeypatch, crash_sink
 ):
@@ -225,8 +225,10 @@ def test_corpus_stream_crash_between_sinks_replays_stable(
     # accounting law holds for the run that wrote the final books
     assert row.n_ingested == row.n_kept + row.n_rejected == 4
     lm_rows = _one_partition_per_batch(spark, lm, [0])
-    if crash_sink == "corpus_store":
+    if crash_sink in ("lm_counts", "corpus_store"):
         # store was empty on replay: the replay re-kept docs 1 and 3
+        # (for lm_counts the crash hit BEFORE the delta too — rejects
+        # landed, everything downstream replays identically)
         assert row.n_kept == 2 and sorted(by_doc) == [2, 4]
         assert lm_rows.count() > 0
     else:
@@ -238,6 +240,84 @@ def test_corpus_stream_crash_between_sinks_replays_stable(
         assert row.n_kept == 0 and row.n_dup_in_corpus == 2
         assert sorted(by_doc) == [1, 2, 3, 4]
         assert by_doc[1] == by_doc[3] == "duplicate_in_corpus"
+
+
+def test_corpus_band_index_crash_gap_is_repaired_and_screens(
+    spark, tmp_path, monkeypatch
+):
+    """Kill corpus ingest between the store append and the BAND-INDEX
+    append (docs in the store, no band rows — the crash gap that would
+    let their near-dups through forever if the index were trusted
+    blindly); replay on the same checkpoint, then feed a near-dup of a
+    crashed-batch doc in a second batch. _ensure_band_index must
+    detect and repair the gap before screening, so the near-dup still
+    rejects as near_duplicate_in_corpus."""
+    from metrocloud_data_pipeline_spark.streaming.corpus import (
+        run_corpus_ingest_stream,
+        stream_document_files,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india " \
+           "juliet kilo lima mike november oscar papa quebec romeo " \
+           "sierra tango uniform victor whiskey xray yankee zulu " \
+           "one two three four"
+    near = base.replace("zulu", "zulus")  # 1 of 30 tokens differs
+    src = tmp_path / "crawl"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, base, "en", "web", len(base)),
+         (2, "completely different words entirely here now", "en", "web", 44)],
+        DOC_SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    store = str(tmp_path / "corpus_store")
+    band_index = str(tmp_path / "bands_idx")
+    ck = str(tmp_path / "ck")
+
+    def start():
+        return run_corpus_ingest_stream(
+            stream_document_files(spark, str(src) + "/*",
+                                  max_files_per_trigger=1),
+            store, ck, min_tokens=3,
+            near_dup_screen=True, near_dup_threshold=0.9,
+            band_index_path=band_index,
+        )
+
+    # match the sink DIR name, not "band_index" — the pytest tmp dir
+    # embeds the test name, which would match every write path
+    injector = CrashOnWrite(monkeypatch, "bands_idx")
+    _await_failure(start())
+    assert injector.fired == 1
+    # the crash gap is real: docs in the store, no committed band rows
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(store).collect()
+    ) == [1, 2]
+
+    q = start()  # replay batch 0: repair runs, kept is empty
+    q.awaitTermination(180)
+    idx_ids = {
+        r.doc_id for r in spark.read.parquet(band_index)
+        .select("doc_id").distinct().collect()
+    }
+    assert idx_ids == {1, 2}  # repaired: index covers the store
+
+    # batch 1: a near-dup of crashed-batch doc 1 must still be caught
+    rejects = str(tmp_path / "rejects")
+    spark.createDataFrame(
+        [(10, near, "en", "web", len(near))], DOC_SCHEMA
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    q = run_corpus_ingest_stream(
+        stream_document_files(spark, str(src) + "/*",
+                              max_files_per_trigger=1),
+        store, ck, min_tokens=3,
+        near_dup_screen=True, near_dup_threshold=0.9,
+        band_index_path=band_index, rejects_path=rejects,
+    )
+    q.awaitTermination(180)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(store).collect()
+    ) == [1, 2]  # the near-dup never landed
+    rej = {r.doc_id: r.reason for r in spark.read.parquet(rejects).collect()}
+    assert rej[10] == "near_duplicate_in_corpus"
 
 
 def test_media_dedup_stream_crash_before_metrics_replays_stable(
