@@ -100,7 +100,16 @@ def overwrite_batch_partition(frame: DataFrame, path: str, batch_id: int) -> Non
 
     batch_id round-trips as the PARTITION column: readers get it back
     as a column (int-typed by partition inference — compare with
-    lit(int), group by it, but don't depend on LongType)."""
+    lit(int), group by it, but don't depend on LongType).
+
+    Contract note: dynamic overwrite only replaces partitions PRESENT
+    in the data — an EMPTY frame writes nothing and would leave a
+    previously-written partition for the same batch_id in place. That
+    is correct for every current caller because a replayed batch's
+    row set is deterministic or strictly larger (a recomputed reject
+    set can only grow when the crashed attempt's appends landed); a
+    future sink whose per-batch set can SHRINK to empty on replay
+    must delete its partition directory first."""
     with dynamic_partition_overwrite(frame.sparkSession):
         (
             frame.withColumn("batch_id", F.lit(batch_id))
