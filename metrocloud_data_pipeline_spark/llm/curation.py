@@ -66,6 +66,138 @@ def ngram_hashes(docs: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def build_ngram_bloom(
+    benchmark: DataFrame, n: int = 6, fpp: float = 0.01,
+    id_col: str = "bench_id",
+) -> tuple[bytes, int, int]:
+    """Build a Bloom filter over the benchmark's distinct n-gram hashes
+    -> (bitmap bytes, m bits, k hashes). Standard sizing: m =
+    ceil(-N ln fpp / ln(2)^2), k = round(m/N ln 2) (Bloom 1970). The
+    k probe positions for gram-hash gh are pmod(xxhash64(i, gh), m)
+    for i in 0..k-1 — pure JVM expressions, so build and probe can
+    never hash differently.
+
+    Distributed build with a bounded driver collect: each PARTITION of
+    the position set ORs its own m-bit numpy bitmap inside one Arrow
+    kernel and emits a single bitmap row; the driver ORs one bitmap
+    per partition (never per-gram rows). At 10 bits/gram (fpp 1%) the
+    result is ~10-20x smaller than broadcasting the gram-hash SET —
+    the reason this tier exists: a 100M-gram benchmark union is a
+    ~125 MB bitmap vs multi-GB of hashes, and the probe side stays a
+    map-only scan."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    n_grams = (
+        ngram_hashes(benchmark, n, id_col=id_col).select("gh").distinct().count()
+    )
+    if n_grams == 0:
+        return b"\x00", 8, 1
+    m = max(8, int(math.ceil(-n_grams * math.log(fpp) / (math.log(2) ** 2))))
+    m = (m + 7) & ~7  # whole bytes
+    k = max(1, round(m / n_grams * math.log(2)))
+    positions = (
+        ngram_hashes(benchmark, n, id_col=id_col)
+        .select("gh")
+        .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    *[F.pmod(F.xxhash64(F.lit(i), F.col("gh")), F.lit(m))
+                      for i in range(k)]
+                )
+            ).alias("pos")
+        )
+    )
+
+    def _partition_bitmap(batches):
+        bm = np.zeros(m // 8, dtype=np.uint8)
+        for pdf in batches:
+            pos = pdf["pos"].to_numpy(dtype=np.int64)
+            np.bitwise_or.at(bm, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = positions.mapInPandas(_partition_bitmap, schema="bm binary").collect()
+    out = np.zeros(m // 8, dtype=np.uint8)
+    for row in parts:
+        out |= np.frombuffer(row.bm, dtype=np.uint8)
+    return out.tobytes(), m, k
+
+
+def contamination_check_bloom(
+    docs: DataFrame, benchmark: DataFrame, n: int = 6, fpp: float = 0.01
+) -> DataFrame:
+    """The Bloom-filter tier of benchmark decontamination — same report
+    shape as contamination_check (doc_id, total_ngrams,
+    contaminated_ngrams, contamination_frac) with membership answered
+    by a broadcast BITMAP instead of a broadcast gram-hash set.
+
+    Guarantees: NO false negatives — every gram the exact probe flags
+    is flagged here (both sides hash the same md5 gram string through
+    the same JVM xxhash64 positions), so a downstream quarantine at
+    any threshold can only over-remove, never leak benchmark text into
+    training. False positives are bounded by fpp per PROBED gram
+    (pinned with an envelope test); a doc's contaminated_ngrams is
+    therefore an upper bound on the exact count.
+
+    Plan shape at 100 TB: ONE corpus scan -> gram explode -> k
+    position expressions (JVM codegen) -> one Arrow bitmap-lookup
+    kernel (the bitmap rides task serialization like a broadcast var)
+    -> the same per-doc aggregation as the exact form. Zero shuffle on
+    the probe side beyond the final doc_id agg; the build side
+    aggregates one bitmap per partition. Use this form when the
+    benchmark union is too big to broadcast as a set; audit FPR with
+    the exact twin on a sample."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bitmap, m, k = build_ngram_bloom(benchmark, n=n, fpp=fpp)
+    bm = np.frombuffer(bitmap, dtype=np.uint8)
+
+    # no type hints: under `from __future__ import annotations` they are
+    # strings pandas_udf cannot resolve (the similarity.py convention)
+    @pandas_udf("boolean")
+    def might_contain(pos_arrays):
+        mat = np.stack(pos_arrays.to_numpy())  # (rows, k) int64
+        bits = (bm[mat >> 3] >> (mat & 7).astype(np.uint8)) & 1
+        return pd.Series(bits.all(axis=1))
+
+    doc_grams = ngram_hashes(docs, n).select(
+        "doc_id",
+        F.array(
+            *[F.pmod(F.xxhash64(F.lit(i), F.col("gh")), F.lit(m))
+              for i in range(k)]
+        ).alias("_pos"),
+    )
+    per_doc = (
+        doc_grams.select("doc_id", might_contain("_pos").alias("hit"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.count_if(F.col("hit")).alias("contaminated_ngrams"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
+            F.coalesce("contaminated_ngrams", F.lit(0)).alias("contaminated_ngrams"),
+            round6(
+                F.when(
+                    F.coalesce("total_ngrams", F.lit(0)) > 0,
+                    F.coalesce("contaminated_ngrams", F.lit(0)).cast("double")
+                    / F.col("total_ngrams").cast("double"),
+                ).otherwise(F.lit(0.0))
+            ).alias("contamination_frac"),
+        )
+    )
+
+
 def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
     """Gopher-style repetition signals: per document, how much of it is
     repeated n-grams — `dup_ngram_frac` (fraction of gram occurrences

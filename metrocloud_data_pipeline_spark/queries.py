@@ -2808,6 +2808,28 @@ def decontaminate_ngram(spark, sf_dir):
     return curation.contamination_check(docs, benchmark, n=6)
 
 
+@q("decontaminate_ngram_bloom")
+def decontaminate_ngram_bloom(spark, sf_dir):
+    """The BLOOM-FILTER tier of benchmark decontamination (r14): same
+    report as decontaminate_ngram — 6-gram contamination against the
+    doc_id %% 17 pseudo-benchmark — but membership is answered by a
+    broadcast BITMAP (curation.contamination_check_bloom: standard
+    m/k sizing at fpp=0.01, JVM xxhash64 positions, one Arrow
+    bitmap-lookup kernel) instead of the broadcast gram-hash set.
+    This is the form that survives a benchmark union too big to
+    broadcast as a set (~10-20x smaller): no false negatives by
+    construction, false positives bounded per probed gram. Rows-only:
+    the Bloom positions are xxhash64 (non-portable to DuckDB); the
+    superset-of-exact law, the FPR envelope, and determinism are
+    pinned in tests/test_curation.py against the oracle-backed exact
+    twin."""
+    docs = load(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return curation.contamination_check_bloom(docs, benchmark, n=6, fpp=0.01)
+
+
 _MIX_RATES = {"src0": 0.25, "src5": 0.5, "src10": 0.75, "src15": 1.0}
 
 
@@ -6749,6 +6771,7 @@ NO_ORACLE_REASONS: dict[str, str] = {
     "text_ngram_diversity_approx": "approximate sketch (HLL); error envelope pinned in tests/test_llm.py",
     "quality_quantile_filter_approx": "approximate quantile sketch; agreement-with-exact pinned in tests/test_curation.py",
     "ccnet_perplexity_buckets_approx": "approximate quantile sketch; bucket-assignment agreement pinned in tests/test_curation.py",
+    "decontaminate_ngram_bloom": "approximate sketch (Bloom filter over xxhash64 positions); superset-of-exact law + FPR envelope + determinism pinned in tests/test_curation.py",
 }
 
 QUERY_ORDER = [
@@ -6992,6 +7015,7 @@ QUERY_ORDER = [
     # tools/freshness.py FIRST_REGISTERED_ROUND:
     "media_neardup_recall_report",
     "media_container_probe",
+    "decontaminate_ngram_bloom",
 ]
 
 

@@ -32,6 +32,57 @@ def test_contamination_exact_copy_and_clean_doc(spark, docs):
     assert out[0]["total_ngrams"] == 10
 
 
+def test_contamination_bloom_superset_fpr_and_determinism(spark, docs):
+    """The Bloom decontamination tier's pinned laws (r14, rows-only
+    key decontaminate_ngram_bloom):
+    - NO FALSE NEGATIVES: per doc, bloom contaminated_ngrams >= exact,
+      with identical total_ngrams — a quarantine can over-remove but
+      never leak benchmark text;
+    - exact-copy/benchmark docs read frac 1.0 exactly (every true gram
+      must hit);
+    - FPR envelope: a large DISJOINT-vocabulary probe set observes a
+      false-positive rate within a small multiple of the configured
+      fpp;
+    - deterministic across builds (same bitmap, same verdicts)."""
+    bench = docs.where("doc_id = 0").selectExpr("doc_id AS bench_id", "text")
+    exact = {r["doc_id"]: r for r in
+             curation.contamination_check(docs, bench, n=4).collect()}
+    bloom = {r["doc_id"]: r for r in
+             curation.contamination_check_bloom(docs, bench, n=4).collect()}
+    assert set(exact) == set(bloom)
+    for d in exact:
+        assert bloom[d]["total_ngrams"] == exact[d]["total_ngrams"]
+        assert (bloom[d]["contaminated_ngrams"]
+                >= exact[d]["contaminated_ngrams"]), d
+    assert bloom[0]["contamination_frac"] == 1.0
+    assert bloom[1]["contamination_frac"] == 1.0
+    assert bloom[3]["total_ngrams"] == 0
+
+    # FPR envelope: 2,000 probe docs over a vocabulary disjoint from
+    # the benchmark's -> every hit is a false positive. At fpp=0.01
+    # the observed rate concentrates near 0.01; 0.05 is a generous cap.
+    probe = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(10))) for i in range(2000)],
+        "doc_id long, text string",
+    ).selectExpr("doc_id", "text", "'en' lang", "'s' source", "0 n_chars")
+    fp = curation.contamination_check_bloom(probe, bench, n=4, fpp=0.01)
+    agg = fp.selectExpr(
+        "sum(contaminated_ngrams) hits", "sum(total_ngrams) grams"
+    ).collect()[0]
+    assert agg.grams == 2000 * 7
+    assert agg.hits / agg.grams < 0.05, agg
+
+    # determinism: a rebuilt bitmap yields byte-identical bits
+    bm1, m1, k1 = curation.build_ngram_bloom(bench, n=4)
+    bm2, m2, k2 = curation.build_ngram_bloom(bench, n=4)
+    assert (bm1, m1, k1) == (bm2, m2, k2)
+
+    # empty benchmark: nothing flags, nothing crashes
+    empty = bench.limit(0)
+    z = curation.contamination_check_bloom(docs, empty, n=4).collect()
+    assert all(r["contaminated_ngrams"] == 0 for r in z)
+
+
 def test_contamination_partial_overlap(spark, docs):
     bench = spark.createDataFrame(
         [(100, "fox jumps over the lazy dog and then stops")],

@@ -43,6 +43,7 @@ FIRST_REGISTERED_ROUND: dict[str, int] = {
     "media_video_near_dup": 13,
     "media_neardup_recall_report": 14,
     "media_container_probe": 14,
+    "decontaminate_ngram_bloom": 14,
 }
 
 
