@@ -161,6 +161,8 @@ def contamination_check_bloom(
     # strings pandas_udf cannot resolve (the similarity.py convention)
     @pandas_udf("boolean")
     def might_contain(pos_arrays):
+        if len(pos_arrays) == 0:  # np.stack refuses an empty batch
+            return pd.Series([], dtype=bool)
         mat = np.stack(pos_arrays.to_numpy())  # (rows, k) int64
         bits = (bm[mat >> 3] >> (mat & 7).astype(np.uint8)) & 1
         return pd.Series(bits.all(axis=1))
