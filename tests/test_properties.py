@@ -1097,13 +1097,17 @@ def test_media_decoders_fail_loud_on_corrupted_containers(kind, mode, seed):
     elif kind == "mp3":
         assert out["n_frames"] >= 1 and out["sample_rate"] > 0
     elif kind == "flac":
-        payload = bytearray(mm._flac_encode_header(2000, 8000))
-        decode = mm._flac_probe
-    elif kind == "flac":
         assert out["sample_rate"] > 0
     elif kind == "probe":
         assert out["container"] in ("wav", "avi", "png", "mp3", "flac")
-        assert out["n_frames"] >= 1
+        # a flip in a WAV/FLAC length field can legitimately declare an
+        # EMPTY (0-sample) stream — a well-formed answer, not an escape
+        # (found by hypothesis on this very assertion, r14); mp3/avi
+        # parsers refuse frameless streams, so >= 1 holds there
+        if out["container"] in ("mp3", "avi"):
+            assert out["n_frames"] >= 1
+        else:
+            assert out["n_frames"] >= 0
     else:
         frames_out, period = out
         assert frames_out.ndim == 4 and period > 0
