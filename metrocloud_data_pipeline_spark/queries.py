@@ -6829,76 +6829,15 @@ NO_ORACLE_REASONS: dict[str, str] = {
 }
 
 QUERY_ORDER = [
-    # --- r14 window (first 50 = driver-checked this round) ---
-    # Stalest-first rotation per VERDICT r13 #1: the 11 age-4 keys
-    # (latest green r9 — the deferred tail of the r9 cohort) MUST lead,
-    # the 2 r13-born keys get their first-ever driver row, and the 37
-    # oldest of the 50-key age-3 (r10) cohort fill the rest — exactly
-    # 50 slots.  The 13 remaining r10 keys head the queue below; at
-    # age 4 after this round they are first into the r15 window,
-    # inside the gate's max_age=6 with two rounds of slack.
-    # last green driver row r9 (age 4 — the 11 deferred from r13):
-    "langid_confusion",
-    "shard_skew_report",
-    "dedup_impact_by_source",
-    "text_ngram_diversity_approx",
-    "source_filter_funnel",
-    "embed_centroid_drift",
-    "a6_table_stats_approx",
-    "a9_daily_quality_approx",
-    "knn_lsh",
-    "dedup_embed_cosine_lsh",
-    "dedup_simhash",
-    # first registered r13, never driver-checked (first rows this round):
-    "ccnet_perplexity_buckets_kn5",
-    "media_video_near_dup",
-    # last green driver row r10 (37 of 50):
-    "seq_pack_summary",
-    "dedup_keep_list",
-    "tfidf_top_terms",
-    "vocab_coverage",
-    "source_mix_temperature",
-    "quality_quantile_filter",
-    "dedup_cross_corpus",
-    "dedup_incremental_jaccard",
-    "unigram_surprisal",
-    "kmeans_embed_clusters",
-    "pca_variance_report",
-    "h20_excess_supply",
-    "h2_min_cost_supplier",
-    "h11_important_parts",
-    "h12_ship_delay_priority",
-    "embed_dedup_keep_list",
-    "corpus_select_pipeline",
-    "ingest_fanout_pipeline",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_prefix",
-    "dedup_clusters",
-    "cap_per_source",
-    "iv_error_windows",
-    "obs_alert_firing",
-    "asof_next_error",
-    "f2_type_filter",
-    "dedup_embed_cosine",
-    "media_feature_extract",
-    "media_frame_sample",
-    "media_type_summary",
-    "h21_late_suppliers",
-    "h4_order_priority",
-    "sample_weighted_sources",
-    "text_clean_stats",
-    "quality_filter_report",
-    "pii_scrub_stats",
-    # --- driver window ends here (first 50) ---
-    # r15 queue head: the 13 age-3 keys the 50-slot window could not
-    # hold this round (63 candidates for 50 slots), then the r11 / r12 /
-    # r13-window cohorts, freshest last.
-    # r15 window arithmetic (precomputed at r14 close): after the r14
-    # driver run these 13 sit at age 4 and MUST lead; plus any r14-born
-    # keys (see FIRST_REGISTERED_ROUND); the balance comes from the
-    # then-age-3 r11 cohort, oldest first.
-    # last green driver row r10 (the 13 deferred):
+    # --- r15 window (first 50 = driver-checked this round) ---
+    # Stalest-first rotation per VERDICT r14 #1: the 13 age-4 keys
+    # (latest green r10 — the deferred tail of the r10 cohort) MUST
+    # lead, the 4 r14-born keys get their first-ever driver row, and
+    # the oldest 33 of the 50-key age-3 (r11) cohort fill the rest —
+    # exactly 50 slots.  The 17 remaining r11 keys head the queue
+    # below; at age 4 after this round they are first into the r16
+    # window, inside the gate's max_age=6 with two rounds of slack.
+    # last green driver row r10 (age 4 — the 13 deferred from r14):
     "stratified_split",
     "asof_last_error",
     "a11_type_daily_rollup",
@@ -6912,7 +6851,12 @@ QUERY_ORDER = [
     "t1_unpivot_measures",
     "dedup_exact",
     "text_bpe_token_stats",
-    # last green driver row r11:
+    # first registered r14, never driver-checked (first rows this round):
+    "media_neardup_recall_report",
+    "media_container_probe",
+    "decontaminate_ngram_bloom",
+    "decontaminate_bloom_audit",
+    # last green driver row r11 (33 of 50, queue order):
     "text_quality_score",
     "kn_trigram_surprisal",
     "langid_trained_report",
@@ -6946,6 +6890,15 @@ QUERY_ORDER = [
     "source_scorecard",
     "winnow_overlap_pairs",
     "dq_expectations_report",
+    # --- driver window ends here (first 50) ---
+    # r16 queue head: the 17 age-3 keys the 50-slot window could not
+    # hold this round (67 candidates for 50 slots), then the r12 /
+    # r13 / r14-window cohorts, freshest last, then r15-born keys.
+    # r16 window arithmetic (precomputed at r15 close): after the r15
+    # driver run these 17 sit at age 4 and MUST lead; plus any
+    # r15-born keys (see FIRST_REGISTERED_ROUND); the balance comes
+    # from the then-age-3 r12 cohort, oldest first.
+    # last green driver row r11 (the 17 deferred):
     "f6b_metadata_lookup_indexed",
     "a19_time_weighted_avg",
     "a20_counter_delta",
@@ -7014,7 +6967,7 @@ QUERY_ORDER = [
     "h18_large_customers",
     "h_brand_revenue",
     "doc_fingerprint_winnow",
-    # last green driver row r13 (the r13 window cohort — freshest):
+    # last green driver row r13:
     "decontaminate_ngram",
     "text_repetition_stats",
     "knn_brute_force",
@@ -7065,12 +7018,57 @@ QUERY_ORDER = [
     "text_hot_tokens",
     "text_hot_tokens_approx",
     "quality_signal_correlation",
-    # new r14-born keys, appended per the new-key cap — see
-    # tools/freshness.py FIRST_REGISTERED_ROUND:
-    "media_neardup_recall_report",
-    "media_container_probe",
-    "decontaminate_ngram_bloom",
-    "decontaminate_bloom_audit",
+    # last green driver row r14 (the r14 window cohort — freshest):
+    "langid_confusion",
+    "shard_skew_report",
+    "dedup_impact_by_source",
+    "text_ngram_diversity_approx",
+    "source_filter_funnel",
+    "embed_centroid_drift",
+    "a6_table_stats_approx",
+    "a9_daily_quality_approx",
+    "knn_lsh",
+    "dedup_embed_cosine_lsh",
+    "dedup_simhash",
+    "ccnet_perplexity_buckets_kn5",
+    "media_video_near_dup",
+    "seq_pack_summary",
+    "dedup_keep_list",
+    "tfidf_top_terms",
+    "vocab_coverage",
+    "source_mix_temperature",
+    "quality_quantile_filter",
+    "dedup_cross_corpus",
+    "dedup_incremental_jaccard",
+    "unigram_surprisal",
+    "kmeans_embed_clusters",
+    "pca_variance_report",
+    "h20_excess_supply",
+    "h2_min_cost_supplier",
+    "h11_important_parts",
+    "h12_ship_delay_priority",
+    "embed_dedup_keep_list",
+    "corpus_select_pipeline",
+    "ingest_fanout_pipeline",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
+    "dedup_clusters",
+    "cap_per_source",
+    "iv_error_windows",
+    "obs_alert_firing",
+    "asof_next_error",
+    "f2_type_filter",
+    "dedup_embed_cosine",
+    "media_feature_extract",
+    "media_frame_sample",
+    "media_type_summary",
+    "h21_late_suppliers",
+    "h4_order_priority",
+    "sample_weighted_sources",
+    "text_clean_stats",
+    "quality_filter_report",
+    "pii_scrub_stats",
 ]
 
 
