@@ -90,19 +90,23 @@ def build_ngram_bloom(
     import numpy as np
     import pandas as pd
 
-    n_grams = (
-        ngram_hashes(benchmark, n, id_col=id_col).select("gh").distinct().count()
+    # ONE explode+distinct pass over the benchmark union feeds both the
+    # sizing count and the position build (ADVICE r14 #4 — this is the
+    # most expensive scan here; localCheckpoint materializes it once)
+    gh = (
+        ngram_hashes(benchmark, n, id_col=id_col)
+        .select("gh")
+        .distinct()
+        .localCheckpoint()
     )
+    n_grams = gh.count()
     if n_grams == 0:
         return b"\x00", 8, 1
     m = max(8, int(math.ceil(-n_grams * math.log(fpp) / (math.log(2) ** 2))))
     m = (m + 7) & ~7  # whole bytes
     k = max(1, round(m / n_grams * math.log(2)))
     positions = (
-        ngram_hashes(benchmark, n, id_col=id_col)
-        .select("gh")
-        .distinct()
-        .select(
+        gh.select(
             F.explode(
                 F.array(
                     *[F.pmod(F.xxhash64(F.lit(i), F.col("gh")), F.lit(m))

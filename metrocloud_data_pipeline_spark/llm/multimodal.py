@@ -162,6 +162,15 @@ def _mp3_parse(payload: bytes) -> dict:
         rates.add(sr)
         bitrates.append(bitrate)
         pos += flen
+    if pos != len(b):
+        # 1-3 bytes past the last whole frame header slot: too short to
+        # even start a header, but still a sync break under the
+        # fail-loud contract (a stream truncated mid-header by <=3
+        # bytes must not validate; ADVICE r14 #2)
+        raise NotImplementedError(
+            f"mp3 parse: {len(b) - pos} trailing bytes after the last "
+            "frame — truncated header or junk suffix"
+        )
     if n_frames == 0:
         raise NotImplementedError("mp3 parse: no MPEG frames in payload")
     if len(rates) != 1:
@@ -1282,7 +1291,8 @@ def video_frame_near_dup(
     min_shared: int = 1,
     max_frame_df: int | None = 1000,
     errors: str = "reject",
-) -> DataFrame:
+    with_rejects: bool = False,
+):
     """Near-duplicate VIDEO detection by decoded-frame fingerprints —
     the media tier's analog of n-gram Jaccard for text: sample_frames'
     real path hashes each decoded RGB frame (sha256 of pixel bytes, so
@@ -1311,14 +1321,28 @@ def video_frame_near_dup(
     fingerprints (its NULL frame_hash is filtered with the NULL-payload
     rows), instead of one bad file killing the whole pair-search job
     (ADVICE r14). 'raise' restores the curated-corpus fail-loud
-    contract."""
+    contract.
+
+    with_rejects=True returns (pairs, rejects) where rejects is one
+    row per EXCLUDED video — (media_id, decode_error) for per-row
+    decode failures, decode_error=NULL for NULL payloads — so a
+    near-dup sweep over a partially-corrupt corpus carries its own
+    exclusion accounting instead of silently looking complete
+    (ADVICE r14 #3). The rejects come from the same checkpointed
+    decode pass as the fingerprints: no second decode."""
+    sampled = sample_frames(
+        media, every_ms=every_ms, decode_stub=False, errors=errors
+    ).select(
+        "media_id",
+        "frame_hash",
+        *(["decode_error"] if errors == "reject" else []),
+    )
+    sampled = sampled.localCheckpoint()  # one decode pass feeds all three
     frames = (
-        sample_frames(media, every_ms=every_ms, decode_stub=False, errors=errors)
-        .where(F.col("frame_hash").isNotNull())
+        sampled.where(F.col("frame_hash").isNotNull())
         .select("media_id", "frame_hash")
         .distinct()
     )
-    frames = frames.localCheckpoint()  # one decode pass feeds sizes + pairs
     sizes = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("_n"))
     if max_frame_df is None:
         pruned = frames
@@ -1341,7 +1365,7 @@ def video_frame_near_dup(
     )
     na = sizes.select(F.col("media_id").alias("media_a"), F.col("_n").alias("_na"))
     nb = sizes.select(F.col("media_id").alias("media_b"), F.col("_n").alias("_nb"))
-    return (
+    pairs = (
         shared.join(na, "media_a")
         .join(nb, "media_b")
         .select(
@@ -1355,6 +1379,21 @@ def video_frame_near_dup(
             ).alias("jaccard"),
         )
     )
+    if not with_rejects:
+        return pairs
+    rejects = (
+        sampled.where(F.col("frame_hash").isNull())
+        .select(
+            "media_id",
+            (
+                F.col("decode_error")
+                if errors == "reject"
+                else F.lit(None).cast("string").alias("decode_error")
+            ),
+        )
+        .distinct()
+    )
+    return pairs, rejects
 
 
 def _avi_probe(payload: bytes) -> dict:

@@ -518,6 +518,21 @@ def test_video_frame_near_dup_isolates_corrupt_payloads(spark):
     assert [r.media_id for r in rej] == [9999]
     assert rej[0].frame_hash is None
     assert "NotImplementedError" in rej[0].decode_error
+    # with_rejects=True surfaces the exclusion accounting from the SAME
+    # decode pass: the pair frame is unchanged, and the rejects frame
+    # names exactly the excluded video with its decode error
+    # (ADVICE r14 #3 — no more silent completeness)
+    pairs2, rejects = multimodal.video_frame_near_dup(
+        media, every_ms=40, with_rejects=True
+    )
+    got2 = {
+        (r.media_a, r.media_b): (r.shared_frames, r.jaccard)
+        for r in pairs2.collect()
+    }
+    assert got2 == got
+    rrows = rejects.collect()
+    assert [r.media_id for r in rrows] == [9999]
+    assert "NotImplementedError" in rrows[0].decode_error
 
 
 def test_recontainer_avi_changes_bytes_not_frames(spark):
@@ -599,6 +614,11 @@ def test_mp3_frame_parse_geometry_and_gate(spark):
         multimodal._mp3_parse(mp3[:-10])
     with pytest.raises(NotImplementedError, match="lost frame sync"):
         multimodal._mp3_parse(mp3[:417] + b"junkjunk")
+    # 1-3 trailing bytes past the last frame: too short to start a
+    # header, still a sync break — must not validate (ADVICE r14 #2)
+    for extra in (1, 2, 3):
+        with pytest.raises(NotImplementedError, match="trailing bytes"):
+            multimodal._mp3_parse(mp3 + b"\x00" * extra)
 
     # gate taxonomy: valid mp3 -> CodecMissingError; corrupt -> data reject
     with pytest.raises(multimodal.CodecMissingError, match="valid MPEG"):
