@@ -95,6 +95,16 @@ HEADLINE = [
     # precedent): runs=3 drift tracking + plan-gate rows from r14 on
     "media_video_near_dup",
     "ccnet_perplexity_buckets_kn5",
+    # r14-born keys promoted per VERDICT r14 #3 (same precedent):
+    # the container probe is map-only/0-exchange, the recall report
+    # rides the near-dup join, and the bloom pair pins the one plan
+    # worth watching — probe side shuffle-free before the per-doc agg
+    # (the bitmap build's partition-OR collect is the sanctioned
+    # driver touch, timed as part of the query)
+    "media_container_probe",
+    "media_neardup_recall_report",
+    "decontaminate_ngram_bloom",
+    "decontaminate_bloom_audit",
     "obs_alert_firing",
     "tfidf_top_terms",
     "vocab_coverage",

@@ -1328,8 +1328,10 @@ def video_frame_near_dup(
     decode failures, decode_error=NULL for NULL payloads — so a
     near-dup sweep over a partially-corrupt corpus carries its own
     exclusion accounting instead of silently looking complete
-    (ADVICE r14 #3). The rejects come from the same checkpointed
-    decode pass as the fingerprints: no second decode."""
+    (ADVICE r14 #3). The rejects come from the same decode pass as
+    the fingerprints (the pre-filter frame is checkpointed first, and
+    the distinct-fingerprint checkpoint reads it): no second decode,
+    and the pair plan downstream keeps its pinned 3-exchange shape."""
     sampled = sample_frames(
         media, every_ms=every_ms, decode_stub=False, errors=errors
     ).select(
@@ -1337,12 +1339,16 @@ def video_frame_near_dup(
         "frame_hash",
         *(["decode_error"] if errors == "reject" else []),
     )
-    sampled = sampled.localCheckpoint()  # one decode pass feeds all three
+    if with_rejects:
+        # materialize the decode ONCE including the rejected rows; the
+        # fingerprint checkpoint below then reads these local blocks
+        sampled = sampled.localCheckpoint()
     frames = (
         sampled.where(F.col("frame_hash").isNotNull())
         .select("media_id", "frame_hash")
         .distinct()
     )
+    frames = frames.localCheckpoint()  # one decode pass feeds sizes + pairs
     sizes = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("_n"))
     if max_frame_df is None:
         pruned = frames
