@@ -131,7 +131,11 @@ def build_ngram_bloom(
 
 
 def contamination_check_bloom(
-    docs: DataFrame, benchmark: DataFrame, n: int = 6, fpp: float = 0.01
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    n: int = 6,
+    fpp: float = 0.01,
+    bloom: tuple[bytes, int, int] | None = None,
 ) -> DataFrame:
     """The Bloom-filter tier of benchmark decontamination — same report
     shape as contamination_check (doc_id, total_ngrams,
@@ -153,12 +157,24 @@ def contamination_check_bloom(
     the probe side beyond the final doc_id agg; the build side
     aggregates one bitmap per partition. Use this form when the
     benchmark union is too big to broadcast as a set; audit FPR with
-    the exact twin on a sample."""
+    the exact twin on a sample.
+
+    `bloom` accepts a prebuilt (bitmap, m, k) from build_ngram_bloom —
+    the streaming ingest gate builds the filter ONCE at stream start
+    and probes every micro-batch against it (the fpp arg is then
+    unused); with benchmark=None the build is skipped entirely."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    bitmap, m, k = build_ngram_bloom(benchmark, n=n, fpp=fpp)
+    if bloom is None:
+        if benchmark is None:
+            raise ValueError(
+                "contamination_check_bloom: pass benchmark= to build, or "
+                "bloom=(bitmap, m, k) prebuilt"
+            )
+        bloom = build_ngram_bloom(benchmark, n=n, fpp=fpp)
+    bitmap, m, k = bloom
     bm = np.frombuffer(bitmap, dtype=np.uint8)
 
     # no type hints: under `from __future__ import annotations` they are
@@ -629,7 +645,12 @@ def c4_line_filter(
     )
 
 
-def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 8) -> DataFrame:
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    n: int = 8,
+    bench_grams: DataFrame | None = None,
+) -> DataFrame:
     """Benchmark decontamination: per document, the fraction of its
     distinct n-gram hashes that also occur anywhere in the benchmark
     set (eval suites, held-out test sets).
@@ -641,14 +662,20 @@ def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 8) -> Da
     hit flag folds into the same aggregation that counts total grams
     (count + count_if, no second pass over the gram set). Emits every
     doc (zero-gram docs included, frac 0.0); filter
-    `contamination_frac >= t` downstream to quarantine."""
+    `contamination_frac >= t` downstream to quarantine.
+
+    `bench_grams` accepts a prebuilt distinct-gh frame (one `gh`
+    column) — the streaming ingest gate materializes it ONCE at
+    stream start instead of re-exploding the benchmark per batch."""
     doc_grams = ngram_hashes(docs, n)
-    bench_grams = (
-        ngram_hashes(benchmark, n, id_col="bench_id")
-        .select("gh")
-        .distinct()
-        .withColumn("hit", F.lit(True))
-    )
+    if bench_grams is None:
+        if benchmark is None:
+            raise ValueError(
+                "contamination_check: pass benchmark= or a prebuilt "
+                "bench_grams= distinct-gh frame"
+            )
+        bench_grams = ngram_hashes(benchmark, n, id_col="bench_id").select("gh").distinct()
+    bench_grams = bench_grams.select("gh").withColumn("hit", F.lit(True))
     per_doc = (
         doc_grams.join(F.broadcast(bench_grams), "gh", "left")
         .groupBy("doc_id")

@@ -212,20 +212,14 @@ def _mp3_encode_headers(
     return out
 
 
-def _wav_audio_feature(payload: bytes, dim: int) -> list[float]:
-    """Real audio feature from a PCM WAV payload — stdlib `wave` +
-    numpy, no codec library needed: a log-mel energy strip of length
-    `dim`. Decode to mono float in [-1, 1] (8/16/24/32-bit PCM, channel
-    mean), Hann-windowed 512-sample power spectra averaged over
-    256-hop frames, an HTK-mel triangular filterbank (dim bands,
-    0..sr/2), then log1p energies — the shape librosa's
-    melspectrogram would give, computed from primitives so the real
-    path works in codec-free containers. Compressed formats (mp3/ogg/
-    flac payloads fail the RIFF parse) raise NotImplementedError
-    fail-loud: transcoding needs ffmpeg, and a silent fake would
-    poison downstream dedup. Empty/silent audio yields all-zero
-    features (log1p(0)); a null payload is a data error, not a
-    missing-codec condition, and raises ValueError."""
+def _wav_pcm_mono(payload: bytes):
+    """Decode a PCM WAV payload to (mono float64 signal in [-1, 1],
+    sample rate) — the shared decode half of _wav_audio_feature and
+    the fingerprint path (_wav_band_argmax_seq, r15): 8/16/24/32-bit
+    PCM, channel mean, with the full two-tier error taxonomy (a
+    payload that parses as a conforming MPEG/FLAC stream raises
+    CodecMissingError; corrupt bytes stay a data reject; a null
+    payload is a ValueError)."""
     import struct
     import wave
     from io import BytesIO
@@ -294,9 +288,22 @@ def _wav_audio_feature(payload: bytes, dim: int) -> list[float]:
         raise NotImplementedError(f"unsupported WAV sample width: {sampwidth}")
     if n_ch > 1:
         x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x, sr
+
+
+def _mel_energies(x, sr: int, dim: int):
+    """Mel-band energies of a mono float signal — the spectral half of
+    _wav_audio_feature, shared with the fingerprint path: Hann-windowed
+    512-sample power spectra averaged over 256-hop frames, an HTK-mel
+    triangular filterbank (dim bands, 0..sr/2). Returns the LINEAR
+    band energies (callers log1p for the feature strip, argmax for the
+    fingerprint — argmax is monotone-invariant so both views agree on
+    the dominant band)."""
+    import numpy as np
+
     n_fft, hop = 512, 256
     if len(x) == 0:
-        return [0.0] * dim
+        return np.zeros(dim)
     if len(x) < n_fft:
         x = np.pad(x, (0, n_fft - len(x)))
     frames = np.lib.stride_tricks.sliding_window_view(x, n_fft)[::hop]
@@ -315,7 +322,22 @@ def _wav_audio_feature(payload: bytes, dim: int) -> list[float]:
             fb[j, k] = (k - lo) / (c - lo)
         for k in range(c, hi):
             fb[j, k] = (hi - k) / (hi - c)
-    return [float(v) for v in np.log1p(fb @ power)]
+    return fb @ power
+
+
+def _wav_audio_feature(payload: bytes, dim: int) -> list[float]:
+    """Real audio feature from a PCM WAV payload — stdlib `wave` +
+    numpy, no codec library needed: a log-mel energy strip of length
+    `dim` (decode via _wav_pcm_mono, spectra via _mel_energies — the
+    shape librosa's melspectrogram would give, computed from
+    primitives so the real path works in codec-free containers).
+    Compressed formats raise fail-loud per the two-tier taxonomy on
+    _wav_pcm_mono; empty/silent audio yields all-zero features
+    (log1p(0))."""
+    import numpy as np
+
+    x, sr = _wav_pcm_mono(payload)
+    return [float(v) for v in np.log1p(_mel_energies(x, sr, dim))]
 
 
 def _pil_image_feature(payload: bytes, dim: int) -> list[float]:
@@ -1285,6 +1307,67 @@ def synth_video_sequence_corpus(
     return docs.select("doc_id").mapInPandas(run, schema=schema)
 
 
+def fingerprint_set_pairs(
+    prints: DataFrame,
+    min_shared: int = 1,
+    max_df: int | None = 1000,
+    fp_col: str = "frame_hash",
+    shared_col: str = "shared_frames",
+) -> DataFrame:
+    """Set-Jaccard pair search over distinct (media_id, fingerprint)
+    rows — the post-fingerprint half shared by the video (frame hash)
+    and audio (band-shingle) near-dup tiers (r15; one plan shape, one
+    plan-gate row class). `prints` must already be distinct per
+    (media_id, fp_col) and SHOULD be materialized (localCheckpoint) by
+    the caller, since sizes + df-cut + pair join all read it.
+
+    Scale shape: the pair search joins on the fingerprint, so cost
+    follows shared-fingerprint density, not corpus size squared;
+    fingerprints appearing in more than max_df items are excluded
+    before the self-join (the LSH hot-bucket cap applied to
+    fingerprints — ubiquitous prints carry no identity signal), while
+    the per-item set sizes feeding the Jaccard denominator are
+    computed BEFORE the cap so the score stays honest when a capped
+    print drops. max_df=None disables the cut (and skips its
+    aggregate + semi-join entirely)."""
+    sizes = prints.groupBy("media_id").agg(F.count(F.lit(1)).alias("_n"))
+    if max_df is None:
+        pruned = prints
+    else:
+        df_cut = (
+            prints.groupBy(fp_col)
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select(fp_col)
+        )
+        pruned = prints.join(df_cut, fp_col, "left_semi")
+    a = pruned.select(F.col("media_id").alias("media_a"), fp_col)
+    b = pruned.select(F.col("media_id").alias("media_b"), fp_col)
+    shared = (
+        a.join(b, fp_col)
+        .where(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.count(F.lit(1)).cast("long").alias(shared_col))
+        .where(F.col(shared_col) >= min_shared)
+    )
+    na = sizes.select(F.col("media_id").alias("media_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col("media_id").alias("media_b"), F.col("_n").alias("_nb"))
+    return (
+        shared.join(na, "media_a")
+        .join(nb, "media_b")
+        .select(
+            "media_a",
+            "media_b",
+            shared_col,
+            F.round(
+                F.col(shared_col)
+                / (F.col("_na") + F.col("_nb") - F.col(shared_col)),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def video_frame_near_dup(
     media: DataFrame,
     every_ms: int = 40,
@@ -1349,41 +1432,9 @@ def video_frame_near_dup(
         .distinct()
     )
     frames = frames.localCheckpoint()  # one decode pass feeds sizes + pairs
-    sizes = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("_n"))
-    if max_frame_df is None:
-        pruned = frames
-    else:
-        df_cut = (
-            frames.groupBy("frame_hash")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") <= max_frame_df)
-            .select("frame_hash")
-        )
-        pruned = frames.join(df_cut, "frame_hash", "left_semi")
-    a = pruned.select(F.col("media_id").alias("media_a"), "frame_hash")
-    b = pruned.select(F.col("media_id").alias("media_b"), "frame_hash")
-    shared = (
-        a.join(b, "frame_hash")
-        .where(F.col("media_a") < F.col("media_b"))
-        .groupBy("media_a", "media_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
-        .where(F.col("shared_frames") >= min_shared)
-    )
-    na = sizes.select(F.col("media_id").alias("media_a"), F.col("_n").alias("_na"))
-    nb = sizes.select(F.col("media_id").alias("media_b"), F.col("_n").alias("_nb"))
-    pairs = (
-        shared.join(na, "media_a")
-        .join(nb, "media_b")
-        .select(
-            "media_a",
-            "media_b",
-            "shared_frames",
-            F.round(
-                F.col("shared_frames")
-                / (F.col("_na") + F.col("_nb") - F.col("shared_frames")),
-                6,
-            ).alias("jaccard"),
-        )
+    pairs = fingerprint_set_pairs(
+        frames, min_shared, max_frame_df, fp_col="frame_hash",
+        shared_col="shared_frames",
     )
     if not with_rejects:
         return pairs
@@ -1800,6 +1851,315 @@ def video_neardup_recall_report(
     copies = media_recontainered_copies(media, id_offset)
     corpus = media.unionByName(copies)
     pairs = video_frame_near_dup(corpus, every_ms=every_ms)
+    pair_stats = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_if(
+            (F.col("media_b") - F.col("media_a") == id_offset)
+            & (F.col("jaccard") == 1.0)
+        ).alias("n_detected"),
+    )
+    orig_digest = media.select(
+        "media_id", F.sha2(F.col("payload"), 256).alias("_d")
+    )
+    copy_digest = copies.select(
+        (F.col("media_id") - id_offset).alias("media_id"),
+        F.sha2(F.col("payload"), 256).alias("_dc"),
+    )
+    base_stats = orig_digest.join(copy_digest, "media_id").agg(
+        F.count(F.lit(1)).alias("n_planted"),
+        F.count_if(F.col("_d") == F.col("_dc")).alias("n_byte_identical"),
+    )
+    return base_stats.crossJoin(pair_stats).select(
+        "n_planted",
+        "n_detected",
+        F.round(F.col("n_detected") / F.col("n_planted"), 6).alias("recall"),
+        "n_pairs",
+        "n_byte_identical",
+    )
+
+
+def synth_tone_sequence_corpus(
+    docs: DataFrame,
+    sr: int = 4000,
+    seg_seconds: float = 0.25,
+    n_segments: int = 4,
+    dim: int = 32,
+    band_step: int = 37,
+) -> DataFrame:
+    """Deterministic TONE-SEQUENCE corpus — the audio analog of
+    synth_video_sequence_corpus (r15): each document becomes a real
+    PCM WAV of n_segments concatenated pure sines, segment s at the
+    center frequency of mel band ((doc_id + s) * band_step) % dim, so
+    two clips share exactly the closed-form band overlap
+    max(0, n_segments - d) + max(0, n_segments - (dim - d)) where
+    d = (id_b - id_a) * band_step mod dim — overlap, wraparound, and
+    full duplication all occur naturally in a large id range (the
+    * band_step spread mirrors the video corpus's * 37 gray walk).
+    Each segment starts at phase 0, so a segment's PCM is a pure
+    function of its band — which is exactly what makes the
+    band-argmax fingerprint downstream closed-form checkable. Input
+    scan prunes to doc_id only."""
+    import math
+    import struct
+    import wave
+    from io import BytesIO
+
+    centers = mel_band_centers(sr, dim)
+    n = int(sr * seg_seconds)
+    duration_ms = int(n_segments * seg_seconds * 1000)
+
+    def _seq_wav(doc_id: int) -> bytes:
+        buf = BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            for s in range(n_segments):
+                freq = centers[((doc_id + s) * band_step) % dim]
+                w.writeframes(
+                    b"".join(
+                        struct.pack(
+                            "<h",
+                            int(0.5 * 32767 * math.sin(2 * math.pi * freq * i / sr)),
+                        )
+                        for i in range(n)
+                    )
+                )
+        return buf.getvalue()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": pd.Series(["audio"] * len(pdf), dtype="object"),
+                    "mime": pd.Series(["audio/wav"] * len(pdf), dtype="object"),
+                    "payload": pdf["doc_id"].map(_seq_wav),
+                    "duration_ms": pd.Series([duration_ms] * len(pdf), dtype="int32"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("mime", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("duration_ms", IntegerType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(run, schema=schema)
+
+
+def _wav_band_argmax_seq(payload: bytes, dim: int, window_ms: int) -> list[int]:
+    """The audio fingerprint kernel: decode PCM (full _wav_pcm_mono
+    taxonomy), cut the signal into non-overlapping window_ms windows,
+    and emit each window's dominant mel band (argmax of
+    _mel_energies — the same filterbank as the feature strip, so the
+    fingerprint and the feature can never disagree on the dominant
+    band). A trailing partial window is dropped: a fragment shorter
+    than the analysis window would smear across bands and fingerprint
+    unstably under re-framing — exactly what a re-encoded copy must
+    NOT do."""
+    import numpy as np
+
+    x, sr = _wav_pcm_mono(payload)
+    win = max(1, int(sr * window_ms / 1000))
+    return [
+        int(np.argmax(_mel_energies(x[i * win : (i + 1) * win], sr, dim)))
+        for i in range(len(x) // win)
+    ]
+
+
+def audio_fingerprints(
+    media: DataFrame,
+    window_ms: int = 250,
+    dim: int = 32,
+    shingle: int = 1,
+    errors: str = "reject",
+) -> DataFrame:
+    """Distinct (media_id, fp) audio fingerprints: per-window dominant
+    mel band sequences, shingled `shingle` windows at a time and
+    rendered as the '-'-joined band string (shingle=1 -> the band
+    itself) — the Shazam-family landmark idea reduced to its
+    band-argmax core, computed from primitives. errors='reject'
+    isolates undecodable payloads per row (fp NULL + decode_error
+    text, the sample_frames lenient contract); 'raise' restores
+    fail-loud. One Arrow pass; the scan prunes to (media_id,
+    payload)."""
+    if errors not in ("raise", "reject"):
+        raise ValueError(f"errors must be 'raise' or 'reject', got {errors!r}")
+    lenient = errors == "reject"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps, errs = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    if payload is None:
+                        raise ValueError("null media payload")
+                    bands = _wav_band_argmax_seq(payload, dim, window_ms)
+                    prints = {
+                        "-".join(str(b) for b in bands[i : i + shingle])
+                        for i in range(len(bands) - shingle + 1)
+                    }
+                    for p in sorted(prints):
+                        ids.append(media_id)
+                        fps.append(p)
+                        errs.append(None)
+                except Exception as exc:  # noqa: BLE001 - per-row isolation
+                    if not lenient:
+                        raise
+                    ids.append(media_id)
+                    fps.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            out = {
+                "media_id": pd.Series(ids, dtype="int64"),
+                "fp": pd.Series(fps, dtype="object"),
+            }
+            if lenient:
+                out["decode_error"] = pd.Series(errs, dtype="object")
+            yield pd.DataFrame(out)
+
+    schema = "media_id long, fp string" + (
+        ", decode_error string" if lenient else ""
+    )
+    return media.select("media_id", "payload").mapInPandas(run, schema=schema)
+
+
+def audio_fingerprint_near_dup(
+    media: DataFrame,
+    window_ms: int = 250,
+    dim: int = 32,
+    shingle: int = 1,
+    min_shared: int = 1,
+    max_fp_df: int | None = 1000,
+    errors: str = "reject",
+    with_rejects: bool = False,
+):
+    """Near-duplicate AUDIO detection by band-argmax fingerprints —
+    the audio tier of the media near-dup symmetry (VERDICT r14 #5,
+    closing the gap video_frame_near_dup closed for video): decode ->
+    per-window dominant-band shingles -> the SAME
+    fingerprint_set_pairs pair search (df-cut on ubiquitous prints,
+    sizes before the cut, Jaccard over distinct print sets). A
+    re-encoded copy (same PCM at a different bit depth / container
+    framing) decodes to the identical float signal, so its print set
+    is identical and the pair scores jaccard 1.0 — while its BYTES
+    differ, which is why exact payload dedup misses it (pinned by
+    audio_neardup_recall_report). Output: (media_a, media_b,
+    shared_prints, jaccard); with_rejects=True adds the excluded-row
+    frame from the same decode pass (the video tier's ADVICE r14 #3
+    accounting)."""
+    fp = audio_fingerprints(
+        media, window_ms=window_ms, dim=dim, shingle=shingle, errors=errors
+    )
+    if with_rejects:
+        fp = fp.localCheckpoint()
+    prints = (
+        fp.where(F.col("fp").isNotNull()).select("media_id", "fp").distinct()
+    )
+    prints = prints.localCheckpoint()  # one decode pass feeds sizes + pairs
+    pairs = fingerprint_set_pairs(
+        prints, min_shared, max_fp_df, fp_col="fp", shared_col="shared_prints"
+    )
+    if not with_rejects:
+        return pairs
+    rejects = (
+        fp.where(F.col("fp").isNull())
+        .select(
+            "media_id",
+            (
+                F.col("decode_error")
+                if errors == "reject"
+                else F.lit(None).cast("string").alias("decode_error")
+            ),
+        )
+        .distinct()
+    )
+    return pairs, rejects
+
+
+def reencode_wav(payload: bytes, sampwidth: int = 3) -> bytes:
+    """Byte-different, signal-identical WAV copy — the planted-copy
+    primitive for the audio near-dup recall audit (the recontainer_avi
+    of the audio tier): re-encode a 16-bit PCM WAV at 24-bit width.
+    The widening is EXACT (int24 = int16 << 8, and the decoder divides
+    by 2^23, so (v << 8) / 2^23 == v / 2^15 — the decoded float signal
+    is bit-identical), while every frame byte and the fmt header
+    change, so exact payload dedup can never match the copy. Fail-loud
+    on anything but 16-bit input (the synth corpora are 16-bit; a
+    lossy narrowing would break the identity this primitive exists to
+    guarantee)."""
+    import wave
+    from io import BytesIO
+
+    import numpy as np
+
+    if sampwidth != 3:
+        raise NotImplementedError(
+            "reencode_wav supports the exact 16->24-bit widening only"
+        )
+    with wave.open(BytesIO(bytes(payload))) as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"reencode_wav needs 16-bit PCM input, got "
+                f"{8 * w.getsampwidth()}-bit"
+            )
+        n_ch, sr = w.getnchannels(), w.getframerate()
+        raw = w.readframes(w.getnframes())
+    v = (np.frombuffer(raw, dtype="<i2").astype(np.int32) << 8) & 0xFFFFFF
+    b3 = np.empty((len(v), 3), dtype=np.uint8)
+    b3[:, 0] = v & 0xFF
+    b3[:, 1] = (v >> 8) & 0xFF
+    b3[:, 2] = (v >> 16) & 0xFF
+    buf = BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_ch)
+        w.setsampwidth(3)
+        w.setframerate(sr)
+        w.writeframes(b3.tobytes())
+    return buf.getvalue()
+
+
+def media_reencoded_copies(
+    media: DataFrame, id_offset: int = RECONTAINER_ID_OFFSET
+) -> DataFrame:
+    """One byte-different, signal-identical 24-bit copy per audio item,
+    media_id shifted by id_offset — the planted ground truth for the
+    audio near-dup recall audit (media_recontainered_copies for
+    audio). Map-only; non-16-bit rows hit reencode_wav's fail-loud
+    gate, so feed it a 16-bit corpus."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["media_id"] = out["media_id"] + id_offset
+            out["payload"] = out["payload"].map(reencode_wav)
+            yield out
+
+    return media.mapInPandas(run, schema=media.schema)
+
+
+def audio_neardup_recall_report(
+    media: DataFrame,
+    id_offset: int = RECONTAINER_ID_OFFSET,
+    window_ms: int = 250,
+    dim: int = 32,
+) -> DataFrame:
+    """Recall audit of the audio near-dup tier against planted
+    RE-ENCODED copies — the audio row of the media recall symmetry
+    (video_neardup_recall_report, minhash_recall_report,
+    knn_recall_report): every clip gets one reencode_wav copy (same
+    decoded signal, different bytes at 24-bit), the doubled corpus
+    goes through audio_fingerprint_near_dup, and the report pins:
+    n_planted, n_detected (planted pairs at jaccard 1.0 — identical
+    print sets, the score an exact re-encode MUST get), recall,
+    n_pairs, and n_byte_identical (0 by construction: digest-only
+    join proves exact payload dedup would miss every planted pair)."""
+    copies = media_reencoded_copies(media, id_offset)
+    corpus = media.unionByName(copies)
+    pairs = audio_fingerprint_near_dup(corpus, window_ms=window_ms, dim=dim)
     pair_stats = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.count_if(

@@ -151,6 +151,11 @@ def curate_batch(
     near_dup_threshold: float = 0.95,
     corpus_bands: DataFrame | None = None,
     quality_mode: str = "basic",
+    decontam_mode: str = "off",
+    bench_grams: DataFrame | None = None,
+    bloom: tuple[bytes, int, int] | None = None,
+    decontam_n: int = 6,
+    decontam_threshold: float = 0.0,
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch of corpus curation -> (kept, rejected-with-reason).
 
@@ -168,9 +173,33 @@ def curate_batch(
     'c4' adds the C4 page decision (>= 3 surviving sentences, no
     lorem-ipsum, no brace); 'strict' applies both. Every added gate is
     a stateless map-only expression over the batch — nothing new is
-    stateful, so streaming semantics are unchanged."""
+    stateful, so streaming semantics are unchanged.
+
+    decontam_mode ('off' | 'exact' | 'bloom') is the BENCHMARK
+    DECONTAMINATION gate (VERDICT r14 #4 — the last curation stage
+    that existed batch-only): an arriving doc whose n-gram overlap
+    with the eval-set union exceeds decontam_threshold (as a fraction
+    of its distinct grams; the default 0.0 rejects on ANY shared
+    gram) is rejected with reason 'contaminated_benchmark'. The
+    eval-set state is built ONCE at stream start and passed in
+    prebuilt: 'exact' probes a broadcast distinct gram-hash frame
+    (`bench_grams`), 'bloom' probes a broadcast bitmap
+    (`bloom=(bitmap, m, k)` from build_ngram_bloom — the form that
+    survives an eval union too big to broadcast as a set; its
+    fpp-bounded false positives can only over-remove, never leak).
+    The gate runs LAST, after the quality gates: those are map-only
+    filters, so the n-gram explode — the gate's one real cost — runs
+    over the fewest rows. Registered batch keys (decontaminate_ngram,
+    decontaminate_ngram_bloom, decontaminate_bloom_audit) stay the
+    oracle anchors for both probe forms."""
     if quality_mode not in ("basic", "gopher", "c4", "strict"):
         raise ValueError(f"curate_batch: unknown quality_mode {quality_mode!r}")
+    if decontam_mode not in ("off", "exact", "bloom"):
+        raise ValueError(f"curate_batch: unknown decontam_mode {decontam_mode!r}")
+    if decontam_mode == "exact" and bench_grams is None:
+        raise ValueError("curate_batch: decontam_mode='exact' needs bench_grams=")
+    if decontam_mode == "bloom" and bloom is None:
+        raise ValueError("curate_batch: decontam_mode='bloom' needs bloom=(bitmap, m, k)")
     digested = batch.withColumn("digest", F.md5(_norm_text(F.col("text"))))
 
     # 0. fail-loud validity split. A NULL text row has a NULL digest
@@ -296,6 +325,27 @@ def curate_batch(
         c4_dropped = c4.where(~F.col("c4_keep"))
         kept = c4.where(F.col("c4_keep")).select(*batch_cols)
 
+    # 4. benchmark decontamination gate (stateless per batch; the
+    # eval-set state — gram frame or bitmap — arrives prebuilt). The
+    # contaminated-id set is batch-bounded and localCheckpoint()ed so
+    # the keep/drop split doesn't re-run the gram explode per consumer
+    # (the nd_ids shape above).
+    decontam_dropped = kept.limit(0)
+    if decontam_mode != "off":
+        from ..llm.curation import contamination_check, contamination_check_bloom
+
+        if decontam_mode == "exact":
+            report = contamination_check(kept, n=decontam_n, bench_grams=bench_grams)
+        else:
+            report = contamination_check_bloom(kept, n=decontam_n, bloom=bloom)
+        bad_ids = (
+            report.where(F.col("contamination_frac") > decontam_threshold)
+            .select("doc_id")
+            .localCheckpoint()
+        )
+        decontam_dropped = kept.join(F.broadcast(bad_ids), "doc_id", "left_semi")
+        kept = kept.join(F.broadcast(bad_ids), "doc_id", "left_anti")
+
     rejected = (
         in_batch_dropped.select("doc_id", "digest", F.lit("duplicate_in_batch").alias("reason"))
         .unionByName(
@@ -323,6 +373,11 @@ def curate_batch(
                 "doc_id", "digest", F.col("reject_reasons").alias("reason")
             )
         )
+        .unionByName(
+            decontam_dropped.select(
+                "doc_id", "digest", F.lit("contaminated_benchmark").alias("reason")
+            )
+        )
         .unionByName(invalid_rejects)
     )
     return kept, rejected
@@ -343,6 +398,11 @@ def run_corpus_ingest_stream(
     compact_every_batches: int | None = None,
     lm_counts_path: str | None = None,
     lm_target=None,
+    decontam_mode: str = "off",
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 6,
+    decontam_threshold: float = 0.0,
+    decontam_fpp: float = 0.01,
 ) -> StreamingQuery:
     """Wire curate_batch into foreachBatch against a parquet store.
 
@@ -378,12 +438,52 @@ def run_corpus_ingest_stream(
 
     quality_mode ('basic' | 'gopher' | 'c4' | 'strict') selects the
     ingest quality gate (see curate_batch) — validated HERE so a typo
-    fails at stream start, not inside the first micro-batch."""
+    fails at stream start, not inside the first micro-batch.
+
+    decontam_mode ('off' | 'exact' | 'bloom') arms the BENCHMARK
+    DECONTAMINATION gate (VERDICT r14 #4): `benchmark` (bench_id/text,
+    or any doc_id/text frame) is reduced ONCE at stream start to its
+    probe form — the distinct gram-hash frame (exact,
+    localCheckpoint()ed so no batch re-explodes the eval set) or the
+    Bloom bitmap (bloom, the broadcast-bitmap shape of
+    contamination_check_bloom) — and every micro-batch probes against
+    that standing state, rejecting contaminated arrivals with reason
+    'contaminated_benchmark' and an n_contaminated metrics column.
+    The eval set is fixed for the stream's lifetime by construction
+    (same contract as the LM state: update = restart the stream, so a
+    mid-stream eval-set edit can never half-apply)."""
     if quality_mode not in ("basic", "gopher", "c4", "strict"):
         raise ValueError(
             f"run_corpus_ingest_stream: unknown quality_mode {quality_mode!r}"
         )
+    if decontam_mode not in ("off", "exact", "bloom"):
+        raise ValueError(
+            f"run_corpus_ingest_stream: unknown decontam_mode {decontam_mode!r}"
+        )
+    if decontam_mode != "off" and benchmark is None:
+        raise ValueError(
+            "run_corpus_ingest_stream: decontam_mode needs a benchmark frame"
+        )
     spark = doc_stream.sparkSession
+
+    # build the eval-set probe state ONCE, before the stream starts
+    bench_grams = None
+    bloom = None
+    if decontam_mode != "off":
+        from ..llm.curation import build_ngram_bloom, ngram_hashes
+
+        id_col = "bench_id" if "bench_id" in benchmark.columns else "doc_id"
+        if decontam_mode == "exact":
+            bench_grams = (
+                ngram_hashes(benchmark, decontam_n, id_col=id_col)
+                .select("gh")
+                .distinct()
+                .localCheckpoint()
+            )
+        else:
+            bloom = build_ngram_bloom(
+                benchmark, n=decontam_n, fpp=decontam_fpp, id_col=id_col
+            )
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         # the inline compaction below swaps stores via swap_store — if a
@@ -420,8 +520,13 @@ def run_corpus_ingest_stream(
             near_dup_threshold=near_dup_threshold,
             corpus_bands=corpus_bands,
             quality_mode=quality_mode,
+            decontam_mode=decontam_mode,
+            bench_grams=bench_grams,
+            bloom=bloom,
+            decontam_n=decontam_n,
+            decontam_threshold=decontam_threshold,
         )
-        panel_gates = quality_mode != "basic"
+        panel_gates = quality_mode != "basic" or decontam_mode != "off"
         if (
             (near_dup_screen and band_index_path is not None)
             or lm_counts_path is not None
@@ -469,6 +574,13 @@ def run_corpus_ingest_stream(
                 F.count_if(F.col("reason").isin("null_text", "null_doc_id")).alias(
                     "n_invalid"
                 ),
+                # counted apart from quality for the same reason as
+                # n_invalid: a contaminated doc is an eval-set overlap,
+                # not a corpus-quality drift — and the gate's whole
+                # point is that this count is visible per batch
+                F.count_if(F.col("reason") == "contaminated_benchmark").alias(
+                    "n_contaminated"
+                ),
             ).first()
             stats = (
                 batch_id,
@@ -483,8 +595,10 @@ def run_corpus_ingest_stream(
                 - int(r.n_dup_in_batch)
                 - int(r.n_dup_in_corpus)
                 - int(r.n_near_dup_in_corpus)
-                - int(r.n_invalid),
+                - int(r.n_invalid)
+                - int(r.n_contaminated),
                 int(r.n_invalid),
+                int(r.n_contaminated),
             )
         # rejects BEFORE the kept append: rejected's corpus semi-join
         # also reads the store's file listing, and an after-append
@@ -563,11 +677,14 @@ def run_corpus_ingest_stream(
             # two concurrent streams interleaving the overwrite conf's
             # set/restore on one session could land a STATIC overwrite
             # that wipes prior partitions (r14 review)
+            # n_contaminated (added r15) sits after n_invalid for the
+            # same strict column-prefix evolution reason
             metrics_row = batch.sparkSession.createDataFrame(
                 [stats[1:]],
                 "n_ingested long, n_kept long, kept_chars long, "
                 "n_rejected long, n_dup_in_batch long, n_dup_in_corpus long, "
-                "n_near_dup_in_corpus long, n_quality_rejected long, n_invalid long",
+                "n_near_dup_in_corpus long, n_quality_rejected long, "
+                "n_invalid long, n_contaminated long",
             )
             overwrite_batch_partition(metrics_row, metrics_path, batch_id)
 

@@ -1428,3 +1428,119 @@ def test_corpus_ingest_stream_gopher_gate(spark, tmp_path):
         corpus.run_corpus_ingest_stream(
             stream, table, str(tmp_path / "ck2"), quality_mode="nope"
         )
+
+
+def test_curate_batch_decontam_modes(spark):
+    """The benchmark decontamination gate at batch level (VERDICT r14
+    #4): both probe forms (broadcast gram frame / broadcast bitmap)
+    reject the contaminated arrival with its reason, the threshold is
+    a contamination-fraction cut, and missing prebuilt state fails
+    loud — the state is built once per STREAM, never inside a batch."""
+    from metrocloud_data_pipeline_spark.llm.curation import (
+        build_ngram_bloom,
+        ngram_hashes,
+    )
+    from metrocloud_data_pipeline_spark.streaming import corpus
+
+    bench = spark.createDataFrame(
+        [(1, "the secret benchmark answer sequence is forty two exactly here")],
+        "bench_id long, text string",
+    )
+    contaminated = (
+        "we found that the secret benchmark answer sequence is forty two "
+        "exactly here in print"
+    )
+    clean = "a perfectly ordinary training document about distributed engines"
+    batch = spark.createDataFrame(
+        [_doc(10, contaminated), _doc(11, clean)], corpus.DOCUMENT_SCHEMA
+    )
+    bg = (
+        ngram_hashes(bench, 6, id_col="bench_id").select("gh").distinct()
+        .localCheckpoint()
+    )
+    bloom = build_ngram_bloom(bench, n=6)
+
+    for mode, kw in (
+        ("exact", {"bench_grams": bg}),
+        ("bloom", {"bloom": bloom}),
+    ):
+        kept, rejected = corpus.curate_batch(batch, decontam_mode=mode, **kw)
+        assert [r["doc_id"] for r in kept.collect()] == [11], mode
+        reasons = {r["doc_id"]: r["reason"] for r in rejected.collect()}
+        assert reasons == {10: "contaminated_benchmark"}, mode
+
+    # threshold is a FRACTION cut: doc 10 shares 5 of its 10 distinct
+    # 6-grams with the benchmark (frac 0.5) — a 0.6 threshold keeps it
+    kept, rejected = corpus.curate_batch(
+        batch, decontam_mode="exact", bench_grams=bg, decontam_threshold=0.6
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [10, 11]
+
+    with pytest.raises(ValueError, match="unknown decontam_mode"):
+        corpus.curate_batch(batch, decontam_mode="bogus")
+    with pytest.raises(ValueError, match="needs bench_grams"):
+        corpus.curate_batch(batch, decontam_mode="exact")
+    with pytest.raises(ValueError, match="needs bloom"):
+        corpus.curate_batch(batch, decontam_mode="bloom")
+
+
+@pytest.mark.parametrize("mode", ["exact", "bloom"])
+def test_corpus_ingest_stream_decontam_gate(spark, tmp_path, mode):
+    """The decontamination gate wired through the stream: the eval-set
+    probe state is built once at stream start, every batch screens
+    against it, the contaminated arrival lands in rejects with its
+    reason and in the n_contaminated metrics column, and a missing
+    benchmark / bogus mode fails at stream START."""
+    from metrocloud_data_pipeline_spark.streaming import corpus
+
+    bench = spark.createDataFrame(
+        [(1, "the secret benchmark answer sequence is forty two exactly here")],
+        "bench_id long, text string",
+    )
+    contaminated = (
+        "we found that the secret benchmark answer sequence is forty two "
+        "exactly here in print"
+    )
+    rows1 = [
+        _doc(10, contaminated),
+        _doc(11, "a perfectly ordinary training document about distributed engines"),
+    ]
+    rows2 = [_doc(12, "genuinely novel second batch content about parquet readers")]
+    src = tmp_path / "crawl"
+    src.mkdir()
+    spark.createDataFrame(rows1, corpus.DOCUMENT_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(rows2, corpus.DOCUMENT_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+
+    table = str(tmp_path / "corpus")
+    rejects = str(tmp_path / "rejects")
+    metrics = str(tmp_path / "metrics")
+    stream = corpus.stream_document_files(
+        spark, str(src) + "/*", max_files_per_trigger=1
+    )
+    q = corpus.run_corpus_ingest_stream(
+        stream, table, str(tmp_path / "ck"),
+        rejects_path=rejects, metrics_path=metrics,
+        decontam_mode=mode, benchmark=bench,
+    )
+    q.awaitTermination(120)
+
+    assert sorted(r["doc_id"] for r in spark.read.parquet(table).collect()) == [11, 12]
+    rej = {r["doc_id"]: r["reason"] for r in spark.read.parquet(rejects).collect()}
+    assert rej == {10: "contaminated_benchmark"}
+    m = {r["batch_id"]: r for r in spark.read.parquet(metrics).collect()}
+    assert m[0]["n_contaminated"] == 1 and m[0]["n_kept"] == 1
+    assert m[0]["n_quality_rejected"] == 0  # counted apart, not lumped
+    assert m[1]["n_contaminated"] == 0 and m[1]["n_kept"] == 1
+
+    with pytest.raises(ValueError, match="unknown decontam_mode"):
+        corpus.run_corpus_ingest_stream(
+            stream, table, str(tmp_path / "ck2"), decontam_mode="nope"
+        )
+    with pytest.raises(ValueError, match="needs a benchmark"):
+        corpus.run_corpus_ingest_stream(
+            stream, table, str(tmp_path / "ck3"), decontam_mode="bloom"
+        )

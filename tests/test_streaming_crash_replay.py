@@ -595,3 +595,79 @@ def test_ann_serving_crash_before_metrics_replays_stable(
     m = _one_partition_per_batch(spark, metrics, [0]).collect()
     assert len(m) == 1
     assert (m[0].n_queries, m[0].n_results, m[0].n_underfilled) == (1, 3, 0)
+
+
+@pytest.mark.parametrize("crash_sink", ["rejects", "metrics"])
+def test_corpus_decontam_gate_crash_replays_stable(
+    spark, tmp_path, monkeypatch, crash_sink
+):
+    """The r15 decontamination gate's crash-replay row (VERDICT r14 #7:
+    every new gate lands with a same-checkpoint replay test). Kill the
+    batch (a) before the rejects write — nothing landed, the replay
+    redoes the whole split — or (b) before the metrics write —
+    rejects and the store append landed. Either way the final books
+    must hold: the contaminated doc rejected as contaminated_benchmark
+    EXACTLY once (one rejects partition for the batch), the clean doc
+    in the store exactly once, and the metrics row honestly describing
+    the run that wrote the final state — for (b) the replay's split,
+    where the formerly-kept doc rejects as duplicate_in_corpus while
+    the contaminated doc (never appended) re-rejects through the gate."""
+    from metrocloud_data_pipeline_spark.streaming.corpus import (
+        run_corpus_ingest_stream,
+        stream_document_files,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, "the secret benchmark answer sequence is forty two exactly here")],
+        "bench_id long, text string",
+    )
+    docs = [
+        (10, "we found that the secret benchmark answer sequence is forty two "
+             "exactly here in print", "en", "web", 86),
+        (11, "a perfectly ordinary training document about distributed engines",
+         "en", "web", 64),
+    ]
+    src = tmp_path / "crawl"
+    src.mkdir()
+    spark.createDataFrame(docs, DOC_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    store = str(tmp_path / "corpus_store")
+    rejects = str(tmp_path / "rejects")
+    metrics = str(tmp_path / "metrics")
+    ck = str(tmp_path / "ck")
+
+    def start():
+        return run_corpus_ingest_stream(
+            stream_document_files(spark, str(src) + "/*"),
+            store, ck,
+            rejects_path=rejects, metrics_path=metrics,
+            decontam_mode="bloom", benchmark=bench,
+        )
+
+    injector = CrashOnWrite(monkeypatch, crash_sink)
+    _await_failure(start())
+    assert injector.fired == 1
+
+    q = start()
+    q.awaitTermination(180)
+
+    assert [r.doc_id for r in spark.read.parquet(store).collect()] == [11]
+    rej = _one_partition_per_batch(spark, rejects, [0])
+    by_doc = {r.doc_id: r.reason for r in rej.collect()}
+    assert by_doc[10] == "contaminated_benchmark"
+    m = _one_partition_per_batch(spark, metrics, [0]).collect()
+    assert len(m) == 1
+    row = m[0]
+    assert row.n_ingested == row.n_kept + row.n_rejected == 2
+    assert row.n_contaminated == 1 and row.n_quality_rejected == 0
+    if crash_sink == "rejects":
+        # nothing landed before the crash: the replay redoes the split
+        assert row.n_kept == 1 and by_doc == {10: "contaminated_benchmark"}
+    else:
+        # crash AFTER the store append: the replay found doc 11 in the
+        # store (duplicate_in_corpus), while doc 10 — never appended —
+        # re-rejects through the gate; the rejects partition is
+        # honestly rewritten with both rows
+        assert row.n_kept == 0 and row.n_dup_in_corpus == 1
+        assert by_doc[11] == "duplicate_in_corpus"
