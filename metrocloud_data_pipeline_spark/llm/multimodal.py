@@ -1612,6 +1612,190 @@ def _flac_encode_header(
     )
 
 
+def _mp4_probe(payload: bytes) -> dict:
+    """ISO-BMFF (MP4) box-walk probe (r15, VERDICT r14 #6 — the most
+    common real-world video container joins the decode-free dispatch):
+    pure struct parsing of the box tree, zero sample bytes read.
+
+    Spec shape (ISO/IEC 14496-12): a file is a sequence of boxes —
+    u32 big-endian size + 4-char type; size==1 means a u64 largesize
+    follows; size==0 means 'to end of enclosing container' and is
+    only legal for the LAST top-level box. The walk validates that
+    boxes TILE their container exactly (a declared size past the
+    parent end, a sub-8-byte size, or trailing bytes all raise — the
+    same fail-loud contract as the AVI/MP3 walks), requires ftyp as
+    the first box and exactly one moov, then reads:
+    - mvhd (v0/v1): movie timescale + duration -> duration_ms;
+    - the first video trak's tkhd (v0/v1): 16.16 fixed-point
+      presentation width/height;
+    - that trak's stbl/stsz (or stz2): sample_count -> n_frames.
+    sample_rate stays NULL (that is an audio-track mdhd notion; the
+    geometry this probe sizes a decode job with is frames x pixels).
+    CodecMissingError is NOT raised here — probing is exactly the
+    part that needs no codec."""
+    import struct
+
+    b = bytes(payload)
+
+    def _boxes(start: int, end: int, top: bool):
+        pos = start
+        while pos < end:
+            if pos + 8 > end:
+                raise NotImplementedError(
+                    f"mp4 probe: {end - pos} trailing bytes at {pos} — "
+                    "not a whole box header"
+                )
+            (size,) = struct.unpack_from(">I", b, pos)
+            typ = b[pos + 4 : pos + 8]
+            data = pos + 8
+            if size == 1:
+                if data + 8 > end:
+                    raise NotImplementedError(
+                        "mp4 probe: truncated largesize box header"
+                    )
+                (size,) = struct.unpack_from(">Q", b, data)
+                data += 8
+            elif size == 0:
+                if not top:
+                    raise NotImplementedError(
+                        "mp4 probe: size-0 box inside a container — only "
+                        "legal at top level"
+                    )
+                size = end - pos
+            if size < data - pos or pos + size > end:
+                raise NotImplementedError(
+                    f"mp4 probe: box {typ!r} at {pos} claims {size} bytes "
+                    f"with {end - pos} remaining"
+                )
+            yield typ, data, pos + size
+            pos += size
+
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise NotImplementedError("mp4 probe: not an ISO-BMFF payload (no ftyp)")
+    try:
+        return _mp4_probe_walk(b, _boxes)
+    except struct.error as e:
+        # a corrupted length field can steer a fixed-offset unpack past
+        # EOF — a corrupt-container condition, same contract as the
+        # AVI/MP3 walks (never a raw struct.error out of the fuzz)
+        raise NotImplementedError(f"mp4 probe: truncated box body ({e})") from e
+
+
+def _mp4_probe_walk(b: bytes, _boxes) -> dict:
+    import struct
+
+    moov_span = None
+    saw_ftyp = False
+    for i, (typ, data, box_end) in enumerate(_boxes(0, len(b), top=True)):
+        if i == 0:
+            if typ != b"ftyp":
+                raise NotImplementedError("mp4 probe: first box is not ftyp")
+            saw_ftyp = True
+        elif typ == b"moov":
+            if moov_span is not None:
+                raise NotImplementedError("mp4 probe: duplicate moov box")
+            moov_span = (data, box_end)
+    if not saw_ftyp or moov_span is None:
+        raise NotImplementedError("mp4 probe: no moov box")
+
+    def _full(data: int):
+        version = b[data]
+        return version, data + 4  # past version + 24-bit flags
+
+    timescale = duration = None
+    width = height = None
+    n_frames = None
+    for typ, data, box_end in _boxes(*moov_span, top=False):
+        if typ == b"mvhd":
+            v, p = _full(data)
+            if v == 1:
+                timescale, duration = struct.unpack_from(">IQ", b, p + 16)
+            else:
+                timescale, duration = struct.unpack_from(">II", b, p + 8)
+        elif typ == b"trak" and width is None:
+            t_w = t_h = t_n = None
+            for t2, d2, e2 in _boxes(data, box_end, top=False):
+                if t2 == b"tkhd":
+                    v, p = _full(d2)
+                    off = p + (32 if v == 1 else 20) + 52
+                    w_fx, h_fx = struct.unpack_from(">II", b, off)
+                    t_w, t_h = w_fx >> 16, h_fx >> 16
+                elif t2 == b"mdia":
+                    for t3, d3, e3 in _boxes(d2, e2, top=False):
+                        if t3 != b"minf":
+                            continue
+                        for t4, d4, e4 in _boxes(d3, e3, top=False):
+                            if t4 != b"stbl":
+                                continue
+                            for t5, d5, e5 in _boxes(d4, e4, top=False):
+                                if t5 == b"stsz":
+                                    _, p5 = _full(d5)
+                                    (t_n,) = struct.unpack_from(">I", b, p5 + 4)
+                                elif t5 == b"stz2":
+                                    _, p5 = _full(d5)
+                                    (t_n,) = struct.unpack_from(">I", b, p5 + 4)
+            if t_w:  # first VIDEO track (audio tkhd has 0x0 dimensions)
+                width, height, n_frames = t_w, t_h, t_n
+    if timescale in (None, 0):
+        raise NotImplementedError("mp4 probe: no mvhd timescale")
+    return {
+        "container": "mp4",
+        "n_frames": n_frames,
+        "sample_rate": None,
+        "width": width,
+        "height": height,
+        "duration_ms": int(round(duration * 1000 / timescale)),
+    }
+
+
+def _mp4_encode_headers(
+    n_frames: int = 48,
+    width: int = 640,
+    height: int = 360,
+    timescale: int = 1000,
+    duration_ms: int = 1920,
+    version: int = 0,
+) -> bytes:
+    """Fixture generator: a conforming ftyp + moov(mvhd, trak(tkhd,
+    mdia(minf(stbl(stsz))))) + mdat skeleton — the probe reads box
+    headers only, so the mdat body is inert filler."""
+    import struct
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    if version == 1:
+        mvhd = box(
+            b"mvhd",
+            b"\x01\x00\x00\x00" + b"\x00" * 16
+            + struct.pack(">IQ", timescale, duration_ms * timescale // 1000)
+            + b"\x00" * 80,
+        )
+        tkhd_times = b"\x01\x00\x00\x00" + b"\x00" * 32
+    else:
+        mvhd = box(
+            b"mvhd",
+            b"\x00" * 12
+            + struct.pack(">II", timescale, duration_ms * timescale // 1000)
+            + b"\x00" * 80,
+        )
+        tkhd_times = b"\x00" * 24
+    tkhd = box(
+        b"tkhd",
+        tkhd_times + b"\x00" * 52
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    stsz = box(b"stsz", b"\x00" * 8 + struct.pack(">I", n_frames))
+    stbl = box(b"stbl", stsz)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = box(b"mdat", b"\x00" * 16)
+    return ftyp + moov + mdat
+
+
 PROBE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -1639,6 +1823,8 @@ def _probe_payload(payload: bytes) -> dict:
         return _png_probe(b)
     if b[:4] == b"fLaC":
         return _flac_probe(b)
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return _mp4_probe(b)
     if b[:3] == b"ID3" or (
         len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
     ):
@@ -1653,7 +1839,7 @@ def _probe_payload(payload: bytes) -> dict:
         }
     raise NotImplementedError(
         "probe_media: unrecognized container (supported: WAV, AVI, "
-        "PNG, FLAC, MPEG Layer III)"
+        "PNG, FLAC, MP4/ISO-BMFF, MPEG Layer III)"
     )
 
 

@@ -2469,6 +2469,125 @@ def media_neardup_recall_report(spark, sf_dir):
 
 
 @q(
+    "media_audio_near_dup",
+    oracle="""
+WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+f AS (
+  SELECT doc_id, CAST(((doc_id + t.i) * 37) % 32 AS INTEGER) AS band
+  FROM v CROSS JOIN (SELECT unnest(range(4)) AS i) t
+),
+fd AS (SELECT DISTINCT doc_id, band FROM f),
+sizes AS (SELECT doc_id, count(*) AS n FROM fd GROUP BY doc_id),
+kept AS (
+  SELECT doc_id, band FROM fd
+  WHERE band IN (SELECT band FROM fd GROUP BY band HAVING count(*) <= 1000)
+),
+shared AS (
+  SELECT a.doc_id AS media_a, b.doc_id AS media_b, count(*) AS shared_prints
+  FROM kept a JOIN kept b ON a.band = b.band AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT media_a, media_b, CAST(shared_prints AS BIGINT) AS shared_prints,
+       round(CAST(shared_prints AS DOUBLE) / (sa.n + sb.n - shared_prints), 6)
+         AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = media_a
+JOIN sizes sb ON sb.doc_id = media_b
+WHERE shared_prints >= 1
+""",
+)
+def media_audio_near_dup(spark, sf_dir):
+    """Near-duplicate AUDIO detection by decoded band-argmax
+    fingerprints — the audio tier of the media near-dup symmetry
+    (r15, VERDICT r14 #5; the video tier landed r13): each
+    audio-cycle document becomes a genuine 1-second PCM WAV of four
+    concatenated pure sines, segment s at the center of mel band
+    ((doc_id + s) * 37) % 32, so two clips share exactly
+    max(0, 4 - d) + max(0, 4 - (32 - d)) dominant bands where
+    d = (id_b - id_a) * 37 mod 32 — overlap, wraparound, and full
+    duplication occur naturally. The operator decodes for REAL
+    (stdlib wave -> FFT -> mel filterbank -> per-250ms-window argmax,
+    llm/multimodal.py _wav_band_argmax_seq) and pairs clips through
+    the same fingerprint_set_pairs plan the video tier uses (df-cut
+    on ubiquitous prints, sizes before the cut), while the oracle
+    computes the closed form WITHOUT touching audio — so the whole
+    synth -> WAV encode -> decode -> FFT -> mel -> argmax ->
+    pair join -> Jaccard chain is hash-checked end to end. The
+    oracle models the max_fp_df=1000 cut itself (HAVING count <=
+    1000), so parity holds at any scale factor. At 100 TB: cost
+    follows shared-print density, not corpus^2; payloads never
+    shuffle (prints are small strings)."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    media = multimodal.synth_tone_sequence_corpus(docs)
+    return multimodal.audio_fingerprint_near_dup(media)
+
+
+@q(
+    "media_audio_neardup_recall",
+    oracle="""
+WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+u AS (
+  SELECT doc_id AS media_id, doc_id AS src FROM v
+  UNION ALL
+  SELECT doc_id + 1099511627776, doc_id FROM v
+),
+f AS (
+  SELECT media_id, CAST(((src + t.i) * 37) % 32 AS INTEGER) AS band
+  FROM u CROSS JOIN (SELECT unnest(range(4)) AS i) t
+),
+fd AS (SELECT DISTINCT media_id, band FROM f),
+sizes AS (SELECT media_id, count(*) AS n FROM fd GROUP BY media_id),
+kept AS (
+  SELECT media_id, band FROM fd
+  WHERE band IN (SELECT band FROM fd GROUP BY band HAVING count(*) <= 1000)
+),
+shared AS (
+  SELECT a.media_id AS media_a, b.media_id AS media_b,
+         count(*) AS shared_prints
+  FROM kept a JOIN kept b ON a.band = b.band AND a.media_id < b.media_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT media_a, media_b, shared_prints,
+         round(CAST(shared_prints AS DOUBLE)
+               / (sa.n + sb.n - shared_prints), 6) AS jaccard
+  FROM shared
+  JOIN sizes sa ON sa.media_id = media_a
+  JOIN sizes sb ON sb.media_id = media_b
+  WHERE shared_prints >= 1
+)
+SELECT (SELECT count(*) FROM v) AS n_planted,
+       CAST(count_if(media_b - media_a = 1099511627776 AND jaccard = 1.0)
+            AS BIGINT) AS n_detected,
+       round(count_if(media_b - media_a = 1099511627776 AND jaccard = 1.0)
+             / (SELECT count(*) FROM v), 6) AS recall,
+       count(*) AS n_pairs,
+       CAST(0 AS BIGINT) AS n_byte_identical
+FROM scored
+""",
+)
+def media_audio_neardup_recall(spark, sf_dir):
+    """Recall audit of the audio near-dup tier against planted
+    RE-ENCODED copies (r15 — the video_neardup_recall_report symmetry
+    for audio): every clip gets one reencode_wav copy, its 16-bit PCM
+    widened EXACTLY to 24-bit (int24 = int16 << 8; the decoder's
+    /2^23 recovers the identical float signal) — so the payload BYTES
+    differ (exact payload dedup misses every planted pair:
+    n_byte_identical must read 0) while the decoded signal is
+    bit-identical (the fingerprint pair search must score every
+    planted pair jaccard 1.0). The oracle computes the doubled
+    corpus's closed-form band geometry — copies inherit their
+    source's band set — including the df-cut model, so recall is
+    hash-checked end to end through synth -> 16-bit WAV -> 24-bit
+    re-encode -> decode -> FFT -> mel -> argmax -> pair join. A
+    lossy re-encode (dither, resample drift) would break argmax
+    equality and read recall < 1 — the audit's teeth."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    media = multimodal.synth_tone_sequence_corpus(docs)
+    return multimodal.audio_neardup_recall_report(media)
+
+
+@q(
     "media_container_probe",
     oracle="""
 SELECT doc_id AS media_id,
@@ -7076,7 +7195,10 @@ QUERY_ORDER = [
     "sample_weighted_sources",
     "text_clean_stats",
     "quality_filter_report",
-    "pii_scrub_stats",
+    "pii_scrub_stats",    # new r15-born keys, appended per the new-key cap — see
+    # tools/freshness.py FIRST_REGISTERED_ROUND:
+    "media_audio_near_dup",
+    "media_audio_neardup_recall",
 ]
 
 

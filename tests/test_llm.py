@@ -3863,3 +3863,144 @@ def test_knn_join_ivf_corpus_filter_any_metadata_column(spark):
     assert got.join(
         emb.select("vec_id", "source"), "vec_id"
     ).where(F.col("source") != "web").count() == 0
+
+
+def test_audio_band_argmax_robust_all_32_bands(spark):
+    """The r15 audio fingerprint kernel: a pure tone at EVERY mel band
+    center must argmax back to its own band at the tone-sequence
+    corpus's parameters (sr=4000, dim=32, 250 ms windows) — the
+    closed-form oracle of media_audio_near_dup rests on exactly this
+    round trip (the 8-band twin for the feature strip is pinned in
+    test_media_audio_features_*)."""
+    import math
+    import struct
+    import wave
+    from io import BytesIO
+
+    sr, dim, n = 4000, 32, 1000
+    centers = multimodal.mel_band_centers(sr, dim)
+    for b in range(dim):
+        buf = BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(
+                b"".join(
+                    struct.pack(
+                        "<h",
+                        int(0.5 * 32767 * math.sin(2 * math.pi * centers[b] * i / sr)),
+                    )
+                    for i in range(n)
+                )
+            )
+        assert multimodal._wav_band_argmax_seq(buf.getvalue(), dim, 250) == [b]
+
+
+def test_audio_fingerprint_near_dup_planted_pairs(spark):
+    """The audio near-dup operator through the FULL real chain (synth
+    -> WAV -> decode -> FFT -> mel -> argmax -> pair join): band sets
+    are the closed form {((d+s)*37)%32}, ids 2 and 770 are full dups
+    ((770-2)*37 = 28416 = 888*32 -> d=0 -> all 4 bands shared,
+    jaccard 1.0), and the df-cut at 1 removes every shared print."""
+    docs = spark.createDataFrame(
+        [(2, "", "en", "s", 0), (3, "", "en", "s", 0), (770, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.synth_tone_sequence_corpus(docs)
+    got = {
+        (r.media_a, r.media_b): (r.shared_prints, r.jaccard)
+        for r in multimodal.audio_fingerprint_near_dup(media).collect()
+    }
+
+    def bands(d):
+        return {((d + s) * 37) % 32 for s in range(4)}
+
+    assert got[(2, 770)] == (4, 1.0)
+    sh = len(bands(2) & bands(3))
+    assert got[(2, 3)] == (sh, round(sh / (8 - sh), 6))
+    none = multimodal.audio_fingerprint_near_dup(media, max_fp_df=1).collect()
+    assert none == []
+
+
+def test_audio_fingerprint_near_dup_isolates_corrupt_payloads(spark):
+    """One corrupt payload must not kill the pair search
+    (errors='reject', the crawl-scale default, same contract as the
+    video tier): the bad row contributes no prints, with_rejects
+    surfaces it with its decode error from the same pass, and
+    errors='raise' restores fail-loud."""
+    docs = spark.createDataFrame(
+        [(2, "", "en", "s", 0), (770, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    good = multimodal.synth_tone_sequence_corpus(docs)
+    bad = spark.createDataFrame(
+        [(9999, "audio", "audio/wav", bytearray(b"not a riff wav at all"), None)],
+        good.schema,
+    )
+    media = good.unionByName(bad)
+    pairs, rejects = multimodal.audio_fingerprint_near_dup(
+        media, with_rejects=True
+    )
+    got = {(r.media_a, r.media_b) for r in pairs.collect()}
+    assert got == {(2, 770)}
+    rrows = rejects.collect()
+    assert [r.media_id for r in rrows] == [9999]
+    assert "NotImplementedError" in rrows[0].decode_error
+    with pytest.raises(Exception, match="NotImplementedError|real audio decode"):
+        multimodal.audio_fingerprint_near_dup(media, errors="raise").collect()
+
+
+def test_reencode_wav_changes_bytes_not_signal(spark):
+    """The planted-copy primitive for the audio recall audit:
+    reencode_wav must produce a byte-DIFFERENT payload (exact payload
+    dedup misses it) whose decoded float signal is bit-IDENTICAL (the
+    fingerprint pair search catches it at jaccard 1.0) — and the full
+    report over a tiny corpus must read recall 1.0 with zero
+    byte-identical copies. Non-16-bit input fails loud."""
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(2, "", "en", "s", 0), (3, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.synth_tone_sequence_corpus(docs)
+    plain = bytes(media.limit(1).collect()[0].payload)
+    copy = multimodal.reencode_wav(plain)
+    assert copy != plain
+    x1, sr1 = multimodal._wav_pcm_mono(plain)
+    x2, sr2 = multimodal._wav_pcm_mono(copy)
+    assert sr1 == sr2 and np.array_equal(x1, x2)
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        multimodal.reencode_wav(copy)  # 24-bit input refused
+
+    row = multimodal.audio_neardup_recall_report(media).collect()[0]
+    assert row.n_planted == 2 and row.n_detected == 2
+    assert row.recall == 1.0 and row.n_byte_identical == 0
+
+
+def test_mp4_box_walk_probe_geometry_and_gate(spark):
+    """The r15 ISO-BMFF tier (VERDICT r14 #6): the pure box walk
+    recovers movie geometry (frames from stsz, 16.16 presentation
+    dimensions from the video tkhd, duration from mvhd — both box
+    versions), the magic-byte dispatcher routes ftyp payloads to it,
+    and truncation / trailing bytes / missing moov all fail loud."""
+    for v in (0, 1):
+        p = multimodal._mp4_encode_headers(
+            n_frames=48, width=640, height=360, duration_ms=1920, version=v
+        )
+        got = multimodal._probe_payload(p)
+        assert got == {
+            "container": "mp4", "n_frames": 48, "sample_rate": None,
+            "width": 640, "height": 360, "duration_ms": 1920,
+        }, (v, got)
+
+    p = multimodal._mp4_encode_headers()
+    with pytest.raises(NotImplementedError, match="claims"):
+        multimodal._mp4_probe(p[:40])  # moov declared past EOF
+    with pytest.raises(NotImplementedError, match="trailing bytes"):
+        multimodal._mp4_probe(p + b"xy")
+    with pytest.raises(NotImplementedError, match="no moov"):
+        multimodal._mp4_probe(p[:28])  # ftyp alone
+    with pytest.raises(NotImplementedError, match="no ftyp"):
+        multimodal._mp4_probe(b"\x00" * 16)

@@ -124,6 +124,12 @@ DOC_QUERIES = [
     # container probe over the mixed WAV/AVI/MP3 synth corpus
     "media_neardup_recall_report",
     "media_container_probe",
+    # r15: the audio near-dup tier (band-argmax fingerprints over the
+    # tone-sequence synth — doc_id-only derivation like the video
+    # tier, so pathological text rows ride through untouched) and its
+    # recall audit over planted 24-bit re-encoded copies
+    "media_audio_near_dup",
+    "media_audio_neardup_recall",
 ]
 
 EDGE_ROWS = [

@@ -1003,7 +1003,7 @@ def test_avro_codec_roundtrips_random_records(rows):
 
 
 @given(
-    st.sampled_from(["wav", "png", "avi", "mp3", "flac", "probe"]),
+    st.sampled_from(["wav", "png", "avi", "mp3", "flac", "mp4", "probe"]),
     st.sampled_from(["truncate", "flip", "len_corrupt", "garbage"]),
     st.integers(min_value=0, max_value=2**32 - 1),
 )
@@ -1053,6 +1053,10 @@ def test_media_decoders_fail_loud_on_corrupted_containers(kind, mode, seed):
     elif kind == "flac":
         payload = bytearray(mm._flac_encode_header(2000, 8000))
         decode = mm._flac_probe
+    elif kind == "mp4":
+        # r15: the ISO-BMFF box walk joins the fuzz matrix
+        payload = bytearray(mm._mp4_encode_headers())
+        decode = mm._mp4_probe
     elif kind == "probe":
         # the magic-byte probe dispatcher over a WAV body — must route
         # corrupted bytes to the documented contract, never raw errors
@@ -1098,8 +1102,10 @@ def test_media_decoders_fail_loud_on_corrupted_containers(kind, mode, seed):
         assert out["n_frames"] >= 1 and out["sample_rate"] > 0
     elif kind == "flac":
         assert out["sample_rate"] > 0
+    elif kind == "mp4":
+        assert out["container"] == "mp4" and out["duration_ms"] >= 0
     elif kind == "probe":
-        assert out["container"] in ("wav", "avi", "png", "mp3", "flac")
+        assert out["container"] in ("wav", "avi", "png", "mp3", "flac", "mp4")
         # a flip in a WAV/FLAC length field can legitimately declare an
         # EMPTY (0-sample) stream — a well-formed answer, not an escape
         # (found by hypothesis on this very assertion, r14); mp3/avi

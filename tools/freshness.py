@@ -45,6 +45,8 @@ FIRST_REGISTERED_ROUND: dict[str, int] = {
     "media_container_probe": 14,
     "decontaminate_ngram_bloom": 14,
     "decontaminate_bloom_audit": 14,
+    "media_audio_near_dup": 15,
+    "media_audio_neardup_recall": 15,
 }
 
 
