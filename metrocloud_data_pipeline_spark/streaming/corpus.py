@@ -334,6 +334,11 @@ def curate_batch(
     if decontam_mode != "off":
         from ..llm.curation import contamination_check, contamination_check_bloom
 
+        # materialize the survivors ONCE before the gram explode: the
+        # gate's report, the keep/drop split, and every downstream
+        # consumer otherwise re-execute the batch's whole dedup +
+        # quality lineage (the bad_ids checkpoint below runs eagerly)
+        kept = kept.localCheckpoint()
         if decontam_mode == "exact":
             report = contamination_check(kept, n=decontam_n, bench_grams=bench_grams)
         else:

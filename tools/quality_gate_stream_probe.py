@@ -8,6 +8,14 @@ Both gates are stateless map-only expressions over the micro-batch
 the batch's dedup anti-join and store append; this probe turns that
 claim into a number (VERDICT r9 #8).
 
+r15: the decontamination gate joins the mode list — 'bloom' / 'exact'
+run quality_mode='basic' PLUS decontam_mode=bloom/exact against a
+benchmark of the 1x docs' doc_id % 17 == 0 slice (the registered
+keys' convention), so ~1/17 of arriving copies reject as
+contaminated_benchmark and the measured delta is the gate's n-gram
+explode + probe on a mostly-keep path. Select modes with
+QG_ORDER=basic,bloom,basic,bloom etc.
+
     python tools/quality_gate_stream_probe.py [copies] [n_files]
 """
 
@@ -75,8 +83,18 @@ def main() -> None:
         # interleaved double pass: the first run of ANY mode pays
         # session warmup (~2x, measured both orders), so the reported
         # comparison uses the LAST run of each mode
+        # benchmark for the decontam modes: the registered keys' 1/17
+        # slice of the BASE docs (wrapped the same way, so arriving
+        # copies of those docs genuinely share 6-grams with it)
+        benchmark = (
+            docs1.select(
+                F.col("doc_id").alias("bench_id"), wrapped.alias("text")
+            ).where(F.col("bench_id") % 17 == 0)
+        )
         order = os.environ.get("QG_ORDER", "basic,strict,basic,strict").split(",")
         for idx, mode in enumerate(order):
+            decontam = mode if mode in ("bloom", "exact") else "off"
+            qmode = "basic" if decontam != "off" else mode
             table = f"{td}/table_{mode}_{idx}"
             ck = f"{td}/ck_{mode}_{idx}"
             stream = corpus.stream_document_files(
@@ -89,7 +107,9 @@ def main() -> None:
                 ck,
                 rejects_path=f"{td}/rej_{mode}_{idx}",
                 metrics_path=f"{td}/met_{mode}_{idx}",
-                quality_mode=mode,
+                quality_mode=qmode,
+                decontam_mode=decontam,
+                benchmark=benchmark if decontam != "off" else None,
                 available_now=True,
             )
             q.awaitTermination(600)
@@ -97,19 +117,28 @@ def main() -> None:
             met = spark.read.parquet(f"{td}/met_{mode}_{idx}")
             n_batches = met.count()
             kept = spark.read.parquet(table).count()
+            n_cont = (
+                met.agg(F.sum("n_contaminated")).first()[0]
+                if decontam != "off"
+                else 0
+            )
             results[mode] = (dt, n_batches, kept)
             print(
                 f"{mode:7s} {n_docs:,} docs in {dt:.1f} s over "
                 f"{n_batches} batches ({dt / n_batches:.2f} s/batch), "
                 f"kept {kept:,}"
+                + (f", contaminated {n_cont:,}" if decontam != "off" else "")
             )
-        b, s = results["basic"], results["strict"]
-        per_batch_delta = s[0] / s[1] - b[0] / b[1]
-        print(
-            f"strict-vs-basic: {s[0] / b[0]:.2f}x wall, "
-            f"+{per_batch_delta:.2f} s/batch gate overhead "
-            f"({(s[0] - b[0]) / max(b[0], 1e-9) * 100:.0f}% of basic wall)"
-        )
+        b = results["basic"]
+        for mode, s in results.items():
+            if mode == "basic":
+                continue
+            per_batch_delta = s[0] / s[1] - b[0] / b[1]
+            print(
+                f"{mode}-vs-basic: {s[0] / b[0]:.2f}x wall, "
+                f"+{per_batch_delta:.2f} s/batch gate overhead "
+                f"({(s[0] - b[0]) / max(b[0], 1e-9) * 100:.0f}% of basic wall)"
+            )
 
 
 if __name__ == "__main__":
