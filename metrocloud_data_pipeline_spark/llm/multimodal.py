@@ -2085,14 +2085,24 @@ def synth_tone_sequence_corpus(
     function of its band — which is exactly what makes the
     band-argmax fingerprint downstream closed-form checkable. Input
     scan prunes to doc_id only."""
-    import math
-    import struct
     import wave
     from io import BytesIO
+
+    import numpy as np
 
     centers = mel_band_centers(sr, dim)
     n = int(sr * seg_seconds)
     duration_ms = int(n_segments * seg_seconds * 1000)
+    # one vectorized int16 segment per BAND, synthesized once per Arrow
+    # worker and concatenated per doc — the per-sample pack loop was
+    # the dominant cost of the whole near-dup chain (truncation toward
+    # zero matches int(); only dim distinct segments exist by design)
+    seg_pcm = {
+        b: (
+            0.5 * 32767 * np.sin(2 * np.pi * centers[b] * np.arange(n) / sr)
+        ).astype(np.int16).tobytes()
+        for b in range(dim)
+    }
 
     def _seq_wav(doc_id: int) -> bytes:
         buf = BytesIO()
@@ -2101,16 +2111,7 @@ def synth_tone_sequence_corpus(
             w.setsampwidth(2)
             w.setframerate(sr)
             for s in range(n_segments):
-                freq = centers[((doc_id + s) * band_step) % dim]
-                w.writeframes(
-                    b"".join(
-                        struct.pack(
-                            "<h",
-                            int(0.5 * 32767 * math.sin(2 * math.pi * freq * i / sr)),
-                        )
-                        for i in range(n)
-                    )
-                )
+                w.writeframes(seg_pcm[((doc_id + s) * band_step) % dim])
         return buf.getvalue()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
