@@ -105,6 +105,12 @@ HEADLINE = [
     "media_neardup_recall_report",
     "decontaminate_ngram_bloom",
     "decontaminate_bloom_audit",
+    # r15-born audio keys (media_audio_near_dup,
+    # media_audio_neardup_recall) deliberately NOT here yet: new keys
+    # are timed by `--all` in their birth round and promoted with
+    # plan-gate rows the round after (the r13/r14 precedent), once
+    # their first driver rows land. Measured at sf0.1 this round:
+    # 8.7 s / 303k pairs and 12.7 s / recall 1.0 (PROBE_r15 §e).
     "obs_alert_firing",
     "tfidf_top_terms",
     "vocab_coverage",

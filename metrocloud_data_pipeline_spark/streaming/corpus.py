@@ -186,7 +186,10 @@ def curate_batch(
     (`bench_grams`), 'bloom' probes a broadcast bitmap
     (`bloom=(bitmap, m, k)` from build_ngram_bloom — the form that
     survives an eval union too big to broadcast as a set; its
-    fpp-bounded false positives can only over-remove, never leak).
+    fpp-bounded false positives can only over-remove, never leak —
+    but under BLOOM the any-gram default is a foot-gun: per-gram fpp
+    amplifies to a 1-(1-fpp)^G per-doc rate, so pair bloom with a
+    threshold >= fpp; run_corpus_ingest_stream enforces this).
     The gate runs LAST, after the quality gates: those are map-only
     filters, so the n-gram explode — the gate's one real cost — runs
     over the fewest rows. Registered batch keys (decontaminate_ngram,
@@ -468,6 +471,23 @@ def run_corpus_ingest_stream(
     if decontam_mode != "off" and benchmark is None:
         raise ValueError(
             "run_corpus_ingest_stream: decontam_mode needs a benchmark frame"
+        )
+    if decontam_mode == "bloom" and decontam_threshold < decontam_fpp:
+        # the any-gram default is UNUSABLE under a Bloom probe: the
+        # per-gram false-positive rate amplifies to a per-doc rate of
+        # 1-(1-fpp)^G — at fpp 1% a clean 100-gram doc is flagged with
+        # p~0.63, and the 10x stream probe measured 49,993 of 50,000
+        # arrivals rejected on false positives alone. A clean doc's FP
+        # fraction concentrates around fpp, so any threshold >= fpp
+        # separates FP noise from real overlap (3-5x fpp is a sane
+        # margin); a zero-leak-tolerance policy that really wants
+        # any-gram rejection should use decontam_mode='exact'.
+        raise ValueError(
+            f"run_corpus_ingest_stream: decontam_threshold="
+            f"{decontam_threshold} < fpp={decontam_fpp} under bloom mode "
+            "rejects ~1-(1-fpp)^G of CLEAN docs by false positives alone; "
+            "set decontam_threshold >= fpp (typically 3-5x) or use "
+            "decontam_mode='exact' for any-gram semantics"
         )
     spark = doc_stream.sparkSession
 

@@ -1524,7 +1524,7 @@ def test_corpus_ingest_stream_decontam_gate(spark, tmp_path, mode):
     q = corpus.run_corpus_ingest_stream(
         stream, table, str(tmp_path / "ck"),
         rejects_path=rejects, metrics_path=metrics,
-        decontam_mode=mode, benchmark=bench,
+        decontam_mode=mode, benchmark=bench, decontam_threshold=0.05,
     )
     q.awaitTermination(120)
 
@@ -1543,4 +1543,12 @@ def test_corpus_ingest_stream_decontam_gate(spark, tmp_path, mode):
     with pytest.raises(ValueError, match="needs a benchmark"):
         corpus.run_corpus_ingest_stream(
             stream, table, str(tmp_path / "ck3"), decontam_mode="bloom"
+        )
+    # bloom + any-gram threshold fails at stream START: per-gram fpp
+    # amplifies to 1-(1-fpp)^G per clean doc (measured 49,993/50,000
+    # rejected at the 10x probe) — the gate refuses the foot-gun
+    with pytest.raises(ValueError, match="false positives alone"):
+        corpus.run_corpus_ingest_stream(
+            stream, table, str(tmp_path / "ck4"),
+            decontam_mode="bloom", benchmark=bench,
         )

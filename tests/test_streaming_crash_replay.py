@@ -643,6 +643,7 @@ def test_corpus_decontam_gate_crash_replays_stable(
             store, ck,
             rejects_path=rejects, metrics_path=metrics,
             decontam_mode="bloom", benchmark=bench,
+            decontam_threshold=0.05,
         )
 
     injector = CrashOnWrite(monkeypatch, crash_sink)

@@ -115,6 +115,10 @@ def main() -> None:
                 quality_mode=qmode,
                 decontam_mode=decontam,
                 benchmark=benchmark if decontam != "off" else None,
+                # bloom needs a threshold above fpp (per-doc FP
+                # amplification — the gate validates this); exact gets
+                # the same cut so the two modes flag the same docs
+                decontam_threshold=0.05 if decontam != "off" else 0.0,
                 available_now=True,
             )
             q.awaitTermination(600)
