@@ -136,6 +136,7 @@ def contamination_check_bloom(
     n: int = 6,
     fpp: float = 0.01,
     bloom: tuple[bytes, int, int] | None = None,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """The Bloom-filter tier of benchmark decontamination — same report
     shape as contamination_check (doc_id, total_ngrams,
@@ -187,7 +188,13 @@ def contamination_check_bloom(
         bits = (bm[mat >> 3] >> (mat & 7).astype(np.uint8)) & 1
         return pd.Series(bits.all(axis=1))
 
-    doc_grams = ngram_hashes(docs, n).select(
+    gh_frame = ngram_hashes(docs, n)
+    if max_gram_df is not None:
+        # see _gram_df_cut: under a Bloom probe a HOT gram's FP status
+        # is deterministic — cutting ubiquitous grams is what keeps the
+        # per-doc FP fraction at ~fpp instead of fpp-times-hot-gram-df
+        gh_frame = _gram_df_cut(gh_frame, max_gram_df)
+    doc_grams = gh_frame.select(
         "doc_id",
         F.array(
             *[F.pmod(F.xxhash64(F.lit(i), F.col("gh")), F.lit(m))
@@ -645,11 +652,33 @@ def c4_line_filter(
     )
 
 
+def _gram_df_cut(doc_grams: DataFrame, max_gram_df: int) -> DataFrame:
+    """Drop grams occurring in more than max_gram_df docs of the PROBED
+    frame before contamination scoring — the near-dup hot-key df-cut
+    applied to decontamination (r15). Two reasons, one per probe mode:
+    a ubiquitous gram (boilerplate, stopword runs) carries no
+    eval-overlap identity signal for the exact probe, and under the
+    BLOOM probe its false-positive status is DETERMINISTIC — one hot
+    gram landing on a set bit inflates every doc containing it, which
+    is how a 1% per-gram fpp was measured amplifying to a 4.2% mean
+    per-doc FP fraction on a corpus with shared wrapper sentences
+    (PROBE_r15 §f). Cost: one bounded agg + semi-join over gram
+    hashes, never text."""
+    keep = (
+        doc_grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_gram_df)
+        .select("gh")
+    )
+    return doc_grams.join(keep, "gh", "left_semi")
+
+
 def contamination_check(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
     n: int = 8,
     bench_grams: DataFrame | None = None,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: per document, the fraction of its
     distinct n-gram hashes that also occur anywhere in the benchmark
@@ -666,8 +695,14 @@ def contamination_check(
 
     `bench_grams` accepts a prebuilt distinct-gh frame (one `gh`
     column) — the streaming ingest gate materializes it ONCE at
-    stream start instead of re-exploding the benchmark per batch."""
+    stream start instead of re-exploding the benchmark per batch.
+    `max_gram_df` drops grams occurring in more than that many probed
+    docs before scoring (see _gram_df_cut) — total_ngrams then counts
+    DISTINCTIVE grams only, which is what the fraction should be
+    normalized by when boilerplate is present."""
     doc_grams = ngram_hashes(docs, n)
+    if max_gram_df is not None:
+        doc_grams = _gram_df_cut(doc_grams, max_gram_df)
     if bench_grams is None:
         if benchmark is None:
             raise ValueError(

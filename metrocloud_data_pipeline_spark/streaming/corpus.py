@@ -156,6 +156,7 @@ def curate_batch(
     bloom: tuple[bytes, int, int] | None = None,
     decontam_n: int = 6,
     decontam_threshold: float = 0.0,
+    decontam_max_gram_df: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch of corpus curation -> (kept, rejected-with-reason).
 
@@ -343,9 +344,15 @@ def curate_batch(
         # quality lineage (the bad_ids checkpoint below runs eagerly)
         kept = kept.localCheckpoint()
         if decontam_mode == "exact":
-            report = contamination_check(kept, n=decontam_n, bench_grams=bench_grams)
+            report = contamination_check(
+                kept, n=decontam_n, bench_grams=bench_grams,
+                max_gram_df=decontam_max_gram_df,
+            )
         else:
-            report = contamination_check_bloom(kept, n=decontam_n, bloom=bloom)
+            report = contamination_check_bloom(
+                kept, n=decontam_n, bloom=bloom,
+                max_gram_df=decontam_max_gram_df,
+            )
         bad_ids = (
             report.where(F.col("contamination_frac") > decontam_threshold)
             .select("doc_id")
@@ -411,6 +418,7 @@ def run_corpus_ingest_stream(
     decontam_n: int = 6,
     decontam_threshold: float = 0.0,
     decontam_fpp: float = 0.01,
+    decontam_max_gram_df: int | None = None,
 ) -> StreamingQuery:
     """Wire curate_batch into foreachBatch against a parquet store.
 
@@ -550,6 +558,7 @@ def run_corpus_ingest_stream(
             bloom=bloom,
             decontam_n=decontam_n,
             decontam_threshold=decontam_threshold,
+            decontam_max_gram_df=decontam_max_gram_df,
         )
         panel_gates = quality_mode != "basic" or decontam_mode != "off"
         if (

@@ -1089,3 +1089,67 @@ def test_corpus_filter_funnel_stages(spark):
     assert out["all"]["frac_of_corpus"] == 1.0
     assert out["dedup"]["frac_of_corpus"] == 0.2
     assert [out[k]["stage"] for k in ("all", "gopher", "c4", "dedup")] == [0, 1, 2, 3]
+
+
+def test_contamination_max_gram_df_cuts_hot_grams(spark):
+    """The r15 hot-gram df-cut (_gram_df_cut): a gram occurring in more
+    than max_gram_df probed docs is excluded from BOTH probe forms
+    before scoring. Motivation is the deterministic-FP amplification
+    the 10x stream probe measured (a 1% per-gram fpp inflating to a
+    4.2% mean per-doc FP fraction via shared wrapper sentences,
+    PROBE_r15 §f): under a Bloom bitmap a hot gram's FP status is
+    fixed, so one unlucky ubiquitous gram taxes every doc. The cut is
+    the fingerprint df-cut discipline applied to grams — ubiquitous
+    grams carry no eval-overlap identity signal for the exact probe
+    either."""
+    from pyspark.sql import functions as F
+
+    boiler = "this exact boilerplate footer sentence appears on every single page"
+    rows = [
+        (i, f"unique body {i} with its own distinct words w{i}a w{i}b w{i}c . "
+            + boiler, "en", "s", 100)
+        for i in range(6)
+    ] + [
+        # doc 100 shares a RARE 6-gram run with the benchmark (same
+        # " . " separator as the other docs, so every boiler-side
+        # gram — boundary grams included — reaches df 7 and is cut)
+        (100, "the secret benchmark answer sequence is forty two exactly here . "
+              + boiler, "en", "s", 100),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    bench = spark.createDataFrame(
+        [(1, "the secret benchmark answer sequence is forty two exactly here . "
+             + boiler)],
+        "bench_id long, text string",
+    )
+    # without the cut: every doc flags (the boilerplate grams are in
+    # the benchmark and in all 7 docs)
+    out = {
+        r["doc_id"]: r["contamination_frac"]
+        for r in curation.contamination_check(docs, bench, n=6).collect()
+    }
+    assert all(f > 0 for f in out.values())
+    # with the cut at 6 (boiler grams occur in all 7 docs > 6): only
+    # the genuinely-overlapping doc flags, in BOTH probe forms
+    for fn, kw in (
+        (curation.contamination_check, {}),
+        (curation.contamination_check_bloom, {"fpp": 0.01}),
+    ):
+        got = {
+            r["doc_id"]: r["contamination_frac"]
+            for r in fn(docs, bench, n=6, max_gram_df=6, **kw).collect()
+        }
+        # threshold-cut like real usage: the bloom form retains its
+        # fpp-bounded per-gram false positives (a tiny bitmap here, so
+        # an FP gram is worth ~1/11 of a doc) — what the cut removes
+        # is the HOT-gram amplification, so the genuine overlap doc
+        # separates cleanly at 0.25 in both forms
+        flagged = {d for d, f in got.items() if f > 0.25}
+        assert flagged == {100}, (fn.__name__, got)
+        # the fraction is normalized by the doc's DISTINCTIVE grams
+        assert got[100] > 0.3, (fn.__name__, got[100])
+        if fn is curation.contamination_check:
+            # the exact probe has no FP term at all post-cut
+            assert {d for d, f in got.items() if f > 0} == {100}, got
