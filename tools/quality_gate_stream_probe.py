@@ -117,8 +117,12 @@ def main() -> None:
                 benchmark=benchmark if decontam != "off" else None,
                 # bloom needs a threshold above fpp (per-doc FP
                 # amplification — the gate validates this); exact gets
-                # the same cut so the two modes flag the same docs
+                # the same cut so the two modes flag the same docs.
+                # The hot-gram df-cut (10% of a 5k-doc batch) removes
+                # the shared wrapper grams whose DETERMINISTIC bloom FP
+                # status amplified per-doc FPR 4x (PROBE_r15 §f)
                 decontam_threshold=0.05 if decontam != "off" else 0.0,
+                decontam_max_gram_df=500 if decontam != "off" else None,
                 available_now=True,
             )
             q.awaitTermination(600)
