@@ -1796,6 +1796,346 @@ def _mp4_encode_headers(
     return ftyp + moov + mdat
 
 
+_JPEG_SOF_MARKERS = frozenset(
+    # SOF0..SOF15 minus DHT (C4), JPG (C8), DAC (CC) per ITU T.81 — any
+    # of these carries the frame geometry segment
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+
+
+def _jpeg_probe(payload: bytes) -> dict:
+    """Decode-free JPEG/JFIF probe (r15 — the dominant still-image
+    wire format joins the magic-byte dispatch): a pure marker-segment
+    walk per ITU T.81. SOI, then marker segments (0xFF + code +
+    big-endian u16 length including itself) until SOS; the SOF segment
+    (any of the 13 frame types — baseline C0, progressive C2, ...)
+    yields precision, height, width, component count, and its length
+    must tile exactly (8 + 3*n_components). Entropy-coded scan data is
+    then walked honoring byte stuffing (FF 00) and restart markers
+    (FF D0-D7) until EOI, which must land EXACTLY at end-of-payload —
+    truncated scans, trailing junk, lost marker sync, length fields
+    past EOF, SOS before SOF, and duplicate SOF all raise the
+    documented fail-loud class. Pixel decode (huffman + IDCT) stays
+    deliberately out — this is the header tier, same contract as the
+    MP3/FLAC/MP4 walks; a payload that passes is a PROVEN well-formed
+    JPEG whose pixel decode needs a codec lib."""
+    import struct
+
+    b = bytes(payload)
+    if b[:3] != b"\xff\xd8\xff":
+        raise NotImplementedError("jpeg probe: no SOI marker — not a JPEG")
+    pos = 2
+    width = height = None
+    while True:
+        if pos + 2 > len(b):
+            raise NotImplementedError(
+                f"jpeg probe: truncated at byte {pos} — no EOI marker"
+            )
+        if b[pos] != 0xFF:
+            raise NotImplementedError(
+                f"jpeg probe: lost marker sync at byte {pos}"
+            )
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1  # fill bytes before a marker are legal
+        if pos + 2 > len(b):
+            raise NotImplementedError(
+                "jpeg probe: payload ends inside marker fill bytes"
+            )
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            if width is None:
+                raise NotImplementedError("jpeg probe: EOI before any SOF")
+            if pos != len(b):
+                raise NotImplementedError(
+                    f"jpeg probe: {len(b) - pos} trailing bytes after EOI"
+                )
+            return {
+                "container": "jpeg",
+                "n_frames": 1,
+                "sample_rate": None,
+                "width": width,
+                "height": height,
+                "duration_ms": None,
+            }
+        if marker == 0xD8:
+            raise NotImplementedError("jpeg probe: duplicate SOI marker")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            raise NotImplementedError(
+                f"jpeg probe: standalone marker {marker:#x} outside scan data"
+            )
+        if pos + 2 > len(b):
+            raise NotImplementedError(
+                f"jpeg probe: truncated segment header at byte {pos}"
+            )
+        (seg_len,) = struct.unpack_from(">H", b, pos)
+        if seg_len < 2 or pos + seg_len > len(b):
+            raise NotImplementedError(
+                f"jpeg probe: segment {marker:#x} at byte {pos} claims "
+                f"{seg_len} bytes with {len(b) - pos} remaining"
+            )
+        if marker in _JPEG_SOF_MARKERS:
+            if width is not None:
+                raise NotImplementedError("jpeg probe: duplicate SOF segment")
+            if seg_len < 8:
+                raise NotImplementedError(
+                    f"jpeg probe: SOF segment too short ({seg_len} bytes)"
+                )
+            h_px, w_px = struct.unpack_from(">HH", b, pos + 3)
+            n_comp = b[pos + 7]
+            if seg_len != 8 + 3 * n_comp:
+                raise NotImplementedError(
+                    f"jpeg probe: SOF length {seg_len} does not tile "
+                    f"{n_comp} components"
+                )
+            if w_px == 0 or h_px == 0:
+                raise NotImplementedError(
+                    "jpeg probe: zero frame dimension in SOF"
+                )
+            width, height = int(w_px), int(h_px)
+        pos += seg_len
+        if marker == 0xDA:  # SOS — walk entropy-coded data
+            if width is None:
+                raise NotImplementedError("jpeg probe: SOS before SOF")
+            while True:
+                nxt = b.find(b"\xff", pos)
+                if nxt < 0 or nxt + 1 >= len(b):
+                    raise NotImplementedError(
+                        "jpeg probe: scan data ran out before EOI"
+                    )
+                code = b[nxt + 1]
+                if code == 0x00 or 0xD0 <= code <= 0xD7:
+                    pos = nxt + 2  # stuffed byte / restart marker
+                    continue
+                pos = nxt  # a real marker ends the scan (EOI, or the
+                break      # next header segment of a progressive scan)
+
+
+def _jpeg_encode_headers(
+    width: int = 640,
+    height: int = 480,
+    progressive: bool = False,
+    n_components: int = 3,
+) -> bytes:
+    """Fixture generator: a conforming SOI + APP0/JFIF + DQT + SOF +
+    DHT + SOS + stuffed/restart-bearing entropy filler + EOI skeleton —
+    the probe reads marker structure only, so scan bytes are inert."""
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes(64))
+    comps = b"".join(
+        bytes([i + 1, 0x11 if i else 0x22, 0]) for i in range(n_components)
+    )
+    sof = seg(
+        0xC2 if progressive else 0xC0,
+        struct.pack(">BHHB", 8, height, width, n_components) + comps,
+    )
+    dht = seg(0xC4, b"\x00" + bytes(16) + b"")
+    sos = seg(
+        0xDA,
+        bytes([n_components])
+        + b"".join(bytes([i + 1, 0]) for i in range(n_components))
+        + b"\x00\x3f\x00",
+    )
+    scan = b"\x12\x34\xff\x00\x56" + b"\xff\xd3" + b"\x78\x9a"
+    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+_OGG_CRC_TABLE: list[int] | None = None
+
+
+def _ogg_crc(data: bytes) -> int:
+    """CRC-32 as the Ogg page checksum defines it (RFC 3533 §6):
+    polynomial 0x04C11DB7, init 0, no bit reflection, no final XOR —
+    deliberately NOT zlib.crc32, which reflects. Table-driven; the
+    pytest pins it against an independent naive bitwise loop."""
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        table = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1) & 0xFFFFFFFF
+            table.append(r)
+        _OGG_CRC_TABLE = table
+    crc = 0
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[((crc >> 24) ^ byte) & 0xFF]
+    return crc
+
+
+def _ogg_probe(payload: bytes) -> dict:
+    """Decode-free Ogg container probe (r15): a pure page walk per
+    RFC 3533 with REAL integrity — every page's CRC is recomputed
+    (poly 0x04C11DB7, field zeroed) and verified, so a passing payload
+    is proven intact, not sniffed. Validates version 0, a BOS first
+    page, monotonically incrementing page sequence numbers, a single
+    logical bitstream (one serial — multiplexed streams fail loud),
+    an EOS final page, and exact end-of-payload tiling. The codec is
+    identified from the BOS packet head: Vorbis ('\\x01vorbis' — rate
+    from the id header, granule = PCM samples) or Opus ('OpusHead' —
+    granule at 48 kHz minus pre-skip per RFC 7845). Duration comes
+    from the last finishing granule; PCM decode stays out (codec lib),
+    same two-tier contract as the MP3/FLAC tiers."""
+    import struct
+
+    b = bytes(payload)
+    if b[:4] != b"OggS":
+        raise NotImplementedError("ogg probe: no OggS capture pattern")
+    pos = 0
+    serial0 = None
+    prev_seq = None
+    sr = None
+    codec = None
+    preskip = 0
+    last_granule = None
+    saw_eos = False
+    while pos < len(b):
+        if pos + 27 > len(b):
+            raise NotImplementedError(
+                f"ogg probe: truncated page header at byte {pos}"
+            )
+        if b[pos : pos + 4] != b"OggS":
+            raise NotImplementedError(
+                f"ogg probe: lost page sync at byte {pos}"
+            )
+        version, htype = b[pos + 4], b[pos + 5]
+        if version != 0:
+            raise NotImplementedError(
+                f"ogg probe: unsupported stream structure version {version}"
+            )
+        granule, serial, seq, crc, n_segs = struct.unpack_from(
+            "<qIIIB", b, pos + 6
+        )
+        body_start = pos + 27 + n_segs
+        if body_start > len(b):
+            raise NotImplementedError(
+                f"ogg probe: truncated segment table at byte {pos}"
+            )
+        body_len = sum(b[pos + 27 : body_start])
+        page_end = body_start + body_len
+        if page_end > len(b):
+            raise NotImplementedError(
+                f"ogg probe: page at byte {pos} claims {body_len} body "
+                f"bytes with {len(b) - body_start} remaining"
+            )
+        page = bytearray(b[pos:page_end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc:
+            raise NotImplementedError(
+                f"ogg probe: CRC mismatch on page at byte {pos}"
+            )
+        if serial0 is None:
+            serial0 = serial
+            if not htype & 0x02:
+                raise NotImplementedError(
+                    "ogg probe: first page is not beginning-of-stream"
+                )
+            head = b[body_start:page_end]
+            if head[:7] == b"\x01vorbis":
+                codec = "vorbis"
+                if len(head) < 16:
+                    raise NotImplementedError(
+                        "ogg probe: truncated vorbis id header"
+                    )
+                (sr,) = struct.unpack_from("<I", head, 12)
+            elif head[:8] == b"OpusHead":
+                codec = "opus"
+                if len(head) < 12:
+                    raise NotImplementedError(
+                        "ogg probe: truncated OpusHead"
+                    )
+                (preskip,) = struct.unpack_from("<H", head, 10)
+                sr = 48000  # opus granules are always 48 kHz (RFC 7845 §4)
+            else:
+                raise NotImplementedError(
+                    "ogg probe: unrecognized codec id packet "
+                    "(supported: Vorbis, Opus)"
+                )
+            if not sr:
+                raise NotImplementedError("ogg probe: invalid sample rate 0")
+        elif serial != serial0:
+            raise NotImplementedError(
+                "ogg probe: multiplexed logical bitstreams unsupported"
+            )
+        if prev_seq is not None and seq != prev_seq + 1:
+            raise NotImplementedError(
+                f"ogg probe: page sequence gap ({prev_seq} -> {seq})"
+            )
+        prev_seq = seq
+        if granule >= 0:
+            last_granule = granule
+        saw_eos = bool(htype & 0x04)
+        pos = page_end
+    if not saw_eos:
+        raise NotImplementedError("ogg probe: no end-of-stream page")
+    if last_granule is None:
+        raise NotImplementedError("ogg probe: no finishing granule position")
+    samples = max(0, int(last_granule) - preskip)
+    return {
+        "container": f"ogg-{codec}",
+        "n_frames": samples,
+        "sample_rate": int(sr),
+        "width": None,
+        "height": None,
+        "duration_ms": int(round(samples / sr * 1000)),
+    }
+
+
+def _ogg_encode(
+    total_samples: int = 4000,
+    sample_rate: int = 8000,
+    codec: str = "vorbis",
+) -> bytes:
+    """Fixture generator: a conforming two-page Ogg stream (BOS page
+    carrying the codec id header, EOS page carrying inert packet
+    bytes at the final granule) with REAL page CRCs — the probe
+    verifies them, and the pytest pins _ogg_crc against an independent
+    bitwise implementation so fixture and verifier cannot co-drift."""
+    import struct
+
+    def page(htype: int, granule: int, seq: int, body: bytes) -> bytes:
+        segs = []
+        n = len(body)
+        while n >= 255:
+            segs.append(255)
+            n -= 255
+        segs.append(n)
+        head = (
+            b"OggS\x00"
+            + bytes([htype])
+            + struct.pack("<qIII", granule, 0x6D657472, seq, 0)
+            + bytes([len(segs)])
+            + bytes(segs)
+        )
+        crc = _ogg_crc(head + body)
+        return head[:22] + struct.pack("<I", crc) + head[26:] + body
+
+    if codec == "vorbis":
+        ident = (
+            b"\x01vorbis"
+            + struct.pack("<IB I", 0, 1, sample_rate)
+            + struct.pack("<iii", -1, 96000, -1)
+            + b"\xb8\x01"
+        )
+        granule = total_samples
+    elif codec == "opus":
+        ident = (
+            b"OpusHead\x01\x01"
+            + struct.pack("<H", 312)       # pre-skip
+            + struct.pack("<I", sample_rate)  # input rate (informational)
+            + b"\x00\x00\x00"
+        )
+        granule = total_samples + 312  # granule includes pre-skip
+    else:
+        raise ValueError(f"unknown fixture codec {codec!r}")
+    return page(0x02, 0, 0, ident) + page(0x04, granule, 1, b"\x00" * 20)
+
+
 PROBE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -1821,6 +2161,10 @@ def _probe_payload(payload: bytes) -> dict:
         return _avi_probe(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return _png_probe(b)
+    if b[:3] == b"\xff\xd8\xff":
+        return _jpeg_probe(b)
+    if b[:4] == b"OggS":
+        return _ogg_probe(b)
     if b[:4] == b"fLaC":
         return _flac_probe(b)
     if len(b) >= 12 and b[4:8] == b"ftyp":
@@ -1839,7 +2183,8 @@ def _probe_payload(payload: bytes) -> dict:
         }
     raise NotImplementedError(
         "probe_media: unrecognized container (supported: WAV, AVI, "
-        "PNG, FLAC, MP4/ISO-BMFF, MPEG Layer III)"
+        "PNG, JPEG, Ogg Vorbis/Opus, FLAC, MP4/ISO-BMFF, MPEG "
+        "Layer III)"
     )
 
 

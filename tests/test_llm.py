@@ -692,9 +692,15 @@ def test_probe_media_dispatches_on_magic_bytes(spark):
         "mp3", 4, 44100)
     assert (got[4].container, got[4].width, got[4].height) == ("png", 7, 9)
     bad = media.limit(0).unionByName(spark.createDataFrame(
-        [(9, "audio", "x", bytearray(b"OggS junk"), None)], media.schema))
+        [(9, "audio", "x", bytearray(b"BINK junk"), None)], media.schema))
     with pytest.raises(Exception, match="unrecognized container"):
         multimodal.probe_media(bad).collect()
+    # OggS is a RECOGNIZED magic since r15 — a junk body now routes to
+    # the ogg page walk's own fail-loud class, not the unknown branch
+    ogg_junk = media.limit(0).unionByName(spark.createDataFrame(
+        [(9, "audio", "x", bytearray(b"OggS junk"), None)], media.schema))
+    with pytest.raises(Exception, match="truncated page header"):
+        multimodal.probe_media(ogg_junk).collect()
 
 
 def test_flac_probe_geometry_and_gate():
@@ -4004,3 +4010,112 @@ def test_mp4_box_walk_probe_geometry_and_gate(spark):
         multimodal._mp4_probe(p[:28])  # ftyp alone
     with pytest.raises(NotImplementedError, match="no ftyp"):
         multimodal._mp4_probe(b"\x00" * 16)
+
+
+def test_jpeg_marker_walk_probe_geometry_and_gate():
+    """The r15 JPEG tier: the pure marker walk recovers SOF geometry
+    (baseline C0 and progressive C2), the dispatcher routes FFD8FF
+    payloads to it, entropy data is walked honoring byte stuffing and
+    restart markers, and the fail-loud gates hold: truncation, junk
+    after EOI, SOS-before-SOF, duplicate SOF, zero dimensions, and a
+    segment length past EOF all raise the documented class."""
+    for prog in (False, True):
+        p = multimodal._jpeg_encode_headers(640, 480, progressive=prog)
+        got = multimodal._probe_payload(p)
+        assert got == {
+            "container": "jpeg", "n_frames": 1, "sample_rate": None,
+            "width": 640, "height": 480, "duration_ms": None,
+        }, (prog, got)
+
+    p = multimodal._jpeg_encode_headers()
+    with pytest.raises(NotImplementedError, match="claims"):
+        multimodal._jpeg_probe(p[:30])  # DQT length past the cut
+    with pytest.raises(NotImplementedError, match="trailing bytes"):
+        multimodal._jpeg_probe(p + b"zz")
+    with pytest.raises(NotImplementedError, match="ran out before EOI"):
+        multimodal._jpeg_probe(p[:-2])  # scan data with the EOI cut off
+    with pytest.raises(NotImplementedError, match="EOI before any SOF"):
+        multimodal._jpeg_probe(b"\xff\xd8\xff\xd9")
+    with pytest.raises(NotImplementedError, match="no SOI"):
+        multimodal._jpeg_probe(b"\x00" * 8)
+    with pytest.raises(NotImplementedError, match="zero frame dimension"):
+        multimodal._jpeg_probe(multimodal._jpeg_encode_headers(width=0))
+    # a second SOF segment spliced in front of SOS must raise
+    sof_at = p.find(b"\xff\xc0")
+    sos_at = p.find(b"\xff\xda")
+    sof_seg = p[sof_at:p.find(b"\xff\xc4")]
+    with pytest.raises(NotImplementedError, match="duplicate SOF"):
+        multimodal._jpeg_probe(p[:sos_at] + sof_seg + p[sos_at:])
+
+
+def test_ogg_page_walk_probe_geometry_crc_and_gate():
+    """The r15 Ogg tier: the page walk verifies REAL page CRCs
+    (RFC 3533 — unreflected 0x04C11DB7, pinned here against an
+    independent naive bitwise implementation so the fixture generator
+    and the verifier cannot co-drift), recovers duration from the
+    final granule for both Vorbis (id-header rate) and Opus (48 kHz
+    granules minus pre-skip per RFC 7845), and the gates hold: a
+    flipped byte (CRC), truncation, a non-BOS first page, a missing
+    EOS, a page-sequence gap, and a second serial all raise."""
+
+    def naive_crc(data: bytes) -> int:
+        crc = 0
+        for byte in data:
+            crc ^= byte << 24
+            for _ in range(8):
+                crc = ((crc << 1) ^ 0x04C11DB7 if crc & 0x80000000
+                       else crc << 1) & 0xFFFFFFFF
+        return crc
+
+    import numpy as np
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 27, 300):
+        blob = bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+        assert multimodal._ogg_crc(blob) == naive_crc(blob), n
+
+    p = multimodal._ogg_encode(4000, 8000, codec="vorbis")
+    assert multimodal._probe_payload(p) == {
+        "container": "ogg-vorbis", "n_frames": 4000, "sample_rate": 8000,
+        "width": None, "height": None, "duration_ms": 500,
+    }
+    po = multimodal._ogg_encode(48000, 48000, codec="opus")
+    got = multimodal._probe_payload(po)
+    assert got["container"] == "ogg-opus" and got["sample_rate"] == 48000
+    assert got["n_frames"] == 48000 and got["duration_ms"] == 1000
+
+    flipped = bytearray(p)
+    flipped[-1] ^= 0x01  # body byte: only the CRC notices
+    with pytest.raises(NotImplementedError, match="CRC mismatch"):
+        multimodal._ogg_probe(bytes(flipped))
+    with pytest.raises(NotImplementedError, match="claims"):
+        multimodal._ogg_probe(p[:40])
+    with pytest.raises(NotImplementedError, match="no OggS"):
+        multimodal._ogg_probe(b"\x00" * 30)
+
+    # page-level structure gates need re-CRCed single pages: reuse the
+    # fixture's own page builder by slicing its two valid pages
+    page1_end = 27 + p[26] + sum(p[27 : 27 + p[26]])
+    page1, page2 = p[:page1_end], p[page1_end:]
+
+    def rewrite(page: bytes, **patch) -> bytes:
+        import struct
+        head = bytearray(page)
+        if "htype" in patch:
+            head[5] = patch["htype"]
+        if "serial" in patch:
+            head[14:18] = struct.pack("<I", patch["serial"])
+        if "seq" in patch:
+            head[18:22] = struct.pack("<I", patch["seq"])
+        head[22:26] = b"\x00\x00\x00\x00"
+        crc = multimodal._ogg_crc(bytes(head))
+        head[22:26] = struct.pack("<I", crc)
+        return bytes(head)
+
+    with pytest.raises(NotImplementedError, match="not beginning-of-stream"):
+        multimodal._ogg_probe(rewrite(page1, htype=0) + page2)
+    with pytest.raises(NotImplementedError, match="no end-of-stream"):
+        multimodal._ogg_probe(page1 + rewrite(page2, htype=0))
+    with pytest.raises(NotImplementedError, match="sequence gap"):
+        multimodal._ogg_probe(page1 + rewrite(page2, seq=5))
+    with pytest.raises(NotImplementedError, match="multiplexed"):
+        multimodal._ogg_probe(page1 + rewrite(page2, serial=99))

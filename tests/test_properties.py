@@ -1003,7 +1003,9 @@ def test_avro_codec_roundtrips_random_records(rows):
 
 
 @given(
-    st.sampled_from(["wav", "png", "avi", "mp3", "flac", "mp4", "probe"]),
+    st.sampled_from(
+        ["wav", "png", "avi", "mp3", "flac", "mp4", "jpeg", "ogg", "probe"]
+    ),
     st.sampled_from(["truncate", "flip", "len_corrupt", "garbage"]),
     st.integers(min_value=0, max_value=2**32 - 1),
 )
@@ -1057,6 +1059,14 @@ def test_media_decoders_fail_loud_on_corrupted_containers(kind, mode, seed):
         # r15: the ISO-BMFF box walk joins the fuzz matrix
         payload = bytearray(mm._mp4_encode_headers())
         decode = mm._mp4_probe
+    elif kind == "jpeg":
+        # r15: the JPEG marker walk joins the fuzz matrix
+        payload = bytearray(mm._jpeg_encode_headers(64, 48))
+        decode = mm._jpeg_probe
+    elif kind == "ogg":
+        # r15: the CRC-verified Ogg page walk joins the fuzz matrix
+        payload = bytearray(mm._ogg_encode(2000, 8000))
+        decode = mm._ogg_probe
     elif kind == "probe":
         # the magic-byte probe dispatcher over a WAV body — must route
         # corrupted bytes to the documented contract, never raw errors
@@ -1104,8 +1114,17 @@ def test_media_decoders_fail_loud_on_corrupted_containers(kind, mode, seed):
         assert out["sample_rate"] > 0
     elif kind == "mp4":
         assert out["container"] == "mp4" and out["duration_ms"] >= 0
+    elif kind == "jpeg":
+        assert out["container"] == "jpeg" and out["width"] >= 1
+    elif kind == "ogg":
+        # a surviving flip can only be in inert packet bytes the CRC
+        # covers — so success means a byte-identical-to-valid page set
+        assert out["container"].startswith("ogg-") and out["n_frames"] >= 0
     elif kind == "probe":
-        assert out["container"] in ("wav", "avi", "png", "mp3", "flac", "mp4")
+        assert out["container"] in (
+            "wav", "avi", "png", "mp3", "flac", "mp4", "jpeg",
+            "ogg-vorbis", "ogg-opus",
+        )
         # a flip in a WAV/FLAC length field can legitimately declare an
         # EMPTY (0-sample) stream — a well-formed answer, not an escape
         # (found by hypothesis on this very assertion, r14); mp3/avi
