@@ -1453,6 +1453,98 @@ def video_frame_near_dup(
     return pairs, rejects
 
 
+def media_fingerprints(
+    media: DataFrame,
+    every_ms: int = 40,
+    window_ms: int = 250,
+    dim: int = 32,
+    shingle: int = 1,
+) -> DataFrame:
+    """Unified near-dup fingerprints for a MIXED media frame (r15 —
+    the arrival-time form both registered near-dup tiers share):
+    video rows yield decoded-frame sha256 hashes (sample_frames'
+    real path), audio rows yield band-argmax shingles
+    (audio_fingerprints); each print is namespaced 'v:'/'a:' so the
+    two tiers can never collide in a shared fp column. Decode
+    failures are isolated per row and simply contribute NO prints —
+    in the streaming gate those rows fall through to the feature
+    decode, which owns the reject accounting (one reject per row,
+    exactly once). Other media types (images) contribute no prints:
+    exact payload dedup covers byte-identical images; near-dup for
+    stills is a separate perceptual-hash tier. Output: distinct
+    (media_id, fp)."""
+    vids = media.where(F.col("media_type") == "video")
+    auds = media.where(F.col("media_type") == "audio")
+    vp = (
+        sample_frames(vids, every_ms=every_ms, decode_stub=False, errors="reject")
+        .where(F.col("frame_hash").isNotNull())
+        .select(
+            "media_id",
+            F.concat(F.lit("v:"), F.col("frame_hash")).alias("fp"),
+        )
+    )
+    ap = (
+        audio_fingerprints(
+            auds, window_ms=window_ms, dim=dim, shingle=shingle, errors="reject"
+        )
+        .where(F.col("fp").isNotNull())
+        .select("media_id", F.concat(F.lit("a:"), F.col("fp")).alias("fp"))
+    )
+    return vp.unionByName(ap).distinct()
+
+
+def fingerprint_cross_near_dup(
+    new_prints: DataFrame,
+    index_prints: DataFrame,
+    threshold: float = 0.9,
+    min_shared: int = 1,
+    max_fp_df: int | None = 1000,
+) -> DataFrame:
+    """Cross-corpus half of fingerprint_set_pairs (r15): which NEW
+    items near-duplicate an item already in the standing index?
+    `new_prints` / `index_prints` are distinct (media_id, fp) frames;
+    returns the distinct new-side media_ids whose Jaccard against any
+    index item reaches `threshold`. Same df-cut discipline as the
+    self-join form — ubiquitous prints (computed over the UNION of
+    both sides, so a print that is ubiquitous in the store also stops
+    pairing against arrivals) are excluded from the pair join while
+    both sides' set sizes are computed before the cut, keeping the
+    score honest. The join is fingerprint-keyed: cost follows shared
+    print density, never |new| x |store|."""
+    sizes_a = new_prints.groupBy("media_id").agg(F.count(F.lit(1)).alias("_na"))
+    sizes_b = index_prints.groupBy("media_id").agg(F.count(F.lit(1)).alias("_nb"))
+    a = new_prints.select(F.col("media_id").alias("_ma"), "fp")
+    b = index_prints.select(F.col("media_id").alias("_mb"), "fp")
+    if max_fp_df is not None:
+        df_cut = (
+            a.select("fp")
+            .unionAll(b.select("fp"))
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_fp_df)
+            .select("fp")
+        )
+        a = a.join(df_cut, "fp", "left_semi")
+        b = b.join(df_cut, "fp", "left_semi")
+    shared = (
+        a.join(b, "fp")
+        .groupBy("_ma", "_mb")
+        .agg(F.count(F.lit(1)).cast("long").alias("_shared"))
+        .where(F.col("_shared") >= min_shared)
+    )
+    return (
+        shared.join(sizes_a.withColumnRenamed("media_id", "_ma"), "_ma")
+        .join(sizes_b.withColumnRenamed("media_id", "_mb"), "_mb")
+        .where(
+            F.col("_shared")
+            / (F.col("_na") + F.col("_nb") - F.col("_shared"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("_ma").alias("media_id"))
+        .distinct()
+    )
+
+
 def _avi_probe(payload: bytes) -> dict:
     """Header-level AVI probe (no pixel reconstruction): width/height/
     frame period from avih, frame count from the db/dc chunk census —

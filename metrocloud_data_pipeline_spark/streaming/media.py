@@ -33,6 +33,17 @@ serving do:
   duplicate payloads BEFORE they pay Arrow transfer + decode; the
   store read excludes the current batch_id partition so redelivery
   stays idempotent;
+- near_dup_screen=True adds the NEAR-dup tier on top (r15 — the
+  corpus stream's arrival-time MinHash screen, re-expressed for
+  media): arrivals are fingerprinted once per batch (decoded-frame
+  hashes for video, band-argmax shingles for audio), screened by
+  print-set Jaccard against a maintained (media_id, fp) index of the
+  stored items, and rejected as 'near_duplicate_in_store' before the
+  feature decode — catching the re-encoded/re-containered copies the
+  byte-digest tier structurally misses; the index is a batch_id-
+  partitioned side table written through the same effectively-once
+  shape, and its read excludes the current batch_id so redelivery
+  cannot self-match;
 - the features sink is effectively-once via dynamic partition
   overwrite keyed by batch_id (the ANN-serving shape: the partition
   key fully identifies the write, so a re-delivered micro-batch
@@ -91,6 +102,10 @@ def featurize_media_batch(
     checkpoint: bool = False,
     dedup: bool = False,
     existing_hashes: DataFrame | None = None,
+    batch_prints: DataFrame | None = None,
+    existing_prints: DataFrame | None = None,
+    near_dup_threshold: float = 0.9,
+    near_dup_max_fp_df: int | None = 1000,
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch of media featurization -> (features,
     rejected-with-reason). Pure batch-DataFrame logic (the curate_batch
@@ -122,7 +137,24 @@ def featurize_media_batch(
     counts aggregate prunes them; the keeper's payload comes from
     one-row-per-digest, byte-identical by definition), and nothing in
     the outputs' lineage re-reads the store after the caller starts
-    rewriting it."""
+    rewriting it.
+
+    batch_prints + existing_prints (r15) add the NEAR-dup screen —
+    the corpus stream's arrival-time MinHash screen, re-expressed for
+    media over content fingerprints (decoded-frame hashes for video,
+    band-argmax shingles for audio; media_fingerprints): a surviving
+    row whose print-set Jaccard against any item already in the
+    standing index reaches near_dup_threshold rejects as
+    'near_duplicate_in_store' BEFORE paying the feature decode (a
+    re-encoded or re-containered copy has different bytes — the exact
+    tier misses it — but identical prints; the registered
+    media_video_near_dup / media_audio_near_dup keys are the oracle
+    anchors for this decision). batch_prints is computed by the
+    CALLER (one fingerprint decode per micro-batch, reused for the
+    index append); existing_prints is the maintained print index,
+    column-pruned to (media_id, fp). Rows with no prints (images,
+    undecodable payloads) pass through — the feature decode owns
+    their reject accounting."""
     # 0. fail-loud validity split, before any Python worker sees a row
     invalid = batch.where(F.col("media_id").isNull() | F.col("payload").isNull())
     invalid_rejects = invalid.select(
@@ -222,6 +254,32 @@ def featurize_media_batch(
         )
         valid = deduped.select(*batch_cols)
 
+    # 0.75 NEAR-dup screen vs the standing index (r15): print-set
+    # Jaccard decided on the caller-provided fingerprint frame; the
+    # matched-id set is batch-bounded, checkpointed once, and
+    # broadcast into the keep/drop split (the curate_batch 2.5 shape)
+    near_dup_rejects = valid.limit(0).select(
+        "media_id", "media_type", F.lit("").alias("reason")
+    )
+    if batch_prints is not None and existing_prints is not None:
+        from ..llm.multimodal import fingerprint_cross_near_dup
+
+        nd_ids = fingerprint_cross_near_dup(
+            batch_prints,
+            existing_prints,
+            threshold=near_dup_threshold,
+            max_fp_df=near_dup_max_fp_df,
+        ).localCheckpoint()
+        near_dup_rejects = (
+            valid.join(F.broadcast(nd_ids), "media_id", "left_semi")
+            .select(
+                "media_id",
+                "media_type",
+                F.lit("near_duplicate_in_store").alias("reason"),
+            )
+        )
+        valid = valid.join(F.broadcast(nd_ids), "media_id", "left_anti")
+
     # 1. static type gate: rows that CANNOT decode never reach Python.
     # Video decodes for real only from an uncompressed-DIB AVI (a RIFF
     # container, r12) — anything without the RIFF magic is compressed
@@ -255,6 +313,7 @@ def featurize_media_batch(
 
     rejected = (
         invalid_rejects.unionByName(dedup_rejects)
+        .unionByName(near_dup_rejects)
         .unionByName(type_rejects)
         .unionByName(decode_rejects)
     )
@@ -273,6 +332,10 @@ def run_media_feature_stream(
     max_files_per_trigger: int | None = None,
     once: bool = True,
     dedup: bool = False,
+    near_dup_screen: bool = False,
+    print_index_path: str | None = None,
+    near_dup_threshold: float = 0.9,
+    near_dup_max_fp_df: int | None = 1000,
 ) -> StreamingQuery:
     """Continuous media featurization: parquet media items in,
     effectively-once feature rows out, rejects + metrics logs on the
@@ -285,11 +348,43 @@ def run_media_feature_stream(
     batch_id partition: under redelivery the re-delivered batch must
     not anti-join against its own prior write, or effectively-once
     would turn into deliver-once-then-reject-forever (the partition
-    overwrite would shrink its own partition to empty on replay)."""
+    overwrite would shrink its own partition to empty on replay).
+
+    near_dup_screen=True (r15) adds the arrival-time NEAR-dup tier —
+    the corpus stream's MinHash screen, re-expressed over media
+    content fingerprints (decoded-frame hashes for video, band-argmax
+    shingles for audio): an arrival whose print-set Jaccard against
+    any stored item reaches near_dup_threshold rejects as
+    'near_duplicate_in_store' before paying the feature decode, which
+    catches the copies the exact tier structurally misses
+    (re-encoded / re-containered payloads — byte-different, decode-
+    identical; pinned by the registered recall-report keys). Requires
+    BOTH dedup=True and print_index_path: the exact tier must run
+    first so a REPLAYED batch exact-rejects (or partition-rewrites)
+    instead of near-dup-matching residue, and the print index is the
+    maintained (media_id, fp, batch_id) side table that makes the
+    screen incremental — without it every batch would re-DECODE the
+    whole store to fingerprint it. The index is written through
+    overwrite_batch_partition (effectively-once, one partition per
+    batch; the per-batch print set is deterministic under replay, so
+    the rewrite is exact, never shrinking-to-empty), and the screen's
+    index read EXCLUDES the current batch_id — the content_hash
+    exclusion argument applied to prints, so a crash between the
+    index write and the metrics write cannot make a replayed batch
+    near-dup-match its own prints and reject itself forever."""
     from ..operators.maintenance import (
         dynamic_partition_overwrite,
         overwrite_batch_partition,
     )
+
+    if near_dup_screen and (not dedup or print_index_path is None):
+        raise ValueError(
+            "run_media_feature_stream: near_dup_screen=True requires "
+            "dedup=True (the exact tier makes replay idempotent before "
+            "the near-dup decision) and print_index_path= (the screen "
+            "is incremental against the maintained print index, never "
+            "a per-batch re-decode of the store)"
+        )
 
     items = stream_media_items(spark, input_path, max_files_per_trigger)
 
@@ -308,6 +403,24 @@ def run_media_feature_stream(
                 existing = store.where(F.col("batch_id") != batch_id).select(
                     "content_hash"
                 )
+        batch_prints = existing_prints = None
+        if near_dup_screen:
+            from ..llm.multimodal import media_fingerprints
+            from ..operators.maintenance import read_store_or_none
+
+            # ONE fingerprint decode per micro-batch, frozen here: the
+            # screen reads it twice (sizes + pair join) and the index
+            # append below reuses it — the payload bytes cross to
+            # Python exactly once for fingerprinting
+            batch_prints = media_fingerprints(batch).localCheckpoint()
+            index = read_store_or_none(spark, print_index_path)
+            if index is not None:
+                # exclude the current batch_id: a replayed batch must
+                # not near-dup-match the prints its crashed attempt
+                # wrote (the content_hash exclusion, applied to prints)
+                existing_prints = index.where(
+                    F.col("batch_id") != batch_id
+                ).select("media_id", "fp")
         # checkpoint=True freezes the decode lineage ONCE inside
         # featurize_media_batch; kept/rejected and the metrics
         # aggregates below all derive from that one materialization
@@ -316,6 +429,9 @@ def run_media_feature_stream(
         kept, rejected = featurize_media_batch(
             batch, decode_stub=decode_stub, dim=dim, checkpoint=True,
             dedup=dedup, existing_hashes=existing,
+            batch_prints=batch_prints, existing_prints=existing_prints,
+            near_dup_threshold=near_dup_threshold,
+            near_dup_max_fp_df=near_dup_max_fp_df,
         )
         # the dedup rejects carry a lineage that READS the features
         # store (the anti-join's store side) — freeze this batch-bounded
@@ -339,6 +455,17 @@ def run_media_feature_stream(
                 .partitionBy("batch_id")
                 .parquet(output_path)
             )
+        if near_dup_screen:
+            # maintain the print index: the KEPT rows' prints join the
+            # standing side table through the shared effectively-once
+            # shape (batch_id partition overwrite; deterministic per
+            # batch, so a replay rewrites the identical set). Rows
+            # that were rejected never index — their prints must not
+            # block a future clean arrival of the same content
+            kept_prints = batch_prints.join(
+                F.broadcast(kept.select("media_id")), "media_id", "left_semi"
+            )
+            overwrite_batch_partition(kept_prints, print_index_path, batch_id)
         if rejects_path is not None:
             # effectively-once like the features sink: a crash after
             # this write and a replay rewrite exactly this batch's
@@ -380,7 +507,9 @@ def run_media_feature_stream(
             n_duplicates = by_reason.get(
                 "duplicate_payload_in_batch", 0
             ) + by_reason.get("duplicate_payload_in_store", 0)
-            n_decode_errors -= n_duplicates  # dedup rejects are not data errors
+            n_near_dup = by_reason.get("near_duplicate_in_store", 0)
+            # dedup/near-dup rejects are curation decisions, not data errors
+            n_decode_errors -= n_duplicates + n_near_dup
             # created on the BATCH-bound session clone (not the shared
             # outer session): the overwrite conf save/set/restore spans
             # the write, and two concurrently-running streams on one
@@ -398,10 +527,12 @@ def run_media_feature_stream(
                     int((time.monotonic() - t0) * 1000),
                     n_codec_missing,
                     n_duplicates,
+                    n_near_dup,
                 )],
                 "n_items long, n_features long, n_rejected long, "
                 "n_invalid long, n_decode_errors long, wall_ms long, "
-                "n_codec_missing long, n_duplicates long",
+                "n_codec_missing long, n_duplicates long, "
+                "n_near_dup long",
             )
             # effectively-once: one metrics row per batch_id, rewritten
             # (never appended twice) under redelivery — batch_id lands

@@ -4119,3 +4119,44 @@ def test_ogg_page_walk_probe_geometry_crc_and_gate():
         multimodal._ogg_probe(page1 + rewrite(page2, seq=5))
     with pytest.raises(NotImplementedError, match="multiplexed"):
         multimodal._ogg_probe(page1 + rewrite(page2, serial=99))
+
+
+def test_fingerprint_cross_near_dup_df_cut_and_threshold(spark):
+    """The cross-corpus screen primitive (r15 streaming near-dup
+    tier): Jaccard is decided over BOTH sides' full set sizes while
+    ubiquitous prints (df over the cap across the union) are excluded
+    from the pair join — a hot print alone can never pair an arrival
+    with the store, and the threshold reads the honest denominator."""
+    from metrocloud_data_pipeline_spark.llm.multimodal import (
+        fingerprint_cross_near_dup,
+    )
+
+    new = spark.createDataFrame(
+        [(10, "x"), (10, "y"), (11, "hot"), (12, "y"), (12, "z")],
+        "media_id long, fp string",
+    )
+    idx = spark.createDataFrame(
+        [(1, "x"), (1, "y"),          # jaccard with 10 = 2/2 = 1.0
+         # 'hot' union-df = 5 idx + 1 new = 6 > cap 4
+         (2, "hot"), (3, "hot"), (4, "hot"), (20, "hot"), (21, "hot"),
+         (5, "y"), (5, "q"), (5, "r")],       # jaccard with 12 = 1/4
+        "media_id long, fp string",
+    )
+    got = sorted(
+        r.media_id
+        for r in fingerprint_cross_near_dup(
+            new, idx, threshold=0.9, max_fp_df=4
+        ).collect()
+    )
+    # 10 matches stored 1 exactly; 11 shares only the capped hot print
+    # (no pair at all); 12's honest jaccard 1/4 is under threshold
+    assert got == [10]
+    # with the cut disabled and a permissive threshold, the hot print
+    # pairs 11 with stored items (df-cut is what was protecting it)
+    got2 = sorted(
+        r.media_id
+        for r in fingerprint_cross_near_dup(
+            new, idx, threshold=0.25, max_fp_df=None
+        ).collect()
+    )
+    assert 11 in got2 and 12 in got2

@@ -672,3 +672,91 @@ def test_corpus_decontam_gate_crash_replays_stable(
         # honestly rewritten with both rows
         assert row.n_kept == 0 and row.n_dup_in_corpus == 1
         assert by_doc[11] == "duplicate_in_corpus"
+
+
+@pytest.mark.parametrize("crash_sink", ["print_index", "rejects"])
+def test_media_stream_crash_on_print_index_replays_stable(
+    spark, tmp_path, monkeypatch, crash_sink
+):
+    """r15 near-dup tier crash rows: kill the media batch (a) on its
+    PRINT INDEX write — features landed, index not — or (b) on its
+    rejects write — features AND the print index landed, so the
+    replayed batch re-screens against an index that already holds its
+    OWN prints, the self-match case the batch_id exclusion on the
+    index read exists for. Either way the same-checkpoint replay must
+    keep the batch's own rows (never self-reject), re-reject the
+    genuinely near-duplicate arrival, and leave every table —
+    features, rejects, metrics, AND the print index — with exactly one
+    partition per batch and the accounting law intact."""
+    import math
+    import struct
+    import wave
+    from io import BytesIO
+
+    from metrocloud_data_pipeline_spark.streaming.media import (
+        run_media_feature_stream,
+    )
+    from metrocloud_data_pipeline_spark.llm import multimodal as mm
+
+    def tone(freq, n=4000):
+        buf = BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(b"".join(
+                struct.pack("<h", int(0.4 * 32767 * math.sin(
+                    2 * math.pi * freq * i / 8000)))
+                for i in range(n)))
+        return buf.getvalue()
+
+    wav_a, wav_c = tone(500), tone(1500)
+    src = tmp_path / "uploads"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "audio", "audio/wav", bytearray(wav_a), None, None, 500)],
+        MEDIA_SCHEMA_STR,
+    ).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(
+        [(3, "audio", "audio/wav", bytearray(mm.reencode_wav(wav_a)),
+          None, None, 500),   # near-dup of stored 1: bytes differ
+         (4, "audio", "audio/wav", bytearray(wav_c), None, None, 500)],
+        MEDIA_SCHEMA_STR,
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    out = str(tmp_path / "features")
+    rejects = str(tmp_path / "rejects")
+    metrics = str(tmp_path / "metrics")
+    prints = str(tmp_path / "print_index")
+    ck = str(tmp_path / "ck")
+
+    def start():
+        return run_media_feature_stream(
+            spark, str(src) + "/*", out, ck,
+            rejects_path=rejects, metrics_path=metrics,
+            decode_stub=False, dim=8, max_files_per_trigger=1,
+            dedup=True, near_dup_screen=True, print_index_path=prints,
+        )
+
+    injector = CrashOnWrite(monkeypatch, crash_sink)
+    _await_failure(start())
+    assert injector.fired == 1  # batch 0 died mid-sink-chain
+
+    q = start()  # same checkpoint: batch 0 then batch 1 re-deliver
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    feats = _one_partition_per_batch(spark, out, [0, 1])
+    assert sorted(r.media_id for r in feats.collect()) == [1, 4]
+    rej = _one_partition_per_batch(spark, rejects, [1])
+    assert [(r.media_id, r.reason) for r in rej.collect()] == [
+        (3, "near_duplicate_in_store")
+    ]
+    idx = _one_partition_per_batch(spark, prints, [0, 1])
+    assert sorted({r.media_id for r in idx.collect()}) == [1, 4]
+    m = {r.batch_id: r for r in
+         _one_partition_per_batch(spark, metrics, [0, 1]).collect()}
+    assert (m[0].n_items, m[0].n_features, m[0].n_near_dup) == (1, 1, 0)
+    assert (m[1].n_items, m[1].n_features, m[1].n_near_dup) == (2, 1, 1)
+    for r in m.values():
+        assert r.n_items == r.n_features + r.n_rejected

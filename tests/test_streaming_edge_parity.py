@@ -972,3 +972,121 @@ def test_media_feature_stream_dedups_payloads_across_batches(spark, tmp_path):
             .select("media_id", "content_hash", "batch_id").collect())
     )
     assert after == before
+
+
+def test_media_feature_stream_near_dup_screen(spark, tmp_path):
+    """The media stream's arrival-time NEAR-dup tier (r15 — the corpus
+    MinHash screen re-expressed over content fingerprints): a later
+    batch delivering a RE-ENCODED audio copy (24-bit widening — bytes
+    differ, decoded signal identical) and a RE-CONTAINERED video copy
+    (rec-LIST rewrap — bytes differ, decoded frames identical) of items
+    already in the features store must reject both as
+    near_duplicate_in_store BEFORE the feature decode — exactly the
+    copy class the byte-digest tier structurally misses — while fresh
+    content and print-less types (images) pass. The maintained print
+    index holds only KEPT items, the n_near_dup metrics breakout lands
+    at the end of the schema, and a full fresh-checkpoint replay
+    rewrites identical partitions (the batch_id exclusion on both the
+    content_hash read and the print-index read)."""
+    import numpy as np
+
+    from metrocloud_data_pipeline_spark.llm import multimodal as mm
+    from metrocloud_data_pipeline_spark.streaming.media import (
+        run_media_feature_stream,
+    )
+
+    # >= one full 250 ms fingerprint window (a shorter clip drops its
+    # trailing partial window and carries no prints by design)
+    wav_a, wav_c = _tone_wav(500, n=4000), _tone_wav(1500, n=4000)
+    avi_v2 = mm._avi_encode(
+        np.arange(2 * 3 * 4 * 3, dtype=np.uint8).reshape(2, 3, 4, 3)
+    )
+    png_6 = mm._png_encode(
+        np.array([[[10, 20, 30], [40, 50, 60]]], dtype=np.uint8)
+    )
+    schema = (
+        "media_id long, media_type string, mime string, payload binary, "
+        "width int, height int, duration_ms int"
+    )
+    src = tmp_path / "uploads"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "audio", "audio/wav", bytearray(wav_a), None, None, 200),
+         (2, "video", "video/avi", bytearray(avi_v2), 4, 3, None)],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "a"))
+    reenc = mm.reencode_wav(wav_a)
+    recont = mm.recontainer_avi(avi_v2)
+    assert reenc != wav_a and recont != avi_v2  # exact tier CANNOT match
+    spark.createDataFrame(
+        [(3, "audio", "audio/wav", bytearray(reenc), None, None, 200),
+         (4, "audio", "audio/wav", bytearray(wav_c), None, None, 200),
+         (5, "video", "video/avi", bytearray(recont), 4, 3, None),
+         (6, "image", "image/png", bytearray(png_6), 2, 1, None)],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b"))
+
+    out = str(tmp_path / "features")
+    rejects = str(tmp_path / "rejects")
+    metrics = str(tmp_path / "metrics")
+    prints = str(tmp_path / "print_index")
+
+    # the gate refuses a screen without its exact tier / index
+    with pytest.raises(ValueError, match="requires"):
+        run_media_feature_stream(
+            spark, str(src) + "/*", out, str(tmp_path / "ck0"),
+            near_dup_screen=True, dedup=False, print_index_path=prints,
+        )
+
+    q = run_media_feature_stream(
+        spark, str(src) + "/*", out, str(tmp_path / "ck1"),
+        rejects_path=rejects, metrics_path=metrics,
+        decode_stub=False, dim=8, max_files_per_trigger=1, dedup=True,
+        near_dup_screen=True, print_index_path=prints,
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    feats = spark.read.parquet(out)
+    assert sorted(r.media_id for r in feats.collect()) == [1, 2, 4, 6]
+    rej = sorted(
+        (r.media_id, r.reason) for r in spark.read.parquet(rejects).collect()
+    )
+    assert rej == [
+        (3, "near_duplicate_in_store"),
+        (5, "near_duplicate_in_store"),
+    ]
+    # the index holds the KEPT items' prints only, namespaced per tier
+    idx = spark.read.parquet(prints)
+    by_id = {
+        r.media_id: r.n
+        for r in idx.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert sorted(by_id) == [1, 2, 4]  # rejected copies and images never index
+    namespaces = {r.ns for r in idx.select(
+        F.substring("fp", 1, 2).alias("ns")).distinct().collect()}
+    assert namespaces == {"a:", "v:"}
+    ms = {r.batch_id: r for r in spark.read.parquet(metrics).collect()}
+    for r in ms.values():  # accounting law holds per batch
+        assert r.n_items == r.n_features + r.n_rejected
+        assert r.n_decode_errors == 0  # near-dups are NOT data errors
+    assert sorted(r.n_near_dup for r in ms.values()) == [0, 2]
+    assert all(r.n_duplicates == 0 for r in ms.values())
+
+    # full fresh-checkpoint replay: identical partitions, no self-match
+    before = sorted(
+        map(tuple, feats.select("media_id", "content_hash", "batch_id").collect())
+    )
+    q2 = run_media_feature_stream(
+        spark, str(src) + "/*", out, str(tmp_path / "ck2"),
+        rejects_path=rejects, metrics_path=metrics,
+        decode_stub=False, dim=8, max_files_per_trigger=1, dedup=True,
+        near_dup_screen=True, print_index_path=prints,
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    after = sorted(
+        map(tuple, spark.read.parquet(out)
+            .select("media_id", "content_hash", "batch_id").collect())
+    )
+    assert after == before
