@@ -102,11 +102,12 @@ def featurize_media_batch(
     checkpoint: bool = False,
     dedup: bool = False,
     existing_hashes: DataFrame | None = None,
-    batch_prints: DataFrame | None = None,
+    near_dup_screen: bool = False,
     existing_prints: DataFrame | None = None,
     near_dup_threshold: float = 0.9,
     near_dup_max_fp_df: int | None = 1000,
-) -> tuple[DataFrame, DataFrame]:
+    return_prints: bool = False,
+):
     """One micro-batch of media featurization -> (features,
     rejected-with-reason). Pure batch-DataFrame logic (the curate_batch
     pattern) so it is unit-testable outside streaming and reusable for
@@ -139,22 +140,27 @@ def featurize_media_batch(
     the outputs' lineage re-reads the store after the caller starts
     rewriting it.
 
-    batch_prints + existing_prints (r15) add the NEAR-dup screen —
-    the corpus stream's arrival-time MinHash screen, re-expressed for
-    media over content fingerprints (decoded-frame hashes for video,
-    band-argmax shingles for audio; media_fingerprints): a surviving
-    row whose print-set Jaccard against any item already in the
-    standing index reaches near_dup_threshold rejects as
-    'near_duplicate_in_store' BEFORE paying the feature decode (a
-    re-encoded or re-containered copy has different bytes — the exact
-    tier misses it — but identical prints; the registered
-    media_video_near_dup / media_audio_near_dup keys are the oracle
-    anchors for this decision). batch_prints is computed by the
-    CALLER (one fingerprint decode per micro-batch, reused for the
-    index append); existing_prints is the maintained print index,
-    column-pruned to (media_id, fp). Rows with no prints (images,
-    undecodable payloads) pass through — the feature decode owns
-    their reject accounting."""
+    near_dup_screen=True + existing_prints (r15) add the NEAR-dup
+    screen — the corpus stream's arrival-time MinHash screen,
+    re-expressed for media over content fingerprints (decoded-frame
+    hashes for video, band-argmax shingles for audio;
+    media_fingerprints): a surviving row whose print-set Jaccard
+    against any item already in the standing index reaches
+    near_dup_threshold rejects as 'near_duplicate_in_store' BEFORE
+    paying the feature decode (a re-encoded or re-containered copy
+    has different bytes — the exact tier misses it — but identical
+    prints; the registered media_video_near_dup /
+    media_audio_near_dup keys are the oracle anchors for this
+    decision). The fingerprint decode runs AFTER the exact-dup tier,
+    so a batch full of byte duplicates pays zero fingerprint work for
+    them (measured 6x batch wall at the 10x probe when it ran on the
+    raw batch instead); existing_prints is the maintained print
+    index, column-pruned to (media_id, fp). Rows with no prints
+    (images, undecodable payloads) pass through — the feature decode
+    owns their reject accounting. return_prints=True appends the
+    checkpointed post-dedup print frame as a third return element
+    (None unless the screen ran) so the streaming caller can append
+    the kept rows' prints to the index without a second decode."""
     # 0. fail-loud validity split, before any Python worker sees a row
     invalid = batch.where(F.col("media_id").isNull() | F.col("payload").isNull())
     invalid_rejects = invalid.select(
@@ -254,31 +260,36 @@ def featurize_media_batch(
         )
         valid = deduped.select(*batch_cols)
 
-    # 0.75 NEAR-dup screen vs the standing index (r15): print-set
-    # Jaccard decided on the caller-provided fingerprint frame; the
-    # matched-id set is batch-bounded, checkpointed once, and
-    # broadcast into the keep/drop split (the curate_batch 2.5 shape)
+    # 0.75 NEAR-dup screen vs the standing index (r15): fingerprint
+    # the post-dedup survivors ONLY (a batch full of byte duplicates
+    # pays zero fingerprint decode), decide print-set Jaccard against
+    # the index; the matched-id set is batch-bounded, checkpointed
+    # once, and broadcast into the keep/drop split (the curate_batch
+    # 2.5 shape)
     near_dup_rejects = valid.limit(0).select(
         "media_id", "media_type", F.lit("").alias("reason")
     )
-    if batch_prints is not None and existing_prints is not None:
-        from ..llm.multimodal import fingerprint_cross_near_dup
+    batch_prints = None
+    if near_dup_screen:
+        from ..llm.multimodal import fingerprint_cross_near_dup, media_fingerprints
 
-        nd_ids = fingerprint_cross_near_dup(
-            batch_prints,
-            existing_prints,
-            threshold=near_dup_threshold,
-            max_fp_df=near_dup_max_fp_df,
-        ).localCheckpoint()
-        near_dup_rejects = (
-            valid.join(F.broadcast(nd_ids), "media_id", "left_semi")
-            .select(
-                "media_id",
-                "media_type",
-                F.lit("near_duplicate_in_store").alias("reason"),
+        batch_prints = media_fingerprints(valid).localCheckpoint()
+        if existing_prints is not None:
+            nd_ids = fingerprint_cross_near_dup(
+                batch_prints,
+                existing_prints,
+                threshold=near_dup_threshold,
+                max_fp_df=near_dup_max_fp_df,
+            ).localCheckpoint()
+            near_dup_rejects = (
+                valid.join(F.broadcast(nd_ids), "media_id", "left_semi")
+                .select(
+                    "media_id",
+                    "media_type",
+                    F.lit("near_duplicate_in_store").alias("reason"),
+                )
             )
-        )
-        valid = valid.join(F.broadcast(nd_ids), "media_id", "left_anti")
+            valid = valid.join(F.broadcast(nd_ids), "media_id", "left_anti")
 
     # 1. static type gate: rows that CANNOT decode never reach Python.
     # Video decodes for real only from an uncompressed-DIB AVI (a RIFF
@@ -317,6 +328,8 @@ def featurize_media_batch(
         .unionByName(type_rejects)
         .unionByName(decode_rejects)
     )
+    if return_prints:
+        return kept, rejected, batch_prints
     return kept, rejected
 
 
@@ -403,16 +416,10 @@ def run_media_feature_stream(
                 existing = store.where(F.col("batch_id") != batch_id).select(
                     "content_hash"
                 )
-        batch_prints = existing_prints = None
+        existing_prints = None
         if near_dup_screen:
-            from ..llm.multimodal import media_fingerprints
             from ..operators.maintenance import read_store_or_none
 
-            # ONE fingerprint decode per micro-batch, frozen here: the
-            # screen reads it twice (sizes + pair join) and the index
-            # append below reuses it — the payload bytes cross to
-            # Python exactly once for fingerprinting
-            batch_prints = media_fingerprints(batch).localCheckpoint()
             index = read_store_or_none(spark, print_index_path)
             if index is not None:
                 # exclude the current batch_id: a replayed batch must
@@ -425,13 +432,15 @@ def run_media_feature_stream(
         # featurize_media_batch; kept/rejected and the metrics
         # aggregates below all derive from that one materialization
         # (cheap column ops), so the Python decode runs exactly once
-        # per micro-batch
-        kept, rejected = featurize_media_batch(
+        # per micro-batch. The fingerprint decode (post-exact-dedup)
+        # is checkpointed inside and returned for the index append.
+        kept, rejected, batch_prints = featurize_media_batch(
             batch, decode_stub=decode_stub, dim=dim, checkpoint=True,
             dedup=dedup, existing_hashes=existing,
-            batch_prints=batch_prints, existing_prints=existing_prints,
+            near_dup_screen=near_dup_screen, existing_prints=existing_prints,
             near_dup_threshold=near_dup_threshold,
             near_dup_max_fp_df=near_dup_max_fp_df,
+            return_prints=True,
         )
         # the dedup rejects carry a lineage that READS the features
         # store (the anti-join's store side) — freeze this batch-bounded
