@@ -1464,17 +1464,21 @@ def media_fingerprints(
     the arrival-time form both registered near-dup tiers share):
     video rows yield decoded-frame sha256 hashes (sample_frames'
     real path), audio rows yield band-argmax shingles
-    (audio_fingerprints); each print is namespaced 'v:'/'a:' so the
-    two tiers can never collide in a shared fp column. Decode
-    failures are isolated per row and simply contribute NO prints —
-    in the streaming gate those rows fall through to the feature
-    decode, which owns the reject accounting (one reject per row,
-    exactly once). Other media types (images) contribute no prints:
-    exact payload dedup covers byte-identical images; near-dup for
-    stills is a separate perceptual-hash tier. Output: distinct
-    (media_id, fp)."""
+    (audio_fingerprints), image rows yield their 64-bit perceptual
+    dHash (image_hashes) as a single print; each print is namespaced
+    'v:'/'a:'/'i:' so the tiers can never collide in a shared fp
+    column. Decode failures are isolated per row and simply
+    contribute NO prints — in the streaming gate those rows fall
+    through to the feature decode, which owns the reject accounting
+    (one reject per row, exactly once). The image tier's single-print
+    sets make the Jaccard screen an EXACT-dHash match (a
+    brightness-shifted or re-encoded copy hashes identically and is
+    caught; a hamming>0 neighbor is not — Hamming-tolerant sweeps are
+    image_hash_near_dup's banded batch job, not an arrival gate).
+    Output: distinct (media_id, fp)."""
     vids = media.where(F.col("media_type") == "video")
     auds = media.where(F.col("media_type") == "audio")
+    imgs = media.where(F.col("media_type") == "image")
     vp = (
         sample_frames(vids, every_ms=every_ms, decode_stub=False, errors="reject")
         .where(F.col("frame_hash").isNotNull())
@@ -1490,7 +1494,15 @@ def media_fingerprints(
         .where(F.col("fp").isNotNull())
         .select("media_id", F.concat(F.lit("a:"), F.col("fp")).alias("fp"))
     )
-    return vp.unionByName(ap).distinct()
+    ip = (
+        image_hashes(imgs, errors="reject")
+        .where(F.col("dhash").isNotNull())
+        .select(
+            "media_id",
+            F.concat(F.lit("i:"), F.col("dhash").cast("string")).alias("fp"),
+        )
+    )
+    return vp.unionByName(ap).unionByName(ip).distinct()
 
 
 def fingerprint_cross_near_dup(
@@ -2858,4 +2870,297 @@ def media_dedup_exact(media: DataFrame) -> DataFrame:
         )
         .groupBy("media_type", "content_hash")
         .agg(F.count(F.lit(1)).alias("dup_count"), F.min("media_id").alias("keep_media_id"))
+    )
+
+
+# --- image near-dup tier (r15 cont.) ----------------------------------------
+# The perceptual-hash tier the streaming gate's docstring deferred for
+# stills: video near-dups by frame hash (r14), audio by band shingles
+# (r15), images by difference hash + multi-index Hamming banding. A
+# brightness-shifted or re-encoded copy has different bytes AND
+# different pixels, but identical horizontal-gradient SIGNS — exactly
+# the copy class a byte digest and even a pixel sha both miss.
+
+
+def image_dhash(payload: bytes) -> int:
+    """64-bit difference hash (dHash) of an image payload, computed
+    codec-free: pure-PNG decode -> Pillow-equivalent grayscale
+    (_png_gray) -> center-sampled NEAREST resample to 9x8 (the
+    classic dHash geometry; identity when the source is already 9x8)
+    -> bit i (= row*8 + col, LSB first) set iff gray[row, col+1] >
+    gray[row, col]. Gradient SIGNS are invariant under uniform
+    brightness shift and any monotone per-pixel re-encode, which is
+    what makes this a near-dup identity signal rather than a byte
+    digest. Returns a SIGNED 64-bit int (two's complement view) so
+    the value lands in a Spark/DuckDB BIGINT column unchanged."""
+    import numpy as np
+
+    px = _png_decode(payload)
+    gray = _png_gray(px)
+    h, w = gray.shape
+    rows = _nearest_indices(h, 8)
+    cols = _nearest_indices(w, 9)
+    g = gray[np.ix_(rows, cols)].astype("int64")
+    bits = (g[:, 1:] > g[:, :-1]).astype("uint64")  # 8x8, row-major
+    weights = (np.uint64(1) << np.arange(64, dtype="uint64")).reshape(8, 8)
+    return int(np.int64((bits.reshape(8, 8) * weights).sum(dtype="uint64")))
+
+
+def synth_gradient_image_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-image corpus whose dHash is CLOSED-FORM: each
+    document becomes a genuine 9x8 gray PNG built so that the
+    horizontal gradient sign at (row, col) is bit row*8+col of doc_id
+    — i.e. image_dhash(payload) == doc_id exactly (for doc_id <
+    2^63). Pixel walk per row starts at 128 and steps +-8, so values
+    stay in [64, 192] and a +delta brightness copy stays in range.
+    The synth_tone_corpus move for the image tier: the whole synth ->
+    PNG encode -> decode -> gray -> gradient -> pack chain is
+    checkable against a SQL oracle that never touches an image (the
+    oracle just uses doc_id as the hash). Input scan prunes to
+    doc_id."""
+    import numpy as np
+
+    def _img(doc_id: int) -> bytes:
+        g = np.empty((8, 9), dtype="int64")
+        g[:, 0] = 128
+        for r in range(8):
+            for c in range(8):
+                bit = (doc_id >> (r * 8 + c)) & 1
+                g[r, c + 1] = g[r, c] + (8 if bit else -8)
+        px = np.repeat(g.astype("uint8")[:, :, None], 3, axis=2)
+        return _png_encode(px)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": pd.Series(["image"] * len(pdf), dtype="object"),
+                    "mime": pd.Series(["image/png"] * len(pdf), dtype="object"),
+                    "payload": pdf["doc_id"].map(_img),
+                    "width": pd.Series([9] * len(pdf), dtype="int32"),
+                    "height": pd.Series([8] * len(pdf), dtype="int32"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("mime", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(run, schema=schema)
+
+
+def image_hashes(media: DataFrame, errors: str = "reject") -> DataFrame:
+    """(media_id, dhash) per image payload via image_dhash — one Arrow
+    pass, scan pruned to (media_id, payload). errors='reject'
+    isolates undecodable payloads per row (NULL dhash + decode_error
+    text, the sample_frames lenient contract); 'raise' restores
+    fail-loud."""
+    if errors not in ("raise", "reject"):
+        raise ValueError(f"errors must be 'raise' or 'reject', got {errors!r}")
+    lenient = errors == "reject"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, errs = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    if payload is None:
+                        raise ValueError("null media payload")
+                    ids.append(media_id)
+                    hs.append(image_dhash(payload))
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001 - per-row isolation
+                    if not lenient:
+                        raise
+                    ids.append(media_id)
+                    hs.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            out = {
+                "media_id": pd.Series(ids, dtype="int64"),
+                "dhash": pd.Series(hs, dtype="object"),
+            }
+            if lenient:
+                out["decode_error"] = pd.Series(errs, dtype="object")
+            yield pd.DataFrame(out)
+
+    schema = "media_id long, dhash long" + (
+        ", decode_error string" if lenient else ""
+    )
+    return media.select("media_id", "payload").mapInPandas(run, schema=schema)
+
+
+def image_hash_near_dup(
+    media: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_df: int | None = 1000,
+    errors: str = "reject",
+) -> DataFrame:
+    """Near-duplicate IMAGE detection by dHash + MULTI-INDEX HAMMING
+    BANDING — the image tier of the media near-dup symmetry (video =
+    frame sets r14, audio = band shingles r15): each 64-bit hash
+    splits into `bands` contiguous 16-bit bands; by pigeonhole, two
+    hashes within Hamming distance max_hamming < bands MUST agree
+    exactly on at least one band, so an equi-join on (band_idx,
+    band_value) finds every qualifying pair with recall 1.0 — no
+    64-bit cross join, no LSH probabilism — and a JVM-side
+    bit_count(xor) verify gives precision 1.0. max_hamming >= bands
+    would silently break the guarantee, so it raises with the law in
+    the message.
+
+    Everything after the one Arrow hash pass is whole-stage codegen:
+    band expansion is shiftrightunsigned + mask, the verify is
+    bitwiseXOR + bit_count. Hot buckets (a band value shared by more
+    than max_bucket_df images — e.g. the all-zero band of
+    small-valued hashes, or flat-image bands in a real crawl) are
+    excluded from the candidate join, the same df-cut discipline as
+    the video/audio tiers; a pair whose every shared band is hot is
+    then missed, which is the documented cost of the cap — callers
+    needing the unconditional guarantee set max_bucket_df=None.
+    Output: (media_a, media_b, hamming) for media_a < media_b."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"image_hash_near_dup: max_hamming={max_hamming} >= bands="
+            f"{bands} breaks the pigeonhole guarantee (a pair may "
+            "differ in every band); raise bands or lower max_hamming"
+        )
+    if 64 % bands:
+        raise ValueError(f"bands={bands} must divide 64")
+    width = 64 // bands
+    hashes = (
+        image_hashes(media, errors=errors)
+        .where(F.col("dhash").isNotNull())
+        .select("media_id", "dhash")
+    ).localCheckpoint()  # one decode pass feeds band expansion twice
+    banded = hashes.select(
+        "media_id",
+        "dhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.shiftrightunsigned(F.col("dhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    if max_bucket_df is not None:
+        hot = (
+            banded.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_bucket_df)
+            .select("band_idx", "band_val")
+        )
+        banded = banded.join(hot, ["band_idx", "band_val"], "left_semi")
+    a = banded.select(
+        F.col("media_id").alias("media_a"),
+        F.col("dhash").alias("_ha"),
+        "band_idx",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("media_id").alias("media_b"),
+        F.col("dhash").alias("_hb"),
+        "band_idx",
+        "band_val",
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "_ha", "_hb")
+        .distinct()  # a pair may agree on several bands
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )
+
+
+def media_brightness_copies(
+    media: DataFrame, id_offset: int = RECONTAINER_ID_OFFSET, delta: int = 4
+) -> DataFrame:
+    """One byte-different, pixel-different, GRADIENT-identical copy per
+    image item (uniform +delta brightness, re-encoded PNG), media_id
+    shifted by id_offset — the planted ground truth for the image
+    near-dup recall audit (recontainer_avi / reencode_wav for the
+    image tier). A brightness shift changes every pixel and every
+    byte, so BOTH the payload digest AND a pixel sha miss the copy,
+    while every horizontal gradient sign — and therefore the dHash —
+    is unchanged. Fails loud if the shift would clip (clipping WOULD
+    change gradients); the gradient synth corpus stays within
+    [64, 192] by construction."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["media_id"] = out["media_id"] + id_offset
+
+            def _shift(payload: bytes) -> bytes:
+                px = _png_decode(payload)
+                if px.max() + delta > 255:
+                    raise ValueError(
+                        f"brightness copy would clip (max {px.max()} + "
+                        f"{delta} > 255) and change gradient signs"
+                    )
+                return _png_encode((px.astype("int64") + delta).astype("uint8"))
+
+            out["payload"] = out["payload"].map(_shift)
+            yield out
+
+    return media.mapInPandas(run, schema=media.schema)
+
+
+def image_neardup_recall_report(
+    media: DataFrame, id_offset: int = RECONTAINER_ID_OFFSET
+) -> DataFrame:
+    """Recall audit of dHash image near-dup against planted
+    brightness-shifted copies — the video/audio recall-report symmetry
+    for the image tier: every image gets one +4-brightness copy
+    (different bytes, different pixels, identical dHash), the doubled
+    corpus goes through image_hash_near_dup, and the report states
+    n_planted / n_detected (planted pairs recovered at hamming 0 —
+    full hash identity, what a brightness copy MUST score) / recall /
+    n_pairs / n_byte_identical (pinned 0: exact payload dedup would
+    miss every planted pair; digest-only join, payloads never
+    shuffle)."""
+    copies = media_brightness_copies(media, id_offset)
+    corpus = media.unionByName(copies)
+    pairs = image_hash_near_dup(corpus)
+    pair_stats = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_if(
+            (F.col("media_b") - F.col("media_a") == id_offset)
+            & (F.col("hamming") == 0)
+        ).alias("n_detected"),
+    )
+    orig_digest = media.select(
+        "media_id", F.sha2(F.col("payload"), 256).alias("_d")
+    )
+    copy_digest = copies.select(
+        (F.col("media_id") - id_offset).alias("media_id"),
+        F.sha2(F.col("payload"), 256).alias("_dc"),
+    )
+    base_stats = orig_digest.join(copy_digest, "media_id").agg(
+        F.count(F.lit(1)).alias("n_planted"),
+        F.count_if(F.col("_d") == F.col("_dc")).alias("n_byte_identical"),
+    )
+    return base_stats.crossJoin(pair_stats).select(
+        "n_planted",
+        "n_detected",
+        F.round(F.col("n_detected") / F.col("n_planted"), 6).alias("recall"),
+        "n_pairs",
+        "n_byte_identical",
     )

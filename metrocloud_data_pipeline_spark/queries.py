@@ -2588,6 +2588,119 @@ def media_audio_neardup_recall(spark, sf_dir):
 
 
 @q(
+    "media_image_near_dup",
+    oracle="""
+WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+banded AS (
+  SELECT doc_id, t.i AS band_idx,
+         (doc_id >> CAST(16 * t.i AS INTEGER)) & 65535 AS band_val
+  FROM v CROSS JOIN (SELECT unnest(range(4)) AS i) t
+),
+cold AS (
+  SELECT band_idx, band_val FROM banded
+  GROUP BY 1, 2 HAVING count(*) <= 1000
+),
+kept AS (SELECT b.* FROM banded b JOIN cold USING (band_idx, band_val)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b
+  FROM kept a JOIN kept b USING (band_idx, band_val)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT media_a, media_b,
+       CAST(bit_count(xor(media_a, media_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(media_a, media_b)) <= 3
+""",
+)
+def media_image_near_dup(spark, sf_dir):
+    """Near-duplicate IMAGE detection by perceptual difference hash —
+    the IMAGE tier completing the media near-dup symmetry (video =
+    decoded-frame sets r14, audio = band shingles r15, stills now):
+    each image-cycle document becomes a genuine 9x8 gray PNG whose
+    horizontal gradient sign at (row, col) is bit row*8+col of
+    doc_id, so image_dhash(payload) == doc_id EXACTLY and the oracle
+    needs no image math at all. The operator decodes for real
+    (pure-PNG decode -> Pillow-equivalent gray -> center-sampled 9x8
+    resample -> 64 gradient bits, llm/multimodal.py image_dhash) and
+    pairs images by MULTI-INDEX HAMMING BANDING: the 64-bit hash
+    splits into four 16-bit bands, and by pigeonhole two hashes
+    within Hamming distance 3 < 4 bands must agree exactly on one
+    band — an equi-join with recall 1.0 by construction (no LSH
+    probabilism), then a codegen bit_count(xor) verify for precision
+    1.0. Hot band buckets (> 1000 images — here the all-zero high
+    bands at scale) are excluded, and the oracle models the same cut
+    (HAVING count <= 1000), so parity holds at any SF. At 100 TB:
+    one Arrow pass per image for the 8-byte hash; everything after is
+    whole-stage codegen on (band, value) keys — cost follows bucket
+    density, never corpus^2. Reference parity: the dedup surface of
+    SamuliLam/metrocloud-data-pipeline keeps one row per content key
+    (database/init.sql ON CONFLICT); this extends that identity
+    notion to perceptually-equal stills."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    media = multimodal.synth_gradient_image_corpus(docs)
+    return multimodal.image_hash_near_dup(media)
+
+
+@q(
+    "media_image_neardup_recall",
+    oracle="""
+WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+u AS (
+  SELECT doc_id AS media_id, doc_id AS h FROM v
+  UNION ALL
+  SELECT doc_id + 1099511627776, doc_id FROM v
+),
+banded AS (
+  SELECT media_id, h, t.i AS band_idx,
+         (h >> CAST(16 * t.i AS INTEGER)) & 65535 AS band_val
+  FROM u CROSS JOIN (SELECT unnest(range(4)) AS i) t
+),
+cold AS (
+  SELECT band_idx, band_val FROM banded
+  GROUP BY 1, 2 HAVING count(*) <= 1000
+),
+kept AS (SELECT b.* FROM banded b JOIN cold USING (band_idx, band_val)),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_a, a.h AS ha,
+                  b.media_id AS media_b, b.h AS hb
+  FROM kept a JOIN kept b USING (band_idx, band_val)
+  WHERE a.media_id < b.media_id
+),
+pairs AS (
+  SELECT media_a, media_b, bit_count(xor(ha, hb)) AS hamming
+  FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+)
+SELECT (SELECT count(*) FROM v) AS n_planted,
+       CAST(count_if(media_b - media_a = 1099511627776 AND hamming = 0)
+            AS BIGINT) AS n_detected,
+       round(count_if(media_b - media_a = 1099511627776 AND hamming = 0)
+             / (SELECT count(*) FROM v), 6) AS recall,
+       count(*) AS n_pairs,
+       CAST(0 AS BIGINT) AS n_byte_identical
+FROM pairs
+""",
+)
+def media_image_neardup_recall(spark, sf_dir):
+    """Recall audit of the image near-dup tier against planted
+    BRIGHTNESS-SHIFTED copies (the recontainer_avi / reencode_wav
+    symmetry for stills): every image gets one +4-brightness copy —
+    different bytes AND different pixels, so BOTH the payload digest
+    and even a pixel sha miss it (n_byte_identical must read 0) —
+    while every horizontal gradient sign, and therefore the dHash,
+    is unchanged (the pair search must score every planted pair
+    hamming 0). The oracle computes the doubled corpus closed-form
+    (copies inherit their source's hash = source doc_id), including
+    the band df-cut model, so recall is hash-checked end to end
+    through synth -> PNG encode -> +4 shift -> re-encode -> decode ->
+    gray -> gradient -> banded pair join. A lossy copy (clipping,
+    rescale drift) would flip gradient bits and read recall < 1 —
+    the audit's teeth."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    media = multimodal.synth_gradient_image_corpus(docs)
+    return multimodal.image_neardup_recall_report(media)
+
+
+@q(
     "media_container_probe",
     oracle="""
 SELECT doc_id AS media_id,
@@ -7199,6 +7312,8 @@ QUERY_ORDER = [
     # tools/freshness.py FIRST_REGISTERED_ROUND:
     "media_audio_near_dup",
     "media_audio_neardup_recall",
+    "media_image_near_dup",
+    "media_image_neardup_recall",
 ]
 
 

@@ -4160,3 +4160,94 @@ def test_fingerprint_cross_near_dup_df_cut_and_threshold(spark):
         ).collect()
     )
     assert 11 in got2 and 12 in got2
+
+
+def test_image_dhash_closed_form_and_brightness_invariance(spark):
+    """The image near-dup tier's kernel (r15 cont.): the gradient
+    synth corpus is built so image_dhash(payload) == doc_id exactly —
+    pinning bit order (row*8+col, LSB first), the 9x8 identity
+    resample, and the gray conversion in one equality — and a uniform
+    brightness shift changes every byte and every pixel while leaving
+    the hash bit-identical (the planted-copy class). Clipping copies
+    fail loud: a clipped pixel WOULD flip gradients."""
+    import numpy as np
+
+    ids = [0, 1, 5, 1023, 37**5, (1 << 40) + 7]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    media = multimodal.synth_gradient_image_corpus(docs).collect()
+    for row in media:
+        assert multimodal.image_dhash(bytes(row.payload)) == row.media_id
+
+    # brightness copy: bytes differ, pixels differ, hash identical
+    src = spark.createDataFrame(
+        [r for r in media if r.media_id == 1023],
+        multimodal.synth_gradient_image_corpus(docs).schema,
+    )
+    copy = multimodal.media_brightness_copies(src, delta=4).collect()[0]
+    orig = [r for r in media if r.media_id == 1023][0]
+    assert bytes(copy.payload) != bytes(orig.payload)
+    assert not np.array_equal(
+        multimodal._png_decode(bytes(copy.payload)),
+        multimodal._png_decode(bytes(orig.payload)),
+    )
+    assert multimodal.image_dhash(bytes(copy.payload)) == 1023
+
+    # a shift that would clip fails loud instead of flipping gradients
+    with pytest.raises(Exception, match="clip"):
+        multimodal.media_brightness_copies(src, delta=200).collect()
+
+
+def test_image_hash_near_dup_pigeonhole_and_bucket_cut(spark):
+    """The banded Hamming search: exact equivalence to brute force at
+    max_hamming=3 (the pigeonhole guarantee — recall 1.0 with no LSH
+    probabilism), the guard that refuses max_hamming >= bands, decode
+    isolation for corrupt payloads, and the hot-bucket cut engaging
+    exactly where its df threshold says."""
+    from itertools import combinations
+
+    ids = list(range(40)) + [1 << 20, (1 << 20) + 1]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    media = multimodal.synth_gradient_image_corpus(docs)
+    got = {
+        (r.media_a, r.media_b): r.hamming
+        for r in multimodal.image_hash_near_dup(media).collect()
+    }
+    exp = {
+        (a, b): bin(a ^ b).count("1")
+        for a, b in combinations(sorted(ids), 2)
+        if bin(a ^ b).count("1") <= 3
+    }
+    assert got == exp
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        multimodal.image_hash_near_dup(media, max_hamming=4)
+    with pytest.raises(ValueError, match="divide"):
+        multimodal.image_hash_near_dup(media, bands=5, max_hamming=3)
+
+    # a corrupt payload contributes no hash instead of killing the job
+    corrupt = media.unionByName(
+        spark.createDataFrame(
+            [(999, "image", "image/png", bytearray(b"junk"), 9, 8)],
+            media.schema,
+        )
+    )
+    got2 = {
+        (r.media_a, r.media_b)
+        for r in multimodal.image_hash_near_dup(corrupt).collect()
+    }
+    assert got2 == set(exp)
+
+    # bucket cut: ids < 2^16 share band_val 0 on bands 1-3; with the
+    # cap below the corpus size those bands drop and only the low
+    # band can pair — 40 vs 41 (xor 1, low band differs by 1 but the
+    # VALUES differ, so no shared cold band -> pair lost). The two
+    # high ids still pair through their (identical) high-band values
+    # whose bucket df is 2.
+    cut = {
+        (r.media_a, r.media_b)
+        for r in multimodal.image_hash_near_dup(
+            media, max_bucket_df=10
+        ).collect()
+    }
+    assert (1 << 20, (1 << 20) + 1) in cut
+    assert (0, 1) not in cut  # suppressed by the hot-bucket cap

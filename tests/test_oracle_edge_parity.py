@@ -130,6 +130,12 @@ DOC_QUERIES = [
     # recall audit over planted 24-bit re-encoded copies
     "media_audio_near_dup",
     "media_audio_neardup_recall",
+    # r15 cont.: the image near-dup tier (dHash over the gradient
+    # synth — doc_id-only derivation, so pathological text rows ride
+    # through untouched) and its recall audit over planted
+    # brightness-shifted copies
+    "media_image_near_dup",
+    "media_image_neardup_recall",
 ]
 
 EDGE_ROWS = [

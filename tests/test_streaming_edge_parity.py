@@ -979,8 +979,10 @@ def test_media_feature_stream_near_dup_screen(spark, tmp_path):
     MinHash screen re-expressed over content fingerprints): a later
     batch delivering a RE-ENCODED audio copy (24-bit widening — bytes
     differ, decoded signal identical) and a RE-CONTAINERED video copy
-    (rec-LIST rewrap — bytes differ, decoded frames identical) of items
-    already in the features store must reject both as
+    (rec-LIST rewrap — bytes differ, decoded frames identical) and a
+    BRIGHTNESS-SHIFTED image copy (+4 every pixel — bytes and pixels
+    differ, dHash identical) of items
+    already in the features store must reject all three as
     near_duplicate_in_store BEFORE the feature decode — exactly the
     copy class the byte-digest tier structurally misses — while fresh
     content and print-less types (images) pass. The maintained print
@@ -1001,9 +1003,21 @@ def test_media_feature_stream_near_dup_screen(spark, tmp_path):
     avi_v2 = mm._avi_encode(
         np.arange(2 * 3 * 4 * 3, dtype=np.uint8).reshape(2, 3, 4, 3)
     )
-    png_6 = mm._png_encode(
-        np.array([[[10, 20, 30], [40, 50, 60]]], dtype=np.uint8)
-    )
+    def grad_png(doc_id):
+        # the gradient-synth construction: dHash == doc_id exactly
+        g = np.empty((8, 9), dtype="int64")
+        g[:, 0] = 128
+        for r in range(8):
+            for c in range(8):
+                bit = (doc_id >> (r * 8 + c)) & 1
+                g[r, c + 1] = g[r, c] + (8 if bit else -8)
+        return mm._png_encode(np.repeat(g.astype("uint8")[:, :, None], 3, axis=2))
+
+    png_0 = grad_png(1023)
+    png_6 = grad_png(77)          # distinct hash from png_0
+    png_7 = mm._png_encode(       # +4 brightness copy of png_0: bytes
+        (mm._png_decode(png_0).astype("int64") + 4).astype("uint8")
+    )                             # and pixels differ, dHash identical
     schema = (
         "media_id long, media_type string, mime string, payload binary, "
         "width int, height int, duration_ms int"
@@ -1012,7 +1026,8 @@ def test_media_feature_stream_near_dup_screen(spark, tmp_path):
     src.mkdir()
     spark.createDataFrame(
         [(1, "audio", "audio/wav", bytearray(wav_a), None, None, 200),
-         (2, "video", "video/avi", bytearray(avi_v2), 4, 3, None)],
+         (2, "video", "video/avi", bytearray(avi_v2), 4, 3, None),
+         (0, "image", "image/png", bytearray(png_0), 9, 8, None)],
         schema,
     ).coalesce(1).write.parquet(str(src / "a"))
     reenc = mm.reencode_wav(wav_a)
@@ -1022,7 +1037,8 @@ def test_media_feature_stream_near_dup_screen(spark, tmp_path):
         [(3, "audio", "audio/wav", bytearray(reenc), None, None, 200),
          (4, "audio", "audio/wav", bytearray(wav_c), None, None, 200),
          (5, "video", "video/avi", bytearray(recont), 4, 3, None),
-         (6, "image", "image/png", bytearray(png_6), 2, 1, None)],
+         (6, "image", "image/png", bytearray(png_6), 9, 8, None),
+         (7, "image", "image/png", bytearray(png_7), 9, 8, None)],
         schema,
     ).coalesce(1).write.parquet(str(src / "b"))
 
@@ -1048,13 +1064,14 @@ def test_media_feature_stream_near_dup_screen(spark, tmp_path):
     assert q.exception() is None
 
     feats = spark.read.parquet(out)
-    assert sorted(r.media_id for r in feats.collect()) == [1, 2, 4, 6]
+    assert sorted(r.media_id for r in feats.collect()) == [0, 1, 2, 4, 6]
     rej = sorted(
         (r.media_id, r.reason) for r in spark.read.parquet(rejects).collect()
     )
     assert rej == [
         (3, "near_duplicate_in_store"),
         (5, "near_duplicate_in_store"),
+        (7, "near_duplicate_in_store"),  # brightness copy: dHash match
     ]
     # the index holds the KEPT items' prints only, namespaced per tier
     idx = spark.read.parquet(prints)
@@ -1062,15 +1079,15 @@ def test_media_feature_stream_near_dup_screen(spark, tmp_path):
         r.media_id: r.n
         for r in idx.groupBy("media_id").agg(F.count("*").alias("n")).collect()
     }
-    assert sorted(by_id) == [1, 2, 4]  # rejected copies and images never index
+    assert sorted(by_id) == [0, 1, 2, 4, 6]  # rejected copies never index
     namespaces = {r.ns for r in idx.select(
         F.substring("fp", 1, 2).alias("ns")).distinct().collect()}
-    assert namespaces == {"a:", "v:"}
+    assert namespaces == {"a:", "v:", "i:"}
     ms = {r.batch_id: r for r in spark.read.parquet(metrics).collect()}
     for r in ms.values():  # accounting law holds per batch
         assert r.n_items == r.n_features + r.n_rejected
         assert r.n_decode_errors == 0  # near-dups are NOT data errors
-    assert sorted(r.n_near_dup for r in ms.values()) == [0, 2]
+    assert sorted(r.n_near_dup for r in ms.values()) == [0, 3]
     assert all(r.n_duplicates == 0 for r in ms.values())
 
     # full fresh-checkpoint replay: identical partitions, no self-match

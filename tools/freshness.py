@@ -47,6 +47,8 @@ FIRST_REGISTERED_ROUND: dict[str, int] = {
     "decontaminate_bloom_audit": 14,
     "media_audio_near_dup": 15,
     "media_audio_neardup_recall": 15,
+    "media_image_near_dup": 15,
+    "media_image_neardup_recall": 15,
 }
 
 
