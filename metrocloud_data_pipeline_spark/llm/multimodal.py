@@ -2049,6 +2049,179 @@ def _jpeg_encode_headers(
     return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
+def _gif_probe(payload: bytes) -> dict:
+    """Decode-free GIF probe (r15 cont.): pure block walk per the
+    GIF87a/89a spec — logical screen descriptor geometry, global/local
+    color tables skipped by their declared sizes, image descriptors
+    counted as frames, graphic-control delays summed into duration,
+    length-prefixed sub-block chains walked without LZW decode, and
+    the trailer (0x3B) must land exactly at end-of-payload. Truncated
+    sub-blocks, unknown block introducers, a missing trailer, and
+    trailing junk all raise the documented fail-loud class."""
+    import struct
+
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("gif probe: no GIF87a/89a signature")
+    if len(b) < 13:
+        raise NotImplementedError("gif probe: truncated screen descriptor")
+    width, height = struct.unpack_from("<HH", b, 6)
+    if width == 0 or height == 0:
+        raise NotImplementedError("gif probe: zero logical screen dimension")
+    packed = b[10]
+    pos = 13
+    if packed & 0x80:  # global color table
+        pos += 3 * (2 << (packed & 0x07))
+
+    def _sub_blocks(p: int) -> int:
+        while True:
+            if p >= len(b):
+                raise NotImplementedError(
+                    "gif probe: truncated sub-block chain"
+                )
+            n = b[p]
+            p += 1 + n
+            if n == 0:
+                return p
+            if p > len(b):
+                raise NotImplementedError(
+                    f"gif probe: sub-block claims {n} bytes past EOF"
+                )
+
+    n_frames = 0
+    delay_cs = 0
+    while True:
+        if pos >= len(b):
+            raise NotImplementedError("gif probe: no trailer byte")
+        intro = b[pos]
+        pos += 1
+        if intro == 0x3B:  # trailer
+            if pos != len(b):
+                raise NotImplementedError(
+                    f"gif probe: {len(b) - pos} trailing bytes after trailer"
+                )
+            if n_frames == 0:
+                raise NotImplementedError("gif probe: no image descriptor")
+            return {
+                "container": "gif",
+                "n_frames": n_frames,
+                "sample_rate": None,
+                "width": int(width),
+                "height": int(height),
+                "duration_ms": delay_cs * 10 if n_frames > 1 else None,
+            }
+        if intro == 0x2C:  # image descriptor
+            if pos + 9 > len(b):
+                raise NotImplementedError(
+                    "gif probe: truncated image descriptor"
+                )
+            ipacked = b[pos + 8]
+            pos += 9
+            if ipacked & 0x80:  # local color table
+                pos += 3 * (2 << (ipacked & 0x07))
+            pos += 1  # LZW minimum code size
+            if pos > len(b):
+                raise NotImplementedError(
+                    "gif probe: image data starts past EOF"
+                )
+            pos = _sub_blocks(pos)
+            n_frames += 1
+        elif intro == 0x21:  # extension
+            if pos + 1 > len(b):
+                raise NotImplementedError("gif probe: truncated extension")
+            label = b[pos]
+            pos += 1
+            if label == 0xF9 and pos + 5 <= len(b) and b[pos] == 4:
+                (d,) = struct.unpack_from("<H", b, pos + 2)
+                delay_cs += d
+            pos = _sub_blocks(pos)
+        else:
+            raise NotImplementedError(
+                f"gif probe: unknown block introducer {intro:#x} at "
+                f"byte {pos - 1}"
+            )
+
+
+def _gif_encode_headers(
+    width: int = 12,
+    height: int = 7,
+    n_frames: int = 1,
+    delay_cs: int = 8,
+) -> bytes:
+    """Fixture generator: a conforming GIF89a skeleton (screen
+    descriptor + 2-entry GCT + per-frame GCE/image descriptor with
+    inert LZW sub-blocks + trailer) — the probe walks structure only."""
+    import struct
+
+    out = b"GIF89a" + struct.pack("<HH", width, height) + b"\x80\x00\x00"
+    out += b"\x00\x00\x00\xff\xff\xff"  # 2-entry global color table
+    for _ in range(n_frames):
+        if n_frames > 1:
+            out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += (
+            b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+            + b"\x02"            # LZW min code size
+            + b"\x02\x4c\x01"    # one 2-byte data sub-block (inert)
+            + b"\x00"            # chain terminator
+        )
+    return out + b"\x3b"
+
+
+def _bmp_probe(payload: bytes) -> dict:
+    """Decode-free BMP probe (r15 cont.): BITMAPFILEHEADER + DIB header
+    geometry — the declared file size must equal the payload length
+    (the format's own integrity field), the pixel-array offset must
+    land inside the payload, and a BITMAPCOREHEADER (12-byte) or
+    BITMAPINFOHEADER-family (40+) is unpacked for dimensions. A
+    negative height (top-down rows) reports its magnitude."""
+    import struct
+
+    b = bytes(payload)
+    if b[:2] != b"BM" or len(b) < 26:
+        raise NotImplementedError("bmp probe: not a BMP payload")
+    declared, _, _, data_off = struct.unpack_from("<IHHI", b, 2)
+    if declared != len(b):
+        raise NotImplementedError(
+            f"bmp probe: header declares {declared} bytes, payload has "
+            f"{len(b)} — truncated or padded"
+        )
+    (dib,) = struct.unpack_from("<I", b, 14)
+    if dib == 12:  # BITMAPCOREHEADER: u16 dims
+        w, h = struct.unpack_from("<HH", b, 18)
+    elif dib >= 40 and len(b) >= 26:
+        w, h = struct.unpack_from("<ii", b, 18)
+    else:
+        raise NotImplementedError(f"bmp probe: unsupported DIB header size {dib}")
+    if w <= 0 or h == 0:
+        raise NotImplementedError("bmp probe: non-positive bitmap dimension")
+    if not 14 <= data_off <= len(b):
+        raise NotImplementedError(
+            f"bmp probe: pixel array offset {data_off} outside payload"
+        )
+    return {
+        "container": "bmp",
+        "n_frames": 1,
+        "sample_rate": None,
+        "width": int(w),
+        "height": abs(int(h)),
+        "duration_ms": None,
+    }
+
+
+def _bmp_encode_headers(width: int = 11, height: int = 5) -> bytes:
+    """Fixture generator: a conforming 24-bit BITMAPINFOHEADER BMP with
+    inert pixel rows — the probe reads headers + the size field only."""
+    import struct
+
+    row = (width * 3 + 3) & ~3  # 4-byte aligned rows
+    data = b"\x00" * (row * height)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(data), 2835, 2835, 0, 0)
+    total = 14 + len(info) + len(data)
+    head = b"BM" + struct.pack("<IHHI", total, 0, 0, 14 + len(info))
+    return head + info + data
+
+
 _OGG_CRC_TABLE: list[int] | None = None
 
 
@@ -2267,6 +2440,10 @@ def _probe_payload(payload: bytes) -> dict:
         return _png_probe(b)
     if b[:3] == b"\xff\xd8\xff":
         return _jpeg_probe(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_probe(b)
+    if b[:2] == b"BM":
+        return _bmp_probe(b)
     if b[:4] == b"OggS":
         return _ogg_probe(b)
     if b[:4] == b"fLaC":
@@ -2287,8 +2464,8 @@ def _probe_payload(payload: bytes) -> dict:
         }
     raise NotImplementedError(
         "probe_media: unrecognized container (supported: WAV, AVI, "
-        "PNG, JPEG, Ogg Vorbis/Opus, FLAC, MP4/ISO-BMFF, MPEG "
-        "Layer III)"
+        "PNG, JPEG, GIF, BMP, Ogg Vorbis/Opus, FLAC, MP4/ISO-BMFF, "
+        "MPEG Layer III)"
     )
 
 

@@ -4251,3 +4251,43 @@ def test_image_hash_near_dup_pigeonhole_and_bucket_cut(spark):
     }
     assert (1 << 20, (1 << 20) + 1) in cut
     assert (0, 1) not in cut  # suppressed by the hot-bucket cap
+
+
+def test_gif_and_bmp_probe_geometry_and_gate():
+    """The r15 GIF/BMP probe tier: the GIF block walk recovers screen
+    geometry, counts image descriptors as frames, and sums
+    graphic-control delays into duration for animations; the BMP probe
+    validates the format's own declared-size integrity field against
+    the actual payload length. Truncation, trailing junk, a frameless
+    stream, and size mismatches all fail loud; both join the
+    magic-byte dispatch."""
+    g1 = multimodal._gif_encode_headers(12, 7, n_frames=1)
+    got = multimodal._probe_payload(g1)
+    assert got == {
+        "container": "gif", "n_frames": 1, "sample_rate": None,
+        "width": 12, "height": 7, "duration_ms": None,
+    }
+    g3 = multimodal._gif_encode_headers(12, 7, n_frames=3, delay_cs=8)
+    got = multimodal._probe_payload(g3)
+    assert got["n_frames"] == 3 and got["duration_ms"] == 240
+
+    with pytest.raises(NotImplementedError, match="no trailer"):
+        multimodal._gif_probe(g1[:15])
+    with pytest.raises(NotImplementedError, match="trailing bytes"):
+        multimodal._gif_probe(g1 + b"z")
+    with pytest.raises(NotImplementedError, match="no image descriptor"):
+        multimodal._gif_probe(g1[:19] + b"\x3b")
+    with pytest.raises(NotImplementedError, match="no GIF87a/89a"):
+        multimodal._gif_probe(b"\x00" * 20)
+
+    b = multimodal._bmp_encode_headers(11, 5)
+    assert multimodal._probe_payload(b) == {
+        "container": "bmp", "n_frames": 1, "sample_rate": None,
+        "width": 11, "height": 5, "duration_ms": None,
+    }
+    with pytest.raises(NotImplementedError, match="truncated or padded"):
+        multimodal._bmp_probe(b[:-1])
+    with pytest.raises(NotImplementedError, match="truncated or padded"):
+        multimodal._bmp_probe(b + b"x")
+    with pytest.raises(NotImplementedError, match="not a BMP"):
+        multimodal._bmp_probe(b"BM")

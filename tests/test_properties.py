@@ -1004,7 +1004,8 @@ def test_avro_codec_roundtrips_random_records(rows):
 
 @given(
     st.sampled_from(
-        ["wav", "png", "avi", "mp3", "flac", "mp4", "jpeg", "ogg", "probe"]
+        ["wav", "png", "avi", "mp3", "flac", "mp4", "jpeg", "ogg",
+         "gif", "bmp", "probe"]
     ),
     st.sampled_from(["truncate", "flip", "len_corrupt", "garbage"]),
     st.integers(min_value=0, max_value=2**32 - 1),
@@ -1067,6 +1068,14 @@ def test_media_decoders_fail_loud_on_corrupted_containers(kind, mode, seed):
         # r15: the CRC-verified Ogg page walk joins the fuzz matrix
         payload = bytearray(mm._ogg_encode(2000, 8000))
         decode = mm._ogg_probe
+    elif kind == "gif":
+        # r15: the GIF block walk joins the fuzz matrix
+        payload = bytearray(mm._gif_encode_headers(12, 7, 3))
+        decode = mm._gif_probe
+    elif kind == "bmp":
+        # r15: the BMP header probe joins the fuzz matrix
+        payload = bytearray(mm._bmp_encode_headers(11, 5))
+        decode = mm._bmp_probe
     elif kind == "probe":
         # the magic-byte probe dispatcher over a WAV body — must route
         # corrupted bytes to the documented contract, never raw errors
@@ -1120,10 +1129,14 @@ def test_media_decoders_fail_loud_on_corrupted_containers(kind, mode, seed):
         # a surviving flip can only be in inert packet bytes the CRC
         # covers — so success means a byte-identical-to-valid page set
         assert out["container"].startswith("ogg-") and out["n_frames"] >= 0
+    elif kind == "gif":
+        assert out["container"] == "gif" and out["n_frames"] >= 1
+    elif kind == "bmp":
+        assert out["container"] == "bmp" and out["width"] >= 1
     elif kind == "probe":
         assert out["container"] in (
             "wav", "avi", "png", "mp3", "flac", "mp4", "jpeg",
-            "ogg-vorbis", "ogg-opus",
+            "gif", "bmp", "ogg-vorbis", "ogg-opus",
         )
         # a flip in a WAV/FLAC length field can legitimately declare an
         # EMPTY (0-sample) stream — a well-formed answer, not an escape
