@@ -2188,7 +2188,7 @@ def _bmp_probe(payload: bytes) -> dict:
     (dib,) = struct.unpack_from("<I", b, 14)
     if dib == 12:  # BITMAPCOREHEADER: u16 dims
         w, h = struct.unpack_from("<HH", b, 18)
-    elif dib >= 40 and len(b) >= 26:
+    elif dib >= 40:  # BITMAPINFOHEADER family (entry check covers len)
         w, h = struct.unpack_from("<ii", b, 18)
     else:
         raise NotImplementedError(f"bmp probe: unsupported DIB header size {dib}")
@@ -3080,7 +3080,10 @@ def image_dhash(payload: bytes) -> int:
     g = gray[np.ix_(rows, cols)].astype("int64")
     bits = (g[:, 1:] > g[:, :-1]).astype("uint64")  # 8x8, row-major
     weights = (np.uint64(1) << np.arange(64, dtype="uint64")).reshape(8, 8)
-    return int(np.int64((bits.reshape(8, 8) * weights).sum(dtype="uint64")))
+    s = int((bits.reshape(8, 8) * weights).sum(dtype="uint64"))
+    # explicit two's-complement fold (bit 63 set -> negative BIGINT);
+    # np.int64(big_uint) would rely on a silent wrap NumPy 2.x rejects
+    return s - (1 << 64) if s >= (1 << 63) else s
 
 
 def synth_gradient_image_corpus(docs: DataFrame) -> DataFrame:
@@ -3150,8 +3153,12 @@ def image_hashes(media: DataFrame, errors: str = "reject") -> DataFrame:
                 try:
                     if payload is None:
                         raise ValueError("null media payload")
+                    # compute BEFORE any append: a raise between the
+                    # id append and the hash append would shift every
+                    # subsequent row's hash onto the wrong media_id
+                    h = image_dhash(payload)
                     ids.append(media_id)
-                    hs.append(image_dhash(payload))
+                    hs.append(h)
                     errs.append(None)
                 except Exception as exc:  # noqa: BLE001 - per-row isolation
                     if not lenient:

@@ -36,7 +36,8 @@ serving do:
 - near_dup_screen=True adds the NEAR-dup tier on top (r15 — the
   corpus stream's arrival-time MinHash screen, re-expressed for
   media): arrivals are fingerprinted once per batch (decoded-frame
-  hashes for video, band-argmax shingles for audio), screened by
+  hashes for video, band-argmax shingles for audio, perceptual
+  dHash for images), screened by
   print-set Jaccard against a maintained (media_id, fp) index of the
   stored items, and rejected as 'near_duplicate_in_store' before the
   feature decode — catching the re-encoded/re-containered copies the
@@ -151,13 +152,17 @@ def featurize_media_batch(
     has different bytes — the exact tier misses it — but identical
     prints; the registered media_video_near_dup /
     media_audio_near_dup keys are the oracle anchors for this
-    decision). The fingerprint decode runs AFTER the exact-dup tier,
-    so a batch full of byte duplicates pays zero fingerprint work for
-    them (measured 6x batch wall at the 10x probe when it ran on the
-    raw batch instead); existing_prints is the maintained print
-    index, column-pruned to (media_id, fp). Rows with no prints
-    (images, undecodable payloads) pass through — the feature decode
-    owns their reject accounting. return_prints=True appends the
+    decision; images carry their perceptual dHash as a single print,
+    so a brightness-shifted or re-encoded image copy is caught too —
+    at exact-dHash identity, the single-print Jaccard form). The
+    fingerprint decode runs AFTER the exact-dup AND static type
+    tiers, so a batch full of byte duplicates or compressed videos
+    pays zero fingerprint work for them (measured 6x batch wall at
+    the 10x probe when it ran on the raw batch instead);
+    existing_prints is the maintained print index, column-pruned to
+    (media_id, fp). Rows with no prints (undecodable payloads) pass
+    through — the feature decode owns their reject accounting.
+    return_prints=True appends the
     checkpointed post-dedup print frame as a third return element
     (None unless the screen ran) so the streaming caller can append
     the kept rows' prints to the index without a second decode."""
@@ -260,43 +265,15 @@ def featurize_media_batch(
         )
         valid = deduped.select(*batch_cols)
 
-    # 0.75 NEAR-dup screen vs the standing index (r15): fingerprint
-    # the post-dedup survivors ONLY (a batch full of byte duplicates
-    # pays zero fingerprint decode), decide print-set Jaccard against
-    # the index; the matched-id set is batch-bounded, checkpointed
-    # once, and broadcast into the keep/drop split (the curate_batch
-    # 2.5 shape)
-    near_dup_rejects = valid.limit(0).select(
-        "media_id", "media_type", F.lit("").alias("reason")
-    )
-    batch_prints = None
-    if near_dup_screen:
-        from ..llm.multimodal import fingerprint_cross_near_dup, media_fingerprints
-
-        batch_prints = media_fingerprints(valid).localCheckpoint()
-        if existing_prints is not None:
-            nd_ids = fingerprint_cross_near_dup(
-                batch_prints,
-                existing_prints,
-                threshold=near_dup_threshold,
-                max_fp_df=near_dup_max_fp_df,
-            ).localCheckpoint()
-            near_dup_rejects = (
-                valid.join(F.broadcast(nd_ids), "media_id", "left_semi")
-                .select(
-                    "media_id",
-                    "media_type",
-                    F.lit("near_duplicate_in_store").alias("reason"),
-                )
-            )
-            valid = valid.join(F.broadcast(nd_ids), "media_id", "left_anti")
-
     # 1. static type gate: rows that CANNOT decode never reach Python.
     # Video decodes for real only from an uncompressed-DIB AVI (a RIFF
     # container, r12) — anything without the RIFF magic is compressed
     # or foreign and is rejected by a column expression, zero Arrow
     # transfer (a RIFF payload can still fail per-row in step 2, e.g.
-    # an MJPG-coded AVI).
+    # an MJPG-coded AVI). Runs BEFORE the near-dup screen so the
+    # fingerprint decode also honors the never-reach-Python invariant
+    # (a compressed-video batch would otherwise Arrow-transfer every
+    # payload just to raise per row and yield zero prints).
     if decode_stub:
         decodable = valid
         type_rejects = valid.limit(0).select(
@@ -312,6 +289,39 @@ def featurize_media_batch(
             "media_type",
             F.lit("video_needs_ffmpeg").alias("reason"),
         )
+
+    # 1.5 NEAR-dup screen vs the standing index (r15): fingerprint the
+    # post-dedup, post-type-gate survivors ONLY (a batch full of byte
+    # duplicates or compressed videos pays zero fingerprint decode),
+    # decide print-set Jaccard against the index; the matched-id set
+    # is batch-bounded, checkpointed once, and broadcast into the
+    # keep/drop split (the curate_batch 2.5 shape)
+    near_dup_rejects = decodable.limit(0).select(
+        "media_id", "media_type", F.lit("").alias("reason")
+    )
+    batch_prints = None
+    if near_dup_screen:
+        from ..llm.multimodal import fingerprint_cross_near_dup, media_fingerprints
+
+        batch_prints = media_fingerprints(decodable).localCheckpoint()
+        if existing_prints is not None:
+            nd_ids = fingerprint_cross_near_dup(
+                batch_prints,
+                existing_prints,
+                threshold=near_dup_threshold,
+                max_fp_df=near_dup_max_fp_df,
+            ).localCheckpoint()
+            near_dup_rejects = (
+                decodable.join(F.broadcast(nd_ids), "media_id", "left_semi")
+                .select(
+                    "media_id",
+                    "media_type",
+                    F.lit("near_duplicate_in_store").alias("reason"),
+                )
+            )
+            decodable = decodable.join(
+                F.broadcast(nd_ids), "media_id", "left_anti"
+            )
 
     # 2. per-row lenient decode: failures keep identity + exception text
     feats = extract_features(decodable, decode_stub=decode_stub, dim=dim, errors="reject")
@@ -366,7 +376,8 @@ def run_media_feature_stream(
     near_dup_screen=True (r15) adds the arrival-time NEAR-dup tier —
     the corpus stream's MinHash screen, re-expressed over media
     content fingerprints (decoded-frame hashes for video, band-argmax
-    shingles for audio): an arrival whose print-set Jaccard against
+    shingles for audio, perceptual dHash for images): an arrival
+    whose print-set Jaccard against
     any stored item reaches near_dup_threshold rejects as
     'near_duplicate_in_store' before paying the feature decode, which
     catches the copies the exact tier structurally misses

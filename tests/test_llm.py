@@ -4291,3 +4291,32 @@ def test_gif_and_bmp_probe_geometry_and_gate():
         multimodal._bmp_probe(b + b"x")
     with pytest.raises(NotImplementedError, match="not a BMP"):
         multimodal._bmp_probe(b"BM")
+
+
+def test_image_hashes_mid_batch_failure_keeps_row_alignment(spark):
+    """Regression (found by review, r15): a decode failure in the
+    MIDDLE of one Arrow batch must not shift subsequent rows' hashes
+    onto the wrong media_id — the failing row gets (NULL, error) and
+    every other row keeps its own hash."""
+    ids = [11, 22, 33]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    good = {r.media_id: bytes(r.payload)
+            for r in multimodal.synth_gradient_image_corpus(docs).collect()}
+    rows = [
+        (11, "image", "image/png", bytearray(good[11]), 9, 8),
+        (99, "image", "image/png", bytearray(b"corrupt"), 9, 8),  # mid-batch
+        (22, "image", "image/png", bytearray(good[22]), 9, 8),
+        (33, "image", "image/png", bytearray(good[33]), 9, 8),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, mime string, payload binary, "
+        "width int, height int",
+    ).coalesce(1)  # ONE partition: all four rows share an Arrow batch
+    got = {r.media_id: (r.dhash, r.decode_error)
+           for r in multimodal.image_hashes(media).collect()}
+    assert got[11] == (11, None)
+    assert got[22] == (22, None)
+    assert got[33] == (33, None)
+    assert got[99][0] is None and got[99][1] is not None
+    assert len(got) == 4

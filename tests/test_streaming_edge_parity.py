@@ -985,7 +985,7 @@ def test_media_feature_stream_near_dup_screen(spark, tmp_path):
     already in the features store must reject all three as
     near_duplicate_in_store BEFORE the feature decode — exactly the
     copy class the byte-digest tier structurally misses — while fresh
-    content and print-less types (images) pass. The maintained print
+    content passes. The maintained print
     index holds only KEPT items, the n_near_dup metrics breakout lands
     at the end of the schema, and a full fresh-checkpoint replay
     rewrites identical partitions (the batch_id exclusion on both the
