@@ -2049,6 +2049,103 @@ def _jpeg_encode_headers(
     return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
+def _webp_probe(payload: bytes) -> dict:
+    """Decode-free WebP probe (r15 cont.): RIFF/WEBP chunk walk for
+    all three public layouts — 'VP8 ' (lossy: 3-byte frame tag +
+    start code 9D 01 2A + 14-bit dims), 'VP8L' (lossless: 0x2F
+    signature + 14-bit-packed dims-1), and 'VP8X' (extended: 24-bit
+    canvas dims-1). The RIFF size must tile the payload exactly, the
+    first chunk must be one of the three, and truncated chunk bodies
+    fail loud — the same contract as the sibling walks. Pixel decode
+    (VP8 prediction/ANS) stays out: header tier only."""
+    import struct
+
+    b = bytes(payload)
+    if len(b) < 16 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise NotImplementedError("webp probe: not a RIFF/WEBP payload")
+    (riff_size,) = struct.unpack_from("<I", b, 4)
+    if 8 + riff_size != len(b):
+        raise NotImplementedError(
+            f"webp probe: RIFF declares {8 + riff_size} bytes, payload "
+            f"has {len(b)}"
+        )
+    fourcc = b[12:16]
+    if len(b) < 20:
+        raise NotImplementedError("webp probe: truncated chunk header")
+    (chunk_len,) = struct.unpack_from("<I", b, 16)
+    body = 20
+    if body + chunk_len > len(b):
+        raise NotImplementedError(
+            f"webp probe: chunk {fourcc!r} claims {chunk_len} bytes "
+            f"with {len(b) - body} remaining"
+        )
+    if fourcc == b"VP8 ":
+        if chunk_len < 10 or b[body + 3 : body + 6] != b"\x9d\x01\x2a":
+            raise NotImplementedError(
+                "webp probe: VP8 key-frame start code missing"
+            )
+        w_raw, h_raw = struct.unpack_from("<HH", b, body + 6)
+        width, height = w_raw & 0x3FFF, h_raw & 0x3FFF
+    elif fourcc == b"VP8L":
+        if chunk_len < 5 or b[body] != 0x2F:
+            raise NotImplementedError("webp probe: VP8L signature missing")
+        (bits,) = struct.unpack_from("<I", b, body + 1)
+        width = (bits & 0x3FFF) + 1
+        height = ((bits >> 14) & 0x3FFF) + 1
+    elif fourcc == b"VP8X":
+        if chunk_len < 10:
+            raise NotImplementedError("webp probe: VP8X chunk too short")
+        width = int.from_bytes(b[body + 4 : body + 7], "little") + 1
+        height = int.from_bytes(b[body + 7 : body + 10], "little") + 1
+    else:
+        raise NotImplementedError(
+            f"webp probe: first chunk {fourcc!r} is not VP8 /VP8L/VP8X"
+        )
+    if width == 0 or height == 0:
+        raise NotImplementedError("webp probe: zero canvas dimension")
+    return {
+        "container": "webp",
+        "n_frames": 1,
+        "sample_rate": None,
+        "width": int(width),
+        "height": int(height),
+        "duration_ms": None,
+    }
+
+
+def _webp_encode_headers(
+    width: int = 160, height: int = 90, layout: str = "vp8"
+) -> bytes:
+    """Fixture generator: a conforming RIFF/WEBP skeleton in any of the
+    three layouts with inert compressed-data filler — the probe reads
+    chunk headers + the dimension fields only."""
+    import struct
+
+    if layout == "vp8":
+        body = (
+            b"\x00\x00\x00"              # frame tag (inert for the probe)
+            + b"\x9d\x01\x2a"            # key-frame start code
+            + struct.pack("<HH", width, height)
+            + b"\x00" * 8
+        )
+        fourcc = b"VP8 "
+    elif layout == "vp8l":
+        bits = (width - 1) | ((height - 1) << 14)
+        body = b"\x2f" + struct.pack("<I", bits) + b"\x00" * 6
+        fourcc = b"VP8L"
+    elif layout == "vp8x":
+        body = (
+            b"\x00\x00\x00\x00"
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little")
+        )
+        fourcc = b"VP8X"
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+    chunk = fourcc + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
 def _gif_probe(payload: bytes) -> dict:
     """Decode-free GIF probe (r15 cont.): pure block walk per the
     GIF87a/89a spec — logical screen descriptor geometry, global/local
@@ -2436,6 +2533,8 @@ def _probe_payload(payload: bytes) -> dict:
         return _wav_probe(b)
     if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
         return _avi_probe(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        return _webp_probe(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return _png_probe(b)
     if b[:3] == b"\xff\xd8\xff":
@@ -2464,8 +2563,8 @@ def _probe_payload(payload: bytes) -> dict:
         }
     raise NotImplementedError(
         "probe_media: unrecognized container (supported: WAV, AVI, "
-        "PNG, JPEG, GIF, BMP, Ogg Vorbis/Opus, FLAC, MP4/ISO-BMFF, "
-        "MPEG Layer III)"
+        "PNG, JPEG, GIF, BMP, WebP, Ogg Vorbis/Opus, FLAC, "
+        "MP4/ISO-BMFF, MPEG Layer III)"
     )
 
 

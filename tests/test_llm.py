@@ -4320,3 +4320,29 @@ def test_image_hashes_mid_batch_failure_keeps_row_alignment(spark):
     assert got[33] == (33, None)
     assert got[99][0] is None and got[99][1] is not None
     assert len(got) == 4
+
+
+def test_webp_probe_geometry_and_gate():
+    """The r15 WebP tier: all three public layouts (lossy VP8 with the
+    key-frame start code, lossless VP8L bit-packed dims, extended VP8X
+    canvas), RIFF size tiling enforced, unknown first chunks and
+    truncation fail loud, and the magic dispatcher routes RIFF/WEBP."""
+    for layout in ("vp8", "vp8l", "vp8x"):
+        p = multimodal._webp_encode_headers(160, 90, layout)
+        assert multimodal._probe_payload(p) == {
+            "container": "webp", "n_frames": 1, "sample_rate": None,
+            "width": 160, "height": 90, "duration_ms": None,
+        }, layout
+    p = multimodal._webp_encode_headers()
+    with pytest.raises(NotImplementedError, match="RIFF declares"):
+        multimodal._webp_probe(p + b"x")
+    with pytest.raises(NotImplementedError, match="RIFF declares"):
+        multimodal._webp_probe(p[:-1])
+    with pytest.raises(NotImplementedError, match="not VP8"):
+        multimodal._webp_probe(
+            b"RIFF\x10\x00\x00\x00WEBPXXXX\x04\x00\x00\x00abcd"
+        )
+    with pytest.raises(NotImplementedError, match="start code"):
+        bad = bytearray(p)
+        bad[23] ^= 0xFF  # corrupt the 9D 01 2A start code
+        multimodal._webp_probe(bytes(bad))

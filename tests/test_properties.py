@@ -1005,7 +1005,7 @@ def test_avro_codec_roundtrips_random_records(rows):
 @given(
     st.sampled_from(
         ["wav", "png", "avi", "mp3", "flac", "mp4", "jpeg", "ogg",
-         "gif", "bmp", "probe"]
+         "gif", "bmp", "webp", "probe"]
     ),
     st.sampled_from(["truncate", "flip", "len_corrupt", "garbage"]),
     st.integers(min_value=0, max_value=2**32 - 1),
@@ -1076,6 +1076,10 @@ def test_media_decoders_fail_loud_on_corrupted_containers(kind, mode, seed):
         # r15: the BMP header probe joins the fuzz matrix
         payload = bytearray(mm._bmp_encode_headers(11, 5))
         decode = mm._bmp_probe
+    elif kind == "webp":
+        # r15: the WebP chunk probe joins the fuzz matrix
+        payload = bytearray(mm._webp_encode_headers(160, 90))
+        decode = mm._webp_probe
     elif kind == "probe":
         # the magic-byte probe dispatcher over a WAV body — must route
         # corrupted bytes to the documented contract, never raw errors
@@ -1133,10 +1137,12 @@ def test_media_decoders_fail_loud_on_corrupted_containers(kind, mode, seed):
         assert out["container"] == "gif" and out["n_frames"] >= 1
     elif kind == "bmp":
         assert out["container"] == "bmp" and out["width"] >= 1
+    elif kind == "webp":
+        assert out["container"] == "webp" and out["width"] >= 1
     elif kind == "probe":
         assert out["container"] in (
             "wav", "avi", "png", "mp3", "flac", "mp4", "jpeg",
-            "gif", "bmp", "ogg-vorbis", "ogg-opus",
+            "gif", "bmp", "webp", "ogg-vorbis", "ogg-opus",
         )
         # a flip in a WAV/FLAC length field can legitimately declare an
         # EMPTY (0-sample) stream — a well-formed answer, not an escape
