@@ -1010,7 +1010,7 @@ def test_avro_codec_roundtrips_random_records(rows):
     st.sampled_from(["truncate", "flip", "len_corrupt", "garbage"]),
     st.integers(min_value=0, max_value=2**32 - 1),
 )
-@settings(max_examples=160, deadline=None)
+@settings(max_examples=264, deadline=None)  # 11 kinds x 4 modes: ~6 examples per cell
 def test_media_decoders_fail_loud_on_corrupted_containers(kind, mode, seed):
     """Corruption fuzz over all three real decoders (r13): arbitrary
     truncations, byte flips, length-field corruption, and pure garbage
