@@ -1458,7 +1458,7 @@ def media_fingerprints(
     every_ms: int = 40,
     window_ms: int = 250,
     dim: int = 32,
-    shingle: int = 1,
+    shingle: int = 2,
 ) -> DataFrame:
     """Unified near-dup fingerprints for a MIXED media frame (r15 —
     the arrival-time form both registered near-dup tiers share):
@@ -1475,6 +1475,13 @@ def media_fingerprints(
     brightness-shifted or re-encoded copy hashes identically and is
     caught; a hamming>0 neighbor is not — Hamming-tolerant sweeps are
     image_hash_near_dup's banded batch job, not an arrival gate).
+    Audio defaults to shingle=2 — deliberately HIGHER than the
+    registered oracle key's shingle=1: a single-band print space has
+    only `dim` values, so at any realistic store size every value
+    crosses the hot-print df-cut and the audio screen silently turns
+    itself off (PROBE_r15 §e measured exactly this at the 10x
+    fixture); shingled prints give a dim^shingle space where
+    ubiquitous prints are the exception the cut exists for.
     Output: distinct (media_id, fp)."""
     vids = media.where(F.col("media_type") == "video")
     auds = media.where(F.col("media_type") == "audio")
