@@ -2066,32 +2066,34 @@ def corpus_filter_funnel(docs: DataFrame) -> DataFrame:
 
     Output: (stage, stage_name, n_docs, frac_of_corpus), 4 rows.
 
-    Plan shape: the two panels are map-only expressions; the digest
-    groupBy is the only shuffle and runs over the already-filtered
-    survivor set; the funnel itself is one aggregate row unpivoted via
-    stack — at 100 TB this costs one filtered scan plus the dedup
-    exchange the pipeline pays anyway."""
-    g = gopher_quality_panel(docs).select("doc_id", "gopher_pass")
-    c = c4_line_filter(docs).select("doc_id", "c4_keep")
+    Plan shape (r15): ONE map-only projection computes digest + both
+    panel flags side by side (the panels are pure per-row expressions,
+    so chaining them through their passthrough form costs nothing —
+    the previous join-of-three-projections-of-the-same-scan shape paid
+    two corpus self-joins on doc_id plus a digest join-back, 8 jobs /
+    2 SortMergeJoins at sf0.1, for values derivable in one pass), and
+    ONE aggregate produces all four funnel counts: the dedup-keeper
+    count is count(DISTINCT digest) over survivors — the keeper set
+    has exactly one member per surviving digest group, so counting
+    keepers IS counting distinct survivor digests, no keeper join
+    needed. At 100 TB: one scan, one distinct-aggregate exchange."""
     from .dedup import _norm_text
 
-    flags = (
-        docs.select("doc_id", F.md5(_norm_text(F.col("text"))).alias("_digest"))
-        .join(g, "doc_id")
-        .join(c, "doc_id")
+    flags = c4_line_filter(
+        gopher_quality_panel(docs, passthrough=True), passthrough=True
+    ).select(
+        "doc_id",
+        F.md5(_norm_text(F.col("text"))).alias("_digest"),
+        "gopher_pass",
+        "c4_keep",
     )
-    surv = flags.where(F.col("gopher_pass") & F.col("c4_keep"))
-    keep = surv.groupBy("_digest").agg(F.min("doc_id").alias("_kid"))
-    survivors = surv.join(keep, "_digest").where(F.col("doc_id") == F.col("_kid"))
-    head = flags.agg(
+    surv = F.col("gopher_pass") & F.col("c4_keep")
+    row = flags.agg(
         F.count(F.lit(1)).alias("c0"),
         F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0)).alias("c1"),
-        F.sum(
-            F.when(F.col("gopher_pass") & F.col("c4_keep"), 1).otherwise(0)
-        ).alias("c2"),
+        F.sum(F.when(surv, 1).otherwise(0)).alias("c2"),
+        F.count_distinct(F.when(surv, F.col("_digest"))).alias("c3"),
     )
-    tail = survivors.agg(F.count(F.lit(1)).alias("c3"))
-    row = head.crossJoin(tail)
     return row.select(
         F.expr(
             "stack(4, 0, 'all', c0, 1, 'gopher', c1, 2, 'c4', c2, 3, 'dedup', c3)"
@@ -2659,39 +2661,48 @@ def source_filter_funnel(docs: DataFrame) -> DataFrame:
     loses its text to another source's keeper counts as removed here,
     exactly as deployed), frac_kept.
 
-    Plan shape: identical gates to corpus_filter_funnel (shared flag
-    expressions; the oracles share one SQL fragment), one digest
-    shuffle over the filtered survivors, and a source-keyed partial
-    agg instead of the 1-row fold."""
-    g = gopher_quality_panel(docs).select("doc_id", "gopher_pass")
-    c = c4_line_filter(docs).select("doc_id", "c4_keep")
+    Plan shape (r15): identical gates to corpus_filter_funnel — and
+    the same restructure: ONE map-only projection carries source,
+    digest and both panel flags (no corpus self-joins), the per-source
+    head counts are one source-keyed partial agg, and the kept count
+    attributes each surviving digest group to its keeper's source via
+    min_by(source, doc_id) in the digest aggregate — so the previous
+    corpus-sized digest join-back (flags ⋈ keep) collapses to a
+    sources-sized broadcast join of two aggregates. At 100 TB: one
+    scan, one source-keyed exchange, one digest-keyed exchange over
+    survivors only, one broadcast of a #sources-row frame."""
     from .dedup import _norm_text
 
-    flags = (
-        docs.select(
-            "doc_id", "source", F.md5(_norm_text(F.col("text"))).alias("_digest")
-        )
-        .join(g, "doc_id")
-        .join(c, "doc_id")
-    )
-    surv = flags.where(F.col("gopher_pass") & F.col("c4_keep"))
-    keep = surv.groupBy("_digest").agg(F.min("doc_id").alias("_kid"))
-    marked = flags.join(keep, "_digest", "left").select(
+    flags = c4_line_filter(
+        gopher_quality_panel(docs, passthrough=True), passthrough=True
+    ).select(
+        "doc_id",
         "source",
-        F.col("gopher_pass").cast("long").alias("g1"),
-        (F.col("gopher_pass") & F.col("c4_keep")).cast("long").alias("g2"),
-        (
-            F.col("gopher_pass")
-            & F.col("c4_keep")
-            & (F.col("doc_id") == F.col("_kid"))
-        ).cast("long").alias("g3"),
+        F.md5(_norm_text(F.col("text"))).alias("_digest"),
+        "gopher_pass",
+        "c4_keep",
     )
-    return marked.groupBy("source").agg(
+    surv = F.col("gopher_pass") & F.col("c4_keep")
+    head = flags.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_all"),
-        F.sum("g1").alias("n_gopher"),
-        F.sum("g2").alias("n_c4"),
-        F.sum("g3").alias("n_kept"),
-        round6(F.sum("g3").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+        F.sum(F.col("gopher_pass").cast("long")).alias("n_gopher"),
+        F.sum(surv.cast("long")).alias("n_c4"),
+    )
+    kept = (
+        flags.where(surv)
+        .groupBy("_digest")
+        .agg(F.min_by("source", "doc_id").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("_n_kept"))
+    )
+    n_kept = F.coalesce("_n_kept", F.lit(0))
+    return head.join(F.broadcast(kept), "source", "left").select(
+        "source",
+        "n_all",
+        "n_gopher",
+        "n_c4",
+        n_kept.cast("long").alias("n_kept"),
+        round6(n_kept.cast("double") / F.col("n_all").cast("double")).alias(
             "frac_kept"
         ),
     )

@@ -75,28 +75,38 @@ LANGUAGE_PROFILES: dict[str, list[str]] = {
 
 
 def language_id(docs: DataFrame) -> DataFrame:
-    """Stopword-overlap language ID: explode profiles to (lang, word),
-    broadcast-join against exploded doc tokens, pick argmax hit count.
-
-    One wide scan + a broadcast join + one aggregation; no UDF."""
-    spark = docs.sparkSession
-    rows = [(lang, w) for lang, words in LANGUAGE_PROFILES.items() for w in words]
-    profiles = spark.createDataFrame(rows, "cand_lang string, word string")
-    toks = docs.select("doc_id", F.explode(F.array_distinct(tokens_col())).alias("word"))
-    hits = (
-        toks.join(F.broadcast(profiles), "word")
-        .groupBy("doc_id", "cand_lang")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    best = hits.groupBy("doc_id").agg(
-        F.max_by("cand_lang", F.struct(F.col("hits"), F.col("cand_lang"))).alias("predicted_lang"),
-        F.max("hits").alias("stopword_hits"),
-    )
-    return docs.select("doc_id", "lang").join(best, "doc_id", "left").select(
+    """Stopword-overlap language ID as ONE map-only expression (r15):
+    per language, hits = |distinct doc tokens ∩ profile| via
+    array_intersect against literal profile arrays (the profiles are a
+    few dozen words — they belong in the plan, not in a joined frame);
+    the winner is greatest() over (hits, lang) structs, which is
+    bit-identical to the old explode + broadcast-join + two
+    aggregations + join-back pipeline: per-language hit counts match
+    the distinct-token join counts, the struct order reproduces
+    max_by(cand_lang, struct(hits, cand_lang)) (max hits, ties to the
+    lexically larger language), and zero-hit docs fall through to
+    ('unknown', 0) exactly as the old left join's null did. Zero
+    shuffles, zero joins at any scale — the old shape paid two
+    doc_id-keyed exchanges plus a corpus join-back."""
+    du = F.array_distinct(tokens_col())
+    cands = [
+        F.struct(
+            F.size(
+                F.array_intersect(du, F.array(*[F.lit(w) for w in sorted(set(words))]))
+            ).cast("long").alias("hits"),
+            F.lit(lang).alias("l"),
+        )
+        for lang, words in LANGUAGE_PROFILES.items()
+    ]
+    best = F.greatest(*cands) if len(cands) > 1 else cands[0]
+    has_hit = best["hits"] > 0
+    return docs.select(
         "doc_id",
         "lang",
-        F.coalesce("predicted_lang", F.lit("unknown")).alias("predicted_lang"),
-        F.coalesce("stopword_hits", F.lit(0)).alias("stopword_hits"),
+        F.when(has_hit, best["l"]).otherwise(F.lit("unknown")).alias("predicted_lang"),
+        F.when(has_hit, best["hits"]).otherwise(F.lit(0).cast("long")).alias(
+            "stopword_hits"
+        ),
     )
 
 

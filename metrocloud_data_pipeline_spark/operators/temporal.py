@@ -420,16 +420,22 @@ def gapfill_resample(
       filled_value LOCF from the most recent observed bucket,
       is_gap       TRUE on generated rows.
 
-    Scale shape, in order: (1) bucket aggregate — the only full-data
-    shuffle, map-side combined, output is keys x buckets; (2) per-key
-    span — a keys-sized aggregate off (1); (3) grid — sequence() over
-    each key's span exploded executor-side (never a driver loop, never
-    a cross join with a calendar table; a key's grid lives on one
-    partition, bounded by span/bucket rows); (4) left join of grid to
-    (1) on (key, bucket) — both sides already keys x buckets sized;
-    (5) one window for the LOCF carry, sharing the (key, bucket) sort.
-    At 100 TB the raw table is touched once, everything after is
-    aggregate-sized."""
+    Scale shape (r15): (1) bucket aggregate — the only full-data
+    shuffle, map-side combined, output is keys x buckets; (2) one
+    lead() window over the aggregate (keys-partitioned); (3) each
+    observed bucket emits itself plus the sequence() of missing
+    buckets strictly before its successor, carrying its own average as
+    the LOCF fill — every generated bucket's most recent observed
+    bucket IS the row that generated it, so the carry needs no
+    unbounded-preceding window, and the grid needs no span aggregate
+    and no (key, bucket) join back onto the aggregate. The previous
+    shape scanned the raw table TWICE (Catalyst rewrote the span
+    aggregate against the raw scan), built the dense grid from the
+    span, and left-joined it to the bucket aggregate; this shape is
+    one scan, two bounded exchanges, zero joins. Values and row set
+    are identical by construction (grid endpoints are observed, so
+    every generated bucket lies strictly between two observed
+    neighbors of its key)."""
     sec = bucket_seconds(bucket)
     b = F.timestamp_seconds(
         F.floor(F.unix_timestamp(F.col(ts_col)) / sec).cast("long") * sec
@@ -442,26 +448,46 @@ def gapfill_resample(
             round6(F.avg(value_col)).alias("avg_value"),
         )
     )
-    span = bucketed.groupBy(key_col).agg(
-        F.min("bucket_ts").alias("_mn"), F.max("bucket_ts").alias("_mx")
-    )
-    grid = span.select(
+    w = Window.partitionBy(key_col).orderBy("bucket_ts")
+    wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    led = bucketed.select(
         key_col,
-        F.explode(
-            F.expr(f"sequence(_mn, _mx, interval {sec} seconds)")
-        ).alias("bucket_ts"),
+        "n_readings",
+        "avg_value",
+        F.col("bucket_ts").alias("_bt"),
+        F.lead("bucket_ts").over(w).alias("_nt"),
+        # LOCF carry computed on the AGGREGATE frame: for a generated
+        # bucket in (_bt, _nt) the most recent observed non-null
+        # average is exactly the carry at _bt, so the same column
+        # serves both the observed row and every gap row it emits
+        # (null-avg observed buckets — possible only if the value
+        # column itself is null — carry through, as before)
+        F.last("avg_value", ignorenulls=True).over(wb).alias("_fill"),
     )
-    joined = grid.join(bucketed, [key_col, "bucket_ts"], "left")
-    w = Window.partitionBy(key_col).orderBy("bucket_ts").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    step = F.expr(f"interval {sec} seconds")
+    gap_ts = F.when(
+        F.col("_nt").isNotNull() & (F.col("_nt") > F.col("_bt") + step),
+        F.expr(
+            f"sequence(_bt + interval {sec} seconds, "
+            f"_nt - interval {sec} seconds, interval {sec} seconds)"
+        ),
+    ).otherwise(F.array().cast("array<timestamp>"))
+    exploded = led.select(
+        key_col,
+        "n_readings",
+        "avg_value",
+        "_bt",
+        "_fill",
+        F.explode(F.concat(F.array(F.col("_bt")), gap_ts)).alias("bucket_ts"),
     )
-    return joined.select(
+    is_obs = F.col("bucket_ts") == F.col("_bt")
+    return exploded.select(
         key_col,
         "bucket_ts",
-        F.coalesce("n_readings", F.lit(0)).alias("n_readings"),
-        "avg_value",
-        F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
-        F.col("n_readings").isNull().alias("is_gap"),
+        F.when(is_obs, F.col("n_readings")).otherwise(F.lit(0)).alias("n_readings"),
+        F.when(is_obs, F.col("avg_value")).alias("avg_value"),
+        F.col("_fill").alias("filled_value"),
+        (~is_obs).alias("is_gap"),
     )
 
 
@@ -480,16 +506,30 @@ def gapfill_interpolate(
     v0 + (v1 - v0) * (t - t0) / (t1 - t0), instead of a flat carry —
     what a charting user asks for right after LOCF.
 
-    Same grid construction as gapfill_resample (one full-data shuffle
-    into the bucket aggregate, everything after aggregate-sized); the
-    fill adds the LEAD-side mirror of the carry window — backward
-    (value, ts) via last(ignorenulls) over unbounded-preceding, forward
-    via first(ignorenulls) over unbounded-following. Both windows share
-    one (key, bucket) partitioning and sort, so the plan pays a single
-    WindowExec over aggregate-sized rows. Every generated bucket is
-    interior by construction (the grid spans each key's observed
-    min..max, whose endpoints are observed), so both brackets always
-    exist and interp_value is never NULL."""
+    Scale shape (r15): same restructure as gapfill_resample — bucket
+    aggregate (the only full-data shuffle), ONE window pass over the
+    aggregate computing lead(bucket_ts) plus the backward bracket
+    (last non-null (value, ts) at/before the row) and the STRICTLY
+    forward bracket (first non-null (value, ts) after the row), then
+    each observed bucket emits itself plus the missing buckets
+    strictly before its successor. A generated bucket in (t0, t1)
+    brackets to exactly t0's backward pair and t0's strictly-forward
+    pair, so the join-free form reproduces the grid-window form bit
+    for bit (including null-avg observed buckets, where the brackets
+    skip over the null — possible only when the value column itself is
+    null). All three window expressions share one (key, bucket_ts)
+    sort in a single WindowExec; the previous shape scanned the raw
+    table twice (span + aggregate) and paid a grid-to-aggregate join.
+    Every generated bucket is interior by construction, so both
+    brackets always exist and interp_value is never NULL.
+
+    The blend stays in exact integer micro-units: the bracketing
+    averages are 6-dec rounded (exact at 1e-6) and the time deltas are
+    integer seconds, so the weighted numerator and denominator are
+    EXACT longs and both the engine and any SQL oracle divide the
+    identical integers — a float-domain `pv + (nv-pv)*frac` followed
+    by round() is engine-dependent exactly at .5 boundaries of the 7th
+    digit (measured: 29.826666 vs 29.826667 on the sf0.01 gate)."""
     sec = bucket_seconds(bucket)
     b = F.timestamp_seconds(
         F.floor(F.unix_timestamp(F.col(ts_col)) / sec).cast("long") * sec
@@ -502,34 +542,44 @@ def gapfill_interpolate(
             round6(F.avg(value_col)).alias("avg_value"),
         )
     )
-    span = bucketed.groupBy(key_col).agg(
-        F.min("bucket_ts").alias("_mn"), F.max("bucket_ts").alias("_mx")
+    w = Window.partitionBy(key_col).orderBy("bucket_ts")
+    wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf_strict = w.rowsBetween(1, Window.unboundedFollowing)
+    obs = F.when(
+        F.col("avg_value").isNotNull(),
+        F.struct(F.col("avg_value").alias("v"), F.col("bucket_ts").alias("t")),
     )
-    grid = span.select(
+    led = bucketed.select(
         key_col,
-        F.explode(
-            F.expr(f"sequence(_mn, _mx, interval {sec} seconds)")
-        ).alias("bucket_ts"),
+        "n_readings",
+        "avg_value",
+        F.col("bucket_ts").alias("_bt"),
+        F.lead("bucket_ts").over(w).alias("_nt"),
+        F.last(obs, ignorenulls=True).over(wb).alias("_back"),
+        F.first(obs, ignorenulls=True).over(wf_strict).alias("_fwd"),
     )
-    joined = grid.join(bucketed, [key_col, "bucket_ts"], "left")
-    obs_ts = F.when(F.col("avg_value").isNotNull(), F.col("bucket_ts"))
-    wb = Window.partitionBy(key_col).orderBy("bucket_ts").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    step = F.expr(f"interval {sec} seconds")
+    gap_ts = F.when(
+        F.col("_nt").isNotNull() & (F.col("_nt") > F.col("_bt") + step),
+        F.expr(
+            f"sequence(_bt + interval {sec} seconds, "
+            f"_nt - interval {sec} seconds, interval {sec} seconds)"
+        ),
+    ).otherwise(F.array().cast("array<timestamp>"))
+    exploded = led.select(
+        key_col,
+        "n_readings",
+        "avg_value",
+        "_bt",
+        "_back",
+        "_fwd",
+        F.explode(F.concat(F.array(F.col("_bt")), gap_ts)).alias("bucket_ts"),
     )
-    wf = Window.partitionBy(key_col).orderBy("bucket_ts").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
-    )
-    prev_v = F.last("avg_value", ignorenulls=True).over(wb)
-    prev_t = F.last(obs_ts, ignorenulls=True).over(wb)
-    next_v = F.first("avg_value", ignorenulls=True).over(wf)
-    next_t = F.first(obs_ts, ignorenulls=True).over(wf)
-    # blend in exact integer micro-units: the bracketing averages are
-    # 6-dec rounded (exact at 1e-6) and the time deltas are integer
-    # seconds, so the weighted numerator and denominator are EXACT
-    # longs and both the engine and any SQL oracle divide the identical
-    # integers — a float-domain `pv + (nv-pv)*frac` followed by round()
-    # is engine-dependent exactly at .5 boundaries of the 7th digit
-    # (measured: 29.826666 vs 29.826667 on the sf0.01 gate)
+    is_obs = F.col("bucket_ts") == F.col("_bt")
+    prev_v = F.col("_back.v")
+    prev_t = F.col("_back.t")
+    next_v = F.col("_fwd.v")
+    next_t = F.col("_fwd.t")
     pvm = F.round(prev_v * 1e6).cast("long")
     nvm = F.round(next_v * 1e6).cast("long")
     d1 = F.unix_timestamp("bucket_ts") - F.unix_timestamp(prev_t)
@@ -537,16 +587,16 @@ def gapfill_interpolate(
     interp_micro = F.round(
         (pvm * (d2 - d1) + nvm * d1).cast("double") / d2.cast("double")
     ).cast("long")
-    interp = F.when(F.col("avg_value").isNotNull(), F.col("avg_value")).otherwise(
-        interp_micro.cast("double") / 1e6
-    )
-    return joined.select(
+    interp = F.when(
+        is_obs & F.col("avg_value").isNotNull(), F.col("avg_value")
+    ).otherwise(interp_micro.cast("double") / 1e6)
+    return exploded.select(
         key_col,
         "bucket_ts",
-        F.coalesce("n_readings", F.lit(0)).alias("n_readings"),
-        "avg_value",
+        F.when(is_obs, F.col("n_readings")).otherwise(F.lit(0)).alias("n_readings"),
+        F.when(is_obs, F.col("avg_value")).alias("avg_value"),
         interp.alias("interp_value"),
-        F.col("n_readings").isNull().alias("is_gap"),
+        (~is_obs).alias("is_gap"),
     )
 
 
