@@ -67,8 +67,9 @@ def ngram_hashes(docs: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
 
 
 def build_ngram_bloom(
-    benchmark: DataFrame, n: int = 6, fpp: float = 0.01,
+    benchmark: DataFrame | None = None, n: int = 6, fpp: float = 0.01,
     id_col: str = "bench_id",
+    gram_hashes: DataFrame | None = None,
 ) -> tuple[bytes, int, int]:
     """Build a Bloom filter over the benchmark's distinct n-gram hashes
     -> (bitmap bytes, m bits, k hashes). Standard sizing: m =
@@ -92,13 +93,24 @@ def build_ngram_bloom(
 
     # ONE explode+distinct pass over the benchmark union feeds both the
     # sizing count and the position build (ADVICE r14 #4 — this is the
-    # most expensive scan here; localCheckpoint materializes it once)
-    gh = (
-        ngram_hashes(benchmark, n, id_col=id_col)
-        .select("gh")
-        .distinct()
-        .localCheckpoint()
-    )
+    # most expensive scan here; localCheckpoint materializes it once).
+    # `gram_hashes` accepts a prebuilt (ideally checkpointed) distinct
+    # gh frame so a caller that also needs the set (the audit, the
+    # streaming gate) never re-explodes the benchmark (r15).
+    if gram_hashes is not None:
+        gh = gram_hashes.select("gh")
+    else:
+        if benchmark is None:
+            raise ValueError(
+                "build_ngram_bloom: pass benchmark= or a prebuilt "
+                "gram_hashes= distinct-gh frame"
+            )
+        gh = (
+            ngram_hashes(benchmark, n, id_col=id_col)
+            .select("gh")
+            .distinct()
+            .localCheckpoint()
+        )
     n_grams = gh.count()
     if n_grams == 0:
         return b"\x00", 8, 1
@@ -128,6 +140,88 @@ def build_ngram_bloom(
     for row in parts:
         out |= np.frombuffer(row.bm, dtype=np.uint8)
     return out.tobytes(), m, k
+
+
+def _might_contain_udf(bitmap: bytes):
+    """Arrow membership probe over a Bloom bitmap: boolean pandas_udf
+    taking the k-position array column. The bitmap rides task
+    serialization like a broadcast variable."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bm = np.frombuffer(bitmap, dtype=np.uint8)
+
+    # no type hints: under `from __future__ import annotations` they are
+    # strings pandas_udf cannot resolve (the similarity.py convention)
+    @pandas_udf("boolean")
+    def might_contain(pos_arrays):
+        if len(pos_arrays) == 0:  # np.stack refuses an empty batch
+            return pd.Series([], dtype=bool)
+        mat = np.stack(pos_arrays.to_numpy())  # (rows, k) int64
+        bits = (bm[mat >> 3] >> (mat & 7).astype(np.uint8)) & 1
+        return pd.Series(bits.all(axis=1))
+
+    return might_contain
+
+
+def contamination_check_pair(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 6,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Per-doc EXACT and BLOOM contamination counts from ONE corpus
+    gram pass and ONE benchmark gram pass (r15, guide §2.4): the audit
+    previously ran both tiers independently — two corpus-sized
+    explode+distinct shuffles and two benchmark explodes — then joined
+    the reports. Here the checkpointed benchmark gh set feeds BOTH the
+    bitmap build and the broadcast exact probe, and each corpus gram
+    carries its exact flag (broadcast join) and bloom flag (Arrow
+    bitmap probe) into a single per-doc aggregation. Counts are
+    identical to running the tiers separately (same gram normalization,
+    same md5 hashes, same bitmap positions). Emits every doc:
+    (doc_id, _total, _exact, _bloom), zeros for gram-less docs."""
+    bench_gh = (
+        ngram_hashes(benchmark, n, id_col="bench_id")
+        .select("gh")
+        .distinct()
+        .localCheckpoint()
+    )
+    bitmap, m, k = build_ngram_bloom(n=n, fpp=fpp, gram_hashes=bench_gh)
+    might_contain = _might_contain_udf(bitmap)
+    flagged = (
+        ngram_hashes(docs, n)
+        .select(
+            "doc_id",
+            "gh",
+            F.array(
+                *[F.pmod(F.xxhash64(F.lit(i), F.col("gh")), F.lit(m))
+                  for i in range(k)]
+            ).alias("_pos"),
+        )
+        .join(F.broadcast(bench_gh.withColumn("hit", F.lit(True))), "gh", "left")
+        .select(
+            "doc_id",
+            F.coalesce("hit", F.lit(False)).alias("_ex"),
+            might_contain("_pos").alias("_bl"),
+        )
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_total"),
+        F.count_if(F.col("_ex")).alias("_exact"),
+        F.count_if(F.col("_bl")).alias("_bloom"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_total", F.lit(0)).alias("_total"),
+            F.coalesce("_exact", F.lit(0)).alias("_exact"),
+            F.coalesce("_bloom", F.lit(0)).alias("_bloom"),
+        )
+    )
 
 
 def contamination_check_bloom(
@@ -164,10 +258,6 @@ def contamination_check_bloom(
     the streaming ingest gate builds the filter ONCE at stream start
     and probes every micro-batch against it (the fpp arg is then
     unused); with benchmark=None the build is skipped entirely."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
     if bloom is None:
         if benchmark is None:
             raise ValueError(
@@ -176,17 +266,7 @@ def contamination_check_bloom(
             )
         bloom = build_ngram_bloom(benchmark, n=n, fpp=fpp)
     bitmap, m, k = bloom
-    bm = np.frombuffer(bitmap, dtype=np.uint8)
-
-    # no type hints: under `from __future__ import annotations` they are
-    # strings pandas_udf cannot resolve (the similarity.py convention)
-    @pandas_udf("boolean")
-    def might_contain(pos_arrays):
-        if len(pos_arrays) == 0:  # np.stack refuses an empty batch
-            return pd.Series([], dtype=bool)
-        mat = np.stack(pos_arrays.to_numpy())  # (rows, k) int64
-        bits = (bm[mat >> 3] >> (mat & 7).astype(np.uint8)) & 1
-        return pd.Series(bits.all(axis=1))
+    might_contain = _might_contain_udf(bitmap)
 
     gh_frame = ngram_hashes(docs, n)
     if max_gram_df is not None:
@@ -268,6 +348,13 @@ def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
     )
 
 
+_PANEL_STAT_COLS = (
+    ["doc_id", "_chars", "_nlines", "_dup_lines", "_line_chars", "_dup_line_chars"]
+    + [f"_top{n}_chars" for n in (2, 3, 4)]
+    + [f"_cov{n}_chars" for n in range(5, 11)]
+)
+
+
 def repetition_panel(docs: DataFrame) -> DataFrame:
     """The FULL Gopher repetition filter panel (Rae et al. 2021, Table
     A1) — repetition_stats covers two of the published signals; real
@@ -292,123 +379,85 @@ def repetition_panel(docs: DataFrame) -> DataFrame:
     fraction uses NON-SEPARATOR characters (sum of token lengths) in
     both numerator and denominator; docs with no content report zeros.
 
-    Plan shape: one normalized-token scan feeds every signal; every
-    gram aggregation is keyed by doc_id — never a global gram
-    shuffle. The six n>=5 coverage sizes share ONE
-    (doc_id, n, gram) shuffle (union of map-side slice branches over
-    the checkpointed token frame; r10, ~12% off the panel at sf0.1 —
-    PROBE_r10 §c) and explode dup-gram starts into at most n
-    positions each (dup-bounded); the three top-gram sizes stay as
-    lean per-n counts (folding them into the shared frame measured
-    SLOWER — they don't need the position lists). All signals join
-    back on doc_id; a 100 TB corpus pays ~6 bounded per-doc
-    aggregations and zero corpus-wide exchanges beyond the doc_id
-    key."""
-    from functools import reduce
+    Plan shape (r15, guide §1.1/§4.2/§8): every signal is a pure
+    function of ONE document's text, so the whole panel is a single
+    map-only Arrow kernel — one scan, ZERO exchanges, no joins. The
+    kernel emits only exact INTEGER per-doc stats (char sums, dup-line
+    counts, top-gram char products, coverage-union char sums); all
+    float division and rounding stay in Catalyst expressions, so the
+    output is bit-identical to the former 10-aggregation/8-join form
+    (verified at sf0.001/0.01/0.1) and the oracle semantics are
+    untouched. The former shape shuffled the 6x-replicated n=5..10
+    gram stream, a distinct position union, a pivot, and the per-n
+    top-gram counts — all corpus-sized exchanges this form simply does
+    not have; at 100 TB the panel is embarrassingly parallel."""
+    import re as _re
 
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    toks = docs.select("doc_id", F.split(norm, " ").alias("_toks")).localCheckpoint()
-    tok_rows = toks.select(
-        "doc_id", F.posexplode("_toks").alias("pos", "tok")
-    ).where(F.length("tok") > 0)
-    base = tok_rows.groupBy("doc_id").agg(
-        F.sum(F.length("tok")).alias("_chars"),
-        F.count(F.lit(1)).alias("_ntoks"),
-    )
+    _ws = _re.compile(r"[ \t\n\x0b\f\r]+")  # Java regex \s (ASCII), not py \s
 
-    # --- line metrics -----------------------------------------------------
-    line = F.regexp_replace(F.trim(F.col("raw_line")), r"\s+", " ")
-    lines = (
-        docs.select("doc_id", F.explode(F.split(F.lower(F.col("text")), "\n")).alias("raw_line"))
-        .select("doc_id", line.alias("line"))
-        .where(F.length("line") > 0)
-    )
-    lc = lines.groupBy("doc_id", "line").agg(F.count(F.lit(1)).alias("cnt"))
-    lagg = lc.groupBy("doc_id").agg(
-        F.sum("cnt").alias("_nlines"),
-        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias("_dup_lines"),
-        F.sum(F.col("cnt") * F.length("line")).alias("_line_chars"),
-        F.sum(
-            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("line")).otherwise(0)
-        ).alias("_dup_line_chars"),
-    )
+    def _doc_stats(doc_id, text):
+        if not isinstance(text, str):  # None/NaN from a NULL text cell
+            return (doc_id,) + (0,) * 14
+        # lines: lower -> split \n -> trim(' ') -> ws-collapse -> drop empty
+        lcnt: dict = {}
+        for raw in text.lower().split("\n"):
+            ln = _ws.sub(" ", raw.strip(" "))
+            if ln:
+                lcnt[ln] = lcnt.get(ln, 0) + 1
+        nlines = dup_lines = line_chars = dup_line_chars = 0
+        for ln, c in lcnt.items():
+            ll = len(ln)
+            nlines += c
+            line_chars += c * ll
+            if c >= 2:
+                dup_lines += c
+                dup_line_chars += c * ll
+        # tokens: trim(' ') -> lower -> ws-collapse -> split(' ')
+        toks = _ws.sub(" ", text.strip(" ").lower()).split(" ")
+        chars = sum(len(t) for t in toks if t)
+        stats = [doc_id, chars, nlines, dup_lines, line_chars, dup_line_chars]
+        ntok = len(toks)
+        for n in (2, 3, 4):
+            best = 0
+            if ntok >= n:
+                g: dict = {}
+                for i in range(ntok - n + 1):
+                    k = " ".join(toks[i : i + n])
+                    g[k] = g.get(k, 0) + 1
+                maxc = max(g.values())
+                gram = min(k for k, v in g.items() if v == maxc)
+                best = maxc * (len(gram) - (n - 1))
+            stats.append(best)
+        for n in range(5, 11):
+            tot = 0
+            if ntok >= n:
+                g2: dict = {}
+                for i in range(ntok - n + 1):
+                    g2.setdefault(" ".join(toks[i : i + n]), []).append(i)
+                covered: set = set()
+                for poss in g2.values():
+                    if len(poss) >= 2:
+                        for s in poss:
+                            covered.update(range(s, s + n))
+                tot = sum(len(toks[p]) for p in covered if toks[p])
+            stats.append(tot)
+        return tuple(stats)
 
-    def grams(n: int):
-        m = F.greatest(F.size("_toks") - (n - 1), F.lit(0))
-        zipped = F.arrays_zip(
-            *[F.slice("_toks", i + 1, m).alias(f"t{i}") for i in range(n)]
-        )
-        g = F.concat_ws(" ", *[F.col(f"g.t{i}") for i in range(n)])
-        return (
-            toks.where(F.size("_toks") >= n)
-            .select("doc_id", F.posexplode(zipped).alias("pos", "g"))
-            .select("doc_id", "pos", g.alias("gram"))
-        )
+    def _kernel(batches):
+        import pandas as pd
 
-    # --- top n-gram char share (n = 2, 3, 4) ------------------------------
-    tops = []
-    for n in (2, 3, 4):
-        gc = grams(n).groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-        # max by (cnt, reverse-lexicographic gram): Spark struct max on
-        # (cnt, gram) would tie to the LARGEST gram string, so order by
-        # cnt with the gram carried via a min-on-ties second pass
-        w_cnt = gc.groupBy("doc_id").agg(F.max("cnt").alias("cnt"))
-        top = (
-            gc.join(w_cnt, ["doc_id", "cnt"])
-            .groupBy("doc_id", "cnt")
-            .agg(F.min("gram").alias("gram"))
-            .select(
-                "doc_id",
-                (
-                    F.col("cnt") * (F.length("gram") - F.lit(n - 1))
-                ).alias(f"_top{n}_chars"),
+        cols = _PANEL_STAT_COLS
+        for b in batches:
+            ids = b["doc_id"].tolist()
+            txts = b["text"].tolist()
+            yield pd.DataFrame(
+                [_doc_stats(i, t) for i, t in zip(ids, txts)], columns=cols
             )
-        )
-        tops.append(top)
 
-    # --- dup n-gram coverage (n = 5..10) ----------------------------------
-    # The six coverage sizes SHARE one shuffle: union the per-n gram
-    # branches (each a map-side slice of the same checkpointed token
-    # frame — no rescan cost) and aggregate once on (doc_id, n, gram).
-    # Measured at sf0.1 (PROBE_r10 §c): 6 collect_list shuffles -> 1
-    # cuts the panel ~12%; folding the n=2..4 top-gram passes into the
-    # same frame LOSES (they don't need `starts`, and dragging the
-    # position lists through their shuffle outweighs the consolidation)
-    # so tops stay as three lean per-n passes above.
-    def gram_branch(n: int):
-        return grams(n).select("doc_id", F.lit(n).alias("n"), "pos", "gram")
+    from ..functions.partitioning import fan_out_scan
 
-    allgrams = reduce(
-        lambda a, b: a.unionByName(b), [gram_branch(n) for n in range(5, 11)]
-    )
-    dup = (
-        allgrams.groupBy("doc_id", "n", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.collect_list("pos").alias("starts"))
-        .where(F.col("cnt") >= 2)
-    )
-    covered = (
-        dup.select("doc_id", "n", F.explode("starts").alias("s"))
-        .select(
-            "doc_id",
-            "n",
-            F.explode(F.sequence(F.col("s"), F.col("s") + F.col("n") - 1)).alias("pos"),
-        )
-        .distinct()
-    )
-    cov = (
-        covered.join(tok_rows, ["doc_id", "pos"])
-        .groupBy("doc_id")
-        .pivot("n", list(range(5, 11)))
-        .agg(F.sum(F.length("tok")))
-    )
-    cov = cov.select(
-        "doc_id", *[F.col(str(n)).alias(f"_cov{n}_chars") for n in range(5, 11)]
-    )
-
-    joined = reduce(
-        lambda a, b: a.join(b, "doc_id", "left"),
-        [base, lagg] + tops + [cov],
-        docs.select("doc_id"),
+    joined = fan_out_scan(docs.select("doc_id", "text")).mapInPandas(
+        _kernel, ", ".join(f"{c} long" for c in _PANEL_STAT_COLS)
     )
     chars = F.coalesce("_chars", F.lit(0))
     nlines = F.coalesce("_nlines", F.lit(0))

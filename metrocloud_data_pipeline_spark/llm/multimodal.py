@@ -1210,7 +1210,18 @@ def synth_tone_corpus(
             StructField("duration_ms", IntegerType()),
         ]
     )
-    return docs.select("doc_id").mapInPandas(run, schema=schema)
+    # r15: the tone corpus inherits the documents scan's split count —
+    # ONE split locally, which serialized the downstream FFT/mel decode
+    # onto one core (measured 2.13 s -> 1.10 s on media_audio_features
+    # with the fan-out; no-op at scale). The video/image/mp3 synths
+    # deliberately do NOT fan out: their doc slices are ~10x smaller
+    # and their consumers chain many Python stages, where 32-way tasks
+    # of ~8 rows cost more in per-task overhead than the decode saves
+    # (media_neardup_recall_report measured 2.87 s -> 4.44 s when they
+    # did).
+    from ..functions.partitioning import fan_out_scan
+
+    return fan_out_scan(docs.select("doc_id")).mapInPandas(run, schema=schema)
 
 
 def synth_video_corpus(

@@ -835,7 +835,15 @@ def knn_join_ivf(
         # may reference any metadata column — the float-path twin of
         # ivfpq_corpus_table's attach_cols (ADVICE r11); Catalyst prunes
         # the unreferenced ones right back out of the scan.
-        listed = embeddings.select(
+        # r15: the corpus side is the STREAM side of the probe BHJ, so
+        # the assignment kernel AND the post-join cosine kernel both
+        # run at the scan's parallelism — a single-file local corpus
+        # planned one split and serialized ~1M-pair Arrow scoring onto
+        # one core. fan_out_scan round-robins it up to the session
+        # parallelism only when the scan is narrower (no-op at scale).
+        from ..functions.partitioning import fan_out_scan
+
+        listed = fan_out_scan(embeddings).select(
             "*", F.element_at(nearest_lists(F.col("embedding")), 1).alias("list_id")
         )
 

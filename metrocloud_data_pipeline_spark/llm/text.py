@@ -1189,9 +1189,15 @@ def kn_bigram_surprisal(
     cur_stats = types.groupBy("cur").agg(F.count(F.lit(1)).alias("nback"))
     btot = types.agg(F.count(F.lit(1)).alias("btypes"))
     d = float(discount)
+    # r15 (guide §3.1): prev_stats/cur_stats are keyed by single WORDS
+    # (vocab-bounded, never corpus- or type-bounded) — explicit
+    # broadcasts pin the plan so the type frame is NEVER shuffled for
+    # scoring at any scale; without the hint the planner's size
+    # estimate at 100 TB would fall back to SMJ and shuffle the
+    # bigram-type frame twice.
     scored = (
-        types.join(prev_stats, "prev")
-        .join(cur_stats, "cur")
+        types.join(F.broadcast(prev_stats), "prev")
+        .join(F.broadcast(cur_stats), "cur")
         .crossJoin(F.broadcast(btot))
         .select(
             "bigram",
@@ -1308,12 +1314,22 @@ def kn_trigram_surprisal(
         * F.col("nback").cast("double")
         / F.col("btypes").cast("double")
     )
-    scored = (
-        types.join(hist_stats, "hist")
-        .join(pairs.select("pair", "cc"), "pair")
-        .join(mid_stats, "mid")
-        .join(cur_stats, "cur")
+    # r15 (guide §2.4/§3.1): Pmid is computed ON the suffix-pair frame
+    # (whose grouping key `pair` determines mid and cur), with the
+    # vocab-bounded word-keyed stats explicitly broadcast — then the
+    # trigram type frame joins the finished (pair, pmid) plus the
+    # bigram-keyed history totals. Two type-frame shuffles at scale
+    # (pair, hist) instead of four (hist, pair, mid, cur); identical
+    # arithmetic in identical IEEE order.
+    pmid_f = (
+        pairs.join(F.broadcast(mid_stats), "mid")
+        .join(F.broadcast(cur_stats), "cur")
         .crossJoin(F.broadcast(btot))
+        .select("pair", pmid.alias("pmid"))
+    )
+    scored = (
+        types.join(pmid_f, "pair")
+        .join(hist_stats, "hist")
         .select(
             "trigram",
             (
@@ -1322,7 +1338,7 @@ def kn_trigram_surprisal(
                 + F.lit(d)
                 * F.col("nfwd").cast("double")
                 / F.col("ch").cast("double")
-                * pmid
+                * F.col("pmid")
             ).alias("p_kn"),
         )
     )
@@ -1494,21 +1510,40 @@ def kn5_surprisal_hashed(
             * lower
         )
 
+    # SCORING (r15, guide §2.4/§3.1): the interpolation is CHAINED down
+    # the descent instead of fanning every level's frame into one
+    # 8-join star on the type frame. Each level's probability is
+    # computed ON ITS OWN frame (pairs2 -> pairs3 -> pairs4 -> types),
+    # so every non-broadcast join key is the frame's own grouping key
+    # and the type frame is shuffled ONCE (by k4) instead of three
+    # times (k4, k3, k2) — and the single-hash-keyed stats frames
+    # (hist_stats/mid4/mid3/mid2/cur_stats: <= n_buckets rows BY
+    # CONSTRUCTION, ~tens of MB at 2^22) are explicitly broadcast so
+    # the planner can never fall back to a type-frame-sized SMJ against
+    # them at 100 TB. Identical arithmetic in identical IEEE order —
+    # each p is the same expression over the same counts, evaluated
+    # level-by-level instead of nested in one projection.
     p1 = F.col("nback").cast("double") / F.col("btypes").cast("double")
-    p2 = _level("cc2", "ccsum2", "nfwd2", p1)
-    p3 = _level("cc3", "ccsum3", "nfwd3", p2)
-    p4 = _level("cc4", "ccsum4", "nfwd4", p3)
-    scored = (
-        types.join(hist_stats, "h4h")
-        .join(pairs4.select(*k4, "cc4"), k4)
-        .join(mid4, "h3m")
-        .join(pairs3.select(*k3, "cc3"), k3)
-        .join(mid3, "h2m")
-        .join(pairs2.select(*k2, "cc2"), k2)
-        .join(mid2, "h1m")
-        .join(cur_stats, "h1c")
+    p2f = (
+        pairs2.join(F.broadcast(mid2), "h1m")
+        .join(F.broadcast(cur_stats), "h1c")
         .crossJoin(F.broadcast(btot))
-        .select("tid", _level("ct", "ch", "nfwd", p4).alias("p_kn"))
+        .select(*k2, _level("cc2", "ccsum2", "nfwd2", p1).alias("p2"))
+    )
+    p3f = (
+        pairs3.join(p2f, k2)
+        .join(F.broadcast(mid3), "h2m")
+        .select(*k3, _level("cc3", "ccsum3", "nfwd3", F.col("p2")).alias("p3"))
+    )
+    p4f = (
+        pairs4.join(p3f, k3)
+        .join(F.broadcast(mid4), "h3m")
+        .select(*k4, _level("cc4", "ccsum4", "nfwd4", F.col("p3")).alias("p4"))
+    )
+    scored = (
+        types.join(p4f, k4)
+        .join(F.broadcast(hist_stats), "h4h")
+        .select("tid", _level("ct", "ch", "nfwd", F.col("p4")).alias("p_kn"))
     )
     ln2 = 0.6931471805599453
     return (

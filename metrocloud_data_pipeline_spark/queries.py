@@ -3080,14 +3080,11 @@ def decontaminate_bloom_audit(spark, sf_dir):
     benchmark = docs.where(F.col("doc_id") % 17 == 0).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
-    exact = curation.contamination_check(docs, benchmark, n=6).select(
-        "doc_id", F.col("contaminated_ngrams").alias("_exact"),
-        F.col("total_ngrams").alias("_total"),
-    )
-    bloom = curation.contamination_check_bloom(
-        docs, benchmark, n=6, fpp=0.01
-    ).select("doc_id", F.col("contaminated_ngrams").alias("_bloom"))
-    j = exact.join(bloom, "doc_id")
+    # r15 (guide §2.4): both tiers from ONE corpus gram pass + ONE
+    # benchmark gram pass (curation.contamination_check_pair) — the
+    # former run-both-then-join form paid two corpus explode+distinct
+    # shuffles and two benchmark explodes for identical counts.
+    j = curation.contamination_check_pair(docs, benchmark, n=6, fpp=0.01)
     agg = j.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_if(F.col("_bloom") < F.col("_exact")).alias("_viol"),
