@@ -481,13 +481,18 @@ def gapfill_resample(
         F.explode(F.concat(F.array(F.col("_bt")), gap_ts)).alias("bucket_ts"),
     )
     is_obs = F.col("bucket_ts") == F.col("_bt")
+    # NULL-key rows: the dense-grid-join formulation this shape replaces
+    # (grid LEFT JOIN aggregate ON key = key) never matches a NULL key
+    # (SQL null-equality), so every NULL-key bucket surfaces as an
+    # unfilled gap row. The join-free form must reproduce that exactly.
+    keyed = F.col(key_col).isNotNull()
     return exploded.select(
         key_col,
         "bucket_ts",
-        F.when(is_obs, F.col("n_readings")).otherwise(F.lit(0)).alias("n_readings"),
-        F.when(is_obs, F.col("avg_value")).alias("avg_value"),
-        F.col("_fill").alias("filled_value"),
-        (~is_obs).alias("is_gap"),
+        F.when(is_obs & keyed, F.col("n_readings")).otherwise(F.lit(0)).alias("n_readings"),
+        F.when(is_obs & keyed, F.col("avg_value")).alias("avg_value"),
+        F.when(keyed, F.col("_fill")).alias("filled_value"),
+        (~is_obs | ~keyed).alias("is_gap"),
     )
 
 
@@ -590,13 +595,17 @@ def gapfill_interpolate(
     interp = F.when(
         is_obs & F.col("avg_value").isNotNull(), F.col("avg_value")
     ).otherwise(interp_micro.cast("double") / 1e6)
+    # NULL-key rows: mirror the grid-join formulation, whose key-equality
+    # join never matches NULL — all such buckets are unfilled gaps (see
+    # gapfill_resample).
+    keyed = F.col(key_col).isNotNull()
     return exploded.select(
         key_col,
         "bucket_ts",
-        F.when(is_obs, F.col("n_readings")).otherwise(F.lit(0)).alias("n_readings"),
-        F.when(is_obs, F.col("avg_value")).alias("avg_value"),
-        interp.alias("interp_value"),
-        (~is_obs).alias("is_gap"),
+        F.when(is_obs & keyed, F.col("n_readings")).otherwise(F.lit(0)).alias("n_readings"),
+        F.when(is_obs & keyed, F.col("avg_value")).alias("avg_value"),
+        F.when(keyed, interp).alias("interp_value"),
+        (~is_obs | ~keyed).alias("is_gap"),
     )
 
 
