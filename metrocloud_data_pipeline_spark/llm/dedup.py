@@ -313,13 +313,33 @@ def simhash_candidate_pairs(signatures: DataFrame, max_hamming: int = 3) -> Data
         ).alias("chunk_idx", "chunk"),
     )
     a, b = chunked.alias("a"), chunked.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    # Hamming-verify BEFORE deduplicating: the verify is a codegen'd
-    # xor+popcount on the join output, while distinct is a full exchange
-    # — filtering first shrinks that exchange from |all chunk-join
-    # candidates| (every pair up to 4x, millions at the 10x probe) to
-    # |qualifying pairs|. Output identical: duplicates of a pair agree
-    # on (doc_a, doc_b, hamming).
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = F.bit_count(xor)
+    # Emit each qualifying pair exactly ONCE — at its FIRST matching
+    # chunk — instead of deduplicating with a distinct (r15): a pair
+    # matching in m chunks used to produce m join rows and pay a full
+    # exchange of the qualifying-pair set to collapse them. Both
+    # simhashes are present on the join output, so "this is the first
+    # matching chunk" is a pure codegen predicate: every lower chunk of
+    # the XOR is non-zero (a zero 16-bit XOR slice IS a chunk match).
+    # The pair set, values, and multiplicity (one row per pair) are
+    # identical to the distinct form — guaranteed by pigeonhole the
+    # same way the candidate generation is — and the plan loses its
+    # only post-join exchange.
+    chunk_differs = [
+        F.shiftrightunsigned(xor, i * 16).bitwiseAND(F.lit(0xFFFF)) != 0
+        for i in range(4)
+    ]
+    first_match = F.col("a.chunk_idx") == F.lit(0)
+    prefix_all_differ = chunk_differs[0]
+    for i in range(1, 4):
+        first_match = first_match | (
+            (F.col("a.chunk_idx") == F.lit(i)) & prefix_all_differ
+        )
+        if i < 3:
+            prefix_all_differ = prefix_all_differ & chunk_differs[i]
+    # Hamming-verify BEFORE projecting: the verify is a codegen'd
+    # xor+popcount on the join output; no exchange follows it.
     return (
         a.join(
             b,
@@ -327,13 +347,12 @@ def simhash_candidate_pairs(signatures: DataFrame, max_hamming: int = 3) -> Data
             & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .where((hamming <= max_hamming) & first_match)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
