@@ -1265,7 +1265,7 @@ def semdedup_pairs(
             F.col("cluster_id"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
         )
         cos = cosine_batch()
-        return (
+        pairs = (
             a.join(b, "cluster_id")
             .where(F.col("vec_a") < F.col("vec_b"))
             .select(
@@ -1276,6 +1276,16 @@ def semdedup_pairs(
             )
             .where(F.col("cosine_sim") >= threshold)
         )
+        # Materialize WHILE the corpus cache is alive (r15): the old
+        # finally-unpersist fired on RETURN — before the lazy pair frame
+        # ever executed — so both self-join sides re-scanned the corpus
+        # and re-ran the assignment kernel cache-less, defeating the
+        # persist the docstring promises. The pair frame is
+        # near-dup-sized (tiny vs the corpus), so eager-checkpointing it
+        # here costs one small materialization and lets the cache serve
+        # BOTH join sides exactly as designed; lineage truncation also
+        # frees the cache for real (nothing downstream references it).
+        return pairs.localCheckpoint()
     finally:
         cached.unpersist()
 
