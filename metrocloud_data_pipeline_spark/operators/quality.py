@@ -138,10 +138,18 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     buffer updates per expanded row: 4.4 -> 2.1 s cold) — but it scans
     the table TWICE, and a 100 TB profile is IO-bound where the single
     Expand pass reads once. Cache-warm local wins don't survive the
-    scale-up; one scan stays."""
+    scale-up; one scan stays.
+
+    The projected input is fan_out_scan'd (r15): the Expand replicas
+    and their partial aggregation run in the SCAN stage, which on the
+    single-file local tables is one task doing |rows| x |cols| buffer
+    updates alone; no-op at any real scan width."""
+    from ..functions.partitioning import fan_out_scan
+
     if cols is None:
         cols = df.columns
     dtypes = dict(df.dtypes)
+    df = fan_out_scan(df.select(*cols))
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for i, c in enumerate(cols):
         col = F.col(c)
@@ -185,7 +193,10 @@ def profile_table_approx(
     constant-size HLL sketch in a single ordinary aggregate — one scan,
     one 1-row exchange, no Expand, regardless of column count or
     cardinality. Same single-pass/explode contract as profile_table;
-    same economics as the a6/a9 approx twins."""
+    same economics as the a6/a9 approx twins. Deliberately NOT
+    fan_out_scan'd (r15): unlike the exact twin's Expand, the per-row
+    sketch update is cheaper than the round-robin exchange — measured
+    1.22 s -> 1.65 s when fanned out at sf0.1."""
     if cols is None:
         cols = df.columns
     dtypes = dict(df.dtypes)
