@@ -1008,11 +1008,15 @@ def _tagged_gram_rows(docs: DataFrame, ns: tuple, id_col: str) -> DataFrame:
     tokens[i..i+n-1], complete grams only, docs shorter than n
     contribute no n-gram.
 
-    The input is fan_out_scan'd: fusing the per-n subplans also fused
-    their scan-stage work onto ONE task on a single-split local scan
-    (the per-n union got len(ns)-way parallelism for free from its
-    independent subplans) — measured 3.3 s fused-on-one-task vs 2.1 s
-    union at sf0.1 before the fan-out; no-op at any real scan width."""
+    The RAW TEXT projection is fan_out_scan'd: fusing the per-n
+    subplans also fused their scan-stage work onto ONE task on a
+    single-split local scan (the per-n union got len(ns)-way
+    parallelism for free from its independent subplans) — measured
+    3.3 s fused-on-one-task vs 2.1 s union at sf0.1 before the
+    fan-out; no-op at any real scan width. The split happens AFTER
+    the exchange so compact strings cross it, not token arrays
+    (per-element array serialization made the exchange cost what the
+    parallelism saved on the first cut)."""
     from ..functions.partitioning import fan_out_scan
 
     max_n = max(ns)
@@ -1034,7 +1038,8 @@ def _tagged_gram_rows(docs: DataFrame, ns: tuple, id_col: str) -> DataFrame:
         for n in ns
     ]
     return (
-        fan_out_scan(docs.select(F.col(id_col), F.split(norm, " ").alias("_toks")))
+        fan_out_scan(docs.select(F.col(id_col), "text"))
+        .select(F.col(id_col), F.split(norm, " ").alias("_toks"))
         .where(sz >= min(ns))
         .select(F.col(id_col), F.explode(zipped).alias("g"))
         .select(F.col(id_col), F.explode(F.array_compact(F.array(*per_pos))).alias("t"))
