@@ -1221,7 +1221,18 @@ def synth_tone_corpus(
     # did).
     from ..functions.partitioning import fan_out_scan
 
-    return fan_out_scan(docs.select("doc_id")).mapInPandas(run, schema=schema)
+    # r16 width cap (VERDICT r15 #1/#2): the synth+decode cost is a few
+    # hundred microseconds per row, so full-parallelism tasks over the
+    # local ~1.7k-row slice paid more in per-task overhead than the
+    # decode saved — the r16 isolated ladder measured width 8-16 at
+    # 0.71-0.81 s vs 0.90/1.07 s at width 32 and 1.97/1.54 s unfanned
+    # (media_audio_features / media_container_probe). rows_per_task=768
+    # puts the ESTIMATED local width at ~10 and still reaches the
+    # parallelism cap by ~25k input rows — scale-adaptive, no local
+    # constant.
+    return fan_out_scan(docs.select("doc_id"), rows_per_task=768).mapInPandas(
+        run, schema=schema
+    )
 
 
 def synth_video_corpus(

@@ -1217,7 +1217,17 @@ def kn_bigram_surprisal(
         F.slice(toks, 2, m),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    rows = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+    # r16: the gram explode+count inherits the documents scan's split
+    # count — ONE task locally, so the eager checkpoint below ran the
+    # whole corpus tokenization serially (the kn5 timeline measured the
+    # analogous stage at 2.0 s of a 4.6 s query on one core). Fan the
+    # raw text out BEFORE tokenization (the r15 ngram-diversity move);
+    # no-op at any real scan width.
+    from ..functions.partitioning import fan_out_scan
+
+    rows = fan_out_scan(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    )
     if materialize:
         rows = rows.localCheckpoint()
     types = (
@@ -1320,7 +1330,14 @@ def kn_trigram_surprisal(
         F.slice(toks, 3, m),
         lambda ab, c: F.concat(ab, F.lit(" "), c),
     )
-    rows = docs.select("doc_id", F.explode(tris).alias("trigram"))
+    # r16: fan the raw text out before tokenization (see
+    # kn_bigram_surprisal) — the eager checkpoint otherwise runs the
+    # whole explode on the scan's single local split.
+    from ..functions.partitioning import fan_out_scan
+
+    rows = fan_out_scan(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(tris).alias("trigram")
+    )
     if materialize:
         rows = rows.localCheckpoint()
     types = (
@@ -1495,8 +1512,16 @@ def kn5_surprisal_hashed(
         ("h1c", F.substring_index(g, " ", -1)),  # w5
     ]
     names = [n for n, _ in comp]
+    # r16: fan the raw text out before tokenization (see
+    # kn_bigram_surprisal) — the r16 timeline measured this frame's
+    # eager checkpoint at 2.0 s on ONE task (stage 123, 43% of the
+    # query) because the explode+hash inherited the single local scan
+    # split.
+    from ..functions.partitioning import fan_out_scan
+
     rows = (
-        docs.where(F.size(toks) >= 5)
+        fan_out_scan(docs.select("doc_id", "text"))
+        .where(F.size(toks) >= 5)
         .select("doc_id", F.explode(grams).alias("gram"))
         .select("doc_id", h(g).alias("h5"), *[h(e).alias(n) for n, e in comp])
         .select("doc_id", F.xxhash64("h5", *names).alias("tid"), *names)
