@@ -20,6 +20,44 @@ from ..functions.numeric import round6
 
 _WS = r"\s+"
 
+# Broadcast gate for word-keyed KN stats frames (VERDICT r15 #5): the
+# hint fires only when the distinct key count is known to stay under
+# this bound. 48M string-keyed rows frame to roughly 1.5-3 GB — inside
+# the 8 GB / 512M-row broadcast-relation cap with >5x margin, including
+# the ~2% HLL estimation error of approx_count_distinct.
+_WORD_STATS_BROADCAST_MAX = 48_000_000
+
+
+def _word_stats_fit_broadcast(frame, *keys: str, measure: bool = True) -> bool:
+    """Decide whether word-keyed stats frames derived from `frame` may
+    carry an explicit broadcast hint. Two tiers:
+
+    1. FREE proof from plan statistics: the estimated row count of the
+       (checkpointed) frame upper-proxies its distinct keys; when even
+       a 256x error margin (compression ratio x schema-width scaling,
+       both observed well under 32x locally) keeps it inside
+       `_WORD_STATS_BROADCAST_MAX`, broadcast without running anything.
+    2. Otherwise MEASURE: one approx_count_distinct pass over the
+       already-materialized frame (an aggregation job — negligible next
+       to the corpus passes at any scale where this tier triggers)
+       decides. Past the bound the hint is withheld and the planner
+       sizes the joins itself (type frame shuffled — slower, never
+       fatal), so the broadcast bound holds by construction.
+    """
+    from ..functions.partitioning import _estimated_rows
+
+    est = _estimated_rows(frame)
+    if est is not None and est * 256 <= _WORD_STATS_BROADCAST_MAX:
+        return True
+    if not measure:
+        # un-materialized frame: counting it would recompute the whole
+        # corpus lineage — withhold the hint instead (safe either way)
+        return False
+    nd = frame.agg(
+        *[F.approx_count_distinct(k).alias(f"_n{i}") for i, k in enumerate(keys)]
+    ).first()
+    return max(nd) <= _WORD_STATS_BROADCAST_MAX
+
 
 def tokens_col(text=None) -> F.Column:
     """Whitespace tokens of trimmed text (empty text -> empty array)."""
@@ -1248,15 +1286,24 @@ def kn_bigram_surprisal(
     cur_stats = types.groupBy("cur").agg(F.count(F.lit(1)).alias("nback"))
     btot = types.agg(F.count(F.lit(1)).alias("btypes"))
     d = float(discount)
-    # r15 (guide §3.1): prev_stats/cur_stats are keyed by single WORDS
-    # (vocab-bounded, never corpus- or type-bounded) — explicit
-    # broadcasts pin the plan so the type frame is NEVER shuffled for
-    # scoring at any scale; without the hint the planner's size
-    # estimate at 100 TB would fall back to SMJ and shuffle the
-    # bigram-type frame twice.
+    # r15 (guide §3.1): prev_stats/cur_stats are keyed by single WORDS,
+    # so explicit broadcasts pin a zero-type-frame-shuffle scoring plan.
+    # r16 (VERDICT r15 #5): "vocab-bounded" is NOT bounded by
+    # construction at raw web scale (typos, numbers, URLs grow the
+    # token vocabulary with the corpus), and a forced broadcast past
+    # the 8 GB / 512M-row relation cap fails the job outright. The hint
+    # is therefore GATED (see _word_stats_fit_broadcast): proven small
+    # from plan stats when possible, measured with one
+    # approx_count_distinct pass over the checkpointed type frame
+    # otherwise; past the bound the planner sizes the joins itself
+    # (type frame shuffled by prev/cur — slower, never fatal). The
+    # bound is true by construction: the hint only fires under
+    # _WORD_STATS_BROADCAST_MAX rows.
+    small = _word_stats_fit_broadcast(types, "prev", "cur", measure=materialize)
+    hint = F.broadcast if small else (lambda f: f)
     scored = (
-        types.join(F.broadcast(prev_stats), "prev")
-        .join(F.broadcast(cur_stats), "cur")
+        types.join(hint(prev_stats), "prev")
+        .join(hint(cur_stats), "cur")
         .crossJoin(F.broadcast(btot))
         .select(
             "bigram",
@@ -1382,14 +1429,21 @@ def kn_trigram_surprisal(
     )
     # r15 (guide §2.4/§3.1): Pmid is computed ON the suffix-pair frame
     # (whose grouping key `pair` determines mid and cur), with the
-    # vocab-bounded word-keyed stats explicitly broadcast — then the
-    # trigram type frame joins the finished (pair, pmid) plus the
-    # bigram-keyed history totals. Two type-frame shuffles at scale
-    # (pair, hist) instead of four (hist, pair, mid, cur); identical
-    # arithmetic in identical IEEE order.
+    # word-keyed stats explicitly broadcast — then the trigram type
+    # frame joins the finished (pair, pmid) plus the bigram-keyed
+    # history totals. Two type-frame shuffles at scale (pair, hist)
+    # instead of four (hist, pair, mid, cur); identical arithmetic in
+    # identical IEEE order.
+    # r16 (VERDICT r15 #5): the word-stat broadcasts are GATED via
+    # _word_stats_fit_broadcast over the checkpointed suffix-pair frame
+    # — see kn_bigram_surprisal for the rationale; the hint only fires
+    # under _WORD_STATS_BROADCAST_MAX rows, so the bound holds by
+    # construction at any scale.
+    small = _word_stats_fit_broadcast(pairs, "mid", "cur", measure=materialize)
+    hint = F.broadcast if small else (lambda f: f)
     pmid_f = (
-        pairs.join(F.broadcast(mid_stats), "mid")
-        .join(F.broadcast(cur_stats), "cur")
+        pairs.join(hint(mid_stats), "mid")
+        .join(hint(cur_stats), "cur")
         .crossJoin(F.broadcast(btot))
         .select("pair", pmid.alias("pmid"))
     )

@@ -3046,6 +3046,42 @@ def test_kn_discount_penalises_single_template_pairs(spark):
     assert out[0]["kn_bits_per_bigram"] > 0.0  # MLE would give exactly 0 bits
 
 
+def test_kn_word_stats_broadcast_gate(spark, monkeypatch):
+    """r16: the word-stats broadcast hint is gated on a known-small key
+    count (VERDICT r15 #5). The gate must (a) prove tiny frames small
+    for free, (b) measure when the estimate cannot prove it, (c) refuse
+    to measure un-materialized lineage, and (d) leave the query output
+    IDENTICAL when the hint is withheld (plan strategy only)."""
+    rows = [(i, f"w{i % 7} w{(i + 1) % 7} w{(i + 2) % 7}", "en", "s0", 8)
+            for i in range(40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    frame = docs.select("doc_id", F.col("text").alias("prev")).localCheckpoint()
+    # baseline computed BEFORE the bound is shrunk: broadcast hint on
+    baseline = {
+        r["doc_id"]: r for r in text.kn_bigram_surprisal(docs).collect()
+    }
+    # (a) free tier: tiny estimate proves smallness, no job needed
+    assert text._word_stats_fit_broadcast(frame, "prev") is True
+    # (b) measured tier: a bound of 50 defeats the estimate proof
+    # (est*256 >> 50) so the HLL pass must run; the frame's 7 distinct
+    # prev values measure under the bound
+    monkeypatch.setattr(text, "_WORD_STATS_BROADCAST_MAX", 50)
+    assert text._word_stats_fit_broadcast(frame, "prev") is True
+    # ...and over the bound the hint is withheld
+    monkeypatch.setattr(text, "_WORD_STATS_BROADCAST_MAX", 1)
+    assert text._word_stats_fit_broadcast(frame, "prev") is False
+    # (c) unprovable + measure=False -> withheld, never recomputed
+    assert (
+        text._word_stats_fit_broadcast(frame, "prev", measure=False) is False
+    )
+    # (d) withheld hint (bound still 1) changes the join strategy,
+    # never the values
+    gated = {r["doc_id"]: r for r in text.kn_bigram_surprisal(docs).collect()}
+    assert gated == baseline
+
+
 def test_kn_trigram_surprisal_hand_computed(spark):
     import math
 
