@@ -299,7 +299,15 @@ def simhash_dedup(docs: DataFrame, max_hamming: int = 3, text_col: str = "text")
 def simhash_candidate_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup candidates: bucket by each of four 16-bit chunks (pigeonhole:
     Hamming distance <=3 over 64 bits guarantees one identical chunk),
-    join within buckets, verify exact Hamming distance <= max_hamming."""
+    join within buckets, verify exact Hamming distance <= max_hamming.
+
+    PRECONDITION (ADVICE r15): `signatures` must carry ONE row per
+    doc_id. The r15 first-matching-chunk emit replaced the post-join
+    distinct, so duplicate doc_id input rows now surface as duplicate
+    (doc_a, doc_b) output rows instead of being collapsed.
+    simhash_signatures satisfies this by construction (one groupBy
+    doc_id aggregate); callers feeding external signature frames must
+    dropDuplicates('doc_id') first."""
     chunked = signatures.select(
         "doc_id",
         "simhash",

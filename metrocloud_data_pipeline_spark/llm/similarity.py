@@ -1290,6 +1290,13 @@ def semdedup_pairs(
         # here costs one small materialization and lets the cache serve
         # BOTH join sides exactly as designed; lineage truncation also
         # frees the cache for real (nothing downstream references it).
+        # Tradeoff (ADVICE r15): localCheckpoint makes this call EAGER
+        # (the k-means fit + self-join run here, not at the caller's
+        # action) and stores the pair frame only in executor storage —
+        # unrecoverable on executor loss and unsafe under dynamic
+        # allocation. At cluster scale prefer reliable checkpointing
+        # (spark.sparkContext.setCheckpointDir + .checkpoint()) or
+        # writing the pair frame to storage and reading it back.
         return pairs.localCheckpoint()
     finally:
         cached.unpersist()

@@ -1057,6 +1057,11 @@ def _tagged_gram_rows(docs: DataFrame, ns: tuple, id_col: str) -> DataFrame:
     parallelism saved on the first cut)."""
     from ..functions.partitioning import fan_out_scan
 
+    # A duplicate n in `ns` would emit the same (n, gram) struct twice
+    # per position and double-count total_grams into one merged agg row
+    # (the old per-n union emitted two separate identical rows instead)
+    # — dedupe up front so both shapes agree (ADVICE r15).
+    ns = tuple(sorted(set(ns)))
     max_n = max(ns)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     sz = F.size(F.col("_toks"))

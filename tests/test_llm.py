@@ -2872,6 +2872,20 @@ def test_ngram_diversity_flags_repetitive_source(spark):
     assert out[("fresh", 3)]["distinct_grams"] == 38
 
 
+def test_ngram_diversity_duplicate_ns_not_double_counted(spark):
+    """ADVICE r15: a duplicate n in `ns` must not double-count
+    total_grams into the merged (source, n) row — _tagged_gram_rows
+    dedupes ns at entry so (2, 2) behaves exactly like (2,)."""
+    docs = spark.createDataFrame(
+        [(0, "a b c d", "en", "s0", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    once = {r["n"]: r for r in text.ngram_diversity(docs, ns=(2,)).collect()}
+    dup = {r["n"]: r for r in text.ngram_diversity(docs, ns=(2, 2)).collect()}
+    assert dup == once
+    assert dup[2]["total_grams"] == 3
+
+
 def test_char_entropy_extremes(spark):
     docs = spark.createDataFrame(
         [
