@@ -7066,15 +7066,74 @@ NO_ORACLE_REASONS: dict[str, str] = {
 }
 
 QUERY_ORDER = [
-    # --- r15 window (first 50 = driver-checked this round) ---
-    # Stalest-first rotation per VERDICT r14 #1: the 13 age-4 keys
-    # (latest green r10 — the deferred tail of the r10 cohort) MUST
-    # lead, the 4 r14-born keys get their first-ever driver row, and
-    # the oldest 33 of the 50-key age-3 (r11) cohort fill the rest —
-    # exactly 50 slots.  The 17 remaining r11 keys head the queue
-    # below; at age 4 after this round they are first into the r16
-    # window, inside the gate's max_age=6 with two rounds of slack.
-    # last green driver row r10 (age 4 — the 13 deferred from r14):
+    # --- r16 window (first 50 = driver-checked this round) ---
+    # VERDICT r15 #4: changed keys LEAD the window this round — the 12
+    # r15-restructured paths that had no post-change driver row
+    # (rotation was age-based, so their churn outran their coverage),
+    # plus the r16-touched keys (KN text fan-out + broadcast gate, the
+    # tone-synth width cap) and the two r15-born audio-tier keys whose
+    # plan the width cap also touches (first-ever driver rows).
+    "langid_confusion",
+    "corpus_filter_funnel",
+    "source_filter_funnel",
+    "dedup_simhash",
+    "text_ngram_diversity",
+    "text_ngram_diversity_approx",
+    "kn_bigram_surprisal",
+    "kn_trigram_surprisal",
+    "ccnet_perplexity_buckets_kn3",
+    "kn5_surprisal_hashed",
+    "ccnet_perplexity_buckets_kn5",
+    "w8b_gapfill_interpolate",
+    "knn_join_ivf",
+    "dedup_embed_semdedup",
+    "media_audio_features",
+    "media_container_probe",
+    "media_audio_near_dup",
+    "media_audio_neardup_recall",
+    # the 16 remaining age-4 keys (last green driver row r11; the
+    # 17th, dedup_embed_semdedup, leads above as a changed key):
+    "f6b_metadata_lookup_indexed",
+    "a19_time_weighted_avg",
+    "a20_counter_delta",
+    "seq_pack_ranges",
+    "corpus_budget_select",
+    "bigram_surprisal",
+    "w9_event_transitions",
+    "w10_m4_downsample",
+    "dq_profile_events_approx",
+    "obs_hot_keys_approx",
+    "quality_quantile_filter_approx",
+    "embed_pq_stats",
+    "h1_pricing_summary",
+    "h5_local_supplier_volume",
+    "a2_hourly_aggregates",
+    "h6_forecast_revenue",
+    # balance from the age-3 (r12-green) cohort, queue order
+    # (kn5_surprisal_hashed / w8b_gapfill_interpolate from that
+    # cohort lead above as changed keys):
+    "h7_volume_shipping",
+    "h8_market_share",
+    "w4_user_sessions",
+    "langid_heuristic",
+    "dedup_jaccard_prefix_baskets",
+    "knn_filtered_brute",
+    "knn_filtered_ivf_recall",
+    "f6c_tags_lookup_indexed",
+    "a13b_cascade_incremental",
+    "knn_join_ivfpq",
+    "rag_chunk_documents",
+    "bpe_train_merges",
+    "a21_value_histogram",
+    "a22_trend_slope",
+    "bpe_segment_stats",
+    "w11_lttb_downsample",
+    # --- driver window ends here (first 50) ---
+    # r17 queue: the rest of the age-3 cohort (oldest first), then
+    # the age-2 / age-1 / age-0 cohorts in their existing relative
+    # order. r17 window arithmetic: after the r16 driver run the 34
+    # age-3 keys below sit at age 4 and MUST lead; the balance
+    # comes from the then-age-3 cohort, oldest first.
     "stratified_split",
     "asof_last_error",
     "a11_type_daily_rollup",
@@ -7088,16 +7147,11 @@ QUERY_ORDER = [
     "t1_unpivot_measures",
     "dedup_exact",
     "text_bpe_token_stats",
-    # first registered r14, never driver-checked (first rows this round):
     "media_neardup_recall_report",
-    "media_container_probe",
     "decontaminate_ngram_bloom",
     "decontaminate_bloom_audit",
-    # last green driver row r11 (33 of 50, queue order):
     "text_quality_score",
-    "kn_trigram_surprisal",
     "langid_trained_report",
-    "ccnet_perplexity_buckets_kn3",
     "knn_join_ivf_bucketed",
     "knn_recall_report",
     "obs_hot_keys",
@@ -7127,51 +7181,6 @@ QUERY_ORDER = [
     "source_scorecard",
     "winnow_overlap_pairs",
     "dq_expectations_report",
-    # --- driver window ends here (first 50) ---
-    # r16 queue head: the 17 age-3 keys the 50-slot window could not
-    # hold this round (67 candidates for 50 slots), then the r12 /
-    # r13 / r14-window cohorts, freshest last, then r15-born keys.
-    # r16 window arithmetic (precomputed at r15 close): after the r15
-    # driver run these 17 sit at age 4 and MUST lead; plus any
-    # r15-born keys (see FIRST_REGISTERED_ROUND); the balance comes
-    # from the then-age-3 r12 cohort, oldest first.
-    # last green driver row r11 (the 17 deferred):
-    "f6b_metadata_lookup_indexed",
-    "a19_time_weighted_avg",
-    "a20_counter_delta",
-    "seq_pack_ranges",
-    "corpus_budget_select",
-    "bigram_surprisal",
-    "w9_event_transitions",
-    "w10_m4_downsample",
-    "dedup_embed_semdedup",
-    "dq_profile_events_approx",
-    "obs_hot_keys_approx",
-    "quality_quantile_filter_approx",
-    "embed_pq_stats",
-    "h1_pricing_summary",
-    "h5_local_supplier_volume",
-    "a2_hourly_aggregates",
-    "h6_forecast_revenue",
-    # last green driver row r12:
-    "h7_volume_shipping",
-    "h8_market_share",
-    "w4_user_sessions",
-    "langid_heuristic",
-    "dedup_jaccard_prefix_baskets",
-    "kn5_surprisal_hashed",
-    "knn_filtered_brute",
-    "knn_filtered_ivf_recall",
-    "w8b_gapfill_interpolate",
-    "f6c_tags_lookup_indexed",
-    "a13b_cascade_incremental",
-    "knn_join_ivfpq",
-    "rag_chunk_documents",
-    "bpe_train_merges",
-    "a21_value_histogram",
-    "a22_trend_slope",
-    "bpe_segment_stats",
-    "w11_lttb_downsample",
     "f1_recent_readings",
     "h10_returned_items",
     "h13_customer_distribution",
@@ -7204,16 +7213,13 @@ QUERY_ORDER = [
     "h18_large_customers",
     "h_brand_revenue",
     "doc_fingerprint_winnow",
-    # last green driver row r13:
     "decontaminate_ngram",
     "text_repetition_stats",
     "knn_brute_force",
     "knn_join_brute",
     "knn_ivf",
-    "knn_join_ivf",
     "dsir_importance_weights",
     "quality_lr_score",
-    "media_audio_features",
     "media_video_features",
     "ccnet_perplexity_buckets_exact_dist",
     "dedup_substring_spans",
@@ -7231,19 +7237,16 @@ QUERY_ORDER = [
     "boilerplate_line_filter",
     "ccnet_perplexity_buckets",
     "ccnet_perplexity_buckets_approx",
-    "corpus_filter_funnel",
     "ivfpq_refine_sweep",
     "embed_diverse_sample",
     "dedup_cluster_histogram",
     "text_fertility_by_lang",
-    "text_ngram_diversity",
     "text_char_entropy",
     "dedup_source_overlap",
     "quality_rank_fusion",
     "text_zipf_slope",
     "source_js_divergence",
     "embed_label_purity",
-    "kn_bigram_surprisal",
     "mixture_epoch_plan",
     "lsh_band_planner",
     "doc_outlier_panel",
@@ -7255,19 +7258,13 @@ QUERY_ORDER = [
     "text_hot_tokens",
     "text_hot_tokens_approx",
     "quality_signal_correlation",
-    # last green driver row r14 (the r14 window cohort — freshest):
-    "langid_confusion",
     "shard_skew_report",
     "dedup_impact_by_source",
-    "text_ngram_diversity_approx",
-    "source_filter_funnel",
     "embed_centroid_drift",
     "a6_table_stats_approx",
     "a9_daily_quality_approx",
     "knn_lsh",
     "dedup_embed_cosine_lsh",
-    "dedup_simhash",
-    "ccnet_perplexity_buckets_kn5",
     "media_video_near_dup",
     "seq_pack_summary",
     "dedup_keep_list",
@@ -7305,10 +7302,7 @@ QUERY_ORDER = [
     "sample_weighted_sources",
     "text_clean_stats",
     "quality_filter_report",
-    "pii_scrub_stats",    # new r15-born keys, appended per the new-key cap — see
-    # tools/freshness.py FIRST_REGISTERED_ROUND:
-    "media_audio_near_dup",
-    "media_audio_neardup_recall",
+    "pii_scrub_stats",
     "media_image_near_dup",
     "media_image_neardup_recall",
 ]
