@@ -206,6 +206,15 @@ def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5) -> DataFrame:
         *[F.slice(F.col("_toks"), i + 1, m).alias(f"t{i}") for i in range(k)]
     )
     gram = F.concat_ws(" ", *[F.col(f"g.t{i}") for i in range(k)])
+    # r16 measured NEGATIVE, reverted: fanning the text ahead of this
+    # explode (the KN/substring move) A/B'd at 1.40 -> 1.67 s on
+    # winnow_overlap_pairs and flat on the other two winnow consumers —
+    # the ~300 short-string md5s/doc are cheap enough that the
+    # round-robin exchange costs what the parallel hashing saves (the
+    # window exchange that follows carries every gram row either way,
+    # but it is ALSO the stage boundary, so the scan stage was never
+    # the whole-query serializer here the way the KN eager checkpoints
+    # were).
     gh = (
         docs.select("doc_id", F.split(norm, " ").alias("_toks"))
         .select("doc_id", F.posexplode(zipped).alias("pos", "g"))
@@ -451,8 +460,15 @@ def substring_dup_spans(docs: DataFrame, min_tokens: int = 50) -> DataFrame:
     if L < 2:
         raise ValueError(f"substring_dup_spans: min_tokens must be >= 2, got {L}")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS, " ")
+    # r16: fan the raw text out before tokenization — the eager token
+    # checkpoint otherwise materializes at the scan's width (ONE local
+    # task), serializing the tokenize AND pinning the gram assembly +
+    # md5 that read the checkpoint to that width. No-op at scale.
+    from ..functions.partitioning import fan_out_scan
+
     toks = (
-        docs.select("doc_id", F.split(norm, " ").alias("_toks"))
+        fan_out_scan(docs.select("doc_id", "text"))
+        .select("doc_id", F.split(norm, " ").alias("_toks"))
         .where(F.size("_toks") >= L)
         .localCheckpoint()  # two consumers: gram assembly + span-text lookup
     )
@@ -606,8 +622,15 @@ def bigram_surprisal(docs: DataFrame, materialize: bool = True) -> DataFrame:
         F.slice(toks, 2, m),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    rows = docs.select("doc_id", F.explode(bigrams).alias("bigram")).withColumn(
-        "prev", F.substring_index("bigram", " ", 1)
+    # r16: fan the raw text out before tokenization (the
+    # kn_bigram_surprisal move — the eager checkpoint of the full gram
+    # stream otherwise materializes at the scan's single local split).
+    from ..functions.partitioning import fan_out_scan
+
+    rows = (
+        fan_out_scan(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .withColumn("prev", F.substring_index("bigram", " ", 1))
     )
     if materialize:
         rows = rows.localCheckpoint()

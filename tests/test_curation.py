@@ -573,6 +573,7 @@ def test_dsir_importance_weights_rank_target_like_docs(spark):
     assert again == {k: v["bits_per_token"] for k, v in out.items()}
 
 
+@pytest.mark.slow
 def test_lr_fit_separable_deterministic_and_converges(spark):
     """Batch-GD logistic regression: on linearly separable data the
     fitted scorer classifies perfectly, the loss trace decreases, and
@@ -627,6 +628,7 @@ def test_gate_passthrough_form_matches_default(spark):
         assert {i: got[i]["source"] for i in got} == src
 
 
+@pytest.mark.slow
 def test_lr_fit_ovr_matches_independent_binary_fits(spark):
     """The joint one-pass-per-iteration OvR fit must reproduce K
     independent lr_fit runs to float-noise tolerance: OvR gradients
@@ -657,6 +659,7 @@ def test_lr_fit_ovr_matches_independent_binary_fits(spark):
     )
 
 
+@pytest.mark.slow
 def test_quality_lr_score_agrees_with_heuristic_extremes(spark):
     """The weak-seed trained classifier must reproduce the heuristic's
     verdict on the extremes it was seeded from: long diverse docs score

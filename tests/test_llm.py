@@ -2521,6 +2521,7 @@ def test_ivfpq_recall_report_audits_persisted_index(spark):
         )
 
 
+@pytest.mark.slow
 def test_ivfpq_refined_beats_pure_adc_and_serves_external_queries(spark):
     """The refine stage (ADC retrieve rf*k -> exact cosine re-rank,
     FAISS IndexRefineFlat) must dominate pure ADC on the recall audit,
@@ -3148,6 +3149,7 @@ def test_kn_trigram_discount_penalises_single_template(spark):
     assert out[0]["kn3_bits_per_trigram"] > 0.0  # MLE gives exactly 0
 
 
+@pytest.mark.slow
 def test_langid_trained_beats_heuristic_on_planted_corpus(spark):
     # Two planted "languages" whose words appear in NO stopword profile
     # (the heuristic predicts unknown for every doc) but whose character
@@ -3171,6 +3173,7 @@ def test_langid_trained_beats_heuristic_on_planted_corpus(spark):
         assert out[lang]["trained_agreement"] > out[lang]["heur_agreement"]
 
 
+@pytest.mark.slow
 def test_langid_trained_null_lang_reports_zero_not_null(spark):
     # a NULL declared lang must group under '' with REAL zero/zero-able
     # match counts — uncoalesced, predicted == lang is NULL for the
@@ -3189,6 +3192,7 @@ def test_langid_trained_null_lang_reports_zero_not_null(spark):
     assert nul["trained_match"] is not None and nul["trained_agreement"] is not None
 
 
+@pytest.mark.slow
 def test_langid_trained_is_deterministic(spark):
     rows = [
         (i, t, l, "s0", len(t))

@@ -8,6 +8,7 @@ One DataFrame per example keeps Spark roundtrips bounded
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -65,6 +66,7 @@ def test_fanout_row_count_equals_present_channels(spark, rows):
 
 @settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(rows=raw_rows)
+@pytest.mark.slow
 def test_validation_never_passes_bad_rows(spark, rows):
     # OP-T9/T10 invariant: the valid stream has no null/empty required
     # fields and no out-of-domain values; valid+rejected == input
@@ -86,6 +88,7 @@ def test_validation_never_passes_bad_rows(spark, rows):
 
 @settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(rows=raw_rows)
+@pytest.mark.slow
 def test_clamp_bounds_all_timestamps(spark, rows):
     # OP-T11 invariant: every normalized timestamp lies within the clamp
     # window of the anchor (timescaledb_sink.py:151-160)
@@ -118,6 +121,7 @@ _iv_intervals = st.lists(
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_iv_events, _iv_intervals)
+@pytest.mark.slow
 def test_interval_join_matches_naive_range_join(spark, evs, ivs):
     # the bucketed equi-join must return EXACTLY the pairs the naive
     # (non-scalable) BETWEEN join returns, for arbitrary bucket
@@ -211,6 +215,7 @@ def test_tfidf_matches_pandas_reference(spark, texts):
         max_size=14,
     )
 )
+@pytest.mark.slow
 def test_cross_corpus_jaccard_matches_naive_cross_pairs(spark, texts):
     # the LSH-candidates + exact-verify incremental gate must equal the
     # naive incoming x corpus all-pairs answer (banding miss probability
@@ -262,6 +267,7 @@ def test_cross_corpus_jaccard_matches_naive_cross_pairs(spark, texts):
         unique_by=lambda t: t[0],
     ),
 )
+@pytest.mark.slow
 def test_scd2_merge_invariants(spark, dim_rows, upd_rows):
     # for ANY current-only dimension and dedup'd update batch: exactly
     # one open version per key afterward, closed rows end at the

@@ -725,6 +725,7 @@ def test_scd2_stream_partial_redelivery_of_stale_batch_is_noop(spark, tmp_path):
     assert rows == {("bronze", t0, t1), ("silver", t1, t2), ("gold", t2, None)}
 
 
+@pytest.mark.slow
 def test_corpus_ingest_band_index_maintained_and_screens(spark, tmp_path):
     from metrocloud_data_pipeline_spark.streaming import corpus
 
@@ -764,6 +765,7 @@ def test_corpus_ingest_band_index_maintained_and_screens(spark, tmp_path):
     assert sorted(r["doc_id"] for r in idx.select("doc_id").distinct().collect()) == [1, 2, 10]
 
 
+@pytest.mark.slow
 def test_corpus_ingest_periodic_compaction_preserves_data(spark, tmp_path):
     from metrocloud_data_pipeline_spark.streaming import corpus
 
@@ -846,6 +848,7 @@ def test_band_index_bootstraps_from_preexisting_store(spark, tmp_path):
     assert sorted(r["doc_id"] for r in idx.select("doc_id").distinct().collect()) == [1, 2, 11]
 
 
+@pytest.mark.slow
 def test_band_index_crash_gap_is_repaired(spark, tmp_path):
     """Docs in the store with no band rows (crash between the corpus
     append and the band append) must regain their rows at the next batch

@@ -40,6 +40,12 @@ import pyspark.sql.readwriter as _rw
 import pytest
 from pyspark.sql import functions as F
 
+# The whole crash-point matrix is the slow verification tier (VERDICT
+# r15 #3): ~20 injected-crash scenarios at 4-10 s each. Run with
+# SPARK_GRAFT_FULL_TESTS=1 (builder-side, at least once per round);
+# the default path keeps the suite inside the driver's verify window.
+pytestmark = pytest.mark.slow
+
 
 class CrashOnWrite:
     """Arm an injected RuntimeError on the first DataFrameWriter.parquet

@@ -974,6 +974,7 @@ def test_media_feature_stream_dedups_payloads_across_batches(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_media_feature_stream_near_dup_screen(spark, tmp_path):
     """The media stream's arrival-time NEAR-dup tier (r15 — the corpus
     MinHash screen re-expressed over content fingerprints): a later
