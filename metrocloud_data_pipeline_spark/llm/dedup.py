@@ -969,9 +969,17 @@ def source_overlap_matrix(
     dropped_grams accounting row (source='__dropped_grams__') rather
     than silently, mirroring lsh_dropped_buckets."""
     from .curation import _gram_rows
+    from ..functions.partitioning import fan_out_scan
 
+    # r16: fan the raw text out before the 8-gram assembly — the
+    # tokenize + md5 + (gh, source) partial agg otherwise ran 1.03 s of
+    # this 1.48 s query on ONE local scan task (timeline-measured).
+    # Isolated A/B: 1.478 -> 1.038 s at matched sentinels. The same
+    # move measured WORSE on the decontaminate family (1.38 -> 1.70 s:
+    # their distinct's map-side partial already bounds the following
+    # exchange) and is NOT applied there. No-op at real scan widths.
     grams = (
-        _gram_rows(docs, n, id_col="source")
+        _gram_rows(fan_out_scan(docs.select("source", "text")), n, id_col="source")
         .select(F.md5("gram").alias("gh"), "source")
         .groupBy("gh", "source")
         .agg(F.lit(1).alias("_one"))

@@ -7127,8 +7127,9 @@ QUERY_ORDER = [
     "dedup_substring_spans",
     "dedup_substring_excise",
     "a21_value_histogram",
-    "a22_trend_slope",
+    "dedup_source_overlap",
     # --- driver window ends here (first 50) ---
+    "a22_trend_slope",
     "bpe_segment_stats",
     "w11_lttb_downsample",
     # r17 queue: the rest of the age-3 cohort (oldest first), then
@@ -7242,7 +7243,6 @@ QUERY_ORDER = [
     "dedup_cluster_histogram",
     "text_fertility_by_lang",
     "text_char_entropy",
-    "dedup_source_overlap",
     "quality_rank_fusion",
     "text_zipf_slope",
     "source_js_divergence",
