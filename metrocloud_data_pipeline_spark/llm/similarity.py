@@ -589,8 +589,13 @@ def embed_decontaminate(
             "embed_decontaminate: eval_set is empty — every corpus vector "
             "would silently drop from the report; check the eval slice"
         )
+    # r16: fan the corpus side out — the |corpus| x |eval| cosine
+    # expressions ran 0.60 s of this 1.12 s query on one local scan
+    # task (the knn_join_ivf single-split pattern); no-op at scale.
+    from ..functions.partitioning import fan_out_scan
+
     scored = (
-        corpus.select("vec_id", "embedding")
+        fan_out_scan(corpus.select("vec_id", "embedding"))
         .crossJoin(F.broadcast(ev))
         .select(
             "vec_id",

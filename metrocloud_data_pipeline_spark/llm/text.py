@@ -1165,8 +1165,15 @@ def char_entropy_panel(docs: DataFrame, low_bits: float = 3.5) -> DataFrame:
     narrow shuffles, no UDFs."""
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS, " ")
     chars = F.filter(F.split(norm, ""), lambda c: c != F.lit(""))
+    # r16: fan the raw text out before the per-CHARACTER explode — the
+    # split-to-chars + (doc, char) partial agg ran 0.53 s of this
+    # 0.91 s query on one local scan task (timeline); unlike the token-
+    # level combines the per-doc work here is thousands of array cells.
+    # Isolated A/B below; no-op at real scan widths.
+    from ..functions.partitioning import fan_out_scan
+
     counts = (
-        docs.where(F.length(F.trim("text")) > 0)
+        fan_out_scan(docs.where(F.length(F.trim("text")) > 0).select("doc_id", "text"))
         .select("doc_id", F.explode(chars).alias("ch"))
         .groupBy("doc_id", "ch")
         .agg(F.count(F.lit(1)).alias("cnt"))

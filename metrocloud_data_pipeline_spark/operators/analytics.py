@@ -309,6 +309,11 @@ def daily_quality_report(df: DataFrame) -> DataFrame:
     # each buffer + sort the group's values; the array form pays that
     # once (measured ~1.3x on the whole query at sf0.1)
     pcts = F.percentile("value", F.array(F.lit(0.5), F.lit(0.95)))
+    # r16 measured NEGATIVE, reverted: fanning the readings ahead of
+    # this aggregation (the exact percentile's partial buffering ran
+    # 0.42 s on one local scan task) A/B'd 1.04 -> 1.21 s — the fan
+    # exchange carries every raw reading row, which costs more than
+    # the parallel buffering saves. The scan-stage combine stays.
     return (
         df.groupBy(time_bucket("ts", "1 day").alias("bucket"), F.col("device_type"))
         .agg(

@@ -7123,12 +7123,14 @@ QUERY_ORDER = [
     "a13b_cascade_incremental",
     "knn_join_ivfpq",
     "rag_chunk_documents",
-    "bpe_train_merges",
+    "decontaminate_embed",
     "dedup_substring_spans",
     "dedup_substring_excise",
-    "a21_value_histogram",
+    "text_char_entropy",
     "dedup_source_overlap",
     # --- driver window ends here (first 50) ---
+    "bpe_train_merges",
+    "a21_value_histogram",
     "a22_trend_slope",
     "bpe_segment_stats",
     "w11_lttb_downsample",
@@ -7228,7 +7230,6 @@ QUERY_ORDER = [
     "ivfpq_recall_report",
     "dsir_hashed_weights",
     "dedup_rag_chunks",
-    "decontaminate_embed",
     "dedup_keep_best",
     "text_repetition_panel",
     "gopher_quality_panel",
@@ -7242,7 +7243,6 @@ QUERY_ORDER = [
     "embed_diverse_sample",
     "dedup_cluster_histogram",
     "text_fertility_by_lang",
-    "text_char_entropy",
     "quality_rank_fusion",
     "text_zipf_slope",
     "source_js_divergence",
